@@ -1,0 +1,322 @@
+"""Join operators.
+
+The reference's star schema ("a partitioned fact `flights` table and
+... a dimension `airlines` table" — ``/root/reference/README.md:23``)
+makes fact⋈dim equi-joins the core workload; its literal equi-join is
+MERGE's ``ON t.code = s.code``
+(``/root/reference/sql/update_iceberg_v2_examples.sql:16``).
+
+Scale posture (100 TB): dimension joins are broadcast (no shuffle of
+the fact side); the multiway join lets Catalyst/AQE order joins and
+pick broadcast per side; the as-of join avoids the quadratic
+range-join blow-up by co-grouping on the equi key and running a
+per-group ordered merge (``pd.merge_asof``) — linear per partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_workshop_spark.exprs import SQL_REVENUE, money, revenue_expr
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join + aggregate (SURVEY §2A A9's join shape)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈small-dim with an explicit broadcast hint.
+
+    At 100 TB the fact side never shuffles for a dimension join: the
+    dim is shipped to every executor (BroadcastHashJoin), asserted in
+    tests via the physical plan.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q5-shaped 5-way star join (SURVEY §7.2).
+
+    region/nation/customer are broadcast-size at any SF; Catalyst +
+    AQE pick BroadcastHashJoin for them and shuffle only
+    orders⋈lineitem. The region filter is pushed below the joins.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN preserving customers with zero orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_order' AS tag
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_order' AS tag
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join — MERGE's matched/not-matched halves (A9).
+
+    Semi/anti never materialize the probe side's payload, so at scale
+    they beat ``IN (SELECT ...)`` rewrites that deduplicate first.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    has = (
+        customer.join(orders, cond, "left_semi")
+        .select("c_custkey", F.lit("has_order").alias("tag"))
+    )
+    not_has = (
+        customer.join(orders, cond, "left_anti")
+        .select("c_custkey", F.lit("no_order").alias("tag"))
+    )
+    return has.unionAll(not_has).orderBy("c_custkey")
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.event_id <> e1.event_id
+     AND e2.ts >= e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id
+    ORDER BY user_id
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range self-join: event pairs within 1h per user.
+
+    The equi key (user_id) carries the shuffle; the range predicate is
+    evaluated inside the join, so this stays a hash/sort-merge join —
+    never a full cartesian — and scales with per-user density.
+    """
+    events = load(spark, sf_dir, "events")
+    e1 = events.alias("e1")
+    e2 = events.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.event_id") != F.col("e1.event_id"))
+            & (F.col("e2.ts") >= F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_on: str,
+    right_on: str,
+    left_keep: list[str],
+    right_keep: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Generic as-of join: latest right row at-or-before each left row.
+
+    Spark has no native as-of join; a range join + row_number works but
+    re-materializes every candidate pair (quadratic in per-key
+    density). Instead we co-group both sides on the equi key and run
+    ``pd.merge_asof`` per group — O(n log n) per key, Arrow-batched,
+    and the shuffle is exactly one hash partition per side (the same
+    shuffle the range join would have needed anyway).
+    """
+    left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+    left_cols = set(left.columns)
+    schema = ", ".join(
+        [f"{c} {left_types[c]}" for c in left_keep]
+        + [f"{c} {right_types[c]}" for c in right_keep]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=left_keep + right_keep)
+        # Sort with the tiebreak so equal-timestamp rows resolve to the
+        # greatest tiebreak value deterministically (merge_asof takes
+        # the last row ≤ the probe).
+        lpdf = lpdf.sort_values([left_on])
+        rpdf = rpdf.sort_values([right_on, right_tiebreak])
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_on,
+            right_on=right_on,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        cols = {}
+        for c in left_keep:
+            cols[c] = merged[c]
+        for c in right_keep:
+            cols[c] = merged[f"{c}__r" if c in left_cols else c]
+        out = pd.DataFrame(cols).dropna()
+        for c in right_keep:
+            if str(out[c].dtype).startswith("float") and right_types[c] in ("bigint", "int"):
+                out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda _key, l, r: merge(l, r), schema=schema)
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT purchase_id, err_id FROM (
+      SELECT p.event_id AS purchase_id,
+             e.event_id AS err_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND e.ts <= p.ts
+    ) WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest 'error' event at-or-before each 'purchase'.
+
+    Implemented with the co-grouped ``merge_asof`` operator above (not
+    the quadratic range-join+row_number the oracle uses) — results are
+    identical, the plan is the scale-safe one.
+    """
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("e_ts")
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        by="user_id",
+        left_on="p_ts",
+        right_on="e_ts",
+        left_keep=["purchase_id"],
+        right_keep=["err_id"],
+        right_tiebreak="err_id",
+    )
+    return joined.orderBy("purchase_id")

@@ -1,0 +1,115 @@
+"""Scan / source / sink queries.
+
+Covers the reference's source formats: CSV with explicit schema +
+header skip (``/root/reference/sql/airlines.sql:5-39``), Parquet scans
+(``/root/reference/README.md:78,86``), CTAS round-trips
+(``/root/reference/sql/airlines.sql:49-55``) and partition-pruned
+scans (``/root/reference/README.md:214-237``).
+
+Scale notes: every scan here is a plain ``spark.read`` — vectorized
+Parquet reader, predicate pushdown, column pruning all apply. The
+pruned-scan query writes a `partitionBy(year)` copy so Catalyst prunes
+directories; correctness is checked against the unpartitioned oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+_SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(_SCRATCH, "iws_scratch", *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@register(
+    "q_scan_parquet",
+    oracle="SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Parquet scan, all columns, stable order (A2)."""
+    return load(spark, sf_dir, "lineitem").orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with explicit schema + header (A1 semantics).
+
+    Mirrors ``TBLPROPERTIES("skip.header.line.count"="1")`` and the
+    ``,`` delimiter of ``/root/reference/sql/airlines.sql:36-39``. The
+    schema is explicit (never inferred) so types stay stable.
+    """
+    out = _scratch(f"csv_nation_{os.path.basename(sf_dir.rstrip('/'))}")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).option("sep", ",").csv(out)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .option("sep", ",")
+        .csv(out)
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "q_ctas_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+)
+def q_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS to a new Parquet table, read back (A3/A4 semantics,
+    ``/root/reference/sql/airlines.sql:49-55``)."""
+    out = _scratch(f"ctas_supplier_{os.path.basename(sf_dir.rstrip('/'))}")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("s_suppkey")
+
+
+@register(
+    "q_scan_pruned",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan (A25, ``/root/reference/README.md:214-237``).
+
+    Writes a ``partitionBy(l_shipyear)`` copy once, then filters on the
+    partition column so Catalyst prunes to 1-of-N directories; the
+    answer must equal the unpartitioned oracle. The 1-year-predicate
+    pruning ratio is benchmarked in bench.py (BASELINE.md target:
+    ≤0.84% of files for the reference's 1/238 showcase).
+    """
+    out = _scratch(f"lineitem_by_year_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "lineitem")
+            .withColumn("l_shipyear", F.year("l_shipdate"))
+            .write.mode("overwrite")
+            .partitionBy("l_shipyear")
+            .parquet(out)
+        )
+    part = spark.read.parquet(out).filter(F.col("l_shipyear") == 1997)
+    return part.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

@@ -1,0 +1,59 @@
+"""Fixture-table loaders.
+
+The driver materializes TPC-H-ish parquet at
+``/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`` (TESTDATA.md).
+Parquet scan maps the reference's ``FROM staging.*_parquet``
+(``/root/reference/README.md:78,86``) — Spark's vectorized reader with
+predicate pushdown + column pruning handles the rest declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (columnar parquet, pushdown-capable).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark has
+    no nanosecond timestamp type, so the session reads it as a raw
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to
+    a microsecond TimestampType here with exact integer division
+    (``div`` — a float division would lose precision above 2^53 ns).
+    SURVEY.md §5.3 truncates comparisons to second precision anyway.
+    """
+    if name == "events":
+        # The driver may hand us a session built without this conf;
+        # it is runtime-settable, so pin it here rather than only in
+        # our own session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name, df in load_all_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

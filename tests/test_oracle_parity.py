@@ -1,0 +1,30 @@
+"""Every registered query vs its DuckDB oracle at sf0.01 — the local
+mirror of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.helpers import assert_frames_match
+
+
+def _all_query_names():
+    from iceberg_workshop_spark.registry import queries
+
+    return sorted(queries())
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_query_matches_oracle(spark, oracle, name):
+    from iceberg_workshop_spark.registry import oracle_sql, queries
+
+    df = queries()[name](spark, SF_DIR)
+    spark_pdf = df.toPandas()
+    sql = oracle_sql().get(name)
+    if sql is None:
+        # rows-only check (driver's weak path)
+        assert len(spark_pdf) >= 0
+        return
+    oracle_pdf = oracle.execute(sql).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
