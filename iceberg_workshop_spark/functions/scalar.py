@@ -1,1 +1,246 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Scalar-function surface — dialect closure of A19.
+
+The reference's literal scalar expression is
+``cast(to_date(concat(cast(year AS STRING),"-",...)) AS TIMESTAMP)``
+(``/root/reference/README.md:207``); these queries close over the
+string/date/math/conditional/array/JSON families, each function
+existing under the same (or directly aliasable) name in Spark SQL and
+DuckDB so the oracle can mirror it exactly.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '|', c_mktsegment) AS tagged,
+           substr(c_name, 1, 8) AS prefix,
+           upper(c_mktsegment) AS seg_up,
+           lower(c_name) AS name_lo,
+           trim(concat(' ', c_name, ' ')) AS trimmed,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer', 'C') AS name_short,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+           split_part(c_name, '#', 1) AS name_stem
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substr/upper/lower/trim/length/replace/lpad/split_part (A19)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("tagged"),
+            F.substring("c_name", 1, 8).alias("prefix"),
+            F.upper("c_mktsegment").alias("seg_up"),
+            F.lower("c_name").alias("name_lo"),
+            F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+            F.length("c_name").alias("name_len"),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+            F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_stem"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('day', o_orderdate) AS oday_ts,
+           CAST(year(o_orderdate) AS INT) AS oyear,
+           CAST(month(o_orderdate) AS INT) AS omonth,
+           CAST(dayofmonth(o_orderdate) AS INT) AS oday,
+           date_trunc('month', o_orderdate) AS omonth_start,
+           date_trunc('day', o_orderdate) + INTERVAL 7 DAY AS week_later,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_date/year/month/day/date_trunc/date_add/datediff/unix epoch
+    (A19 — the reference's cast+to_date+concat expression family).
+
+    DATE values are materialized as day-truncated TIMESTAMPs: Spark
+    hands pandas ``datetime.date`` objects for DateType while DuckDB
+    hands ``datetime64`` — stringified forms differ, so DATE outputs
+    would break any value-hash. Day-truncated timestamps are identical
+    in both engines (SURVEY §5.3 rule 4 extended).
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("day", "o_orderdate").alias("oday_ts"),
+            F.year("o_orderdate").alias("oyear"),
+            F.month("o_orderdate").alias("omonth"),
+            F.dayofmonth("o_orderdate").alias("oday"),
+            F.date_trunc("month", "o_orderdate").alias("omonth_start"),
+            (F.date_trunc("day", "o_orderdate") + F.expr("INTERVAL 7 DAY")).alias(
+                "week_later"
+            ),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("days_since_95"),
+            F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 10, 0) AS BIGINT) AS price_decicents,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           pow(l_quantity, 2) AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod,
+           l_orderkey // 7 AS key_div
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/pow/sqrt/modulo/integer division (A19).
+
+    Rounding happens on an exact decimal (never a double) so both
+    engines agree on ties. sqrt is IEEE-754 correctly-rounded
+    (bit-identical everywhere); ln/log are NOT — engines' libm differ
+    in the last ulp — so transcendental outputs are deliberately
+    excluded from exact-oracle queries.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 10, 0)
+            .cast("bigint")
+            .alias("price_decicents"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.expr("l_orderkey div 7").alias("key_div"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'small' END AS size_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+           least(o_totalprice, 100000.0) AS capped,
+           greatest(o_totalprice, 1000.0) AS floored
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / least / greatest."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 150000, "big")
+            .when(F.col("o_totalprice") > 50000, "mid")
+            .otherwise("small")
+            .alias("size_band"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+                "status_label"
+            ),
+            F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped"),
+            F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floored"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           list_contains(embedding, embedding[1]) AS has_first
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size, element access,
+    membership. Elements are float32 in storage; cast to double for the
+    comparison (exact widening, no precision change)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.element_at("embedding", 1).cast("double").alias("first_val"),
+            F.element_at("embedding", 64).cast("double").alias("last_val"),
+            F.array_contains("embedding", F.element_at("embedding", 1)).alias("has_first"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_fn_map_json",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY k_str, k_int
+    ORDER BY k_int, k_str
+    """,
+)
+def q_fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props parsing (events.props, FIXTURES.md): string-path
+    extraction + typed from_json map access, grouped.
+
+    ``from_json`` is the scale path — one parse per row into a typed
+    map, pruned by Catalyst's JSON-expression optimization — vs
+    per-field ``get_json_object`` re-parses.
+    """
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))["k"].alias(
+            "k_int"
+        ),
+    )
+    return (
+        parsed.groupBy("k_str", "k_int")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_int", "k_str")
+    )

@@ -1,1 +1,200 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Aggregation operators.
+
+The reference's signature aggregate is the scalar ``count(*)`` with a
+predicate (``/root/reference/README.md:214-224,241-244,274-277``); the
+rest is the standard OLAP closure: grouped aggs (TPC-H Q1 shape),
+DISTINCT aggs, ROLLUP/CUBE/GROUPING SETS, HAVING, and sketches.
+
+Scale notes: Spark's HashAggregate already does partial (map-side)
+aggregation before the shuffle — the shuffle carries one row per
+(group × partition), not per input row. DISTINCT aggs expand to a
+two-phase plan automatically. approx_count_distinct is the 100 TB
+path for cardinality (HLL++, constant memory per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.exprs import SQL_REVENUE, money, revenue_expr
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+
+@register(
+    "q_agg_scalar_count",
+    oracle="""
+    SELECT COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def q_agg_scalar_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar count(*) with predicate (A17) — the reference's signature
+    query, e.g. ``/root/reference/README.md:214-216``."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial+final hash aggregate over two group keys.
+
+    Money sums are decimal-exact then cast to double; the average is a
+    double division of that exact sum by the count — bit-identical in
+    any summation order, so safe for the driver's value-hash.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    sum_qty = F.sum(money("l_quantity"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
+            (sum_qty.cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark plans the expand + two-phase
+    aggregate automatically."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_agg_rollup_cube_gsets",
+    oracle="""
+    WITH rn AS (
+      SELECT r_name, n_name
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+    )
+    SELECT 'rollup' AS mode, COALESCE(r_name, '(all)') AS r_name,
+           COALESCE(n_name, '(all)') AS n_name,
+           GROUPING(r_name, n_name) AS gid, COUNT(*) AS n
+    FROM rn GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'cube' AS mode, COALESCE(r_name, '(all)'),
+           COALESCE(n_name, '(all)'),
+           GROUPING(r_name, n_name), COUNT(*)
+    FROM rn GROUP BY CUBE (r_name, n_name)
+    UNION ALL
+    SELECT 'gsets' AS mode, COALESCE(r_name, '(all)'),
+           COALESCE(n_name, '(all)'),
+           GROUPING(r_name, n_name), COUNT(*)
+    FROM rn GROUP BY GROUPING SETS ((r_name), (n_name))
+    ORDER BY mode, r_name, n_name, gid
+    """,
+)
+def q_agg_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS with grouping_id, one tagged union."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    rn = region.join(nation, nation.n_regionkey == region.r_regionkey).select(
+        "r_name", "n_name"
+    )
+    rn.createOrReplaceTempView("iws_rn")
+
+    def block(mode: str, clause: str) -> DataFrame:
+        return spark.sql(
+            f"""
+            SELECT '{mode}' AS mode,
+                   COALESCE(r_name, '(all)') AS r_name,
+                   COALESCE(n_name, '(all)') AS n_name,
+                   CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+                   COUNT(*) AS n
+            FROM iws_rn GROUP BY {clause}
+            """
+        )
+
+    return (
+        block("rollup", "ROLLUP (r_name, n_name)")
+        .unionAll(block("cube", "CUBE (r_name, n_name)"))
+        .unionAll(block("gsets", "GROUPING SETS ((r_name), (n_name))"))
+        .orderBy("mode", "r_name", "n_name", "gid")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+    ORDER BY l_suppkey
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a plain filter above the agg
+    in Catalyst, pushed nowhere (semantically it can't be)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("_sum_qty_dec"))
+        .filter(F.col("_sum_qty_dec") > 100)
+        .select("l_suppkey", F.col("_sum_qty_dec").cast("double").alias("sum_qty"))
+        .orderBy("l_suppkey")
+    )
+
+
+@register("q_agg_approx_cd")  # rows-only: HLL++ is algorithm-specific (A17 closure)
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB cardinality path (HLL++,
+    constant memory per group; exact distinct would shuffle every key).
+    Not oracle-matchable: DuckDB's approx_count_distinct uses a
+    different sketch, so the driver records a rows-only check."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )

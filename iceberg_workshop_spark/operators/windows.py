@@ -1,1 +1,149 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Window-function operators.
+
+Not in the reference's literal surface (its engines support them; the
+workshop doesn't exercise them) — dialect closure per SURVEY.md §2B.
+
+Scale notes: a window partitioned by a key shuffles once on that key
+and sorts within partitions; an *unpartitioned* ordered window is a
+single-task bottleneck at 100 TB, so every window here carries a
+partition key. Running/sliding sums use decimal math so the driver's
+value-hash is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_workshop_spark.exprs import money
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+           RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drnk
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank with deterministic tiebreaks:
+    row_number orders by a unique key; rank/dense_rank are tie-stable
+    by definition (SURVEY §5.3 rule 3)."""
+    orders = load(spark, sf_dir, "orders")
+    w_unique = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_ties = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_win_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last over per-user event sequences. lag/lead
+    only move existing doubles (no arithmetic) — hash-safe."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.first("event_id").over(w).alias("first_event"),
+            F.last("event_id").over(w_full).alias("last_event"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS monthly_sum
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame specs: running, sliding (ROWS) and 30-day value-range
+    (RANGE over a day-number order key — numeric in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w_range = W.partitionBy("o_custkey").orderBy(day_num).rangeBetween(-30, 0)
+    price = money("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(price).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_sum"),
+            F.sum(price).over(w.rowsBetween(-2, 0)).cast("double").alias("sliding_sum"),
+            F.sum(price).over(w_range).cast("double").alias("monthly_sum"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical top-k-per-group
+    pattern (window + row_number ≤ k). At scale Catalyst rewrites the
+    rank filter into a per-partition top-k (WindowGroupLimit) so no
+    full sort materializes."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
