@@ -1,0 +1,108 @@
+"""Table maintenance: snapshot expiration, compaction, manifest rewrite.
+
+Replays /root/reference/README.md:364-409:
+  expire_snapshots  — A27 (EXECUTE expire_snapshots('<ts>') + orphan
+                      file physical cleanup, README.md:364-381)
+  rewrite_data_files — A29 (CALL system.rewrite_data_files — the
+                      Spark-only compaction, README.md:396-403)
+  rewrite_manifests — A30 (CALL system.rewrite_manifests, README.md:409)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from iceberg_workshop_spark.icetbl import meta as M
+from iceberg_workshop_spark.icetbl.table import IceTable
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg's default 128 MB
+
+
+def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[str, int]:
+    """Drop snapshots older than the cutoff (current snapshot always
+    survives), then physically delete data files no remaining snapshot
+    references — the orphan cleanup the reference demonstrates by
+    listing S3 before/after (README.md:364-381)."""
+    cutoff = M.now_ms() if older_than_ms is None else older_than_ms
+    current = tbl.meta.current_snapshot_id
+    before = len(tbl.meta.snapshots)
+    kept = [
+        s
+        for s in tbl.meta.snapshots
+        if s["snapshot_id"] == current or s["timestamp_ms"] > cutoff
+    ]
+    kept_ids = {s["snapshot_id"] for s in kept}
+    tbl.meta.doc["snapshots"] = kept
+    tbl.meta.doc["history_log"] = [
+        h for h in tbl.meta.doc.get("history_log", []) if h["snapshot_id"] in kept_ids
+    ]
+    tbl.meta = M.commit(tbl.meta)
+
+    # Orphan file cleanup: anything under data/ not referenced anymore.
+    referenced = {f["path"] for s in kept for f in s["files"]}
+    removed = 0
+    data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
+    for root, _dirs, names in os.walk(data_dir, topdown=False):
+        for name in names:
+            p = os.path.join(root, name)
+            if name.endswith(".parquet") and p not in referenced:
+                os.remove(p)
+                removed += 1
+            elif name in ("_SUCCESS",) or name.endswith(".crc"):
+                os.remove(p)
+        if root != data_dir and not os.listdir(root):
+            os.rmdir(root)
+    return {
+        "snapshots_before": before,
+        "snapshots_after": len(kept),
+        "orphan_files_removed": removed,
+    }
+
+
+def rewrite_data_files(
+    tbl: IceTable,
+    target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
+    target_num_files: int | None = None,
+) -> dict[str, int]:
+    """Compaction (A29): read-coalesce-rewrite into a new snapshot.
+
+    Sizing is bytes-driven (total current bytes / target file size),
+    exactly how you'd size a 100 TB compaction; the rewrite is a
+    single ``repartition`` job so it scales with the cluster, and old
+    files stay readable via time travel until expired.
+    """
+    files = tbl.meta.current_files()
+    total = sum(f.get("file_size", 0) for f in files)
+    n = target_num_files or max(1, math.ceil(total / target_file_size_bytes))
+    df = tbl._read_files(files).repartition(n)
+    spec_id = tbl.meta.current_spec_id
+    new_files = tbl._write_files(df, tbl.meta.specs[spec_id], spec_id)
+    tbl._commit_snapshot(new_files, "replace")
+    return {"files_before": len(files), "files_after": len(new_files)}
+
+
+def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
+    """Metadata-log compaction (A30): drop snapshots no longer
+    reachable from the current snapshot's ancestor chain (abandoned
+    rollback branches), shrinking every future vN.json."""
+    by_id = {s["snapshot_id"]: s for s in tbl.meta.snapshots}
+    ancestors = set()
+    cur = tbl.meta.current_snapshot_id
+    while cur is not None and cur in by_id:
+        ancestors.add(cur)
+        cur = by_id[cur]["parent_id"]
+    before = len(tbl.meta.snapshots)
+    tbl.meta.doc["snapshots"] = [
+        s for s in tbl.meta.snapshots if s["snapshot_id"] in ancestors
+    ]
+    tbl.meta.doc["history_log"] = [
+        h for h in tbl.meta.doc.get("history_log", []) if h["snapshot_id"] in ancestors
+    ]
+    tbl.meta = M.commit(tbl.meta)
+    return {"snapshots_before": before, "snapshots_after": len(ancestors)}
+
+
+IceTable.expire_snapshots = expire_snapshots
+IceTable.rewrite_data_files = rewrite_data_files
+IceTable.rewrite_manifests = rewrite_manifests

@@ -1,0 +1,159 @@
+"""Table metadata model + atomic commit protocol.
+
+One JSON document per table version (``metadata/v<N>.json``) holding
+the full state: schema DDL, partition specs (append-only list —
+partition evolution keeps old specs addressable by id, mirroring
+Iceberg's spec-id per manifest), properties, and the snapshot log.
+``version-hint.text`` points at the current version and is replaced
+atomically (``os.replace``), mirroring Iceberg's commit protocol
+(swap of the metadata pointer). Single-writer by design — the local
+driver owns commits (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+METADATA_DIR = "metadata"
+DATA_DIR = "data"
+HINT_FILE = "version-hint.text"
+
+# Metadata retention property names — the two knobs the reference sets
+# at /root/reference/README.md:314-317.
+PROP_PREV_VERSIONS_MAX = "write.metadata.previous-versions-max"
+PROP_DELETE_AFTER_COMMIT = "write.metadata.delete-after-commit.enabled"
+
+
+def new_snapshot_id() -> int:
+    return uuid.uuid4().int >> 75  # 53-bit id (JSON/JS-safe)
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class TableMeta:
+    """In-memory form of one vN.json document."""
+
+    def __init__(self, doc: dict[str, Any], version: int, location: str) -> None:
+        self.doc = doc
+        self.version = version
+        self.location = location
+
+    # -- accessors ---------------------------------------------------
+    @property
+    def schema_ddl(self) -> str:
+        return self.doc["schema"]
+
+    @schema_ddl.setter
+    def schema_ddl(self, ddl: str) -> None:
+        self.doc["schema"] = ddl
+
+    @property
+    def specs(self) -> list[list[dict[str, str]]]:
+        return self.doc["partition_specs"]
+
+    @property
+    def current_spec_id(self) -> int:
+        return self.doc["current_spec_id"]
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.doc.setdefault("properties", {})
+
+    @property
+    def snapshots(self) -> list[dict[str, Any]]:
+        return self.doc.setdefault("snapshots", [])
+
+    @property
+    def current_snapshot_id(self) -> int | None:
+        return self.doc.get("current_snapshot_id")
+
+    def snapshot(self, snapshot_id: int) -> dict[str, Any]:
+        for s in self.snapshots:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found")
+
+    def current_files(self) -> list[dict[str, Any]]:
+        sid = self.current_snapshot_id
+        return [] if sid is None else self.snapshot(sid)["files"]
+
+    # -- construction ------------------------------------------------
+    @staticmethod
+    def empty(location: str, schema_ddl: str, spec: list[dict[str, str]]) -> "TableMeta":
+        return TableMeta(
+            {
+                "format_version": 1,
+                "table_uuid": str(uuid.uuid4()),
+                "schema": schema_ddl,
+                "partition_specs": [spec],
+                "current_spec_id": 0,
+                "properties": {},
+                "snapshots": [],
+                "current_snapshot_id": None,
+            },
+            version=0,
+            location=location,
+        )
+
+
+def metadata_path(location: str, version: int) -> str:
+    return os.path.join(location, METADATA_DIR, f"v{version}.json")
+
+
+def read_current(location: str) -> TableMeta:
+    hint = os.path.join(location, HINT_FILE)
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(metadata_path(location, version)) as f:
+        return TableMeta(json.load(f), version, location)
+
+
+def commit(meta: TableMeta) -> TableMeta:
+    """Write v(N+1).json, then atomically repoint version-hint.text.
+
+    A reader holding the old hint keeps a consistent view (old
+    metadata + immutable files); the swap is the only mutation.
+    Afterwards apply the metadata-retention GC the reference
+    configures via table properties (README.md:301-337).
+    """
+    next_version = meta.version + 1
+    path = metadata_path(meta.location, next_version)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta.doc, f, separators=(",", ":"), default=str)
+    os.replace(tmp, path)
+
+    hint = os.path.join(meta.location, HINT_FILE)
+    hint_tmp = hint + ".tmp"
+    with open(hint_tmp, "w") as f:
+        f.write(str(next_version))
+    os.replace(hint_tmp, hint)
+
+    committed = TableMeta(meta.doc, next_version, meta.location)
+    _gc_metadata(committed)
+    return committed
+
+
+def _gc_metadata(meta: TableMeta) -> None:
+    """Honor write.metadata.previous-versions-max +
+    delete-after-commit.enabled (A28)."""
+    if meta.properties.get(PROP_DELETE_AFTER_COMMIT, "false").lower() != "true":
+        return
+    keep = int(meta.properties.get(PROP_PREV_VERSIONS_MAX, "100"))
+    floor = meta.version - keep
+    mdir = os.path.join(meta.location, METADATA_DIR)
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v < floor:
+                os.remove(os.path.join(mdir, name))

@@ -1,0 +1,185 @@
+"""Scan planning: file-level pruning from partition transforms and
+column bounds.
+
+This is the one genuinely custom planner piece (SURVEY.md §4): plain
+Spark ``partitionBy`` dirs only prune on the *derived* column, but the
+reference demonstrates pruning from predicates on the *source* column
+of a hidden transform (``ts BETWEEN ...`` scanning 1/238 files —
+/root/reference/README.md:214-237) and from per-file min/max stats
+with no partitioning at all (20/238 files — README.md:259-290).
+
+Mechanics: every conjunct predicate is reduced to an inclusive
+interval per column; a file survives if (a) its partition value, under
+the spec's transform, intersects the transformed interval, and (b) its
+stored column bounds intersect the raw interval. Files with absent
+bounds always survive (in-place-adopted files lack stats —
+/root/reference/limitations.md:39-73). Pruning is performance only:
+the same predicate is re-applied as a Spark filter for correctness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any
+
+OPS = {"=", "<", "<=", ">", ">=", "between"}
+
+
+@dataclass(frozen=True)
+class Pred:
+    """One conjunct: (column op value); ``between`` takes (lo, hi)."""
+
+    col: str
+    op: str
+    value: Any
+
+    def __post_init__(self) -> None:
+        if self.op not in OPS:
+            raise ValueError(f"unsupported predicate op: {self.op}")
+
+
+def intervals(preds: list[Pred]) -> dict[str, tuple[Any, Any]]:
+    """Fold conjuncts into one inclusive [lo, hi] interval per column.
+
+    Open bounds are None. ``<``/``>`` are widened to ``<=``/``>=`` —
+    sound for pruning (may keep an extra file, never drops a needed
+    one).
+    """
+    out: dict[str, tuple[Any, Any]] = {}
+    for p in preds:
+        lo, hi = out.get(p.col, (None, None))
+        if p.op == "=":
+            lo = p.value if lo is None else max(lo, p.value)
+            hi = p.value if hi is None else min(hi, p.value)
+        elif p.op in (">", ">="):
+            lo = p.value if lo is None else max(lo, p.value)
+        elif p.op in ("<", "<="):
+            hi = p.value if hi is None else min(hi, p.value)
+        elif p.op == "between":
+            a, b = p.value
+            lo = a if lo is None else max(lo, a)
+            hi = b if hi is None else min(hi, b)
+        out[p.col] = (lo, hi)
+    return out
+
+
+def transform_value(transform: str, v: Any) -> Any:
+    """Apply a partition transform to a literal, matching the string
+    encodings used for partition directory names at write time
+    (table._transform_expr). Sortable-string encodings make range
+    pruning a plain string comparison."""
+    if transform == "identity":
+        return _part_str(v)
+    if isinstance(v, str):
+        v = datetime.fromisoformat(v)
+    if transform == "year":
+        return f"{v.year:04d}"
+    if transform == "month":
+        return f"{v.year:04d}-{v.month:02d}"
+    if transform == "day":
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+    if transform == "hour":
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{v.hour:02d}"
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(v, int):
+            return str(v - v % w)
+        return str(v)[:w]
+    raise ValueError(f"cannot prune transform {transform}")
+
+
+def _part_str(v: Any) -> str:
+    """The string Spark writes into a partition directory for value v."""
+    if isinstance(v, datetime):
+        # Spark dir encoding for timestamps varies; identity-partition
+        # comparison is done on ISO seconds.
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def file_survives_partition(
+    file_partition: dict[str, str],
+    spec: list[dict[str, str]],
+    ivals: dict[str, tuple[Any, Any]],
+) -> bool:
+    """Partition pruning: the file's partition tuple vs the transformed
+    predicate intervals on each spec field's *source* column."""
+    for field in spec:
+        src, transform, name = field["source"], field["transform"], field["name"]
+        if src not in ivals or name not in file_partition:
+            continue
+        if transform.startswith("bucket["):
+            continue  # bucket pruning handled separately (needs Spark hash)
+        lo, hi = ivals[src]
+        pv = file_partition[name]
+        try:
+            if lo is not None and pv < transform_value(transform, lo):
+                return False
+            if hi is not None and pv > transform_value(transform, hi):
+                return False
+        except (ValueError, TypeError):
+            return True  # un-prunable literal → keep the file
+    return True
+
+
+def file_survives_bounds(
+    bounds: dict[str, list[Any]] | None,
+    ivals: dict[str, tuple[Any, Any]],
+) -> bool:
+    """Stats pruning: per-file column [min, max] vs predicate interval.
+
+    Absent bounds (file or column) ⇒ always scan — the
+    limitations.md:39-73 rule for in-place-migrated files.
+    """
+    if not bounds:
+        return True
+    for col, (lo, hi) in ivals.items():
+        b = bounds.get(col)
+        if not b or b[0] is None or b[1] is None:
+            continue
+        fmin, fmax = _parse(b[0], lo or hi), _parse(b[1], lo or hi)
+        if lo is not None and fmax < _coerce(lo):
+            return False
+        if hi is not None and fmin > _coerce(hi):
+            return False
+    return True
+
+
+def _coerce(v: Any) -> Any:
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return v
+
+
+def _parse(stored: Any, like: Any) -> Any:
+    """Stored bounds are JSON scalars (timestamps as ISO strings);
+    compare in the literal's domain."""
+    if isinstance(like, (datetime, date)) and isinstance(stored, str):
+        return stored  # both sides compared as ISO strings (sortable)
+    return stored
+
+
+def prune_files(
+    files: list[dict],
+    spec_by_id: dict[int, list[dict[str, str]]],
+    preds: list[Pred],
+) -> tuple[list[dict], int]:
+    """Return (surviving files, pruned count). Mixed partition specs
+    are handled per file (partition evolution: each file prunes under
+    the spec it was written with — /root/reference/README.md:138-195).
+    """
+    if not preds:
+        return files, 0
+    ivals = intervals(preds)
+    kept = []
+    for f in files:
+        spec = spec_by_id.get(f.get("spec_id", 0), [])
+        if not file_survives_partition(f.get("partition", {}), spec, ivals):
+            continue
+        if not file_survives_bounds(f.get("bounds"), ivals):
+            continue
+        kept.append(f)
+    return kept, len(files) - len(kept)

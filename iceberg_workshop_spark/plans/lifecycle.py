@@ -1,1 +1,375 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Table-lifecycle queries — the icetbl layer exercised end-to-end.
+
+Each query rebuilds its table from scratch (idempotent under driver
+re-runs) and returns a deterministic result: either the final table
+state (exact DuckDB oracle over the same fixture data) or lifecycle
+invariants encoded as constant-valued oracles (stronger than the
+rows-only fallback).
+
+Replays, query by query, the reference's workshop exercises — the
+fake-airline insert + time travel (/root/reference/README.md:102-127),
+the MERGE upsert (sql/update_iceberg_v2_examples.sql:14-18), partition
+evolution (README.md:134-195), hidden transform partitioning
+(README.md:204-237), snapshot expiration (README.md:364-381),
+compaction (README.md:396-403) and the schema-evolution bug repro that
+must NOT error here (limitations.md:3-17).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.exprs import money
+from iceberg_workshop_spark.icetbl import IceTable, Pred, spec_field
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+_SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+
+
+def _fresh(sf_dir: str, name: str) -> str:
+    path = os.path.join(
+        _SCRATCH, "iws_lifecycle", os.path.basename(sf_dir.rstrip("/")), name
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
+
+
+@register(
+    "q_dml_insert_values",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('AA', 'American Airlines'),
+      ('DL', 'Delta Air Lines'),
+      ('ABC', 'Real Fake Airlines')
+    ) AS t(code, description)
+    ORDER BY code
+    """,
+)
+def q_dml_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE + multi-row INSERT VALUES + read back (A6; the airlines
+    dimension rows of /root/reference/README.md:102-103)."""
+    loc = _fresh(sf_dir, "insert_values")
+    t = IceTable.create(spark, loc, "code string, description string")
+    t.insert_values([("AA", "American Airlines"), ("DL", "Delta Air Lines")])
+    t.insert_values([("ABC", "Real Fake Airlines")])
+    return t.read().orderBy("code")
+
+
+@register(
+    "q_dml_insert_select",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'REPLAY' AS o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+    )
+    ORDER BY o_orderkey, o_orderpriority
+    """,
+)
+def q_dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... SELECT with projection + literal column (A7 —
+    the 29-column year-1995→2022 replay of README.md:145-177)."""
+    loc = _fresh(sf_dir, "insert_select")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
+    )
+    t = IceTable.create_as(spark, loc, orders.drop("o_orderdate"))
+    replay = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderstatus", F.lit("REPLAY").alias("o_orderpriority"))
+    t.append(replay)
+    return t.read().orderBy("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "q_dml_merge",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'MERGED' AS c_mktsegment
+      FROM customer WHERE c_custkey < 50
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'NEWROW'
+      FROM customer WHERE c_custkey < 10
+    )
+    SELECT c.c_custkey,
+           COALESCE(s.c_name, c.c_name) AS c_name,
+           COALESCE(s.c_nationkey, c.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, c.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+    FROM customer c LEFT JOIN src s USING (c_custkey)
+    UNION ALL
+    SELECT * FROM src
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def q_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO upsert (A9): matched → update, not matched → insert —
+    the exact shape of sql/update_iceberg_v2_examples.sql:14-18, CoW
+    file-granular rewrite underneath."""
+    loc = _fresh(sf_dir, "merge")
+    customer = load(spark, sf_dir, "customer")
+    t = IceTable.create_as(spark, loc, customer)
+    updates = customer.filter(F.col("c_custkey") < 50).withColumn(
+        "c_mktsegment", F.lit("MERGED")
+    )
+    inserts = (
+        customer.filter(F.col("c_custkey") < 10)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_mktsegment", F.lit("NEWROW"))
+    )
+    t.merge_into(updates.unionByName(inserts), on=["c_custkey"])
+    return t.read().orderBy("c_custkey")
+
+
+@register(
+    "q_dml_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def q_dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE (A10 — interoperability.md:128), CoW."""
+    loc = _fresh(sf_dir, "delete")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IceTable.create_as(spark, loc, orders)
+    t.delete_where("o_orderstatus = 'F'")
+    return t.read().orderBy("o_orderkey")
+
+
+@register(
+    "q_dml_truncate",
+    oracle="""
+    SELECT * FROM (VALUES (990, 'FAKELAND', 0)) AS t(n_nationkey, n_name, n_regionkey)
+    """,
+)
+def q_dml_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE → 0 rows → INSERT 1 → 1 row (A11; README.md:320,346-353)."""
+    loc = _fresh(sf_dir, "truncate")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "nation"))
+    t.truncate()
+    assert t.read().count() == 0
+    t.insert_values([(990, "FAKELAND", 0)])
+    return t.read()
+
+
+@register(
+    "q_tt_as_of",
+    oracle="""
+    SELECT 'as_of_s1' AS mode, CAST(0 AS BIGINT) AS n_fake,
+           (SELECT COUNT(*) FROM nation) AS n_rows
+    UNION ALL
+    SELECT 'current', 1, (SELECT COUNT(*) FROM nation) + 1
+    ORDER BY mode
+    """,
+)
+def q_tt_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (A20): the fake-airline replay of README.md:102-117 —
+    snapshot-before lacks the row, current has it."""
+    loc = _fresh(sf_dir, "tt_as_of")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "nation"))
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(990, "FAKELAND", 0)])
+    before = t.read(snapshot_id=s1)
+    current = t.read()
+
+    def stat(df: DataFrame, mode: str) -> DataFrame:
+        return df.agg(
+            F.lit(mode).alias("mode"),
+            F.sum(F.when(F.col("n_nationkey") == 990, 1).otherwise(0)).alias("n_fake"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    return stat(before, "as_of_s1").unionAll(stat(current, "current")).orderBy("mode")
+
+
+@register(
+    "q_tt_rollback",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_fake FROM nation
+    """,
+)
+def q_tt_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback (A21): after EXECUTE rollback the fake row is gone
+    (README.md:122-127)."""
+    loc = _fresh(sf_dir, "tt_rollback")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "nation"))
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(990, "FAKELAND", 0)])
+    t.rollback(s1)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("n_nationkey") == 990, 1).otherwise(0)).alias("n_fake"),
+    )
+
+
+@register(
+    "q_meta_history",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_entries,
+           CAST(2 AS BIGINT) AS n_snapshots,
+           CAST(1 AS BIGINT) AS n_current_ancestors
+    """,
+)
+def q_meta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.history metadata table (A31): snapshot count + parent chain
+    after insert/insert/rollback match README.md:353-362's shape."""
+    loc = _fresh(sf_dir, "meta_history")
+    t = IceTable.create(spark, loc, "code string, description string")
+    t.insert_values([("AA", "American")])
+    t.insert_values([("ABC", "Real Fake Airlines")])
+    t.rollback(t.meta.snapshots[0]["snapshot_id"])
+    h = t.history()
+    return h.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("snapshot_id").alias("n_snapshots"),
+        F.countDistinct(F.when(F.col("is_current_ancestor"), F.col("snapshot_id"))).alias(
+            "n_current_ancestors"
+        ),
+    )
+
+
+@register(
+    "q_maint_expire",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS snapshots_after,
+           (SELECT COUNT(*) - 1 FROM nation) AS n_rows,
+           true AS orphans_removed
+    """,
+)
+def q_maint_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expire_snapshots + orphan-file cleanup (A27; README.md:364-381):
+    only the current snapshot survives, unreferenced files are
+    physically deleted, data is intact."""
+    loc = _fresh(sf_dir, "maint_expire")
+    nation = load(spark, sf_dir, "nation")
+    t = IceTable.create_as(spark, loc, nation.filter("n_nationkey < 10"))
+    t.append(nation.filter("n_nationkey >= 10"))
+    t.delete_where("n_nationkey = 24")  # real delete → rewritten file → orphans
+    stats = t.expire_snapshots()
+    return t.read().agg(
+        F.lit(stats["snapshots_after"]).cast("bigint").alias("snapshots_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(stats["orphan_files_removed"] > 0).alias("orphans_removed"),
+    )
+
+
+@register(
+    "q_maint_compact",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows, true AS fewer_files
+    """,
+)
+def q_maint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files compaction (A29; README.md:396-403): same
+    answers, fewer files."""
+    loc = _fresh(sf_dir, "maint_compact")
+    li = load(spark, sf_dir, "lineitem")
+    t = IceTable.create_as(spark, loc, li.repartition(64))
+    stats = t.rewrite_data_files(target_num_files=4)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(stats["files_after"] < stats["files_before"]).alias("fewer_files"),
+    )
+
+
+@register(
+    "q_part_evolution",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY oyear
+    ORDER BY oyear
+    """,
+)
+def q_part_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution mid-table (A22; README.md:134-195):
+    unpartitioned files coexist with year-partitioned files; a scan
+    unions both layouts and matches the unpartitioned oracle."""
+    loc = _fresh(sf_dir, "part_evolution")
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    new = orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    t = IceTable.create_as(spark, loc, old)  # spec: unpartitioned
+    t.set_partition_spec([spec_field("o_orderdate", "year")])
+    t.append(new)  # written under the evolved spec
+    return (
+        t.read()
+        .groupBy(F.year("o_orderdate").alias("oyear"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("oyear")
+    )
+
+
+@register(
+    "q_part_transform",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-07'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_part_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden transform partitioning (A23/A25; README.md:204-237): the
+    events copy is day(ts)-partitioned; the predicate is on raw ts,
+    pruning happens on the transform, answers match the oracle. The
+    pruning ratio itself is asserted in tests and benchmarked."""
+    loc = _fresh(sf_dir, "part_transform")
+    events = load(spark, sf_dir, "events")
+    t = IceTable.create_as(
+        spark, loc, events, partition_spec=[spec_field("ts", "day")]
+    )
+    df = t.scan(
+        [Pred("ts", "between", (datetime(2024, 1, 5), datetime(2024, 1, 7)))]
+    )
+    return (
+        df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, CAST(NULL AS TIMESTAMP)),
+      (2, TIMESTAMP '2022-01-01 00:00:00')
+    ) AS t(c1, ts)
+    ORDER BY c1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN then query across old+new files (A35): the repro of
+    limitations.md:6-10 that crashes Impala must work here — old files
+    read the new column as NULL, predicates on it work."""
+    loc = _fresh(sf_dir, "schema_evolution")
+    t = IceTable.create(spark, loc, "c1 int")
+    t.insert_values([(1,)])
+    t.add_column("ts", "timestamp")
+    t.append(
+        spark.createDataFrame([(2, datetime(2022, 1, 1))], "c1 int, ts timestamp")
+    )
+    assert t.read().filter("ts >= '2022-01-01'").count() == 1
+    return t.read().orderBy("c1")

@@ -1,0 +1,134 @@
+"""icetbl lifecycle invariants — replays of the reference's golden
+expectations (SURVEY.md §5.1): pruning ratios, stats-less adoption,
+CoW file granularity, metadata retention.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.icetbl import IceTable, Pred, spec_field
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture
+def tmp_table_dir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_transform_partition_pruning_ratio(spark, tmp_table_dir):
+    """README.md:229-237: a 1-of-N-days predicate on a days(ts)
+    partitioned table must scan ~1/N of files (BASELINE.md: ≤2× the
+    reference's 0.42%-of-files showcase, scaled to our day count)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    t = IceTable.create_as(
+        spark, tmp_table_dir, events, partition_spec=[spec_field("ts", "day")]
+    )
+    df = t.scan([Pred("ts", "between", (datetime(2024, 1, 5), datetime(2024, 1, 5, 23, 59, 59)))])
+    rep = t.last_scan_report
+    n_days = len({f["partition"]["ts_day"] for f in t.meta.current_files()})
+    assert rep["files_scanned"] < rep["files_total"]
+    # 1 day out of n_days → scanned fraction ≤ 2/n_days (2× parity target)
+    assert rep["files_scanned"] / rep["files_total"] <= 2.0 / n_days
+    # pruning must not change answers
+    full = events.filter(
+        F.col("ts").between("2024-01-05", "2024-01-05 23:59:59")
+    ).count()
+    assert df.count() == full
+
+
+def test_stats_file_skipping_unpartitioned(spark, tmp_table_dir):
+    """README.md:282-290: min/max bounds alone (no partitioning) skip
+    files for a selective predicate."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").orderBy("o_orderkey")
+    t = IceTable.create_as(spark, tmp_table_dir, orders.repartitionByRange(20, "o_orderkey"))
+    t.scan([Pred("o_orderkey", "between", (0, 10))])
+    rep = t.last_scan_report
+    assert rep["files_total"] >= 10
+    assert rep["files_scanned"] <= rep["files_total"] * 0.2
+
+
+def test_adopted_files_without_stats_never_prune(spark, tmp_table_dir):
+    """limitations.md:39-73: in-place-migrated files lack bounds →
+    absent stats must mean 'always scan', not 'skip'."""
+    src = sorted(glob.glob(f"{SF_DIR}/orders.parquet/*.parquet")) or [
+        f"{SF_DIR}/orders.parquet"
+    ]
+    t = IceTable.adopt(spark, tmp_table_dir, src, collect_stats=False)
+    df = t.scan([Pred("o_orderkey", "between", (0, 10))])
+    rep = t.last_scan_report
+    assert rep["files_scanned"] == rep["files_total"]  # nothing pruned...
+    assert df.count() == 11  # ...but the filter still applies
+
+
+def test_merge_rewrites_only_affected_files(spark, tmp_table_dir):
+    """Iceberg v2 CoW granularity: a MERGE touching keys in one file
+    must not rewrite the others."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartitionByRange(10, "k"))
+    src = spark.createDataFrame([(5, "UPDATED"), (2000, "INSERTED")], "k long, v string")
+    stats = t.merge_into(src, on=["k"])
+    assert stats["files_rewritten"] <= 2
+    assert stats["files_untouched"] >= 8
+    out = {r.k: r.v for r in t.read().filter("k in (5, 2000, 900)").collect()}
+    assert out[5] == "UPDATED" and out[2000] == "INSERTED" and out[900] == "4"
+
+
+def test_delete_prunes_candidates(spark, tmp_table_dir):
+    df = spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartitionByRange(10, "k"))
+    stats = t.delete_where("k = 5", prune=[Pred("k", "=", 5)])
+    assert stats["files_rewritten"] == 1
+    assert t.read().count() == 999
+
+
+def test_metadata_retention_props(spark, tmp_table_dir):
+    """A28 (README.md:314-337): previous-versions-max +
+    delete-after-commit prune old vN.json files."""
+    t = IceTable.create(spark, tmp_table_dir, "a int")
+    t.set_properties(
+        {
+            "write.metadata.previous-versions-max": "2",
+            "write.metadata.delete-after-commit.enabled": "true",
+        }
+    )
+    for i in range(5):
+        t.insert_values([(i,)])
+    mfiles = glob.glob(os.path.join(tmp_table_dir, "metadata", "v*.json"))
+    assert len(mfiles) <= 3  # current + 2 previous
+    assert t.read().count() == 5
+
+
+def test_time_travel_and_rollback_chain(spark, tmp_table_dir):
+    t = IceTable.create(spark, tmp_table_dir, "a int")
+    t.insert_values([(1,)])
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(2,)])
+    assert t.read().count() == 2
+    assert t.read(snapshot_id=s1).count() == 1
+    ts_between = t.meta.snapshot(s1)["timestamp_ms"]
+    assert t.read(as_of_timestamp_ms=ts_between).count() == 1
+    t.rollback(s1)
+    assert t.read().count() == 1
+    h = t.history().collect()
+    assert len(h) == 3
+    assert sum(1 for r in h if r.is_current_ancestor) == 2  # s1 twice
+
+
+def test_rewrite_manifests_drops_abandoned_branches(spark, tmp_table_dir):
+    t = IceTable.create(spark, tmp_table_dir, "a int")
+    t.insert_values([(1,)])
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(2,)])
+    t.rollback(s1)
+    stats = t.rewrite_manifests()
+    assert stats["snapshots_after"] < stats["snapshots_before"]
+    assert t.read().count() == 1
