@@ -1,1 +1,142 @@
-"""Placeholder — filled in as the inventory widens."""
+"""True Structured Streaming replays of the window operators.
+
+File-source streams over the ``events`` fixture with watermarks and
+stateful operators, drained with ``Trigger.AvailableNow`` into a memory
+sink, then returned as a batch DataFrame over the sink. The driver's
+check still sees an ordinary DataFrame; the streaming machinery
+(micro-batch planner, state store, watermark tracking) runs for real
+inside the call.
+
+Scale notes: at 100 TB these run against a real source (Kafka/files)
+with the state store on executors — the operator shapes below (dedup
+keyed on event_id, windowed agg keyed on window) hold unchanged; the
+watermark bounds state size by evicting keys older than the horizon.
+``maxFilesPerTrigger`` / ``availableNow`` give bounded micro-batches on
+backfill.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_workshop_spark.exprs import dsum
+from iceberg_workshop_spark.registry import register
+
+_sink_ids = itertools.count()
+
+# events.parquet stores ts as TIMESTAMP(NANOS); a streaming source needs
+# an explicit schema, so read it as raw nanos and convert (same contract
+# as sources.tables.load).
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source requires a directory; select just the
+    # events table out of the fixture dir with a glob filter.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming query to completion; return the sink table."""
+    name = f"iws_stream_sink_{next(_sink_ids)}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="iws_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup under a 1-hour watermark.
+
+    Each event is duplicated in-stream (explode ×2), then
+    ``dropDuplicates(["event_id"])`` must restore exactly the original
+    multiplicity — so the per-type counts equal the plain batch counts,
+    which gives this stateful op an *exact* oracle despite the survey's
+    weaker rows-only floor. State per key is evicted once the watermark
+    passes event_ts + 1h.
+    """
+    dup = (
+        _events_stream(spark, sf_dir)
+        .withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("copy")
+    )
+    deduped = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    sink = _drain(deduped, "append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_stream_agg_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q_stream_agg_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling agg with a 1-hour watermark whose final state
+    must equal the batch ``q_stream_tumbling`` — checked exactly.
+
+    Complete output mode exposes the full final state through the
+    memory sink (append mode would hold back windows the watermark has
+    not closed, and a drained backfill never closes the last one).
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+    sink = _drain(agg, "complete")
+    return sink.select(
+        F.col("w.start").alias("window_start"), "n_events", "sum_value"
+    ).orderBy("window_start")
