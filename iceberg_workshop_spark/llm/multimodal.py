@@ -1,1 +1,154 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Multimodal (binary) column handling for LLM training-data pipelines.
+
+Pattern: media lives in opaque ``binary`` columns with typed metadata
+alongside; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so the raw bytes never cross a row-at-a-time Python
+boundary. The actual image/audio codecs are not installed in this
+environment, so the decode step is a clearly-marked deterministic fake
+(`_fake_decode`) with the real-codec call site stubbed behind
+``NotImplementedError`` — the Spark-side plumbing (schema, batch
+iteration, partitioning) is real and oracle-checked where expressible.
+
+Scale notes: binary payloads ride the normal columnar path (Parquet
+BYTE_ARRAY); mapInPandas streams Arrow batches, so executor memory is
+bounded by batch size (spark.sql.execution.arrow.maxRecordsPerBatch),
+not partition size. binaryFile is the ingestion source for loose media
+files; at 100 TB you partition the output by (modality, shard).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+HAVE_REAL_CODECS = False  # no PIL/ffmpeg in this container
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-materialized as a binary payload column with
+    typed metadata — the storage shape of a multimodal dataset."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_llm_multimodal",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(to_base64(encode(text)), 1, 24) AS b64_prefix
+    FROM documents
+    WHERE octet_length(encode(text)) >= 200
+    ORDER BY doc_id
+    """,
+)
+def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column round trip: text → bytes → base64, with a
+    metadata predicate on payload size. Exercises BinaryType end-to-end
+    through codegen (encode/base64/octet_length are all JVM built-ins).
+    """
+    return (
+        _payloads(spark, sf_dir)
+        .filter(F.col("meta.n_bytes") >= 200)
+        .select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.substring(F.base64("payload"), 1, 24).alias("b64_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_max", LongType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a media decoder: summary statistics
+    over the raw bytes (replace with PIL/torchaudio when available)."""
+    if HAVE_REAL_CODECS:
+        raise NotImplementedError("real codec path not wired in this env")
+    return {
+        "byte_mean": (sum(payload) / len(payload)) if payload else 0.0,
+        "byte_max": max(payload) if payload else 0,
+    }
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = pdf["payload"].map(_fake_decode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+                "byte_mean": feats.map(lambda d: d["byte_mean"]),
+                "byte_max": feats.map(lambda d: d["byte_max"]),
+            }
+        )
+
+
+@register("q_llm_multimodal_features")  # rows-only: Python-side decode
+def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``:
+    Arrow batches in, per-item decoded features out. The decode is a
+    deterministic fake (byte statistics) standing where an image
+    resize / audio frame-sample would run; batch shape and schema are
+    the production ones."""
+    flat = _payloads(spark, sf_dir).select(
+        "doc_id",
+        "payload",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+@register("q_llm_binaryfile")  # rows-only: filesystem listing source
+def q_llm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose-file media ingestion via the ``binaryFile`` source: one
+    row per file with (name, length, modification-free projection).
+    This is how raw images/audio enter the lakehouse before being
+    packed into payload columns."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.octet_length("content").alias("content_bytes"),
+    ).orderBy("file_name")

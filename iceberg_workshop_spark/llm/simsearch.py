@@ -1,1 +1,218 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Similarity search over the ``embeddings`` fixture (array<float>, 64-d).
+
+Two operators:
+
+- brute-force cosine top-k — the correctness baseline: broadcast the
+  probe, one narrow scan computing dot products JVM-side (zip_with +
+  aggregate higher-order functions, no Python in the loop), TakeOrdered
+  for the top-k (O(k) driver memory).
+- IVF (inverted-file) top-k — the 100 TB path: vectors are bucketed to
+  their nearest centroid once (a write-time partitioning in a real
+  deployment — partitionBy(cluster) makes probe queries prune to
+  nprobe/k of the data); a probe ranks centroids, scans only the
+  nprobe best clusters, then exact-scores that slice. Centroids here
+  are per-label means (the fixture's labels are its clusters), standing
+  in for a k-means fit; the search-side plan is the real thing.
+
+North-star extension (BASELINE.json); the reference has no vector ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+PROBE_VEC_ID = 0
+TOP_K = 10
+N_PROBE = 3  # IVF clusters scanned
+
+
+def _as_double(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str) -> Column:
+    """Left-to-right float64 dot product — same accumulation order as
+    DuckDB's list_dot_product, so oracles match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _with_norm(df: DataFrame, vcol: str, out: str) -> DataFrame:
+    return df.withColumn(
+        out,
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(vcol, vcol, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+@register(
+    "q_llm_simsearch",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probe AS (
+      SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = {PROBE_VEC_ID}
+    )
+    SELECT n.vec_id,
+           ROUND(list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm), 4)
+             AS cosine
+    FROM n, probe
+    WHERE n.vec_id <> {PROBE_VEC_ID}
+    ORDER BY list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm) DESC,
+             n.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors of one probe vector.
+
+    The probe side is a 1-row broadcast (BroadcastNestedLoopJoin on a
+    single row — effectively a free map-side constant); the scan side
+    never shuffles: top-k plans as TakeOrderedAndProject.
+    """
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
+        "v",
+        "nrm",
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .withColumn("cosine_raw", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
+        .orderBy(F.col("cosine_raw").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "q_llm_simsearch_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), flat AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), cdim AS (
+      SELECT label, pos, AVG(x) AS cx FROM flat GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(cx ORDER BY pos) AS c FROM cdim GROUP BY label
+    ), cn AS (
+      SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM cent
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probe AS (
+      SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = {PROBE_VEC_ID}
+    ), best_clusters AS (
+      SELECT cn.label
+      FROM cn, probe
+      ORDER BY list_dot_product(cn.c, probe.pv) / (cn.cnrm * probe.pnrm) DESC,
+               cn.label ASC
+      LIMIT {N_PROBE}
+    ), assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT n.vec_id, cn.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, cn.c) / (n.nrm * cn.cnrm) DESC,
+                          cn.label ASC
+               ) AS rn
+        FROM n, cn
+      ) WHERE rn = 1
+    )
+    SELECT n.vec_id,
+           ROUND(list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm), 4)
+             AS cosine
+    FROM n
+    JOIN assigned USING (vec_id)
+    JOIN best_clusters USING (label), probe
+    WHERE n.vec_id <> {PROBE_VEC_ID}
+    ORDER BY list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm) DESC,
+             n.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: rank centroids, scan only the N_PROBE best clusters.
+
+    Every per-vector step is a broadcast join against the (tiny)
+    centroid table — the big side never shuffles. In production the
+    assignment happens at write time (partitionBy(cluster)), so the
+    probe-time scan prunes to nprobe/k of the files; here the
+    assignment join stands in for that pruning and the driver checks
+    the search semantics end-to-end against SQL.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    n = _with_norm(emb, "v", "nrm")
+
+    # Centroids: per-label dimension means, reassembled in index order.
+    cdim = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").alias(
+            "c"
+        )
+    )
+    cn = F.broadcast(_with_norm(cent, "c", "cnrm"))
+
+    probe = F.broadcast(
+        n.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
+    )
+
+    best_clusters = F.broadcast(
+        cn.crossJoin(probe)
+        .withColumn("pc", _dot("c", "pv") / (F.col("cnrm") * F.col("pnrm")))
+        .orderBy(F.col("pc").desc(), F.col("label").asc())
+        .limit(N_PROBE)
+        .select("label")
+    )
+
+    rn = Window.partitionBy("vec_id").orderBy(
+        (_dot("v", "c") / (F.col("nrm") * F.col("cnrm"))).desc(),
+        F.col("label").asc(),
+    )
+    assigned = (
+        n.select("vec_id", "v", "nrm")
+        .crossJoin(cn.select(F.col("label"), "c", "cnrm"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label")
+    )
+
+    return (
+        n.select("vec_id", "v", "nrm")
+        .join(assigned, "vec_id")
+        .join(best_clusters, "label")
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .withColumn("cosine_raw", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
+        .orderBy(F.col("cosine_raw").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )

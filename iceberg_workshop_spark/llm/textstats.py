@@ -1,1 +1,281 @@
-"""Placeholder — filled in as the inventory widens."""
+"""Text analysis operators for LLM training-data pipelines.
+
+Per-document language ID, quality scoring, token counting, and
+fingerprinting over the ``documents`` fixture — the filter/score stage
+of a data-curation pipeline, all JVM-side (split/explode/regex/agg
+built-ins; no Python UDFs in the hot path).
+
+Scale notes: every query here is scan → narrow projection →
+(optionally) explode → one grouped agg; explodes multiply rows by the
+token count but stay map-side until the single shuffle on the group
+key. Lexicons are tiny broadcast joins. Nothing touches the driver.
+
+North-star extension (BASELINE.json); the reference has no text ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+# Per-language marker lexicons (fixture text shares one synthetic
+# vocabulary, so these are demonstration lists over it; a production
+# deployment swaps in real stopword tables — the broadcast-join +
+# argmax plan is unchanged).
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "row", "key", "value"),
+    "de": ("table", "window", "order", "batch"),
+    "fr": ("column", "part", "line", "filter"),
+    "es": ("query", "merge", "customer", "big"),
+    "zh": ("hash", "data", "small", "agg"),
+}
+
+STOPWORDS = ("a", "the")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single symbols.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _toks(c: Column) -> Column:
+    return F.split(F.trim(c), " ")
+
+
+def _lexicon_rows() -> list[tuple[str, str]]:
+    return [(lang, w) for lang, words in LEXICONS.items() for w in words]
+
+
+def _lexicon_sql_values() -> str:
+    return ", ".join(f"('{lang}', '{w}')" for lang, w in _lexicon_rows())
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS vocab,
+           ROUND(SUM(length(tok)) * 1.0 / COUNT(*), 4) AS avg_tok_len
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: docs, tokens, vocabulary
+    size, mean token length (tokenize → explode → grouped agg)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+            F.round(F.sum(F.length("tok")) / F.count(F.lit(1)), 4).alias(
+                "avg_tok_len"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle=f"""
+    WITH lex(lex_lang, w) AS (VALUES {_lexicon_sql_values()}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lex_lang, COUNT(*) AS n_hits
+      FROM toks JOIN lex ON tok = w
+      GROUP BY doc_id, lex_lang
+    ), ranked AS (
+      SELECT doc_id, lex_lang, n_hits,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY n_hits DESC, lex_lang ASC
+             ) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id,
+           COALESCE(r.lex_lang, 'und') AS pred_lang,
+           COALESCE(r.n_hits, 0) AS n_hits
+    FROM documents d
+    LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    ORDER BY d.doc_id
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID: argmax over per-language marker-word
+    counts (broadcast lexicon join → grouped count → row_number=1),
+    'und' when no marker hits. Deterministic tiebreak on lang."""
+    spark_lex = F.broadcast(
+        spark.createDataFrame(_lexicon_rows(), ["lex_lang", "w"])
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    hits = (
+        toks.join(spark_lex, toks.tok == spark_lex.w)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    rn = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("lex_lang").asc()
+    )
+    best = hits.withColumn("rn", F.row_number().over(rn)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_llm_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+             len(list_filter(string_split(trim(text), ' '),
+                             t -> list_contains({list(STOPWORDS)!r}, t)))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(n_distinct * 1.0 / n_tokens, 4) AS ttr,
+           ROUND(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+           ROUND((n_chars - n_tokens + 1) * 1.0 / n_tokens, 4) AS avg_word_len,
+           ROUND(0.4 * (n_distinct * 1.0 / n_tokens)
+                 + 0.3 * (n_stop * 1.0 / n_tokens)
+                 + 0.3 * LEAST(n_tokens / 50.0, 1.0), 4) AS quality
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document: type-token ratio,
+    stopword ratio, length saturation — a fixed linear blend (the
+    C4/Gopher-style rule-based filter shape, arithmetic only)."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(_toks(F.col("text"))).alias("n_tokens"),
+        F.size(F.array_distinct(_toks(F.col("text")))).alias("n_distinct"),
+        F.size(
+            F.filter(_toks(F.col("text")), lambda t: F.array_contains(stop_arr, t))
+        ).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(ttr, 4).alias("ttr"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(
+            (F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens"), 4
+        ).alias("avg_word_len"),
+        F.round(
+            0.4 * ttr + 0.3 * stop_ratio + 0.3 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0)),
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_llm_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_REGEX}')) AS bpe_tokens,
+           ROUND(length(text) * 1.0
+                 / len(regexp_extract_all(text, '{BPE_REGEX}')), 4)
+             AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / single symbols) —
+    the cost-estimation primitive for training-data budgeting."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(_toks(F.col("text"))).alias("ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0))).alias(
+                "bpe_tokens"
+            ),
+            F.round(
+                F.length("text")
+                / F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0))),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle=r"""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text
+      FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM both_copies
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS first_doc,
+           COUNT(*) AS n_docs
+    FROM fp
+    GROUP BY fingerprint
+    ORDER BY first_doc
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over canonicalized text, grouped to
+    expose duplicate clusters (the content-addressed identity used for
+    cross-crawl dedup). The corpus is unioned with a mangled copy so
+    each fingerprint provably collapses both variants."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    fp = docs.unionAll(noisy).select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("first_doc")
+    )

@@ -1,0 +1,74 @@
+"""Invariants for the rows-only LLM-pipeline operators: the sketch
+variants must agree with their exact ground-truth counterparts on the
+fixture's seeded near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from iceberg_workshop_spark.registry import queries
+
+    return queries()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_matches_exact_ngram(spark, queries):
+    """LSH candidates + exact verify must reproduce the all-pairs
+    ground truth exactly (perfect recall at 8 bands × 4 rows for
+    Jaccard ≈ .98 pairs; precision is exact by construction)."""
+    truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
+    lsh = _pairs(queries["q_llm_dedup_minhash"](spark, SF_DIR))
+    assert lsh == truth
+    assert len(truth) > 0
+
+
+def test_simhash_finds_seeded_dups(spark, queries):
+    """SimHash(Hamming ≤ 7) must recover most seeded near-dup pairs
+    with no background false positives. Recall is high but not total
+    by design: SimHash projects Jaccard ≈ .98 pairs to Hamming 0-10,
+    and a 64-bit fingerprint at radius 7 legitimately excludes the
+    tail (Google's production threshold is radius 3)."""
+    truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
+    sim = _pairs(queries["q_llm_dedup_simhash"](spark, SF_DIR))
+    assert len(truth & sim) >= int(0.8 * len(truth))
+    assert sim <= truth  # every reported pair is a true near-dup here
+
+
+def test_ivf_recall_vs_brute_force(spark, queries):
+    """IVF with nprobe=3 of 10 clusters must beat random-cluster
+    recall (3/10) on the true top-10. The fixture's labels are only
+    weakly cosine-clustered, so the honest bar is 'better than
+    chance', not near-perfect — with real k-means cells recall rises
+    with cluster quality, not with this plan."""
+    brute = [r["vec_id"] for r in queries["q_llm_simsearch"](spark, SF_DIR).collect()]
+    ivf = [r["vec_id"] for r in queries["q_llm_simsearch_ivf"](spark, SF_DIR).collect()]
+    assert len(ivf) == len(brute) == 10
+    assert len(set(brute) & set(ivf)) >= 4
+
+
+def test_multimodal_features_shape(spark, queries):
+    df = queries["q_llm_multimodal_features"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r["mime"] == "text/plain"
+        assert 0.0 < r["byte_mean"] < 256.0
+        assert 0 < r["byte_max"] < 256
+        assert r["n_bytes"] > 0
+
+
+def test_binaryfile_lists_fixture_tables(spark, queries):
+    rows = queries["q_llm_binaryfile"](spark, SF_DIR).collect()
+    names = {r["file_name"] for r in rows}
+    assert "documents.parquet" in names and "lineitem.parquet" in names
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_bytes"] == r["content_bytes"] > 0
