@@ -55,9 +55,63 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pruning": _pruning_parity(spark, sf_dir),
             }
         )
     )
+
+
+def _pruning_parity(spark, sf_dir: str) -> dict:
+    """Replay BASELINE.md's two pruning showcases on this round's data
+    and report scanned-file fractions (reference: 0.42% files for the
+    transform-partition scan, 8.4% for stats-only skipping; parity
+    target is ≤ 2× each, scaled to our partition/file counts)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.icetbl import IceTable, Pred, spec_field
+
+    out: dict[str, dict] = {}
+    root = tempfile.mkdtemp(prefix="iws_bench_prune_")
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(events.dtypes).get("ts") == "bigint":
+            events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        t1 = IceTable.create_as(
+            spark, f"{root}/events_by_day", events,
+            partition_spec=[spec_field("ts", "day")],
+        )
+        t1.scan(
+            [Pred("ts", "between", (datetime(2024, 1, 5), datetime(2024, 1, 5, 23, 59, 59)))]
+        ).write.format("noop").mode("overwrite").save()
+        rep = t1.last_scan_report
+        out["transform_partition_1day"] = {
+            "files_scanned": rep["files_scanned"],
+            "files_total": rep["files_total"],
+            "fraction": round(rep["files_scanned"] / max(rep["files_total"], 1), 4),
+        }
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        t2 = IceTable.create_as(
+            spark, f"{root}/orders_stats", orders.repartitionByRange(20, "o_orderkey")
+        )
+        t2.scan([Pred("o_orderkey", "between", (0, 10))]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rep = t2.last_scan_report
+        out["stats_skipping_selective"] = {
+            "files_scanned": rep["files_scanned"],
+            "files_total": rep["files_total"],
+            "fraction": round(rep["files_scanned"] / max(rep["files_total"], 1), 4),
+        }
+    except Exception as exc:  # noqa: BLE001 — parity stats must not sink the bench
+        out["error"] = {"msg": str(exc)[:200]}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

