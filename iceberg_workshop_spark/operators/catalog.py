@@ -1,0 +1,120 @@
+"""Catalog surface: SHOW TABLES / DESCRIBE / CREATE-DROP DATABASE
+(reference A32-A34) and deterministic dataset splitting.
+
+The reference drives its engines through catalog SQL constantly
+(``SHOW TABLES`` /root/reference/README.md:35, ``DESCRIBE FORMATTED``
+sql/hive_partitioning_examples.sql:44, ``DROP DATABASE ... CASCADE``
+README.md:415, ``DROP TABLE IF EXISTS`` sql/iceberg_partitioning_
+examples.sql:24). Spark's session catalog provides all of it; the
+query below exercises the statements end-to-end and returns a
+deterministic inventory so the oracle can check it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import TABLE_NAMES, load
+
+
+def _values_sql(rows: list[tuple[str, str]]) -> str:
+    return ", ".join(f"('{a}', '{b}')" for a, b in rows)
+
+
+_CUSTOMER_COLS = [
+    "c_custkey",
+    "c_name",
+    "c_nationkey",
+    "c_acctbal",
+    "c_mktsegment",
+]
+
+_EXPECTED = [("table", t) for t in sorted(TABLE_NAMES)] + [
+    ("column", c) for c in _CUSTOMER_COLS
+]
+
+
+@register(
+    "q_catalog_ops",
+    oracle=f"""
+    SELECT object_type, name
+    FROM (VALUES {_values_sql(_EXPECTED)}) AS t(object_type, name)
+    ORDER BY object_type, name
+    """,
+)
+def q_catalog_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog round trip: create a database, register every fixture
+    table, list them via SHOW TABLES, read customer's schema via
+    DESCRIBE, drop a table and verify it disappears from the listing.
+
+    The returned inventory (tables ∪ customer columns) is the golden
+    the reference asserts by eye (README.md:35, :415); here it is
+    oracle-checked.
+    """
+    spark.sql("CREATE DATABASE IF NOT EXISTS iws_catalog")
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"iws_cat_{t}")
+
+    # DROP + re-listing: a dropped view must vanish (A32 semantics).
+    load(spark, sf_dir, "region").createOrReplaceTempView("iws_cat_doomed")
+    spark.sql("DROP VIEW IF EXISTS iws_cat_doomed")
+
+    shown = spark.sql("SHOW TABLES").filter(
+        F.col("tableName").startswith("iws_cat_")
+    )
+    tables = shown.select(
+        F.lit("table").alias("object_type"),
+        F.regexp_replace("tableName", "^iws_cat_", "").alias("name"),
+    )
+    described = spark.sql("DESCRIBE iws_cat_customer").select(
+        F.lit("column").alias("object_type"), F.col("col_name").alias("name")
+    )
+    return tables.unionAll(described).orderBy("object_type", "name")
+
+
+@register(
+    "q_llm_split_train_val",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q_llm_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split (~75/25): the split
+    of a document depends only on md5(doc_id), so it is stable across
+    runs, engines, partitionings, and re-shards — the property a
+    training pipeline needs to avoid leakage when data is re-ingested.
+    md5 is bit-identical in Spark and DuckDB, hence the exact oracle.
+    """
+    tagged = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                *"0123456789ab"
+            ),
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

@@ -79,6 +79,63 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained in explicit group state across
+    micro-batches, emitted in update mode.
+
+    Money is accumulated in integer cents inside the state so the
+    final value is order-independent and bit-identical to the oracle's
+    decimal arithmetic (a float running sum would drift with batch
+    boundaries). The backfill drains in one availableNow pass, so the
+    last update per user equals the batch aggregate — checked exactly.
+
+    100 TB: state lives in the executor state store keyed by user_id;
+    memory is O(distinct users), not O(events), and a watermark-based
+    TTL (timeoutConf) evicts idle users in a production stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "sum_value": [cents / 100.0]}
+        )
+
+    updates = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="cnt bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = _drain(updates, "update")
+    return sink.orderBy("user_id")
+
+
+@register(
     "q_stream_dedup_watermark",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events

@@ -37,6 +37,35 @@ def test_topk_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in _plan(df)
 
 
+def test_multiway_join_broadcasts_small_dims(spark):
+    """TPC-H Q5 shape: region/nation/customer are far under the
+    broadcast threshold — the plan must not shuffle the fact table
+    against them with sort-merge joins."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_join_multiway"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_groupby_has_partial_aggregation(spark):
+    """The shuffle must carry partially-aggregated rows (one per
+    group × partition), not raw lineitem rows."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_agg_groupby"](spark, SF_DIR))
+    assert "partial_" in plan  # map-side HashAggregate(partial_sum...)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lexicon_join_is_broadcast(spark):
+    """The tiny language lexicon must broadcast, never shuffle the
+    exploded token stream."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_lang_id"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_column_pruning(spark):
     """A 2-column projection must not read all 11 lineitem columns."""
     from iceberg_workshop_spark.sources.tables import load
