@@ -66,6 +66,20 @@ def test_lexicon_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_has_no_hash_exchange(spark):
+    """Both sides bucketed on the key → no hash shuffle anywhere: the
+    join either co-locates on buckets or broadcasts the small side,
+    and the groupBy on the bucket key reuses the bucket partitioning
+    (partial→final HashAggregate with no Exchange between). The only
+    allowed exchange is the final ORDER BY's range partitioning."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_join_bucketed"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_column_pruning(spark):
     """A 2-column projection must not read all 11 lineitem columns."""
     from iceberg_workshop_spark.sources.tables import load
