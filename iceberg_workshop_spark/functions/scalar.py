@@ -244,3 +244,36 @@ def q_fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k_int", "k_str")
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) % 10 = 0
+    GROUP BY k_int, k_str
+    ORDER BY k_int
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: ``parse_json`` once into a Variant column,
+    then typed ``variant_get`` path extraction — the semi-structured
+    scale path (binary Variant encoding decodes fields lazily; no
+    per-access JSON re-parse, unlike get_json_object chains).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.parse_json("props").alias("v")
+    )
+    extracted = ev.select(
+        F.variant_get("v", "$.k", "int").alias("k_int"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+    )
+    return (
+        extracted.filter(F.col("k_int") % 10 == 0)
+        .groupBy("k_int", "k_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_int")
+    )

@@ -470,3 +470,110 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "vec_a bigint, vec_b bigint, cosine double"
     return emb.mapInPandas(score, schema=out_schema).orderBy("vec_a", "vec_b")
+
+
+# ------------------------------------------- duplicate-cluster merge
+
+
+_NGRAM_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+@register(
+    "q_llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach
+    GROUP BY u
+    ORDER BY doc_id
+    """,
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge near-dup pairs into duplicate clusters: connected
+    components by iterative min-label propagation (the union-find step
+    every dedup pipeline needs between pair detection and "keep one
+    per cluster").
+
+    Each iteration is one distributed join+agg (Pregel-style: every
+    node takes the min label among itself and its neighbors); the
+    driver only checks the converged-count, never the data. Iteration
+    count is bounded by the graph diameter — near-dup clusters are
+    shallow (pairs/triples), so this converges in 2-3 rounds; the
+    oracle is a recursive CTE computing min reachable id.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = _doc_shingles(docs).persist()
+    pairs = (
+        _pair_jaccard(shingles)
+        .filter(F.col("n_common") / F.col("n_union") >= JACCARD_T)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
+    )
+    for _ in range(10):  # diameter bound; near-dup graphs are shallow
+        nbr = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, labels.doc_id == nbr.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
