@@ -306,6 +306,12 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# SURVEY §2B declares the MinHash-LSH near-dup operator as
+# ``q_llm_dedup_near``; register the same implementation under that
+# name so the declared inventory resolves 1:1.
+register("q_llm_dedup_near")(q_llm_dedup_minhash)
+
+
 # --------------------------------------------------------------- SimHash
 
 
