@@ -118,3 +118,58 @@ def q_llm_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q_llm_sample_stratified",
+    oracle="""
+    WITH strata AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), ranked AS (
+      SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.lang,
+           COUNT(*) AS n_sampled,
+           MIN(r.doc_id) AS min_doc,
+           CAST(SUM(r.doc_id) AS BIGINT) AS sum_doc
+    FROM ranked r
+    JOIN strata s ON s.lang = r.lang
+    WHERE r.rn <= CAST(CEIL(s.n * 0.2) AS BIGINT)
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(20%) of each
+    language stratum, selected by ranking md5(doc_id) within the
+    stratum — a seedless, engine-independent pseudo-random order, so
+    the same documents are chosen on every run/engine/partitioning
+    (the reproducibility property a training-data pipeline needs; the
+    md5 rank replaces `TABLESAMPLE`, which is neither stratified nor
+    deterministic). One window over the stratum key, no driver logic.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rn = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(rn))
+    sampled = ranked.join(F.broadcast(counts), "lang").filter(
+        F.col("rn") <= F.ceil(F.col("n") * 0.2)
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -373,3 +373,81 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert t.read().filter("ts >= '2022-01-01'").count() == 1
     return t.read().orderBy("c1")
+
+
+@register(
+    "q_meta_snapshots",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'append',   CAST(3 AS BIGINT)),
+      (1, 'append',   CAST(5 AS BIGINT)),
+      (2, 'truncate', CAST(0 AS BIGINT))
+    ) AS t(ordinal, operation, n_records)
+    ORDER BY ordinal
+    """,
+)
+def q_meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.snapshots metadata table (Iceberg parity beyond .history):
+    one row per snapshot with its operation and cumulative record
+    count — the lineage a user inspects before time travel
+    (/root/reference/README.md:353-362 shows the same via .history).
+    """
+    loc = _fresh(sf_dir, "meta_snapshots")
+    t = IceTable.create(spark, loc, "k int, v string")
+    t.insert_values([(1, "a"), (2, "b"), (3, "c")])
+    t.insert_values([(4, "d"), (5, "e")])
+    t.truncate()
+    info = t.snapshots_info()
+    rows = [
+        (i, s["operation"], int(s["n_records"])) for i, s in enumerate(info)
+    ]
+    return spark.createDataFrame(
+        rows, schema="ordinal int, operation string, n_records long"
+    ).orderBy("ordinal")
+
+
+@register(
+    "q_meta_files",
+    oracle="""
+    SELECT source, n_records, has_bounds FROM (VALUES
+      ('adopted', (SELECT COUNT(*) FROM region), false),
+      ('native',  (SELECT COUNT(*) FROM region), true)
+    ) AS t(source, n_records, has_bounds)
+    ORDER BY source
+    """,
+)
+def q_meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.files metadata table: per-file record counts and stats
+    presence. A natively-written table carries column bounds in its
+    metadata (prunable); an in-place *adopted* table does not — the
+    reference's limitations.md:49-105 contrast, surfaced as a
+    queryable metadata table.
+    """
+    region = load(spark, sf_dir, "region")
+
+    native_loc = _fresh(sf_dir, "meta_files_native")
+    native = IceTable.create_as(spark, native_loc, region)
+
+    src_loc = _fresh(sf_dir, "meta_files_src")
+    region.coalesce(1).write.mode("overwrite").parquet(src_loc)
+    parquet_files = [
+        os.path.join(src_loc, f)
+        for f in sorted(os.listdir(src_loc))
+        if f.endswith(".parquet")
+    ]
+    adopted_loc = _fresh(sf_dir, "meta_files_adopted")
+    adopted = IceTable.adopt(spark, adopted_loc, parquet_files)
+
+    rows = []
+    for source, tbl in (("adopted", adopted), ("native", native)):
+        files = tbl.meta.current_files()
+        rows.append(
+            (
+                source,
+                int(sum(f["record_count"] for f in files)),
+                all(bool(f.get("bounds")) for f in files),
+            )
+        )
+    return spark.createDataFrame(
+        rows, schema="source string, n_records long, has_bounds boolean"
+    ).orderBy("source")

@@ -197,3 +197,63 @@ def q_stream_agg_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select(
         F.col("w.start").alias("window_start"), "n_events", "sum_value"
     ).orderBy("window_start")
+
+
+@register(
+    "q_stream_session_window",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us >= {30 * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming session windows: ``F.session_window``
+    with a 30-minute gap under a 1-hour watermark, drained in complete
+    mode (update is unsupported for session-window aggregations, and
+    append would hold back the sessions the watermark never closes at
+    the tail of a backfill — complete exposes the full final state).
+
+    Spark merges an event into a session while it starts *strictly
+    inside* predecessor_ts + gap, so the batch oracle breaks sessions
+    on gap ≥ 30 min (note: the batch-exact q_stream_session uses a
+    strict > break — both are valid session definitions; this one
+    mirrors session_window's). window.end is last event + gap.
+
+    100 TB: session state is per (user, open session) on executors;
+    the watermark both closes sessions and bounds state.
+    """
+    sessions = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = _drain(sessions, "complete")
+    return sink.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
