@@ -277,3 +277,66 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("k_int")
     )
+
+
+@register(
+    "q_fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x),
+                             (a, b) -> a + b), 4) AS sum_sq,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+             AS n_positive,
+           ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE), 4)
+             AS first_plus_last
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/aggregate/filter +
+    element access) — the JVM-side lambda surface that keeps array math
+    out of Python. Accumulation is left-to-right in both engines, so
+    float64 results match bit-for-bit (rounded for hash stability)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at("v", 1) + F.element_at("v", 64), 4).alias(
+            "first_plus_last"
+        ),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT n_name,
+           levenshtein(n_name, 'GERMANY') AS dist_germany,
+           levenshtein(lower(n_name), reverse(lower(n_name))) AS dist_palindrome
+    FROM nation
+    ORDER BY n_name
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (fuzzy string matching — entity resolution's
+    cheap first pass), plus reverse for a self-similarity measure."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.levenshtein("n_name", F.lit("GERMANY")).alias("dist_germany"),
+        F.levenshtein(F.lower("n_name"), F.reverse(F.lower("n_name"))).alias(
+            "dist_palindrome"
+        ),
+    ).orderBy("n_name")
