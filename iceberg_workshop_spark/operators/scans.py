@@ -113,3 +113,42 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "q_scan_json",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip: write nation as JSONL, read back with an
+    explicit schema (schema inference is a second full scan — never in
+    a 100 TB pipeline). Dialect closure of A1's CSV staging pattern for
+    the other ubiquitous interchange format."""
+    out = _scratch(f"json_nation_{os.path.basename(sf_dir.rstrip('/'))}")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite").json(out)
+    return (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .json(out)
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the other columnar format the lakehouse world
+    reads; same vectorized reader + pushdown machinery as Parquet."""
+    out = _scratch(f"orc_supplier_{os.path.basename(sf_dir.rstrip('/'))}")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).orderBy("s_suppkey")
