@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.operators.skew",
     "iceberg_workshop_spark.operators.catalog",
     "iceberg_workshop_spark.operators.bucketing",
+    "iceberg_workshop_spark.sources.pysource",
     "iceberg_workshop_spark.functions.scalar",
     "iceberg_workshop_spark.functions.udfs",
     "iceberg_workshop_spark.plans.lifecycle",
