@@ -64,6 +64,7 @@ def rewrite_data_files(
     tbl: IceTable,
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
     target_num_files: int | None = None,
+    small_file_threshold_bytes: int | None = None,
 ) -> dict[str, int]:
     """Compaction (A29): read-coalesce-rewrite into a new snapshot.
 
@@ -71,15 +72,38 @@ def rewrite_data_files(
     exactly how you'd size a 100 TB compaction; the rewrite is a
     single ``repartition`` job so it scales with the cluster, and old
     files stay readable via time travel until expired.
+
+    ``small_file_threshold_bytes`` switches to **size-tiered** mode
+    (Iceberg binpack's min-file-size filter): only files below the
+    threshold are read and re-packed; already-right-sized files are
+    carried into the new snapshot untouched. At 100 TB this is the
+    only affordable form — rewriting healthy files burns a full
+    read+write of the table for nothing.
     """
     files = tbl.meta.current_files()
-    total = sum(f.get("file_size", 0) for f in files)
+    if small_file_threshold_bytes is not None:
+        to_rewrite = [
+            f for f in files if f.get("file_size", 0) < small_file_threshold_bytes
+        ]
+        untouched = [
+            f for f in files if f.get("file_size", 0) >= small_file_threshold_bytes
+        ]
+        if len(to_rewrite) <= 1:  # nothing to bin-pack
+            return {"files_before": len(files), "files_after": len(files)}
+    else:
+        to_rewrite, untouched = files, []
+    total = sum(f.get("file_size", 0) for f in to_rewrite)
     n = target_num_files or max(1, math.ceil(total / target_file_size_bytes))
-    df = tbl._read_files(files).repartition(n)
+    df = tbl._read_files(to_rewrite).repartition(n)
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(df, tbl.meta.specs[spec_id], spec_id)
-    tbl._commit_snapshot(new_files, "replace")
-    return {"files_before": len(files), "files_after": len(new_files)}
+    tbl._commit_snapshot(untouched + new_files, "replace")
+    return {
+        "files_before": len(files),
+        "files_after": len(untouched) + len(new_files),
+        "files_rewritten": len(to_rewrite),
+        "files_untouched": len(untouched),
+    }
 
 
 def rewrite_manifests(tbl: IceTable) -> dict[str, int]:

@@ -132,3 +132,36 @@ def test_rewrite_manifests_drops_abandoned_branches(spark, tmp_table_dir):
     stats = t.rewrite_manifests()
     assert stats["snapshots_after"] < stats["snapshots_before"]
     assert t.read().count() == 1
+
+
+def test_size_tiered_compaction(spark, tmp_table_dir):
+    """Size-tiered rewrite_data_files: small files merge, right-sized
+    files survive by identity (no rewrite), answers unchanged."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    t = IceTable.create_as(spark, tmp_table_dir, big.coalesce(1))
+    for i in range(4):  # four tiny appends → four small files
+        t.append(
+            spark.range(20000 + i * 10, 20010 + i * 10)
+            .select(F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+            .coalesce(1)
+        )
+    files = t.meta.current_files()
+    sizes = sorted(f["file_size"] for f in files)
+    threshold = sizes[-1]  # everything smaller than the big file
+    big_paths = {f["path"] for f in files if f["file_size"] >= threshold}
+    n_before = t.scan().count()
+
+    stats = t.rewrite_data_files(
+        target_num_files=1, small_file_threshold_bytes=threshold
+    )
+    assert stats["files_untouched"] == len(big_paths) == 1
+    assert stats["files_rewritten"] == 4
+    assert stats["files_after"] == 2  # 1 untouched + 1 merged
+
+    after = t.meta.current_files()
+    assert big_paths <= {f["path"] for f in after}  # identity-carried
+    assert t.scan().count() == n_before
