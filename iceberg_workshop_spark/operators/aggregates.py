@@ -198,3 +198,92 @@ def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS price_range
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile` is the
+    exact sort-based aggregate; `approx_percentile` is the sketch the
+    100 TB path substitutes when a full per-group sort is too dear —
+    same call site, different precision contract)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+            F.round(F.max("o_totalprice") - F.min("o_totalprice"), 4).alias(
+                "price_range"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           ROUND(MIN(l_quantity), 4) AS min_v,
+           ROUND(MAX(l_quantity), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(*), COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    ORDER BY column_name
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per-column row/null/distinct counts and
+    value ranges in ONE scan (all aggregates computed together, then
+    unpivoted) — the expectation-check primitive an ingestion pipeline
+    runs before promoting a batch. The oracle unions per-column
+    SELECTs; Spark does it in a single pass.
+    """
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    profiles = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in cols
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("column_name")
