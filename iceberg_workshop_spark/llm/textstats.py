@@ -279,3 +279,113 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
         .orderBy("first_doc")
     )
+
+
+@register(
+    "q_llm_tfidf_top_term",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf
+      FROM tf JOIN df USING (tok), n
+    ), ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok AS top_term, ROUND(tfidf, 4) AS tfidf
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_llm_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the highest-scoring term per document
+    (term frequency × ln(N/document-frequency), deterministic term
+    tiebreak). Three aggregations, all on narrow keys; the DF table is
+    a broadcast-sized dimension at any corpus size with a bounded
+    vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar dimension — a literal, not a join
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    rn = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), F.round("tfidf", 4).alias("tfidf"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_llm_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS n FROM toks
+    ), tok_lp AS (
+      SELECT t.doc_id, t.tok, ln(f.c * 1.0 / total.n) AS lp
+      FROM toks t JOIN freq f USING (tok), total
+    ), doc_lists AS (
+      SELECT doc_id, list(lp ORDER BY tok, lp) AS lps FROM tok_lp GROUP BY doc_id
+    )
+    SELECT doc_id,
+           len(lps) AS n_tokens,
+           ROUND(list_reduce(lps, (a, b) -> a + b) / len(lps), 4)
+             AS avg_logprob
+    FROM doc_lists
+    ORDER BY doc_id
+    """,
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: mean token log-probability per
+    document against the corpus distribution — the cheap perplexity
+    proxy used to filter gibberish from training data.
+
+    Float log-probs are summed by a *sorted-order left fold* (collect →
+    sort → reduce) in both engines, so the sum is order-deterministic
+    and bit-identical — a plain SUM() would flake on accumulation
+    order. The fold list is per-doc (bounded by doc length), not
+    per-corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    tok_lp = toks.join(F.broadcast(freq), "tok").select(
+        "doc_id", "tok", F.log(F.col("c") / F.lit(float(total))).alias("lp")
+    )
+    doc_lists = tok_lp.groupBy("doc_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(tok, lp))), s -> s.lp)")
+        .alias("lps")
+    )
+    return doc_lists.select(
+        "doc_id",
+        F.size("lps").alias("n_tokens"),
+        F.round(
+            F.aggregate("lps", F.lit(0.0), lambda a, b: a + b) / F.size("lps"), 4
+        ).alias("avg_logprob"),
+    ).orderBy("doc_id")
