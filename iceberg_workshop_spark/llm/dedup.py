@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.registry import QUERIES, register
 from iceberg_workshop_spark.sources.tables import load
 
 # Near-dup thresholds (fixture has 25 seeded pairs at Jaccard ≈ .98;
@@ -583,3 +583,50 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.orderBy("doc_id")
+
+
+@register(
+    "q_llm_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    clusters AS (
+      SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    ),
+    dropped AS (
+      SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    SELECT COUNT(*) AS n_kept,
+           (SELECT COUNT(*) FROM dropped) AS n_dropped,
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *apply* step: keep one representative per duplicate
+    cluster (the min doc_id), drop the rest, return the surviving
+    corpus summary — detect → cluster → apply, end to end. The drop
+    set rides an anti-join (left_anti), so the corpus is never
+    materialized on fewer machines than it lives on."""
+    clusters = QUERIES["q_llm_dedup_clusters"](spark, sf_dir)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+    n_dropped = dropped.count()
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.sum("n_chars").alias("kept_chars"),
+    )

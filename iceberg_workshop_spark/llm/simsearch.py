@@ -216,3 +216,68 @@ def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+N_PROBES_BATCH = 5
+
+
+@register(
+    "q_llm_simsearch_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probes AS (
+      SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+      FROM n WHERE vec_id < {N_PROBES_BATCH}
+    ), scored AS (
+      SELECT probes.probe_id, n.vec_id,
+             list_dot_product(n.v, probes.pv) / (n.nrm * probes.pnrm) AS c
+      FROM n, probes
+      WHERE n.vec_id <> probes.probe_id
+    ), ranked AS (
+      SELECT probe_id, vec_id, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY c DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT probe_id, vec_id, ROUND(c, 4) AS cosine, rn AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY probe_id, rn
+    """,
+)
+def q_llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-probe top-k: N probes answered in ONE corpus scan
+    (probe set broadcast; per-row scoring against every probe, window
+    top-k per probe). The amortization that makes interactive ANN
+    serving viable — k probes cost one pass, not k passes."""
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
+        "v",
+        "nrm",
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < N_PROBES_BATCH).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    scored = (
+        emb.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("c", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
+    )
+    rn = Window.partitionBy("probe_id").orderBy(
+        F.col("c").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rn))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", F.round("c", 4).alias("cosine"), "rank")
+        .orderBy("probe_id", "rank")
+    )
