@@ -287,3 +287,46 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in profiles[1:]:
         out = out.unionAll(p)
     return out.orderBy("column_name")
+
+
+@register(
+    "q_agg_pivot_unpivot",
+    oracle="""
+    WITH pivoted AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS urgent,
+             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS low
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'urgent' AS priority, urgent AS sum_price
+    FROM pivoted
+    UNION ALL
+    SELECT o_orderstatus, 'low' AS priority, low AS sum_price
+    FROM pivoted
+    ORDER BY o_orderstatus, priority
+    """,
+)
+def q_agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (rows→columns) then unpivot (columns→rows) round trip:
+    ``groupBy().pivot(col, values)`` with an explicit value list (an
+    unlisted pivot triggers a distinct-values collect — never at
+    100 TB), then ``unpivot`` back to long form."""
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(F.sum(money("o_totalprice")).cast("double"))
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("5-LOW", "low")
+    )
+    return (
+        pivoted.unpivot(
+            ["o_orderstatus"], ["urgent", "low"], "priority", "sum_price"
+        )
+        .orderBy("o_orderstatus", "priority")
+    )

@@ -122,3 +122,29 @@ def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("mode"), "c_custkey"
     )
     return inter.unionAll(exc).orderBy("mode", "c_custkey")
+
+
+@register(
+    "q_sort_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY bal DESC NULLS LAST, c_custkey ASC
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering — the classic cross-engine trap: Spark
+    defaults to NULLS FIRST on ASC, DuckDB to NULLS LAST, so portable
+    sorts must always spell it out (``desc_nulls_last`` here). Nulls
+    are manufactured from negative balances to exercise the path."""
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, None)
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+        .orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey").asc())
+    )
