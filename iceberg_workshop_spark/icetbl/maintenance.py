@@ -89,7 +89,12 @@ def rewrite_data_files(
             f for f in files if f.get("file_size", 0) >= small_file_threshold_bytes
         ]
         if len(to_rewrite) <= 1:  # nothing to bin-pack
-            return {"files_before": len(files), "files_after": len(files)}
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "files_rewritten": 0,
+                "files_untouched": len(files),
+            }
     else:
         to_rewrite, untouched = files, []
     total = sum(f.get("file_size", 0) for f in to_rewrite)

@@ -579,6 +579,11 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        if labels is not edges:  # unpersist the superseded label set
+            try:
+                labels.unpersist()
+            except Exception:  # noqa: BLE001 — first iteration is unpersisted
+                pass
         labels = updated
         if changed == 0:
             break

@@ -43,7 +43,13 @@ def salted_join(
     """Equi-join with the big side salted on a deterministic hash and
     the small side exploded across all salt values. Output columns =
     big ∪ small (minus the duplicate key), same as df.join(small, key).
+
+    Only inner/left/left_semi are salting-safe: the small side exists
+    N_SALT times, so right/full/left_anti would duplicate or drop its
+    unmatched rows — refuse rather than silently corrupt.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(f"salted_join does not support how={how!r}")
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salt)).cast("int")
     )
