@@ -1,0 +1,191 @@
+"""Behavioral / statistical analytics operators.
+
+Event-funnel conversion, weekly retention cohorts, value histograms,
+and bivariate statistics — the product-analytics closure over the
+``events`` stream table. All pure DataFrame ops; every query is one
+or two shuffles on narrow keys.
+
+The reference's workshop stops at scan/filter/count analytics; these
+instantiate the query shapes its engines (Hive/Impala) are routinely
+used for on the same star schema, and DuckDB mirrors each exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+FUNNEL = ["view", "click", "purchase"]
+N_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 10.0
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+             AS n_view_click,
+           COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click)
+             AS n_view_click_purchase
+    FROM firsts
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first
+    click precedes their first purchase. One conditional-min agg per
+    user (single shuffle), then a scalar rollup — no self-joins, no
+    per-stage passes."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in FUNNEL
+        ]
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT a.wk AS cohort_week,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           COUNT(DISTINCT b.user_id) AS n_retained
+    FROM weekly a
+    LEFT JOIN weekly b
+      ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAYS
+    GROUP BY a.wk
+    ORDER BY a.wk
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of the users active in week w, how
+    many were active in w+1. The (user, week) distinct table is tiny
+    relative to events, so the self-join runs on the reduced set —
+    reduce first, join second, the retention-at-scale rule."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    a = weekly.alias("a")
+    b = weekly.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.wk") == F.col("a.wk") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.wk").alias("cohort_week"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("n_active"),
+            F.countDistinct(F.col("b.user_id")).alias("n_retained"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT LEAST(GREATEST(CAST(FLOOR((value - {HIST_LO})
+                 / (({HIST_HI} - {HIST_LO}) / {N_BUCKETS})) AS INT), 0),
+                 {N_BUCKETS - 1}) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via pure arithmetic bucketing (clamped to
+    [0, N)) — one groupBy on a derived int key; the distributed
+    histogram primitive (`width_bucket` differs across engines, floor
+    arithmetic does not)."""
+    ev = load(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / N_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - HIST_LO) / width).cast("int"), F.lit(0)
+        ),
+        F.lit(N_BUCKETS - 1),
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 3) AS r,
+           ROUND(stddev_samp(o_totalprice) / 1000, 3) AS sd_price_k,
+           ROUND(var_samp(o_totalprice) / 1000000, 3) AS var_price_m
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate/moment statistics per group (corr / stddev / var).
+
+    Both engines use numerically-stable one-pass covariance updates,
+    but accumulation *order* differs by partitioning, so results agree
+    to ~1e-12 *relative*, not bitwise. Rounding must therefore be
+    magnitude-aware: variance (~2e10) carries ~0.02 absolute noise, so
+    it is reported in millions (noise 2e-8 ≪ the 5e-4 rounding
+    granularity) and stddev in thousands — the fixed-decimal rounding
+    then sits orders of magnitude above engine noise."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.corr("o_totalprice", F.col("o_custkey").cast("double")), 3
+            ).alias("r"),
+            F.round(F.stddev_samp("o_totalprice") / 1000, 3).alias("sd_price_k"),
+            F.round(F.var_samp("o_totalprice") / 1000000, 3).alias("var_price_m"),
+        )
+        .orderBy("o_orderstatus")
+    )
