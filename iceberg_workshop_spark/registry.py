@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.operators.bucketing",
     "iceberg_workshop_spark.sources.pysource",
     "iceberg_workshop_spark.operators.analytics",
+    "iceberg_workshop_spark.operators.subqueries",
     "iceberg_workshop_spark.functions.scalar",
     "iceberg_workshop_spark.functions.udfs",
     "iceberg_workshop_spark.plans.lifecycle",
