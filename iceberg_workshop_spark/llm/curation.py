@@ -1,0 +1,343 @@
+"""Training-data curation operators: PII redaction, benchmark
+contamination detection, sequence packing, and temperature-based
+domain mixing.
+
+The reference stops at warehouse SQL (`/root/reference/README.md`);
+these are the curation passes an LLM data pipeline runs over the same
+lakehouse before training. All deterministic (md5 / integer
+arithmetic only — no seeded RNG), so every query carries an exact
+DuckDB oracle and is reproducible across engines, runs, and
+re-partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+# PCRE/RE2-common subset: no lookaround, no backrefs — identical
+# semantics under Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+PACK_TOKENS = 256  # context-window budget per pack (fixture docs ~60 tokens)
+NGRAM_N = 5  # contamination shingle width
+MIX_ALPHA_MILLI = 1000  # integer sqrt weight scale (w = floor(sqrt(n)*1000))
+
+
+def _norm_tokens(col):
+    """Whitespace-normalized token array (shared convention with
+    llm.textstats / llm.dedup)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+# ------------------------------------------------------------ PII redaction
+
+
+@register(
+    "q_llm_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS t
+      FROM documents
+    ), red AS (
+      SELECT source, t,
+             length(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+             length(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+             regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{PHONE_RE}', '<PHONE>', 'g') AS clean
+      FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN n_email + n_phone > 0 THEN 1 END) AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(length(t) - length(clean)) AS BIGINT) AS chars_redacted
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, phone numbers) with audit counts.
+
+    The fixture corpus carries no PII, so a deterministic fraction of
+    docs (doc_id % 7) is augmented with synthetic contact strings in
+    BOTH engines first — the redaction path then has measurable work.
+    Patterns stay in the Java-regex ∩ RE2 subset so both engines
+    match identically. Pure `regexp_replace`/`regexp_extract_all`
+    projections: narrow, codegen'd, no shuffle until the final
+    per-source rollup — at 100 TB this is a map-only pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    red = docs.select(
+        "source",
+        aug.alias("t"),
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phone"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_email") + F.col("n_phone") > 0, 1)).alias(
+                "n_docs_with_pii"
+            ),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum(F.length("t") - F.length("clean")).alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------- benchmark contamination
+
+
+@register(
+    "q_llm_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+                 || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    ), bench AS (
+      SELECT DISTINCT shingle FROM ds WHERE doc_id % 101 = 0
+    ), hits AS (
+      SELECT DISTINCT d.doc_id
+      FROM ds d JOIN bench b ON d.shingle = b.shingle
+      WHERE d.doc_id % 101 <> 0
+    )
+    SELECT doc.source,
+           COUNT(*) AS n_train,
+           COUNT(h.doc_id) AS n_contaminated
+    FROM documents doc
+    LEFT JOIN hits h ON h.doc_id = doc.doc_id
+    WHERE doc.doc_id % 101 <> 0
+    GROUP BY doc.source
+    ORDER BY doc.source
+    """,
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing any word
+    5-gram with the held-out benchmark slice (doc_id % 101).
+
+    The benchmark shingle set is tiny relative to the corpus, so the
+    overlap test is a BROADCAST left-semi join against it — at 100 TB
+    the training side streams map-only through the broadcast hash
+    set, no shuffle of the corpus. The per-doc distinct shingle set
+    bounds memory by doc length, not corpus size."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select("doc_id", _norm_tokens(F.col("text")).alias("toks"))
+    ngrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= NGRAM_N,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {NGRAM_N - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {NGRAM_N})))"
+                ),
+            ).otherwise(F.array())
+        ).alias("shingle"),
+    ).distinct()
+    bench = (
+        ngrams.filter(F.col("doc_id") % 101 == 0).select("shingle").distinct()
+    )
+    hits = (
+        ngrams.filter(F.col("doc_id") % 101 != 0)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 101 != 0)
+    return (
+        train.join(hits.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------------ sequence packing
+
+
+@register(
+    "q_llm_seq_pack",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             length(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS running
+      FROM sized
+    )
+    SELECT source,
+           (running - n_tok) // {PACK_TOKENS} AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs are concatenated in
+    doc_id order per source stream and split into fixed 256-token
+    context windows; each doc is assigned the pack its first token
+    lands in (the GPT-style packing layout).
+
+    The running sum is windowed PER SOURCE, not globally — a global
+    ORDER BY prefix-sum would serialize onto one task; partitioning
+    by the stream key keeps every window local to a shuffle
+    partition. At 100 TB with few sources, sub-shard the stream key
+    (e.g. source × day) to the same effect."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sized = docs.select(
+        "source", "doc_id", F.size(_norm_tokens(F.col("text"))).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = sized.withColumn("running", F.sum("n_tok").over(w))
+    return (
+        cum.withColumn(
+            "pack_id",
+            F.expr(f"(running - n_tok) div {PACK_TOKENS}"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+# ------------------------------------------------------------- domain mixing
+
+
+@register(
+    "q_llm_domain_mix",
+    oracle=f"""
+    WITH strata AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(FLOOR(SQRT(COUNT(*)) * {MIX_ALPHA_MILLI}) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(w) AS BIGINT) AS w_total
+      FROM strata
+    ), target AS (
+      SELECT s.source, s.n,
+             LEAST(s.n, ((t.n_total // 2) * s.w) // t.w_total) AS n_target
+      FROM strata s CROSS JOIN tot t
+    ), ranked AS (
+      SELECT d.source, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.source,
+           MAX(g.n) AS n_docs,
+           MAX(g.n_target) AS n_target,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(r.doc_id) AS BIGINT) AS sum_doc
+    FROM ranked r
+    JOIN target g ON g.source = r.source
+    WHERE r.rn <= g.n_target
+    GROUP BY r.source
+    ORDER BY r.source
+    """,
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (α = 0.5): per-source sample
+    targets ∝ sqrt(n_source), normalized to half the corpus — the
+    standard rebalancing that upweights rare domains relative to raw
+    proportions. All arithmetic is INTEGER (sqrt scaled by 1000 then
+    floored; integer multiply/divide) so no
+    float accumulation order can flip a target count between engines;
+    doc selection within a source is the md5 rank — deterministic,
+    seedless, engine-independent. One broadcast of the tiny per-source
+    target table + one window per source: two narrow shuffles total."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * MIX_ALPHA_MILLI).alias("w"),
+    )
+    tot = strata.agg(
+        F.sum("n").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    target = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.least(
+            F.col("n"),
+            F.expr(f"((n_total div 2) * w) div w_total"),
+        ).alias("n_target"),
+    )
+    rn = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(rn))
+    sampled = ranked.join(F.broadcast(target), "source").filter(
+        F.col("rn") <= F.col("n_target")
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("n_target").alias("n_target"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("source")
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.llm.simsearch",
     "iceberg_workshop_spark.llm.textstats",
     "iceberg_workshop_spark.llm.multimodal",
+    "iceberg_workshop_spark.llm.curation",
 ]
 
 
