@@ -65,6 +65,7 @@ def rewrite_data_files(
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
     target_num_files: int | None = None,
     small_file_threshold_bytes: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Compaction (A29): read-coalesce-rewrite into a new snapshot.
 
@@ -79,6 +80,15 @@ def rewrite_data_files(
     carried into the new snapshot untouched. At 100 TB this is the
     only affordable form — rewriting healthy files burns a full
     read+write of the table for nothing.
+
+    ``sort_by`` switches binpack to **sort/cluster** mode (Iceberg's
+    `rewrite_data_files(strategy => 'sort')`): rows are range-
+    partitioned then sorted on the given columns, so rewritten files
+    carry disjoint min/max bounds on the sort key and stats-based
+    file skipping (A26) turns selective predicates into near-single-
+    file scans. The range exchange is one extra sample+shuffle — the
+    price of clustering, paid once at compaction instead of on every
+    read.
     """
     files = tbl.meta.current_files()
     if small_file_threshold_bytes is not None:
@@ -99,7 +109,11 @@ def rewrite_data_files(
         to_rewrite, untouched = files, []
     total = sum(f.get("file_size", 0) for f in to_rewrite)
     n = target_num_files or max(1, math.ceil(total / target_file_size_bytes))
-    df = tbl._read_files(to_rewrite).repartition(n)
+    df = tbl._read_files(to_rewrite)
+    if sort_by:
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n)
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(df, tbl.meta.specs[spec_id], spec_id)
     tbl._commit_snapshot(untouched + new_files, "replace")

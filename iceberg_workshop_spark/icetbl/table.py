@@ -183,6 +183,12 @@ class IceTable:
             out = out.withColumn(pcol, self._transform_expr(field))
             part_cols.append(pcol)
         writer = out.write.mode("overwrite")
+        # A28 property surface: Iceberg's write.parquet.compression-codec
+        # (zstd/snappy/gzip) — applied at write time, per file, so a
+        # codec change never rewrites history.
+        codec = self.meta.properties.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option("compression", codec)
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(snap_dir)

@@ -290,6 +290,51 @@ def q_maint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_maint_cluster",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           true AS scanned_all_before,
+           true AS pruned_after
+    FROM events
+    WHERE value >= 2.0 AND value <= 2.5
+    """,
+)
+def q_maint_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/cluster compaction (Iceberg `strategy => 'sort'`) + zstd
+    codec (A28 property): events are first written round-robin (every
+    file spans the full `value` range, so stats skipping is useless
+    and the planner scans all files), then rewritten range-clustered
+    on `value` — after which the same selective predicate touches a
+    small fraction of files. The answer itself must stay identical to
+    the raw-table oracle; pruning is observable via scan reports.
+
+    100 TB: this is the read-amplification story — clustering is one
+    sample+range-shuffle at maintenance time and turns every later
+    selective scan from O(table) into O(matching range)."""
+    loc = _fresh(sf_dir, "maint_cluster")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = IceTable.create_as(spark, loc, ev.repartition(12))
+    pred = [Pred("value", "between", (2.0, 2.5))]
+    t.scan(pred)
+    before = t.last_scan_report
+    t.set_properties({"write.parquet.compression-codec": "zstd"})
+    t.rewrite_data_files(target_num_files=12, sort_by=["value"])
+    after_df = t.scan(pred)
+    after = t.last_scan_report
+    return after_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.lit(before["files_scanned"] == before["files_total"]).alias(
+            "scanned_all_before"
+        ),
+        F.lit(after["files_scanned"] * 3 < after["files_total"]).alias(
+            "pruned_after"
+        ),
+    )
+
+
+@register(
     "q_part_evolution",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS oyear,

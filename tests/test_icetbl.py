@@ -165,3 +165,29 @@ def test_size_tiered_compaction(spark, tmp_table_dir):
     after = t.meta.current_files()
     assert big_paths <= {f["path"] for f in after}  # identity-carried
     assert t.scan().count() == n_before
+
+
+def test_sort_clustered_rewrite_enables_skipping(spark, tmp_table_dir):
+    """Sort-mode rewrite: round-robin files never skip; range-clustered
+    files give the planner disjoint bounds, so a narrow predicate scans
+    a small fraction. zstd codec property is honored on rewrite."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 50000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).cast("double").alias("m")
+    )
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartition(10))
+    pred = [Pred("m", "between", (100.0, 150.0))]
+    t.scan(pred)
+    assert t.last_scan_report["files_scanned"] == 10  # no skipping possible
+
+    t.set_properties({"write.parquet.compression-codec": "zstd"})
+    stats = t.rewrite_data_files(target_num_files=10, sort_by=["m"])
+    assert stats["files_rewritten"] == 10
+
+    n = t.scan(pred).count()
+    assert t.last_scan_report["files_scanned"] <= 3
+    assert n == 50000 // 1000 * 51  # 51 distinct m values, 50 rows each
+
+    meta = pq.ParquetFile(t.meta.current_files()[0]["path"]).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
