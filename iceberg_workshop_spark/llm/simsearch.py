@@ -281,3 +281,83 @@ def q_llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", F.round("c", 4).alias("cosine"), "rank")
         .orderBy("probe_id", "rank")
     )
+
+
+N_INGEST_BATCHES = 4
+
+
+@register(
+    "q_llm_simsearch_incr",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probe AS (
+      SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = {PROBE_VEC_ID}
+    )
+    SELECT n.vec_id,
+           ROUND(list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm), 4)
+             AS cosine
+    FROM n, probe
+    WHERE n.vec_id <> {PROBE_VEC_ID}
+    ORDER BY list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm) DESC,
+             n.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_simsearch_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance over arriving ingest batches
+    (PAPERS.md: EDBT'20 incremental top-k similarity framework).
+
+    The corpus is replayed as {N_INGEST_BATCHES} ingest batches
+    (vec_id % {N_INGEST_BATCHES}); after each batch the running top-k
+    state is merged with the batch's local top-k and re-truncated to
+    k rows. Top-k is a monotone merge, so the final state provably
+    equals the brute-force answer over the full corpus — the oracle
+    is exactly q_llm_simsearch's.
+
+    100 TB: each arrival scores ONLY the new batch (O(batch) work,
+    TakeOrdered → k rows) and merges with O(k) retained state —
+    never a re-scan of the historical corpus. Each step is
+    materialized (persist+count) to model the ingest boundary and
+    keep lineage flat.
+    """
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
+        "v",
+        "nrm",
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
+    )
+    state = None
+    for batch in range(N_INGEST_BATCHES):
+        arriving = emb.filter(
+            (F.col("vec_id") % N_INGEST_BATCHES == batch)
+            & (F.col("vec_id") != PROBE_VEC_ID)
+        )
+        local = (
+            arriving.crossJoin(probe)
+            .withColumn(
+                "cosine_raw", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm"))
+            )
+            .select("vec_id", "cosine_raw")
+            .orderBy(F.col("cosine_raw").desc(), F.col("vec_id").asc())
+            .limit(TOP_K)
+        )
+        merged = local if state is None else state.unionAll(local)
+        prev = state
+        state = (
+            merged.orderBy(F.col("cosine_raw").desc(), F.col("vec_id").asc())
+            .limit(TOP_K)
+            .persist()
+        )
+        state.count()  # materialize: the ingest-batch boundary
+        if prev is not None:
+            prev.unpersist()  # superseded state — k rows, but don't leak
+    return state.select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
