@@ -557,6 +557,11 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
     )
+    # Labels are monotone non-increasing (least of self and neighbor
+    # min), so sum(cluster_id) strictly decreases on any change —
+    # convergence detection is one cheap aggregate per round instead
+    # of a self-join + count.
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(10):  # diameter bound; near-dup graphs are shallow
         nbr = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -573,20 +578,16 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        cur_sum = updated.agg(F.sum("cluster_id")).first()[0]
         if labels is not edges:  # unpersist the superseded label set
             try:
                 labels.unpersist()
             except Exception:  # noqa: BLE001 — first iteration is unpersisted
                 pass
         labels = updated
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.orderBy("doc_id")
 
 
