@@ -152,3 +152,59 @@ def q_llm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.octet_length("content").alias("content_bytes"),
     ).orderBy("file_name")
+
+
+FRAME_BYTES = 16  # fake codec: fixed-size frames over the byte stream
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sampled_bytes", LongType()),
+        StructField("sampled_crc", LongType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sample each payload: split the byte stream into
+    FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th (the video
+    keyframe-sampling shape; a real build swaps the splitter for an
+    ffmpeg/PyAV iterator, schema unchanged)."""
+    if HAVE_REAL_CODECS:
+        raise NotImplementedError("real frame decoder not wired in this env")
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload or b"")
+            frames = [
+                b[i : i + FRAME_BYTES] for i in range(0, len(b), FRAME_BYTES)
+            ]
+            sampled = frames[::FRAME_STRIDE]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "n_frames": len(frames),
+                    "n_sampled": len(sampled),
+                    "sampled_bytes": sum(len(f) for f in sampled),
+                    "sampled_crc": sum(sum(f) for f in sampled) % (1 << 31),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register("q_llm_multimodal_frames")  # rows-only: Python-side frame decode
+def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: Arrow batches
+    through ``mapInPandas``, one output row per media item with
+    sampled-frame statistics. Deterministic fake decode (fixed-width
+    byte frames) keeps it reproducible; the distributed shape — batch
+    iteration, bounded memory per Arrow batch, narrow output schema —
+    is exactly the production frame-sampling pass."""
+    flat = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return flat.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -257,3 +257,62 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           MIN(epoch_ms(p.ts) - epoch_ms(v.ts)) AS min_gap_ms
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: view→purchase attribution pairs of
+    the same user within a 30-minute event-time window, both sides
+    watermarked 1 hour.
+
+    The event-time range condition is what bounds the join state:
+    each side buffers only rows younger than watermark+window, so
+    state is O(rate × window), not O(stream) — the requirement for an
+    unbounded 100 TB/day run. The full-history availableNow drain
+    makes the appended pairs equal the batch range join, so the
+    post-drain rollup carries an exact oracle.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    sink = _drain(pairs.select("v_user", "v_ts", "p_ts"), "append")
+    return (
+        sink.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.unix_millis("p_ts") - F.unix_millis("v_ts")).alias(
+                "min_gap_ms"
+            ),
+        )
+        .orderBy("user_id")
+    )

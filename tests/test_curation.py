@@ -81,3 +81,22 @@ def test_domain_mix_targets(spark, queries):
     tot_samp = sum(r.n_sampled for r in rows)
     smallest = min(rows, key=lambda r: r.n_docs)
     assert smallest.n_sampled / tot_samp >= smallest.n_docs / tot_docs * 0.999
+
+
+def test_multimodal_frame_sampling(spark, queries):
+    """Every 4th 16-byte frame is kept: counts follow ceil arithmetic
+    and sampled bytes never exceed the payload."""
+    import math
+
+    from iceberg_workshop_spark.sources.tables import load
+
+    rows = {r.doc_id: r for r in queries["q_llm_multimodal_frames"](spark, SF_DIR).collect()}
+    docs = load(spark, SF_DIR, "documents").selectExpr(
+        "doc_id", "octet_length(encode(text, 'utf-8')) AS n_bytes"
+    ).collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[d.doc_id]
+        assert r.n_frames == math.ceil(d.n_bytes / 16)
+        assert r.n_sampled == math.ceil(r.n_frames / 4)
+        assert 0 < r.sampled_bytes <= d.n_bytes
