@@ -341,6 +341,36 @@ class IceTable:
             for s in self.meta.snapshots
         ]
 
+    def changes(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's incremental read /
+        `spark.read.option("start-snapshot-id", ...)`): the rows in
+        data files added strictly AFTER ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: current).
+
+        This is the primitive that lets a downstream pipeline consume
+        a 100 TB table incrementally — each sync reads only the new
+        files (O(delta), never O(table)). Append-only semantics: a
+        copy-on-write rewrite (compaction/DML) re-adds surviving rows;
+        consumers that must distinguish logical inserts should sync
+        from append snapshots only (exposed via `.history`/operation).
+        """
+        to_files = (
+            self.meta.current_files()
+            if to_snapshot_id is None
+            else self.meta.snapshot(to_snapshot_id)["files"]
+        )
+        from_paths = (
+            set()
+            if from_snapshot_id is None
+            else {f["path"] for f in self.meta.snapshot(from_snapshot_id)["files"]}
+        )
+        added = [f for f in to_files if f["path"] not in from_paths]
+        return self._read_files(added)
+
     def rollback(self, snapshot_id: int) -> None:
         """A21: re-point current to an existing snapshot (history kept)."""
         self.meta.snapshot(snapshot_id)  # validate

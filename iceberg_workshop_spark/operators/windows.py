@@ -147,3 +147,49 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+    SELECT o_orderstatus, quartile,
+           COUNT(*) AS n,
+           ROUND(MAX(pr), 6) AS max_pr,
+           ROUND(MAX(cd), 6) AS max_cd
+    FROM (
+      SELECT o_orderstatus,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey)
+    )
+    GROUP BY o_orderstatus, quartile
+    ORDER BY o_orderstatus, quartile
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank /
+    cume_dist per status group, rolled up per quartile. The rank
+    ratios are exact rationals of row counts (ties broken by the
+    unique key), so float results are engine-identical; one window
+    sort + one hash agg, both on the same partition key, so the
+    second shuffle collapses into the first."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("pr"), 6).alias("max_pr"),
+            F.round(F.max("cd"), 6).alias("max_cd"),
+        )
+        .orderBy("o_orderstatus", "quartile")
+    )

@@ -220,6 +220,37 @@ def q_tt_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tt_changes",
+    oracle="""
+    SELECT COUNT(*) AS n_new_rows,
+           COUNT(DISTINCT o_orderkey % 3) AS n_chunks,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 IN (1, 2)
+    """,
+)
+def q_tt_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan: three commits land thirds of orders;
+    a consumer syncing from the first snapshot reads exactly the two
+    later commits' rows — O(delta) file listing, never a table diff.
+    (Iceberg's incremental read, the snapshot-log dual of time travel
+    A20.)"""
+    loc = _fresh(sf_dir, "tt_changes")
+    orders = load(spark, sf_dir, "orders")
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 3 = 0"))
+    s1 = t.meta.current_snapshot_id
+    t.append(orders.filter("o_orderkey % 3 = 1"))
+    t.append(orders.filter("o_orderkey % 3 = 2"))
+    delta = t.changes(from_snapshot_id=s1)
+    return delta.agg(
+        F.count(F.lit(1)).alias("n_new_rows"),
+        F.countDistinct(F.col("o_orderkey") % 3).alias("n_chunks"),
+        F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
     "q_meta_history",
     oracle="""
     SELECT CAST(3 AS BIGINT) AS n_entries,
