@@ -340,3 +340,37 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_palindrome"
         ),
     ).orderBy("n_name")
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_linenumber,
+           COUNT(*) AS n,
+           CAST(SUM(l_partkey & 1023) AS BIGINT) AS sum_and,
+           CAST(SUM(l_partkey | 7) AS BIGINT) AS sum_or,
+           CAST(SUM(xor(l_partkey, l_suppkey)) AS BIGINT) AS sum_xor,
+           CAST(SUM(l_suppkey << 2) AS BIGINT) AS sum_shl,
+           CAST(SUM(l_orderkey >> 3) AS BIGINT) AS sum_shr
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator closure (& | ^ << >>) — integer-exact in both
+    engines (Spark `^` = DuckDB `xor()`; DuckDB `^` is power), all
+    codegen'd JVM-side, one narrow shuffle on the group key."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("l_partkey & 1023")).alias("sum_and"),
+            F.sum(F.expr("l_partkey | 7")).alias("sum_or"),
+            F.sum(F.expr("l_partkey ^ l_suppkey")).alias("sum_xor"),
+            F.sum(F.expr("shiftleft(l_suppkey, 2)")).alias("sum_shl"),
+            F.sum(F.expr("shiftright(l_orderkey, 3)")).alias("sum_shr"),
+        )
+        .orderBy("l_linenumber")
+    )

@@ -441,3 +441,40 @@ def q_join_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_orderkey IS NULL THEN 'customer_only'
+                ELSE 'matched' END AS cls,
+           COUNT(*) AS n
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY cls
+    ORDER BY cls
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — both-side-preserving match classes (the
+    reconciliation shape: matched / left-only / right-only). Full
+    outer cannot broadcast either side; it plans as a sort-merge join
+    with both sides shuffled on the key — the one join type where
+    that is irreducible."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    joined = cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "full_outer")
+    cls = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return (
+        joined.groupBy(cls.alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cls")
+    )
