@@ -341,3 +341,73 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), per_doc AS (
+      SELECT doc_id,
+             COUNT(shingle) AS n_grams,
+             COUNT(DISTINCT shingle) AS n_distinct
+      FROM sh WHERE shingle IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT CASE WHEN n_distinct * 2 < n_grams THEN 'repetitive'
+                ELSE 'clean' END AS cls,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_grams - n_distinct) AS BIGINT) AS dup_grams
+    FROM per_doc
+    GROUP BY cls
+    ORDER BY cls
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (the Gopher-style duplicate
+    n-gram fraction): docs whose word-3-grams are >50% duplicated are
+    flagged repetitive. The whole pass is explode → two counts per
+    doc — map-side heavy, one shuffle on doc_id, no joins; at 100 TB
+    it rides the same scan as the other per-doc quality signals.
+    Integer threshold arithmetic (n_distinct * 2 < n_grams) keeps the
+    class boundary float-free across engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", _norm_tokens(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', slice(toks, i, 3)))"
+                ),
+            ).otherwise(F.array())
+        ).alias("shingle"),
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("shingle").alias("n_grams"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+    cls = F.when(
+        F.col("n_distinct") * 2 < F.col("n_grams"), "repetitive"
+    ).otherwise("clean")
+    return (
+        per_doc.groupBy(cls.alias("cls"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum(F.col("n_grams") - F.col("n_distinct")).alias("dup_grams"),
+        )
+        .orderBy("cls")
+    )

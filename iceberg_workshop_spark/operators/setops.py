@@ -148,3 +148,49 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey").asc())
     )
+
+
+@register(
+    "q_set_union_by_name",
+    oracle="""
+    SELECT src, COUNT(*) AS n, CAST(SUM(acctbal_c) AS DOUBLE) AS sum_bal
+    FROM (
+      SELECT 'cust' AS src, c_name AS name,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_c, NULL AS segment
+      FROM customer
+      UNION ALL BY NAME
+      SELECT 'supp' AS src, s_name AS name,
+             CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal_c,
+             NULL AS segment
+      FROM supplier
+    )
+    GROUP BY src
+    ORDER BY src
+    """,
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union (`unionByName` with missing columns —
+    DuckDB's UNION ALL BY NAME): the ingestion-time shape for merging
+    heterogeneous feeds. Column resolution happens by NAME at plan
+    time, so re-ordered or partially-overlapping schemas stay
+    correct; missing columns null-fill without a projection pass."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal_c"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal_c"),
+    )
+    merged = cust.unionByName(supp, allowMissingColumns=True)
+    return (
+        merged.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("acctbal_c").cast("double").alias("sum_bal"),
+        )
+        .orderBy("src")
+    )
