@@ -527,3 +527,50 @@ def q_meta_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="source string, n_records long, has_bounds boolean"
     ).orderBy("source")
+
+
+@register(
+    "q_maint_zorder",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           true AS pruned_on_user,
+           true AS pruned_on_value
+    FROM events
+    WHERE user_id >= 100 AND user_id <= 120
+    """,
+)
+def q_maint_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering over TWO columns (user_id, value):
+    after one zorder rewrite, selective range predicates on EITHER
+    column skip files (single-column sort can only serve one). The
+    returned aggregate is over the user_id slice and must equal the
+    raw-table oracle; both pruning gains ride as boolean invariants.
+
+    100 TB: multi-dimension locality from one maintenance pass — the
+    layout answer when scans filter on more than one column."""
+    loc = _fresh(sf_dir, "maint_zorder")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = IceTable.create_as(spark, loc, ev.repartition(16))
+    t.rewrite_data_files(target_num_files=16, zorder_by=["user_id", "value"])
+    pu = [Pred("user_id", "between", (100, 120))]
+    pv = [Pred("value", "between", (2.0, 2.5))]
+    df_u = t.scan(pu)
+    rep_u = t.last_scan_report
+    t.scan(pv)
+    rep_v = t.last_scan_report
+    # Z-order trades sort-mode's sharp single-column pruning for
+    # locality on EVERY clustered column: the sound invariant is a
+    # meaningful fraction skipped on both dimensions (< 3/4 scanned),
+    # not near-single-file scans (a range predicate that straddles a
+    # top interleave bit legitimately touches half the curve).
+    return df_u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.lit(rep_u["files_scanned"] * 4 < rep_u["files_total"] * 3).alias(
+            "pruned_on_user"
+        ),
+        F.lit(rep_v["files_scanned"] * 4 < rep_v["files_total"] * 3).alias(
+            "pruned_on_value"
+        ),
+    )

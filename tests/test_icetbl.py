@@ -191,3 +191,30 @@ def test_sort_clustered_rewrite_enables_skipping(spark, tmp_table_dir):
 
     meta = pq.ParquetFile(t.meta.current_files()[0]["path"]).metadata
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_zorder_rewrite_skips_on_both_columns(spark, tmp_table_dir):
+    """Z-order clustering: after rewrite, a selective range predicate
+    on EITHER interleaved column scans a fraction of files (Morton
+    locality), and answers are unchanged."""
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).cast("double").alias("x"),
+        (F.floor(F.col("id") / 256)).cast("double").alias("y"),
+    )
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartition(16))
+    px = [Pred("x", "between", (0.0, 31.0))]     # 1/8 of x range
+    py = [Pred("y", "between", (64.0, 95.0))]    # 1/8 of y range
+    t.scan(px)
+    assert t.last_scan_report["files_scanned"] == 16  # round-robin: no skip
+
+    t.rewrite_data_files(target_num_files=16, zorder_by=["x", "y"])
+
+    nx = t.scan(px).count()
+    rx = t.last_scan_report
+    ny = t.scan(py).count()
+    ry = t.last_scan_report
+    assert nx == 32 * 256 and ny == 32 * 256  # answers preserved
+    # Morton locality: each 1/8-range predicate touches well under
+    # half the files (perfect curve would touch ~1/4 at this shape).
+    assert rx["files_scanned"] <= 8, rx
+    assert ry["files_scanned"] <= 8, ry
