@@ -330,3 +330,32 @@ def q_agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "priority")
     )
+
+
+@register(
+    "q_agg_bools",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates (count_if, bool_and/every,
+    bool_or/any) — same names both engines, all partial-aggregable
+    (map-side combine shrinks each group to three scalars before the
+    shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("count_if(o_totalprice > 200000)").alias("n_big"),
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -152,3 +152,32 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.write.mode("overwrite").orc(out)
     return spark.read.orc(out).orderBy("s_suppkey")
+
+
+@register(
+    "q_scan_text",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(length(text)) AS min_len,
+           MAX(length(text)) AS max_len
+    FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source round trip: documents written as line-oriented
+    text files (`spark.read.text` — the rawest corpus ingestion shape,
+    one row per line), read back and profiled. Line-count/length
+    aggregates must match the structured table exactly; at 100 TB the
+    text source splits on line boundaries so parallelism is
+    byte-range-based, same as CSV."""
+    out = _scratch(os.path.basename(sf_dir.rstrip("/")), "scan_text")
+    docs = load(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )

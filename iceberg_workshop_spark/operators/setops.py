@@ -194,3 +194,26 @@ def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@register(
+    "q_limit_offset",
+    oracle="""
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: ORDER BY ... LIMIT k OFFSET m (deterministic via
+    the unique-key tiebreak). Spark plans offset+limit as a single
+    TakeOrdered of m+k rows — no full sort, no skew; at scale
+    deep-offset pagination should switch to keyset pagination
+    (WHERE key > last_seen), which is the q_filter/q_sort surface."""
+    orders = load(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price "
+        "FROM {o} ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20",
+        o=orders,
+    )
