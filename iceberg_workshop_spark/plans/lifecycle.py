@@ -574,3 +574,101 @@ def q_maint_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pruned_on_value"
         ),
     )
+
+
+@register(
+    "q_incr_agg_maintenance",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate (materialized-view) maintenance: a
+    per-status rollup is maintained by combining the PREVIOUS
+    aggregate with the aggregate of ONLY the newly appended files
+    (`IceTable.changes`) — count and decimal-sum are commutative
+    monoids, so merge = union + re-sum. The maintained result must
+    equal a full recompute (the oracle). At 100 TB each refresh costs
+    O(delta) + O(groups), never a table re-scan — the viability
+    condition for any always-fresh rollup."""
+    loc = _fresh(sf_dir, "incr_agg")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 3 = 0"))
+    s1 = t.meta.current_snapshot_id
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("sum_price_dec"),
+        )
+
+    prev = rollup(t.read())  # the stored MV as of snapshot s1
+    t.append(orders.filter("o_orderkey % 3 = 1"))  # new data lands
+    delta = rollup(t.changes(from_snapshot_id=s1))  # O(delta) refresh
+    return (
+        prev.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price_dec").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_wap_pattern",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_bad,
+           COUNT(DISTINCT n_regionkey) AS n_regions
+    FROM (
+      SELECT * FROM nation
+      UNION ALL
+      SELECT n_nationkey + 2000, n_name, n_regionkey FROM nation
+    )
+    """,
+)
+def q_wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: a bad batch (negative region keys) is
+    committed, FAILS the audit query, and is un-published by rolling
+    back to the pre-write snapshot; the clean batch then lands. Final
+    state shows no trace of the rejected write — the snapshot log is
+    what makes staged validation free (no copy of the table, no
+    cleanup scan; audit reads the staged snapshot like any other).
+    """
+    loc = _fresh(sf_dir, "wap")
+    nation = load(spark, sf_dir, "nation")
+    t = IceTable.create_as(spark, loc, nation)
+    s_published = t.meta.current_snapshot_id
+
+    bad = nation.select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        "n_name",
+        F.lit(-1).alias("n_regionkey"),
+    )
+    t.append(bad)  # staged write
+    audit_failed = t.read().filter(F.col("n_regionkey") < 0).count() > 0
+    if audit_failed:
+        t.rollback(s_published)  # un-publish
+
+    clean = nation.select(
+        (F.col("n_nationkey") + 2000).alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+    )
+    t.append(clean)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("n_regionkey") < 0, 1).otherwise(0)).alias("n_bad"),
+        F.countDistinct("n_regionkey").alias("n_regions"),
+    )
