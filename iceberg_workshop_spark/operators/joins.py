@@ -478,3 +478,59 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cls")
     )
+
+
+BAND_US = 300_000_000  # 5-minute bands (µs) — band width == range width
+
+
+@register(
+    "q_join_range_banded",
+    oracle=f"""
+    SELECT e1.event_type, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON epoch_us(e2.ts) >= epoch_us(e1.ts)
+     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + {BAND_US}
+     AND e2.event_id <> e1.event_id
+    GROUP BY e1.event_type
+    ORDER BY e1.event_type
+    """,
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join via time-banding: pairs of events within 5
+    minutes ACROSS the whole stream (no equi column exists). A naive
+    plan is a broadcast-nested-loop over the full cross product;
+    banding buckets each probe row into floor(ts/W) and floor(ts/W)+1
+    (band width W = range width, so every in-range partner is in one
+    of the two), turning the join into an EQUI join on the band key —
+    shuffled hash/SMJ, cost O(rows × per-band density) instead of
+    O(n²). Exact µs integer arithmetic keeps both engines identical.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts")
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    right = ev.select(
+        F.col("event_id").alias("r_id"),
+        F.col("us").alias("r_us"),
+        F.expr(f"us div {BAND_US}").alias("band"),
+    )
+    left = ev.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                F.expr(f"us div {BAND_US}"), F.expr(f"us div {BAND_US} + 1")
+            )
+        ),
+    )
+    return (
+        left.join(right, "band")
+        .filter(
+            (F.col("r_us") >= F.col("us"))
+            & (F.col("r_us") <= F.col("us") + BAND_US)
+            & (F.col("r_id") != F.col("event_id"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("event_type")
+    )
