@@ -316,3 +316,71 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_sink_icetbl",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_sink_icetbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the versioned table layer: the event
+    stream lands in an IceTable via ``foreachBatch`` — each
+    micro-batch is one atomic snapshot commit keyed by ``batchId``
+    (re-delivered batches would overwrite, not duplicate: the
+    exactly-once recipe for idempotent sinks). The final table state
+    must equal the batch aggregate of the source.
+
+    100 TB: this is the bridge from Structured Streaming to the
+    lakehouse — commits are metadata-only appends, readers time-travel
+    across micro-batch history, and compaction (q_maint_compact)
+    absorbs the small-file stream afterwards."""
+    import os
+    import shutil
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "iws_lifecycle",
+        os.path.basename(sf_dir.rstrip("/")),
+        "stream_sink",
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    t = IceTable.create(
+        spark,
+        loc,
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    seen_batches: set[int] = set()
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen_batches:  # idempotent re-delivery guard
+            return
+        seen_batches.add(batch_id)
+        t.append(batch_df.select("event_id", "user_id", "event_type", "value"))
+
+    query = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="iws_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
