@@ -36,8 +36,8 @@ def main() -> None:
     # costs that amortize to zero on a real cluster: whole-stage
     # codegen + JIT for join/agg/string pipelines, the Python worker
     # pool (pandas UDF path), and the streaming micro-batch machinery.
-    for warm in ("q_join_multiway", "q_llm_dedup_ngram", "q_udf_pandas",
-                 "q_stream_tumbling"):
+    for warm in ("q_join_multiway", "q_llm_dedup_ngram", "q_llm_dedup_minhash",
+                 "q_udf_pandas", "q_stream_tumbling"):
         try:
             qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 — warmup must never sink the bench

@@ -374,3 +374,41 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN l_extendedprice / NULLIF(l_quantity - 25, 0)
+                      IS NULL THEN 1 END) AS n_div_null,
+           ROUND(MIN(l_extendedprice / NULLIF(l_quantity - 25, 0)), 4)
+             AS min_ratio,
+           ROUND(MAX(l_extendedprice / NULLIF(l_quantity - 25, 0)), 4)
+             AS max_ratio,
+           COUNT(TRY_CAST(l_returnflag AS INT)) AS n_cast_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (`try_`) function family — Spark 4 runs ANSI mode by
+    default, where division-by-zero and overflow THROW; `try_divide`/
+    `try_cast` give the permissive NULL semantics back per-expression
+    (DuckDB mirror: NULLIF guard / TRY_CAST). min/max of the ratio are
+    order-independent (unlike a float sum), so the oracle is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    ratio = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(ratio.isNull(), 1)).alias("n_div_null"),
+            F.round(F.min(ratio), 4).alias("min_ratio"),
+            F.round(F.max(ratio), 4).alias("max_ratio"),
+            F.count(F.expr("try_cast(l_returnflag AS INT)")).alias("n_cast_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

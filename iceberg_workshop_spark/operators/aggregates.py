@@ -359,3 +359,38 @@ def q_agg_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP —
+    DuckDB's string_agg with ORDER BY): deterministic because the
+    within-group order is total. The per-group sort happens inside
+    the aggregate buffer; the shuffle stays one narrow exchange on
+    the group key."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey")
+    )
+    joined.createOrReplaceTempView("iws_listagg_src")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n
+        FROM iws_listagg_src
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
