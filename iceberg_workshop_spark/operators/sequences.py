@@ -1,0 +1,188 @@
+"""Event-sequence & temporal analytics: gaps-and-islands, SCD Type 2
+history build, next-event transition matrix, cumulative-distinct
+users, exact heavy hitters.
+
+The reference's events surface is scan+filter over a timestamp column
+(`/root/reference/README.md:214-220`); these close the sequence-
+analytic patterns a warehouse runs on the same shape. All five are
+pure window/aggregate compositions — no Python in the hot path — and
+every window is partitioned by a bounded key (user_id, custkey) so at
+100 TB the state per partition stays small and Spark's window exec
+never sorts more than one user's slice at a time.
+
+Determinism (SURVEY.md §5.3): every window ORDER BY ends in a unique
+key (event_id / o_orderkey); event timestamps are only ordered on or
+day-truncated, never emitted raw (nanos-vs-micros representation
+differs between engines); windowed/conditional integer SUMs are cast
+to BIGINT (DuckDB widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+_P = "iws_seq_"
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(f"{_P}{n}")
+
+
+def _sql(tpl: str) -> str:
+    return tpl.format(t="")
+
+
+def _spark_sql(spark: SparkSession, sf_dir: str, tpl: str, *tables: str) -> DataFrame:
+    _views(spark, sf_dir, *tables)
+    return spark.sql(tpl.format(t=_P))
+
+
+_ISLANDS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_t
+  FROM {t}events
+),
+islands AS (
+  SELECT user_id, event_type, rn - rn_t AS grp, COUNT(*) AS run_len
+  FROM seq GROUP BY user_id, event_type, rn - rn_t
+)
+SELECT user_id,
+       COUNT(*) AS n_runs,
+       MAX(run_len) AS longest_run,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS runs_ge3
+FROM islands GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q_win_gaps_islands", oracle=_sql(_ISLANDS))
+def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-event-type runs per user via
+    the two-row-number difference trick, then run-length stats. Both
+    windows share one (user_id)-hash shuffle; the island GROUP BY is
+    all-integer so no float can flip a run boundary."""
+    return _spark_sql(spark, sf_dir, _ISLANDS, "events")
+
+
+_SCD2 = """
+WITH h AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM {t}orders
+),
+chg AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM h WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey,
+       o_orderstatus AS status,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+            AS valid_to,
+       CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+            IS NULL THEN 1 ELSE 0 END AS is_current
+FROM chg
+ORDER BY o_custkey, valid_from, status
+"""
+
+
+@register("q_scd2_build", oracle=_sql(_SCD2))
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse each
+    customer's order-status stream into change rows with
+    [valid_from, valid_to) validity and an is_current flag — the
+    LAG-filter-LEAD idiom. Both windows reuse the same
+    (custkey, orderdate, orderkey) sort, so Spark plans ONE shuffle +
+    ONE sort for the whole history build; at 100 TB that is the
+    minimum possible movement for this semantics."""
+    return _spark_sql(spark, sf_dir, _SCD2, "orders")
+
+
+_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM {t}events
+),
+pairs AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE),
+             4) AS p
+FROM pairs
+ORDER BY event_type, next_type
+"""
+
+
+@register("q_win_transition_matrix", oracle=_sql(_TRANSITIONS))
+def q_win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: LEAD pairs each event with its successor, the pair counts
+    normalize to row-stochastic probabilities. The transition count
+    table is |types|² rows, so the normalizing window runs on a
+    trivially small relation regardless of input scale."""
+    return _spark_sql(spark, sf_dir, _TRANSITIONS, "events")
+
+
+_CUMULATIVE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS first_day
+  FROM {t}events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT first_day AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+"""
+
+
+@register("q_agg_cumulative_distinct", oracle=_sql(_CUMULATIVE))
+def q_agg_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the first-seen rewrite:
+    instead of a running COUNT(DISTINCT) (quadratic state), take each
+    user's MIN(ts) day, count arrivals per day, prefix-sum. Turns an
+    unbounded-distinct window into one groupBy + a window over ~days
+    rows — the standard trick that makes this computable at 100 TB."""
+    return _spark_sql(spark, sf_dir, _CUMULATIVE, "events")
+
+
+_HEAVY = """
+WITH tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+             FROM {t}events),
+by_user AS (
+  SELECT user_id, COUNT(*) AS cnt FROM {t}events GROUP BY user_id
+)
+SELECT u.user_id, u.cnt,
+       round(CAST(u.cnt AS DOUBLE) / CAST(t.n AS DOUBLE), 4) AS share
+FROM by_user u, tot t
+WHERE u.cnt * t.n_users * 5 > t.n * 6
+ORDER BY u.cnt DESC, u.user_id
+"""
+
+
+@register("q_agg_heavy_hitters", oracle=_sql(_HEAVY))
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users generating more than 1.2× the
+    uniform share of events. The threshold is the integer inequality
+    ``cnt * n_users * 5 > n * 6`` — scale-invariant and float-free at
+    the selection boundary. One groupBy on user_id plus a broadcast
+    2-value scalar; the approximate counterpart is q_agg_approx_cd's
+    sketch family."""
+    return _spark_sql(spark, sf_dir, _HEAVY, "events")
