@@ -412,3 +412,31 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[a-z]+') AS first_word,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_name, '^(red|blue)') AS INT) AS is_colored,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression family: extract / global replace / match /
+    count. Spark `regexp_replace` is global by default — the DuckDB
+    mirror needs the explicit 'g' option; `regexp_extract` needs group
+    0 for group-less patterns (Spark defaults to group 1). All four
+    run JVM-side inside one codegen'd projection."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(red|blue)").cast("int").alias("is_colored"),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
+    ).orderBy("p_partkey")

@@ -389,3 +389,54 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("lps", F.lit(0.0), lambda a, b: a + b) / F.size("lps"), 4
         ).alias("avg_logprob"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_llm_bigram_lm",
+    oracle="""
+    WITH pairs AS (
+      SELECT pair.w1 AS w1, pair.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(l)),
+                                     i -> {'w1': l[i], 'w2': l[i+1]})) AS pair
+        FROM (SELECT string_split(trim(text), ' ') AS l FROM documents)
+      )
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2)
+    SELECT w1, w2, n,
+           round(CAST(n AS DOUBLE) /
+                 CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 4) AS p
+    FROM bg
+    ORDER BY n DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model estimation: adjacent-token pairs per
+    document (posexplode + LEAD over token position), conditional
+    probability P(w2|w1) = n(w1,w2) / n(w1,·). The pair extraction is
+    map-side (explode + window partitioned by doc_id, already
+    co-partitioned with the explode); only the |vocab|² bigram count
+    table shuffles. Complements q_llm_unigram_logprob with sequence
+    context."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.partitionBy("w1")
+    return (
+        bg.withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wv).cast("double"), 4
+            ),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(30)
+    )

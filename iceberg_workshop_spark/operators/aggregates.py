@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from iceberg_workshop_spark.exprs import SQL_REVENUE, money, revenue_expr
 from iceberg_workshop_spark.registry import register
@@ -393,4 +394,46 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         ORDER BY r_name
         """
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent order priority per status)
+    via count + row_number with a lexicographic tiebreak — the
+    deterministic alternative to `mode()` whose tie behavior is
+    engine-defined. The rank window runs over the already-aggregated
+    |status|×|priority| table, so it is free at any scale."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
     )

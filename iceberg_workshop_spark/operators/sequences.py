@@ -186,3 +186,45 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-value scalar; the approximate counterpart is q_agg_approx_cd's
     sketch family."""
     return _spark_sql(spark, sf_dir, _HEAVY, "events")
+
+
+_OVERLAP = """
+WITH sess AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         date_trunc('second', MIN(ts)) AS s,
+         date_trunc('second', MAX(ts)) AS e
+  FROM {t}events WHERE user_id % 7 = 0
+  GROUP BY user_id, date_trunc('day', ts)
+),
+pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2,
+         CASE WHEN LEAST(a.e, b.e) > GREATEST(a.s, b.s)
+              THEN {diff}
+              ELSE 0 END AS ov
+  FROM sess a JOIN sess b ON a.day = b.day AND a.user_id < b.user_id
+)
+SELECT u1, u2,
+       CAST(SUM(ov) AS BIGINT) AS overlap_sec,
+       CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS days_overlapped
+FROM pairs GROUP BY u1, u2
+HAVING SUM(ov) > 0
+ORDER BY overlap_sec DESC, u1, u2
+LIMIT 100
+"""
+
+_DIFF_DUCK = "date_diff('second', GREATEST(a.s, b.s), LEAST(a.e, b.e))"
+_DIFF_SPARK = "timestampdiff(SECOND, GREATEST(a.s, b.s), LEAST(a.e, b.e))"
+
+
+@register("q_join_interval_overlap",
+          oracle=_OVERLAP.format(t="", diff=_DIFF_DUCK))
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity intervals
+    [first event, last event], pairwise overlap seconds between users
+    co-active on the same day. The join key is the *day* — an equi-join
+    that shards the quadratic pair space per day (the banding trick of
+    q_join_range_banded applied to interval intersection). Endpoints
+    are second-truncated BEFORE differencing so Spark's timestampdiff
+    and DuckDB's date_diff agree on whole seconds."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_OVERLAP.format(t=_P, diff=_DIFF_SPARK))

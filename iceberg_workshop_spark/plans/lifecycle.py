@@ -154,6 +154,30 @@ def q_dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dml_update",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN '9-PENDING'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE (the single-clause half of A9's MERGE,
+    `sql/update_iceberg_v2_examples.sql:14-16`), CoW file-granular:
+    only files holding a 'P'-status row are rewritten; the rest carry
+    into the new snapshot by identity."""
+    loc = _fresh(sf_dir, "update")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    t = IceTable.create_as(spark, loc, orders)
+    stats = t.update_where("o_orderstatus = 'P'", {"o_orderpriority": "'9-PENDING'"})
+    assert stats["files_rewritten"] <= stats["files_total"]
+    return t.read().orderBy("o_orderkey")
+
+
+@register(
     "q_dml_truncate",
     oracle="""
     SELECT * FROM (VALUES (990, 'FAKELAND', 0)) AS t(n_nationkey, n_name, n_regionkey)
