@@ -189,3 +189,68 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS rule, COUNT(*) AS violations
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'lineitem_orders_fk', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range', COUNT(*)
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'orders_customer_fk', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_null_priority', COUNT(*)
+    FROM orders WHERE o_orderpriority IS NULL
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the write-audit gate of
+    q_wap_pattern as a standalone report): referential integrity via
+    NOT EXISTS anti-joins, primary-key uniqueness as count-minus-
+    distinct, domain-range and null checks. Each rule is one
+    aggregate; the FK anti-joins shuffle once on the key. Violation
+    counts (all zero on healthy fixtures) are the contract a
+    production pipeline would alert on."""
+    for n in ("lineitem", "orders", "customer"):
+        load(spark, sf_dir, n).createOrReplaceTempView(f"iws_dq_{n}")
+    return spark.sql(
+        """
+        SELECT 'lineitem_discount_range' AS rule, COUNT(*) AS violations
+        FROM iws_dq_lineitem WHERE l_discount < 0 OR l_discount > 1
+        UNION ALL
+        SELECT 'lineitem_orders_fk', COUNT(*)
+        FROM iws_dq_lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM iws_dq_orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_qty_range', COUNT(*)
+        FROM iws_dq_lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        UNION ALL
+        SELECT 'orders_customer_fk', COUNT(*)
+        FROM iws_dq_orders o
+        WHERE NOT EXISTS (SELECT 1 FROM iws_dq_customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orders_null_priority', COUNT(*)
+        FROM iws_dq_orders WHERE o_orderpriority IS NULL
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM iws_dq_orders
+        ORDER BY rule
+        """
+    )

@@ -228,3 +228,48 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB's date_diff agree on whole seconds."""
     _views(spark, sf_dir, "events")
     return spark.sql(_OVERLAP.format(t=_P, diff=_DIFF_SPARK))
+
+
+_GAP_FILL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM {t}events),
+users AS (SELECT DISTINCT user_id FROM {t}events WHERE user_id % 11 = 0),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM {t}events WHERE user_id % 11 = 0
+  GROUP BY user_id, date_trunc('day', ts)
+),
+grid AS (
+  SELECT u.user_id, d.day, dl.n,
+         CASE WHEN dl.n IS NOT NULL THEN d.day END AS active_day
+  FROM users u CROSS JOIN days d
+  LEFT JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day
+)
+SELECT user_id, day,
+       COALESCE(n, 0) AS n_events,
+       {last_active} AS last_active_day
+FROM grid
+ORDER BY user_id, day
+"""
+
+_LA_SPARK = (
+    "last(active_day, true) OVER (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_LA_DUCK = (
+    "last_value(active_day IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+@register("q_win_gap_fill",
+          oracle=_GAP_FILL.format(t="", last_active=_LA_DUCK))
+def q_win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense user×day grid (cross join of the
+    observed day spine with a user sample), daily counts left-joined
+    in, missing days carried forward with IGNORE NULLS last_value —
+    the resample/forward-fill idiom. The spine is derived, tiny, and
+    broadcast; the only real shuffle is the per-user daily aggregate.
+    Forward-fill state is one value per user — constant window
+    memory at any scale."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_GAP_FILL.format(t=_P, last_active=_LA_SPARK))

@@ -154,6 +154,46 @@ def q_dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dml_insert_overwrite",
+    oracle="""
+    SELECT o_orderkey, yr, o_orderpriority FROM (
+      SELECT o_orderkey, year(o_orderdate) AS yr, o_orderpriority
+      FROM orders WHERE year(o_orderdate) <> 1995
+      UNION ALL
+      SELECT o_orderkey, 1995 AS yr, 'REPLAY' AS o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+    ) ORDER BY o_orderkey
+    """,
+)
+def q_dml_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE with *dynamic* partition overwrite (A8's
+    static/dynamic partition-insert family,
+    `sql/hive_partitioning_examples.sql:21-41`): only partitions
+    present in the incoming data (yr=1995) are replaced; all other
+    partitions survive untouched. The per-writer option scopes the
+    mode so no global session conf leaks."""
+    loc = _fresh(sf_dir, "insert_overwrite")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr"), "o_orderpriority"
+    )
+    orders.write.partitionBy("yr").parquet(loc)
+    replay = orders.filter("yr = 1995").withColumn(
+        "o_orderpriority", F.lit("REPLAY")
+    )
+    (
+        replay.write.partitionBy("yr")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(loc)
+    )
+    return (
+        spark.read.parquet(loc)
+        .select("o_orderkey", "yr", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_dml_update",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
