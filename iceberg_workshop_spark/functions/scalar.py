@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iceberg_workshop_spark.registry import register
-from iceberg_workshop_spark.sources.tables import load
+from iceberg_workshop_spark.sources.tables import fan_out, load
 
 
 @register(
@@ -232,7 +232,7 @@ def q_fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, pruned by Catalyst's JSON-expression optimization — vs
     per-field ``get_json_object`` re-parses.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = fan_out(load(spark, sf_dir, "events"))
     parsed = ev.select(
         F.get_json_object("props", "$.k").alias("k_str"),
         F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))["k"].alias(
@@ -399,7 +399,7 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     `try_cast` give the permissive NULL semantics back per-expression
     (DuckDB mirror: NULLIF guard / TRY_CAST). min/max of the ratio are
     order-independent (unlike a float sum), so the oracle is exact."""
-    li = load(spark, sf_dir, "lineitem")
+    li = fan_out(load(spark, sf_dir, "lineitem"))
     ratio = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
     return (
         li.groupBy("l_returnflag")

@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from iceberg_workshop_spark.exprs import SQL_REVENUE, money, revenue_expr
 from iceberg_workshop_spark.registry import register
-from iceberg_workshop_spark.sources.tables import load
+from iceberg_workshop_spark.sources.tables import fan_out, load
 
 
 @register(
@@ -194,7 +194,7 @@ def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not oracle-matchable: DuckDB's approx_count_distinct uses a
     different sketch, so the driver records a rows-only check."""
     return (
-        load(spark, sf_dir, "lineitem")
+        fan_out(load(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
         .orderBy("l_returnflag")

@@ -49,6 +49,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Restore scan parallelism for under-split inputs.
+
+    The fixture tables arrive as ONE parquet row group, so Spark plans
+    a 1-task scan no matter the split config, and any CPU-heavy
+    projection/aggregation downstream of it serializes on one core. A
+    production table ships thousands of row groups and needs no help —
+    but the same situation recurs at scale with single giant
+    unsplittable files (gzip CSV, mis-written parquet), and the remedy
+    is the same: one round-robin repartition to the cluster's
+    parallelism, paid once, before the expensive compute. Only applied
+    when the source actually has fewer partitions than cores; used
+    only in queries where per-row compute, not I/O, dominates."""
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
+
+
 def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
