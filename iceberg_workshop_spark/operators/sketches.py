@@ -1,0 +1,143 @@
+"""Probabilistic data structures made exact-oracle-checkable:
+Bloom filter membership and Count-Min frequency estimation.
+
+Native sketch aggregates (Spark's HLL++/BloomFilterAggregate, DuckDB's
+approx_* family) are engine-specific — their bit patterns can't
+hash-match across engines, which is why q_agg_approx_cd is rows-only.
+These two instead build the sketches IN SQL from md5 (bit-identical
+everywhere): the construction is one groupBy over (word|row, col) with
+a bit_or / sum aggregate — exactly how a distributed sketch build
+shuffles at 100 TB (sketch size is constant; only the key stream is
+big) — and the resulting filter words / count matrix are deterministic
+integers, so both the sketch AND its query answers get exact oracles.
+
+Bit widths stay in signed-int64-safe territory: 32-bit filter words
+(shift ≤ 31) and 8-hex-digit (32-bit) hash draws from the md5 digest.
+
+Dialect seams (the only differences between the Spark query and its
+DuckDB oracle): hex→int (``conv(x,16,10)`` vs ``('0x'||x)::BIGINT``)
+and integer division (``div`` vs ``//``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+_P = "iws_sk_"
+
+# Three independent 32-bit draws from one md5 digest: hex digits
+# [1+8i, 8] for hash index i ∈ {0,1,2} (a column, so substr gets an
+# expression position — supported by both engines).
+_SUB = "substr(md5(CAST({key} AS STRING)), 1 + 8 * h.i, 8)"
+_HEX_SPARK = "CAST(conv(" + _SUB + ", 16, 10) AS BIGINT)"
+_HEX_DUCK = "(('0x' || " + _SUB + ")::BIGINT)"
+
+_HASH_IDX = "SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2"
+
+_BLOOM_BITS = 4096
+_WORD = 32  # bits per filter word; 1 << 31 still fits in int64
+
+
+def _bloom_sql(hexint: str, intdiv: str) -> str:
+    mslot = hexint.format(key="m.k") + f" % {_BLOOM_BITS}"
+    pslot = hexint.format(key="p.k") + f" % {_BLOOM_BITS}"
+    return f"""
+WITH hashes AS ({_HASH_IDX}),
+members AS (
+  SELECT DISTINCT s.s_suppkey AS k
+  FROM {{t}}supplier s JOIN {{t}}nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 1
+),
+mb AS (
+  SELECT ({mslot}) AS slot
+  FROM members m CROSS JOIN hashes h
+),
+filter_words AS (
+  SELECT slot {intdiv} {_WORD} AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << (slot % {_WORD})) AS BIGINT) AS mask
+  FROM mb GROUP BY slot {intdiv} {_WORD}
+),
+probes AS (
+  SELECT s.s_suppkey AS k,
+         CASE WHEN n.n_regionkey = 1 THEN 'member' ELSE 'non_member' END AS cls
+  FROM {{t}}supplier s JOIN {{t}}nation n ON s.s_nationkey = n.n_nationkey
+),
+pb AS (
+  SELECT p.k, p.cls, ({pslot}) AS slot
+  FROM probes p CROSS JOIN hashes h
+),
+tests AS (
+  SELECT pb.k, pb.cls,
+         MIN(CASE WHEN fw.mask IS NOT NULL
+                   AND (fw.mask & (CAST(1 AS BIGINT) << (pb.slot % {_WORD}))) <> 0
+             THEN 1 ELSE 0 END) AS hit
+  FROM pb LEFT JOIN filter_words fw ON fw.word = pb.slot {intdiv} {_WORD}
+  GROUP BY pb.k, pb.cls
+)
+SELECT cls, COUNT(*) AS n_probes,
+       CAST(SUM(hit) AS BIGINT) AS n_hits
+FROM tests GROUP BY cls ORDER BY cls
+"""
+
+
+@register("q_sketch_bloom", oracle=_bloom_sql(_HEX_DUCK, "//").format(t=""))
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over region-1 supplier keys: 4096 bits
+    as 128 32-bit words, 3 md5-derived hash functions. Build = one
+    groupBy(word) bit_or; probe = 3-row expansion per key left-joined
+    to the (constant-size, broadcast) word table; membership = all
+    three bits set. Members must all hit — the result proves zero
+    false negatives — and non-member hits are the deterministic
+    false-positive count."""
+    for n in ("supplier", "nation"):
+        load(spark, sf_dir, n).createOrReplaceTempView(f"{_P}{n}")
+    return spark.sql(_bloom_sql(_HEX_SPARK, " div ").format(t=_P))
+
+
+_CM_WIDTH = 64
+_CM_DEPTH_HASHES = _HASH_IDX  # depth 3
+
+
+def _countmin_sql(hexint: str) -> str:
+    eslot = hexint.format(key="e.user_id") + f" % {_CM_WIDTH}"
+    qslot = hexint.format(key="q.user_id") + f" % {_CM_WIDTH}"
+    return f"""
+WITH hashes AS ({_CM_DEPTH_HASHES}),
+cells AS (
+  SELECT h.i AS row_i, ({eslot}) AS col, COUNT(*) AS cnt
+  FROM {{t}}events e CROSS JOIN hashes h
+  GROUP BY h.i, ({eslot})
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS true_cnt FROM {{t}}events GROUP BY user_id
+),
+est AS (
+  SELECT q.user_id, q.true_cnt,
+         MIN(c.cnt) AS cm_est
+  FROM exact q CROSS JOIN hashes h
+  JOIN cells c ON c.row_i = h.i AND c.col = ({qslot})
+  GROUP BY q.user_id, q.true_cnt
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN cm_est > true_cnt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overestimated,
+       CAST(SUM(CASE WHEN cm_est < true_cnt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_underestimated,
+       CAST(SUM(cm_est - true_cnt) AS BIGINT) AS total_overcount
+FROM est
+"""
+
+
+@register("q_sketch_countmin", oracle=_countmin_sql(_HEX_DUCK).format(t=""))
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (depth 3 × width 64) over the event
+    user stream, queried for every user and compared against exact
+    counts. The sketch build is one groupBy over (row, col) — 192
+    cells regardless of stream size. The summary certifies the CM
+    guarantee: zero underestimates, overestimates only from hash
+    collisions (both counts deterministic via md5)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView(f"{_P}events")
+    return spark.sql(_countmin_sql(_HEX_SPARK).format(t=_P))
