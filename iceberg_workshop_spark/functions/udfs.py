@@ -164,3 +164,44 @@ def q_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.word FROM iws_docs_udtf d, "
         "LATERAL iws_word_splitter(d.doc_id, d.text) s"
     ).orderBy("doc_id", "word")
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native group apply (Spark 4 ``applyInPandas``'s zero-copy
+    sibling ``applyInArrow``): per event type, count and an exact
+    integer-cent sum computed with pyarrow.compute — no pandas
+    conversion, no Python-object row materialization. floor(value*100)
+    (not round) because float64 floor is bit-identical across engines
+    while double rounding modes differ. One shuffle on the group key;
+    each group streams through the worker as Arrow record batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+
+    def cents(tbl: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(tbl["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "event_type": [tbl["event_type"][0].as_py()],
+                "n": [tbl.num_rows],
+                "cents": [pc.sum(c).as_py()],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(cents, schema="event_type string, n bigint, cents bigint")
+        .orderBy("event_type")
+    )

@@ -736,3 +736,76 @@ def q_wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_regionkey") < 0, 1).otherwise(0)).alias("n_bad"),
         F.countDistinct("n_regionkey").alias("n_regions"),
     )
+
+
+_SCD2_ROWS = """
+WITH h AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM {src}
+),
+chg AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM h WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_orderkey, o_custkey,
+       o_orderstatus AS status,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+            IS NULL THEN 1 ELSE 0 END AS is_current
+FROM chg
+"""
+
+
+@register(
+    "q_scd2_incremental",
+    oracle=_SCD2_ROWS.format(src="orders")
+    + " ORDER BY o_custkey, valid_from, o_orderkey",
+)
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD Type-2 maintenance on the versioned table
+    layer, provably equal to a full rebuild (the oracle IS the full-
+    history build over all orders).
+
+    History before the cutoff becomes the initial dimension table; the
+    post-cutoff delta then upserts via MERGE keyed on the change-event
+    orderkey: only each affected customer's CURRENT row (the seed) +
+    that customer's delta rows are re-windowed — O(|delta|) work, not
+    a table rebuild. The seed carries the open interval's status, so
+    LAG sees the right predecessor without reading any closed history.
+    At 100 TB the dimension is merge-maintained from the day's
+    partition while the closed rows never move (the CoW merge
+    rewrites only files holding seed rows)."""
+    cutoff = "1998-01-01"
+    loc = _fresh(sf_dir, "scd2_incr")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    hist = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    delta = orders.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+
+    hist.createOrReplaceTempView("iws_scd2_hist")
+    t = IceTable.create_as(
+        spark, loc, spark.sql(_SCD2_ROWS.format(src="iws_scd2_hist"))
+    )
+
+    affected = delta.select("o_custkey").distinct()
+    seeds = (
+        t.read()
+        .join(F.broadcast(affected), "o_custkey", "left_semi")
+        .filter(F.col("is_current") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("status").alias("o_orderstatus"),
+            F.col("valid_from").alias("o_orderdate"),
+        )
+    )
+    seeds.unionByName(delta).createOrReplaceTempView("iws_scd2_recompute")
+    src = spark.sql(_SCD2_ROWS.format(src="iws_scd2_recompute"))
+    t.merge_into(src, on=["o_orderkey"])
+    return t.read().orderBy("o_custkey", "valid_from", "o_orderkey")
