@@ -73,6 +73,13 @@ class TableMeta:
     def current_snapshot_id(self) -> int | None:
         return self.doc.get("current_snapshot_id")
 
+    @property
+    def refs(self) -> dict[str, dict[str, Any]]:
+        """Named refs (Iceberg's refs map): tag = immutable bookmark,
+        branch = independently movable head. ``main`` is implicit
+        (current_snapshot_id)."""
+        return self.doc.setdefault("refs", {})
+
     def snapshot(self, snapshot_id: int) -> dict[str, Any]:
         for s in self.snapshots:
             if s["snapshot_id"] == snapshot_id:

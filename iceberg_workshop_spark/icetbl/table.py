@@ -219,28 +219,73 @@ class IceTable:
                 )
         return files
 
-    def _commit_snapshot(self, files: list[dict], operation: str) -> None:
+    def _commit_snapshot(
+        self, files: list[dict], operation: str, branch: str | None = None
+    ) -> None:
+        parent = (
+            self.meta.refs[branch]["snapshot_id"]
+            if branch
+            else self.meta.current_snapshot_id
+        )
         snap = {
             "snapshot_id": M.new_snapshot_id(),
-            "parent_id": self.meta.current_snapshot_id,
+            "parent_id": parent,
             "timestamp_ms": M.now_ms(),
             "operation": operation,
             "files": files,
         }
         self.meta.snapshots.append(snap)
-        self.meta.doc["current_snapshot_id"] = snap["snapshot_id"]
+        if branch:
+            self.meta.refs[branch]["snapshot_id"] = snap["snapshot_id"]
+        else:
+            self.meta.doc["current_snapshot_id"] = snap["snapshot_id"]
+            self.meta.doc.setdefault("history_log", []).append(
+                {"made_current_at_ms": snap["timestamp_ms"], "snapshot_id": snap["snapshot_id"]}
+            )
+        self.meta = M.commit(self.meta)
+
+    # ------------------------------------------------------------ refs
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named ref (Iceberg `ALTER TABLE ... CREATE TAG`)."""
+        self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Movable named head (Iceberg `CREATE BRANCH`); writes with
+        ``append(df, branch=name)`` advance it without touching main."""
+        self._create_ref(name, "branch", snapshot_id)
+
+    def _create_ref(self, name: str, kind: str, snapshot_id: int | None) -> None:
+        sid = snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
+        self.meta.snapshot(sid)  # validates existence
+        if name in self.meta.refs:
+            raise ValueError(f"ref {name!r} already exists")
+        self.meta.refs[name] = {"snapshot_id": sid, "type": kind}
+        self.meta = M.commit(self.meta)
+
+    def fast_forward(self, branch: str) -> None:
+        """Publish a branch: point main at the branch head (the WAP
+        publish step as a ref operation)."""
+        sid = self.meta.refs[branch]["snapshot_id"]
+        self.meta.doc["current_snapshot_id"] = sid
         self.meta.doc.setdefault("history_log", []).append(
-            {"made_current_at_ms": snap["timestamp_ms"], "snapshot_id": snap["snapshot_id"]}
+            {"made_current_at_ms": M.now_ms(), "snapshot_id": sid}
         )
         self.meta = M.commit(self.meta)
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, branch: str | None = None) -> None:
         """INSERT INTO (A6-A8). Dynamic partitioning is inherent: the
         current spec's transforms route rows to directories; a static
-        partition insert is just a literal column upstream."""
+        partition insert is just a literal column upstream. With
+        ``branch=``, the new snapshot extends and advances that branch
+        head instead of main."""
         spec_id = self.meta.current_spec_id
         new = self._write_files(df.selectExpr(*self._column_names()), self.meta.specs[spec_id], spec_id)
-        self._commit_snapshot(self.meta.current_files() + new, "append")
+        base = (
+            self.meta.snapshot(self.meta.refs[branch]["snapshot_id"])["files"]
+            if branch
+            else self.meta.current_files()
+        )
+        self._commit_snapshot(base + new, "append", branch=branch)
 
     def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> None:
         df = self.spark.createDataFrame(rows, schema=self.meta.schema_ddl)
@@ -270,8 +315,12 @@ class IceTable:
         self,
         as_of_timestamp_ms: int | None = None,
         snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Current or time-travel read (A20/A34)."""
+        """Current, time-travel (A20/A34), or ref read (`VERSION AS OF
+        '<tag|branch>'` in Iceberg's Spark dialect)."""
+        if ref is not None:
+            snapshot_id = self.meta.refs[ref]["snapshot_id"]
         files = self._snapshot_files(as_of_timestamp_ms, snapshot_id)
         return self._read_files(files)
 

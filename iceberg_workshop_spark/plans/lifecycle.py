@@ -809,3 +809,52 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = spark.sql(_SCD2_ROWS.format(src="iws_scd2_recompute"))
     t.merge_into(src, on=["o_orderkey"])
     return t.read().orderBy("o_custkey", "valid_from", "o_orderkey")
+
+
+@register(
+    "q_tt_tag_branch",
+    oracle="""
+    SELECT 'branch_audit' AS ref,
+           (SELECT COUNT(*) FROM nation) + 2 AS n_rows,
+           1 AS has_990, 1 AS has_991, 0 AS has_992
+    UNION ALL
+    SELECT 'main', (SELECT COUNT(*) FROM nation) + 2, 1, 0, 1
+    UNION ALL
+    SELECT 'tag_v1', (SELECT COUNT(*) FROM nation), 0, 0, 0
+    ORDER BY ref
+    """,
+)
+def q_tt_tag_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tags + branches — the ref layer behind
+    `VERSION AS OF '<name>'` and branch-scoped writes): tag `v1` pins
+    the initial snapshot forever; branch `audit` diverges after one
+    shared append and receives its own append while main receives a
+    different one. Each ref then reads its own file list — three
+    histories over one physical table, no data copied (the shared
+    990-append file is referenced by both heads)."""
+    loc = _fresh(sf_dir, "tag_branch")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "nation"))
+    t.create_tag("v1")
+    t.insert_values([(990, "FAKELAND", 0)])
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame([(991, "AUDITLAND", 1)], schema=t.meta.schema_ddl),
+        branch="audit",
+    )
+    t.insert_values([(992, "MAINLAND", 2)])
+
+    def stat(df: DataFrame, ref: str) -> DataFrame:
+        return df.agg(
+            F.lit(ref).alias("ref"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.when(F.col("n_nationkey") == 990, 1).otherwise(0)).alias("has_990"),
+            F.max(F.when(F.col("n_nationkey") == 991, 1).otherwise(0)).alias("has_991"),
+            F.max(F.when(F.col("n_nationkey") == 992, 1).otherwise(0)).alias("has_992"),
+        )
+
+    return (
+        stat(t.read(ref="audit"), "branch_audit")
+        .unionAll(stat(t.read(), "main"))
+        .unionAll(stat(t.read(ref="v1"), "tag_v1"))
+        .orderBy("ref")
+    )

@@ -402,3 +402,43 @@ def q_stream_sink_icetbl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched against batch
+    dimension tables (customer→nation) before a streaming aggregate —
+    the canonical fact-stream star-schema pattern. The static side
+    needs no watermark or state: Spark re-plans it per micro-batch as
+    a broadcast hash join, so stream rows never shuffle for the
+    enrichment; only the final per-nation aggregate keeps (tiny)
+    state. Drained complete, the result carries an exact batch
+    oracle."""
+    from iceberg_workshop_spark.sources.tables import load
+
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_purchases"), dsum("value", "sum_value")
+    )
+    sink = _drain(agg, "complete")
+    return sink.orderBy("nation")
