@@ -440,3 +440,35 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("^(red|blue)").cast("int").alias("is_colored"),
         F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           quarter(o_orderdate) AS qtr,
+           isodow(o_orderdate) - 1 AS wd_mon0,
+           week(o_orderdate) AS iso_week,
+           dayofyear(o_orderdate) AS doy
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + calendar parts (A19 closure): month-add,
+    month-end, quarter, Monday-based weekday, ISO week, day-of-year.
+    Dialect notes: Spark `weekday` (Mon=0) == DuckDB `isodow - 1`;
+    Spark `weekofyear` == DuckDB `week` (both ISO); `add_months` ==
+    `+ INTERVAL 3 MONTH` (both clamp to month end)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("wd_mon0"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    ).orderBy("o_orderkey")

@@ -858,3 +858,40 @@ def q_tt_tag_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stat(t.read(ref="v1"), "tag_v1"))
         .orderBy("ref")
     )
+
+
+@register(
+    "q_meta_partitions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS STRING) AS partition_year,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY partition_year
+    """,
+)
+def q_meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.partitions metadata table (SHOW PARTITIONS + stats, A32): per-
+    partition row counts aggregated from manifest entries ONLY — no
+    data files are opened, the numbers come from each file's
+    `record_count` and hidden-partition value. The oracle recomputes
+    the same totals from the raw data, proving manifest stats are
+    trustworthy (the property that makes metadata-only planning sound
+    at 100 TB)."""
+    loc = _fresh(sf_dir, "meta_partitions")
+    orders = load(spark, sf_dir, "orders")
+    t = IceTable.create(
+        spark,
+        loc,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp",
+        partition_spec=[spec_field("o_orderdate", "year", "order_year")],
+    )
+    t.append(orders.select("o_orderkey", "o_custkey", "o_orderdate"))
+
+    agg: dict[str, int] = {}
+    for f in t.meta.current_files():
+        key = f["partition"].get("order_year", "")
+        agg[key] = agg.get(key, 0) + int(f["record_count"])
+    return spark.createDataFrame(
+        sorted(agg.items()), schema="partition_year string, n_rows long"
+    ).orderBy("partition_year")
