@@ -361,3 +361,78 @@ def q_llm_simsearch_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             prev.unpersist()  # superseded state — k rows, but don't leak
     return state.select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+
+
+_KMEANS_DUCK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 4),
+dists AS (
+  SELECT q.vec_id, cents.cid,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.e[i] - cents.c[i]) * (q.e[i] - cents.c[i])))
+              AS BIGINT) AS d2
+  FROM q CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM dists
+)
+SELECT cid, COUNT(*) AS n_assigned,
+       CAST(MIN(d2) AS BIGINT) AS min_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM assign WHERE rn = 1
+GROUP BY cid ORDER BY cid
+"""
+
+
+@register("q_llm_kmeans_assign", oracle=_KMEANS_DUCK)
+def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step over quantized embeddings: vectors and
+    the 4 seed centroids (vec_id < 4) are floor-quantized to integer
+    milli-units, so squared L2 distances are exact BIGINTs and the
+    argmin (tie-broken by centroid id) is bit-identical across engines
+    — the trick that makes an iterative-clustering step oracle-
+    checkable, same recipe as the scaled-integer PageRank.
+
+    Plan shape: centroids broadcast (4 rows), distances map-side via
+    zip_with+aggregate (JVM codegen), one window per vec_id (argmin),
+    one tiny grouped rollup. At 100 TB this is the per-iteration
+    pattern of distributed k-means: broadcast centroids, never shuffle
+    the corpus."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("e"),
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("d2")
+    dists = emb.crossJoin(F.broadcast(cents)).select("vec_id", "cid", d2)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        .orderBy("cid")
+    )

@@ -181,3 +181,33 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round trip (Spark 4 built-in `xml` source, the merged
+    spark-xml): write nation with row/root tags, read back with an
+    explicit schema + rowTag. Closes the last interchange format the
+    staging pattern (A1) covers; like the JSON/CSV twins, inference is
+    skipped — an explicit schema keeps the read one pass."""
+    out = _scratch(f"xml_nation_{os.path.basename(sf_dir.rstrip('/'))}")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    (
+        src.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .load(out)
+        .orderBy("n_nationkey")
+    )
