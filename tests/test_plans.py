@@ -130,3 +130,39 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_disjunction_pushes_filters_below_join(spark):
+    """Q19's OR-of-ANDs must not defeat pushdown: Catalyst extracts
+    the per-side common predicates and both parquet scans see
+    PushedFilters (brand IN set on part; quantity bounds on
+    lineitem)."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_filter_q19_shape"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) >= 3  # both scans carry pushed filters
+    assert "p_brand" in plan and "l_quantity" in plan
+
+
+def test_kmeans_centroids_broadcast(spark):
+    """The k-means assignment must broadcast the 4-row centroid side —
+    a shuffle of the corpus against centroids would be the wrong plan
+    at any scale."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_kmeans_assign"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pagerank_reuses_persisted_edges(spark):
+    """Each PageRank iteration must read the cached edge list, not
+    re-derive it from the fact table (Spark inlines CTEs — the
+    regression this guards is a per-iteration lineitem rescan)."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_graph_pagerank"](spark, SF_DIR))
+    # every iteration's edge/node reference resolves to the cache
+    # (InMemoryRelation nodes re-print their child plan, so counting
+    # FileScan occurrences in the string would be meaningless):
+    assert plan.count("InMemoryTableScan") >= 6
