@@ -27,10 +27,16 @@ def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[st
     cutoff = M.now_ms() if older_than_ms is None else older_than_ms
     current = tbl.meta.current_snapshot_id
     before = len(tbl.meta.snapshots)
+    # Ref heads (tags/branches) are retention roots exactly like the
+    # current snapshot — Iceberg semantics: expiration never breaks a
+    # named ref, however old its head is.
+    protected = {current} | {
+        r["snapshot_id"] for r in tbl.meta.refs.values()
+    }
     kept = [
         s
         for s in tbl.meta.snapshots
-        if s["snapshot_id"] == current or s["timestamp_ms"] > cutoff
+        if s["snapshot_id"] in protected or s["timestamp_ms"] > cutoff
     ]
     kept_ids = {s["snapshot_id"] for s in kept}
     tbl.meta.doc["snapshots"] = kept

@@ -218,3 +218,24 @@ def test_zorder_rewrite_skips_on_both_columns(spark, tmp_table_dir):
     # half the files (perfect curve would touch ~1/4 at this shape).
     assert rx["files_scanned"] <= 8, rx
     assert ry["files_scanned"] <= 8, ry
+
+
+def test_expire_protects_ref_heads(spark, tmp_table_dir):
+    """Snapshot expiration must treat tag/branch heads as retention
+    roots: a tag pinned at snapshot 1 survives an expire-everything
+    pass, its files stay on disk, and the tagged state remains
+    readable (Iceberg ref semantics)."""
+    from iceberg_workshop_spark.icetbl.meta import now_ms
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = IceTable.create_as(spark, tmp_table_dir, nation)
+    t.create_tag("v1")
+    t.insert_values([(990, "FAKELAND", 0)])
+    t.insert_values([(991, "AUDITLAND", 1)])
+
+    stats = t.expire_snapshots(older_than_ms=now_ms() + 1)
+    assert stats["snapshots_before"] - stats["snapshots_after"] >= 1
+    # the tagged snapshot survived and still reads the original state
+    assert t.read(ref="v1").count() == nation.count()
+    # the current head still reads everything
+    assert t.read().count() == nation.count() + 2
