@@ -211,3 +211,59 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "q_scan_csv_dirty",
+    oracle="""
+    SELECT cls, n FROM (VALUES
+      ('corrupt_rows', 2),
+      ('dropmalformed_rows', 3),
+      ('good_rows', 3)
+    ) AS t(cls, n)
+    ORDER BY cls
+    """,
+)
+def q_scan_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input contract of the CSV reader (the staging path of
+    A1 meeting real-world data): PERMISSIVE mode captures broken rows
+    in a corrupt-record column (counted after a cache — Spark refuses
+    a query projecting ONLY that internal column), DROPMALFORMED
+    silently drops them. 3 well-formed + 2 broken rows → 3/2/3,
+    engine-independent by construction."""
+    out = _scratch(f"csv_dirty_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "rows.csv"), "w") as fh:
+        fh.write("1,alpha\n2,beta\nnot_an_int,gamma\n3,delta\n4,epsilon,extra,cols\n")
+    # DROPMALFORMED first: once the PERMISSIVE scan is cached, the
+    # CacheManager would substitute it for this same-path read even
+    # though the parse mode differs (options are not part of the
+    # canonicalized plan) and nothing would be dropped.
+    # .count() would lie here: a zero-column CSV count skips parsing
+    # entirely (it counts raw lines), so malformed rows are never
+    # dropped. Materializing the parsed columns gives the real answer.
+    n_dropped_mode = len(
+        spark.read.schema("k int, v string")
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+        .collect()
+    )
+    schema = "k int, v string, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()
+    )
+    n_corrupt = permissive.filter(F.col("_corrupt_record").isNotNull()).count()
+    n_good = permissive.filter(F.col("_corrupt_record").isNull()).count()
+    permissive.unpersist()
+    return spark.createDataFrame(
+        [
+            ("corrupt_rows", n_corrupt),
+            ("dropmalformed_rows", n_dropped_mode),
+            ("good_rows", n_good),
+        ],
+        schema="cls string, n long",
+    ).orderBy("cls")

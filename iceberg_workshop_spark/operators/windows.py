@@ -193,3 +193,38 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "quartile")
     )
+
+
+_RUNNING_DISTINCT = """
+WITH f AS (
+  SELECT o_orderstatus, o_custkey, o_orderdate, o_orderkey,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_orderstatus, o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM {t}orders
+)
+SELECT o_orderstatus, o_orderkey,
+       CAST(SUM(first_seen) OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+         AS running_distinct_custs
+FROM f
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
+@register(
+    "q_win_running_distinct",
+    oracle=_RUNNING_DISTINCT.format(t=""),
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — unsupported
+    directly in Spark (and quadratic-state anywhere) — via the
+    first-occurrence rewrite: flag each (status, custkey)'s first
+    order with row_number, then a plain running SUM of flags. Both
+    windows sort by the same (status-prefixed) key, so the plan is one
+    shuffle + sort; state per row is O(1). The same rewrite family as
+    q_agg_cumulative_distinct, here at row grain."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("iws_win_orders")
+    return spark.sql(_RUNNING_DISTINCT.format(t="iws_win_"))
