@@ -411,3 +411,77 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+def _pipeline_sql(intdiv: str, gflag: str, distinct_size: str,
+                  split_fn: str, arr_len: str, ws: str) -> str:
+    """One declarative plan for the full curation chain. Dialect seams:
+    integer division, regexp_replace global flag, distinct-size fn,
+    split fn (string_split vs split), array length (length vs size),
+    and the whitespace regex literal (Spark SQL unescapes backslashes
+    in single-quoted strings, so it needs '\\\\s+' where DuckDB
+    takes '\\s+')."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         {split_fn}(trim(regexp_replace(lower(text), '{ws}', ' '{gflag})), ' ')
+           AS toks,
+         md5(trim(regexp_replace(lower(text), '{ws}', ' '{gflag})))
+           AS fingerprint
+  FROM {{t}}documents
+),
+sized AS (
+  SELECT doc_id, lang, fingerprint,
+         {arr_len}(toks) AS n_tok,
+         {distinct_size} AS n_distinct
+  FROM norm
+),
+filtered AS (
+  SELECT * FROM sized
+  WHERE lang IN ('en', 'es')
+    AND n_tok BETWEEN 20 AND 400
+    AND n_distinct * 10 > n_tok * 3
+),
+deduped AS (
+  SELECT doc_id, lang, n_tok
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                     ORDER BY doc_id) AS rn
+        FROM filtered)
+  WHERE rn = 1
+),
+packed AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+              AS BIGINT) AS running
+  FROM deduped
+)
+SELECT lang,
+       (running - n_tok) {intdiv} 1024 AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY lang, (running - n_tok) {intdiv} 1024
+ORDER BY lang, pack_id
+"""
+
+
+@register(
+    "q_llm_pipeline_e2e",
+    oracle=_pipeline_sql("//", ", 'g'", "length(list_distinct(toks))",
+                         "string_split", "length", r"\s+").format(t=""),
+)
+def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end to end, as ONE declarative plan:
+    normalize → language filter → length + repetition quality gates
+    (all integer-boundary) → exact dedup on content fingerprint →
+    GPT-style sequence packing into 1024-token windows per language
+    stream. Catalyst fuses the whole chain: one scan of documents, one
+    shuffle for the dedup window, one for the per-lang prefix sum —
+    the pipeline a 100 TB pretraining run executes nightly, here as a
+    single query with an exact cross-engine oracle."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("iws_cur_documents")
+    return spark.sql(
+        _pipeline_sql(" div ", "", "size(array_distinct(toks))",
+                      "split", "size", r"\\s+").format(t="iws_cur_")
+    )
