@@ -472,3 +472,44 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("iso_week"),
         F.dayofyear("o_orderdate").alias("doy"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_fn_generators",
+    oracle="""
+    SELECT o_orderkey, 'm' AS kind,
+           CAST(unnest(generate_series(1, 3)) AS INT) AS pos,
+           NULL AS metric, CAST(NULL AS DOUBLE) AS val
+    FROM orders WHERE o_orderkey < 10
+    UNION ALL
+    SELECT o_orderkey, 's', NULL,
+           'price', o_totalprice
+    FROM orders WHERE o_orderkey < 10
+    UNION ALL
+    SELECT o_orderkey, 's', NULL,
+           'priority_len', CAST(length(o_orderpriority) AS DOUBLE)
+    FROM orders WHERE o_orderkey < 10
+    ORDER BY o_orderkey, kind, pos, metric
+    """,
+)
+def q_fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generator closure: ``sequence``+``explode`` (lateral range
+    expansion) and ``stack`` (inline unpivot of N expressions into
+    rows) — the two built-in generators beyond explode-of-column. The
+    DuckDB mirror writes both as plain UNION ALL, proving the
+    generators are declarative sugar with relational semantics."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 10)
+    seq = o.select(
+        "o_orderkey",
+        F.lit("m").alias("kind"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("pos"),
+        F.lit(None).cast("string").alias("metric"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    stacked = o.selectExpr(
+        "o_orderkey",
+        "'s' AS kind",
+        "CAST(NULL AS INT) AS pos",
+        "stack(2, 'price', o_totalprice, 'priority_len', CAST(length(o_orderpriority) AS DOUBLE)) AS (metric, val)",
+    )
+    return seq.unionByName(stacked).orderBy("o_orderkey", "kind", "pos", "metric")

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from iceberg_workshop_spark.registry import QUERIES, register
 from iceberg_workshop_spark.sources.tables import load
@@ -636,3 +637,107 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_dropped).cast("long").alias("n_dropped"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+@register(
+    "q_llm_dedup_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n + sb.n - n_common AS n_union,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (the SSJoin/PPJoin
+    family): identical output to the all-pairs q_llm_dedup_ngram —
+    the oracle IS the all-pairs SQL — but the candidate join touches
+    only each document's prefix.
+
+    Order every doc's shingles by ascending global document frequency
+    (rarest first, shingle text as tiebreak); for Jaccard threshold t
+    any qualifying pair must collide inside the first
+    ``n - ceil(t·n) + 1`` shingles, so only that prefix
+    (~``(1-t)·n`` rows, 20% here) enters the self-join. At 100 TB
+    this is the difference between joining every posting and joining
+    a fifth of them, with zero recall loss — a guarantee the oracle
+    equality check proves on every run. Prefix length uses integer
+    ceiling arithmetic (``(4n+4) div 5``), no float at the cutoff."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = _doc_shingles(docs).persist()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingles.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    pref = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(shingles.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            shingles.alias("y"),
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        .filter(F.col("n_common") * 1.0 / F.col("n_union") >= JACCARD_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            F.round(F.col("n_common") * 1.0 / F.col("n_union"), 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return out

@@ -141,3 +141,45 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions (both counts deterministic via md5)."""
     load(spark, sf_dir, "events").createOrReplaceTempView(f"{_P}events")
     return spark.sql(_countmin_sql(_HEX_SPARK).format(t=_P))
+
+
+def _histq_sql() -> str:
+    # floor() then cast: a direct double→int CAST truncates in Spark
+    # but rounds in DuckDB — floor makes the value integral first, so
+    # the cast is exact in both.
+    return """
+WITH hist AS (
+  SELECT CAST(floor(o_totalprice / 2000) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM {t}orders
+  GROUP BY CAST(floor(o_totalprice / 2000) AS BIGINT)
+),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS running,
+         (SELECT COUNT(*) FROM {t}orders) AS total
+  FROM hist
+)
+SELECT q.pct,
+       CAST(MIN(c.bucket) * 2000 AS BIGINT) AS bucket_floor,
+       CAST(MIN(c.bucket) * 2000 + 2000 AS BIGINT) AS bucket_ceil
+FROM (SELECT 50 AS pct UNION ALL SELECT 90 UNION ALL SELECT 99) q
+JOIN cum c ON c.running * 100 >= c.total * q.pct
+GROUP BY q.pct
+ORDER BY q.pct
+"""
+
+
+@register("q_sketch_hist_quantile", oracle=_histq_sql().format(t=""))
+def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram quantile sketch: bucket order totals into
+    2000-unit bins (integer floor division — exact in both engines),
+    prefix-sum the counts, and locate p50/p90/p99 as the first bucket
+    whose cumulative count crosses the rank (integer cross-multiply,
+    no float at the boundary). The answer is an interval, not a point
+    — the sketch's honest contract: error ≤ bucket width, the
+    structure is a few hundred ints, and partial histograms merge by
+    addition (the 100 TB property; exact per-group sort-based
+    percentiles live in q_agg_percentile)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"{_P}orders")
+    return spark.sql(_histq_sql().format(t=_P))
