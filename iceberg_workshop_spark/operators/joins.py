@@ -534,3 +534,56 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT purchase_id, err_id FROM (
+      SELECT p.event_id AS purchase_id,
+             e.event_id AS err_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND e.ts >= p.ts
+    ) WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: FIRST 'error' at-or-after each 'purchase'
+    (q_join_asof's mirror — the "what broke next" direction). Same
+    union-then-window plan, with the carried value read from the
+    FOLLOWING frame: errors sort after same-timestamp purchases
+    (side 2 > 1) so the at-or-after tie stays inclusive, and
+    first(ignorenulls) picks the earliest qualifying error. One
+    shuffle + one sort, same as backward."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("err_id"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(2).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("err_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "err_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        purchases.unionByName(errors)
+        .withColumn("next_err", F.first("err_id", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("next_err").isNotNull())
+        .select("purchase_id", F.col("next_err").alias("err_id"))
+        .orderBy("purchase_id")
+    )

@@ -273,3 +273,31 @@ def q_win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory at any scale."""
     _views(spark, sf_dir, "events")
     return spark.sql(_GAP_FILL.format(t=_P, last_active=_LA_SPARK))
+
+
+_ROLLING_DISTINCT = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM {t}events),
+user_days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS uday, user_id FROM {t}events
+)
+SELECT d.day, COUNT(DISTINCT u.user_id) AS users_7d
+FROM days d
+JOIN user_days u
+  ON u.uday <= d.day AND u.uday >= d.day - INTERVAL 6 DAY
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+@register("q_win_rolling_distinct", oracle=_ROLLING_DISTINCT.format(t=""))
+def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. A rolling
+    range-window COUNT(DISTINCT) has no bounded-state form, so the
+    scalable rewrite pre-collapses the stream to distinct (user, day)
+    pairs FIRST — shrinking the input from |events| to |users×days| —
+    then bands each day against its 7-day window with an interval
+    join. The quadratic part only ever sees the collapsed relation;
+    at 100 TB that is the difference between re-scanning the stream
+    per day and joining two small day-keyed tables."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_ROLLING_DISTINCT.format(t=_P))
