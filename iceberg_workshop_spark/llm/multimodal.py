@@ -208,3 +208,57 @@ def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+_CHUNK_WIN = 128
+_CHUNK_HOP = 64
+
+_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_chunks", LongType()),
+    ]
+)
+
+
+def _chunk_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio-style overlapping window chunker: window 128 bytes, hop
+    64, final window right-aligned (start = n-win) so no tail bytes
+    are dropped — the layout an ASR/audio-tokenizer front end feeds."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n <= _CHUNK_WIN:
+                starts = [0]
+            else:
+                starts = list(range(0, n - _CHUNK_WIN, _CHUNK_HOP))
+                starts.append(n - _CHUNK_WIN)
+            chunks = [payload[s : s + _CHUNK_WIN] for s in starts]
+            rows.append((doc_id, n, len(chunks)))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "n_chunks"])
+
+
+@register(
+    "q_llm_multimodal_audio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) <= {_CHUNK_WIN} THEN 1
+                ELSE 1 + (length(text) - {_CHUNK_WIN} + {_CHUNK_HOP} - 1)
+                         // {_CHUNK_HOP} END AS BIGINT) AS n_chunks
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapping-window chunking over binary payloads
+    (window 128 B, hop 64 B, right-aligned tail) via ``mapInPandas``.
+    Unlike the rows-only decode queries, the chunk COUNT has a closed
+    integer form — ``1 + ceil((n-win)/hop)`` — so the Python chunker's
+    output is checked EXACTLY against SQL arithmetic on the payload
+    length (fixture payloads are ASCII, so byte length == char
+    length). Proves the Arrow batch plumbing end to end, not just
+    that rows came back."""
+    flat = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return flat.mapInPandas(_chunk_payloads, schema=_CHUNK_SCHEMA).orderBy("doc_id")
