@@ -295,3 +295,240 @@ def q_agg_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a name-derived code. The global average is one broadcast scalar;
     the anti join shuffles on custkey exactly once."""
     return _spark_sql(spark, sf_dir, _Q22, "customer", "orders")
+
+
+_Q3 = f"""
+SELECT l.l_orderkey,
+       CAST(SUM({_rev("l.")}) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM {{t}}customer c
+JOIN {{t}}orders o ON c.c_custkey = o.o_custkey
+                   AND c.c_mktsegment = 'BUILDING'
+JOIN {{t}}lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("q_join_q3_shape", oracle=_sql(_Q3))
+def q_join_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 highest-revenue unshipped BUILDING orders.
+    Both date predicates push into their scans before the joins; the
+    top-k over the grouped result plans as TakeOrderedAndProject, so
+    only 10 rows ever reach the driver side of the limit."""
+    return _spark_sql(spark, sf_dir, _Q3, "customer", "orders", "lineitem")
+
+
+_Q4 = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM {t}orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM {t}lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q_agg_q4_shape", oracle=_sql(_Q4))
+def q_agg_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: priority counts of orders with ≥1 late line (shipped
+    more than 90 days after ordering — the commit/receipt-date clause
+    adapted to this schema). The correlated EXISTS carries an outer
+    column inside the subquery; Catalyst still decorrelates it to one
+    left-semi join on orderkey with the date arithmetic as the join
+    filter."""
+    return _spark_sql(spark, sf_dir, _Q4, "orders", "lineitem")
+
+
+_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM {t}lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q_agg_q6_shape", oracle=_sql(_Q6))
+def q_agg_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the forecast-revenue-change scan — no join at all,
+    the whole query is pushed predicates + one scalar decimal
+    aggregate. The discount band compares doubles to the same parsed
+    literals in both engines (0.05/0.07 parse to identical float64),
+    and the money product is decimal-exact per factor."""
+    return _spark_sql(spark, sf_dir, _Q6, "lineitem")
+
+
+_Q9 = f"""
+SELECT sn.n_name AS nation, year(o.o_orderdate) AS yr,
+       CAST(SUM({_rev("l.")}
+                - CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(10 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM {{t}}lineitem l
+JOIN {{t}}part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+JOIN {{t}}supplier s ON s.s_suppkey = l.l_suppkey
+JOIN {{t}}nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN {{t}}orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY sn.n_name, year(o.o_orderdate)
+ORDER BY nation, yr
+"""
+
+
+@register("q_agg_q9_shape", oracle=_sql(_Q9))
+def q_agg_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year (supply cost stands in as 10/unit — the fixture has no
+    partsupp). The part-name LIKE prunes the fact rows through the
+    broadcast part join before any wide aggregation; profit stays in
+    exact decimal until the final cast."""
+    return _spark_sql(
+        spark, sf_dir, _Q9, "lineitem", "part", "supplier", "nation", "orders"
+    )
+
+
+_Q10 = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM({_rev("l.")}) AS DOUBLE) AS lost_revenue
+FROM {{t}}customer c
+JOIN {{t}}orders o ON o.o_custkey = c.c_custkey
+  AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+JOIN {{t}}lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+JOIN {{t}}nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q_join_q10_shape", oracle=_sql(_Q10))
+def q_join_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items
+    in one quarter. Return-flag and date predicates prune both fact
+    inputs at the scan; the customer/nation dims broadcast; top-k is
+    TakeOrderedAndProject with the custkey tiebreak."""
+    return _spark_sql(
+        spark, sf_dir, _Q10, "customer", "orders", "lineitem", "nation"
+    )
+
+
+_Q12 = """
+SELECT l.l_linestatus AS mode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM {t}orders o
+JOIN {t}lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY mode
+"""
+
+
+@register("q_agg_q12_shape", oracle=_sql(_Q12))
+def q_agg_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of slow shipments per line
+    status (shipmode adapted to the schema). The join-dependent date
+    comparison stays as a join filter; the two conditional counts are
+    one pass over the joined rows."""
+    return _spark_sql(spark, sf_dir, _Q12, "orders", "lineitem")
+
+
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM {t}lineitem l
+JOIN {t}part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM {t}supplier
+                          WHERE s_name LIKE '%7')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q_agg_q16_shape", oracle=_sql(_Q16))
+def q_agg_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier counts per part (brand, type,
+    size) with a NOT IN exclusion subquery. NOT IN over a non-null
+    key column plans as a broadcast null-aware anti join; the
+    COUNT(DISTINCT) expands to the standard two-phase aggregate."""
+    return _spark_sql(spark, sf_dir, _Q16, "lineitem", "part", "supplier")
+
+
+_Q20 = """
+SELECT s.s_name
+FROM {t}supplier s
+JOIN {t}nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 1
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM {t}lineitem l
+  JOIN {t}part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+)
+ORDER BY s.s_name
+"""
+
+
+@register("q_join_q20_shape", oracle=_sql(_Q20))
+def q_join_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: region-1 suppliers who moved >50 units of any
+    red part in 1995 — an IN over a grouped+HAVING subquery (the
+    excess-stock pattern). The subquery reduces to (supp, part)
+    totals before the semi join, so the outer side joins against an
+    already-aggregated relation."""
+    return _spark_sql(
+        spark, sf_dir, _Q20, "supplier", "nation", "lineitem", "part"
+    )
+
+
+_Q21 = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey, o.o_orderstatus,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM {t}lineitem l JOIN {t}orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lo l1
+JOIN {t}supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN {t}nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 2
+WHERE l1.o_orderstatus = 'F' AND l1.late = 1
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("q_join_q21_shape", oracle=_sql(_Q21))
+def q_join_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: region-2 suppliers who were the SOLE late supplier
+    on a finalized multi-supplier order — the EXISTS + NOT EXISTS
+    pair over the same derived relation. Lateness is precomputed once
+    in an integer flag CTE so both correlated subqueries decorrelate
+    to semi/anti joins on orderkey with no date math inside."""
+    return _spark_sql(
+        spark, sf_dir, _Q21, "lineitem", "orders", "supplier", "nation"
+    )
