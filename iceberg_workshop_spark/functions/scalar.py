@@ -513,3 +513,45 @@ def q_fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'price', o_totalprice, 'priority_len', CAST(length(o_orderpriority) AS DOUBLE)) AS (metric, val)",
     )
     return seq.unionByName(stacked).orderBy("o_orderkey", "kind", "pos", "metric")
+
+
+@register(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', 'AEIOU') AS trans,
+           reverse(p_name) AS rev,
+           repeat(p_brand, 2) AS rep,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3,
+           CAST(strpos(p_name, ' ') AS INT) AS sep_pos,
+           CAST(contains(p_name, 'gear') AS INT) AS has_gear,
+           CAST(starts_with(p_name, 'red') AS INT) AS is_red,
+           CAST(ends_with(p_name, 'bolt') AS INT) AS is_bolt,
+           ascii(p_name) AS first_code,
+           chr(65 + p_size % 26) AS size_chr
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function closure wave (A19): translate, reverse,
+    repeat, left/right, position, contains/starts/ends predicates,
+    ascii/chr round trip — each under the same name in both engines
+    (Spark `instr` == DuckDB `strpos`; booleans cast to INT for
+    dtype-stable hashing)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("trans"),
+        F.reverse("p_name").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.instr("p_name", " ").alias("sep_pos"),
+        F.col("p_name").contains("gear").cast("int").alias("has_gear"),
+        F.col("p_name").startswith("red").cast("int").alias("is_red"),
+        F.col("p_name").endswith("bolt").cast("int").alias("is_bolt"),
+        F.ascii("p_name").alias("first_code"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_chr"),
+    ).orderBy("p_partkey")

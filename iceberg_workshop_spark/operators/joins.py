@@ -587,3 +587,51 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", F.col("next_err").alias("err_id"))
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderstatus END AS k,
+             COUNT(*) AS n_right
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(l.k, '(null)') AS k, COUNT(*) AS n_pairs,
+           MIN(r.n_right) AS n_right
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY COALESCE(l.k, '(null)')
+    ORDER BY k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics a
+    dimension with an explicit unknown bucket needs. Spark plans <=>
+    as an ordinary hash join (null-safe keys still hash-partition);
+    a plain = would silently drop every NULL-keyed row."""
+    o = load(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    right = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        keyed.alias("l")
+        .join(right.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .groupBy(F.coalesce(F.col("l.k"), F.lit("(null)")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("n_right").alias("n_right"),
+        )
+        .orderBy("k")
+    )
