@@ -44,6 +44,23 @@ def _with_fp(tbl: IceTable, files: list[dict]) -> DataFrame:
     return tbl._read_files(files).withColumn("__fp", F.col("_metadata.file_path"))
 
 
+def _current_deletes(tbl: IceTable) -> list[dict]:
+    cur = tbl.meta.current_snapshot_id
+    return (
+        list(tbl.meta.snapshot(cur).get("delete_files", []))
+        if cur is not None
+        else []
+    )
+
+
+def _rows_of(tbl: IceTable, files: list[dict]) -> DataFrame:
+    """Rows of ``files`` with merge-on-read deletes applied — every
+    CoW rewrite must read THROUGH the deletes: the rewritten file gets
+    a fresh sequence number, so a carried equality delete would no
+    longer apply to it and a raw read would resurrect deleted rows."""
+    return tbl._apply_deletes(files, _current_deletes(tbl))
+
+
 def delete_where(
     tbl: IceTable, condition: str, prune: list[Pred] | None = None
 ) -> dict[str, int]:
@@ -63,7 +80,7 @@ def delete_where(
     new_files: list[dict] = []
     if affected:
         remaining = (
-            tbl._read_files(affected).filter(f"NOT ({condition})").select(*tbl._column_names())
+            _rows_of(tbl, affected).filter(f"NOT ({condition})").select(*tbl._column_names())
         )
         new_files = tbl._write_files(remaining, tbl.meta.specs[spec_id], spec_id)
     tbl._commit_snapshot(untouched + unaffected + new_files, "delete")
@@ -92,7 +109,7 @@ def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int
     untouched = [f for f in files if f["path"] not in hit_paths]
 
     # 2. Rewrite affected rows with updates applied.
-    t = tbl._read_files(affected)
+    t = _rows_of(tbl, affected)
     joined = t.join(F.broadcast(src), on, "left")
     updated = joined.select(
         *on,
@@ -137,7 +154,7 @@ def update_where(
     new_files: list[dict] = []
     if affected:
         cols = tbl._column_names()
-        rewritten = tbl._read_files(affected).select(
+        rewritten = _rows_of(tbl, affected).select(
             *[
                 F.when(F.expr(condition), F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
                 if c in set_exprs
@@ -158,3 +175,56 @@ def update_where(
 IceTable.delete_where = delete_where
 IceTable.merge_into = merge_into
 IceTable.update_where = update_where
+
+
+def delete_where_mor(
+    tbl: IceTable, condition: str, keys: list[str]
+) -> dict[str, int]:
+    """Merge-on-read DELETE (Iceberg v2 equality deletes): instead of
+    rewriting affected data files (CoW, `delete_where`), write a tiny
+    parquet of the matching key tuples and commit it as an
+    equality-delete file. Readers anti-join it against strictly older
+    data (sequence rule in ``IceTable._apply_deletes``); a later
+    `rewrite_equality_deletes` materializes and drops it.
+
+    At 100 TB this is the low-latency delete path: the commit cost is
+    O(|matching keys|), independent of table size — GDPR-style point
+    deletes land in seconds, and the read-time anti-join stays cheap
+    because the delete side is a broadcast-sized key list. All delete
+    files of a table must share one equality key set (`keys`)."""
+    import os as _os
+    import uuid as _uuid
+
+    from iceberg_workshop_spark.icetbl import meta as M2
+
+    matching = tbl.read().filter(condition).select(*keys).distinct()
+    ddir = _os.path.join(
+        tbl.meta.location, M2.DATA_DIR, f"eqdel-{_uuid.uuid4().hex[:12]}"
+    )
+    matching.coalesce(1).write.mode("overwrite").parquet(ddir)
+    paths = [
+        _os.path.join(root, n)
+        for root, _d, names in _os.walk(ddir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    n_keys = matching.count()
+    dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
+    entries = [
+        {"path": p, "record_count": n_keys, "keys": list(keys), "dseq": dseq}
+        for p in paths
+    ]
+    existing = (
+        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        if tbl.meta.current_snapshot_id is not None
+        else []
+    )
+    tbl._commit_snapshot(
+        tbl.meta.current_files(),
+        "delete-mor",
+        delete_files=existing + entries,
+    )
+    return {"delete_files_added": len(entries), "keys_deleted": n_keys}
+
+
+IceTable.delete_where_mor = delete_where_mor

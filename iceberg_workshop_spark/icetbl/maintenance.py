@@ -126,7 +126,13 @@ def rewrite_data_files(
         to_rewrite, untouched = files, []
     total = sum(f.get("file_size", 0) for f in to_rewrite)
     n = target_num_files or max(1, math.ceil(total / target_file_size_bytes))
-    df = tbl._read_files(to_rewrite)
+    # Rewritten files get a fresh sequence number, exempting them from
+    # carried equality deletes — so the rewrite must read THROUGH the
+    # deletes (untouched files keep their old seq; the carried deletes
+    # still apply to them).
+    cur = tbl.meta.current_snapshot_id
+    dels = tbl.meta.snapshot(cur).get("delete_files", []) if cur is not None else []
+    df = tbl._apply_deletes(to_rewrite, dels)
     if zorder_by:
         df = _zorder(df, zorder_by, n)
     elif sort_by:
@@ -208,3 +214,26 @@ def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
 IceTable.expire_snapshots = expire_snapshots
 IceTable.rewrite_data_files = rewrite_data_files
 IceTable.rewrite_manifests = rewrite_manifests
+
+
+def rewrite_equality_deletes(tbl: IceTable) -> dict[str, int]:
+    """Materialize merge-on-read deletes (Iceberg's
+    `rewrite_position_delete_files` + binpack, adapted to equality
+    deletes): read the table WITH deletes applied, write clean data
+    files, commit a snapshot carrying zero delete files. Read-time
+    anti-join cost drops back to nothing; time travel to pre-rewrite
+    snapshots still sees the MoR pair."""
+    cur = tbl.meta.current_snapshot_id
+    dels = (
+        tbl.meta.snapshot(cur).get("delete_files", []) if cur is not None else []
+    )
+    if not dels:
+        return {"delete_files_removed": 0, "files_written": 0}
+    clean = tbl.read().select(*tbl._column_names())
+    spec_id = tbl.meta.current_spec_id
+    new_files = tbl._write_files(clean, tbl.meta.specs[spec_id], spec_id)
+    tbl._commit_snapshot(new_files, "rewrite-deletes", delete_files=[])
+    return {"delete_files_removed": len(dels), "files_written": len(new_files)}
+
+
+IceTable.rewrite_equality_deletes = rewrite_equality_deletes

@@ -220,19 +220,42 @@ class IceTable:
         return files
 
     def _commit_snapshot(
-        self, files: list[dict], operation: str, branch: str | None = None
+        self,
+        files: list[dict],
+        operation: str,
+        branch: str | None = None,
+        delete_files: list[dict] | None = None,
     ) -> None:
         parent = (
             self.meta.refs[branch]["snapshot_id"]
             if branch
             else self.meta.current_snapshot_id
         )
+        # Data sequence numbers (Iceberg v2): every commit gets the next
+        # sequence; files added by it are stamped with that seq so
+        # equality-delete files (which record their own seq) apply only
+        # to STRICTLY OLDER data — a key re-inserted after the delete
+        # survives the anti-join.
+        seq = int(self.meta.properties.get("last-sequence-number", "0")) + 1
+        self.meta.properties["last-sequence-number"] = str(seq)
+        for f in files:
+            f.setdefault("seq", seq)
+        if delete_files is None:
+            # carry existing merge-on-read deletes forward (like data
+            # files, they stay until a rewrite materializes them)
+            cur = self.meta.current_snapshot_id
+            delete_files = (
+                list(self.meta.snapshot(cur).get("delete_files", []))
+                if cur is not None
+                else []
+            )
         snap = {
             "snapshot_id": M.new_snapshot_id(),
             "parent_id": parent,
             "timestamp_ms": M.now_ms(),
             "operation": operation,
             "files": files,
+            "delete_files": delete_files,
         }
         self.meta.snapshots.append(snap)
         if branch:
@@ -318,11 +341,66 @@ class IceTable:
         ref: str | None = None,
     ) -> DataFrame:
         """Current, time-travel (A20/A34), or ref read (`VERSION AS OF
-        '<tag|branch>'` in Iceberg's Spark dialect)."""
+        '<tag|branch>'` in Iceberg's Spark dialect). Merge-on-read
+        equality deletes of the selected snapshot are applied at read
+        time (sequence-aware anti-join)."""
         if ref is not None:
             snapshot_id = self.meta.refs[ref]["snapshot_id"]
-        files = self._snapshot_files(as_of_timestamp_ms, snapshot_id)
-        return self._read_files(files)
+        snap = self._resolve_snapshot(as_of_timestamp_ms, snapshot_id)
+        if snap is None:
+            return self._read_files([])
+        return self._apply_deletes(snap["files"], snap.get("delete_files", []))
+
+    def _resolve_snapshot(
+        self,
+        as_of_timestamp_ms: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> dict | None:
+        if snapshot_id is not None:
+            return self.meta.snapshot(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            eligible = [
+                s
+                for s in self.meta.snapshots
+                if s["timestamp_ms"] <= as_of_timestamp_ms
+            ]
+            return max(eligible, key=lambda s: s["timestamp_ms"]) if eligible else None
+        sid = self.meta.current_snapshot_id
+        return None if sid is None else self.meta.snapshot(sid)
+
+    def _apply_deletes(
+        self, files: list[dict], delete_files: list[dict]
+    ) -> DataFrame:
+        """Read data files with merge-on-read equality deletes applied:
+        one anti-join of (rows, their file's data sequence) against the
+        union of delete-key files, matching on the equality columns and
+        ``row_seq < delete_seq`` (Iceberg v2 sequence rule). No data
+        file is rewritten — the cost moves to read time until a
+        rewrite materializes the deletes."""
+        if not delete_files:
+            return self._read_files(files)
+        by_seq: dict[int, list[dict]] = {}
+        for f in files:
+            by_seq.setdefault(int(f.get("seq", 0)), []).append(f)
+        data = None
+        for seq, fs in sorted(by_seq.items()):
+            part = self._read_files(fs).withColumn("__seq", F.lit(seq))
+            data = part if data is None else data.unionByName(part)
+        if data is None:
+            return self._read_files([])
+        keys = delete_files[0]["keys"]
+        dels = None
+        for d in delete_files:
+            one = (
+                self.spark.read.parquet(d["path"])
+                .select(*keys)
+                .withColumn("__dseq", F.lit(int(d["dseq"])))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        cond = F.col("__seq") < F.col("__dseq")
+        for k in keys:
+            cond = cond & (data[k] == dels[k])
+        return data.join(dels, cond, "left_anti").drop("__seq")
 
     def _snapshot_files(
         self,

@@ -895,3 +895,39 @@ def q_meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(agg.items()), schema="partition_year string, n_rows long"
     ).orderBy("partition_year")
+
+
+@register(
+    "q_dml_delete_mor",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def q_dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Iceberg v2 equality-delete files): the
+    'F' orders are deleted by committing a key list — no data file is
+    rewritten. A subset of the deleted keys is then RE-INSERTED; the
+    sequence rule (deletes apply only to strictly older data) must
+    let them survive the read-time anti-join. Finally the deletes are
+    materialized (`rewrite_equality_deletes`) and the answer must not
+    change — proving MoR read, sequence semantics, and delete
+    compaction agree."""
+    loc = _fresh(sf_dir, "delete_mor")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IceTable.create_as(spark, loc, orders)
+    stats = t.delete_where_mor("o_orderstatus = 'F'", keys=["o_orderkey"])
+    assert stats["delete_files_added"] >= 1
+    t.append(orders.filter("o_orderstatus = 'F' AND o_orderkey % 10 = 0"))
+    n_mor = t.read().count()
+    rstats = t.rewrite_equality_deletes()
+    assert rstats["delete_files_removed"] >= 1
+    out = t.read()
+    assert out.count() == n_mor  # materialization preserved the answer
+    return out.orderBy("o_orderkey")

@@ -239,3 +239,22 @@ def test_expire_protects_ref_heads(spark, tmp_table_dir):
     assert t.read(ref="v1").count() == nation.count()
     # the current head still reads everything
     assert t.read().count() == nation.count() + 2
+
+
+def test_cow_rewrite_does_not_resurrect_mor_deletes(spark, tmp_table_dir):
+    """A CoW UPDATE (or compaction) rewrites files with a FRESH
+    sequence number, exempting them from carried equality deletes —
+    the rewrite must therefore read through the deletes or deleted
+    rows come back. Regression for the MoR/CoW interplay."""
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id % 5 AS INT) AS grp")
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    t.delete_where_mor("grp = 0", keys=["k"])
+    assert t.read().count() == 80
+    # CoW update touches every file; deleted rows must stay deleted
+    t.update_where("grp = 1", {"grp": "CAST(99 AS INT)"})
+    assert t.read().count() == 80
+    assert t.read().filter("grp = 0").count() == 0
+    # compaction must also not resurrect
+    t.rewrite_data_files(target_num_files=2)
+    assert t.read().count() == 80
+    assert t.read().filter("grp = 0").count() == 0
