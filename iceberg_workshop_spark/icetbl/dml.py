@@ -71,8 +71,11 @@ def delete_where(
     candidate_paths = {f["path"] for f in candidates}
     untouched = [f for f in files if f["path"] not in candidate_paths]
 
-    cand_df = _with_fp(tbl, candidates)
-    hit_paths = _affected_paths(cand_df.filter(condition))
+    hit_paths = (
+        _affected_paths(_with_fp(tbl, candidates).filter(condition))
+        if candidates
+        else set()
+    )
     affected = [f for f in candidates if f["path"] in hit_paths]
     unaffected = [f for f in candidates if f["path"] not in hit_paths]
 
@@ -98,13 +101,18 @@ def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int
     non_keys = [c for c in cols if c not in on]
     files = tbl.meta.current_files()
 
-    target = _with_fp(tbl, files)
     src = source.select(*cols).withColumn("__matched", F.lit(True))
 
-    # 1. Affected files: any file holding a row whose key appears in source.
-    hit_paths = _affected_paths(
-        target.join(F.broadcast(source.select(*on).distinct()), on, "left_semi")
-    )
+    # 1. Affected files: any file holding a row whose key appears in
+    # source. An empty table has no file-backed scan (no _metadata
+    # column) — and trivially no affected files.
+    if files:
+        target = _with_fp(tbl, files)
+        hit_paths = _affected_paths(
+            target.join(F.broadcast(source.select(*on).distinct()), on, "left_semi")
+        )
+    else:
+        hit_paths = set()
     affected = [f for f in files if f["path"] in hit_paths]
     untouched = [f for f in files if f["path"] not in hit_paths]
 
@@ -147,7 +155,11 @@ def update_where(
     candidate_paths = {f["path"] for f in candidates}
     untouched = [f for f in files if f["path"] not in candidate_paths]
 
-    hit_paths = _affected_paths(_with_fp(tbl, candidates).filter(condition))
+    hit_paths = (
+        _affected_paths(_with_fp(tbl, candidates).filter(condition))
+        if candidates
+        else set()
+    )
     affected = [f for f in candidates if f["path"] in hit_paths]
     unaffected = [f for f in candidates if f["path"] not in hit_paths]
 

@@ -442,3 +442,72 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _drain(agg, "complete")
     return sink.orderBy("nation")
+
+
+@register(
+    "q_stream_cdc_upsert",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming upsert: each micro-batch reduces to one
+    latest row per user (argmax on event time) and MERGEs into the
+    versioned table via ``foreachBatch`` — the standard
+    change-data-capture apply loop onto a lakehouse table. Matched
+    users update to the newer row, new users insert; the final table
+    state equals the batch per-user argmax, checked exactly. At
+    100 TB the per-batch merge is file-granular CoW: only files
+    holding updated users rewrite."""
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "iws_lifecycle",
+        os.path.basename(sf_dir.rstrip("/")),
+        "cdc_upsert",
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    t = IceTable.create(
+        spark, loc, "user_id bigint, last_event_id bigint, last_value double"
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        t.merge_into(latest, on=["user_id"])
+
+    query = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="iws_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return t.read().orderBy("user_id")
