@@ -555,3 +555,50 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").alias("first_code"),
         F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_chr"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q_fn_array2",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           list_sort(list_intersect(array_distinct(toks),
+                                    ['key', 'value', 'row'])) AS kw_hits,
+           list_slice(toks, 2, 4) AS mid3,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS INT) AS pos_the,
+           CAST(list_contains(toks, 'key') AS INT) AS has_key,
+           CAST(length(list_distinct(toks)) AS INT) AS n_uniq,
+           flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]) AS stitched
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array-function wave: intersect (sorted — Spark preserves
+    left order, DuckDB right, so both sides normalize through a sort),
+    slice (Spark's (start, LENGTH) vs DuckDB's inclusive (begin, end)),
+    position (DuckDB returns NULL where Spark returns 0 — COALESCEd),
+    contains, distinct-size, and flatten over an array-of-arrays."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.sort_array(
+                F.array_intersect(
+                    F.array_distinct("toks"),
+                    F.array(F.lit("key"), F.lit("value"), F.lit("row")),
+                )
+            ).alias("kw_hits"),
+            F.slice("toks", 2, 3).alias("mid3"),
+            F.array_position("toks", "the").cast("int").alias("pos_the"),
+            F.array_contains("toks", "key").cast("int").alias("has_key"),
+            F.size(F.array_distinct("toks")).alias("n_uniq"),
+            F.flatten(
+                F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))
+            ).alias("stitched"),
+        )
+        .orderBy("doc_id")
+    )

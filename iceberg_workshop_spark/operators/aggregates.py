@@ -437,3 +437,46 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_agg_rollup_time",
+    oracle="""
+    SELECT COALESCE(CAST(yr AS STRING), '(all)') AS yr,
+           COALESCE(CAST(qtr AS STRING), '(all)') AS qtr,
+           COALESCE(CAST(mon AS STRING), '(all)') AS mon,
+           GROUPING(yr, qtr, mon) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+                 month(o_orderdate) AS mon, o_totalprice
+          FROM orders)
+    GROUP BY ROLLUP (yr, qtr, mon)
+    ORDER BY yr, qtr, mon, gid
+    """,
+)
+def q_agg_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year → quarter → month): the time-
+    dimension cube every revenue dashboard runs, with grouping_id
+    disambiguating subtotal levels. One expand + hash aggregate; the
+    rollup multiplies rows by 4 levels map-side, not by re-scanning."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        "o_totalprice",
+    )
+    o.createOrReplaceTempView("iws_rollup_time")
+    return spark.sql(
+        """
+        SELECT COALESCE(CAST(yr AS STRING), '(all)') AS yr,
+               COALESCE(CAST(qtr AS STRING), '(all)') AS qtr,
+               COALESCE(CAST(mon AS STRING), '(all)') AS mon,
+               CAST(GROUPING_ID(yr, qtr, mon) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM iws_rollup_time
+        GROUP BY ROLLUP (yr, qtr, mon)
+        ORDER BY yr, qtr, mon, gid
+        """
+    )

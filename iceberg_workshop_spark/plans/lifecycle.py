@@ -931,3 +931,35 @@ def q_dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t.read()
     assert out.count() == n_mor  # materialization preserved the answer
     return out.orderBy("o_orderkey")
+
+
+@register(
+    "q_meta_refs",
+    oracle="""
+    SELECT 'audit' AS ref_name, 'branch' AS ref_type,
+           (SELECT COUNT(*) FROM region) + 1 AS n_rows
+    UNION ALL
+    SELECT 'v1', 'tag', (SELECT COUNT(*) FROM region)
+    ORDER BY ref_name
+    """,
+)
+def q_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.refs metadata table (Iceberg's `SELECT * FROM tbl.refs`): one
+    row per named ref with its type and the row count visible at its
+    head — metadata joined to a ref-addressed count, no data files
+    opened for the listing itself."""
+    loc = _fresh(sf_dir, "meta_refs")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "region"))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame([(99, "NEWLAND")], schema=t.meta.schema_ddl),
+        branch="audit",
+    )
+    rows = [
+        (name, r["type"], t.read(ref=name).count())
+        for name, r in sorted(t.meta.refs.items())
+    ]
+    return spark.createDataFrame(
+        rows, schema="ref_name string, ref_type string, n_rows long"
+    ).orderBy("ref_name")
