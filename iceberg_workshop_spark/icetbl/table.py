@@ -426,6 +426,7 @@ class IceTable:
         files = self.meta.current_files()
         spec_by_id = {i: s for i, s in enumerate(self.meta.specs)}
         kept, pruned = prune_files(files, spec_by_id, preds or [])
+        kept = self._prune_bucket(kept, preds or [])
         self.last_scan_report = {
             "files_total": len(files),
             "files_scanned": len(kept),
@@ -436,6 +437,54 @@ class IceTable:
         for p in preds or []:
             df = df.filter(_pred_to_column(p))
         return df
+
+    def _prune_bucket(self, files: list[dict], preds: list[Pred]) -> list[dict]:
+        """Bucket-transform pruning: an equality predicate on a
+        ``bucket[N]`` source keeps only files whose partition value
+        equals the literal's bucket. The bucket is computed with the
+        SAME Spark expression used at write time (`pmod(hash(x), N)`,
+        literal cast to the source column's type — hash(int32) ≠
+        hash(int64)), so planner and writer can never disagree.
+        Range predicates can't prune a hash bucket; they fall through."""
+        eq = {p.col: p.value for p in preds if p.op == "="}
+        if not eq or not files:
+            return files
+        from pyspark.sql.types import StructType
+
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(self.meta.schema_ddl).fields
+        }
+        cache: dict[tuple[str, int], str] = {}
+        out = []
+        for f in files:
+            spec = self.meta.specs[f.get("spec_id", 0)]
+            keep = True
+            for field in spec:
+                t = field["transform"]
+                if (
+                    t.startswith("bucket[")
+                    and field["source"] in eq
+                    and field["name"] in f.get("partition", {})
+                ):
+                    n = int(t[7:-1])
+                    key = (field["source"], n)
+                    if key not in cache:
+                        lit = F.lit(eq[field["source"]]).cast(
+                            types[field["source"]]
+                        )
+                        row = (
+                            self.spark.range(1)
+                            .select(F.pmod(F.hash(lit), F.lit(n)).alias("b"))
+                            .first()
+                        )
+                        cache[key] = str(row["b"])
+                    if f["partition"][field["name"]] != cache[key]:
+                        keep = False
+                        break
+            if keep:
+                out.append(f)
+        return out
 
     def history(self) -> DataFrame:
         """The `.history` metadata table (A31): made_current_at,

@@ -963,3 +963,36 @@ def q_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="ref_name string, ref_type string, n_rows long"
     ).orderBy("ref_name")
+
+
+@register(
+    "q_part_bucket",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_custkey = 42
+    ORDER BY o_orderkey
+    """,
+)
+def q_part_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``bucket[8]`` partitioning (the Iceberg hash transform,
+    A23's non-temporal sibling): orders land in 8 hash buckets of
+    o_custkey; a point predicate on the raw column prunes to ~1/8 of
+    files via the planner's literal-bucket computation, while the
+    answer must equal the unpartitioned oracle. The scan-report
+    assertion keeps the pruning honest, not just the values."""
+    loc = _fresh(sf_dir, "part_bucket")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = IceTable.create_as(
+        spark,
+        loc,
+        orders,
+        partition_spec=[spec_field("o_custkey", "bucket[8]", "custkey_bucket")],
+    )
+    df = t.scan([Pred("o_custkey", "=", 42)])
+    rep = t.last_scan_report
+    assert rep["files_scanned"] * 4 <= rep["files_total"], rep  # ≤ 2/8
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus").orderBy(
+        "o_orderkey"
+    )

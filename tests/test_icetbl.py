@@ -258,3 +258,21 @@ def test_cow_rewrite_does_not_resurrect_mor_deletes(spark, tmp_table_dir):
     t.rewrite_data_files(target_num_files=2)
     assert t.read().count() == 80
     assert t.read().filter("grp = 0").count() == 0
+
+
+def test_bucket_transform_pruning(spark, tmp_table_dir):
+    """bucket[N] equality pruning: a point predicate scans ~1/N of the
+    files, never drops a needed row, and range predicates do NOT prune
+    (hash buckets carry no order)."""
+    df = spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS v")
+    t = IceTable.create_as(
+        spark, tmp_table_dir, df,
+        partition_spec=[spec_field("k", "bucket[8]", "kb")],
+    )
+    out = t.scan([Pred("k", "=", 1234)])
+    rep = t.last_scan_report
+    assert rep["files_scanned"] * 4 <= rep["files_total"], rep
+    assert [r["k"] for r in out.collect()] == [1234]
+    # range predicate: no bucket pruning, still correct
+    out2 = t.scan([Pred("k", "between", (10, 12))])
+    assert sorted(r["k"] for r in out2.collect()) == [10, 11, 12]
