@@ -84,7 +84,10 @@ def transform_value(transform: str, v: Any) -> Any:
     if transform.startswith("truncate["):
         w = int(transform[9:-1])
         if isinstance(v, int):
-            return str(v - v % w)
+            # numeric truncate: return the INT so the caller compares
+            # numerically — "1000" < "200" lexicographically, so a
+            # string comparison over-prunes
+            return v - v % w
         return str(v)[:w]
     raise ValueError(f"cannot prune transform {transform}")
 
@@ -116,9 +119,15 @@ def file_survives_partition(
         lo, hi = ivals[src]
         pv = file_partition[name]
         try:
-            if lo is not None and pv < transform_value(transform, lo):
+            tlo = None if lo is None else transform_value(transform, lo)
+            thi = None if hi is None else transform_value(transform, hi)
+            # numeric transforms return ints; the stored partition
+            # value is a directory string — coerce so the comparison
+            # is numeric, not lexicographic
+            pvc = int(pv) if isinstance(tlo or thi, int) else pv
+            if tlo is not None and pvc < tlo:
                 return False
-            if hi is not None and pv > transform_value(transform, hi):
+            if thi is not None and pvc > thi:
                 return False
         except (ValueError, TypeError):
             return True  # un-prunable literal → keep the file

@@ -163,7 +163,26 @@ class IceTable:
             n = int(t[7:-1])
             return F.pmod(F.hash(F.col(src)), F.lit(n))
         if t.startswith("truncate["):
+            # Iceberg truncate[w]: numeric columns truncate to width-w
+            # VALUE ranges (v - v % w, order-preserving numerically);
+            # strings truncate to a w-char prefix. The pruner mirrors
+            # this split (pruning.transform_value) — write and plan
+            # must agree or range pruning silently drops files.
+            from pyspark.sql.types import (
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+                StructType,
+            )
+
             w = int(t[9:-1])
+            dt = {
+                f.name: f.dataType
+                for f in StructType.fromDDL(self.meta.schema_ddl).fields
+            }.get(src)
+            if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+                return (F.col(src) - F.pmod(F.col(src), F.lit(w))).cast("long")
             return F.substring(F.col(src).cast("string"), 1, w)
         raise ValueError(f"unknown transform {t}")
 

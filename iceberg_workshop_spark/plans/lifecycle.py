@@ -996,3 +996,38 @@ def q_part_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus").orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "q_part_truncate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey BETWEEN 200 AND 299
+    ORDER BY o_orderkey
+    """,
+)
+def q_part_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``truncate[100]`` partitioning (Iceberg's width
+    transform): custkeys land in width-100 ranges, and because
+    truncation is ORDER-PRESERVING (unlike bucket), a range predicate
+    on the raw column prunes directly — the planner maps the interval
+    through the transform and keeps only overlapping widths. Asserted
+    ≤ 2× the ideal single-width fraction; answers equal the
+    unpartitioned oracle."""
+    loc = _fresh(sf_dir, "part_truncate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IceTable.create_as(
+        spark,
+        loc,
+        orders,
+        partition_spec=[spec_field("o_custkey", "truncate[100]", "custkey_w100")],
+    )
+    df = t.scan([Pred("o_custkey", "between", (200, 299))])
+    rep = t.last_scan_report
+    n_widths = len({f["partition"]["custkey_w100"] for f in t.meta.current_files()})
+    assert rep["files_scanned"] * n_widths <= 2 * rep["files_total"], rep
+    return df.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
