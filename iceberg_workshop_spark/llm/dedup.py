@@ -701,13 +701,18 @@ def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = ranked.filter(
         F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n")
+    # PPJoin length filter: Jaccard ≥ 0.8 forces 4·max(na,nb) ≤
+    # 5·min(na,nb); pruning size-incompatible pairs IN the join
+    # condition keeps them out of the distinct+verify stages entirely.
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 4 <= F.col("b.n") * 5)
+            & (F.col("b.n") * 4 <= F.col("a.n") * 5),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
