@@ -635,3 +635,46 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q_join_hints",
+    oracle="""
+    SELECT 'merge' AS strategy, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'shuffle_hash', COUNT(*),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    ORDER BY strategy
+    """,
+)
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints (MERGE vs SHUFFLE_HASH): the same
+    fact⋈fact join computed under both physical strategies must agree
+    — hints move the sort-vs-hash tradeoff (sort-merge spills
+    gracefully; shuffle-hash skips both sorts when one side fits its
+    partition in memory) without touching semantics. Plan assertions
+    live in tests/test_plans.py."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey"
+    )
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    return agg(merged, "merge").unionAll(agg(hashed, "shuffle_hash")).orderBy(
+        "strategy"
+    )

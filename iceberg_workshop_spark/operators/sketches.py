@@ -183,3 +183,50 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles live in q_agg_percentile)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView(f"{_P}orders")
     return spark.sql(_histq_sql().format(t=_P))
+
+
+def _bloom_merge_sql(hexint: str, intdiv: str) -> str:
+    slot = hexint.format(key="m.k") + f" % {_BLOOM_BITS}"
+    return f"""
+WITH hashes AS ({_HASH_IDX}),
+members AS (
+  SELECT s_suppkey AS k, s_suppkey % 2 AS shard FROM {{t}}supplier
+),
+mb AS (
+  SELECT m.shard, ({slot}) AS slot FROM members m CROSS JOIN hashes h
+),
+sharded AS (
+  SELECT shard, slot {intdiv} {_WORD} AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << (slot % {_WORD})) AS BIGINT) AS mask
+  FROM mb GROUP BY shard, slot {intdiv} {_WORD}
+),
+merged AS (
+  SELECT word, CAST(bit_or(mask) AS BIGINT) AS mask
+  FROM sharded GROUP BY word
+),
+global AS (
+  SELECT slot {intdiv} {_WORD} AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << (slot % {_WORD})) AS BIGINT) AS mask
+  FROM mb GROUP BY slot {intdiv} {_WORD}
+)
+SELECT COUNT(*) AS n_words,
+       CAST(SUM(CASE WHEN m.mask = g.mask THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal
+FROM merged m JOIN global g ON m.word = g.word
+"""
+
+
+@register(
+    "q_sketch_bloom_merge",
+    oracle=_bloom_merge_sql(_HEX_DUCK, "//").format(t=""),
+)
+def q_sketch_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, PROVEN rather than claimed: build one
+    Bloom filter per shard (the per-partition build a distributed
+    pipeline produces), OR the shard filters together, and compare
+    word-for-word against a filter built over all keys at once —
+    every word must match. This is the algebraic property that lets
+    100 TB sketch builds run as tree-reduced partial aggregates with
+    no row ever leaving its partition."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView(f"{_P}supplier")
+    return spark.sql(_bloom_merge_sql(_HEX_SPARK, " div ").format(t=_P))

@@ -511,3 +511,36 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return t.read().orderBy("user_id")
+
+
+@register(
+    "q_stream_dedup_within",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+): unlike plain
+    dropDuplicates — whose per-key state lives forever unless the
+    event-time column is part of the key — this variant dedups keys
+    whose arrivals fall within the watermark delay and GUARANTEES
+    state eviction afterwards, the right operator when duplicates
+    cluster near each other in time (at-least-once sources). In-stream
+    ×2 duplication must collapse back to the original counts."""
+    dup = (
+        _events_stream(spark, sf_dir)
+        .withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("copy")
+    )
+    deduped = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = _drain(deduped, "append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

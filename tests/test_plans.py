@@ -166,3 +166,14 @@ def test_pagerank_reuses_persisted_edges(spark):
     # (InMemoryRelation nodes re-print their child plan, so counting
     # FileScan occurrences in the string would be meaningless):
     assert plan.count("InMemoryTableScan") >= 6
+
+
+def test_join_hints_produce_distinct_strategies(spark):
+    """The MERGE-hinted join must plan SortMergeJoin and the
+    SHUFFLE_HASH-hinted one ShuffledHashJoin — hints override the
+    cost-based pick without changing results (parity test checks
+    value equality)."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_join_hints"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan and "ShuffledHashJoin" in plan
