@@ -159,3 +159,60 @@ def test_no_predicate_scans_everything(rows, transform, splits):
     files, _ = _build_files(rows, transform, splits)
     kept, pruned = prune_files(files, {0: [{"source": "ts", "transform": transform, "name": "p"}]}, [])
     assert pruned == 0 and len(kept) == len(files)
+
+
+int_pred_strategy = st.one_of(
+    st.builds(
+        lambda op, v: Pred("k", op, v),
+        st.sampled_from(["=", "<", "<=", ">", ">="]),
+        st.integers(min_value=-60, max_value=60),
+    ),
+    st.builds(
+        lambda a, b: Pred("k", "between", (min(a, b), max(a, b))),
+        st.integers(min_value=-60, max_value=60),
+        st.integers(min_value=-60, max_value=60),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ks=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    w=st.sampled_from([3, 7, 10, 100]),
+    splits=st.integers(min_value=1, max_value=3),
+    preds=st.lists(int_pred_strategy, min_size=1, max_size=3),
+)
+def test_truncate_pruning_soundness(ks, w, splits, preds):
+    """truncate[w] on integers: numeric width partitioning must never
+    prune a file holding a matching row — the regression class where
+    integer partition strings compared lexicographically ("1000" <
+    "200") or write/plan truncation semantics diverged. Directory
+    values are built exactly as the writer emits them
+    (str(v - pmod(v, w)); Python % matches Spark pmod on negatives)."""
+    spec = [{"source": "k", "transform": f"truncate[{w}]", "name": "p"}]
+    groups: dict[str, list[int]] = {}
+    for k in ks:
+        groups.setdefault(str(k - k % w), []).append(k)
+    files, contents = [], []
+    for pv, members in sorted(groups.items()):
+        for chunk in (members[i::splits] for i in range(splits)):
+            if not chunk:
+                continue
+            files.append(
+                {
+                    "path": f"f{len(files)}",
+                    "spec_id": 0,
+                    "partition": {"p": pv},
+                    "bounds": {"k": [min(chunk), max(chunk)]},
+                }
+            )
+            contents.append(chunk)
+    kept, _ = prune_files(files, {0: spec}, preds)
+    kept_paths = {f["path"] for f in kept}
+    for f, chunk in zip(files, contents):
+        for k in chunk:
+            if _matches((None, k), [p for p in preds if p.col == "k"]):
+                assert f["path"] in kept_paths, (
+                    f"k={k} matches {preds} but file {f['path']} "
+                    f"(partition {f['partition']}) was pruned, w={w}"
+                )
