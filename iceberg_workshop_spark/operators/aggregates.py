@@ -480,3 +480,32 @@ def q_agg_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY yr, qtr, mon, gid
         """
     )
+
+
+@register(
+    "q_agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (SQL:2023 sugar, identical in Spark 4 and DuckDB):
+    every non-aggregate select item becomes a grouping key — the
+    analyst shorthand that removes the copy-the-select-list chore.
+    Resolves at analysis time to the ordinary two-key hash aggregate."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("iws_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM iws_gba_orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
