@@ -193,13 +193,18 @@ def _zorder(df, cols: list[str], n: int):
 def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
     """Metadata-log compaction (A30): drop snapshots no longer
     reachable from the current snapshot's ancestor chain (abandoned
-    rollback branches), shrinking every future vN.json."""
+    rollback branches), shrinking every future vN.json. Named refs are
+    retention roots exactly like the current snapshot — a tag or
+    branch head and its ancestry always survive."""
     by_id = {s["snapshot_id"]: s for s in tbl.meta.snapshots}
+    roots = [tbl.meta.current_snapshot_id] + [
+        r["snapshot_id"] for r in tbl.meta.refs.values()
+    ]
     ancestors = set()
-    cur = tbl.meta.current_snapshot_id
-    while cur is not None and cur in by_id:
-        ancestors.add(cur)
-        cur = by_id[cur]["parent_id"]
+    for cur in roots:
+        while cur is not None and cur in by_id and cur not in ancestors:
+            ancestors.add(cur)
+            cur = by_id[cur]["parent_id"]
     before = len(tbl.meta.snapshots)
     tbl.meta.doc["snapshots"] = [
         s for s in tbl.meta.snapshots if s["snapshot_id"] in ancestors

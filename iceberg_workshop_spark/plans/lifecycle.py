@@ -1031,3 +1031,38 @@ def q_part_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "q_maint_manifests",
+    oracle="""
+    SELECT 'after_rollback' AS phase,
+           (SELECT COUNT(*) FROM region) AS n_rows, 2 AS n_snapshots
+    UNION ALL
+    SELECT 'compacted', (SELECT COUNT(*) FROM region), 1
+    ORDER BY phase
+    """,
+)
+def q_maint_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest/metadata-log compaction (A30,
+    `CALL system.rewrite_manifests` — README.md:409): two appends,
+    a rollback abandoning the second append, then compaction drops
+    the abandoned snapshot from the log while the tagged first append
+    survives as a retention root. Row counts prove data is untouched;
+    snapshot counts prove the log shrank by exactly the abandoned
+    branch."""
+    loc = _fresh(sf_dir, "maint_manifests")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "region"))
+    t.create_tag("keep")
+    t.insert_values([(90, "DROPLAND")])
+    abandoned = t.meta.current_snapshot_id
+    t.rollback(t.meta.snapshot(abandoned)["parent_id"])
+    n_before = len(t.meta.snapshots)
+    row_before = ("after_rollback", t.read().count(), n_before)
+    stats = t.rewrite_manifests()
+    assert abandoned not in {s["snapshot_id"] for s in t.meta.snapshots}
+    assert t.read(ref="keep").count() == row_before[1]
+    row_after = ("compacted", t.read().count(), stats["snapshots_after"])
+    return spark.createDataFrame(
+        [row_before, row_after], schema="phase string, n_rows long, n_snapshots int"
+    ).orderBy("phase")
