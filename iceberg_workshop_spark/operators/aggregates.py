@@ -509,3 +509,39 @@ def q_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+@register(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount = 0) AS DOUBLE) AS undiscounted,
+           MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER clause on aggregates (shared by Spark and
+    DuckDB): per-aggregate predicates without CASE scaffolding, all
+    evaluated in ONE pass of the hash aggregate — the conditional-
+    aggregation idiom q_agg_q12/q14 write with CASE, in its declarative
+    form."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("iws_fc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount = 0) AS DOUBLE) AS undiscounted,
+               MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+        FROM iws_fc_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
