@@ -485,3 +485,113 @@ def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pipeline_sql(" div ", "", "size(array_distinct(toks))",
                       "split", "size", r"\\s+").format(t="iws_cur_")
     )
+
+
+_BLOCK_TERMS = ("leak", "exploit", "merge")  # demo blocklist over fixture vocab
+
+
+@register(
+    "q_llm_safety_filter",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM (VALUES {", ".join(f"('{t}')" for t in _BLOCK_TERMS)}) b(term)
+               WHERE list_contains(string_split(trim(d.text), ' '), b.term)
+             ) THEN 1 ELSE 0 END AS blocked
+      FROM documents d
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           COUNT(*) - CAST(SUM(blocked) AS BIGINT) AS n_kept
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_safety_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety blocklist gate: documents containing any blocklisted
+    term are flagged, reported per source. The blocklist rides a
+    broadcast left-semi join against the exploded token stream (a real
+    deployment swaps in the production term list; the plan — explode
+    map-side, tiny broadcast, per-source rollup — is unchanged at any
+    corpus size)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    block = docs.sparkSession.createDataFrame(
+        [(t,) for t in _BLOCK_TERMS], schema="tok string"
+    )
+    hits = (
+        toks.join(F.broadcast(block), "tok", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(1))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .withColumn("blocked", F.coalesce("blocked", F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            (F.count(F.lit(1)) - F.sum("blocked")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_llm_dataset_card",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source, lang,
+             length(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT fp) AS n_unique_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dupes,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source summary a training-data
+    release ships — document/token volumes, language spread, exact-
+    duplicate rate via content fingerprints, and token-length range.
+    One scan, one grouped aggregate with two DISTINCT aggregates
+    (Spark expands them into the standard multi-phase plan); the
+    numbers are the governance surface for the whole curation
+    pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    norm_text = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    n = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(norm_text, " ")).alias("n_tok"),
+        F.md5(norm_text).alias("fp"),
+    )
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("fp").alias("n_unique_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            .cast("long")
+            .alias("n_exact_dupes"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .orderBy("source")
+    )
