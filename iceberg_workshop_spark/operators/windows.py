@@ -228,3 +228,32 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_cumulative_distinct, here at row grain."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("iws_win_orders")
     return spark.sql(_RUNNING_DISTINCT.format(t="iws_win_"))
+
+
+_POP = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM {t}orders
+  GROUP BY year(o_orderdate), month(o_orderdate)
+)
+SELECT yr, mon,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(LAG(rev) OVER (ORDER BY yr, mon) AS DOUBLE) AS prev_revenue,
+       round(CAST(rev AS DOUBLE) /
+             CAST(LAG(rev) OVER (ORDER BY yr, mon) AS DOUBLE) - 1, 4)
+         AS mom_growth
+FROM monthly
+ORDER BY yr, mon
+"""
+
+
+@register("q_win_period_over_period", oracle=_POP.format(t=""))
+def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the dashboard staple — monthly
+    decimal-exact totals, LAG for the prior period, growth as a
+    rounded float ratio. The window runs over the ~80-row monthly
+    aggregate, so the single-partition LAG is free at any input
+    scale; only the grouped aggregation is distributed."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("iws_pop_orders")
+    return spark.sql(_POP.format(t="iws_pop_"))
