@@ -436,3 +436,72 @@ def q_llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, v AS av, nrm AS anrm
+      FROM n WHERE vec_id < 5
+    ), scored AS (
+      SELECT anchors.anchor_id, n.vec_id,
+             list_dot_product(n.v, anchors.av) / (n.nrm * anchors.anrm) AS c
+      FROM n, anchors
+      WHERE n.label <> anchors.anchor_label
+    ), ranked AS (
+      SELECT anchor_id, vec_id, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY c DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, vec_id AS negative_id, ROUND(c, 4) AS cosine, rn AS rank
+    FROM ranked WHERE rn <= 3
+    ORDER BY anchor_id, rn
+    """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-similar vectors carrying a DIFFERENT label — the examples a
+    retrieval model must learn to push apart. Same one-scan broadcast-
+    anchor plan as batched top-k, with the label inequality applied
+    before scoring so same-class rows never enter the ranking. Cosines
+    use the left-to-right float fold that matches DuckDB's
+    list_dot_product bit-for-bit."""
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("v")
+        ),
+        "v",
+        "nrm",
+    )
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        )
+    )
+    scored = (
+        emb.crossJoin(anchors)
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("c", _dot("v", "av") / (F.col("nrm") * F.col("anrm")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.round("c", 4).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("anchor_id", "rn")
+    )

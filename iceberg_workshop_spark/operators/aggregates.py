@@ -545,3 +545,59 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "q_agg_variance",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2
+      FROM cents GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 2)
+             AS var_pop_dollars,
+           round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0), 4)
+             AS stddev_pop_dollars
+    FROM m
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population variance/stddev: the naive var_pop() sums
+    floats in nondeterministic order, so it can't hash-match across
+    engines — instead both moments accumulate as exact DECIMAL(38,0)
+    integer-cent sums (associative), and the variance is ONE float
+    expression over the two exact scalars: (n·Σx² − (Σx)²)/n².
+    sqrt is IEEE correctly-rounded, so the final doubles are
+    bit-identical. The same two-moment trick is how a distributed
+    engine computes variance in one pass anyway."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    c38 = F.col("c").cast("decimal(38,0)")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c38).cast("decimal(38,0)").alias("s1"),
+        F.sum(c38 * c38).cast("decimal(38,0)").alias("s2"),
+    )
+    num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    var = num / F.col("n").cast("double") / F.col("n").cast("double") / F.lit(10000.0)
+    return m.select(
+        "o_orderstatus",
+        "n",
+        F.round(var, 2).alias("var_pop_dollars"),
+        F.round(F.sqrt(var), 4).alias("stddev_pop_dollars"),
+    ).orderBy("o_orderstatus")
