@@ -595,3 +595,51 @@ def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CURRICULUM = """
+WITH scored AS (
+  SELECT doc_id, source,
+         ({arr_len}({split_fn}(trim(text), ' ')) * 1000)
+           {intdiv} {arr_len}({distinct_fn}({split_fn}(trim(text), ' ')))
+           AS verbosity_score
+  FROM {t}documents
+),
+bucketed AS (
+  SELECT doc_id, source, verbosity_score,
+         NTILE(4) OVER (ORDER BY verbosity_score, doc_id) AS stage
+  FROM scored
+)
+SELECT stage,
+       COUNT(*) AS n_docs,
+       MIN(verbosity_score) AS min_score,
+       MAX(verbosity_score) AS max_score,
+       MIN(doc_id) AS first_doc
+FROM bucketed
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+@register(
+    "q_llm_curriculum",
+    oracle=_CURRICULUM.format(
+        t="", intdiv="//", split_fn="string_split",
+        arr_len="length", distinct_fn="list_distinct",
+    ),
+)
+def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank the corpus by an integer difficulty
+    proxy (token repetition ratio — repetitive docs first, lexically
+    dense docs last) and cut it into 4 NTILE stages, the
+    easy-to-hard schedule a curriculum-training run feeds. Score is
+    all-integer (count*1000 div distinct-count), NTILE's ordering ends
+    in doc_id — fully deterministic; the global NTILE runs over
+    (score, id) pairs, not documents, so the sort is narrow."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("iws_curl_documents")
+    return spark.sql(
+        _CURRICULUM.format(
+            t="iws_curl_", intdiv=" div ", split_fn="split",
+            arr_len="size", distinct_fn="array_distinct",
+        )
+    )
