@@ -130,8 +130,35 @@ class IceTable:
     def add_column(self, name: str, type_ddl: str) -> None:
         """Schema evolution (A35): old files simply lack the column and
         read as NULL because every scan passes the table schema
-        explicitly (replay of /root/reference/limitations.md:6-10)."""
+        explicitly (replay of /root/reference/limitations.md:6-10).
+
+        Column IDENTITY is tracked by creation sequence: files written
+        before the column existed never contribute values to it — so a
+        DROP followed by re-ADD of the same name yields a logically new
+        column (NULL from pre-drop files), matching Iceberg field-id
+        semantics instead of Hive name-mapping resurrection."""
         self.meta.schema_ddl = f"{self.meta.schema_ddl}, {name} {type_ddl}"
+        self.meta.doc.setdefault("column_created_seq", {})[name] = int(
+            self.meta.properties.get("last-sequence-number", "0")
+        )
+        self.meta = M.commit(self.meta)
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution, drop side: metadata-only — existing files
+        keep the physical column, but every read passes the table
+        schema explicitly, so the dropped column simply stops being
+        projected (Iceberg's DROP COLUMN semantics without a rewrite).
+        Stored bounds for the column become inert; pruning ignores
+        absent interval columns."""
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromDDL(self.meta.schema_ddl).fields
+        if name not in {f.name for f in fields}:
+            raise KeyError(f"column {name!r} not in schema")
+        self.meta.schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fields if f.name != name
+        )
+        self.meta.doc.setdefault("column_created_seq", {}).pop(name, None)
         self.meta = M.commit(self.meta)
 
     def set_partition_spec(self, spec: list[SpecField]) -> None:
@@ -349,9 +376,38 @@ class IceTable:
     def _read_files(self, files: list[dict]) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], schema=self.meta.schema_ddl)
-        return self.spark.read.schema(self.meta.schema_ddl).parquet(
-            *[f["path"] for f in files]
-        )
+        created = self.meta.doc.get("column_created_seq", {})
+        if not created:
+            return self.spark.read.schema(self.meta.schema_ddl).parquet(
+                *[f["path"] for f in files]
+            )
+        # Column identity: a file only carries values for columns that
+        # existed when it was written (file.seq > column creation seq).
+        # Files written earlier read the column as NULL even if a
+        # same-named physical column is present (dropped + re-added
+        # name must not resurrect old data). Group by file seq, mask,
+        # union — the fast path above is untouched for tables that
+        # never evolved.
+        from pyspark.sql.types import StructType
+
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(self.meta.schema_ddl).fields
+        }
+        by_seq: dict[int, list[str]] = {}
+        for f in files:
+            by_seq.setdefault(int(f.get("seq", 0)), []).append(f["path"])
+        parts = []
+        for seq, paths in sorted(by_seq.items()):
+            df = self.spark.read.schema(self.meta.schema_ddl).parquet(*paths)
+            for name, cseq in created.items():
+                if name in types and seq <= int(cseq):
+                    df = df.withColumn(name, F.lit(None).cast(types[name]))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(
         self,

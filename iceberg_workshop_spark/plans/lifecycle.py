@@ -1066,3 +1066,40 @@ def q_maint_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row_before, row_after], schema="phase string, n_rows long, n_snapshots int"
     ).orderBy("phase")
+
+
+@register(
+    "q_schema_drop_column",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM (
+      SELECT c_custkey, c_name, CAST(NULL AS INT) AS c_nationkey FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, 0 FROM customer WHERE c_custkey < 5
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q_schema_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN then ADD COLUMN of the same name (the evolution
+    sequence that needs column-identity care): after dropping
+    c_nationkey the old files' physical column stops being projected;
+    re-adding the name creates a LOGICALLY NEW column that reads NULL
+    from pre-drop files — old values must NOT resurface — while
+    post-re-add inserts carry real values. Metadata-only throughout:
+    zero files rewritten."""
+    loc = _fresh(sf_dir, "drop_column")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    t = IceTable.create_as(spark, loc, customer)
+    t.drop_column("c_nationkey")
+    assert "c_nationkey" not in t._column_names()
+    t.add_column("c_nationkey", "int")
+    new_rows = (
+        customer.filter(F.col("c_custkey") < 5)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_nationkey", F.lit(0))
+    )
+    t.append(new_rows)
+    return t.read().orderBy("c_custkey")
