@@ -161,6 +161,45 @@ class IceTable:
         self.meta.doc.setdefault("column_created_seq", {}).pop(name, None)
         self.meta = M.commit(self.meta)
 
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only RENAME COLUMN (Iceberg semantics): values in
+        existing files are PRESERVED — the rename log records at which
+        sequence the name changed, and reads alias each file era's
+        physical name back to the current logical name. No rewrite."""
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromDDL(self.meta.schema_ddl).fields
+        names = {f.name for f in fields}
+        if old not in names:
+            raise KeyError(f"column {old!r} not in schema")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self.meta.schema_ddl = ", ".join(
+            f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+            for f in fields
+        )
+        created = self.meta.doc.get("column_created_seq", {})
+        if old in created:
+            created[new] = created.pop(old)
+        self.meta.doc.setdefault("column_renames", []).append(
+            {
+                "old": old,
+                "new": new,
+                "seq": int(self.meta.properties.get("last-sequence-number", "0")),
+            }
+        )
+        self.meta = M.commit(self.meta)
+
+    def _physical_name(self, current: str, file_seq: int) -> str:
+        """The column's name as physically written in files of era
+        ``file_seq``: walk the rename log backwards, undoing renames
+        that happened at-or-after the file was written."""
+        name = current
+        for r in reversed(self.meta.doc.get("column_renames", [])):
+            if file_seq <= int(r["seq"]) and name == r["new"]:
+                name = r["old"]
+        return name
+
     def set_partition_spec(self, spec: list[SpecField]) -> None:
         """Partition evolution (A22): append a new spec; files keep the
         spec id they were written under, scans union per-spec pruned
@@ -377,7 +416,8 @@ class IceTable:
         if not files:
             return self.spark.createDataFrame([], schema=self.meta.schema_ddl)
         created = self.meta.doc.get("column_created_seq", {})
-        if not created:
+        renames = self.meta.doc.get("column_renames", [])
+        if not created and not renames:
             return self.spark.read.schema(self.meta.schema_ddl).parquet(
                 *[f["path"] for f in files]
             )
@@ -399,7 +439,16 @@ class IceTable:
             by_seq.setdefault(int(f.get("seq", 0)), []).append(f["path"])
         parts = []
         for seq, paths in sorted(by_seq.items()):
-            df = self.spark.read.schema(self.meta.schema_ddl).parquet(*paths)
+            # read with this era's PHYSICAL names, then alias back
+            phys = {name: self._physical_name(name, seq) for name in types}
+            era_schema = ", ".join(
+                f"{phys[f.name]} {f.dataType.simpleString()}"
+                for f in StructType.fromDDL(self.meta.schema_ddl).fields
+            )
+            df = self.spark.read.schema(era_schema).parquet(*paths)
+            for name in types:
+                if phys[name] != name:
+                    df = df.withColumnRenamed(phys[name], name)
             for name, cseq in created.items():
                 if name in types and seq <= int(cseq):
                     df = df.withColumn(name, F.lit(None).cast(types[name]))

@@ -1103,3 +1103,40 @@ def q_schema_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(new_rows)
     return t.read().orderBy("c_custkey")
+
+
+@register(
+    "q_schema_rename_column",
+    oracle="""
+    SELECT o_orderkey, priority FROM (
+      SELECT o_orderkey, o_orderpriority AS priority FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'RENAMED-ERA' FROM orders
+      WHERE o_orderkey < 5
+    )
+    WHERE priority IN ('1-URGENT', 'RENAMED-ERA')
+    ORDER BY o_orderkey
+    """,
+)
+def q_schema_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME COLUMN: o_orderpriority becomes
+    `priority`; values in pre-rename files are PRESERVED (reads alias
+    each file era's physical name back to the logical name — no
+    rewrite, no NULL-out), post-rename appends write the new name, and
+    a filter on the renamed column spans both eras."""
+    loc = _fresh(sf_dir, "rename_column")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    t = IceTable.create_as(spark, loc, orders)
+    t.rename_column("o_orderpriority", "priority")
+    assert t._column_names() == ["o_orderkey", "priority"]
+    t.append(
+        orders.filter(F.col("o_orderkey") < 5).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("RENAMED-ERA").alias("priority"),
+        )
+    )
+    return (
+        t.read()
+        .filter(F.col("priority").isin("1-URGENT", "RENAMED-ERA"))
+        .orderBy("o_orderkey")
+    )
