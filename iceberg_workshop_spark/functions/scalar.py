@@ -602,3 +602,37 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_fn_json_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS name_back,
+           n_regionkey AS region_back
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def q_fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct → to_json → from_json round trip: the serialization path
+    a JSON sink/source pair exercises. The oracle compares the
+    round-tripped FIELD VALUES, not the JSON text (key order and
+    whitespace are engine-defined serialization detail; the values are
+    the contract)."""
+    n = load(spark, sf_dir, "nation")
+    js = n.select(
+        "n_nationkey",
+        F.to_json(F.struct("n_name", "n_regionkey")).alias("j"),
+    )
+    back = js.select(
+        "n_nationkey",
+        F.from_json(
+            "j", "n_name string, n_regionkey int"
+        ).alias("s"),
+    )
+    return back.select(
+        "n_nationkey",
+        F.col("s.n_name").alias("name_back"),
+        F.col("s.n_regionkey").alias("region_back"),
+    ).orderBy("n_nationkey")

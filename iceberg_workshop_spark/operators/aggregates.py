@@ -601,3 +601,40 @@ def q_agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 2).alias("var_pop_dollars"),
         F.round(F.sqrt(var), 4).alias("stddev_pop_dollars"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "q_agg_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           min_by(o_orderkey,
+                  lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+                  || lpad(CAST(o_orderkey AS VARCHAR), 14, '0')) AS cheapest_order,
+           max_by(o_orderkey,
+                  lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+                  || lpad(CAST(o_orderkey AS VARCHAR), 14, '0')) AS dearest_order
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregates (min_by/max_by, same names in both
+    engines): cheapest and dearest order per status. Both engines
+    leave ties engine-defined, so the ordering value is made UNIQUE —
+    zero-padded integer cents concatenated with the zero-padded key —
+    turning an unstable aggregate into a hash-stable one. One pass,
+    no window."""
+    o = load(spark, sf_dir, "orders")
+    ordv = F.concat(
+        F.lpad(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 14, "0"),
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+            F.max_by("o_orderkey", ordv).alias("dearest_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
