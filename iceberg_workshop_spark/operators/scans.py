@@ -267,3 +267,32 @@ def q_scan_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="cls string, n long",
     ).orderBy("cls")
+
+
+@register(
+    "q_scan_recursive_glob",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey = 0
+    ORDER BY n_nationkey, n_regionkey
+    """,
+)
+def q_scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-directory ingestion: files written under different
+    subtrees (a date-partitioned drop zone) picked up in ONE read via
+    ``recursiveFileLookup`` — the loose-landing-zone pattern before
+    data is adopted into the table layer. The oracle is the exact
+    union of what both subtrees hold."""
+    base = _scratch(f"recglob_{os.path.basename(sf_dir.rstrip('/'))}")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").parquet(os.path.join(base, "drop=1", "batch=a"))
+    n.filter(F.col("n_regionkey") == 0).write.mode("overwrite").parquet(
+        os.path.join(base, "drop=2", "batch=b")
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .parquet(base)
+        .orderBy("n_nationkey", "n_regionkey")
+    )

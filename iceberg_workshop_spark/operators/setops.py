@@ -217,3 +217,26 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM {o} ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20",
         o=orders,
     )
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    ORDER BY o_custkey
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each custkey appears
+    min(count_left, count_right) times — the multiplicity-preserving
+    sibling of the distinct INTERSECT in q_set_intersect_except.
+    Spark plans it as a counted hash semi-difference, one shuffle per
+    side."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return left.intersectAll(right).orderBy("o_custkey")
