@@ -276,3 +276,22 @@ def test_bucket_transform_pruning(spark, tmp_table_dir):
     # range predicate: no bucket pruning, still correct
     out2 = t.scan([Pred("k", "between", (10, 12))])
     assert sorted(r["k"] for r in out2.collect()) == [10, 11, 12]
+
+
+def test_rename_interops_with_mor_delete_and_merge(spark, tmp_table_dir):
+    """Schema evolution × MoR × CoW interplay: rename a column, then
+    MoR-delete by the RENAMED key and MERGE through it — every path
+    must read old files via era aliasing (values preserved under the
+    new name) and never resurrect deleted rows."""
+    df = spark.range(0, 50).selectExpr("id AS old_k", "id * 2 AS v")
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    t.rename_column("old_k", "k")
+    assert t.read().filter("k = 7").count() == 1  # era alias preserves values
+    t.delete_where_mor("k >= 40", keys=["k"])
+    assert t.read().count() == 40
+    src = spark.range(0, 5).selectExpr("id AS k", "CAST(999 AS BIGINT) AS v")
+    t.merge_into(src, on=["k"])
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(out) == 40 and out[0] == 999 and out[10] == 20
+    # deleted keys stay gone through the merge rewrite
+    assert all(k < 40 for k in out)
