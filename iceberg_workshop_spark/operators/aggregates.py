@@ -638,3 +638,40 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_WMEDIAN = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS wt
+  FROM {t}lineitem
+),
+cum AS (
+  SELECT l_returnflag, qty, wt,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag
+                            ORDER BY qty, wt
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cw,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       MIN(qty) AS weighted_median_qty
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q_agg_weighted_median", oracle=_WMEDIAN.format(t=""))
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact revenue-weighted median quantity per return flag: order
+    by value, prefix-sum integer-cent weights, take the first value
+    whose cumulative weight crosses half the total (integer
+    cross-multiply at the boundary). The pattern generalizes to any
+    weighted quantile; weights stay integers so no float can flip the
+    crossing row."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("iws_wm_lineitem")
+    return spark.sql(_WMEDIAN.format(t="iws_wm_"))
