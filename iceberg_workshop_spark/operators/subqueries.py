@@ -206,3 +206,67 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_orderkey
         """
     )
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL operator-pipe syntax (Spark 4's |> chaining, after
+    GoogleSQL's pipe proposal): filter → aggregate → order written as
+    a linear pipeline instead of inside-out clauses. Pure parser
+    sugar — the plan is the identical filtered hash aggregate, which
+    the standard-SQL oracle proves."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        FROM {_PREFIX}orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_sql_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 0.07 AS tax,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             + CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 0.07
+             AS total_with_tax
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: a select item referencing an alias
+    defined earlier IN THE SAME select list (price → tax →
+    total_with_tax), shared by Spark 3.4+ and DuckDB — without it this
+    chain needs nested subqueries. The float derivations reuse the
+    identical double value, so products and sums are bit-equal."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               price * 0.07 AS tax,
+               price + tax AS total_with_tax
+        FROM {_PREFIX}orders
+        ORDER BY o_orderkey
+        """
+    )
