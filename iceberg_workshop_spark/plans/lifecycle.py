@@ -1140,3 +1140,47 @@ def q_schema_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("priority").isin("1-URGENT", "RENAMED-ERA"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_part_evolution_bucket",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate <  TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    WHERE o_custkey = 42
+    ORDER BY o_orderkey
+    """,
+)
+def q_part_evolution_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution INTO a hash spec (unpartitioned →
+    bucket[8](o_custkey)): pre-evolution files have no partition tuple
+    and must always scan; post-evolution files prune to the literal's
+    bucket. One point predicate exercises both pruning eras in a
+    single mixed-layout scan — old files all kept (sound), new files
+    ~1/8 kept — and the answer equals the unpartitioned oracle."""
+    loc = _fresh(sf_dir, "part_evo_bucket")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    old = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    new = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+    t = IceTable.create_as(spark, loc, old)
+    t.set_partition_spec([spec_field("o_custkey", "bucket[8]", "ck_bucket")])
+    t.append(new)
+    df = t.scan([Pred("o_custkey", "=", 42)])
+    rep = t.last_scan_report
+    n_new_files = sum(
+        1 for f in t.meta.current_files() if f.get("partition")
+    )
+    n_old_files = rep["files_total"] - n_new_files
+    # all old-era files survive (no partition info), new era prunes
+    assert rep["files_scanned"] < rep["files_total"], rep
+    assert rep["files_scanned"] >= n_old_files, rep
+    return df.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
