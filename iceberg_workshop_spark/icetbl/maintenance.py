@@ -242,3 +242,30 @@ def rewrite_equality_deletes(tbl: IceTable) -> dict[str, int]:
 
 
 IceTable.rewrite_equality_deletes = rewrite_equality_deletes
+
+
+def orphan_file_report(tbl: IceTable) -> dict[str, int]:
+    """remove_orphan_files dry run: files physically under data/ that
+    NO snapshot references (crashed writers, abandoned imports).
+    Detection only — deletion stays with expire_snapshots' cleanup so
+    a mis-scoped path can never eat live data on the report path."""
+    referenced = {
+        f["path"] for s in tbl.meta.snapshots for f in s["files"]
+    } | {
+        d["path"]
+        for s in tbl.meta.snapshots
+        for d in s.get("delete_files", [])
+    }
+    total = orphans = 0
+    data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
+    for root, _dirs, names in os.walk(data_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            total += 1
+            if os.path.join(root, name) not in referenced:
+                orphans += 1
+    return {"files_on_disk": total, "files_orphaned": orphans}
+
+
+IceTable.orphan_file_report = orphan_file_report

@@ -1184,3 +1184,48 @@ def q_part_evolution_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rep["files_scanned"] < rep["files_total"], rep
     assert rep["files_scanned"] >= n_old_files, rep
     return df.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+@register(
+    "q_maint_orphans",
+    oracle="""
+    SELECT 'after_cleanup' AS phase, 0 AS n_orphans,
+           (SELECT COUNT(*) FROM region) AS n_rows
+    UNION ALL
+    SELECT 'detected', 2, (SELECT COUNT(*) FROM region)
+    ORDER BY phase
+    """,
+)
+def q_maint_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file lifecycle (the reference demonstrates it by listing
+    S3 before/after — README.md:364-381): two stray parquet files are
+    planted in the data directory (a crashed writer's leftovers), the
+    dry-run report detects exactly them, expiration's cleanup removes
+    them, and table reads are identical throughout — orphans are
+    invisible to queries because scans come from the manifest, never
+    from directory listing."""
+    import glob as _glob
+
+    loc = _fresh(sf_dir, "maint_orphans")
+    region = load(spark, sf_dir, "region")
+    t = IceTable.create_as(spark, loc, region)
+    stray_dir = os.path.join(loc, "data", "stray")
+    region.limit(2).coalesce(1).write.mode("overwrite").parquet(stray_dir)
+    extra = [p for p in _glob.glob(os.path.join(stray_dir, "*.parquet"))]
+    # duplicate one stray so the count is 2 regardless of writer split
+    import shutil as _sh
+
+    while len(extra) < 2:
+        dup = extra[0].replace(".parquet", "_dup.parquet")
+        _sh.copy(extra[0], dup)
+        extra.append(dup)
+    rep = t.orphan_file_report()
+    detected = ("detected", rep["files_orphaned"], t.read().count())
+    from iceberg_workshop_spark.icetbl.meta import now_ms
+
+    t.expire_snapshots(older_than_ms=now_ms() + 1)
+    rep2 = t.orphan_file_report()
+    cleaned = ("after_cleanup", rep2["files_orphaned"], t.read().count())
+    return spark.createDataFrame(
+        [detected, cleaned], schema="phase string, n_orphans int, n_rows long"
+    ).orderBy("phase")
