@@ -46,7 +46,12 @@ def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[st
     tbl.meta = M.commit(tbl.meta)
 
     # Orphan file cleanup: anything under data/ not referenced anymore.
-    referenced = {f["path"] for s in kept for f in s["files"]}
+    # Equality-delete files are references too — removing one would
+    # silently resurrect deleted rows (or break reads) on every
+    # surviving snapshot that carries it.
+    referenced = {f["path"] for s in kept for f in s["files"]} | {
+        d["path"] for s in kept for d in s.get("delete_files", [])
+    }
     removed = 0
     data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
     for root, _dirs, names in os.walk(data_dir, topdown=False):

@@ -295,3 +295,20 @@ def test_rename_interops_with_mor_delete_and_merge(spark, tmp_table_dir):
     assert len(out) == 40 and out[0] == 999 and out[10] == 20
     # deleted keys stay gone through the merge rewrite
     assert all(k < 40 for k in out)
+
+
+def test_expire_keeps_live_equality_delete_files(spark, tmp_table_dir):
+    """Orphan cleanup must treat equality-delete files as referenced:
+    expiring history after a MoR delete may not remove the delete
+    file the current snapshot still applies (regression: deletes
+    silently resurrected after expire)."""
+    from iceberg_workshop_spark.icetbl.meta import now_ms
+
+    df = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    t.delete_where_mor("k >= 90", keys=["k"])
+    assert t.read().count() == 90
+    t.expire_snapshots(older_than_ms=now_ms() + 1)
+    # the delete must still apply after history expiration
+    assert t.read().count() == 90
+    assert t.read().filter("k >= 90").count() == 0
