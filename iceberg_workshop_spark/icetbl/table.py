@@ -467,7 +467,13 @@ class IceTable:
         """Current, time-travel (A20/A34), or ref read (`VERSION AS OF
         '<tag|branch>'` in Iceberg's Spark dialect). Merge-on-read
         equality deletes of the selected snapshot are applied at read
-        time (sequence-aware anti-join)."""
+        time (sequence-aware anti-join).
+
+        Divergence note: time-travel reads project the CURRENT table
+        schema (Iceberg projects the snapshot's own schema-id); after
+        a DROP the old snapshot's data for that column is not
+        re-exposed. Era-correct VALUES are still guaranteed by the
+        creation-seq/rename machinery in `_read_files`."""
         if ref is not None:
             snapshot_id = self.meta.refs[ref]["snapshot_id"]
         snap = self._resolve_snapshot(as_of_timestamp_ms, snapshot_id)
