@@ -675,3 +675,66 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing row."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("iws_wm_lineitem")
     return spark.sql(_WMEDIAN.format(t="iws_wm_"))
+
+
+@register(
+    "q_agg_skewness",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus,
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0)) AS c
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(c * c * c) AS DECIMAL(38,0)) AS s3
+      FROM cents GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / pow(
+                 (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                 1.5),
+             4) AS skewness
+    FROM m
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment skewness: the third standardized moment from three
+    order-free DECIMAL(38,0) integer-cent sums (Σx, Σx², Σx³ — x³ at
+    ~1e17/row still fits 38 digits), combined in ONE float expression
+    per group. pow(x, 1.5) = x·sqrt(x) is correctly rounded in both
+    engines, so even this higher moment hash-matches — the same
+    determinism recipe as q_agg_variance, one moment further."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)").alias("c"),
+    )
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s3"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    num = (nd * nd * s3 - F.lit(3.0) * nd * s1 * s2 + F.lit(2.0) * s1 * s1 * s1) / (
+        nd * nd * nd
+    )
+    var = (nd * s2 - s1 * s1) / (nd * nd)
+    return m.select(
+        "o_orderstatus",
+        "n",
+        F.round(num / F.pow(var, F.lit(1.5)), 4).alias("skewness"),
+    ).orderBy("o_orderstatus")
