@@ -38,6 +38,7 @@ def main() -> None:
     # pool (pandas UDF path), and the streaming micro-batch machinery.
     for warm in ("q_join_multiway", "q_llm_dedup_ngram", "q_llm_dedup_minhash",
                  "q_llm_dedup_simhash", "q_llm_dedup_apply", "q_llm_dedup_prefix",
+                 "q_source_python", "q_source_python_stream",
                  "q_udf_pandas", "q_stream_tumbling", "q_graph_pagerank"):
         try:
             qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
