@@ -46,6 +46,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fixture generators have shipped timestamps both as UTC-adjusted
+    # (→ TimestampType) and as naive timestamp[us] (→ TIMESTAMP_NTZ).
+    # Downstream operators and the DuckDB oracle both assume plain
+    # TIMESTAMP semantics; with the session TZ pinned to UTC the
+    # NTZ→LTZ cast is value-preserving, so normalize here once.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -23,45 +23,31 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from iceberg_workshop_spark.exprs import dsum
 from iceberg_workshop_spark.registry import register
 
 _sink_ids = itertools.count()
 
-# events.parquet stores ts as TIMESTAMP(NANOS); a streaming source needs
-# an explicit schema, so read it as raw nanos and convert (same contract
-# as sources.tables.load).
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A streaming file source needs an explicit schema; take it from a
+    # batch probe of the same file so the stream adapts to whatever
+    # physical timestamp encoding the fixture generator used
+    # (TIMESTAMP(NANOS)-as-long under nanosAsLong, or plain
+    # timestamp[us] → TIMESTAMP_NTZ).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # The file-stream source requires a directory; select just the
     # events table out of the fixture dir with a glob filter.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(probe.schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:

@@ -26,7 +26,8 @@ def test_transform_partition_pruning_ratio(spark, tmp_table_dir):
     partitioned table must scan ~1/N of files (BASELINE.md: ≤2× the
     reference's 0.42%-of-files showcase, scaled to our day count)."""
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     t = IceTable.create_as(
         spark, tmp_table_dir, events, partition_spec=[spec_field("ts", "day")]
     )
