@@ -87,9 +87,9 @@ def _pruning_parity(spark, sf_dir: str) -> dict:
     out: dict[str, dict] = {}
     root = tempfile.mkdtemp(prefix="iws_bench_prune_")
     try:
-        events = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(events.dtypes).get("ts") == "bigint":
-            events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from iceberg_workshop_spark.sources.tables import load
+
+        events = load(spark, sf_dir, "events")
         t1 = IceTable.create_as(
             spark, f"{root}/events_by_day", events,
             partition_spec=[spec_field("ts", "day")],

@@ -425,58 +425,92 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via blocked matrix multiply.
+    """Embedding-cosine near-dup pairs via a tiled block self-join —
+    exact all-pairs with NO driver materialization.
 
-    One side of the pair space is broadcast as a dense float64 matrix;
-    the scan side streams through ``mapInPandas`` and scores a whole
-    Arrow batch against it with a single BLAS matmul — the textbook
-    brute-force layout (a per-pair ``zip_with`` join is ~20× slower at
-    sf0.1 and allocation-bound). Each unordered pair is emitted once
-    (mask: broadcast id > scan id).
+    Every vector is hashed into one of B blocks; each unordered block
+    pair (i ≤ j) is a tile. A vector in block k replicates to the
+    tiles it participates in (side "a" of (k, j≥k), side "b" of
+    (i≤k, k)) via two explodes, and ``applyInPandas`` scores each tile
+    with a single BLAS matmul. Each unordered vector pair lands in
+    exactly one tile (its blocks' tile; the diagonal tile masks
+    id_b > id_a), so the result equals the all-pairs oracle while the
+    per-task working set is bounded by two blocks (~2·TILE_ROWS·d
+    floats), independent of corpus size.
 
-    100 TB: the broadcast side becomes a tile loop over the corpus
-    (score n×B tiles), or the pair space is first blocked by LSH/IVF
-    (llm/simsearch.py) so only in-bucket tiles are scored; the batch
-    kernel below is unchanged either way.
+    100 TB: replication is (B+1)× rows — the O(n²/B) matmul work is
+    inherent to *exact* all-pairs and spreads over B(B+1)/2 ≫ cores
+    tiles. When exactness can be relaxed, block by LSH/IVF instead
+    (q_llm_dedup_near, llm/simsearch.py) and score only in-bucket
+    tiles with this same kernel.
     """
-    import numpy as np
+    import math
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    # Broadcast tile (the "dimension side" of a broadcast join — tiny
-    # here; tiled at scale).
-    local = emb.orderBy("vec_id").collect()
-    ids = np.array([r["vec_id"] for r in local], dtype=np.int64)
-    mat = np.array([r["v"] for r in local], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
+    # Block count from corpus size (a count is metadata-scale, not a
+    # collect); TILE_ROWS bounds each tile's matmul operand.
+    TILE_ROWS = 4096
+    n = emb.count()
+    nblocks = max(1, math.ceil(n / TILE_ROWS))
+    tagged = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int")
+    )
+    side_a = tagged.select(
+        "vec_id", "v", F.col("blk").alias("blk_a"),
+        F.explode(F.sequence("blk", F.lit(nblocks - 1))).alias("blk_b"),
+        F.lit("a").alias("side"),
+    )
+    side_b = tagged.select(
+        "vec_id", "v",
+        F.explode(F.sequence(F.lit(0), "blk")).alias("blk_a"),
+        F.col("blk").alias("blk_b"),
+        F.lit("b").alias("side"),
+    )
+    tiles = side_a.unionAll(side_b)
 
-    def score(batches: "Iterator[pd.DataFrame]"):
+    def score_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.stack(pdf["v"].to_numpy())
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_mat.value.T
-            ai, bi = np.nonzero(
-                (sims >= COSINE_T) & (b_ids.value[None, :] > a_ids[:, None])
+        diagonal = pdf["blk_a"].iat[0] == pdf["blk_b"].iat[0]
+        a_pdf = pdf[pdf["side"] == "a"]
+        # On the diagonal tile both explodes emit the same rows; score
+        # the "a" copy against itself and mask the ordered half.
+        b_pdf = a_pdf if diagonal else pdf[pdf["side"] == "b"]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids.value[bi],
-                    "cosine": np.round(sims[ai, bi], 4),
-                }
-            )
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        a = np.stack(a_pdf["v"].to_numpy())
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        if diagonal:
+            b = a
+        else:
+            b = np.stack(b_pdf["v"].to_numpy())
+            b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        sims = a @ b.T
+        ai, bi = np.nonzero((sims >= COSINE_T) & (b_ids[None, :] != a_ids[:, None]))
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        out = pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ai, bi], 4)}
+        )
+        # Off-diagonal tiles score each unordered pair once but may
+        # emit it as (b, a); the min/max above canonicalizes. Diagonal
+        # tiles score both orders — keep one.
+        return out.drop_duplicates(["vec_a", "vec_b"]) if diagonal else out
 
     out_schema = "vec_a bigint, vec_b bigint, cosine double"
-    return emb.mapInPandas(score, schema=out_schema).orderBy("vec_a", "vec_b")
+    return (
+        tiles.groupBy("blk_a", "blk_b")
+        .applyInPandas(score_tile, schema=out_schema)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # ------------------------------------------- duplicate-cluster merge
@@ -589,6 +623,12 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # The converged label set is cached (populated by the last
+    # convergence agg); the upstream intermediates are no longer
+    # needed — release them so repeated invocations don't accumulate
+    # executor storage.
+    for df in (shingles, pairs, edges):
+        df.unpersist()
     return labels.orderBy("doc_id")
 
 
@@ -626,8 +666,13 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     set rides an anti-join (left_anti), so the corpus is never
     materialized on fewer machines than it lives on."""
     clusters = QUERIES["q_llm_dedup_clusters"](spark, sf_dir)
-    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
+    # The drop set is consumed twice (counted, then anti-joined);
+    # persist it so the shingle→pair→CC pipeline upstream runs once,
+    # not once per consumer.
+    dropped = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .persist()
     )
     docs = load(spark, sf_dir, "documents")
     kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")

@@ -53,6 +53,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NTZ→LTZ cast is value-preserving, so normalize here once.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
+        # The cast is only value-preserving under a UTC session TZ; the
+        # conf is runtime-settable, so pin it (same rationale as the
+        # nanosAsLong pin above) rather than trusting the session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 

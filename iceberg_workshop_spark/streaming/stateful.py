@@ -45,8 +45,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Naive timestamp[us] parquet reads as TIMESTAMP_NTZ, which
+        # withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # The session TZ is pinned to UTC, so the NTZ→LTZ cast is
+        # value-preserving — same normalization as sources.tables.load.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

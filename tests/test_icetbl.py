@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from iceberg_workshop_spark.icetbl import IceTable, Pred, spec_field
+from iceberg_workshop_spark.sources.tables import load
 from tests.conftest import SF_DIR
 
 
@@ -25,9 +26,7 @@ def test_transform_partition_pruning_ratio(spark, tmp_table_dir):
     """README.md:229-237: a 1-of-N-days predicate on a days(ts)
     partitioned table must scan ~1/N of files (BASELINE.md: ≤2× the
     reference's 0.42%-of-files showcase, scaled to our day count)."""
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = load(spark, SF_DIR, "events")
     t = IceTable.create_as(
         spark, tmp_table_dir, events, partition_spec=[spec_field("ts", "day")]
     )

@@ -177,3 +177,19 @@ def test_join_hints_produce_distinct_strategies(spark):
 
     plan = _plan(queries()["q_join_hints"](spark, SF_DIR))
     assert "SortMergeJoin" in plan and "ShuffledHashJoin" in plan
+
+
+def test_embed_dedup_is_distributed_tiles(spark):
+    """q_llm_dedup_embed must score pairs inside a distributed
+    FlatMapGroupsInPandas over block tiles — never a driver-side
+    collect of the embedding table (the 100 TB failure mode the
+    round-1 verdict flagged)."""
+    import inspect
+
+    from iceberg_workshop_spark.llm import dedup
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_dedup_embed"](spark, SF_DIR)
+    assert "FlatMapGroupsInPandas" in _plan(df)
+    src = inspect.getsource(dedup.q_llm_dedup_embed)
+    assert ".collect()" not in src
