@@ -1,0 +1,77 @@
+"""IceSqlSession — the workshop's SQL text routed to the icetbl API.
+
+The four registered q_sql_* queries cover the verbatim workshop
+statements via oracle parity; these tests cover the remaining parser
+surfaces: TRUNCATE, FOR SYSTEM_VERSION AS OF, numeric-id rollback, and
+the plain-SELECT fallthrough with table-name rewriting.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_workshop_spark.icetbl import IceTable
+from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+
+@pytest.fixture
+def sess(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, name string"
+    )
+    tbl = IceTable.create_as(spark, str(tmp_path / "t"), df)
+    s = IceSqlSession(spark)
+    s.register_table("db.t", tbl)
+    return s, tbl
+
+
+def test_fallthrough_select_rewrites_table_names(sess):
+    s, _ = sess
+    rows = s.sql("SELECT name FROM db.t WHERE id >= 2 ORDER BY id").collect()
+    assert [r.name for r in rows] == ["b", "c"]
+
+
+def test_truncate_statement(sess):
+    s, tbl = sess
+    assert s.sql("TRUNCATE TABLE db.t") is None
+    assert tbl.read().count() == 0
+
+
+def test_system_version_as_of_and_numeric_rollback(sess):
+    s, tbl = sess
+    s1 = tbl.meta.current_snapshot_id
+    s.sql("INSERT INTO db.t VALUES (4, 'd')")
+    assert s.sql("SELECT * FROM db.t").count() == 4
+    old = s.sql(f"SELECT * FROM db.t FOR SYSTEM_VERSION AS OF '{s1}'")
+    assert old.count() == 3
+    s.sql(f"ALTER TABLE db.t EXECUTE rollback({s1})")
+    assert tbl.read().count() == 3
+
+
+def test_delete_statement_condition_passthrough(sess):
+    s, tbl = sess
+    s.sql("DELETE FROM db.t WHERE name = \"b\"")
+    assert sorted(r.id for r in tbl.read().collect()) == [1, 3]
+
+
+def test_merge_updates_and_inserts(sess, spark):
+    s, tbl = sess
+    src = spark.createDataFrame([(2, "B2"), (9, "I9")], "id int, name string")
+    s.register_view("staging.src", src)
+    s.sql(
+        """
+        MERGE INTO db.t AS target
+        USING (SELECT id, name FROM staging.src) AS source
+        ON id = source.id
+        WHEN MATCHED THEN UPDATE SET id=source.id, name=source.name
+        WHEN NOT MATCHED THEN INSERT VALUES (source.id, source.name)
+        """
+    )
+    got = {(r.id, r.name) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "I9")}
+
+
+def test_unregistered_table_raises(sess):
+    s, _ = sess
+    with pytest.raises(KeyError):
+        s.sql("DELETE FROM nope.t WHERE 1=1")
