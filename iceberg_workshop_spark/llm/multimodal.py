@@ -3,11 +3,12 @@
 Pattern: media lives in opaque ``binary`` columns with typed metadata
 alongside; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the raw bytes never cross a row-at-a-time Python
-boundary. The actual image/audio codecs are not installed in this
-environment, so the decode step is a clearly-marked deterministic fake
-(`_fake_decode`) with the real-codec call site stubbed behind
-``NotImplementedError`` — the Spark-side plumbing (schema, batch
-iteration, partitioning) is real and oracle-checked where expressible.
+boundary. Image/audio codecs are probed at import: with PIL present
+the image decode is real; otherwise (this container) the decode is a
+clearly-marked deterministic fallback (`_fake_decode`, byte
+statistics) — the Spark-side plumbing (schema, batch iteration,
+partitioning) is identical either way and oracle-checked where
+expressible.
 
 Scale notes: binary payloads ride the normal columnar path (Parquet
 BYTE_ARRAY); mapInPandas streams Arrow batches, so executor memory is
@@ -35,7 +36,17 @@ from pyspark.sql.types import (
 from iceberg_workshop_spark.registry import register
 from iceberg_workshop_spark.sources.tables import load
 
-HAVE_REAL_CODECS = False  # no PIL/ffmpeg in this container
+# Probe for real codecs at import; the container ships neither PIL nor
+# torchaudio today, so the decode falls back to deterministic byte
+# statistics — but if the environment gains them, the real path wires
+# itself in without code changes.
+try:  # pragma: no cover - env-dependent
+    from PIL import Image as _PILImage
+
+    HAVE_REAL_CODECS = True
+except ImportError:
+    _PILImage = None
+    HAVE_REAL_CODECS = False
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,10 +103,24 @@ _FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a media decoder: summary statistics
-    over the raw bytes (replace with PIL/torchaudio when available)."""
-    if HAVE_REAL_CODECS:
-        raise NotImplementedError("real codec path not wired in this env")
+    """Decode a media payload into sample statistics.
+
+    With PIL present, image payloads are really decoded (pixel mean /
+    max); non-image payloads — and every payload when no codec is
+    installed — fall back to deterministic raw-byte statistics, so the
+    schema and batch shape are identical either way."""
+    if HAVE_REAL_CODECS and payload:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                px = list(img.convert("L").getdata())
+                return {
+                    "byte_mean": sum(px) / len(px) if px else 0.0,
+                    "byte_max": max(px) if px else 0,
+                }
+        except Exception:  # noqa: BLE001 — not an image; fall through
+            pass
     return {
         "byte_mean": (sum(payload) / len(payload)) if payload else 0.0,
         "byte_max": max(payload) if payload else 0,
@@ -173,9 +198,9 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Frame-sample each payload: split the byte stream into
     FRAME_BYTES-sized frames, keep every FRAME_STRIDE-th (the video
     keyframe-sampling shape; a real build swaps the splitter for an
-    ffmpeg/PyAV iterator, schema unchanged)."""
-    if HAVE_REAL_CODECS:
-        raise NotImplementedError("real frame decoder not wired in this env")
+    ffmpeg/PyAV iterator, schema unchanged). No container codec ships
+    a frame iterator today, so the byte-frame splitter is always the
+    decode; it is deterministic, so the rows-only oracle holds."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):

@@ -218,6 +218,129 @@ def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_simsearch_ivf_partitioned",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), flat AS (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), cdim AS (
+      SELECT label, pos, AVG(x) AS cx FROM flat GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(cx ORDER BY pos) AS c FROM cdim GROUP BY label
+    ), cn AS (
+      SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM cent
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probe AS (
+      SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = {PROBE_VEC_ID}
+    ), best_clusters AS (
+      SELECT cn.label
+      FROM cn, probe
+      ORDER BY list_dot_product(cn.c, probe.pv) / (cn.cnrm * probe.pnrm) DESC,
+               cn.label ASC
+      LIMIT {N_PROBE}
+    ), assigned AS (
+      SELECT vec_id, label FROM (
+        SELECT n.vec_id, cn.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, cn.c) / (n.nrm * cn.cnrm) DESC,
+                          cn.label ASC
+               ) AS rn
+        FROM n, cn
+      ) WHERE rn = 1
+    )
+    SELECT n.vec_id,
+           ROUND(list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm), 4)
+             AS cosine
+    FROM n
+    JOIN assigned USING (vec_id)
+    JOIN best_clusters USING (label), probe
+    WHERE n.vec_id <> {PROBE_VEC_ID}
+    ORDER BY list_dot_product(n.v, probe.pv) / (n.nrm * probe.pnrm) DESC,
+             n.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_simsearch_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL write-time cluster partitioning: the index build
+    writes vectors ``partitionBy(ivf_cluster)`` (one directory per
+    cluster), and the probe filters on the partition column with the
+    n-probe cluster ids — the file scan plans ``PartitionFilters`` and
+    physically reads only nprobe/k of the index (plan-asserted in
+    tests/test_plans.py). This is the pruning that
+    ``q_llm_simsearch_ivf`` stands in for with an assignment join.
+
+    The n-probe cluster ids are collected to the driver — that is
+    N_PROBE integers (a query parameter, not data), exactly what a
+    vector-DB query router holds. At 100 TB the index build is a
+    one-time write (maintained incrementally per q_llm_simsearch_incr);
+    probes stay nprobe/k-of-files scans regardless of corpus size.
+    """
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    n = _with_norm(emb, "v", "nrm")
+
+    cdim = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    cent = cdim.groupBy("label").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").alias(
+            "c"
+        )
+    )
+    cn = F.broadcast(_with_norm(cent, "c", "cnrm"))
+
+    # Index build: assign each vector to its nearest centroid, write
+    # partitioned by the assignment.
+    rn = Window.partitionBy("vec_id").orderBy(
+        (_dot("v", "c") / (F.col("nrm") * F.col("cnrm"))).desc(),
+        F.col("label").asc(),
+    )
+    loc = _fresh(sf_dir, "ivf_index")
+    (
+        n.select("vec_id", "v", "nrm")
+        .crossJoin(cn.select("label", "c", "cnrm"))
+        .withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("label").alias("ivf_cluster"))
+        .write.partitionBy("ivf_cluster")
+        .parquet(loc)
+    )
+
+    probe = F.broadcast(
+        n.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
+    )
+    best = [
+        r["label"]
+        for r in cn.crossJoin(probe)
+        .withColumn("pc", _dot("c", "pv") / (F.col("cnrm") * F.col("pnrm")))
+        .orderBy(F.col("pc").desc(), F.col("label").asc())
+        .limit(N_PROBE)
+        .select("label")
+        .collect()
+    ]
+
+    index = spark.read.parquet(loc).filter(F.col("ivf_cluster").isin(best))
+    return (
+        index.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .withColumn("cosine_raw", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
+        .orderBy(F.col("cosine_raw").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
 N_PROBES_BATCH = 5
 
 

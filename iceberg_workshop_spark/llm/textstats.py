@@ -124,7 +124,18 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(_lexicon_rows(), ["lex_lang", "w"])
     )
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    # Pre-filter tokens to lexicon members while still an array — the
+    # filter runs in codegen BEFORE the explode, so only marker-word
+    # hits are exploded and shuffled (non-marker tokens dominate real
+    # corpora). array_intersect would dedup and break n_hits; filter()
+    # preserves duplicates.
+    lex_words = F.array(*[F.lit(w) for w in sorted({w for _, w in _lexicon_rows()})])
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(_toks(F.col("text")), lambda t: F.array_contains(lex_words, t))
+        ).alias("tok"),
+    )
     hits = (
         toks.join(spark_lex, toks.tok == spark_lex.w)
         .groupBy("doc_id", "lex_lang")

@@ -58,8 +58,17 @@ def q_dml_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension rows of /root/reference/README.md:102-103)."""
     loc = _fresh(sf_dir, "insert_values")
     t = IceTable.create(spark, loc, "code string, description string")
-    t.insert_values([("AA", "American Airlines"), ("DL", "Delta Air Lines")])
-    t.insert_values([("ABC", "Real Fake Airlines")])
+    # One batched commit: each insert_values is a full snapshot commit
+    # (a Spark write job + metadata swap), a fixed cost worth paying
+    # once, not per statement. Multi-commit history is exercised by
+    # q_tt_as_of / q_meta_history.
+    t.insert_values(
+        [
+            ("AA", "American Airlines"),
+            ("DL", "Delta Air Lines"),
+            ("ABC", "Real Fake Airlines"),
+        ]
+    )
     return t.read().orderBy("code")
 
 

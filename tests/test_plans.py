@@ -193,3 +193,16 @@ def test_embed_dedup_is_distributed_tiles(spark):
     assert "FlatMapGroupsInPandas" in _plan(df)
     src = inspect.getsource(dedup.q_llm_dedup_embed)
     assert ".collect()" not in src
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark):
+    """The write-time-partitioned IVF probe must reach the index scan
+    as a partition filter (directory pruning), not a post-scan filter —
+    the nprobe/k I/O bound is the whole point of the layout."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_simsearch_ivf_partitioned"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "ivf_cluster" in seg
