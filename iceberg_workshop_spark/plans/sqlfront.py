@@ -28,13 +28,15 @@ native MERGE plans.
 
 from __future__ import annotations
 
+import os
 import re
+import tempfile
 import time
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_workshop_spark.icetbl import IceTable
+from iceberg_workshop_spark.icetbl import IceTable, spec_field
 from iceberg_workshop_spark.registry import register
 
 _MERGE_RE = re.compile(
@@ -48,15 +50,54 @@ _MERGE_RE = re.compile(
 _DELETE_RE = re.compile(
     r"DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<cond>.+)$", re.I | re.S
 )
-_INSERT_VALUES_RE = re.compile(
-    r"INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s+(?P<vals>.+)$", re.I | re.S
-)
 _ROLLBACK_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+EXECUTE\s+rollback\s*\(\s*"
     r"(?P<q>[\"']?)(?P<arg>.+?)(?P=q)\s*\)$",
     re.I | re.S,
 )
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+TABLE\s+(?P<target>[\w.]+)$", re.I)
+_CREATE_DB_RE = re.compile(
+    r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>\w+)$", re.I
+)
+_DROP_DB_RE = re.compile(
+    r"DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?(?P<db>\w+)(?:\s+CASCADE)?$", re.I
+)
+_DROP_TABLE_RE = re.compile(
+    r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<target>[\w.]+)$", re.I
+)
+_CREATE_TABLE_RE = re.compile(
+    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<target>[\w.]+)\s*(?P<body>.*)$",
+    re.I | re.S,
+)
+_INSERT_RE = re.compile(
+    r"INSERT\s+INTO\s+(?P<target>[\w.]+)"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s+"
+    r"(?P<rest>(?:VALUES|SELECT)\b.+)$",
+    re.I | re.S,
+)
+_SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+(?P<target>[\w.]+)$", re.I)
+_SET_SPEC_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+SET\s+PARTITION\s+SPEC\s*"
+    r"\((?P<spec>.+)\)$",
+    re.I | re.S,
+)
+_SET_PROPS_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+)\)$",
+    re.I | re.S,
+)
+_EXPIRE_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+EXECUTE\s+expire_snapshots\s*\(\s*"
+    r"(?P<q>[\"']?)(?P<arg>.+?)(?P=q)\s*\)$",
+    re.I | re.S,
+)
+_CALL_RE = re.compile(
+    r"CALL\s+[\w.]*system\.(?P<proc>rewrite_data_files|rewrite_manifests)\s*"
+    r"\(\s*'(?P<target>[\w.]+)'\s*\)$",
+    re.I,
+)
+_META_SUFFIXES = ("history", "snapshots", "files", "partitions", "refs")
 _TT_RE = re.compile(
     r"(?P<name>[\w.]+)\s+FOR\s+(?P<kind>SYSTEM_TIME|SYSTEM_VERSION)\s+AS\s+OF\s+"
     r"(?P<q>[\"'])(?P<lit>.+?)(?P=q)",
@@ -102,13 +143,88 @@ def _view_name(name: str) -> str:
     return name.replace(".", "__")
 
 
-class IceSqlSession:
-    """Accepts the workshop's SQL text against registered IceTables."""
+def _take_parens(text: str) -> tuple[str, str]:
+    """Split '(...)...' into (inner, rest) at the balanced close."""
+    assert text[0] == "("
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[1:i], text[i + 1 :].strip()
+    raise ValueError(f"unbalanced parens: {text[:80]}")
 
-    def __init__(self, spark: SparkSession) -> None:
+
+_TRANSFORM_ALIASES = {
+    "year": "year", "years": "year",
+    "month": "month", "months": "month",
+    "day": "day", "days": "day",
+    "hour": "hour", "hours": "hour",
+}
+
+
+def _parse_spec(text: str) -> list:
+    """PARTITION SPEC items: identity cols, YEAR()/MONTH()/DAY()/HOUR()
+    (singular or plural, any case — Impala and Spark both appear in the
+    workshop), BUCKET(n, col), TRUNCATE(w, col)."""
+    fields = []
+    for item in _split_top_commas(text):
+        item = item.strip()
+        m = re.fullmatch(r"(\w+)\s*\(\s*(.+?)\s*\)", item)
+        if not m:
+            fields.append(spec_field(item, "identity"))
+            continue
+        fn = m[1].lower()
+        args = [a.strip() for a in m[2].split(",")]
+        if fn in _TRANSFORM_ALIASES:
+            fields.append(spec_field(args[0], _TRANSFORM_ALIASES[fn]))
+        elif fn == "bucket":
+            fields.append(spec_field(args[1], f"bucket[{args[0]}]"))
+        elif fn == "truncate":
+            fields.append(spec_field(args[1], f"truncate[{args[0]}]"))
+        else:
+            raise ValueError(f"unknown partition transform: {item}")
+    return fields
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    props = {}
+    for item in _split_top_commas(text):
+        k, v = item.split("=", 1)
+        props[k.strip().strip("\"'")] = v.strip().strip("\"'")
+    return props
+
+
+def _hive_partition_str(file_entry: dict) -> str:
+    """Hive-style partition spec string ('k=v/k2=v2') for SHOW
+    PARTITIONS / the .partitions metadata view."""
+    part = file_entry.get("partition") or {}
+    return "/".join(f"{k}={part[k]}" for k in sorted(part)) or "<unpartitioned>"
+
+
+class IceSqlSession:
+    """Accepts the workshop's SQL text against registered IceTables.
+
+    ``location_map`` rewrites the workshop's storage URIs (e.g.
+    ``s3a://${bucket}/tmp/airlines-csv/...``) to reachable paths by
+    longest-prefix match — object storage is not reachable in this
+    environment, and in a real deployment the same hook points at the
+    production bucket."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        scratch: str | None = None,
+        location_map: dict[str, str] | None = None,
+    ) -> None:
         self.spark = spark
         self.tables: dict[str, IceTable] = {}
         self.views: dict[str, DataFrame] = {}
+        self.databases: set[str] = set()
+        self.scratch = scratch or tempfile.mkdtemp(prefix="iws_sqlfront_")
+        self.location_map = dict(location_map or {})
 
     def register_table(self, name: str, tbl: IceTable) -> None:
         self.tables[name] = tbl
@@ -125,13 +241,39 @@ class IceSqlSession:
             tbl = self._table(m["target"])
             tbl.delete_where(self._rewrite(m["cond"]))
             return None
-        if m := _INSERT_VALUES_RE.match(s):
-            return self._insert_values(m)
         if m := _ROLLBACK_RE.match(s):
             return self._rollback(m)
+        if m := _EXPIRE_RE.match(s):
+            return self._expire(m)
+        if m := _SET_SPEC_RE.match(s):
+            self._table(m["target"]).set_partition_spec(_parse_spec(m["spec"]))
+            return None
+        if m := _SET_PROPS_RE.match(s):
+            self._table(m["target"]).set_properties(_parse_props(m["props"]))
+            return None
         if m := _TRUNCATE_RE.match(s):
             self._table(m["target"]).truncate()
             return None
+        if m := _CREATE_DB_RE.match(s):
+            self.databases.add(m["db"])
+            return None
+        if m := _DROP_DB_RE.match(s):
+            self.databases.discard(m["db"])
+            for name in [n for n in self.tables if n.startswith(m["db"] + ".")]:
+                del self.tables[name]
+            return None
+        if m := _DROP_TABLE_RE.match(s):
+            self.tables.pop(m["target"], None)
+            self.views.pop(m["target"], None)
+            return None
+        if m := _SHOW_PARTS_RE.match(s):
+            return self._show_partitions(m)
+        if m := _CALL_RE.match(s):
+            return self._call(m)
+        if m := _INSERT_RE.match(s):
+            return self._insert(m)
+        if m := _CREATE_TABLE_RE.match(s):
+            return self._create_table(m)
         return self._select(s)
 
     def _table(self, name: str) -> IceTable:
@@ -139,10 +281,27 @@ class IceSqlSession:
             raise KeyError(f"not a registered ice table: {name}")
         return self.tables[name]
 
+    def _resolve_location(self, loc: str) -> str:
+        for prefix in sorted(self.location_map, key=len, reverse=True):
+            if loc.startswith(prefix):
+                return self.location_map[prefix] + loc[len(prefix):]
+        return loc
+
     def _rewrite(self, fragment: str) -> str:
         """Swap registered table/view names for temp views (tables get
-        a view over their current snapshot)."""
+        a view over their current snapshot; ``<table>.history`` etc.
+        get the matching metadata table)."""
         for name in sorted({**self.views, **dict.fromkeys(self.tables)}, key=len, reverse=True):
+            if name in self.tables:
+                for suffix in _META_SUFFIXES:
+                    pat = r"(?<![\w.])" + re.escape(f"{name}.{suffix}") + r"(?![\w.])"
+                    if not re.search(pat, fragment):
+                        continue
+                    vname = _view_name(name) + f"__{suffix}"
+                    self._meta_df(self.tables[name], suffix).createOrReplaceTempView(
+                        vname
+                    )
+                    fragment = re.sub(pat, vname, fragment)
             pat = r"(?<![\w.])" + re.escape(name) + r"(?![\w.])"
             if not re.search(pat, fragment):
                 continue
@@ -151,6 +310,28 @@ class IceSqlSession:
             df.createOrReplaceTempView(vname)
             fragment = re.sub(pat, vname, fragment)
         return fragment
+
+    def _meta_df(self, tbl: IceTable, suffix: str) -> DataFrame:
+        if suffix == "history":
+            return tbl.history()
+        if suffix == "snapshots":
+            return self.spark.createDataFrame(tbl.snapshots_info())
+        if suffix == "refs":
+            rows = [
+                {"name": k, **v} for k, v in sorted(tbl.meta.refs.items())
+            ] or [{"name": "main", "kind": "branch", "snapshot_id": tbl.meta.current_snapshot_id}]
+            return self.spark.createDataFrame(rows)
+        if suffix == "files":
+            return self.spark.createDataFrame(
+                [
+                    {"path": f["path"], "record_count": f.get("record_count")}
+                    for f in tbl.meta.current_files()
+                ]
+            )
+        # partitions
+        return self.spark.createDataFrame(
+            [{"partition": _hive_partition_str(f)} for f in tbl.meta.current_files()]
+        ).distinct()
 
     # -- statement handlers -------------------------------------------
     def _merge(self, m: re.Match) -> None:
@@ -194,11 +375,126 @@ class IceSqlSession:
         tbl.merge_into(upd.unionByName(ins), on=[t for t, _ in on_pairs])
         return None
 
-    def _insert_values(self, m: re.Match) -> None:
+    def _insert(self, m: re.Match) -> None:
         tbl = self._table(m["target"])
-        rows_df = self.spark.sql(f"SELECT * FROM VALUES {m['vals']}")
+        rest = m["rest"].strip()
+        if rest.upper().startswith("VALUES"):
+            src = self.spark.sql(f"SELECT * FROM VALUES {rest[6:].strip()}")
+        else:
+            src = self._select(rest)
+        # Static PARTITION(col="lit") assignments append the literal to
+        # every row (Hive semantics — partition columns come last);
+        # dynamic PARTITION(col) means the SELECT already carries them.
+        if m["part"]:
+            from pyspark.sql import functions as F
+
+            for item in _split_top_commas(m["part"]):
+                if "=" in item:
+                    _, v = item.split("=", 1)
+                    src = src.withColumn(
+                        f"__part_{len(src.columns)}",
+                        F.expr(v.strip()),
+                    )
         cols = tbl._column_names()
-        tbl.append(rows_df.toDF(*cols))
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT width {len(src.columns)} != table width {len(cols)}"
+            )
+        # SQL literals arrive as DECIMAL/STRING; cast positionally to
+        # the declared column types (INSERT assignment casts).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(tbl.meta.schema_ddl)
+        src = src.toDF(*cols).select(
+            *[
+                F.col(c).cast(f.dataType).alias(c)
+                for c, f in zip(cols, schema.fields)
+            ]
+        )
+        tbl.append(src)
+        return None
+
+    def _create_table(self, m: re.Match) -> None:
+        name = m["target"]
+        body = m["body"].strip()
+        cols_ddl = None
+        if body.startswith("("):
+            inner, body = _take_parens(body)
+            cols_ddl = ", ".join(_split_top_commas(inner))
+        # Balanced-paren capture: transform specs nest parens
+        # (PARTITIONED BY SPEC (DAYS(order_ts))).
+        spec_text = part_text = None
+        if pm := re.search(r"PARTITIONED\s+BY\s+SPEC\s*(?=\()", body, re.I):
+            spec_text, _ = _take_parens(body[pm.end():])
+        elif pm := re.search(r"PARTITIONED\s+BY\s*(?=\()", body, re.I):
+            part_text, _ = _take_parens(body[pm.end():])
+        loc_m = re.search(r"LOCATION\s+'(?P<loc>[^']+)'", body, re.I)
+        props_m = re.search(r"TBLPROPERTIES\s*\((?P<pr>[^)]*)\)", body, re.I)
+        as_m = re.search(r"\bAS\s+(?P<sel>SELECT\b.+)$", body, re.I | re.S)
+        textfile = re.search(r"STORED\s+AS\s+TEXTFILE", body, re.I)
+        props = _parse_props(props_m["pr"]) if props_m else {}
+
+        if textfile and loc_m:
+            # CSV-backed external source table: a read-only view over
+            # the delimited files (the workshop's staging.*_csv shape).
+            reader = self.spark.read.schema(cols_ddl)
+            if props.get("skip.header.line.count") == "1":
+                reader = reader.option("header", "true")
+            self.views[name] = reader.csv(self._resolve_location(loc_m["loc"]))
+            return None
+
+        spec = _parse_spec(spec_text) if spec_text else []
+        if part_text:
+            # Hive-style: partition columns are appended to the schema
+            # and become an identity spec.
+            pcols = [
+                c.strip().split() for c in _split_top_commas(part_text)
+            ]
+            spec = [spec_field(c[0], "identity") for c in pcols]
+            if cols_ddl is not None:
+                cols_ddl += ", " + ", ".join(" ".join(c) for c in pcols)
+        loc = (
+            self._resolve_location(loc_m["loc"])
+            if loc_m
+            else os.path.join(self.scratch, _view_name(name))
+        )
+        if as_m:
+            tbl = IceTable.create_as(
+                self.spark, loc, self._select(as_m["sel"]), partition_spec=spec or None
+            )
+        else:
+            tbl = IceTable.create(self.spark, loc, cols_ddl, partition_spec=spec or None)
+        if props:
+            tbl.set_properties(props)
+        self.tables[name] = tbl
+        return None
+
+    def _show_partitions(self, m: re.Match) -> DataFrame:
+        tbl = self._table(m["target"])
+        parts = sorted(
+            {_hive_partition_str(f) for f in tbl.meta.current_files()}
+        )
+        return self.spark.createDataFrame(
+            [(p,) for p in parts], "partition string"
+        )
+
+    def _call(self, m: re.Match) -> None:
+        from iceberg_workshop_spark.icetbl import maintenance
+
+        tbl = self._table(m["target"])
+        if m["proc"].lower() == "rewrite_data_files":
+            maintenance.rewrite_data_files(tbl)
+        else:
+            maintenance.rewrite_manifests(tbl)
+        return None
+
+    def _expire(self, m: re.Match) -> None:
+        from iceberg_workshop_spark.icetbl import maintenance
+
+        arg = m["arg"].strip()
+        older_ms = int(arg) if re.fullmatch(r"\d+", arg) else _iso_to_ms(arg)
+        maintenance.expire_snapshots(self._table(m["target"]), older_than_ms=older_ms)
         return None
 
     def _rollback(self, m: re.Match) -> None:
@@ -229,6 +525,274 @@ class IceSqlSession:
 
 
 # ---------------------------------------------------------------- queries
+
+_FLIGHTS_COLS = (
+    "month,dayofmonth,dayofweek,deptime,crsdeptime,arrtime,crsarrtime,"
+    "uniquecarrier,flightnum,tailnum,actualelapsedtime,crselapsedtime,"
+    "airtime,arrdelay,depdelay,origin,dest,distance,taxiin,taxiout,"
+    "cancelled,cancellationcode,diverted,carrierdelay,weatherdelay,"
+    "nasdelay,securitydelay,lateaircraftdelay,year"
+)
+
+
+def _stage_workshop_csvs(sf_dir: str, name: str) -> dict[str, str]:
+    """Materialize the workshop's CSV drop zone (deterministic mini
+    flights/airlines files with header rows) and return the
+    location_map that points the scripts' s3a URIs at it."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+
+    root = _fresh(sf_dir, name)
+    fdir = os.path.join(root, "flights")
+    adir = os.path.join(root, "airlines")
+    os.makedirs(fdir)
+    os.makedirs(adir)
+    with open(os.path.join(fdir, "flights.csv"), "w") as f:
+        f.write(_FLIGHTS_COLS + "\n")
+        for year in (1995, 2008):
+            for month in (1, 2, 3):
+                carrier = "AA" if month % 2 else "DL"
+                f.write(
+                    f"{month},1,1,900,900,1100,1100,{carrier},{100 + month},"
+                    f"N{year}{month},120,120,100,{month * 5},0,JFK,LAX,2475,"
+                    f"5,10,0,,N,0,0,0,0,0,{year}\n"
+                )
+    with open(os.path.join(adir, "airlines.csv"), "w") as f:
+        f.write("code,description\n")
+        f.write("02Q,Titan Airways\n04Q,Tradewind Aviation\n")
+        f.write("AA,American Airlines\nDL,Delta Air Lines\n")
+    return {"s3a://${bucket}/tmp/airlines-csv": root}
+
+
+_AIRLINES_SQL_STMTS = [
+    # /root/reference/sql/airlines.sql:1-55, verbatim
+    "DROP DATABASE IF EXISTS staging CASCADE",
+    "CREATE DATABASE staging",
+    """CREATE EXTERNAL TABLE staging.flights_csv (
+  month INT,
+  dayofmonth INT,
+  dayofweek INT,
+  deptime INT,
+  crsdeptime INT,
+  arrtime INT,
+  crsarrtime INT,
+  uniquecarrier STRING,
+  flightnum INT,
+  tailnum STRING,
+  actualelapsedtime INT,
+  crselapsedtime INT,
+  airtime INT,
+  arrdelay INT,
+  depdelay INT,
+  origin STRING,
+  dest STRING,
+  distance INT,
+  taxiin INT,
+  taxiout INT,
+  cancelled INT,
+  cancellationcode STRING,
+  diverted STRING,
+  carrierdelay INT,
+  weatherdelay INT,
+  nasdelay INT,
+  securitydelay INT,
+  lateaircraftdelay INT,
+  year INT
+)
+ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' LINES TERMINATED BY '\\n'
+STORED AS TEXTFILE
+LOCATION 's3a://${bucket}/tmp/airlines-csv/flights/'
+TBLPROPERTIES("skip.header.line.count"="1")""",
+    """CREATE EXTERNAL TABLE staging.airlines_csv (
+  code STRING,
+  description STRING
+)
+ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' LINES TERMINATED BY '\\n'
+STORED AS TEXTFILE LOCATION 's3a://${bucket}/tmp/airlines-csv/airlines/'
+TBLPROPERTIES("skip.header.line.count"="1")""",
+    """CREATE EXTERNAL TABLE staging.flights_parquet
+STORED AS PARQUET
+AS SELECT * FROM staging.flights_csv""",
+    """CREATE EXTERNAL TABLE staging.airlines_parquet
+STORED AS PARQUET
+AS SELECT * FROM staging.airlines_csv""",
+]
+
+
+def _staging_session(spark: SparkSession, sf_dir: str, name: str) -> IceSqlSession:
+    """Run airlines.sql verbatim against the staged CSV drop zone."""
+    sess = IceSqlSession(
+        spark, location_map=_stage_workshop_csvs(sf_dir, name + "_csv")
+    )
+    for stmt in _AIRLINES_SQL_STMTS:
+        sess.sql(stmt)
+    return sess
+
+
+@register(
+    "q_sql_airlines_migration_script",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('airlines_ice', CAST(4 AS BIGINT)),
+      ('flights_copy', 6),
+      ('flights_migrated', 6)
+    ) AS t(mode, n_rows)
+    ORDER BY mode
+    """,
+)
+def q_sql_airlines_migration_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """airlines.sql + README.md:70-93 verbatim: CSV external tables
+    over the drop zone, CTAS to parquet, CTAS import to Iceberg, the
+    flights copy, and the in-place migration ALTER
+    (SET TBLPROPERTIES storage_handler). Divergence note: every
+    front-end table is already snapshot-versioned (icetbl), so the
+    migration ALTER commits the property rather than converting a
+    layout — the adopt path itself is exercised by the A5 queries."""
+    from pyspark.sql import functions as F
+
+    sess = _staging_session(spark, sf_dir, "sql_migration")
+    sess.sql(
+        """CREATE EXTERNAL TABLE iws_ice.airlines
+        STORED BY ICEBERG
+        STORED AS PARQUET
+        AS SELECT * FROM staging.airlines_parquet"""
+    )
+    sess.sql(
+        """CREATE EXTERNAL TABLE iws_ice.flights
+        STORED AS PARQUET
+        AS SELECT * FROM staging.flights_parquet"""
+    )
+    sess.sql(
+        """ALTER TABLE iws_ice.flights
+        SET TBLPROPERTIES("storage_handler"="org.apache.iceberg.mr.hive.HiveIcebergStorageHandler")"""
+    )
+    migrated = sess.tables["iws_ice.flights"]
+    assert (
+        migrated.meta.properties["storage_handler"]
+        == "org.apache.iceberg.mr.hive.HiveIcebergStorageHandler"
+    )
+
+    def stat(mode: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.lit(mode).alias("mode"), F.count(F.lit(1)).alias("n_rows"))
+
+    return (
+        stat("airlines_ice", sess.sql("SELECT * FROM iws_ice.airlines"))
+        .unionByName(stat("flights_copy", sess.sql("SELECT * FROM iws_ice.flights")))
+        .unionByName(stat("flights_migrated", migrated.read()))
+        .orderBy("mode")
+    )
+
+
+@register(
+    "q_sql_partition_evolution_script",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_2022,
+           CAST(9 AS BIGINT) AS n_total,
+           CAST(4 AS BIGINT) AS n_partitions
+    """,
+)
+def q_sql_partition_evolution_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:134-195 verbatim: ALTER TABLE ... SET PARTITION SPEC
+    (year, month) on the flights Iceberg table, then the 29-column
+    INSERT ... SELECT replay of 1995 as 2022 — old files stay under the
+    empty spec, new files land identity-partitioned, and SHOW
+    PARTITIONS lists both eras (1 unpartitioned + 3 new)."""
+    from pyspark.sql import functions as F
+
+    sess = _staging_session(spark, sf_dir, "sql_evolution")
+    sess.sql(
+        """CREATE EXTERNAL TABLE iws_ice.flights
+        STORED BY ICEBERG
+        STORED AS PARQUET
+        AS SELECT * FROM staging.flights_parquet"""
+    )
+    sess.sql("ALTER TABLE iws_ice.flights\nSET PARTITION SPEC (year, month)")
+    sess.sql(
+        """INSERT INTO iws_ice.flights
+SELECT
+  month,
+  dayofmonth,
+  dayofweek,
+  deptime,
+  crsdeptime,
+  arrtime,
+  crsarrtime,
+  uniquecarrier,
+  flightnum,
+  tailnum,
+  actualelapsedtime,
+  crselapsedtime,
+  airtime,
+  arrdelay,
+  depdelay,
+  origin,
+  dest,
+  distance,
+  taxiin,
+  taxiout,
+  cancelled,
+  cancellationcode,
+  diverted,
+  carrierdelay,
+  weatherdelay,
+  nasdelay,
+  securitydelay,
+  lateaircraftdelay,
+  2022
+FROM staging.flights_parquet
+WHERE year = 1995"""
+    )
+    n_2022 = sess.sql('SELECT * FROM iws_ice.flights WHERE year = 2022').agg(
+        F.count(F.lit(1)).alias("n_2022")
+    )
+    n_total = sess.sql("SELECT * FROM iws_ice.flights").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    n_parts = sess.sql("SHOW PARTITIONS iws_ice.flights").agg(
+        F.count(F.lit(1)).alias("n_partitions")
+    )
+    return n_2022.crossJoin(n_total).crossJoin(n_parts)
+
+
+@register(
+    "q_sql_transform_ctas_script",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_range,
+           CAST(1 AS BIGINT) AS n_point,
+           CAST(3 AS BIGINT) AS n_source_col
+    """,
+)
+def q_sql_transform_ctas_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:204-237 verbatim: CTAS with hidden transform
+    partitioning (PARTITIONED BY SPEC (year(ts))) and the three
+    time-derivative probe queries that Impala's plan shows pruning
+    for — range, point, and raw source-column predicates all answer
+    from the same hidden layout."""
+    from pyspark.sql import functions as F
+
+    sess = _staging_session(spark, sf_dir, "sql_transform_ctas")
+    sess.sql(
+        """CREATE TABLE iws_ice.flights_p
+PARTITIONED BY SPEC (year(ts))
+STORED AS ICEBERG
+AS SELECT *, cast(to_date(concat(cast(year AS STRING), "-", cast(month AS STRING), "-", cast(dayofmonth AS STRING))) AS TIMESTAMP) ts
+FROM staging.flights_parquet"""
+    )
+    n_range = sess.sql(
+        """SELECT count(*) AS n
+        FROM iws_ice.flights_p
+        WHERE ts BETWEEN "2008-01-01" AND "2008-12-31" """
+    ).select(F.col("n").alias("n_range"))
+    n_point = sess.sql(
+        """SELECT count(*) AS n
+        FROM iws_ice.flights_p
+        WHERE ts = "2008-01-01 00:00:00" """
+    ).select(F.col("n").alias("n_point"))
+    n_src = sess.sql(
+        """SELECT count(*) AS n
+        FROM iws_ice.flights_p
+        WHERE year = 2008"""
+    ).select(F.col("n").alias("n_source_col"))
+    return n_range.crossJoin(n_point).crossJoin(n_src)
 
 _AIRLINES = [
     ("02Q", "Titan Airways"),
@@ -349,6 +913,205 @@ def q_sql_insert_time_travel_stmt(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n_before = before.agg(F.count(F.lit(1)).alias("n_at_s1"))
     return n_before.crossJoin(current)
+
+
+@register(
+    "q_sql_hive_partitioning_script",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('order_date=2022-01-01', CAST(1 AS BIGINT)),
+      ('order_date=2022-01-02', 1),
+      ('order_date=2022-01-03', 1)
+    ) AS t(partition, n_pruned_rows)
+    ORDER BY partition
+    """,
+)
+def q_sql_hive_partitioning_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole of /root/reference/sql/hive_partitioning_examples.sql
+    run statement-by-statement through IceSqlSession, text verbatim:
+    hive-style PARTITIONED BY (appended partition column → identity
+    spec), static PARTITION(col="lit") insert, full-width insert,
+    dynamic PARTITION(col) insert-select, SHOW PARTITIONS, and the
+    final partition+timestamp pruned SELECT."""
+    from pyspark.sql import functions as F
+
+    sess = IceSqlSession(spark)
+    for stmt in [
+        "DROP DATABASE IF EXISTS hive_p CASCADE",
+        "CREATE DATABASE hive_p",
+        """CREATE EXTERNAL TABLE hive_p.orders (
+            order_id BIGINT,
+            customer_id BIGINT,
+            order_amount FLOAT,
+            order_ts TIMESTAMP
+        )
+        PARTITIONED BY (order_date DATE)
+        STORED AS PARQUET""",
+        """INSERT INTO hive_p.orders
+        PARTITION(order_date="2022-01-01")
+        VALUES (1, 1, 100.0, "2022-01-01 00:00:00")""",
+        """INSERT INTO hive_p.orders
+        VALUES (1, 1, 100.0, "2022-01-02 00:00:00", "2022-01-02")""",
+        "DROP TABLE IF EXISTS orders_tmp",
+        """CREATE TABLE orders_tmp (
+            order_id BIGINT,
+            customer_id BIGINT,
+            order_amount FLOAT,
+            order_ts TIMESTAMP
+        )""",
+        """INSERT INTO orders_tmp
+        VALUES (1, 1, 100.0, "2022-01-03 00:00:00")""",
+        """INSERT INTO hive_p.orders
+        PARTITION(order_date)
+        SELECT *, to_date(order_ts) FROM orders_tmp""",
+    ]:
+        sess.sql(stmt)
+    parts = sess.sql("SHOW PARTITIONS hive_p.orders")
+    pruned = sess.sql(
+        """SELECT * FROM hive_p.orders
+        WHERE order_ts BETWEEN "2022-01-01 00:00:00" AND "2022-01-01 18:00:00"
+        AND order_date = "2022-01-01" """
+    )
+    return parts.crossJoin(
+        pruned.agg(F.count(F.lit(1)).alias("n_pruned_rows"))
+    ).orderBy("partition")
+
+
+@register(
+    "q_sql_iceberg_partitioning_script",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('orders_ip', CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+      ('orders_tp', 3, 3),
+      ('orders_tp_pruned', 1, 1)
+    ) AS t(mode, n_rows, n_partitions)
+    ORDER BY mode
+    """,
+)
+def q_sql_iceberg_partitioning_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/root/reference/sql/iceberg_partitioning_examples.sql verbatim:
+    Iceberg identity partitioning (PARTITIONED BY + STORED BY ICEBERG),
+    hidden transform partitioning (PARTITIONED BY SPEC (DAYS(...))),
+    inserts by VALUES and SELECT, and the final time-range query that
+    Impala shows pruning for. The script's `staging.orders_tmp`
+    reference (its own naming of the tmp table) is honored by
+    registering the table under both names."""
+    from pyspark.sql import functions as F
+
+    sess = IceSqlSession(spark)
+    for stmt in [
+        "DROP DATABASE IF EXISTS ice_p CASCADE",
+        "CREATE DATABASE ice_p",
+        """CREATE EXTERNAL TABLE ice_p.orders_ip (
+            order_id BIGINT,
+            customer_id BIGINT,
+            order_amount FLOAT,
+            order_ts TIMESTAMP
+        )
+        PARTITIONED BY (order_date DATE)
+        STORED BY ICEBERG
+        STORED AS PARQUET""",
+        """INSERT INTO ice_p.orders_ip
+        VALUES (1, 1, 100.0, "2022-01-01 00:00:00", "2022-01-01"),
+               (1, 1, 100.0, "2022-01-02 00:00:00", "2022-01-02")""",
+        "DROP TABLE IF EXISTS orders_tmp",
+        """CREATE TABLE orders_tmp (
+            order_id BIGINT,
+            customer_id BIGINT,
+            order_amount FLOAT,
+            order_ts TIMESTAMP
+        )""",
+        """INSERT INTO orders_tmp
+        VALUES (1, 1, 100.0, "2022-01-03 00:00:00")""",
+        """INSERT INTO ice_p.orders_ip
+        SELECT *, to_date(order_ts) FROM orders_tmp""",
+        """CREATE EXTERNAL TABLE ice_p.orders_tp (
+            order_id BIGINT,
+            customer_id BIGINT,
+            order_amount FLOAT,
+            order_ts TIMESTAMP
+        )
+        PARTITIONED BY SPEC (DAYS(order_ts))
+        STORED BY ICEBERG
+        STORED AS PARQUET""",
+        """INSERT INTO ice_p.orders_tp
+        VALUES (1, 1, 100.0, "2022-01-01 00:00:00"),
+               (1, 1, 100.0, "2022-01-02 00:00:00")""",
+    ]:
+        sess.sql(stmt)
+    sess.register_table("staging.orders_tmp", sess.tables["orders_tmp"])
+    sess.sql("INSERT INTO ice_p.orders_tp\nSELECT * FROM staging.orders_tmp")
+
+    def stat(mode: str, df: DataFrame, parts: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(mode).alias("mode"), F.count(F.lit(1)).alias("n_rows")
+        ).crossJoin(parts.agg(F.count(F.lit(1)).alias("n_partitions")))
+
+    ip = stat(
+        "orders_ip",
+        sess.sql("SELECT * FROM ice_p.orders_ip"),
+        sess.sql("SHOW PARTITIONS ice_p.orders_ip"),
+    )
+    tp = stat(
+        "orders_tp",
+        sess.sql("SELECT * FROM ice_p.orders_tp"),
+        sess.sql("SHOW PARTITIONS ice_p.orders_tp"),
+    )
+    pruned = sess.sql(
+        """SELECT * FROM ice_p.orders_tp
+        WHERE order_ts BETWEEN "2022-01-01 00:00:00" AND "2022-01-01 18:00:00" """
+    )
+    tp_pruned = pruned.agg(
+        F.lit("orders_tp_pruned").alias("mode"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_partitions"),
+    )
+    return ip.unionByName(tp).unionByName(tp_pruned).orderBy("mode")
+
+
+@register(
+    "q_sql_expire_stmt",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_history_before,
+           CAST(1 AS BIGINT) AS n_history_after,
+           'ABC' AS code, 'Real Fake Airlines' AS description
+    """,
+)
+def q_sql_expire_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:313-381 verbatim: SET TBLPROPERTIES for metadata
+    retention, TRUNCATE, INSERT, read `.history`, then
+    `ALTER TABLE ... EXECUTE expire_snapshots("<ts>")` with the latest
+    snapshot's timestamp — all prior snapshots (and their orphaned
+    files) go; `.history` collapses to the surviving commit."""
+    from pyspark.sql import functions as F
+
+    sess, tbl = _airlines_session(spark, sf_dir, "sql_expire", "iws_ice.airlines")
+    sess.sql(
+        """ALTER TABLE iws_ice.airlines
+        SET TBLPROPERTIES(
+            "write.metadata.previous-versions-max"="1",
+            "write.metadata.delete-after-commit.enabled"="true")"""
+    )
+    time.sleep(0.005)
+    sess.sql("TRUNCATE TABLE iws_ice.airlines")
+    time.sleep(0.005)
+    sess.sql('INSERT INTO iws_ice.airlines\nVALUES("ABC", "Real Fake Airlines")')
+    before = sess.sql("SELECT * FROM iws_ice.airlines.history")
+    n_before = before.count()
+    latest_ms = tbl.meta.snapshot(tbl.meta.current_snapshot_id)["timestamp_ms"]
+    ts = datetime.fromtimestamp(latest_ms / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    sess.sql(f'ALTER TABLE iws_ice.airlines\nEXECUTE expire_snapshots("{ts}")')
+    after = sess.sql("SELECT * FROM iws_ice.airlines.history")
+    final = sess.sql("SELECT * FROM iws_ice.airlines")
+    return (
+        after.agg(
+            F.lit(n_before).cast("long").alias("n_history_before"),
+            F.count(F.lit(1)).alias("n_history_after"),
+        )
+        .crossJoin(final)
+    )
 
 
 @register(
