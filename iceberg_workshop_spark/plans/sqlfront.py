@@ -754,6 +754,34 @@ WHERE year = 1995"""
 
 
 @register(
+    "q_sql_call_maintenance_stmt",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:392-407 verbatim: the Spark-only maintenance
+    procedures `CALL catalog_name.system.rewrite_data_files('db.sample')`
+    and `CALL catalog_name.system.rewrite_manifests('db.sample')` —
+    compaction + manifest rewrite must leave answers untouched (exact
+    oracle over the source fixture) while reducing file count."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    tbl = IceTable.create_as(
+        spark, _fresh(sf_dir, "sql_call_maint"), nation.repartition(8)
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("db.sample", tbl)
+    files_before = len(tbl.meta.current_files())
+    sess.sql("CALL catalog_name.system.rewrite_data_files('db.sample')")
+    sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
+    assert len(tbl.meta.current_files()) <= files_before
+    return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
+
+
+@register(
     "q_sql_transform_ctas_script",
     oracle="""
     SELECT CAST(3 AS BIGINT) AS n_range,
