@@ -204,6 +204,61 @@ def _hive_partition_str(file_entry: dict) -> str:
     return "/".join(f"{k}={part[k]}" for k in sorted(part)) or "<unpartitioned>"
 
 
+_SIMPLE_SELECT_RE = re.compile(
+    r"SELECT\s+.+?\s+FROM\s+(?P<name>[\w.]+)\s+WHERE\s+(?P<cond>.+?)"
+    r"(?:\s+(?:ORDER|GROUP|LIMIT|HAVING)\b.*)?$",
+    re.I | re.S,
+)
+_LIT = r"(?:\"[^\"]*\"|'[^']*'|[\w.:-]+)"
+_BETWEEN_RE = re.compile(
+    rf"(?P<col>\w+)\s+BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})", re.I
+)
+_CMP_RE = re.compile(rf"^(?P<col>\w+)\s*(?P<op>=|<=|>=|<|>)\s*(?P<lit>{_LIT})$")
+
+
+def _coerce_lit(text: str):
+    text = text.strip()
+    if text and text[0] in "\"'":
+        return text[1:-1]
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return text
+
+
+def _preds_from_where(cond: str) -> list:
+    """Best-effort conversion of a WHERE clause into pruning Preds.
+
+    Only AND-combined `col op literal` / `col BETWEEN a AND b`
+    conjuncts convert; anything else (OR, functions, subqueries,
+    qualified refs) yields [] — pruning on a SUBSET of conjuncts is
+    sound (keeps a superset of files; the full WHERE still runs in
+    Spark for row-level exactness), but an OR makes any single
+    conjunct unsound to prune on, so bail entirely."""
+    from iceberg_workshop_spark.icetbl import Pred
+
+    if re.search(r"\bOR\b|\bNOT\b", cond, re.I):
+        return []
+    preds = []
+    rest = cond
+    for m in _BETWEEN_RE.finditer(cond):
+        preds.append(
+            Pred(m["col"], "between", (_coerce_lit(m["lo"]), _coerce_lit(m["hi"])))
+        )
+    rest = _BETWEEN_RE.sub(" 1=1 ", rest)
+    for conj in re.split(r"\bAND\b", rest, flags=re.I):
+        conj = conj.strip()
+        if conj in ("", "1=1"):
+            continue
+        if m := _CMP_RE.match(conj):
+            preds.append(Pred(m["col"], m["op"], _coerce_lit(m["lit"])))
+        # non-matching conjuncts are simply not pruned on
+    return preds
+
+
 class IceSqlSession:
     """Accepts the workshop's SQL text against registered IceTables.
 
@@ -287,11 +342,20 @@ class IceSqlSession:
                 return self.location_map[prefix] + loc[len(prefix):]
         return loc
 
-    def _rewrite(self, fragment: str) -> str:
+    def _rewrite(self, fragment: str, preregistered: set[str] | None = None) -> str:
         """Swap registered table/view names for temp views (tables get
         a view over their current snapshot; ``<table>.history`` etc.
-        get the matching metadata table)."""
+        get the matching metadata table). Names in ``preregistered``
+        are substituted without re-registering (a pruned scan view is
+        already bound)."""
         for name in sorted({**self.views, **dict.fromkeys(self.tables)}, key=len, reverse=True):
+            if preregistered and name in preregistered:
+                fragment = re.sub(
+                    r"(?<![\w.])" + re.escape(name) + r"(?![\w.])",
+                    _view_name(name),
+                    fragment,
+                )
+                continue
             if name in self.tables:
                 for suffix in _META_SUFFIXES:
                     pat = r"(?<![\w.])" + re.escape(f"{name}.{suffix}") + r"(?![\w.])"
@@ -521,7 +585,26 @@ class IceSqlSession:
             return vname
 
         s = _TT_RE.sub(tt_repl, s)
-        return self.spark.sql(self._rewrite(s))
+        # Single-table SELECT with a simple WHERE: bind the table view
+        # to a PRUNED scan (partition-transform + stats file pruning in
+        # the planner — the 1-of-N-files behavior the reference shows
+        # in Impala plans) instead of a full read. The original WHERE
+        # still runs in Spark, so answers are exact even when only a
+        # subset of conjuncts was prunable.
+        pruned: set[str] = set()
+        if m := _SIMPLE_SELECT_RE.match(s):
+            name = m["name"]
+            if name in self.tables:
+                preds = _preds_from_where(m["cond"])
+                if preds:
+                    try:
+                        df = self.tables[name].scan(preds)
+                    except Exception:  # noqa: BLE001 — pruning is an
+                        df = None  # optimization; never fail the query
+                    if df is not None:
+                        df.createOrReplaceTempView(_view_name(name))
+                        pruned.add(name)
+        return self.spark.sql(self._rewrite(s, preregistered=pruned))
 
 
 # ---------------------------------------------------------------- queries

@@ -75,3 +75,39 @@ def test_unregistered_table_raises(sess):
     s, _ = sess
     with pytest.raises(KeyError):
         s.sql("DELETE FROM nope.t WHERE 1=1")
+
+
+def test_simple_where_select_prunes_files(spark, tmp_path):
+    """A plain SQL SELECT with a partition predicate must reach the
+    planner as a pruned scan — 1 of N files, the reference's Impala
+    showcase — while answering exactly (full WHERE re-runs in Spark)."""
+    s = IceSqlSession(spark)
+    s.sql("CREATE DATABASE db2")
+    s.sql(
+        """CREATE EXTERNAL TABLE db2.orders (
+        order_id BIGINT, order_ts TIMESTAMP)
+        PARTITIONED BY (order_date DATE) STORED BY ICEBERG STORED AS PARQUET"""
+    )
+    for d in ("2022-01-01", "2022-01-02", "2022-01-03"):
+        s.sql(f'INSERT INTO db2.orders VALUES (1, "{d} 00:00:00", "{d}")')
+    tbl = s.tables["db2.orders"]
+    rows = s.sql(
+        'SELECT * FROM db2.orders WHERE order_date = "2022-01-02"'
+    ).collect()
+    assert len(rows) == 1 and str(rows[0].order_date) == "2022-01-02"
+    rep = tbl.last_scan_report
+    assert rep["files_scanned"] == 1 and rep["files_total"] == 3
+
+
+def test_unprunable_where_still_answers(spark, tmp_path):
+    """OR / function conjuncts bail out of pruning but the query must
+    still answer correctly from the full read."""
+    s = IceSqlSession(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    s.register_table("db3.t", IceTable.create_as(spark, str(tmp_path / "t3"), df))
+    rows = s.sql(
+        "SELECT * FROM db3.t WHERE id = 1 OR upper(name) = 'B' ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows] == [1, 2]
