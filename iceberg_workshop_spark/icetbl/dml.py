@@ -240,3 +240,46 @@ def delete_where_mor(
 
 
 IceTable.delete_where_mor = delete_where_mor
+
+
+def insert_overwrite(tbl: IceTable, df: DataFrame) -> dict[str, int]:
+    """INSERT OVERWRITE with Iceberg's *dynamic* partition-overwrite
+    semantics (the A8 partition-insert family,
+    `sql/hive_partitioning_examples.sql:21-41`): only partitions
+    present in the incoming data are replaced; every other partition's
+    files carry into the new snapshot by identity. An unpartitioned
+    table (empty current spec) is replaced whole.
+
+    Replacement is by partition-tuple equality under the file's own
+    spec, so files written under earlier specs (different keys) never
+    match a current-spec incoming tuple and survive — consistent with
+    the per-era read/prune machinery.
+
+    At 100 TB: the commit rewrites exactly the touched partitions'
+    worth of data and zero bytes of any other partition; the metadata
+    swap is O(files), not O(rows).
+    """
+    spec_id = tbl.meta.current_spec_id
+    spec = tbl.meta.specs[spec_id]
+    current = tbl.meta.current_files()
+    new_files = tbl._write_files(df, spec, spec_id)
+    if not spec:
+        kept = []
+    else:
+        incoming = {
+            tuple(sorted((f.get("partition") or {}).items())) for f in new_files
+        }
+        kept = [
+            f
+            for f in current
+            if tuple(sorted((f.get("partition") or {}).items())) not in incoming
+        ]
+    tbl._commit_snapshot(kept + new_files, "overwrite")
+    return {
+        "files_total": len(current),
+        "files_replaced": len(current) - len(kept),
+        "files_added": len(new_files),
+    }
+
+
+IceTable.insert_overwrite = insert_overwrite

@@ -71,12 +71,17 @@ _CREATE_TABLE_RE = re.compile(
     re.I | re.S,
 )
 _INSERT_RE = re.compile(
-    r"INSERT\s+INTO\s+(?P<target>[\w.]+)"
+    r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<target>[\w.]+)"
     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s+"
     r"(?P<rest>(?:VALUES|SELECT)\b.+)$",
     re.I | re.S,
 )
 _SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+(?P<target>[\w.]+)$", re.I)
+_UPDATE_RE = re.compile(
+    r"UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.I | re.S,
+)
 _SET_SPEC_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+SET\s+PARTITION\s+SPEC\s*"
     r"\((?P<spec>.+)\)$",
@@ -309,6 +314,15 @@ class IceSqlSession:
         if m := _TRUNCATE_RE.match(s):
             self._table(m["target"]).truncate()
             return None
+        if m := _UPDATE_RE.match(s):
+            assignments = {}
+            for assign in _split_top_commas(m["set"]):
+                k, v = assign.split("=", 1)
+                assignments[k.strip()] = self._rewrite(v.strip())
+            self._table(m["target"]).update_where(
+                self._rewrite(m["cond"]) if m["cond"] else "true", assignments
+            )
+            return None
         if m := _CREATE_DB_RE.match(s):
             self.databases.add(m["db"])
             return None
@@ -476,7 +490,10 @@ class IceSqlSession:
                 for c, f in zip(cols, schema.fields)
             ]
         )
-        tbl.append(src)
+        if m["mode"].upper() == "OVERWRITE":
+            tbl.insert_overwrite(src)
+        else:
+            tbl.append(src)
         return None
 
     def _create_table(self, m: re.Match) -> None:
@@ -834,6 +851,62 @@ WHERE year = 1995"""
         F.count(F.lit(1)).alias("n_partitions")
     )
     return n_2022.crossJoin(n_total).crossJoin(n_parts)
+
+
+@register(
+    "q_sql_insert_overwrite_stmt",
+    oracle="""
+    SELECT o_orderkey, yr, o_orderpriority FROM (
+      SELECT o_orderkey, year(o_orderdate) AS yr, o_orderpriority
+      FROM orders WHERE year(o_orderdate) <> 1995
+      UNION ALL
+      SELECT o_orderkey, 1995 AS yr, 'REPLAY' AS o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+    ) ORDER BY o_orderkey
+    """,
+)
+def q_sql_insert_overwrite_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE as SQL text with Iceberg *dynamic* overwrite
+    semantics on the versioned table layer (A8 partition-insert family,
+    `sql/hive_partitioning_examples.sql:21-41`): only the yr=1995
+    partition — the one present in the incoming SELECT — is replaced;
+    all other year partitions carry into the new snapshot by identity
+    (file-count asserted). The prior state stays time-travelable."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        "o_orderpriority",
+        "o_orderdate",
+    )
+    tbl = IceTable.create_as(
+        spark,
+        _fresh(sf_dir, "sql_insert_overwrite"),
+        orders.drop("o_orderdate"),
+        partition_spec=[spec_field("yr", "identity")],
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("iws_ice.orders_by_yr", tbl)
+    orders.createOrReplaceTempView("orders_src")
+    n_parts_before = len(
+        {_hive_partition_str(f) for f in tbl.meta.current_files()}
+    )
+    sess.sql(
+        """INSERT OVERWRITE iws_ice.orders_by_yr
+        SELECT o_orderkey, 1995, 'REPLAY'
+        FROM orders_src WHERE year(o_orderdate) = 1995"""
+    )
+    n_parts_after = len(
+        {_hive_partition_str(f) for f in tbl.meta.current_files()}
+    )
+    assert n_parts_after == n_parts_before  # only yr=1995 replaced
+    return sess.sql(
+        "SELECT * FROM iws_ice.orders_by_yr ORDER BY o_orderkey"
+    ).select("o_orderkey", "yr", "o_orderpriority")
 
 
 @register(

@@ -111,3 +111,10 @@ def test_unprunable_where_still_answers(spark, tmp_path):
         "SELECT * FROM db3.t WHERE id = 1 OR upper(name) = 'B' ORDER BY id"
     ).collect()
     assert [r.id for r in rows] == [1, 2]
+
+
+def test_update_statement(sess):
+    s, tbl = sess
+    s.sql("UPDATE db.t SET name = 'Z' WHERE id >= 2")
+    got = {(r.id, r.name) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "Z"), (3, "Z")}
