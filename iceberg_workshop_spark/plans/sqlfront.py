@@ -298,8 +298,14 @@ class IceSqlSession:
         if m := _MERGE_RE.match(s):
             return self._merge(m)
         if m := _DELETE_RE.match(s):
+            # Prune candidate files on the WHERE's simple conjuncts —
+            # each is implied by the full condition, so a pruned-out
+            # file cannot hold a matching row (the rewrite itself still
+            # applies the full condition).
             tbl = self._table(m["target"])
-            tbl.delete_where(self._rewrite(m["cond"]))
+            tbl.delete_where(
+                self._rewrite(m["cond"]), prune=_preds_from_where(m["cond"])
+            )
             return None
         if m := _ROLLBACK_RE.match(s):
             return self._rollback(m)
@@ -320,7 +326,9 @@ class IceSqlSession:
                 k, v = assign.split("=", 1)
                 assignments[k.strip()] = self._rewrite(v.strip())
             self._table(m["target"]).update_where(
-                self._rewrite(m["cond"]) if m["cond"] else "true", assignments
+                self._rewrite(m["cond"]) if m["cond"] else "true",
+                assignments,
+                prune=_preds_from_where(m["cond"]) if m["cond"] else None,
             )
             return None
         if m := _CREATE_DB_RE.match(s):

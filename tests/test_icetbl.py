@@ -312,3 +312,18 @@ def test_expire_keeps_live_equality_delete_files(spark, tmp_table_dir):
     # the delete must still apply after history expiration
     assert t.read().count() == 90
     assert t.read().filter("k >= 90").count() == 0
+
+
+def test_sort_compaction_produces_disjoint_file_ranges(spark, tmp_table_dir):
+    """`rewrite_data_files(sort_by=...)` must leave per-file value
+    ranges (manifest lower/upper bounds) pairwise disjoint — the
+    physical property that makes post-compaction stats pruning
+    O(matching range) instead of O(table)."""
+    ev = load(spark, SF_DIR, "events").select("event_id", "value")
+    t = IceTable.create_as(spark, tmp_table_dir, ev.repartition(8))
+    t.rewrite_data_files(target_num_files=6, sort_by=["value"])
+    files = t.meta.current_files()
+    assert len(files) > 1
+    bounds = sorted(tuple(f["bounds"]["value"]) for f in files)
+    for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2

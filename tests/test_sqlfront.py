@@ -118,3 +118,27 @@ def test_update_statement(sess):
     s.sql("UPDATE db.t SET name = 'Z' WHERE id >= 2")
     got = {(r.id, r.name) for r in tbl.read().collect()}
     assert got == {(1, "a"), (2, "Z"), (3, "Z")}
+
+
+def test_delete_where_prunes_candidates(spark):
+    """A partition-predicate DELETE must discover candidates from the
+    pruned file set (files_total counts all, but only the matching
+    partition's file rewrites and the others carry by identity)."""
+    s = IceSqlSession(spark)
+    s.sql("CREATE DATABASE db4")
+    s.sql(
+        """CREATE EXTERNAL TABLE db4.t (id BIGINT)
+        PARTITIONED BY (d DATE) STORED BY ICEBERG STORED AS PARQUET"""
+    )
+    for i, d in enumerate(("2022-01-01", "2022-01-02", "2022-01-03")):
+        s.sql(f'INSERT INTO db4.t VALUES ({i}, "{d}")')
+    s.sql('DELETE FROM db4.t WHERE d = "2022-01-02"')
+    tbl = s.tables["db4.t"]
+    assert sorted(str(r.d) for r in tbl.read().collect()) == [
+        "2022-01-01",
+        "2022-01-03",
+    ]
+    # the two surviving partitions' files must be the ORIGINAL file
+    # objects (carried by identity, never rewritten)
+    parts = {f["partition"]["d"] for f in tbl.meta.current_files()}
+    assert parts == {"2022-01-01", "2022-01-03"}
