@@ -70,6 +70,12 @@ def transform_value(transform: str, v: Any) -> Any:
     (table._transform_expr). Sortable-string encodings make range
     pruning a plain string comparison."""
     if transform == "identity":
+        # Numeric literals stay numeric so the caller compares
+        # numerically against the (parsed) partition value —
+        # "2" > "10" lexicographically, so a string comparison on an
+        # int-partitioned column both over- and under-prunes.
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return v
         return _part_str(v)
     if isinstance(v, str):
         v = datetime.fromisoformat(v)
@@ -121,10 +127,18 @@ def file_survives_partition(
         try:
             tlo = None if lo is None else transform_value(transform, lo)
             thi = None if hi is None else transform_value(transform, hi)
-            # numeric transforms return ints; the stored partition
-            # value is a directory string — coerce so the comparison
-            # is numeric, not lexicographic
-            pvc = int(pv) if isinstance(tlo or thi, int) else pv
+            # numeric transforms/literals return int/float; the stored
+            # partition value is a directory string — coerce so the
+            # comparison is numeric, not lexicographic
+            ref = tlo if tlo is not None else thi
+            if isinstance(ref, bool):
+                pvc = pv
+            elif isinstance(ref, int):
+                pvc = int(pv)
+            elif isinstance(ref, float):
+                pvc = float(pv)
+            else:
+                pvc = pv
             if tlo is not None and pvc < tlo:
                 return False
             if thi is not None and pvc > thi:
@@ -149,11 +163,14 @@ def file_survives_bounds(
         b = bounds.get(col)
         if not b or b[0] is None or b[1] is None:
             continue
-        fmin, fmax = _parse(b[0], lo or hi), _parse(b[1], lo or hi)
-        if lo is not None and fmax < _coerce(lo):
-            return False
-        if hi is not None and fmin > _coerce(hi):
-            return False
+        try:
+            fmin, fmax = _parse(b[0], lo or hi), _parse(b[1], lo or hi)
+            if lo is not None and fmax < _coerce(lo):
+                return False
+            if hi is not None and fmin > _coerce(hi):
+                return False
+        except TypeError:
+            continue  # incomparable literal/bounds types → keep the file
     return True
 
 

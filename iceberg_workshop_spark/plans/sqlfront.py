@@ -148,6 +148,23 @@ def _view_name(name: str) -> str:
     return name.replace(".", "__")
 
 
+_QUOTED_SPAN = re.compile(r"\"[^\"]*\"|'[^']*'")
+
+
+def _sub_outside_quotes(pattern: str, repl: str, text: str) -> str:
+    """re.sub that leaves quoted string literals untouched — a table
+    name appearing as a VALUE ('SELECT ... WHERE src = ''db.t''') must
+    not be rewritten to its view name."""
+    parts: list[str] = []
+    last = 0
+    for m in _QUOTED_SPAN.finditer(text):
+        parts.append(re.sub(pattern, repl, text[last : m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(re.sub(pattern, repl, text[last:]))
+    return "".join(parts)
+
+
 def _take_parens(text: str) -> tuple[str, str]:
     """Split '(...)...' into (inner, rest) at the balanced close."""
     assert text[0] == "("
@@ -221,17 +238,37 @@ _BETWEEN_RE = re.compile(
 _CMP_RE = re.compile(rf"^(?P<col>\w+)\s*(?P<op>=|<=|>=|<|>)\s*(?P<lit>{_LIT})$")
 
 
+_NOT_A_LITERAL = object()
+_TS_LIT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?$")
+_DATE_LIT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def _coerce_lit(text: str):
+    """SQL literal → comparable Python value.
+
+    Quoted strings that look like timestamps/dates become datetime/date
+    objects so pruning compares in the same domain the write side used
+    (identity partition dirs use the space-separated second form, stats
+    bounds the ISO 'T' form — a raw string can't match both). A bare
+    unquoted word is an IDENTIFIER, not a literal (`origin = dest` is a
+    column comparison) — returning it as a string would both mis-prune
+    and mis-filter, so it maps to the _NOT_A_LITERAL sentinel and the
+    caller drops the conjunct."""
     text = text.strip()
     if text and text[0] in "\"'":
-        return text[1:-1]
+        s = text[1:-1]
+        if _TS_LIT_RE.match(s):
+            return datetime.fromisoformat(s.replace(" ", "T"))
+        if _DATE_LIT_RE.match(s):
+            return datetime.fromisoformat(s).date()
+        return s
     try:
         return int(text)
     except ValueError:
         try:
             return float(text)
         except ValueError:
-            return text
+            return _NOT_A_LITERAL
 
 
 def _preds_from_where(cond: str) -> list:
@@ -239,10 +276,10 @@ def _preds_from_where(cond: str) -> list:
 
     Only AND-combined `col op literal` / `col BETWEEN a AND b`
     conjuncts convert; anything else (OR, functions, subqueries,
-    qualified refs) yields [] — pruning on a SUBSET of conjuncts is
-    sound (keeps a superset of files; the full WHERE still runs in
-    Spark for row-level exactness), but an OR makes any single
-    conjunct unsound to prune on, so bail entirely."""
+    qualified or column-to-column refs) is skipped — pruning on a
+    SUBSET of conjuncts is sound (keeps a superset of files; the full
+    WHERE still runs in Spark for row-level exactness), but an OR
+    makes any single conjunct unsound to prune on, so bail entirely."""
     from iceberg_workshop_spark.icetbl import Pred
 
     if re.search(r"\bOR\b|\bNOT\b", cond, re.I):
@@ -250,16 +287,18 @@ def _preds_from_where(cond: str) -> list:
     preds = []
     rest = cond
     for m in _BETWEEN_RE.finditer(cond):
-        preds.append(
-            Pred(m["col"], "between", (_coerce_lit(m["lo"]), _coerce_lit(m["hi"])))
-        )
+        lo, hi = _coerce_lit(m["lo"]), _coerce_lit(m["hi"])
+        if _NOT_A_LITERAL not in (lo, hi):
+            preds.append(Pred(m["col"], "between", (lo, hi)))
     rest = _BETWEEN_RE.sub(" 1=1 ", rest)
     for conj in re.split(r"\bAND\b", rest, flags=re.I):
         conj = conj.strip()
         if conj in ("", "1=1"):
             continue
         if m := _CMP_RE.match(conj):
-            preds.append(Pred(m["col"], m["op"], _coerce_lit(m["lit"])))
+            lit = _coerce_lit(m["lit"])
+            if lit is not _NOT_A_LITERAL:
+                preds.append(Pred(m["col"], m["op"], lit))
         # non-matching conjuncts are simply not pruned on
     return preds
 
@@ -304,7 +343,7 @@ class IceSqlSession:
             # applies the full condition).
             tbl = self._table(m["target"])
             tbl.delete_where(
-                self._rewrite(m["cond"]), prune=_preds_from_where(m["cond"])
+                self._rewrite(m["cond"]), prune=self._safe_preds(tbl, m["cond"])
             )
             return None
         if m := _ROLLBACK_RE.match(s):
@@ -325,10 +364,11 @@ class IceSqlSession:
             for assign in _split_top_commas(m["set"]):
                 k, v = assign.split("=", 1)
                 assignments[k.strip()] = self._rewrite(v.strip())
-            self._table(m["target"]).update_where(
+            tbl = self._table(m["target"])
+            tbl.update_where(
                 self._rewrite(m["cond"]) if m["cond"] else "true",
                 assignments,
-                prune=_preds_from_where(m["cond"]) if m["cond"] else None,
+                prune=self._safe_preds(tbl, m["cond"]) if m["cond"] else None,
             )
             return None
         if m := _CREATE_DB_RE.match(s):
@@ -336,8 +376,11 @@ class IceSqlSession:
             return None
         if m := _DROP_DB_RE.match(s):
             self.databases.discard(m["db"])
-            for name in [n for n in self.tables if n.startswith(m["db"] + ".")]:
+            prefix = m["db"] + "."
+            for name in [n for n in self.tables if n.startswith(prefix)]:
                 del self.tables[name]
+            for name in [n for n in self.views if n.startswith(prefix)]:
+                del self.views[name]
             return None
         if m := _DROP_TABLE_RE.match(s):
             self.tables.pop(m["target"], None)
@@ -358,6 +401,24 @@ class IceSqlSession:
             raise KeyError(f"not a registered ice table: {name}")
         return self.tables[name]
 
+    def _safe_preds(self, tbl: IceTable, cond: str) -> list | None:
+        """Pruning predicates for a WHERE clause, pre-validated against
+        the table's actual metadata: a literal whose type can't be
+        compared to this table's partition values / bounds must degrade
+        to 'no pruning', never crash the statement (pruning is an
+        optimization; DML correctness can't ride on it)."""
+        from iceberg_workshop_spark.icetbl.pruning import prune_files
+
+        preds = _preds_from_where(cond)
+        if not preds:
+            return None
+        try:
+            spec_by_id = {i: s for i, s in enumerate(tbl.meta.specs)}
+            prune_files(tbl.meta.current_files(), spec_by_id, preds)
+        except Exception:  # noqa: BLE001 — un-prunable literal types
+            return None
+        return preds
+
     def _resolve_location(self, loc: str) -> str:
         for prefix in sorted(self.location_map, key=len, reverse=True):
             if loc.startswith(prefix):
@@ -371,8 +432,11 @@ class IceSqlSession:
         are substituted without re-registering (a pruned scan view is
         already bound)."""
         for name in sorted({**self.views, **dict.fromkeys(self.tables)}, key=len, reverse=True):
+            # Presence checks and substitution both ignore quoted
+            # string literals — a table name used as a VALUE is data.
+            stripped = _QUOTED_SPAN.sub("''", fragment)
             if preregistered and name in preregistered:
-                fragment = re.sub(
+                fragment = _sub_outside_quotes(
                     r"(?<![\w.])" + re.escape(name) + r"(?![\w.])",
                     _view_name(name),
                     fragment,
@@ -381,42 +445,60 @@ class IceSqlSession:
             if name in self.tables:
                 for suffix in _META_SUFFIXES:
                     pat = r"(?<![\w.])" + re.escape(f"{name}.{suffix}") + r"(?![\w.])"
-                    if not re.search(pat, fragment):
+                    if not re.search(pat, stripped):
                         continue
                     vname = _view_name(name) + f"__{suffix}"
                     self._meta_df(self.tables[name], suffix).createOrReplaceTempView(
                         vname
                     )
-                    fragment = re.sub(pat, vname, fragment)
+                    fragment = _sub_outside_quotes(pat, vname, fragment)
+                    stripped = _QUOTED_SPAN.sub("''", fragment)
             pat = r"(?<![\w.])" + re.escape(name) + r"(?![\w.])"
-            if not re.search(pat, fragment):
+            if not re.search(pat, stripped):
                 continue
             vname = _view_name(name)
             df = self.views[name] if name in self.views else self.tables[name].read()
             df.createOrReplaceTempView(vname)
-            fragment = re.sub(pat, vname, fragment)
+            fragment = _sub_outside_quotes(pat, vname, fragment)
         return fragment
 
     def _meta_df(self, tbl: IceTable, suffix: str) -> DataFrame:
+        # Explicit schemas everywhere: a fresh or truncated table has
+        # zero files/snapshots, and createDataFrame cannot infer a
+        # schema from an empty list — metadata reads must return empty
+        # results, not crash.
         if suffix == "history":
             return tbl.history()
         if suffix == "snapshots":
-            return self.spark.createDataFrame(tbl.snapshots_info())
+            return self.spark.createDataFrame(
+                [
+                    (s["snapshot_id"], s["parent_id"], s["timestamp_ms"],
+                     s["operation"], s["n_files"], s["n_records"])
+                    for s in tbl.snapshots_info()
+                ],
+                "snapshot_id long, parent_id long, timestamp_ms long, "
+                "operation string, n_files long, n_records long",
+            )
         if suffix == "refs":
             rows = [
-                {"name": k, **v} for k, v in sorted(tbl.meta.refs.items())
-            ] or [{"name": "main", "kind": "branch", "snapshot_id": tbl.meta.current_snapshot_id}]
-            return self.spark.createDataFrame(rows)
+                (k, v.get("kind"), v.get("snapshot_id"))
+                for k, v in sorted(tbl.meta.refs.items())
+            ] or [("main", "branch", tbl.meta.current_snapshot_id)]
+            return self.spark.createDataFrame(
+                rows, "name string, kind string, snapshot_id long"
+            )
         if suffix == "files":
             return self.spark.createDataFrame(
                 [
-                    {"path": f["path"], "record_count": f.get("record_count")}
+                    (f["path"], f.get("record_count"))
                     for f in tbl.meta.current_files()
-                ]
+                ],
+                "path string, record_count long",
             )
         # partitions
         return self.spark.createDataFrame(
-            [{"partition": _hive_partition_str(f)} for f in tbl.meta.current_files()]
+            [(_hive_partition_str(f),) for f in tbl.meta.current_files()],
+            "partition string",
         ).distinct()
 
     # -- statement handlers -------------------------------------------
@@ -429,7 +511,16 @@ class IceSqlSession:
 
         on_pairs: list[tuple[str, str]] = []  # (target_col, source_col)
         for conj in re.split(r"\s+AND\s+", m["on"], flags=re.I):
-            left, right = (x.strip() for x in conj.split("="))
+            sides = [x.strip() for x in conj.split("=")]
+            if len(sides) != 2 or not all(
+                re.fullmatch(r"[\w.]+", x) for x in sides
+            ):
+                # Catch >=/<=/expressions up front — splitting them on
+                # '=' would fabricate garbage join columns.
+                raise ValueError(
+                    f"MERGE ON supports only equi-join column conjuncts, got: {conj!r}"
+                )
+            left, right = sides
 
             def split_side(x: str) -> tuple[str | None, str]:
                 return tuple(x.rsplit(".", 1)) if "." in x else (None, x)  # type: ignore[return-value]
@@ -619,8 +710,11 @@ class IceSqlSession:
         pruned: set[str] = set()
         if m := _SIMPLE_SELECT_RE.match(s):
             name = m["name"]
-            if name in self.tables:
-                preds = _preds_from_where(m["cond"])
+            if name in self.tables and not self._has_mor_deletes(self.tables[name]):
+                # scan() reads data files only — a snapshot carrying
+                # merge-on-read delete files must go through read()
+                # (which anti-joins them) or deleted rows resurrect.
+                preds = self._safe_preds(self.tables[name], m["cond"])
                 if preds:
                     try:
                         df = self.tables[name].scan(preds)
@@ -630,6 +724,13 @@ class IceSqlSession:
                         df.createOrReplaceTempView(_view_name(name))
                         pruned.add(name)
         return self.spark.sql(self._rewrite(s, preregistered=pruned))
+
+    @staticmethod
+    def _has_mor_deletes(tbl: IceTable) -> bool:
+        sid = tbl.meta.current_snapshot_id
+        if sid is None:
+            return False
+        return bool(tbl.meta.snapshot(sid).get("delete_files"))
 
 
 # ---------------------------------------------------------------- queries

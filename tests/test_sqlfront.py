@@ -142,3 +142,109 @@ def test_delete_where_prunes_candidates(spark):
     # objects (carried by identity, never rewritten)
     parts = {f["partition"]["d"] for f in tbl.meta.current_files()}
     assert parts == {"2022-01-01", "2022-01-03"}
+
+
+# -- review-fix regressions -------------------------------------------
+
+
+def test_column_to_column_predicate_not_treated_as_literal(spark, tmp_path):
+    """`WHERE a = b` compares two columns; it must neither prune files
+    on the bogus literal 'b' nor filter rows against it."""
+    from iceberg_workshop_spark.icetbl import IceTable, spec_field
+
+    df = spark.createDataFrame(
+        [("JFK", "JFK"), ("JFK", "LAX"), ("LAX", "LAX")], "origin string, dest string"
+    )
+    s = IceSqlSession(spark)
+    s.register_table(
+        "db.r",
+        IceTable.create_as(
+            spark, str(tmp_path / "r"), df,
+            partition_spec=[spec_field("origin", "identity")],
+        ),
+    )
+    rows = s.sql("SELECT * FROM db.r WHERE origin = dest").collect()
+    assert len(rows) == 2
+
+
+def test_numeric_identity_partition_range_prunes_numerically(spark, tmp_path):
+    """month <= 10 on an int-partitioned table must keep months 2 and 9
+    ('2' > '10' lexicographically — the bug was string comparison)."""
+    from iceberg_workshop_spark.icetbl import IceTable, spec_field
+
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate([1, 2, 9, 10, 11])], "id int, month int"
+    )
+    s = IceSqlSession(spark)
+    tbl = IceTable.create_as(
+        spark, str(tmp_path / "m"), df.repartition("month"),
+        partition_spec=[spec_field("month", "identity")],
+    )
+    s.register_table("db.m", tbl)
+    months = sorted(r.month for r in s.sql("SELECT * FROM db.m WHERE month <= 10").collect())
+    assert months == [1, 2, 9, 10]
+    s.sql("DELETE FROM db.m WHERE month >= 2")
+    assert sorted(r.month for r in tbl.read().collect()) == [1]
+
+
+def test_quoted_numeric_literal_on_int_column_does_not_crash_dml(spark, tmp_path):
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    df = spark.range(10).selectExpr("id", "cast(id as string) v")
+    s = IceSqlSession(spark)
+    tbl = IceTable.create_as(spark, str(tmp_path / "q"), df.repartitionByRange(3, "id"))
+    s.register_table("db.q", tbl)
+    s.sql('DELETE FROM db.q WHERE id = "5"')
+    assert tbl.read().count() == 9
+
+
+def test_metadata_views_on_empty_table(spark, tmp_path):
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    s = IceSqlSession(spark)
+    t = IceTable.create(spark, str(tmp_path / "e"), "a int")
+    s.register_table("db.e", t)
+    assert s.sql("SELECT * FROM db.e.files").count() == 0
+    assert s.sql("SELECT * FROM db.e.partitions").count() == 0
+    # a never-written table has no snapshots — must be empty, not crash
+    assert s.sql("SELECT * FROM db.e.snapshots").count() == 0
+
+
+def test_pruned_select_respects_mor_deletes(spark, tmp_path):
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    df = spark.range(100).selectExpr("id as k", "cast(id as string) v")
+    s = IceSqlSession(spark)
+    tbl = IceTable.create_as(spark, str(tmp_path / "mor"), df)
+    s.register_table("db.mor", tbl)
+    tbl.delete_where_mor("k >= 90", keys=["k"])
+    rows = s.sql("SELECT * FROM db.mor WHERE k >= 80").collect()
+    assert sorted(r.k for r in rows) == list(range(80, 90))
+
+
+def test_merge_non_equi_on_raises(sess, spark):
+    s, _ = sess
+    src = spark.createDataFrame([(2, "B")], "id int, name string")
+    s.register_view("staging.s2", src)
+    with pytest.raises(ValueError, match="equi-join"):
+        s.sql(
+            """MERGE INTO db.t AS target
+            USING (SELECT * FROM staging.s2) AS source
+            ON id = source.id AND name >= source.name
+            WHEN MATCHED THEN UPDATE SET name=source.name
+            WHEN NOT MATCHED THEN INSERT VALUES (source.id, source.name)"""
+        )
+
+
+def test_drop_database_cascade_removes_views(spark):
+    s = IceSqlSession(spark)
+    s.register_view("staging.v", spark.range(3).toDF("id"))
+    s.sql("DROP DATABASE IF EXISTS staging CASCADE")
+    with pytest.raises(Exception):
+        s.sql("SELECT * FROM staging.v").collect()
+
+
+def test_rewrite_leaves_string_literals_alone(sess, spark):
+    s, tbl = sess
+    rows = s.sql("SELECT * FROM db.t WHERE name <> 'db.t'").collect()
+    assert len(rows) == 3  # literal 'db.t' must NOT become 'db__t'
