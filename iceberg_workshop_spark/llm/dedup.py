@@ -778,21 +778,22 @@ def q_llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     set rides an anti-join (left_anti), so the corpus is never
     materialized on fewer machines than it lives on."""
     clusters = QUERIES["q_llm_dedup_clusters"](spark, sf_dir)
-    # The drop set is consumed twice (counted, then anti-joined);
-    # persist it so the shingle→pair→CC pipeline upstream runs once,
-    # not once per consumer.
-    dropped = (
-        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
-        .persist()
+    # One action total: instead of counting the drop set separately
+    # (an extra job re-reading the CC output) and anti-joining, flag
+    # docs by a broadcast LEFT join and fold kept/dropped counts into
+    # the same aggregate — doc_id is unique in documents and the drop
+    # set is distinct, so count(flag) == |drop set|.
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("__dropped")
     )
     docs = load(spark, sf_dir, "documents")
-    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
-    n_dropped = dropped.count()
-    return kept.agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.lit(n_dropped).cast("long").alias("n_dropped"),
-        F.sum("n_chars").alias("kept_chars"),
+    flagged = docs.join(F.broadcast(dropped), "doc_id", "left")
+    return flagged.agg(
+        F.count(F.when(F.col("__dropped").isNull(), 1)).alias("n_kept"),
+        F.count("__dropped").alias("n_dropped"),
+        F.sum(F.when(F.col("__dropped").isNull(), F.col("n_chars"))).alias(
+            "kept_chars"
+        ),
     )
 
 
