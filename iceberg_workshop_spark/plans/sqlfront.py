@@ -66,7 +66,7 @@ _DROP_TABLE_RE = re.compile(
     r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<target>[\w.]+)$", re.I
 )
 _CREATE_TABLE_RE = re.compile(
-    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<target>[\w.]+)\s*(?P<body>.*)$",
     re.I | re.S,
 )
@@ -78,8 +78,10 @@ _INSERT_RE = re.compile(
 )
 _SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+(?P<target>[\w.]+)$", re.I)
 _UPDATE_RE = re.compile(
-    r"UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<set>.+?)"
-    r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    # SET/WHERE are split quote-aware in the dispatcher (_mask_quotes)
+    # — a lazy regex group would split at a WHERE inside a string
+    # literal (SET note = 'x WHERE y').
+    r"UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<rest>.+)$",
     re.I | re.S,
 )
 _SET_SPEC_RE = re.compile(
@@ -149,6 +151,12 @@ def _view_name(name: str) -> str:
 
 
 _QUOTED_SPAN = re.compile(r"\"[^\"]*\"|'[^']*'")
+
+
+def _mask_quotes(text: str) -> str:
+    """Length-preserving blank-out of quoted spans, so keyword searches
+    on the mask yield positions valid in the original text."""
+    return _QUOTED_SPAN.sub(lambda m: " " * len(m.group(0)), text)
 
 
 def _sub_outside_quotes(pattern: str, repl: str, text: str) -> str:
@@ -360,15 +368,19 @@ class IceSqlSession:
             self._table(m["target"]).truncate()
             return None
         if m := _UPDATE_RE.match(s):
+            rest = m["rest"]
+            wm = re.search(r"\sWHERE\s", _mask_quotes(rest), re.I)
+            set_text = rest[: wm.start()] if wm else rest
+            cond = rest[wm.end():].strip() if wm else None
             assignments = {}
-            for assign in _split_top_commas(m["set"]):
+            for assign in _split_top_commas(set_text):
                 k, v = assign.split("=", 1)
                 assignments[k.strip()] = self._rewrite(v.strip())
             tbl = self._table(m["target"])
             tbl.update_where(
-                self._rewrite(m["cond"]) if m["cond"] else "true",
+                self._rewrite(cond) if cond else "true",
                 assignments,
-                prune=self._safe_preds(tbl, m["cond"]) if m["cond"] else None,
+                prune=self._safe_preds(tbl, cond) if cond else None,
             )
             return None
         if m := _CREATE_DB_RE.match(s):
@@ -480,8 +492,10 @@ class IceSqlSession:
                 "operation string, n_files long, n_records long",
             )
         if suffix == "refs":
+            # Refs are stored as {"snapshot_id": ..., "type": kind}
+            # (table.py tag/branch writers) — read the stored key.
             rows = [
-                (k, v.get("kind"), v.get("snapshot_id"))
+                (k, v.get("type"), v.get("snapshot_id"))
                 for k, v in sorted(tbl.meta.refs.items())
             ] or [("main", "branch", tbl.meta.current_snapshot_id)]
             return self.spark.createDataFrame(
@@ -545,6 +559,12 @@ class IceSqlSession:
             f"SELECT {upd_proj} FROM {talias} JOIN {salias} ON {on_sql}"
         )
         vals = _split_top_commas(m["vals"])
+        if len(vals) != len(cols):
+            # zip() would silently truncate and die later in
+            # unionByName with a confusing column-mismatch error.
+            raise ValueError(
+                f"MERGE INSERT VALUES width {len(vals)} != table width {len(cols)}"
+            )
         ins_proj = ", ".join(f"{v} AS {c}" for c, v in zip(cols, vals))
         ins = self.spark.sql(
             f"SELECT {ins_proj} FROM {salias} LEFT ANTI JOIN {talias} ON {on_sql}"
@@ -597,6 +617,10 @@ class IceSqlSession:
 
     def _create_table(self, m: re.Match) -> None:
         name = m["target"]
+        if m["ine"] and (name in self.tables or name in self.views):
+            # IF NOT EXISTS on an existing name is a no-op — rebinding
+            # would silently truncate the table at the scratch path.
+            return None
         body = m["body"].strip()
         cols_ddl = None
         if body.startswith("("):

@@ -28,6 +28,30 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_utc_session(spark: SparkSession) -> None:
+    """Require a UTC session TZ for value-preserving NTZ→LTZ casts.
+
+    Every session this repo builds pins UTC at creation
+    (session.py); repointing the TZ mid-session would silently change
+    the behavior of already-built DataFrames, so a non-UTC session is
+    corrected loudly (warning) instead of silently — the cast below
+    would be wrong under any other zone, and correctness for a
+    driver-supplied session has to win over TZ preservation."""
+    key = "spark.sql.session.timeZone"
+    current = spark.conf.get(key, None)
+    if current in ("UTC", "Etc/UTC", "+00:00"):
+        return
+    import warnings
+
+    warnings.warn(
+        f"session timeZone was {current!r}; pinning to UTC for "
+        "timestamp_ntz normalization (pin UTC at session creation to "
+        "avoid this)",
+        stacklevel=3,
+    )
+    spark.conf.set(key, "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (columnar parquet, pushdown-capable).
 
@@ -53,10 +77,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NTZ→LTZ cast is value-preserving, so normalize here once.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
-        # The cast is only value-preserving under a UTC session TZ; the
-        # conf is runtime-settable, so pin it (same rationale as the
-        # nanosAsLong pin above) rather than trusting the session.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ensure_utc_session(spark)
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 

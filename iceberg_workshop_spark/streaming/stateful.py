@@ -51,9 +51,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         # Naive timestamp[us] parquet reads as TIMESTAMP_NTZ, which
         # withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
-        # The session TZ is pinned to UTC, so the NTZ→LTZ cast is
-        # value-preserving — same normalization as sources.tables.load.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # The NTZ→LTZ cast is value-preserving only under UTC — check
+        # loudly instead of silently repointing (same helper as batch).
+        from iceberg_workshop_spark.sources.tables import ensure_utc_session
+
+        ensure_utc_session(spark)
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 

@@ -26,3 +26,25 @@ def test_oracles_subset_of_queries():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_ensure_utc_session_warns_and_pins(spark):
+    import warnings
+
+    import pytest
+
+    from iceberg_workshop_spark.sources.tables import ensure_utc_session
+
+    key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/New_York")
+        with pytest.warns(UserWarning, match="timeZone"):
+            ensure_utc_session(spark)
+        assert spark.conf.get(key) == "UTC"
+        # Already-UTC sessions are untouched and silent.
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            ensure_utc_session(spark)
+    finally:
+        spark.conf.set(key, orig)

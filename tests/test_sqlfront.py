@@ -248,3 +248,56 @@ def test_rewrite_leaves_string_literals_alone(sess, spark):
     s, tbl = sess
     rows = s.sql("SELECT * FROM db.t WHERE name <> 'db.t'").collect()
     assert len(rows) == 3  # literal 'db.t' must NOT become 'db__t'
+
+
+def test_refs_view_shows_stored_ref_kind(sess):
+    # Refs persist as {"snapshot_id":..., "type": kind}; the .refs
+    # metadata view must surface that key, not a nonexistent "kind".
+    s, tbl = sess
+    tbl.create_tag("v1")
+    tbl.create_branch("audit")
+    rows = {r.name: (r.kind, r.snapshot_id) for r in s.sql(
+        "SELECT * FROM db.t.refs"
+    ).collect()}
+    assert rows["v1"] == ("tag", tbl.meta.current_snapshot_id)
+    assert rows["audit"][0] == "branch"
+
+
+def test_create_if_not_exists_is_noop_for_existing(sess):
+    s, tbl = sess
+    before = s.sql("SELECT * FROM db.t").count()
+    s.sql("CREATE TABLE IF NOT EXISTS db.t (id INT, name STRING)")
+    assert s.tables["db.t"] is tbl  # not rebound to a fresh table
+    assert s.sql("SELECT * FROM db.t").count() == before
+    # Without the flag, re-creating still rebinds (CREATE TABLE on an
+    # existing name is the caller's explicit ask).
+    s.sql("CREATE TABLE db.t2 (id INT)")
+    assert "db.t2" in s.tables
+
+
+def test_merge_insert_arity_mismatch_raises(sess, spark):
+    s, _ = sess
+    src = spark.createDataFrame([(9, "I9")], "id int, name string")
+    s.register_view("staging.src2", src)
+    with pytest.raises(ValueError, match="width"):
+        s.sql(
+            """
+            MERGE INTO db.t AS target
+            USING (SELECT id, name FROM staging.src2) AS source
+            ON id = source.id
+            WHEN MATCHED THEN UPDATE SET name=source.name
+            WHEN NOT MATCHED THEN INSERT VALUES (source.id)
+            """
+        )
+
+
+def test_update_set_literal_containing_where(sess):
+    # The word WHERE inside a string literal must not split the SET
+    # clause (quote-aware scan, not a lazy regex group).
+    s, tbl = sess
+    s.sql("UPDATE db.t SET name = 'x WHERE y' WHERE id = 2")
+    got = {r.id: r.name for r in tbl.read().collect()}
+    assert got == {1: "a", 2: "x WHERE y", 3: "c"}
+    # And an UPDATE with no WHERE clause at all still hits every row.
+    s.sql("UPDATE db.t SET name = 'z'")
+    assert {r.name for r in tbl.read().collect()} == {"z"}
