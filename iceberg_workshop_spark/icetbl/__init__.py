@@ -10,7 +10,9 @@ at /root/reference/pyspark-iceberg/interoperability.md:76-83:
 
     <table>/data/snap-<uuid>/...parquet   (immutable per-commit files)
     <table>/metadata/v<N>.json            (full table state per version)
-    <table>/version-hint.text             (atomic pointer, os.replace)
+    <table>/version-hint.text             (read accelerator; the commit
+                                           point is the atomic claim of
+                                           v<N>.json — see meta.commit)
 
 Per-file min/max bounds are collected from parquet footers at commit
 time (the manifest ``lower_bounds/upper_bounds`` mechanics of
@@ -19,6 +21,7 @@ lack bounds and are then always scanned (the ``limitations.md:39-73``
 rule).
 """
 
+from iceberg_workshop_spark.icetbl.meta import CommitConflict  # noqa: F401
 from iceberg_workshop_spark.icetbl.pruning import Pred  # noqa: F401
 from iceberg_workshop_spark.icetbl.table import IceTable, spec_field  # noqa: F401
 from iceberg_workshop_spark.icetbl import dml as _dml  # noqa: F401  (binds methods)

@@ -25,25 +25,29 @@ def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[st
     references — the orphan cleanup the reference demonstrates by
     listing S3 before/after (README.md:364-381)."""
     cutoff = M.now_ms() if older_than_ms is None else older_than_ms
-    current = tbl.meta.current_snapshot_id
     before = len(tbl.meta.snapshots)
-    # Ref heads (tags/branches) are retention roots exactly like the
-    # current snapshot — Iceberg semantics: expiration never breaks a
-    # named ref, however old its head is.
-    protected = {current} | {
-        r["snapshot_id"] for r in tbl.meta.refs.values()
-    }
-    kept = [
-        s
-        for s in tbl.meta.snapshots
-        if s["snapshot_id"] in protected or s["timestamp_ms"] > cutoff
-    ]
-    kept_ids = {s["snapshot_id"] for s in kept}
-    tbl.meta.doc["snapshots"] = kept
-    tbl.meta.doc["history_log"] = [
-        h for h in tbl.meta.doc.get("history_log", []) if h["snapshot_id"] in kept_ids
-    ]
-    tbl.meta = M.commit(tbl.meta)
+    kept: list[dict] = []
+
+    def mutate(meta: M.TableMeta) -> None:
+        nonlocal kept
+        # Ref heads (tags/branches) are retention roots exactly like
+        # the current snapshot — Iceberg semantics: expiration never
+        # breaks a named ref, however old its head is.
+        protected = {meta.current_snapshot_id} | {
+            r["snapshot_id"] for r in meta.refs.values()
+        }
+        kept = [
+            s
+            for s in meta.snapshots
+            if s["snapshot_id"] in protected or s["timestamp_ms"] > cutoff
+        ]
+        kept_ids = {s["snapshot_id"] for s in kept}
+        meta.doc["snapshots"] = kept
+        meta.doc["history_log"] = [
+            h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in kept_ids
+        ]
+
+    tbl._retry_commit(mutate)
 
     # Orphan file cleanup: anything under data/ not referenced anymore.
     # Equality-delete files are references too — removing one would
@@ -201,23 +205,28 @@ def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
     rollback branches), shrinking every future vN.json. Named refs are
     retention roots exactly like the current snapshot — a tag or
     branch head and its ancestry always survive."""
-    by_id = {s["snapshot_id"]: s for s in tbl.meta.snapshots}
-    roots = [tbl.meta.current_snapshot_id] + [
-        r["snapshot_id"] for r in tbl.meta.refs.values()
-    ]
-    ancestors = set()
-    for cur in roots:
-        while cur is not None and cur in by_id and cur not in ancestors:
-            ancestors.add(cur)
-            cur = by_id[cur]["parent_id"]
     before = len(tbl.meta.snapshots)
-    tbl.meta.doc["snapshots"] = [
-        s for s in tbl.meta.snapshots if s["snapshot_id"] in ancestors
-    ]
-    tbl.meta.doc["history_log"] = [
-        h for h in tbl.meta.doc.get("history_log", []) if h["snapshot_id"] in ancestors
-    ]
-    tbl.meta = M.commit(tbl.meta)
+    ancestors: set = set()
+
+    def mutate(meta: M.TableMeta) -> None:
+        nonlocal ancestors
+        by_id = {s["snapshot_id"]: s for s in meta.snapshots}
+        roots = [meta.current_snapshot_id] + [
+            r["snapshot_id"] for r in meta.refs.values()
+        ]
+        ancestors = set()
+        for cur in roots:
+            while cur is not None and cur in by_id and cur not in ancestors:
+                ancestors.add(cur)
+                cur = by_id[cur]["parent_id"]
+        meta.doc["snapshots"] = [
+            s for s in meta.snapshots if s["snapshot_id"] in ancestors
+        ]
+        meta.doc["history_log"] = [
+            h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in ancestors
+        ]
+
+    tbl._retry_commit(mutate)
     return {"snapshots_before": before, "snapshots_after": len(ancestors)}
 
 

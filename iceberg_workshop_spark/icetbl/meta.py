@@ -4,10 +4,22 @@ One JSON document per table version (``metadata/v<N>.json``) holding
 the full state: schema DDL, partition specs (append-only list —
 partition evolution keeps old specs addressable by id, mirroring
 Iceberg's spec-id per manifest), properties, and the snapshot log.
-``version-hint.text`` points at the current version and is replaced
-atomically (``os.replace``), mirroring Iceberg's commit protocol
-(swap of the metadata pointer). Single-writer by design — the local
-driver owns commits (SURVEY.md §7.3).
+
+Commits are **optimistically concurrent** (Iceberg semantics — the
+reference's whole interop story is concurrent engines on one table,
+``/root/reference/pyspark-iceberg/interoperability.md:64-90``): the
+commit point is an atomic, exclusive claim of ``v<N+1>.json`` — the
+fully-written document is ``os.link``ed to its version path, which
+fails if another writer claimed that version first, raising
+``CommitConflict`` for the caller to refresh-and-rebase. This mirrors
+Iceberg's HadoopTables file-based commit protocol; in a production
+deployment the same CAS lands on the catalog (REST/Hive lock).
+
+``version-hint.text`` is a read accelerator, not the commit point:
+``read_current`` starts at the hint and probes forward, so a writer
+that crashed between claiming a version and repointing the hint never
+hides a committed version (and a racy hint that momentarily points
+backwards self-heals on the next read).
 """
 
 from __future__ import annotations
@@ -113,32 +125,60 @@ def metadata_path(location: str, version: int) -> str:
     return os.path.join(location, METADATA_DIR, f"v{version}.json")
 
 
+class CommitConflict(RuntimeError):
+    """Another writer claimed the next metadata version first.
+
+    The caller must refresh (``read_current``) and re-apply its change
+    against the new base — appends rebase automatically; copy-on-write
+    operations whose planned file set is stale must re-plan."""
+
+
 def read_current(location: str) -> TableMeta:
     hint = os.path.join(location, HINT_FILE)
-    with open(hint) as f:
-        version = int(f.read().strip())
+    version = 0
+    try:
+        with open(hint) as f:
+            version = int(f.read().strip())
+    except FileNotFoundError:
+        pass  # crash between claim and first hint write — probe finds it
+    # The hint lags (or even trails a racing writer): any existing
+    # v<N>.json is a complete, committed document (link-claimed), so
+    # probing forward always lands on the true latest version.
+    while os.path.exists(metadata_path(location, version + 1)):
+        version += 1
     with open(metadata_path(location, version)) as f:
         return TableMeta(json.load(f), version, location)
 
 
 def commit(meta: TableMeta) -> TableMeta:
-    """Write v(N+1).json, then atomically repoint version-hint.text.
+    """CAS-commit: claim v(N+1).json atomically, then repoint the hint.
 
-    A reader holding the old hint keeps a consistent view (old
-    metadata + immutable files); the swap is the only mutation.
-    Afterwards apply the metadata-retention GC the reference
-    configures via table properties (README.md:301-337).
+    The document is fully written to a unique tmp file and ``os.link``ed
+    to its version path — link is atomic and fails if the path exists,
+    so exactly one writer wins each version and a claimed version file
+    is always complete. Losers get ``CommitConflict`` (never a silent
+    overwrite). A reader holding the old hint keeps a consistent view
+    (old metadata + immutable files). Afterwards apply the
+    metadata-retention GC the reference configures via table
+    properties (README.md:301-337).
     """
     next_version = meta.version + 1
     path = metadata_path(meta.location, next_version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(meta.doc, f, separators=(",", ":"), default=str)
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"metadata version {next_version} already committed at {meta.location}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
     hint = os.path.join(meta.location, HINT_FILE)
-    hint_tmp = hint + ".tmp"
+    hint_tmp = f"{hint}.{uuid.uuid4().hex[:8]}.tmp"
     with open(hint_tmp, "w") as f:
         f.write(str(next_version))
     os.replace(hint_tmp, hint)

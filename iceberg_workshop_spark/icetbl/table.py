@@ -124,7 +124,9 @@ class IceTable:
                     "bounds": bounds if collect_stats else {},
                 }
             )
-        tbl._commit_snapshot(files, "adopt")
+        tbl._commit_snapshot(
+            files, "adopt", rebase=lambda m: list(m.current_files()) + files
+        )
         return tbl
 
     def add_column(self, name: str, type_ddl: str) -> None:
@@ -137,11 +139,13 @@ class IceTable:
         DROP followed by re-ADD of the same name yields a logically new
         column (NULL from pre-drop files), matching Iceberg field-id
         semantics instead of Hive name-mapping resurrection."""
-        self.meta.schema_ddl = f"{self.meta.schema_ddl}, {name} {type_ddl}"
-        self.meta.doc.setdefault("column_created_seq", {})[name] = int(
-            self.meta.properties.get("last-sequence-number", "0")
-        )
-        self.meta = M.commit(self.meta)
+        def mutate(meta: M.TableMeta) -> None:
+            meta.schema_ddl = f"{meta.schema_ddl}, {name} {type_ddl}"
+            meta.doc.setdefault("column_created_seq", {})[name] = int(
+                meta.properties.get("last-sequence-number", "0")
+            )
+
+        self._retry_commit(mutate)
 
     def drop_column(self, name: str) -> None:
         """Schema evolution, drop side: metadata-only — existing files
@@ -152,14 +156,16 @@ class IceTable:
         absent interval columns."""
         from pyspark.sql.types import StructType
 
-        fields = StructType.fromDDL(self.meta.schema_ddl).fields
-        if name not in {f.name for f in fields}:
-            raise KeyError(f"column {name!r} not in schema")
-        self.meta.schema_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in fields if f.name != name
-        )
-        self.meta.doc.setdefault("column_created_seq", {}).pop(name, None)
-        self.meta = M.commit(self.meta)
+        def mutate(meta: M.TableMeta) -> None:
+            fields = StructType.fromDDL(meta.schema_ddl).fields
+            if name not in {f.name for f in fields}:
+                raise KeyError(f"column {name!r} not in schema")
+            meta.schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in fields if f.name != name
+            )
+            meta.doc.setdefault("column_created_seq", {}).pop(name, None)
+
+        self._retry_commit(mutate)
 
     def rename_column(self, old: str, new: str) -> None:
         """Metadata-only RENAME COLUMN (Iceberg semantics): values in
@@ -168,27 +174,29 @@ class IceTable:
         physical name back to the current logical name. No rewrite."""
         from pyspark.sql.types import StructType
 
-        fields = StructType.fromDDL(self.meta.schema_ddl).fields
-        names = {f.name for f in fields}
-        if old not in names:
-            raise KeyError(f"column {old!r} not in schema")
-        if new in names:
-            raise ValueError(f"column {new!r} already exists")
-        self.meta.schema_ddl = ", ".join(
-            f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
-            for f in fields
-        )
-        created = self.meta.doc.get("column_created_seq", {})
-        if old in created:
-            created[new] = created.pop(old)
-        self.meta.doc.setdefault("column_renames", []).append(
-            {
-                "old": old,
-                "new": new,
-                "seq": int(self.meta.properties.get("last-sequence-number", "0")),
-            }
-        )
-        self.meta = M.commit(self.meta)
+        def mutate(meta: M.TableMeta) -> None:
+            fields = StructType.fromDDL(meta.schema_ddl).fields
+            names = {f.name for f in fields}
+            if old not in names:
+                raise KeyError(f"column {old!r} not in schema")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            meta.schema_ddl = ", ".join(
+                f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+                for f in fields
+            )
+            created = meta.doc.get("column_created_seq", {})
+            if old in created:
+                created[new] = created.pop(old)
+            meta.doc.setdefault("column_renames", []).append(
+                {
+                    "old": old,
+                    "new": new,
+                    "seq": int(meta.properties.get("last-sequence-number", "0")),
+                }
+            )
+
+        self._retry_commit(mutate)
 
     def _physical_name(self, current: str, file_seq: int) -> str:
         """The column's name as physically written in files of era
@@ -204,13 +212,17 @@ class IceTable:
         """Partition evolution (A22): append a new spec; files keep the
         spec id they were written under, scans union per-spec pruned
         sets (replay of /root/reference/README.md:138-195)."""
-        self.meta.specs.append(spec)
-        self.meta.doc["current_spec_id"] = len(self.meta.specs) - 1
-        self.meta = M.commit(self.meta)
+        def mutate(meta: M.TableMeta) -> None:
+            meta.specs.append(spec)
+            meta.doc["current_spec_id"] = len(meta.specs) - 1
+
+        self._retry_commit(mutate)
 
     def set_properties(self, props: dict[str, str]) -> None:
-        self.meta.properties.update(props)
-        self.meta = M.commit(self.meta)
+        def mutate(meta: M.TableMeta) -> None:
+            meta.properties.update(props)
+
+        self._retry_commit(mutate)
 
     # ----------------------------------------------------------- write
     def _transform_expr(self, field: SpecField) -> F.Column:
@@ -304,53 +316,109 @@ class IceTable:
                 )
         return files
 
+    def _retry_commit(self, mutate, attempts: int = 10) -> None:
+        """Optimistic-concurrency commit of a metadata-only mutation:
+        apply ``mutate(meta)`` and CAS-commit; on ``CommitConflict``
+        refresh to the winning writer's metadata and re-apply against
+        the new base (Iceberg's commit-retry loop). The in-memory
+        mutation of the losing attempt is discarded wholesale by the
+        refresh, so ``mutate`` must derive everything it writes from
+        the ``meta`` it is handed."""
+        for _ in range(attempts):
+            mutate(self.meta)
+            try:
+                self.meta = M.commit(self.meta)
+                return
+            except M.CommitConflict:
+                self.meta = M.read_current(self.meta.location)
+        raise M.CommitConflict(
+            f"commit did not succeed after {attempts} attempts at {self.meta.location}"
+        )
+
     def _commit_snapshot(
         self,
         files: list[dict],
         operation: str,
         branch: str | None = None,
         delete_files: list[dict] | None = None,
+        rebase=None,
     ) -> None:
-        parent = (
-            self.meta.refs[branch]["snapshot_id"]
-            if branch
-            else self.meta.current_snapshot_id
+        """Append a snapshot and CAS-commit it.
+
+        ``rebase(fresh_meta) -> files`` recomputes the full file list
+        after a ``CommitConflict`` — set for blind appends (append/
+        truncate/adopt), whose new files stay valid on any base, so
+        two concurrent appenders both land (neither's snapshot is
+        lost). Copy-on-write operations (delete/update/merge/
+        overwrite/compaction) leave it None: their planned file set
+        was derived from one specific base snapshot, so a conflicting
+        commit invalidates the plan and the conflict propagates for
+        the caller to re-plan — Iceberg's validation-exception
+        behavior, never a silent lost update."""
+        # New files (no seq yet) are re-stamped with the attempt's
+        # sequence on every retry; base files keep the seq of the
+        # commit that added them (equality-delete correctness).
+        new_ids = {id(f) for f in files if "seq" not in f}
+        carry = delete_files
+        for _ in range(10):
+            parent = (
+                self.meta.refs[branch]["snapshot_id"]
+                if branch
+                else self.meta.current_snapshot_id
+            )
+            # Data sequence numbers (Iceberg v2): every commit gets the
+            # next sequence; files added by it are stamped with that seq
+            # so equality-delete files (which record their own seq)
+            # apply only to STRICTLY OLDER data — a key re-inserted
+            # after the delete survives the anti-join.
+            seq = int(self.meta.properties.get("last-sequence-number", "0")) + 1
+            self.meta.properties["last-sequence-number"] = str(seq)
+            for f in files:
+                if id(f) in new_ids:
+                    f["seq"] = seq
+                else:
+                    f.setdefault("seq", seq)
+            if carry is None:
+                # carry existing merge-on-read deletes forward (like
+                # data files, they stay until a rewrite materializes
+                # them)
+                cur = self.meta.current_snapshot_id
+                delete_files = (
+                    list(self.meta.snapshot(cur).get("delete_files", []))
+                    if cur is not None
+                    else []
+                )
+            else:
+                delete_files = carry
+            snap = {
+                "snapshot_id": M.new_snapshot_id(),
+                "parent_id": parent,
+                "timestamp_ms": M.now_ms(),
+                "operation": operation,
+                "files": files,
+                "delete_files": delete_files,
+            }
+            self.meta.snapshots.append(snap)
+            if branch:
+                self.meta.refs[branch]["snapshot_id"] = snap["snapshot_id"]
+            else:
+                self.meta.doc["current_snapshot_id"] = snap["snapshot_id"]
+                self.meta.doc.setdefault("history_log", []).append(
+                    {"made_current_at_ms": snap["timestamp_ms"], "snapshot_id": snap["snapshot_id"]}
+                )
+            try:
+                self.meta = M.commit(self.meta)
+                return
+            except M.CommitConflict:
+                # Discard this attempt's in-memory mutation by adopting
+                # the winner's metadata, then rebase or re-raise.
+                self.meta = M.read_current(self.meta.location)
+                if rebase is None:
+                    raise
+                files = rebase(self.meta)
+        raise M.CommitConflict(
+            f"snapshot commit did not succeed after 10 attempts at {self.meta.location}"
         )
-        # Data sequence numbers (Iceberg v2): every commit gets the next
-        # sequence; files added by it are stamped with that seq so
-        # equality-delete files (which record their own seq) apply only
-        # to STRICTLY OLDER data — a key re-inserted after the delete
-        # survives the anti-join.
-        seq = int(self.meta.properties.get("last-sequence-number", "0")) + 1
-        self.meta.properties["last-sequence-number"] = str(seq)
-        for f in files:
-            f.setdefault("seq", seq)
-        if delete_files is None:
-            # carry existing merge-on-read deletes forward (like data
-            # files, they stay until a rewrite materializes them)
-            cur = self.meta.current_snapshot_id
-            delete_files = (
-                list(self.meta.snapshot(cur).get("delete_files", []))
-                if cur is not None
-                else []
-            )
-        snap = {
-            "snapshot_id": M.new_snapshot_id(),
-            "parent_id": parent,
-            "timestamp_ms": M.now_ms(),
-            "operation": operation,
-            "files": files,
-            "delete_files": delete_files,
-        }
-        self.meta.snapshots.append(snap)
-        if branch:
-            self.meta.refs[branch]["snapshot_id"] = snap["snapshot_id"]
-        else:
-            self.meta.doc["current_snapshot_id"] = snap["snapshot_id"]
-            self.meta.doc.setdefault("history_log", []).append(
-                {"made_current_at_ms": snap["timestamp_ms"], "snapshot_id": snap["snapshot_id"]}
-            )
-        self.meta = M.commit(self.meta)
 
     # ------------------------------------------------------------ refs
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
@@ -363,22 +431,27 @@ class IceTable:
         self._create_ref(name, "branch", snapshot_id)
 
     def _create_ref(self, name: str, kind: str, snapshot_id: int | None) -> None:
-        sid = snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
-        self.meta.snapshot(sid)  # validates existence
-        if name in self.meta.refs:
-            raise ValueError(f"ref {name!r} already exists")
-        self.meta.refs[name] = {"snapshot_id": sid, "type": kind}
-        self.meta = M.commit(self.meta)
+        def mutate(meta: M.TableMeta) -> None:
+            sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+            meta.snapshot(sid)  # validates existence
+            if name in meta.refs:
+                raise ValueError(f"ref {name!r} already exists")
+            meta.refs[name] = {"snapshot_id": sid, "type": kind}
+
+        self._retry_commit(mutate)
 
     def fast_forward(self, branch: str) -> None:
         """Publish a branch: point main at the branch head (the WAP
         publish step as a ref operation)."""
-        sid = self.meta.refs[branch]["snapshot_id"]
-        self.meta.doc["current_snapshot_id"] = sid
-        self.meta.doc.setdefault("history_log", []).append(
-            {"made_current_at_ms": M.now_ms(), "snapshot_id": sid}
-        )
-        self.meta = M.commit(self.meta)
+
+        def mutate(meta: M.TableMeta) -> None:
+            sid = meta.refs[branch]["snapshot_id"]
+            meta.doc["current_snapshot_id"] = sid
+            meta.doc.setdefault("history_log", []).append(
+                {"made_current_at_ms": M.now_ms(), "snapshot_id": sid}
+            )
+
+        self._retry_commit(mutate)
 
     def append(self, df: DataFrame, branch: str | None = None) -> None:
         """INSERT INTO (A6-A8). Dynamic partitioning is inherent: the
@@ -388,12 +461,22 @@ class IceTable:
         head instead of main."""
         spec_id = self.meta.current_spec_id
         new = self._write_files(df.selectExpr(*self._column_names()), self.meta.specs[spec_id], spec_id)
-        base = (
-            self.meta.snapshot(self.meta.refs[branch]["snapshot_id"])["files"]
-            if branch
-            else self.meta.current_files()
+
+        def base_files(m: M.TableMeta) -> list[dict]:
+            return list(
+                m.snapshot(m.refs[branch]["snapshot_id"])["files"]
+                if branch
+                else m.current_files()
+            )
+
+        # Blind append: the new files are valid on any base, so a
+        # concurrent commit rebases instead of failing.
+        self._commit_snapshot(
+            base_files(self.meta) + new,
+            "append",
+            branch=branch,
+            rebase=lambda m: base_files(m) + new,
         )
-        self._commit_snapshot(base + new, "append", branch=branch)
 
     def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> None:
         df = self.spark.createDataFrame(rows, schema=self.meta.schema_ddl)
@@ -404,7 +487,7 @@ class IceTable:
     def truncate(self) -> None:
         """TRUNCATE (A11): a new snapshot with an empty file list —
         old files stay until expire_snapshots (time travel works)."""
-        self._commit_snapshot([], "truncate")
+        self._commit_snapshot([], "truncate", rebase=lambda m: [])
 
     # ------------------------------------------------------------ read
     def _column_names(self) -> list[str]:
@@ -679,12 +762,15 @@ class IceTable:
 
     def rollback(self, snapshot_id: int) -> None:
         """A21: re-point current to an existing snapshot (history kept)."""
-        self.meta.snapshot(snapshot_id)  # validate
-        self.meta.doc["current_snapshot_id"] = snapshot_id
-        self.meta.doc.setdefault("history_log", []).append(
-            {"made_current_at_ms": M.now_ms(), "snapshot_id": snapshot_id}
-        )
-        self.meta = M.commit(self.meta)
+
+        def mutate(meta: M.TableMeta) -> None:
+            meta.snapshot(snapshot_id)  # validate
+            meta.doc["current_snapshot_id"] = snapshot_id
+            meta.doc.setdefault("history_log", []).append(
+                {"made_current_at_ms": M.now_ms(), "snapshot_id": snapshot_id}
+            )
+
+        self._retry_commit(mutate)
 
 
 def _pred_to_column(p: Pred) -> F.Column:

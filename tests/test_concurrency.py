@@ -1,0 +1,137 @@
+"""Optimistic-concurrency commit protocol (Iceberg semantics).
+
+The reference's interop story is concurrent engines committing to one
+table (/root/reference/pyspark-iceberg/interoperability.md:64-90).
+These tests pin the CAS protocol in icetbl.meta.commit: exactly one
+writer wins each metadata version, losers refresh-and-rebase (blind
+appends) or surface CommitConflict (copy-on-write plans against a
+moved base) — never a silently lost snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from iceberg_workshop_spark.icetbl import CommitConflict, IceTable
+from iceberg_workshop_spark.icetbl import meta as M
+
+
+@pytest.fixture
+def loc(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, loc, rows):
+    df = spark.createDataFrame(rows, "id int, name string")
+    return IceTable.create_as(spark, loc, df)
+
+
+def test_two_handles_append_concurrently_both_snapshots_land(spark, loc):
+    # Two independent handles (think: two engines) on one table, both
+    # holding the same base version; both appends must land.
+    t1 = _mk(spark, loc, [(1, "a")])
+    t2 = IceTable.load(spark, loc)
+    assert t2.meta.version == t1.meta.version
+
+    t1.append(spark.createDataFrame([(2, "b")], "id int, name string"))
+    # t2 still holds the old base — its commit conflicts and rebases.
+    t2.append(spark.createDataFrame([(3, "c")], "id int, name string"))
+
+    final = IceTable.load(spark, loc)
+    assert {r.id for r in final.read().collect()} == {1, 2, 3}
+    # create_as itself appends once; both concurrent appends are here too
+    ops = [s["operation"] for s in final.meta.snapshots]
+    assert ops.count("append") == 3  # both writers' snapshots in history
+    assert len({s["snapshot_id"] for s in final.meta.snapshots}) == len(
+        final.meta.snapshots
+    )
+
+
+def test_threaded_appends_all_land(spark, loc):
+    # Hammer the CAS from threads, each with its own stale handle.
+    _mk(spark, loc, [(0, "base")])
+    n = 6
+    handles = [IceTable.load(spark, loc) for _ in range(n)]
+    errs: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            handles[i].append(
+                spark.createDataFrame([(100 + i, f"w{i}")], "id int, name string")
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    final = IceTable.load(spark, loc)
+    assert {r.id for r in final.read().collect()} == {0, *range(100, 100 + n)}
+    # one metadata version per commit: create + create_as-append + n appends
+    assert final.meta.version == 2 + n
+
+
+def test_conflict_detection_and_rebase_unit(spark, loc):
+    # CAS layer: claiming a version that exists raises CommitConflict
+    # instead of overwriting it.
+    t = _mk(spark, loc, [(1, "a")])
+    meta = M.read_current(loc)
+    next_path = M.metadata_path(loc, meta.version + 1)
+    os.makedirs(os.path.dirname(next_path), exist_ok=True)
+    with open(next_path, "w") as f:
+        f.write("{}")  # another writer claimed v(N+1)
+    with pytest.raises(CommitConflict):
+        M.commit(meta)
+    os.remove(next_path)
+    # After the obstruction is gone the same meta commits fine.
+    committed = M.commit(meta)
+    assert committed.version == meta.version + 1
+    del t
+
+
+def test_metadata_only_ops_rebase_on_conflict(spark, loc):
+    # Two handles issue metadata-only commits from the same base: both
+    # property sets must survive the rebase.
+    t1 = _mk(spark, loc, [(1, "a")])
+    t2 = IceTable.load(spark, loc)
+    t1.set_properties({"owner": "alice"})
+    t2.set_properties({"comment": "hello"})
+    final = IceTable.load(spark, loc)
+    assert final.meta.properties["owner"] == "alice"
+    assert final.meta.properties["comment"] == "hello"
+
+
+def test_cow_op_against_moved_base_raises_not_corrupts(spark, loc):
+    # A copy-on-write DELETE planned against a stale base must surface
+    # CommitConflict (Iceberg validation behavior), and the winning
+    # writer's snapshot must remain intact.
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    t1.append(spark.createDataFrame([(3, "c")], "id int, name string"))
+    with pytest.raises(CommitConflict):
+        t2.delete_where("id = 1")
+    final = IceTable.load(spark, loc)
+    assert {r.id for r in final.read().collect()} == {1, 2, 3}
+    # The loser can re-plan on fresh metadata and succeed.
+    t2 = IceTable.load(spark, loc)
+    t2.delete_where("id = 1")
+    assert {r.id for r in IceTable.load(spark, loc).read().collect()} == {2, 3}
+
+
+def test_hint_is_only_an_accelerator(spark, loc):
+    # A stale (or missing) version-hint must not hide a committed
+    # version: read_current probes forward from the hint.
+    t = _mk(spark, loc, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b")], "id int, name string"))
+    hint = os.path.join(loc, M.HINT_FILE)
+    with open(hint, "w") as f:
+        f.write("1")  # stale hint
+    assert M.read_current(loc).version == t.meta.version
+    os.remove(hint)  # crashed before any hint write
+    assert M.read_current(loc).version == t.meta.version
