@@ -150,6 +150,31 @@ def read_current(location: str) -> TableMeta:
         return TableMeta(json.load(f), version, location)
 
 
+def read_version(location: str, version: int) -> TableMeta:
+    """Read the table pinned at a specific metadata version (A34).
+
+    The Iceberg entry point is reading a table by FULL metadata-file
+    path (``spark.read.format("iceberg").load(".../<N>.metadata.json")``,
+    /root/reference/pyspark-iceberg/interoperability.md:103) — how
+    engines debug/repair a table or bypass a broken hint. The view is
+    frozen: current snapshot, schema, specs all come from that file."""
+    path = metadata_path(location, version)
+    with open(path) as f:
+        return TableMeta(json.load(f), version, location)
+
+
+def read_metadata_file(path: str) -> TableMeta:
+    """``read_version`` addressed by the metadata file itself —
+    accepts ``<table>/metadata/v<N>.json`` (the native analog of
+    Iceberg's ``<hash>.metadata.json`` full-path read)."""
+    name = os.path.basename(path)
+    if not (name.startswith("v") and name.endswith(".json")):
+        raise ValueError(f"not a metadata file path: {path}")
+    version = int(name[1:-5])
+    location = os.path.dirname(os.path.dirname(os.path.abspath(path)))
+    return read_version(location, version)
+
+
 def commit(meta: TableMeta) -> TableMeta:
     """CAS-commit: claim v(N+1).json atomically, then repoint the hint.
 

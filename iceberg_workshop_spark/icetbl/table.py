@@ -87,8 +87,28 @@ class IceTable:
         return tbl
 
     @classmethod
-    def load(cls, spark: SparkSession, location: str) -> "IceTable":
-        return cls(spark, M.read_current(location))
+    def load(
+        cls, spark: SparkSession, location: str, version: int | None = None
+    ) -> "IceTable":
+        """Open a table at its current version, or pinned at a specific
+        metadata version (A34 — the reference reads a table by full
+        metadata-file path when the hint is absent or a historical
+        state is wanted, interoperability.md:95-112). A pinned handle
+        is a frozen view: reads see that version's snapshot/schema;
+        committing from it will conflict unless it is the latest."""
+        meta = (
+            M.read_current(location)
+            if version is None
+            else M.read_version(location, version)
+        )
+        return cls(spark, meta)
+
+    @classmethod
+    def load_metadata(cls, spark: SparkSession, metadata_file: str) -> "IceTable":
+        """Open a table by FULL metadata-file path — the native analog
+        of ``spark.read.format("iceberg").load(".../N.metadata.json")``
+        (interoperability.md:103): no version-hint lookup at all."""
+        return cls(spark, M.read_metadata_file(metadata_file))
 
     @staticmethod
     def drop(location: str) -> None:

@@ -350,6 +350,58 @@ def q_meta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_meta_pinned_read",
+    oracle="""
+    SELECT 'pinned_v2' AS mode,
+           (SELECT COUNT(*) FROM nation) AS n_rows,
+           CAST(0 AS BIGINT) AS n_fake,
+           true AS equals_time_travel
+    UNION ALL
+    SELECT 'current', (SELECT COUNT(*) FROM nation) + 1, 1, true
+    ORDER BY mode
+    """,
+)
+def q_meta_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned metadata-file read (A34): open the table AT a specific
+    metadata file — the reference reads an old Iceberg table state by
+    full ``<hash>.metadata.json`` path when the version hint is absent
+    (/root/reference/pyspark-iceberg/interoperability.md:95-112). The
+    pinned view must equal the time-travel read of the same snapshot
+    (proven by symmetric exceptAll emptiness, computed distributed)."""
+    loc = _fresh(sf_dir, "meta_pinned")
+    t = IceTable.create_as(spark, loc, load(spark, sf_dir, "nation"))
+    pinned_version = t.meta.version  # v2: create + CTAS-append
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(990, "FAKELAND", 0)])
+
+    import os as _os
+
+    from iceberg_workshop_spark.icetbl import meta as _M
+
+    pinned = IceTable.load_metadata(
+        spark, _os.path.join(loc, _M.METADATA_DIR, f"v{pinned_version}.json")
+    ).read()
+    tt = t.read(snapshot_id=s1)
+    equals = (pinned.exceptAll(tt).count() == 0) and (
+        tt.exceptAll(pinned).count() == 0
+    )
+
+    def stat(df: DataFrame, mode: str) -> DataFrame:
+        return df.agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("n_nationkey") == 990, 1).otherwise(0)).alias("n_fake"),
+            F.lit(equals).alias("equals_time_travel"),
+        )
+
+    return (
+        stat(pinned, "pinned_v2")
+        .unionAll(stat(IceTable.load(spark, loc).read(), "current"))
+        .orderBy("mode")
+    )
+
+
+@register(
     "q_maint_expire",
     oracle="""
     SELECT CAST(1 AS BIGINT) AS snapshots_after,

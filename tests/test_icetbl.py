@@ -327,3 +327,27 @@ def test_sort_compaction_produces_disjoint_file_ranges(spark, tmp_table_dir):
     bounds = sorted(tuple(f["bounds"]["value"]) for f in files)
     for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2
+
+
+def test_pinned_metadata_read(spark, tmp_table_dir):
+    """A34: open the table AT a specific metadata file / version —
+    the full-metadata-path read of interoperability.md:95-112."""
+    from iceberg_workshop_spark.icetbl import meta as M
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    v_old = t.meta.version
+    t.append(spark.createDataFrame([(3, "c")], "id int, name string"))
+
+    pinned = IceTable.load(spark, tmp_table_dir, version=v_old)
+    assert {r.id for r in pinned.read().collect()} == {1, 2}
+    by_path = IceTable.load_metadata(
+        spark, os.path.join(tmp_table_dir, M.METADATA_DIR, f"v{v_old}.json")
+    )
+    assert {r.id for r in by_path.read().collect()} == {1, 2}
+    # pinned view == time-travel view of the same snapshot
+    assert by_path.meta.current_snapshot_id == pinned.meta.current_snapshot_id
+    with pytest.raises(ValueError):
+        IceTable.load_metadata(spark, os.path.join(tmp_table_dir, "nope.txt"))
+    with pytest.raises(FileNotFoundError):
+        IceTable.load(spark, tmp_table_dir, version=99)
