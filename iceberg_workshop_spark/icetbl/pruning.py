@@ -188,24 +188,42 @@ def _parse(stored: Any, like: Any) -> Any:
     return stored
 
 
+def normalize_dnf(preds: list) -> list[list[Pred]]:
+    """Accept either a flat conjunct list (the common case) or DNF
+    (a list of conjunct lists, OR across them) and return DNF form."""
+    if not preds:
+        return []
+    if isinstance(preds[0], Pred):
+        return [list(preds)]
+    return [list(d) for d in preds]
+
+
 def prune_files(
     files: list[dict],
     spec_by_id: dict[int, list[dict[str, str]]],
-    preds: list[Pred],
+    preds: list,
 ) -> tuple[list[dict], int]:
     """Return (surviving files, pruned count). Mixed partition specs
     are handled per file (partition evolution: each file prunes under
     the spec it was written with — /root/reference/README.md:138-195).
+
+    ``preds`` is a conjunct list or a DNF (list of conjunct lists):
+    a file survives if ANY disjunct's intervals intersect it — the
+    per-file interval-union semantics for OR predicates. An empty
+    disjunct (only un-analyzable terms in that OR branch) keeps every
+    file, as it must.
     """
-    if not preds:
+    dnf = normalize_dnf(preds)
+    if not dnf:
         return files, 0
-    ivals = intervals(preds)
+    ivals_list = [intervals(d) for d in dnf]
     kept = []
     for f in files:
         spec = spec_by_id.get(f.get("spec_id", 0), [])
-        if not file_survives_partition(f.get("partition", {}), spec, ivals):
-            continue
-        if not file_survives_bounds(f.get("bounds"), ivals):
-            continue
-        kept.append(f)
+        if any(
+            file_survives_partition(f.get("partition", {}), spec, iv)
+            and file_survives_bounds(f.get("bounds"), iv)
+            for iv in ivals_list
+        ):
+            kept.append(f)
     return kept, len(files) - len(kept)

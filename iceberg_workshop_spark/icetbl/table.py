@@ -651,15 +651,29 @@ class IceTable:
             return max(eligible, key=lambda s: s["timestamp_ms"])["files"]
         return self.meta.current_files()
 
-    def scan(self, preds: list[Pred] | None = None) -> DataFrame:
+    def scan(self, preds: list | None = None) -> DataFrame:
         """Pruned scan (A25/A26): partition-transform + column-bounds
         file pruning in the planner, then the same predicate pushed to
         Spark for row-level correctness. ``last_scan_report`` records
-        the files/bytes ratio benchmarked against BASELINE.md."""
+        the files/bytes ratio benchmarked against BASELINE.md.
+
+        ``preds`` is a conjunct list or DNF (list of conjunct lists):
+        for an OR predicate a file survives if ANY disjunct keeps it,
+        and bucket pruning applies per disjunct before the union."""
+        from iceberg_workshop_spark.icetbl.pruning import normalize_dnf
+
         files = self.meta.current_files()
         spec_by_id = {i: s for i, s in enumerate(self.meta.specs)}
-        kept, pruned = prune_files(files, spec_by_id, preds or [])
-        kept = self._prune_bucket(kept, preds or [])
+        dnf = normalize_dnf(preds or [])
+        if not dnf:
+            kept = files
+        else:
+            kept_paths: set[str] = set()
+            for d in dnf:
+                k, _ = prune_files(files, spec_by_id, d)
+                k = self._prune_bucket(k, d)
+                kept_paths.update(f["path"] for f in k)
+            kept = [f for f in files if f["path"] in kept_paths]
         self.last_scan_report = {
             "files_total": len(files),
             "files_scanned": len(kept),
@@ -667,8 +681,8 @@ class IceTable:
             "bytes_scanned": sum(f.get("file_size", 0) for f in kept),
         }
         df = self._read_files(kept)
-        for p in preds or []:
-            df = df.filter(_pred_to_column(p))
+        if dnf:
+            df = df.filter(_dnf_to_column(dnf))
         return df
 
     def _prune_bucket(self, files: list[dict], preds: list[Pred]) -> list[dict]:
@@ -791,6 +805,21 @@ class IceTable:
             )
 
         self._retry_commit(mutate)
+
+
+def _dnf_to_column(dnf: list[list[Pred]]) -> F.Column:
+    """OR-of-AND filter for a DNF predicate list. An empty disjunct is
+    TRUE (that OR branch was un-analyzable — no row constraint)."""
+    disjuncts = []
+    for d in dnf:
+        c = F.lit(True)
+        for p in d:
+            c = c & _pred_to_column(p)
+        disjuncts.append(c)
+    out = disjuncts[0]
+    for c in disjuncts[1:]:
+        out = out | c
+    return out
 
 
 def _pred_to_column(p: Pred) -> F.Column:

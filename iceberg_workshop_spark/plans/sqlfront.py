@@ -279,36 +279,98 @@ def _coerce_lit(text: str):
             return _NOT_A_LITERAL
 
 
-def _preds_from_where(cond: str) -> list:
-    """Best-effort conversion of a WHERE clause into pruning Preds.
+_IN_RE = re.compile(r"^(?P<col>\w+)\s+IN\s*\((?P<items>[^()]*)\)$", re.I)
+_MAX_DNF_TERMS = 64
 
-    Only AND-combined `col op literal` / `col BETWEEN a AND b`
-    conjuncts convert; anything else (OR, functions, subqueries,
-    qualified or column-to-column refs) is skipped — pruning on a
-    SUBSET of conjuncts is sound (keeps a superset of files; the full
-    WHERE still runs in Spark for row-level exactness), but an OR
-    makes any single conjunct unsound to prune on, so bail entirely."""
+
+def _split_top_keyword(s: str, kw: str) -> list[str]:
+    """Split on top-level occurrences of a boolean keyword — outside
+    parens, outside quotes, and (for AND) outside a BETWEEN..AND span."""
+    masked = _mask_quotes(s)
+    protected: list[tuple[int, int]] = []
+    if kw.upper() == "AND":
+        protected = [m.span() for m in _BETWEEN_RE.finditer(masked)]
+    pat = re.compile(rf"\b{kw}\b", re.I)
+    parts, depth, last, i = [], 0, 0, 0
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(masked, i)
+            if m and not any(a <= i < b for a, b in protected):
+                parts.append(s[last : i])
+                last = i = m.end()
+                continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+def _dnf_from_where(cond: str) -> list | None:
+    """Best-effort conversion of a WHERE clause into pruning DNF
+    (list of conjunct Pred-lists, OR across them); None = 'cannot
+    constrain the file set' (the subtree may match anything).
+
+    Soundness rules: inside an AND, un-analyzable conjuncts are simply
+    dropped (pruning on a SUBSET of conjuncts keeps a superset of
+    files); inside an OR, ONE un-analyzable branch poisons the whole
+    disjunction (that branch could match rows in any file). NOT
+    subtrees are un-analyzable by design (negating an interval is not
+    an interval). The full WHERE always re-runs in Spark, so pruning
+    never changes answers. ``col IN (...)`` expands to equality
+    disjuncts. DNF size is capped (cross-products of big ORs) —
+    beyond the cap we bail to no-pruning rather than planner blowup."""
     from iceberg_workshop_spark.icetbl import Pred
 
-    if re.search(r"\bOR\b|\bNOT\b", cond, re.I):
-        return []
-    preds = []
-    rest = cond
-    for m in _BETWEEN_RE.finditer(cond):
+    s = cond.strip()
+    # peel redundant outer parens: "(a OR b)" → "a OR b"
+    while s.startswith("("):
+        inner, rest = _take_parens(s)
+        if rest.strip():
+            break
+        s = inner.strip()
+    ors = _split_top_keyword(s, "OR")
+    if len(ors) > 1:
+        branches = [_dnf_from_where(p) for p in ors]
+        if any(b is None for b in branches):
+            return None
+        flat = [c for b in branches for c in b]
+        return flat if len(flat) <= _MAX_DNF_TERMS else None
+    ands = _split_top_keyword(s, "AND")
+    if len(ands) > 1:
+        branches = [_dnf_from_where(p) for p in ands]
+        usable = [b for b in branches if b is not None]
+        if not usable:
+            return None
+        # AND of DNFs = cross-product of their disjuncts
+        acc: list[list] = [[]]
+        for b in usable:
+            acc = [a + c for a in acc for c in b]
+            if len(acc) > _MAX_DNF_TERMS:
+                return None
+        return acc
+    # ---- leaf -------------------------------------------------------
+    if re.match(r"NOT\b", s, re.I):
+        return None
+    if m := _BETWEEN_RE.fullmatch(s):
         lo, hi = _coerce_lit(m["lo"]), _coerce_lit(m["hi"])
         if _NOT_A_LITERAL not in (lo, hi):
-            preds.append(Pred(m["col"], "between", (lo, hi)))
-    rest = _BETWEEN_RE.sub(" 1=1 ", rest)
-    for conj in re.split(r"\bAND\b", rest, flags=re.I):
-        conj = conj.strip()
-        if conj in ("", "1=1"):
-            continue
-        if m := _CMP_RE.match(conj):
-            lit = _coerce_lit(m["lit"])
-            if lit is not _NOT_A_LITERAL:
-                preds.append(Pred(m["col"], m["op"], lit))
-        # non-matching conjuncts are simply not pruned on
-    return preds
+            return [[Pred(m["col"], "between", (lo, hi))]]
+        return None
+    if m := _CMP_RE.match(s):
+        lit = _coerce_lit(m["lit"])
+        if lit is not _NOT_A_LITERAL:
+            return [[Pred(m["col"], m["op"], lit)]]
+        return None
+    if m := _IN_RE.match(s):
+        vals = [_coerce_lit(x) for x in _split_top_commas(m["items"])]
+        if vals and all(v is not _NOT_A_LITERAL for v in vals):
+            return [[Pred(m["col"], "=", v)] for v in vals]
+        return None
+    return None
 
 
 class IceSqlSession:
@@ -414,22 +476,23 @@ class IceSqlSession:
         return self.tables[name]
 
     def _safe_preds(self, tbl: IceTable, cond: str) -> list | None:
-        """Pruning predicates for a WHERE clause, pre-validated against
-        the table's actual metadata: a literal whose type can't be
-        compared to this table's partition values / bounds must degrade
-        to 'no pruning', never crash the statement (pruning is an
-        optimization; DML correctness can't ride on it)."""
+        """Pruning DNF for a WHERE clause (OR predicates prune as
+        per-file interval unions), pre-validated against the table's
+        actual metadata: a literal whose type can't be compared to this
+        table's partition values / bounds must degrade to 'no pruning',
+        never crash the statement (pruning is an optimization; DML
+        correctness can't ride on it)."""
         from iceberg_workshop_spark.icetbl.pruning import prune_files
 
-        preds = _preds_from_where(cond)
-        if not preds:
+        dnf = _dnf_from_where(cond)
+        if not dnf:
             return None
         try:
             spec_by_id = {i: s for i, s in enumerate(tbl.meta.specs)}
-            prune_files(tbl.meta.current_files(), spec_by_id, preds)
+            prune_files(tbl.meta.current_files(), spec_by_id, dnf)
         except Exception:  # noqa: BLE001 — un-prunable literal types
             return None
-        return preds
+        return dnf
 
     def _resolve_location(self, loc: str) -> str:
         for prefix in sorted(self.location_map, key=len, reverse=True):

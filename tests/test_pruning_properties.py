@@ -216,3 +216,28 @@ def test_truncate_pruning_soundness(ks, w, splits, preds):
                     f"k={k} matches {preds} but file {f['path']} "
                     f"(partition {f['partition']}) was pruned, w={w}"
                 )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(row_strategy, min_size=1, max_size=60),
+    transform=transform_strategy,
+    splits=st.integers(min_value=1, max_value=3),
+    dnf=st.lists(
+        st.lists(pred_strategy, min_size=1, max_size=2), min_size=1, max_size=3
+    ),
+)
+def test_dnf_pruning_never_drops_matching_rows(rows, transform, splits, dnf):
+    """OR soundness: under a DNF predicate, a row matching ANY disjunct
+    must live in a surviving file (per-file interval-union semantics)."""
+    spec = [{"source": "ts", "transform": transform, "name": "p"}]
+    files, contents = _build_files(rows, transform, splits)
+    kept, _ = prune_files(files, {0: spec}, dnf)
+    kept_paths = {f["path"] for f in kept}
+    for f, chunk in zip(files, contents):
+        for ts, k in chunk:
+            if any(_matches((ts, k), d) for d in dnf):
+                assert f["path"] in kept_paths, (
+                    f"row (ts={ts}, k={k}) matches a disjunct of {dnf} but "
+                    f"file {f['path']} was pruned under transform {transform}"
+                )

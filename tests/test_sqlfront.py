@@ -301,3 +301,64 @@ def test_update_set_literal_containing_where(sess):
     # And an UPDATE with no WHERE clause at all still hits every row.
     s.sql("UPDATE db.t SET name = 'z'")
     assert {r.name for r in tbl.read().collect()} == {"z"}
+
+
+def test_or_where_select_prunes_as_interval_union(spark):
+    """OR predicates prune too: a file survives only if SOME disjunct's
+    interval intersects it (q_filter_q19_shape parity for the SQL
+    surface) — and answers stay exact."""
+    s = IceSqlSession(spark)
+    s.sql(
+        """CREATE TABLE db3.orders (
+        order_id BIGINT, order_ts TIMESTAMP)
+        PARTITIONED BY (order_date DATE) STORED BY ICEBERG STORED AS PARQUET"""
+    )
+    for i, d in enumerate(("2022-01-01", "2022-01-02", "2022-01-03", "2022-01-04")):
+        s.sql(f'INSERT INTO db3.orders VALUES ({i}, "{d} 00:00:00", "{d}")')
+    tbl = s.tables["db3.orders"]
+
+    rows = s.sql(
+        "SELECT * FROM db3.orders WHERE "
+        "order_date = '2022-01-01' OR order_date = '2022-01-04'"
+    ).collect()
+    assert sorted(r.order_id for r in rows) == [0, 3]
+    rep = tbl.last_scan_report
+    assert rep["files_scanned"] == 2 and rep["files_total"] == 4
+
+    # IN-list expands to equality disjuncts and prunes identically.
+    rows = s.sql(
+        "SELECT * FROM db3.orders WHERE order_date IN ('2022-01-02', '2022-01-03')"
+    ).collect()
+    assert sorted(r.order_id for r in rows) == [1, 2]
+    rep = tbl.last_scan_report
+    assert rep["files_scanned"] == 2 and rep["files_total"] == 4
+
+    # Conjunct alongside an OR group: cross-product DNF still prunes.
+    rows = s.sql(
+        "SELECT * FROM db3.orders WHERE "
+        "(order_date = '2022-01-01' OR order_date = '2022-01-02') "
+        "AND order_id >= 1"
+    ).collect()
+    assert [r.order_id for r in rows] == [1]
+    rep = tbl.last_scan_report
+    # date disjuncts keep 2 files; the order_id >= 1 conjunct then
+    # stats-prunes the 01-01 file (its only row has order_id = 0)
+    assert rep["files_scanned"] == 1 and rep["files_total"] == 4
+
+
+def test_dnf_extraction_soundness_cases(spark):
+    from iceberg_workshop_spark.plans.sqlfront import _dnf_from_where
+
+    # OR with an un-analyzable branch poisons the whole disjunction.
+    assert _dnf_from_where("order_id = 1 OR upper(name) = 'X'") is None
+    # NOT is un-analyzable (interval negation is not an interval).
+    assert _dnf_from_where("NOT order_id = 1") is None
+    # ...but an un-analyzable conjunct inside AND is just dropped.
+    dnf = _dnf_from_where("order_id = 1 AND upper(name) = 'X'")
+    assert dnf is not None and len(dnf) == 1 and dnf[0][0].col == "order_id"
+    # BETWEEN's AND is not a boolean split point.
+    dnf = _dnf_from_where("a BETWEEN 1 AND 5 OR a BETWEEN 10 AND 20")
+    assert dnf is not None and len(dnf) == 2 and dnf[0][0].op == "between"
+    # A quoted literal containing ' OR ' is data, not a disjunction.
+    dnf = _dnf_from_where("name = 'this OR that'")
+    assert dnf is not None and dnf[0][0].value == "this OR that"
