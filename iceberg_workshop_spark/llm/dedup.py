@@ -559,26 +559,40 @@ def _sign_band_col(first_dim: int, bits: int = 4) -> Column:
 )
 def q_llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding dedup — the lossy 100 TB path beside the
-    exact tiled path (``q_llm_dedup_embed``).
+    exact tiled path (``q_llm_dedup_embed``). Default setting: 2 bands
+    × 4 sign bits (dims 1-8). See ``embed_lsh_pairs`` for the
+    band-count/band-width recall knob."""
+    return embed_lsh_pairs(spark, sf_dir, n_bands=2, band_bits=4)
 
-    Random-hyperplane LSH with axis-aligned hyperplanes: the signature
-    is the sign pattern of the first 8 dimensions, split into 2 bands
-    of 4 bits. Only pairs colliding in ≥1 band are scored (exact
-    cosine, JVM-side zip_with/aggregate — same accumulation order as
-    DuckDB's list_dot_product, so the oracle is exact).
 
-    Recall is regime-dependent and follows the LSH math: a pair at
-    angle θ collides per band with (1-θ/π)⁴, so production near-dup
-    thresholds (cosine ≥ .9, θ ≤ 26°) collide with p ≈ .79 at these
-    parameters and ≥ .95 with 4 bands — while this fixture's pairs sit
-    at cosine ≈ .45 (θ ≈ 63°, per-band p ≈ .18, expected recall ≈ .33;
-    test_llm.py pins the measured regime). The exact tiled path
-    (``q_llm_dedup_embed``) is the default precisely because blocking
-    cannot be both cheap and complete at moderate thresholds.
+def embed_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = 2,
+    band_bits: int = 4,
+    threshold: float = COSINE_T,
+) -> DataFrame:
+    """Parameterized random-hyperplane LSH with axis-aligned
+    hyperplanes: band i is the sign pattern of dims
+    [1 + i·band_bits, …]; only pairs colliding in ≥1 band are scored
+    (exact cosine, JVM-side zip_with/aggregate — same accumulation
+    order as DuckDB's list_dot_product, so the oracle is exact).
 
-    Scale: two shuffles on 4-bit band codes + in-bucket scoring; at
-    100 TB add bands for recall (linear cost, exponential miss decay),
-    salt hot buckets (all-positive vectors) like the MinHash path.
+    The (n_bands, band_bits) knob is the cost↔recall dial: a pair at
+    angle θ collides per band with
+    (1-θ/π)^band_bits, total recall 1-(1-p)^n_bands. Production
+    near-dup regimes (cosine ≥ .9, θ ≤ 26°) reach ≥ .95 recall at the
+    default 2×4; this fixture's pairs sit at cosine ≈ .45 (θ ≈ 63°,
+    per-band p ≈ .18, expected recall ≈ .33) where recall needs wider
+    settings — NARROWER bands and MORE of them (e.g. 8×2: p ≈ .42,
+    recall ≈ .99 expected) at the price of larger candidate buckets
+    (random pairs collide per 2-bit band with ≈ .25). test_llm.py
+    sweeps measured recall against the exact tiled ground truth.
+
+    Scale: n_bands shuffles on small band codes + in-bucket scoring;
+    at 100 TB add bands for recall (linear cost, exponential miss
+    decay), salt hot buckets (all-positive vectors) like the MinHash
+    path.
     """
     from iceberg_workshop_spark.llm.simsearch import _dot
 
@@ -586,11 +600,14 @@ def q_llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
+    bands = {
+        f"b{i}": _sign_band_col(1 + i * band_bits, bits=band_bits)
+        for i in range(n_bands)
+    }
     sig = emb.select(
         "vec_id",
         "v",
-        _sign_band_col(1).alias("b0"),
-        _sign_band_col(5).alias("b1"),
+        *[c.alias(name) for name, c in bands.items()],
         F.sqrt(
             F.aggregate(
                 F.zip_with("v", "v", lambda x, y: x * y),
@@ -609,7 +626,10 @@ def q_llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b")
         )
 
-    cand = band_pairs("b0").unionAll(band_pairs("b1")).distinct()
+    cand = band_pairs("b0")
+    for i in range(1, n_bands):
+        cand = cand.unionAll(band_pairs(f"b{i}"))
+    cand = cand.distinct()
     sa = sig.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -621,7 +641,7 @@ def q_llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "vec_a")
         .join(sb, "vec_b")
         .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= COSINE_T)
+        .filter(F.col("cosine_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
@@ -737,11 +757,20 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # shingles/pairs/edges stay persisted: Spark's CacheManager keys
-    # on the canonicalized plan, so a re-invocation (warm bench run,
-    # apply-step reuse) hits these instead of recomputing the whole
-    # shingle→pair→CC chain; MEMORY_AND_DISK + LRU bounds the cost.
-    return labels.orderBy("doc_id")
+    # Persist hygiene: the shingle→pair→edge intermediates exist only
+    # to serve the iterations above — leaving them persisted would
+    # grow executor memory monotonically across invocations in a
+    # long-lived session. Truncate the result's lineage first
+    # (localCheckpoint materializes the converged labels — one small
+    # row per doc — so the returned plan no longer references the
+    # unpersisted chain), then release everything.
+    final = labels.localCheckpoint(eager=True)
+    for df in (shingles, pairs, edges, labels):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup must not fail the query
+            pass
+    return final.orderBy("doc_id")
 
 
 @register(
