@@ -104,7 +104,17 @@ _CALL_RE = re.compile(
     r"\(\s*'(?P<target>[\w.]+)'\s*\)$",
     re.I,
 )
-_META_SUFFIXES = ("history", "snapshots", "files", "partitions", "refs")
+_META_SUFFIXES = (
+    "history",
+    "snapshots",
+    "files",
+    "partitions",
+    "refs",
+    "metadata_log_entries",
+)
+_DESCRIBE_RE = re.compile(
+    r"DESCRIBE\s+(?P<fmt>FORMATTED\s+)?(?P<target>[\w.]+)$", re.I
+)
 _TT_RE = re.compile(
     r"(?P<name>[\w.]+)\s+FOR\s+(?P<kind>SYSTEM_TIME|SYSTEM_VERSION)\s+AS\s+OF\s+"
     r"(?P<q>[\"'])(?P<lit>.+?)(?P=q)",
@@ -462,6 +472,8 @@ class IceSqlSession:
             return None
         if m := _SHOW_PARTS_RE.match(s):
             return self._show_partitions(m)
+        if (m := _DESCRIBE_RE.match(s)) and m["target"] in self.tables:
+            return self._describe(m)
         if m := _CALL_RE.match(s):
             return self._call(m)
         if m := _INSERT_RE.match(s):
@@ -563,6 +575,39 @@ class IceSqlSession:
             ] or [("main", "branch", tbl.meta.current_snapshot_id)]
             return self.spark.createDataFrame(
                 rows, "name string, kind string, snapshot_id long"
+            )
+        if suffix == "metadata_log_entries":
+            # Iceberg's metadata_log_entries: one row per metadata file
+            # still on disk, with the snapshot that file considered
+            # current (the lineage the reference walks by hand when it
+            # lists metadata/*.json, interoperability.md:76-83).
+            rows = []
+            mdir = os.path.join(tbl.meta.location, "metadata")
+            for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                try:
+                    version = int(name[1:-5])
+                except ValueError:
+                    continue
+                path = os.path.join(mdir, name)
+                import json as _json
+
+                with open(path) as fh:
+                    doc = _json.load(fh)
+                rows.append(
+                    (
+                        int(os.path.getmtime(path) * 1000),
+                        path,
+                        version,
+                        doc.get("current_snapshot_id"),
+                    )
+                )
+            rows.sort(key=lambda r: r[2])
+            return self.spark.createDataFrame(
+                rows,
+                "timestamp_ms long, file string, version int, "
+                "latest_snapshot_id long",
             )
         if suffix == "files":
             return self.spark.createDataFrame(
@@ -736,6 +781,53 @@ class IceSqlSession:
             tbl.set_properties(props)
         self.tables[name] = tbl
         return None
+
+    def _describe(self, m: re.Match) -> DataFrame:
+        """DESCRIBE [FORMATTED] over a registered ice table — the
+        reference retrieves ``metadata_location`` this way before a
+        pinned metadata-file read (interoperability.md:90-103). Output
+        mirrors Spark's (col_name, data_type, comment) shape; the
+        FORMATTED variant appends the detailed-information section."""
+        from pyspark.sql.types import StructType
+
+        from iceberg_workshop_spark.icetbl import meta as _M
+
+        tbl = self.tables[m["target"]]
+        rows = [
+            (f.name, f.dataType.simpleString(), "")
+            for f in StructType.fromDDL(tbl.meta.schema_ddl).fields
+        ]
+        if m["fmt"]:
+            meta = tbl.meta
+            spec = meta.specs[meta.current_spec_id]
+            rows += [
+                ("", "", ""),
+                ("# Detailed Table Information", "", ""),
+                ("Location", meta.location, ""),
+                ("Table Type", "EXTERNAL", ""),
+                ("Provider", "iceberg-native", ""),
+                (
+                    "metadata_location",
+                    _M.metadata_path(meta.location, meta.version),
+                    "",
+                ),
+                (
+                    "current-snapshot-id",
+                    str(meta.current_snapshot_id),
+                    "",
+                ),
+                (
+                    "partition-spec",
+                    ", ".join(f"{f['transform']}({f['source']})" for f in spec)
+                    or "unpartitioned",
+                    "",
+                ),
+            ] + [
+                (f"prop:{k}", v, "") for k, v in sorted(meta.properties.items())
+            ]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
 
     def _show_partitions(self, m: re.Match) -> DataFrame:
         tbl = self._table(m["target"])
@@ -1515,3 +1607,77 @@ def q_sql_rollback_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sess.sql('SELECT * FROM iws_ice.airlines WHERE code = "ABC"').count() == 1
     sess.sql(f'ALTER TABLE iws_ice.airlines EXECUTE rollback("{s1}")')
     return tbl.read().orderBy("code")
+
+
+@register(
+    "q_sql_describe_formatted",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('code', 'string'),
+      ('description', 'string'),
+      ('metadata_location_file', 'v2.json'),
+      ('partition-spec', 'unpartitioned'),
+      ('snapshot_is_current', 'true')
+    ) AS t(col_name, data_type)
+    ORDER BY col_name
+    """,
+)
+def q_sql_describe_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE FORMATTED (interoperability.md:90): the reference runs
+    it to retrieve ``metadata_location`` before a pinned metadata-file
+    read. Scratch paths aren't deterministic, so the oracle checks the
+    derived invariants: schema rows, the metadata file's basename
+    (v2 = create + CTAS-append), the spec line, and that the reported
+    current-snapshot-id matches the table's."""
+    sess, tbl = _airlines_session(spark, sf_dir, "sql_descfmt", "iws_ice.airlines")
+    desc = sess.sql("DESCRIBE FORMATTED iws_ice.airlines").collect()
+    by_name = {r.col_name: r.data_type for r in desc}
+    rows = [
+        ("code", by_name["code"]),
+        ("description", by_name["description"]),
+        ("metadata_location_file", os.path.basename(by_name["metadata_location"])),
+        ("partition-spec", by_name["partition-spec"]),
+        (
+            "snapshot_is_current",
+            str(
+                by_name["current-snapshot-id"] == str(tbl.meta.current_snapshot_id)
+            ).lower(),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string"
+    ).orderBy("col_name")
+
+
+@register(
+    "q_sql_metadata_log",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_entries,
+           'v3.json' AS latest_file,
+           true AS latest_is_current,
+           true AS monotone_versions
+    """,
+)
+def q_sql_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``<table>.metadata_log_entries`` over the vN.json history — the
+    lineage the reference walks by listing metadata/*.json by hand
+    (interoperability.md:76-83). Two commits after CREATE leave v1
+    (empty), v2 (CTAS append), v3 (insert); the newest entry's
+    latest_snapshot_id must be the table's current snapshot."""
+    from pyspark.sql import functions as F
+
+    sess, tbl = _airlines_session(spark, sf_dir, "sql_metalog", "iws_ice.airlines")
+    sess.sql('INSERT INTO iws_ice.airlines VALUES ("ABC", "Real Fake Airlines")')
+    log = sess.sql("SELECT * FROM iws_ice.airlines.metadata_log_entries")
+    w_last = log.orderBy(F.col("version").desc()).limit(1)
+    return w_last.select(
+        F.lit(log.count()).cast("long").alias("n_entries"),
+        F.element_at(F.split("file", "/"), -1).alias("latest_file"),
+        (F.col("latest_snapshot_id") == F.lit(tbl.meta.current_snapshot_id)).alias(
+            "latest_is_current"
+        ),
+        F.lit(
+            [r.version for r in log.select("version").collect()]
+            == sorted(r.version for r in log.select("version").collect())
+        ).alias("monotone_versions"),
+    )

@@ -362,3 +362,26 @@ def test_dnf_extraction_soundness_cases(spark):
     # A quoted literal containing ' OR ' is data, not a disjunction.
     dnf = _dnf_from_where("name = 'this OR that'")
     assert dnf is not None and dnf[0][0].value == "this OR that"
+
+
+def test_describe_formatted_and_metadata_log(sess):
+    s, tbl = sess
+    # plain DESCRIBE: schema rows only
+    plain = s.sql("DESCRIBE db.t").collect()
+    assert [(r.col_name, r.data_type) for r in plain] == [
+        ("id", "int"), ("name", "string")
+    ]
+    # FORMATTED adds the detailed section the reference reads
+    # metadata_location from (interoperability.md:90-103)
+    desc = {r.col_name: r.data_type for r in s.sql("DESCRIBE FORMATTED db.t").collect()}
+    assert desc["metadata_location"].endswith("v2.json")
+    assert desc["current-snapshot-id"] == str(tbl.meta.current_snapshot_id)
+    # metadata_log_entries: one row per vN.json, newest is current
+    log = s.sql("SELECT * FROM db.t.metadata_log_entries").collect()
+    assert [r.version for r in log] == [1, 2]
+    assert log[-1].latest_snapshot_id == tbl.meta.current_snapshot_id
+    # the pinned-read loop closes: DESCRIBE FORMATTED → load_metadata
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    pinned = IceTable.load_metadata(tbl.spark, desc["metadata_location"])
+    assert pinned.read().count() == tbl.read().count()
