@@ -933,3 +933,118 @@ def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+# ------------------------------------------- incremental (batch vs corpus)
+
+
+@register(
+    "q_llm_dedup_incremental",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    corpus AS (SELECT * FROM norm WHERE doc_id % 4 <> 0),
+    batch  AS (SELECT * FROM norm WHERE doc_id % 4 = 0),
+    exact_ids AS (
+      SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.norm = c.norm
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(norm, ' ')) AS tok,
+             generate_subscripts(string_split(norm, ' '), 1) AS pos
+      FROM norm
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT b.doc_id AS b_id, c.doc_id AS c_id, COUNT(*) AS n_common
+      FROM ds b JOIN ds c ON b.shingle = c.shingle
+      WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+      GROUP BY 1, 2
+    ),
+    near_ids AS (
+      SELECT DISTINCT i.b_id AS doc_id
+      FROM inter i
+      JOIN sz sb ON sb.doc_id = i.b_id
+      JOIN sz sc ON sc.doc_id = i.c_id
+      WHERE 5 * i.n_common >= 4 * (sb.n + sc.n - i.n_common)
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM batch b
+    LEFT JOIN exact_ids e ON e.doc_id = b.doc_id
+    LEFT JOIN near_ids n ON n.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW ingest batch against an
+    EXISTING corpus — the shape every production pipeline actually
+    runs (the all-pairs variants answer "is this corpus clean?"; this
+    answers "which of today's documents are already in the lake?").
+    Batch = doc_id % 4 == 0, corpus = the rest (deterministic split;
+    the fixture's seeded near-duplicates straddle it).
+
+    Plan shape for 100 TB: the corpus side is huge and the batch tiny,
+    so every join is keyed to let Spark broadcast the batch — (1)
+    exact: semi-join of batch norms against distinct corpus norms (at
+    scale, key on xxhash64(norm) so the join carries 8-byte keys, not
+    documents); (2) near: shingle-equality join batch×corpus → pair
+    Jaccard. Corpus shingles stream through the shuffle once; nothing
+    is collected. The Jaccard threshold compares in integers
+    (5·common ≥ 4·union — NOTES invariant: no doubles at
+    classification boundaries)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    bnorm = batch.select("doc_id", _norm_text(F.col("text")).alias("norm"))
+    cnorm = corpus.select(_norm_text(F.col("text")).alias("norm")).distinct()
+    exact_ids = bnorm.join(cnorm, "norm", "left_semi").select("doc_id")
+
+    bs = _doc_shingles(batch)
+    cs = _doc_shingles(corpus)
+    bsz = bs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    csz = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        bs.alias("b")
+        .join(cs.alias("c"), "shingle")
+        .groupBy(
+            F.col("b.doc_id").alias("b_id"), F.col("c.doc_id").alias("c_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near_ids = (
+        inter.join(bsz.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .join(csz.withColumnRenamed("doc_id", "c_id"), "c_id")
+        .filter(
+            5 * F.col("n_common")
+            >= 4 * (F.col("n_b") + F.col("n_c") - F.col("n_common"))
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__e").isNotNull(), "exact")
+            .when(F.col("__n").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
