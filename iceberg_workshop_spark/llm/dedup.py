@@ -726,37 +726,55 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
     )
-    # Labels are monotone non-increasing (least of self and neighbor
-    # min), so sum(cluster_id) strictly decreases on any change —
-    # convergence detection is one cheap aggregate per round instead
-    # of a self-join + count.
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    for _ in range(10):  # diameter bound; near-dup graphs are shallow
-        nbr = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(nbr, labels.doc_id == nbr.u, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+    # The propagation loop's shuffles should track GRAPH size (edges ≈
+    # duplicate pairs, a sliver of the corpus), not the session's
+    # corpus-scale shuffle width: every iteration pays fixed per-
+    # partition stage costs, which at the batch default of 32 dominate
+    # wall clock on a near-dup-sized edge set (same reasoning as the
+    # streaming drain's state-store partitioning, streaming/stateful).
+    # Env-tunable for a truly huge duplicate graph.
+    import os as _os
+
+    sess = docs.sparkSession
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_parts = sess.conf.get(shuffle_key)
+    sess.conf.set(
+        shuffle_key, _os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "8")
+    )
+    try:
+        # Labels are monotone non-increasing (least of self and
+        # neighbor min), so sum(cluster_id) strictly decreases on any
+        # change — convergence detection is one cheap aggregate per
+        # round instead of a self-join + count.
+        prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        for _ in range(10):  # diameter bound; near-dup graphs are shallow
+            nbr = (
+                edges.join(labels, edges.v == labels.doc_id)
+                .groupBy("u")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            .persist()
-        )
-        cur_sum = updated.agg(F.sum("cluster_id")).first()[0]
-        if labels is not edges:  # unpersist the superseded label set
-            try:
-                labels.unpersist()
-            except Exception:  # noqa: BLE001 — first iteration is unpersisted
-                pass
-        labels = updated
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            updated = (
+                labels.join(nbr, labels.doc_id == nbr.u, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            cur_sum = updated.agg(F.sum("cluster_id")).first()[0]
+            if labels is not edges:  # unpersist the superseded label set
+                try:
+                    labels.unpersist()
+                except Exception:  # noqa: BLE001 — first iteration is unpersisted
+                    pass
+            labels = updated
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        sess.conf.set(shuffle_key, prev_parts)
     # Persist hygiene: the shingle→pair→edge intermediates exist only
     # to serve the iterations above — leaving them persisted would
     # grow executor memory monotonically across invocations in a
