@@ -206,3 +206,20 @@ def test_ivf_partitioned_probe_prunes_partitions(spark):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "ivf_cluster" in seg
+
+
+def test_incremental_dedup_no_collect_and_pruned_scan(spark):
+    """Batch-vs-corpus dedup: the plan must stay distributed (no
+    driver collect in the source), push the doc_id % 4 split into the
+    parquet scan, and key every join (no cartesian)."""
+    import inspect
+
+    from iceberg_workshop_spark.llm import dedup
+    from iceberg_workshop_spark.registry import queries
+
+    src = inspect.getsource(dedup.q_llm_dedup_incremental)
+    assert ".collect()" not in src and ".toPandas()" not in src
+    df = queries()["q_llm_dedup_incremental"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # batch-side joins broadcast
