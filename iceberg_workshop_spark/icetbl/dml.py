@@ -96,12 +96,21 @@ def delete_where(
 
 def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int]:
     """MERGE INTO (A9): source schema == target schema; matched rows
-    take the source's non-key columns, unmatched source rows insert."""
+    take the source's non-key columns, unmatched source rows insert.
+
+    Effect protocol for the general MERGE grammar (WHEN MATCHED THEN
+    DELETE, conditional clauses): a boolean ``__delete`` column on
+    ``source`` marks keys whose matched target rows are dropped in the
+    rewrite instead of updated; ``__delete`` rows never insert. The
+    CoW mechanics are unchanged — only files holding matched keys are
+    rewritten."""
     cols = tbl._column_names()
     non_keys = [c for c in cols if c not in on]
     files = tbl.meta.current_files()
 
-    src = source.select(*cols).withColumn("__matched", F.lit(True))
+    has_delete = "__delete" in source.columns
+    src_cols = cols + (["__delete"] if has_delete else [])
+    src = source.select(*src_cols).withColumn("__matched", F.lit(True))
 
     # 1. Affected files: any file holding a row whose key appears in
     # source. An empty table has no file-backed scan (no _metadata
@@ -116,9 +125,12 @@ def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int
     affected = [f for f in files if f["path"] in hit_paths]
     untouched = [f for f in files if f["path"] not in hit_paths]
 
-    # 2. Rewrite affected rows with updates applied.
+    # 2. Rewrite affected rows with updates applied; matched rows
+    # flagged __delete drop out of the rewrite entirely.
     t = _rows_of(tbl, affected)
     joined = t.join(F.broadcast(src), on, "left")
+    if has_delete:
+        joined = joined.filter(~F.coalesce(F.col("__delete"), F.lit(False)))
     updated = joined.select(
         *on,
         *[
@@ -130,7 +142,8 @@ def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int
     # 3. Insert source rows that matched nothing. (A key matching any
     # target row would have made its file "affected", so anti-joining
     # the affected rows is anti-joining the whole table.)
-    inserts = source.select(*cols).join(t.select(*on).distinct(), on, "left_anti")
+    ins_src = source.filter(~F.coalesce(F.col("__delete"), F.lit(False))) if has_delete else source
+    inserts = ins_src.select(*cols).join(t.select(*on).distinct(), on, "left_anti")
 
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(updated.unionByName(inserts), tbl.meta.specs[spec_id], spec_id)

@@ -460,6 +460,18 @@ class IceTable:
 
         self._retry_commit(mutate)
 
+    def drop_ref(self, name: str) -> None:
+        """DROP TAG / DROP BRANCH: remove a named ref. The snapshots it
+        protected stay until the next expiration pass (Iceberg
+        semantics — dropping a ref never deletes data by itself)."""
+
+        def mutate(meta: M.TableMeta) -> None:
+            if name not in meta.refs:
+                raise KeyError(f"ref {name!r} does not exist")
+            del meta.refs[name]
+
+        self._retry_commit(mutate)
+
     def fast_forward(self, branch: str) -> None:
         """Publish a branch: point main at the branch head (the WAP
         publish step as a ref operation)."""

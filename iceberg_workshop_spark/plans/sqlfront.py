@@ -39,12 +39,16 @@ from pyspark.sql import DataFrame, SparkSession
 from iceberg_workshop_spark.icetbl import IceTable, spec_field
 from iceberg_workshop_spark.registry import register
 
-_MERGE_RE = re.compile(
+_MERGE_HEAD_RE = re.compile(
     r"MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
     r"USING\s+\((?P<src>.+?)\)\s+(?:AS\s+)?(?P<salias>\w+)\s+"
-    r"ON\s+(?P<on>.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+VALUES\s*\((?P<vals>.+)\)$",
+    r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
+    re.I | re.S,
+)
+_MERGE_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+VALUES\s*\(.+?\))"
+    r"\s*(?=WHEN\s|$)",
     re.I | re.S,
 )
 _DELETE_RE = re.compile(
@@ -100,8 +104,15 @@ _EXPIRE_RE = re.compile(
     re.I | re.S,
 )
 _CALL_RE = re.compile(
-    r"CALL\s+[\w.]*system\.(?P<proc>rewrite_data_files|rewrite_manifests)\s*"
+    r"CALL\s+[\w.]*system\.(?P<proc>rewrite_data_files|rewrite_manifests|"
+    r"remove_orphan_files)\s*"
     r"\(\s*'(?P<target>[\w.]+)'\s*\)$",
+    re.I,
+)
+_REF_DDL_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
+    r"(?P<verb>CREATE|DROP)\s+(?P<kind>TAG|BRANCH)\s+(?P<name>\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<sid>\d+))?$",
     re.I,
 )
 _META_SUFFIXES = (
@@ -414,8 +425,8 @@ class IceSqlSession:
     # -- dispatch ------------------------------------------------------
     def sql(self, text: str) -> DataFrame | None:
         s = text.strip().rstrip(";").strip()
-        if m := _MERGE_RE.match(s):
-            return self._merge(m)
+        if m := _MERGE_HEAD_RE.match(s):
+            return self._merge(m, s[m.end():])
         if m := _DELETE_RE.match(s):
             # Prune candidate files on the WHERE's simple conjuncts —
             # each is implied by the full condition, so a pruned-out
@@ -430,6 +441,19 @@ class IceSqlSession:
             return self._rollback(m)
         if m := _EXPIRE_RE.match(s):
             return self._expire(m)
+        if m := _REF_DDL_RE.match(s):
+            # Iceberg ref DDL: ALTER TABLE t CREATE/DROP TAG|BRANCH
+            # (tags are immutable bookmarks, branches movable heads).
+            tbl = self._table(m["target"])
+            if m["verb"].upper() == "DROP":
+                tbl.drop_ref(m["name"])
+            else:
+                sid = int(m["sid"]) if m["sid"] else None
+                if m["kind"].upper() == "TAG":
+                    tbl.create_tag(m["name"], snapshot_id=sid)
+                else:
+                    tbl.create_branch(m["name"], snapshot_id=sid)
+            return None
         if m := _SET_SPEC_RE.match(s):
             self._table(m["target"]).set_partition_spec(_parse_spec(m["spec"]))
             return None
@@ -624,7 +648,15 @@ class IceSqlSession:
         ).distinct()
 
     # -- statement handlers -------------------------------------------
-    def _merge(self, m: re.Match) -> None:
+    def _merge(self, m: re.Match, when_text: str) -> None:
+        """General MERGE (Iceberg grammar subset): any number of
+        ``WHEN MATCHED [AND <cond>] THEN UPDATE SET ... | DELETE``
+        clauses (first applicable wins, SQL clause order) plus an
+        optional ``WHEN NOT MATCHED [AND <cond>] THEN INSERT VALUES``.
+        Reduction: one join computes per-matched-row effects (updated
+        values or a __delete flag — rows no clause claims keep their
+        original values), the anti-join computes inserts, and
+        ``merge_into`` applies both in a single copy-on-write commit."""
         tbl = self._table(m["target"])
         talias = m["talias"] or _view_name(m["target"])
         salias = m["salias"]
@@ -655,29 +687,87 @@ class IceSqlSession:
                 on_pairs.append((lc, rc))
             else:  # unqualified side defaults to target (MERGE scoping)
                 on_pairs.append((lc, rc))
-        sets: dict[str, str] = {}
-        for assign in _split_top_commas(m["set"]):
-            k, v = assign.split("=", 1)
-            sets[k.strip().rsplit(".", 1)[-1]] = v.strip()
+
+        # ---- parse WHEN clauses (order-preserving) ------------------
+        matched: list[dict] = []
+        inserts: list[dict] = []
+        consumed = 0
+        for wm in _MERGE_WHEN_RE.finditer(when_text.strip()):
+            consumed = wm.end()
+            action = wm["action"].strip()
+            clause = {"cond": wm["cond"].strip() if wm["cond"] else None}
+            if wm["neg"]:
+                im = re.match(
+                    r"INSERT\s+VALUES\s*(?=\()", action, re.I
+                )
+                if not im:
+                    raise ValueError(f"WHEN NOT MATCHED supports only INSERT, got: {action!r}")
+                vals_text, _ = _take_parens(action[im.end():])
+                clause["vals"] = _split_top_commas(vals_text)
+                inserts.append(clause)
+            elif action.upper() == "DELETE":
+                clause["kind"] = "delete"
+                matched.append(clause)
+            else:
+                sets: dict[str, str] = {}
+                for assign in _split_top_commas(action[len("UPDATE SET"):]):
+                    k, v = assign.split("=", 1)
+                    sets[k.strip().rsplit(".", 1)[-1]] = v.strip()
+                clause["kind"] = "update"
+                clause["sets"] = sets
+                matched.append(clause)
+        if consumed < len(when_text.strip()) or (not matched and not inserts):
+            raise ValueError(f"unparsed MERGE WHEN clauses: {when_text[consumed:]!r}")
+        if len(inserts) > 1:
+            raise ValueError("at most one WHEN NOT MATCHED clause is supported")
 
         cols = tbl._column_names()
         on_sql = " AND ".join(f"{talias}.{t} = {salias}.{s}" for t, s in on_pairs)
-        upd_proj = ", ".join(f"{sets.get(c, f'{talias}.{c}')} AS {c}" for c in cols)
-        upd = self.spark.sql(
-            f"SELECT {upd_proj} FROM {talias} JOIN {salias} ON {on_sql}"
-        )
-        vals = _split_top_commas(m["vals"])
-        if len(vals) != len(cols):
-            # zip() would silently truncate and die later in
-            # unionByName with a confusing column-mismatch error.
-            raise ValueError(
-                f"MERGE INSERT VALUES width {len(vals)} != table width {len(cols)}"
+
+        # First applicable clause wins: __act = index of the clause.
+        act_sql = (
+            "CASE "
+            + " ".join(
+                f"WHEN ({c['cond'] or 'TRUE'}) THEN {i}"
+                for i, c in enumerate(matched)
             )
-        ins_proj = ", ".join(f"{v} AS {c}" for c, v in zip(cols, vals))
-        ins = self.spark.sql(
-            f"SELECT {ins_proj} FROM {salias} LEFT ANTI JOIN {talias} ON {on_sql}"
+            + " ELSE -1 END"
         )
-        tbl.merge_into(upd.unionByName(ins), on=[t for t, _ in on_pairs])
+
+        def value_sql(col: str) -> str:
+            branches = " ".join(
+                f"WHEN ({act_sql}) = {i} THEN ({c['sets'].get(col, f'{talias}.{col}')})"
+                for i, c in enumerate(matched)
+                if c["kind"] == "update"
+            )
+            return f"CASE {branches} ELSE {talias}.{col} END" if branches else f"{talias}.{col}"
+
+        del_branches = [
+            f"({act_sql}) = {i}" for i, c in enumerate(matched) if c["kind"] == "delete"
+        ]
+        del_sql = " OR ".join(del_branches) if del_branches else "FALSE"
+        upd_proj = ", ".join(f"{value_sql(c)} AS {c}" for c in cols)
+        effects = self.spark.sql(
+            f"SELECT {upd_proj}, ({del_sql}) AS __delete "
+            f"FROM {talias} JOIN {salias} ON {on_sql}"
+        )
+        src = effects
+        for ic in inserts:
+            vals = ic["vals"]
+            if len(vals) != len(cols):
+                # zip() would silently truncate and die later in
+                # unionByName with a confusing column-mismatch error.
+                raise ValueError(
+                    f"MERGE INSERT VALUES width {len(vals)} != table width {len(cols)}"
+                )
+            ins_proj = ", ".join(f"{v} AS {c}" for c, v in zip(cols, vals))
+            where = f" WHERE ({ic['cond']})" if ic["cond"] else ""
+            ins = self.spark.sql(
+                f"SELECT {ins_proj}, FALSE AS __delete "
+                f"FROM {salias} LEFT ANTI JOIN {talias} ON {on_sql}{where}"
+            )
+            src = src.unionByName(ins)
+        tbl.merge_into(src, on=[t for t, _ in on_pairs])
         return None
 
     def _insert(self, m: re.Match) -> None:
@@ -838,12 +928,19 @@ class IceSqlSession:
             [(p,) for p in parts], "partition string"
         )
 
-    def _call(self, m: re.Match) -> None:
+    def _call(self, m: re.Match) -> DataFrame | None:
         from iceberg_workshop_spark.icetbl import maintenance
 
         tbl = self._table(m["target"])
-        if m["proc"].lower() == "rewrite_data_files":
+        proc = m["proc"].lower()
+        if proc == "rewrite_data_files":
             maintenance.rewrite_data_files(tbl)
+        elif proc == "remove_orphan_files":
+            rep = maintenance.orphan_file_report(tbl)
+            return self.spark.createDataFrame(
+                [(rep["files_on_disk"], rep["files_orphaned"])],
+                "files_on_disk long, files_orphaned long",
+            )
         else:
             maintenance.rewrite_manifests(tbl)
         return None

@@ -385,3 +385,69 @@ def test_describe_formatted_and_metadata_log(sess):
 
     pinned = IceTable.load_metadata(tbl.spark, desc["metadata_location"])
     assert pinned.read().count() == tbl.read().count()
+
+
+def test_merge_when_matched_delete(sess, spark):
+    # Iceberg MERGE grammar: WHEN MATCHED THEN DELETE drops matched
+    # target rows; NOT MATCHED still inserts.
+    s, tbl = sess
+    src = spark.createDataFrame([(2, "x"), (9, "I9")], "id int, name string")
+    s.register_view("staging.srcdel", src)
+    s.sql(
+        """
+        MERGE INTO db.t AS target
+        USING (SELECT id, name FROM staging.srcdel) AS source
+        ON id = source.id
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT VALUES (source.id, source.name)
+        """
+    )
+    got = {(r.id, r.name) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (3, "c"), (9, "I9")}
+
+
+def test_merge_conditional_clauses_first_wins(sess, spark):
+    # Conditional matched clauses evaluate in order; first applicable
+    # wins; matched rows no clause claims keep their original values.
+    s, tbl = sess
+    src = spark.createDataFrame(
+        [(1, "DEL"), (2, "UPD"), (3, "SKIP")], "id int, name string"
+    )
+    s.register_view("staging.srcc", src)
+    s.sql(
+        """
+        MERGE INTO db.t AS target
+        USING (SELECT id, name FROM staging.srcc) AS source
+        ON id = source.id
+        WHEN MATCHED AND source.name = 'DEL' THEN DELETE
+        WHEN MATCHED AND source.name = 'UPD' THEN UPDATE SET name = source.name
+        """
+    )
+    got = {(r.id, r.name) for r in tbl.read().collect()}
+    assert got == {(2, "UPD"), (3, "c")}
+
+
+def test_merge_unparsed_when_clause_raises(sess):
+    s, _ = sess
+    with pytest.raises(ValueError, match="unparsed|INSERT"):
+        s.sql(
+            "MERGE INTO db.t AS t USING (SELECT 1 AS id) AS s ON id = s.id "
+            "WHEN NOT MATCHED THEN FROBNICATE"
+        )
+
+
+def test_ref_ddl_and_remove_orphans(sess):
+    s, tbl = sess
+    s.sql("ALTER TABLE db.t CREATE TAG v1")
+    s1 = tbl.meta.current_snapshot_id
+    s.sql("INSERT INTO db.t VALUES (4, 'd')")
+    s.sql(f"ALTER TABLE db.t CREATE BRANCH audit AS OF VERSION {s1}")
+    refs = {r.name: (r.kind, r.snapshot_id) for r in s.sql(
+        "SELECT * FROM db.t.refs").collect()}
+    assert refs["v1"] == ("tag", s1)
+    assert refs["audit"] == ("branch", s1)
+    s.sql("ALTER TABLE db.t DROP TAG v1")
+    s.sql("ALTER TABLE db.t DROP BRANCH audit")
+    assert tbl.meta.refs == {}
+    rep = s.sql("CALL system.remove_orphan_files('db.t')").collect()[0]
+    assert rep.files_on_disk >= 1 and rep.files_orphaned == 0
