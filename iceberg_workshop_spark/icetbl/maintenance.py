@@ -24,24 +24,45 @@ def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[st
     survives), then physically delete data files no remaining snapshot
     references — the orphan cleanup the reference demonstrates by
     listing S3 before/after (README.md:364-381)."""
+    import contextlib
+
     cutoff = M.now_ms() if older_than_ms is None else older_than_ms
     before = len(tbl.meta.snapshots)
     kept: list[dict] = []
+    to_delete: set[str] = set()
 
     def mutate(meta: M.TableMeta) -> None:
-        nonlocal kept
+        nonlocal kept, to_delete
         # Ref heads (tags/branches) are retention roots exactly like
         # the current snapshot — Iceberg semantics: expiration never
         # breaks a named ref, however old its head is.
         protected = {meta.current_snapshot_id} | {
             r["snapshot_id"] for r in meta.refs.values()
         }
+        all_before = list(meta.snapshots)
         kept = [
             s
-            for s in meta.snapshots
+            for s in all_before
             if s["snapshot_id"] in protected or s["timestamp_ms"] > cutoff
         ]
         kept_ids = {s["snapshot_id"] for s in kept}
+        # Physical deletions derive from SNAPSHOT METADATA, never from
+        # a directory walk: files referenced only by expired snapshots.
+        # A concurrent writer's just-written-not-yet-committed files
+        # live in no snapshot, so they can never be chosen — the walk
+        # variant would have deleted them (data loss). Files no
+        # snapshot EVER referenced (crashed writers) are left for
+        # remove_orphan_files with an age guard.
+        # Equality-delete files are references too — removing one
+        # would silently resurrect deleted rows on every surviving
+        # snapshot that carries it.
+        def refs_of(snaps: list[dict]) -> set[str]:
+            return {f["path"] for s in snaps for f in s["files"]} | {
+                d["path"] for s in snaps for d in s.get("delete_files", [])
+            }
+
+        dropped = [s for s in all_before if s["snapshot_id"] not in kept_ids]
+        to_delete = refs_of(dropped) - refs_of(kept)
         meta.doc["snapshots"] = kept
         meta.doc["history_log"] = [
             h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in kept_ids
@@ -49,25 +70,35 @@ def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[st
 
     tbl._retry_commit(mutate)
 
-    # Orphan file cleanup: anything under data/ not referenced anymore.
-    # Equality-delete files are references too — removing one would
-    # silently resurrect deleted rows (or break reads) on every
-    # surviving snapshot that carries it.
-    referenced = {f["path"] for s in kept for f in s["files"]} | {
-        d["path"] for s in kept for d in s.get("delete_files", [])
-    }
     removed = 0
+    for p in sorted(to_delete):
+        # Two concurrent expires may race on the same file; losing the
+        # unlink race is success, not failure.
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(p)
+            removed += 1
+    # Sweep write-sidecars and empty dirs only where we deleted data —
+    # never across the whole data/ tree (a concurrent writer may be
+    # mid-write in a fresh snap dir).
     data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
-    for root, _dirs, names in os.walk(data_dir, topdown=False):
-        for name in names:
-            p = os.path.join(root, name)
-            if name.endswith(".parquet") and p not in referenced:
-                os.remove(p)
-                removed += 1
-            elif name in ("_SUCCESS",) or name.endswith(".crc"):
-                os.remove(p)
-        if root != data_dir and not os.listdir(root):
-            os.rmdir(root)
+    for d in sorted({os.path.dirname(p) for p in to_delete}, key=len, reverse=True):
+        cur = d
+        while cur.startswith(data_dir + os.sep):
+            try:
+                entries = os.listdir(cur)
+            except FileNotFoundError:
+                break
+            if any(e.endswith(".parquet") for e in entries):
+                break
+            for e in entries:
+                if e == "_SUCCESS" or e.endswith(".crc"):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(os.path.join(cur, e))
+            with contextlib.suppress(OSError):  # non-empty or gone
+                os.rmdir(cur)
+            if os.path.exists(cur):
+                break
+            cur = os.path.dirname(cur)
     return {
         "snapshots_before": before,
         "snapshots_after": len(kept),
@@ -282,4 +313,51 @@ def orphan_file_report(tbl: IceTable) -> dict[str, int]:
     return {"files_on_disk": total, "files_orphaned": orphans}
 
 
+DEFAULT_ORPHAN_AGE_MS = 3 * 24 * 3600 * 1000  # Iceberg's 3-day default
+
+
+def remove_orphan_files(
+    tbl: IceTable, older_than_ms: int | None = None, dry_run: bool = False
+) -> dict[str, int]:
+    """CALL system.remove_orphan_files: physically delete files under
+    data/ that NO snapshot references — guarded, like Iceberg, by an
+    age threshold (default: older than 3 days by mtime) so a
+    concurrent writer's just-written-but-not-yet-committed files are
+    never eaten. ``dry_run`` reports without deleting."""
+    import contextlib
+
+    cutoff = (
+        M.now_ms() - DEFAULT_ORPHAN_AGE_MS if older_than_ms is None else older_than_ms
+    )
+    referenced = {
+        f["path"] for s in tbl.meta.snapshots for f in s["files"]
+    } | {
+        d["path"]
+        for s in tbl.meta.snapshots
+        for d in s.get("delete_files", [])
+    }
+    found = removed = 0
+    data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
+    for root, _dirs, names in os.walk(data_dir, topdown=False):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(root, name)
+            if p in referenced:
+                continue
+            try:
+                mtime_ms = int(os.path.getmtime(p) * 1000)
+            except FileNotFoundError:
+                continue
+            if mtime_ms >= cutoff:
+                continue  # too young — may belong to an in-flight commit
+            found += 1
+            if not dry_run:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(p)
+                    removed += 1
+    return {"orphans_found": found, "orphans_removed": removed}
+
+
 IceTable.orphan_file_report = orphan_file_report
+IceTable.remove_orphan_files = remove_orphan_files

@@ -133,14 +133,41 @@ class CommitConflict(RuntimeError):
     operations whose planned file set is stale must re-plan."""
 
 
+def _max_version_on_disk(location: str) -> int | None:
+    """Largest v<N>.json in the metadata dir, or None if none exist."""
+    mdir = os.path.join(location, METADATA_DIR)
+    best = None
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        return None
+    for name in names:
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            best = v if best is None or v > best else best
+    return best
+
+
 def read_current(location: str) -> TableMeta:
     hint = os.path.join(location, HINT_FILE)
-    version = 0
+    version = None
     try:
         with open(hint) as f:
             version = int(f.read().strip())
-    except FileNotFoundError:
-        pass  # crash between claim and first hint write — probe finds it
+    except (FileNotFoundError, ValueError):
+        pass  # crash between claim and first hint write — recover below
+    if version is None or not os.path.exists(metadata_path(location, version)):
+        # No hint (or it points at a GC'd version): the contiguous
+        # probe below can't start, so scan the directory — metadata GC
+        # may have removed low versions, leaving a non-contiguous set.
+        version = _max_version_on_disk(location)
+        if version is None:
+            raise FileNotFoundError(
+                f"no metadata versions found at {location}"
+            )
     # The hint lags (or even trails a racing writer): any existing
     # v<N>.json is a complete, committed document (link-claimed), so
     # probing forward always lands on the true latest version.
@@ -228,4 +255,10 @@ def _gc_metadata(meta: TableMeta) -> None:
             except ValueError:
                 continue
             if v < floor:
-                os.remove(os.path.join(mdir, name))
+                # A concurrent committer's GC pass may remove the same
+                # file first; a successful commit must not raise for a
+                # lost cleanup race.
+                import contextlib
+
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(mdir, name))

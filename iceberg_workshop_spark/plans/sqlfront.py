@@ -45,12 +45,49 @@ _MERGE_HEAD_RE = re.compile(
     r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
     re.I | re.S,
 )
-_MERGE_WHEN_RE = re.compile(
+_MERGE_CLAUSE_HEAD_RE = re.compile(
+    r"WHEN\s+(?:NOT\s+)?MATCHED\b", re.I
+)
+_MERGE_CLAUSE_RE = re.compile(
     r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+VALUES\s*\(.+?\))"
-    r"\s*(?=WHEN\s|$)",
+    r"(?P<action>.+)$",
     re.I | re.S,
 )
+
+
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first occurrence of a keyword outside quotes and
+    parens; -1 if none. Used to split a MERGE clause at its own THEN
+    without being fooled by CASE ... THEN inside a (parenthesized)
+    condition or a string literal."""
+    masked = _mask_quotes(s)
+    pat = re.compile(rf"\b{kw}\b", re.I)
+    depth = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and pat.match(masked, i):
+            return i
+    return -1
+
+
+def _split_merge_clauses(when_text: str) -> list[str]:
+    """Split MERGE's WHEN section into whole clauses at quote-masked
+    top-level ``WHEN [NOT] MATCHED`` tokens. Splitting on the full
+    token (not bare WHEN) keeps CASE WHEN expressions inside SET
+    values intact, and masking keeps literals containing the words
+    intact; because the segments partition the text, nothing can be
+    silently dropped between clauses."""
+    masked = _mask_quotes(when_text)
+    starts = [m.start() for m in _MERGE_CLAUSE_HEAD_RE.finditer(masked)]
+    if not starts or when_text[: starts[0]].strip():
+        raise ValueError(f"unparsed MERGE WHEN clauses: {when_text!r}")
+    bounds = starts + [len(when_text)]
+    return [
+        when_text[a:b].strip() for a, b in zip(bounds, bounds[1:])
+    ]
 _DELETE_RE = re.compile(
     r"DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<cond>.+)$", re.I | re.S
 )
@@ -310,7 +347,10 @@ def _split_top_keyword(s: str, kw: str) -> list[str]:
     masked = _mask_quotes(s)
     protected: list[tuple[int, int]] = []
     if kw.upper() == "AND":
-        protected = [m.span() for m in _BETWEEN_RE.finditer(masked)]
+        # Spans computed on the RAW text — _LIT must see quoted
+        # literals; masking is length-preserving so the positions are
+        # valid in the masked text too.
+        protected = [m.span() for m in _BETWEEN_RE.finditer(s)]
     pat = re.compile(rf"\b{kw}\b", re.I)
     parts, depth, last, i = [], 0, 0, 0
     while i < len(masked):
@@ -605,26 +645,24 @@ class IceSqlSession:
             # still on disk, with the snapshot that file considered
             # current (the lineage the reference walks by hand when it
             # lists metadata/*.json, interoperability.md:76-83).
-            rows = []
-            mdir = os.path.join(tbl.meta.location, "metadata")
-            for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
-                if not (name.startswith("v") and name.endswith(".json")):
-                    continue
-                try:
-                    version = int(name[1:-5])
-                except ValueError:
-                    continue
-                path = os.path.join(mdir, name)
-                import json as _json
+            # Filename parsing and loading go through icetbl.meta so a
+            # layout change there can't silently break this view.
+            from iceberg_workshop_spark.icetbl import meta as _M
 
-                with open(path) as fh:
-                    doc = _json.load(fh)
+            rows = []
+            mdir = os.path.join(tbl.meta.location, _M.METADATA_DIR)
+            for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+                path = os.path.join(mdir, name)
+                try:
+                    vm = _M.read_metadata_file(path)
+                except (ValueError, OSError):
+                    continue  # hints, tmp files, partial names
                 rows.append(
                     (
                         int(os.path.getmtime(path) * 1000),
                         path,
-                        version,
-                        doc.get("current_snapshot_id"),
+                        vm.version,
+                        vm.current_snapshot_id,
                     )
                 )
             rows.sort(key=lambda r: r[2])
@@ -688,43 +726,66 @@ class IceSqlSession:
             else:  # unqualified side defaults to target (MERGE scoping)
                 on_pairs.append((lc, rc))
 
-        # ---- parse WHEN clauses (order-preserving) ------------------
+        # ---- parse WHEN clauses (order-preserving, gap-free) --------
         matched: list[dict] = []
         inserts: list[dict] = []
-        consumed = 0
-        for wm in _MERGE_WHEN_RE.finditer(when_text.strip()):
-            consumed = wm.end()
-            action = wm["action"].strip()
-            clause = {"cond": wm["cond"].strip() if wm["cond"] else None}
-            if wm["neg"]:
-                im = re.match(
-                    r"INSERT\s+VALUES\s*(?=\()", action, re.I
-                )
+        for clause_text in _split_merge_clauses(when_text.strip()):
+            cm = re.match(
+                r"WHEN\s+(?P<neg>NOT\s+)?MATCHED\b(?P<rest>.*)$",
+                clause_text,
+                re.I | re.S,
+            )
+            rest = cm["rest"].strip()
+            ti = _find_top_keyword(rest, "THEN")
+            if ti < 0:
+                raise ValueError(f"MERGE clause missing THEN: {clause_text!r}")
+            pre, action = rest[:ti].strip(), rest[ti + 4 :].strip()
+            cond = None
+            if pre:
+                am = re.match(r"AND\s+(?P<c>.+)$", pre, re.I | re.S)
+                if not am:
+                    raise ValueError(f"unparsed MERGE clause guard: {pre!r}")
+                cond = am["c"].strip()
+            clause = {"cond": cond}
+            if cm["neg"]:
+                im = re.match(r"INSERT\s+VALUES\s*(?=\()", action, re.I)
                 if not im:
-                    raise ValueError(f"WHEN NOT MATCHED supports only INSERT, got: {action!r}")
-                vals_text, _ = _take_parens(action[im.end():])
+                    raise ValueError(
+                        f"WHEN NOT MATCHED supports only INSERT, got: {action!r}"
+                    )
+                vals_text, trailing = _take_parens(action[im.end():])
+                if trailing.strip():
+                    raise ValueError(
+                        f"unparsed text after INSERT VALUES: {trailing!r}"
+                    )
                 clause["vals"] = _split_top_commas(vals_text)
                 inserts.append(clause)
             elif action.upper() == "DELETE":
                 clause["kind"] = "delete"
                 matched.append(clause)
-            else:
+            elif re.match(r"UPDATE\s+SET\s+", action, re.I):
                 sets: dict[str, str] = {}
-                for assign in _split_top_commas(action[len("UPDATE SET"):]):
+                set_text = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I)
+                for assign in _split_top_commas(set_text):
                     k, v = assign.split("=", 1)
                     sets[k.strip().rsplit(".", 1)[-1]] = v.strip()
                 clause["kind"] = "update"
                 clause["sets"] = sets
                 matched.append(clause)
-        if consumed < len(when_text.strip()) or (not matched and not inserts):
-            raise ValueError(f"unparsed MERGE WHEN clauses: {when_text[consumed:]!r}")
+            else:
+                raise ValueError(f"unsupported MERGE action: {action!r}")
+        if not matched and not inserts:
+            raise ValueError(f"MERGE has no WHEN clauses: {when_text!r}")
         if len(inserts) > 1:
             raise ValueError("at most one WHEN NOT MATCHED clause is supported")
 
         cols = tbl._column_names()
         on_sql = " AND ".join(f"{talias}.{t} = {salias}.{s}" for t, s in on_pairs)
 
-        # First applicable clause wins: __act = index of the clause.
+        # First applicable clause wins: __act = index of the clause,
+        # evaluated ONCE per row (lateral column alias — every value
+        # and the delete flag reference __act, so the statement stays
+        # O(columns × clauses), not O(columns × clauses²)).
         act_sql = (
             "CASE "
             + " ".join(
@@ -732,25 +793,27 @@ class IceSqlSession:
                 for i, c in enumerate(matched)
             )
             + " ELSE -1 END"
-        )
+        ) if matched else "-1"
 
         def value_sql(col: str) -> str:
             branches = " ".join(
-                f"WHEN ({act_sql}) = {i} THEN ({c['sets'].get(col, f'{talias}.{col}')})"
+                f"WHEN {i} THEN ({c['sets'].get(col, f'{talias}.{col}')})"
                 for i, c in enumerate(matched)
                 if c["kind"] == "update"
             )
-            return f"CASE {branches} ELSE {talias}.{col} END" if branches else f"{talias}.{col}"
+            return (
+                f"CASE __act {branches} ELSE {talias}.{col} END"
+                if branches
+                else f"{talias}.{col}"
+            )
 
-        del_branches = [
-            f"({act_sql}) = {i}" for i, c in enumerate(matched) if c["kind"] == "delete"
-        ]
-        del_sql = " OR ".join(del_branches) if del_branches else "FALSE"
+        del_ids = [str(i) for i, c in enumerate(matched) if c["kind"] == "delete"]
+        del_sql = f"__act IN ({', '.join(del_ids)})" if del_ids else "FALSE"
         upd_proj = ", ".join(f"{value_sql(c)} AS {c}" for c in cols)
         effects = self.spark.sql(
-            f"SELECT {upd_proj}, ({del_sql}) AS __delete "
+            f"SELECT ({act_sql}) AS __act, {upd_proj}, ({del_sql}) AS __delete "
             f"FROM {talias} JOIN {salias} ON {on_sql}"
-        )
+        ).drop("__act")
         src = effects
         for ic in inserts:
             vals = ic["vals"]
@@ -936,10 +999,13 @@ class IceSqlSession:
         if proc == "rewrite_data_files":
             maintenance.rewrite_data_files(tbl)
         elif proc == "remove_orphan_files":
-            rep = maintenance.orphan_file_report(tbl)
+            # Real deletion with Iceberg's default 3-day age guard —
+            # only committed-then-abandoned files old enough to be
+            # provably not in-flight are removed.
+            rep = maintenance.remove_orphan_files(tbl)
             return self.spark.createDataFrame(
-                [(rep["files_on_disk"], rep["files_orphaned"])],
-                "files_on_disk long, files_orphaned long",
+                [(rep["orphans_found"], rep["orphans_removed"])],
+                "orphans_found long, orphans_removed long",
             )
         else:
             maintenance.rewrite_manifests(tbl)

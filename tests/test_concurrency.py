@@ -175,3 +175,38 @@ while done < 5:
     assert final.version == 1 + 20  # one claimed version per commit
     notes = final.doc["notes"]
     assert sorted(notes) == sorted(f"w{w}-{i}" for w in range(4) for i in range(5))
+
+
+def test_read_current_survives_gc_plus_lost_hint(spark, loc):
+    # Metadata GC leaves a non-contiguous version set; losing the hint
+    # must still resolve to the latest version (dir-scan fallback).
+    t = _mk(spark, loc, [(1, "a")])
+    t.set_properties({
+        "write.metadata.previous-versions-max": "1",
+        "write.metadata.delete-after-commit.enabled": "true",
+    })
+    for i in range(3):
+        t.append(spark.createDataFrame([(10 + i, "x")], "id int, name string"))
+    assert not os.path.exists(M.metadata_path(loc, 1))  # v1 GC'd
+    os.remove(os.path.join(loc, M.HINT_FILE))
+    assert M.read_current(loc).version == t.meta.version
+
+
+def test_expire_never_touches_uncommitted_files(spark, loc):
+    # A crashed/in-flight writer's file lives in NO snapshot; expire's
+    # physical cleanup derives deletions from snapshot metadata, so
+    # the file must survive. remove_orphan_files with an explicit
+    # cutoff (no age left) then reclaims it.
+    t = _mk(spark, loc, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b")], "id int, name string"))
+    t.delete_where("id = 1")  # creates expired-only files
+    stray = os.path.join(loc, M.DATA_DIR, "snap-inflight", "part-000.parquet")
+    os.makedirs(os.path.dirname(stray))
+    with open(stray, "wb") as f:
+        f.write(b"not yet committed")
+    stats = t.expire_snapshots()
+    assert stats["orphan_files_removed"] > 0  # dropped snapshots cleaned
+    assert os.path.exists(stray)  # in-flight file untouched
+    rep = t.remove_orphan_files(older_than_ms=M.now_ms() + 1000)
+    assert rep["orphans_removed"] >= 1
+    assert not os.path.exists(stray)

@@ -450,4 +450,47 @@ def test_ref_ddl_and_remove_orphans(sess):
     s.sql("ALTER TABLE db.t DROP BRANCH audit")
     assert tbl.meta.refs == {}
     rep = s.sql("CALL system.remove_orphan_files('db.t')").collect()[0]
-    assert rep.files_on_disk >= 1 and rep.files_orphaned == 0
+    assert rep.orphans_found == 0 and rep.orphans_removed == 0
+
+
+def test_merge_case_when_inside_set_value(sess, spark):
+    # CASE WHEN inside a SET value must not be mistaken for a MERGE
+    # WHEN clause boundary (clause split is on WHEN [NOT] MATCHED,
+    # quote-masked) — the review-found gap-dropping bug.
+    s, tbl = sess
+    src = spark.createDataFrame([(2, "pos"), (9, "neg")], "id int, name string")
+    s.register_view("staging.srccase", src)
+    s.sql(
+        """
+        MERGE INTO db.t AS target
+        USING (SELECT id, name FROM staging.srccase) AS source
+        ON id = source.id
+        WHEN MATCHED THEN UPDATE SET name = CASE WHEN source.name = 'pos' THEN 'P' ELSE 'N' END
+        WHEN NOT MATCHED THEN INSERT VALUES (source.id, upper(source.name))
+        """
+    )
+    got = {(r.id, r.name) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "P"), (3, "c"), (9, "NEG")}
+
+
+def test_between_quoted_literals_still_prune(spark):
+    # BETWEEN with quoted date literals must produce a pruning
+    # interval (the protection spans are computed on raw text) — the
+    # review-found silent full-scan regression.
+    from iceberg_workshop_spark.plans.sqlfront import _dnf_from_where
+
+    dnf = _dnf_from_where("d BETWEEN '2022-01-01' AND '2022-01-02'")
+    assert dnf is not None and dnf[0][0].op == "between"
+    s = IceSqlSession(spark)
+    s.sql(
+        """CREATE TABLE db6.t (id BIGINT)
+        PARTITIONED BY (d DATE) STORED BY ICEBERG STORED AS PARQUET"""
+    )
+    for i, d in enumerate(("2022-01-01", "2022-01-02", "2022-01-03", "2022-01-04")):
+        s.sql(f'INSERT INTO db6.t VALUES ({i}, "{d}")')
+    rows = s.sql(
+        "SELECT * FROM db6.t WHERE d BETWEEN '2022-01-01' AND '2022-01-02'"
+    ).collect()
+    assert sorted(r.id for r in rows) == [0, 1]
+    rep = s.tables["db6.t"].last_scan_report
+    assert rep["files_scanned"] == 2 and rep["files_total"] == 4
