@@ -806,6 +806,95 @@ class IceTable:
         added = [f for f in to_files if f["path"] not in from_paths]
         return self._read_files(added)
 
+    def changelog(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Net row-level changelog between two table states — the
+        native analog of Iceberg's `CALL system.create_changelog_view`
+        with ``net_changes=true``: full rows plus a ``_change_type``
+        column in {'insert','delete'} (an UPDATE surfaces as the
+        delete/insert pair, Iceberg's pre/post-update images).
+
+        Scale contract: O(changed files), never O(table). A data file
+        present in BOTH endpoint snapshots contributes identical rows
+        to both sides of the diff, so only the symmetric difference of
+        the file sets is read; rows a copy-on-write rewrite carried
+        over unchanged cancel in the `exceptAll`, which is exactly the
+        net-changes semantics. When the endpoints' merge-on-read
+        delete-file sets differ (a MoR delete can flip visibility of
+        rows in *unchanged* files), the affected unchanged files are
+        added back after stats-based pruning against the differing
+        delete files' key bounds — O(files whose key ranges intersect
+        the deleted keys), the same bound Iceberg gets from manifest
+        stats."""
+        from_snap = (
+            None
+            if from_snapshot_id is None
+            else self.meta.snapshot(from_snapshot_id)
+        )
+        to_snap = self._resolve_snapshot(None, to_snapshot_id)
+        from_files = [] if from_snap is None else from_snap["files"]
+        to_files = [] if to_snap is None else to_snap["files"]
+        from_dels = [] if from_snap is None else from_snap.get("delete_files", [])
+        to_dels = [] if to_snap is None else to_snap.get("delete_files", [])
+        fp = {f["path"] for f in from_files}
+        tp = {f["path"] for f in to_files}
+        relevant = fp ^ tp
+
+        # MoR delta: delete files present in only one endpoint can mask
+        # rows in files common to both. Prune the common files by the
+        # differing delete files' key bounds before reading them.
+        def _del_key(d: dict) -> tuple:
+            return (d["path"], int(d["dseq"]))
+
+        d_from = {_del_key(d): d for d in from_dels}
+        d_to = {_del_key(d): d for d in to_dels}
+        diff_dels = [
+            d
+            for k, d in (d_from | d_to).items()
+            if (k in d_from) != (k in d_to)
+        ]
+        if diff_dels:
+            common = [f for f in from_files if f["path"] in (fp & tp)]
+            spec_by_id = {i: s for i, s in enumerate(self.meta.specs)}
+            for d in diff_dels:
+                keys = d["keys"]
+                bounds = (
+                    self.spark.read.parquet(d["path"])
+                    .agg(
+                        *[F.min(k).alias(f"mn_{k}") for k in keys],
+                        *[F.max(k).alias(f"mx_{k}") for k in keys],
+                    )
+                    .first()
+                )
+                preds = [
+                    Pred(k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
+                    for k in keys
+                    if bounds[f"mn_{k}"] is not None
+                ]
+                affected = [
+                    f for f in common if int(f.get("seq", 0)) < int(d["dseq"])
+                ]
+                if preds:
+                    affected, _ = prune_files(affected, spec_by_id, preds)
+                relevant.update(f["path"] for f in affected)
+
+        rows_from = self._apply_deletes(
+            [f for f in from_files if f["path"] in relevant], from_dels
+        )
+        rows_to = self._apply_deletes(
+            [f for f in to_files if f["path"] in relevant], to_dels
+        )
+        inserts = rows_to.exceptAll(rows_from).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = rows_from.exceptAll(rows_to).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def rollback(self, snapshot_id: int) -> None:
         """A21: re-point current to an existing snapshot (history kept)."""
 

@@ -324,6 +324,48 @@ def q_tt_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_changelog",
+    oracle="""
+    SELECT 'delete' AS _change_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'insert', COUNT(*), COUNT(DISTINCT o_orderkey),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 7 = 3
+    ORDER BY _change_type
+    """,
+)
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots — the native analog of
+    Iceberg's `CALL system.create_changelog_view` (net_changes): a
+    CoW DELETE then an append, and the changelog from the first
+    snapshot is exactly {deleted rows → 'delete', new rows →
+    'insert'}; rows the CoW rewrite carried over unchanged cancel out.
+    Reads only the symmetric difference of the endpoint file sets —
+    O(delta), never O(table) (icetbl/table.py::changelog)."""
+    loc = _fresh(sf_dir, "cdc_changelog")
+    orders = load(spark, sf_dir, "orders")
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 7 = 0"))
+    s1 = t.meta.current_snapshot_id
+    t.delete_where("o_orderstatus = 'F'")
+    t.append(orders.filter("o_orderkey % 7 = 3"))
+    cl = t.changelog(from_snapshot_id=s1)
+    return (
+        cl.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@register(
     "q_meta_history",
     oracle="""
     SELECT CAST(3 AS BIGINT) AS n_entries,
@@ -1284,7 +1326,11 @@ def q_maint_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected = ("detected", rep["files_orphaned"], t.read().count())
     from iceberg_workshop_spark.icetbl.meta import now_ms
 
-    t.expire_snapshots(older_than_ms=now_ms() + 1)
+    # CALL system.remove_orphan_files — the age guard (Iceberg's 3-day
+    # default) is lifted to "now" because these strays are known dead;
+    # production callers keep the default so a concurrent writer's
+    # in-flight files are never eaten.
+    t.remove_orphan_files(older_than_ms=now_ms() + 60_000)
     rep2 = t.orphan_file_report()
     cleaned = ("after_cleanup", rep2["files_orphaned"], t.read().count())
     return spark.createDataFrame(

@@ -351,3 +351,51 @@ def test_pinned_metadata_read(spark, tmp_table_dir):
         IceTable.load_metadata(spark, os.path.join(tmp_table_dir, "nope.txt"))
     with pytest.raises(FileNotFoundError):
         IceTable.load(spark, tmp_table_dir, version=99)
+
+
+def test_changelog_update_is_delete_insert_pair(spark, tmp_table_dir):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartitionByRange(5, "k"))
+    s1 = t.meta.current_snapshot_id
+    src = spark.range(40, 43).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    t.merge_into(src, on=["k"])
+    rows = {(r["_change_type"], r["k"], r["v"]) for r in t.changelog(s1).collect()}
+    expect = set()
+    for k in (40, 41, 42):
+        expect.add(("delete", k, k * 10))
+        expect.add(("insert", k, -1))
+    assert rows == expect
+
+
+def test_changelog_compaction_is_net_empty(spark, tmp_table_dir):
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartition(8))
+    s1 = t.meta.current_snapshot_id
+    t.rewrite_data_files()
+    assert t.changelog(s1).count() == 0
+
+
+def test_changelog_mor_delete_reaches_unchanged_files(spark, tmp_table_dir):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartitionByRange(8, "k"))
+    s1 = t.meta.current_snapshot_id
+    t.delete_where_mor("k >= 20 AND k < 25", keys=["k"])
+    cl = t.changelog(s1).collect()
+    assert {r["_change_type"] for r in cl} == {"delete"}
+    assert sorted(r["k"] for r in cl) == [20, 21, 22, 23, 24]
+    # stats pruning kept the read to the files overlapping the keys
+    assert t.changelog(s1, to_snapshot_id=s1).count() == 0
+
+
+def test_changelog_from_empty_is_all_inserts(spark, tmp_table_dir):
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    cl = t.changelog(None)
+    assert cl.filter("_change_type = 'insert'").count() == 50
+    assert cl.filter("_change_type = 'delete'").count() == 0
