@@ -895,6 +895,49 @@ class IceTable:
         )
         return inserts.unionByName(deletes)
 
+    def cherrypick(self, snapshot_id: int) -> None:
+        """`CALL system.cherrypick_snapshot`: apply one snapshot's file
+        delta onto the CURRENT state as a new commit — the audit-then-
+        publish path for a staged append (e.g. written on a branch)
+        without moving history the way fast_forward does. Like
+        Iceberg, only append-shaped snapshots are supported: a
+        snapshot that removed files or changed merge-on-read deletes
+        was planned against one specific base, and replaying it on a
+        different base would need full conflict validation — raises
+        ValueError (Iceberg's ValidationException)."""
+        snap = self.meta.snapshot(snapshot_id)
+        parent = snap["parent_id"]
+        parent_snap = None if parent is None else self.meta.snapshot(parent)
+        parent_paths = (
+            set()
+            if parent_snap is None
+            else {f["path"] for f in parent_snap["files"]}
+        )
+        snap_paths = {f["path"] for f in snap["files"]}
+        if not parent_paths <= snap_paths:
+            raise ValueError(
+                "cherrypick: snapshot removed files — only append "
+                "snapshots can be cherry-picked"
+            )
+        parent_dels = (
+            [] if parent_snap is None else parent_snap.get("delete_files", [])
+        )
+        if snap.get("delete_files", []) != parent_dels:
+            raise ValueError(
+                "cherrypick: snapshot changed delete files — only "
+                "append snapshots can be cherry-picked"
+            )
+        delta = [dict(f) for f in snap["files"] if f["path"] not in parent_paths]
+
+        def with_delta(m: M.TableMeta) -> list[dict]:
+            cur = list(m.current_files())
+            have = {f["path"] for f in cur}
+            return cur + [f for f in delta if f["path"] not in have]
+
+        self._commit_snapshot(
+            with_delta(self.meta), "cherrypick", rebase=with_delta
+        )
+
     def rollback(self, snapshot_id: int) -> None:
         """A21: re-point current to an existing snapshot (history kept)."""
 

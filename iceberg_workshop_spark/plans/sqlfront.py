@@ -142,9 +142,10 @@ _EXPIRE_RE = re.compile(
 )
 _CALL_RE = re.compile(
     r"CALL\s+[\w.]*system\.(?P<proc>rewrite_data_files|rewrite_manifests|"
-    r"remove_orphan_files)\s*"
-    r"\(\s*'(?P<target>[\w.]+)'\s*\)$",
-    re.I,
+    r"remove_orphan_files|cherrypick_snapshot|rollback_to_snapshot|"
+    r"set_current_snapshot|fast_forward|create_changelog_view)\s*"
+    r"\((?P<args>.*)\)$",
+    re.I | re.S,
 )
 _REF_DDL_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
@@ -206,6 +207,48 @@ def _iso_to_ms(lit: str) -> int:
 
 def _view_name(name: str) -> str:
     return name.replace(".", "__")
+
+
+def _call_literal(s: str):
+    """One CALL argument value: quoted string, integer, TIMESTAMP
+    literal (kept as its string body), or map('k','v',...) → dict."""
+    s = s.strip()
+    mm = re.match(r"map\s*\((?P<body>.*)\)$", s, re.I | re.S)
+    if mm:
+        items = [_call_literal(p) for p in _split_top_commas(mm["body"])]
+        return {str(items[i]): items[i + 1] for i in range(0, len(items) - 1, 2)}
+    tm = re.match(r"TIMESTAMP\s+(?P<q>[\"'])(?P<body>.*)(?P=q)$", s, re.I | re.S)
+    if tm:
+        return tm["body"]
+    if s[:1] in "\"'" and s[-1:] == s[:1]:
+        return s[1:-1]
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    return s
+
+
+def _parse_call_args(raw: str) -> tuple[list, dict]:
+    """CALL procedure arguments: positional and `name => value` named
+    forms, comma-split outside quotes/parens."""
+    pos: list = []
+    named: dict = {}
+    for part in _split_top_commas(raw):
+        part = part.strip()
+        if not part:
+            continue
+        nm = re.match(r"(?P<name>\w+)\s*=>\s*(?P<val>.+)$", part, re.S)
+        if nm:
+            named[nm["name"].lower()] = _call_literal(nm["val"])
+        else:
+            pos.append(_call_literal(part))
+    return pos, named
+
+
+def _call_ts_ms(v) -> int:
+    """older_than accepts epoch-ms ints or a TIMESTAMP literal body."""
+    if isinstance(v, int):
+        return v
+    return _iso_to_ms(str(v))
 
 
 _QUOTED_SPAN = re.compile(r"\"[^\"]*\"|'[^']*'")
@@ -994,21 +1037,63 @@ class IceSqlSession:
     def _call(self, m: re.Match) -> DataFrame | None:
         from iceberg_workshop_spark.icetbl import maintenance
 
-        tbl = self._table(m["target"])
         proc = m["proc"].lower()
+        pos, named = _parse_call_args(m["args"])
+
+        def arg(name: str, idx: int, default=None):
+            if name in named:
+                return named[name]
+            if idx < len(pos):
+                return pos[idx]
+            return default
+
+        tbl = self._table(str(arg("table", 0)))
         if proc == "rewrite_data_files":
             maintenance.rewrite_data_files(tbl)
+        elif proc == "rewrite_manifests":
+            maintenance.rewrite_manifests(tbl)
         elif proc == "remove_orphan_files":
             # Real deletion with Iceberg's default 3-day age guard —
             # only committed-then-abandoned files old enough to be
             # provably not in-flight are removed.
-            rep = maintenance.remove_orphan_files(tbl)
+            older = arg("older_than", 1)
+            rep = maintenance.remove_orphan_files(
+                tbl,
+                older_than_ms=None if older is None else _call_ts_ms(older),
+            )
             return self.spark.createDataFrame(
                 [(rep["orphans_found"], rep["orphans_removed"])],
                 "orphans_found long, orphans_removed long",
             )
-        else:
-            maintenance.rewrite_manifests(tbl)
+        elif proc == "cherrypick_snapshot":
+            tbl.cherrypick(int(arg("snapshot_id", 1)))
+        elif proc in ("rollback_to_snapshot", "set_current_snapshot"):
+            tbl.rollback(int(arg("snapshot_id", 1)))
+        elif proc == "fast_forward":
+            # Iceberg signature: (table, branch, to) — advance `branch`
+            # to `to`'s head. Our native fast_forward publishes a
+            # branch to main, so `branch` must be main here.
+            branch, to = str(arg("branch", 1)), str(arg("to", 2))
+            if branch != "main":
+                raise ValueError(
+                    "fast_forward: only the main branch can be the "
+                    "target in the native table layer"
+                )
+            tbl.fast_forward(to)
+        elif proc == "create_changelog_view":
+            tname = str(arg("table", 0))
+            vname = str(arg("changelog_view", 1, f"{tname}_changes"))
+            opts = named.get("options", {})
+            start = opts.get("start-snapshot-id")
+            end = opts.get("end-snapshot-id")
+            cl = tbl.changelog(
+                from_snapshot_id=None if start is None else int(start),
+                to_snapshot_id=None if end is None else int(end),
+            )
+            self.register_view(vname, cl)
+            return self.spark.createDataFrame(
+                [(vname,)], "changelog_view string"
+            )
         return None
 
     def _expire(self, m: re.Match) -> None:
@@ -1386,6 +1471,63 @@ def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
     assert len(tbl.meta.current_files()) <= files_before
     return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
+
+
+@register(
+    "q_sql_cdc_wap",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           CAST(3 AS BIGINT) AS n_changed,
+           990 AS min_key, 992 AS max_key,
+           (SELECT COUNT(*) FROM nation) + 3 AS n_main_after
+    """,
+)
+def q_sql_cdc_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish + CDC through the SQL surface: stage an
+    append on an audit branch (WAP), audit it with a ref read, publish
+    it onto a main that has MOVED SINCE (so fast_forward would be
+    wrong — `CALL system.cherrypick_snapshot` replays the staged
+    delta), then `CALL system.create_changelog_view` proves the net
+    change from the pre-WAP snapshot is exactly the three staged+direct
+    rows. The reference's interop story is multiple engines committing
+    to one table (interoperability.md:64-90); branches + cherry-pick
+    is how an engine stages without publishing."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    t = IceTable.create_as(spark, _fresh(sf_dir, "sql_cdc_wap"), nation)
+    s1 = t.meta.current_snapshot_id
+    sess = IceSqlSession(spark)
+    sess.register_table("db.nation_wap", t)
+    sess.sql("ALTER TABLE db.nation_wap CREATE BRANCH audit")
+    staged = spark.createDataFrame(
+        [(990, "FAKELAND", 0), (991, "NOWHERE", 1)], nation.schema
+    )
+    t.append(staged, branch="audit")
+    audit_head = t.meta.refs["audit"]["snapshot_id"]
+    # the audit step: branch rows visible on the branch, absent on main
+    assert t.read(ref="audit").filter("n_nationkey >= 990").count() == 2
+    assert t.read().filter("n_nationkey >= 990").count() == 0
+    # main moves before publish — fast_forward would discard this row
+    t.append(
+        spark.createDataFrame([(992, "ELSEWHERE", 2)], nation.schema)
+    )
+    sess.sql(
+        f"CALL spark_catalog.system.cherrypick_snapshot('db.nation_wap', {audit_head})"
+    )
+    sess.sql(
+        "CALL spark_catalog.system.create_changelog_view("
+        "table => 'db.nation_wap', changelog_view => 'wap_changes', "
+        f"options => map('start-snapshot-id', '{s1}'))"
+    )
+    n_after = t.read().count()
+    return sess.sql(
+        "SELECT _change_type, COUNT(*) AS n_changed, "
+        "MIN(n_nationkey) AS min_key, MAX(n_nationkey) AS max_key, "
+        f"{n_after} AS n_main_after "
+        "FROM wap_changes GROUP BY _change_type ORDER BY _change_type"
+    )
 
 
 @register(

@@ -399,3 +399,24 @@ def test_changelog_from_empty_is_all_inserts(spark, tmp_table_dir):
     cl = t.changelog(None)
     assert cl.filter("_change_type = 'insert'").count() == 50
     assert cl.filter("_change_type = 'delete'").count() == 0
+
+
+def test_cherrypick_rejects_non_append_snapshots(spark, tmp_table_dir):
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartitionByRange(4, "k"))
+    t.delete_where("k < 5")  # CoW: removes/rewrites files
+    cow_snap = t.meta.current_snapshot_id
+    t.insert_values([(100,)])
+    with pytest.raises(ValueError):
+        t.cherrypick(cow_snap)
+
+
+def test_cherrypick_is_idempotent_on_shared_files(spark, tmp_table_dir):
+    t = IceTable.create(spark, tmp_table_dir, "a int")
+    t.insert_values([(1,)])
+    t.create_branch("b")
+    t.append(spark.createDataFrame([(2,)], "a int"), branch="b")
+    head = t.meta.refs["b"]["snapshot_id"]
+    t.cherrypick(head)
+    t.cherrypick(head)  # delta already present: no duplicate rows
+    assert sorted(r.a for r in t.read().collect()) == [1, 2]

@@ -494,3 +494,55 @@ def test_between_quoted_literals_still_prune(spark):
     assert sorted(r.id for r in rows) == [0, 1]
     rep = s.tables["db6.t"].last_scan_report
     assert rep["files_scanned"] == 2 and rep["files_total"] == 4
+
+
+def test_call_rollback_and_set_current_snapshot(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "callrb"), "a int")
+    t.insert_values([(1,)])
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(2,)])
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t)
+    s.sql(f"CALL cat.system.rollback_to_snapshot('db.t', {s1})")
+    assert t.read().count() == 1
+    s2 = t.meta.snapshots[-1]["snapshot_id"]
+    s.sql(f"CALL cat.system.set_current_snapshot(table => 'db.t', snapshot_id => {s2})")
+    assert t.read().count() == 2
+
+
+def test_call_remove_orphans_named_older_than(spark, tmp_path):
+    import os
+
+    loc = str(tmp_path / "callorph")
+    t = IceTable.create(spark, loc, "a int")
+    t.insert_values([(1,)])
+    stray = os.path.join(loc, "data", "stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1junkPAR1")
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t)
+    # default 3-day guard: too young to delete
+    out = s.sql("CALL cat.system.remove_orphan_files('db.t')").collect()[0]
+    assert out["orphans_removed"] == 0 and os.path.exists(stray)
+    out = s.sql(
+        "CALL cat.system.remove_orphan_files(table => 'db.t', "
+        "older_than => TIMESTAMP '2099-01-01 00:00:00')"
+    ).collect()[0]
+    assert out["orphans_removed"] == 1 and not os.path.exists(stray)
+    assert t.read().count() == 1
+
+
+def test_call_fast_forward_publishes_branch(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "callff"), "a int")
+    t.insert_values([(1,)])
+    t.create_branch("wap")
+    t.append(spark.createDataFrame([(2,)], "a int"), branch="wap")
+    assert t.read().count() == 1  # staged row not on main yet
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t)
+    s.sql("CALL cat.system.fast_forward('db.t', 'main', 'wap')")
+    assert sorted(r.a for r in t.read().collect()) == [1, 2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        s.sql("CALL cat.system.fast_forward('db.t', 'wap', 'main')")
