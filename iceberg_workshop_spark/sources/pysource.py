@@ -173,3 +173,190 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _drain(agg, "complete")
     return sink.orderBy("bucket")
+
+
+# --------------------------------------------------------- ice stream
+def _ddl_column_names(ddl: str) -> list[str]:
+    names, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append("".join(cur).strip().split()[0])
+            cur = []
+            continue
+        cur.append(ch)
+    if "".join(cur).strip():
+        names.append("".join(cur).strip().split()[0])
+    return names
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path = path
+        self.columns = columns
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming read of an IceTable — the native analog
+    of Iceberg's Spark streaming source (`spark.readStream.format(
+    "iceberg")`): each batch emits the rows of data files added by
+    snapshots committed since the last batch, discovered from the
+    metadata log (O(delta) listing, no directory scans, no row diff).
+
+    Offsets are positions in the current snapshot's ancestry chain —
+    a pure metadata cursor. Contract (same as Iceberg's): the stream
+    consumes APPEND snapshots; a snapshot that removed files (CoW
+    rewrite/delete/compaction) raises by default because replaying
+    its added files would re-emit carried-over rows. With
+    ``skip_non_append=true`` those snapshots are skipped entirely
+    (Iceberg's streaming-skip-overwrite/delete-snapshots options).
+    One InputPartition per added file: executors read files in
+    parallel via Arrow, nothing flows through the driver."""
+
+    def __init__(self, options: dict) -> None:
+        self.location = options["location"]
+        self.skip_non_append = (
+            str(options.get("skip_non_append", "false")).lower() == "true"
+        )
+        from iceberg_workshop_spark.icetbl import meta as M
+
+        # Column names from the DDL without StructType.fromDDL — this
+        # runs in the streaming source worker process, which has no
+        # SparkContext. Split on top-level commas (nested commas live
+        # inside <...> or (...) of struct/decimal types); the first
+        # token of each field is the name.
+        self._columns = _ddl_column_names(
+            M.read_current(self.location).schema_ddl
+        )
+
+    def _ancestry(self) -> list[dict]:
+        from iceberg_workshop_spark.icetbl import meta as M
+
+        meta = M.read_current(self.location)
+        by_id = {s["snapshot_id"]: s for s in meta.snapshots}
+        chain: list[dict] = []
+        cur = meta.current_snapshot_id
+        while cur is not None and cur in by_id:
+            chain.append(by_id[cur])
+            cur = by_id[cur]["parent_id"]
+        chain.reverse()
+        return chain
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._ancestry())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        chain = self._ancestry()
+        parts: list[InputPartition] = []
+        prev_paths = (
+            set()
+            if start["n"] == 0
+            else {f["path"] for f in chain[start["n"] - 1]["files"]}
+        )
+        for snap in chain[start["n"] : end["n"]]:
+            paths = {f["path"] for f in snap["files"]}
+            if not prev_paths <= paths:
+                if self.skip_non_append:
+                    prev_paths = paths
+                    continue
+                raise ValueError(
+                    f"ice stream: snapshot {snap['snapshot_id']} removed "
+                    "files (non-append); set skip_non_append=true to skip "
+                    "rewrite/delete snapshots"
+                )
+            parts.extend(
+                _FilePartition(p, self._columns)
+                for p in sorted(paths - prev_paths)
+            )
+            prev_paths = paths
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path, columns=partition.columns)
+        table = table.select(partition.columns)
+        # Spark's Arrow bridge takes microsecond timestamps only; the
+        # table files may carry nanos (fixture lineage). Declared DDL
+        # type is TIMESTAMP under the pinned-UTC session, so naive
+        # values are UTC instants.
+        fields = [
+            pa.field(
+                f.name,
+                pa.timestamp("us", tz=f.type.tz or "UTC")
+                if pa.types.is_timestamp(f.type)
+                else f.type,
+            )
+            for f in table.schema
+        ]
+        yield from table.cast(pa.schema(fields)).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IceStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iws_ice_stream"
+
+    def schema(self) -> str:
+        from iceberg_workshop_spark.icetbl import meta as M
+
+        return M.read_current(self.options["location"]).schema_ddl
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _IceStreamReader(self.options)
+
+
+@register(
+    "q_stream_ice_table",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 11 IN (0, 1, 2)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_stream_ice_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream an IceTable as a source: three append commits land
+    thirds of an orders subset; the stream discovers each commit's
+    files from the metadata log and the drained aggregate equals the
+    batch answer exactly. The 100 TB sync pattern: downstream
+    consumers tail the snapshot log instead of re-scanning the table
+    (/root/reference/pyspark-iceberg/interoperability.md:64-90 —
+    engines coordinating through table metadata)."""
+    from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+    from iceberg_workshop_spark.streaming.stateful import _drain
+
+    loc = _fresh(sf_dir, "stream_ice_table")
+    orders = load(spark, sf_dir, "orders")
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 11 = 0"))
+    t.append(orders.filter("o_orderkey % 11 = 1"))
+    t.append(orders.filter("o_orderkey % 11 = 2"))
+    spark.dataSource.register(IceStreamDataSource)
+    src = (
+        spark.readStream.format("iws_ice_stream")
+        .option("location", loc)
+        .load()
+    )
+    agg = src.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return _drain(agg, "complete").orderBy("o_orderstatus")

@@ -420,3 +420,45 @@ def test_cherrypick_is_idempotent_on_shared_files(spark, tmp_table_dir):
     t.cherrypick(head)
     t.cherrypick(head)  # delta already present: no duplicate rows
     assert sorted(r.a for r in t.read().collect()) == [1, 2]
+
+
+def test_ice_stream_source_skips_or_rejects_rewrites(spark, tmp_table_dir):
+    from iceberg_workshop_spark.sources.pysource import (
+        IceStreamDataSource,
+        _IceStreamReader,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartition(4))
+    t.append(spark.range(100, 150).select(F.col("id").alias("k")))
+    t.rewrite_data_files()  # non-append snapshot
+    t.append(spark.range(150, 160).select(F.col("id").alias("k")))
+
+    r = _IceStreamReader({"location": tmp_table_dir})
+    n = r.latestOffset()["n"]
+    with pytest.raises(ValueError):
+        r.partitions({"n": 0}, {"n": n})
+
+    r2 = _IceStreamReader(
+        {"location": tmp_table_dir, "skip_non_append": "true"}
+    )
+    parts = r2.partitions({"n": 0}, {"n": n})
+    # first two appends + final append; compaction snapshot skipped
+    import pyarrow as pa
+
+    rows = sum(
+        sum(b.num_rows for b in r2.read(p)) for p in parts
+    )
+    assert rows == 160
+
+    spark.dataSource.register(IceStreamDataSource)
+    from iceberg_workshop_spark.streaming.stateful import _drain
+
+    src = (
+        spark.readStream.format("iws_ice_stream")
+        .option("location", tmp_table_dir)
+        .option("skip_non_append", "true")
+        .load()
+    )
+    out = _drain(src.agg(F.count(F.lit(1)).alias("n")), "complete")
+    assert out.collect()[0]["n"] == 160
