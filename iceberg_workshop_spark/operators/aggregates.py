@@ -187,16 +187,40 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_cd")  # rows-only: HLL++ is algorithm-specific (A17 closure)
+@register(
+    "q_agg_approx_cd",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           true AS approx_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB cardinality path (HLL++,
-    constant memory per group; exact distinct would shuffle every key).
-    Not oracle-matchable: DuckDB's approx_count_distinct uses a
-    different sketch, so the driver records a rows-only check."""
+    constant memory per group; exact distinct would shuffle every
+    key). The sketch VALUE is algorithm-specific (DuckDB's sketch
+    differs), so the exact-checkable contract is: the exact distinct
+    count plus the guarantee that HLL++ (default rsd 0.05) landed
+    within 10% of it — deterministic for fixed data, and the oracle
+    verifies both the exact count and the error bound."""
     return (
         fan_out(load(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey").alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                <= 0.10 * F.col("exact_orders")
+            ).alias("approx_within_10pct"),
+        )
         .orderBy("l_returnflag")
     )
 
