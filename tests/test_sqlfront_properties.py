@@ -130,6 +130,26 @@ def test_every_workshop_shape_dispatches(spark, tmp_path):
     s.sql("CALL system.rewrite_data_files('wdb.a')")
     s.sql("ALTER TABLE wdb.a EXECUTE expire_snapshots('2099-01-01 00:00:00')")
     assert s.sql("SELECT * FROM wdb.a.history").count() >= 1
+    # CALL procedure family: each form must dispatch, not fall through
+    s.sql("INSERT INTO wdb.a VALUES (9, 'q')")
+    sid = s.tables["wdb.a"].meta.current_snapshot_id
+    s.sql("INSERT INTO wdb.a VALUES (10, 'r')")
+    s.sql(f"CALL cat.system.rollback_to_snapshot('wdb.a', {sid})")
+    assert s.tables["wdb.a"].read().count() == 1
+    head = s.tables["wdb.a"].meta.snapshots[-1]["snapshot_id"]
+    s.sql(
+        f"CALL cat.system.cherrypick_snapshot(table => 'wdb.a', snapshot_id => {head})"
+    )
+    assert s.tables["wdb.a"].read().count() == 2
+    out = s.sql(
+        "CALL cat.system.create_changelog_view(table => 'wdb.a', "
+        "changelog_view => 'a_changes', "
+        f"options => map('start-snapshot-id', '{sid}'))"
+    ).collect()
+    assert out[0]["changelog_view"] == "a_changes"
+    assert s.sql(
+        "SELECT COUNT(*) AS n FROM a_changes WHERE _change_type = 'insert'"
+    ).collect()[0]["n"] == 1
     s.sql("DROP TABLE wdb.a")
     assert "wdb.a" not in s.tables
     s.sql("DROP DATABASE wdb")
