@@ -1066,3 +1066,145 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------ semantic
+_SEMDEDUP_DUCK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 8),
+dists AS (
+  SELECT q.vec_id, cents.cid,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.e[i] - cents.c[i]) * (q.e[i] - cents.c[i])))
+              AS BIGINT) AS d2
+  FROM q CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dists) WHERE rn = 1
+),
+qa AS (
+  SELECT a.vec_id, a.cid, q.e,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i]))
+              AS BIGINT) AS n2
+  FROM assign a JOIN q ON a.vec_id = q.vec_id
+),
+pairs AS (
+  SELECT x.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> x.e[i] * y.e[i])) AS BIGINT) AS dot,
+         x.n2 AS xn2, y.n2 AS yn2
+  FROM qa x JOIN qa y ON x.cid = y.cid AND y.vec_id < x.vec_id
+),
+dup AS (
+  SELECT vec_id,
+         MAX(CASE WHEN dot > 0 AND 400 * dot * dot >= 81 * xn2 * yn2
+             THEN 1 ELSE 0 END) AS is_dup
+  FROM pairs GROUP BY vec_id
+)
+SELECT qa.cid,
+       COUNT(*) AS n_vectors,
+       CAST(COALESCE(SUM(dup.is_dup), 0) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COALESCE(SUM(dup.is_dup), 0) AS BIGINT) AS n_kept
+FROM qa LEFT JOIN dup ON qa.vec_id = dup.vec_id
+GROUP BY qa.cid ORDER BY qa.cid
+"""
+
+
+@register("q_llm_semdedup", oracle=_SEMDEDUP_DUCK)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by clustering embeddings with k-means, then comparing pairs
+    only WITHIN each cluster — the trick that turns an O(n²) corpus
+    all-pairs into k independent O((n/k)²) problems, the published
+    recipe for LAION-scale semantic pruning. A vector is dropped when
+    an earlier (lower-id) same-cluster vector has cosine ≥ 0.45.
+
+    Exactness: vectors quantized to integer milli-units (the
+    kmeans_assign recipe), so the assignment argmin AND the cosine
+    test (400·dot² ≥ 81·|a|²·|b|², both sides int64 — bounds checked:
+    |x| < 0.6 ⇒ dot ≤ 2.2e7 ⇒ 400·dot² ≤ 2e17) are bit-identical
+    across engines — a fully exact oracle for a pipeline that is
+    normally "approximately right".
+
+    Plan shape at 100 TB: centroids broadcast (k rows), assignment is
+    map-side (no corpus shuffle), the pair join shuffles by cluster id
+    once with per-task work bounded by the cluster-size cap (k scales
+    with corpus so n/k stays fixed — SemDeDup used 50k clusters)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("e"),
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("d2")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    n2 = F.aggregate(
+        F.transform("e", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("n2")
+    qa = assign.join(emb, "vec_id").select("vec_id", "cid", "e", n2)
+    x = qa.alias("x")
+    y = qa.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.e"), F.col("y.e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dup = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            (
+                (dot > 0)
+                & (400 * dot * dot >= 81 * F.col("x.n2") * F.col("y.n2"))
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("hit").alias("is_dup"))
+    )
+    return (
+        qa.join(dup, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.coalesce(F.sum("is_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.count(F.lit(1)) - F.coalesce(F.sum("is_dup"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
