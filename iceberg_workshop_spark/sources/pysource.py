@@ -324,7 +324,7 @@ class IceStreamDataSource(DataSource):
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_price
     FROM orders
-    WHERE o_orderkey % 11 IN (0, 1, 2)
+    WHERE o_orderkey % 41 IN (0, 1, 2)
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
@@ -344,9 +344,9 @@ def q_stream_ice_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     loc = _fresh(sf_dir, "stream_ice_table")
     orders = load(spark, sf_dir, "orders")
-    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 11 = 0"))
-    t.append(orders.filter("o_orderkey % 11 = 1"))
-    t.append(orders.filter("o_orderkey % 11 = 2"))
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 41 = 0"))
+    t.append(orders.filter("o_orderkey % 41 = 1"))
+    t.append(orders.filter("o_orderkey % 41 = 2"))
     spark.dataSource.register(IceStreamDataSource)
     src = (
         spark.readStream.format("iws_ice_stream")
