@@ -717,13 +717,19 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .persist()
+    directed = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    labels = edges.select("u").distinct().select(
+    verts = directed.select("u").distinct()
+    # Self-loops fold the "min of self and neighbors" update into ONE
+    # join+agg per iteration (instead of join + left-join); duplicate
+    # edges are harmless under min, so no distinct() shuffle either.
+    edges = directed.unionAll(
+        verts.select("u", F.col("u").alias("v"))
+    ).persist()
+    labels = verts.select(
         F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
     )
     # The propagation loop's shuffles should track GRAPH size (edges ≈
@@ -748,19 +754,11 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round instead of a self-join + count.
         prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
         for _ in range(10):  # diameter bound; near-dup graphs are shallow
-            nbr = (
+            updated = (
                 edges.join(labels, edges.v == labels.doc_id)
                 .groupBy("u")
-                .agg(F.min("cluster_id").alias("nbr_min"))
-            )
-            updated = (
-                labels.join(nbr, labels.doc_id == nbr.u, "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                    ).alias("cluster_id"),
-                )
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .withColumnRenamed("u", "doc_id")
                 .persist()
             )
             cur_sum = updated.agg(F.sum("cluster_id")).first()[0]
