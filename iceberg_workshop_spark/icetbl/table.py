@@ -401,11 +401,12 @@ class IceTable:
             if carry is None:
                 # carry existing merge-on-read deletes forward (like
                 # data files, they stay until a rewrite materializes
-                # them)
-                cur = self.meta.current_snapshot_id
+                # them) — from THIS commit's parent: a branch append
+                # extends the branch head, so main's delete files must
+                # not leak into it (and vice versa)
                 delete_files = (
-                    list(self.meta.snapshot(cur).get("delete_files", []))
-                    if cur is not None
+                    list(self.meta.snapshot(parent).get("delete_files", []))
+                    if parent is not None
                     else []
                 )
             else:

@@ -462,3 +462,16 @@ def test_ice_stream_source_skips_or_rejects_rewrites(spark, tmp_table_dir):
     )
     out = _drain(src.agg(F.count(F.lit(1)).alias("n")), "complete")
     assert out.collect()[0]["n"] == 160
+
+
+def test_branch_append_does_not_inherit_main_mor_deletes(spark, tmp_table_dir):
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    t.create_branch("b")
+    # main gains a MoR equality delete AFTER the branch forked
+    t.delete_where_mor("k < 5", keys=["k"])
+    assert t.read().count() == 15
+    # branch append must carry the BRANCH head's (empty) delete set
+    t.append(spark.createDataFrame([(100,)], "k int"), branch="b")
+    assert t.read(ref="b").count() == 21  # 20 original + 1, no deletes
+    assert t.read().count() == 15  # main unchanged
