@@ -860,27 +860,58 @@ class IceTable:
         if diff_dels:
             common = [f for f in from_files if f["path"] in (fp & tp)]
             spec_by_id = {i: s for i, s in enumerate(self.meta.specs)}
+            # One bounds job per distinct key set (tables share one
+            # equality key set in practice), not one per delete file:
+            # sequential per-file .first() round-trips would dominate
+            # changelog latency with many delete files.
+            by_keys: dict[tuple, list[dict]] = {}
             for d in diff_dels:
-                keys = d["keys"]
-                bounds = (
-                    self.spark.read.parquet(d["path"])
+                by_keys.setdefault(tuple(d["keys"]), []).append(d)
+            for keys, dels in by_keys.items():
+                bounds_rows = (
+                    self.spark.read.parquet(*[d["path"] for d in dels])
+                    .select(
+                        F.col("_metadata.file_path").alias("__fp"),
+                        *keys,
+                    )
+                    .groupBy("__fp")
                     .agg(
                         *[F.min(k).alias(f"mn_{k}") for k in keys],
                         *[F.max(k).alias(f"mx_{k}") for k in keys],
                     )
-                    .first()
+                    .collect()
                 )
-                preds = [
-                    Pred(k, "between", (bounds[f"mn_{k}"], bounds[f"mx_{k}"]))
-                    for k in keys
-                    if bounds[f"mn_{k}"] is not None
-                ]
-                affected = [
-                    f for f in common if int(f.get("seq", 0)) < int(d["dseq"])
-                ]
-                if preds:
-                    affected, _ = prune_files(affected, spec_by_id, preds)
-                relevant.update(f["path"] for f in affected)
+                by_path = {
+                    urllib.parse.unquote(
+                        r["__fp"].removeprefix("file://")
+                    ): r
+                    for r in bounds_rows
+                }
+                for d in dels:
+                    bounds = by_path.get(os.path.abspath(d["path"]))
+                    preds = (
+                        [
+                            Pred(
+                                k,
+                                "between",
+                                (bounds[f"mn_{k}"], bounds[f"mx_{k}"]),
+                            )
+                            for k in keys
+                            if bounds[f"mn_{k}"] is not None
+                        ]
+                        if bounds is not None
+                        else []
+                    )
+                    affected = [
+                        f
+                        for f in common
+                        if int(f.get("seq", 0)) < int(d["dseq"])
+                    ]
+                    if preds:
+                        affected, _ = prune_files(
+                            affected, spec_by_id, preds
+                        )
+                    relevant.update(f["path"] for f in affected)
 
         rows_from = self._apply_deletes(
             [f for f in from_files if f["path"] in relevant], from_dels
@@ -928,7 +959,16 @@ class IceTable:
                 "cherrypick: snapshot changed delete files — only "
                 "append snapshots can be cherry-picked"
             )
-        delta = [dict(f) for f in snap["files"] if f["path"] not in parent_paths]
+        # Strip the staged files' sequence number: the cherry-picked
+        # COMMIT is new, so its files take the new commit's sequence
+        # (Iceberg behavior). Keeping the branch-era seq would let a
+        # MoR equality delete committed on main AFTER the fork (dseq >
+        # staged seq) silently swallow the just-published rows.
+        delta = [
+            {k: v for k, v in f.items() if k != "seq"}
+            for f in snap["files"]
+            if f["path"] not in parent_paths
+        ]
 
         def with_delta(m: M.TableMeta) -> list[dict]:
             cur = list(m.current_files())

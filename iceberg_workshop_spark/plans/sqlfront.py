@@ -1083,7 +1083,12 @@ class IceSqlSession:
         elif proc == "create_changelog_view":
             tname = str(arg("table", 0))
             vname = str(arg("changelog_view", 1, f"{tname}_changes"))
-            opts = named.get("options", {})
+            opts = arg("options", 2, {})
+            if not isinstance(opts, dict):
+                raise ValueError(
+                    "create_changelog_view: options must be a "
+                    "map('k','v',...) literal"
+                )
             start = opts.get("start-snapshot-id")
             end = opts.get("end-snapshot-id")
             cl = tbl.changelog(

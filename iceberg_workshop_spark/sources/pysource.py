@@ -26,6 +26,8 @@ a remote feed, partitions map to shard/offset ranges the same way.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -176,25 +178,54 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- ice stream
-def _ddl_column_names(ddl: str) -> list[str]:
-    names, depth, cur = [], 0, []
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """(name, type) pairs from a DDL string without StructType.fromDDL
+    — this runs in the streaming source worker process, which has no
+    SparkContext. Split on top-level commas (nested commas live inside
+    <...> or (...) of struct/decimal types)."""
+    fields, depth, cur = [], 0, []
     for ch in ddl:
         if ch in "<(":
             depth += 1
         elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
-            names.append("".join(cur).strip().split()[0])
+            name, _, typ = "".join(cur).strip().partition(" ")
+            fields.append((name, typ.strip()))
             cur = []
             continue
         cur.append(ch)
     if "".join(cur).strip():
-        names.append("".join(cur).strip().split()[0])
-    return names
+        name, _, typ = "".join(cur).strip().partition(" ")
+        fields.append((name, typ.strip()))
+    return fields
+
+
+def _ddl_to_arrow(typ: str):
+    """Arrow type for a Spark DDL type — used to null-fill columns a
+    file predates. Covers the types this repo's tables declare."""
+    import pyarrow as pa
+
+    t = typ.strip().lower()
+    if t.startswith("array<"):
+        return pa.list_(_ddl_to_arrow(t[6:-1]))
+    if t.startswith("decimal"):
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        return pa.decimal128(int(m.group(1)), int(m.group(2))) if m else pa.decimal128(38, 18)
+    return {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(), "binary": pa.binary(),
+        "boolean": pa.bool_(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }[t]
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]) -> None:
+    def __init__(self, path: str, columns: list[tuple[str, str | None, str]]) -> None:
+        # (declared_name, physical_name_or_None, ddl_type) per column;
+        # physical None => the file predates the column, emit nulls
         self.path = path
         self.columns = columns
 
@@ -206,15 +237,23 @@ class _IceStreamReader(DataSourceStreamReader):
     snapshots committed since the last batch, discovered from the
     metadata log (O(delta) listing, no directory scans, no row diff).
 
-    Offsets are positions in the current snapshot's ancestry chain —
-    a pure metadata cursor. Contract (same as Iceberg's): the stream
-    consumes APPEND snapshots; a snapshot that removed files (CoW
-    rewrite/delete/compaction) raises by default because replaying
-    its added files would re-emit carried-over rows. With
+    Offsets carry the last-consumed SNAPSHOT ID (0 = none), resolved
+    against the current ancestry each batch — so expire_snapshots of
+    already-consumed history is harmless, and a rollback/expire that
+    removes the offset snapshot itself fails loudly instead of
+    silently skipping or re-emitting files. Contract (same as
+    Iceberg's): the stream consumes APPEND snapshots; a snapshot that
+    removed files (CoW rewrite/delete/compaction) OR changed the
+    merge-on-read delete-file set (rows in already-emitted files
+    changed visibility) raises by default. With
     ``skip_non_append=true`` those snapshots are skipped entirely
     (Iceberg's streaming-skip-overwrite/delete-snapshots options).
     One InputPartition per added file: executors read files in
-    parallel via Arrow, nothing flows through the driver."""
+    parallel via Arrow, nothing flows through the driver. The stream's
+    column set is fixed at start (Spark streaming schemas are static);
+    later-renamed columns are resolved to each file's physical name
+    via the rename log, and files that predate a column null-fill it
+    — the streaming analog of the batch reader's era handling."""
 
     def __init__(self, options: dict) -> None:
         self.location = options["location"]
@@ -223,19 +262,15 @@ class _IceStreamReader(DataSourceStreamReader):
         )
         from iceberg_workshop_spark.icetbl import meta as M
 
-        # Column names from the DDL without StructType.fromDDL — this
-        # runs in the streaming source worker process, which has no
-        # SparkContext. Split on top-level commas (nested commas live
-        # inside <...> or (...) of struct/decimal types); the first
-        # token of each field is the name.
-        self._columns = _ddl_column_names(
-            M.read_current(self.location).schema_ddl
-        )
+        self._fields = _ddl_fields(M.read_current(self.location).schema_ddl)
 
-    def _ancestry(self) -> list[dict]:
+    def _meta(self):
         from iceberg_workshop_spark.icetbl import meta as M
 
-        meta = M.read_current(self.location)
+        return M.read_current(self.location)
+
+    @staticmethod
+    def _ancestry(meta) -> list[dict]:
         by_id = {s["snapshot_id"]: s for s in meta.snapshots}
         chain: list[dict] = []
         cur = meta.current_snapshot_id
@@ -246,60 +281,113 @@ class _IceStreamReader(DataSourceStreamReader):
         return chain
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"sid": 0}
 
     def latestOffset(self) -> dict:
-        return {"n": len(self._ancestry())}
+        meta = self._meta()
+        return {"sid": meta.current_snapshot_id or 0}
+
+    def _file_columns(
+        self, doc: dict, file_seq: int
+    ) -> list[tuple[str, str | None, str]]:
+        renames = doc.get("column_renames", [])
+        created = doc.get("column_created_seq", {})
+        out = []
+        for declared, typ in self._fields:
+            cur = declared  # the column's name in the LATEST schema
+            for r in renames:
+                if cur == r["old"]:
+                    cur = r["new"]
+            phys = cur  # its physical name in this file's era
+            for r in reversed(renames):
+                if file_seq <= int(r["seq"]) and phys == r["new"]:
+                    phys = r["old"]
+            if cur in created and file_seq <= int(created[cur]):
+                phys = None  # file predates the column
+            out.append((declared, phys, typ))
+        return out
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        chain = self._ancestry()
+        meta = self._meta()
+        chain = self._ancestry(meta)
+        end_sid = end.get("sid", 0)
+        if end_sid == 0:
+            return []
+        idx = {s["snapshot_id"]: i for i, s in enumerate(chain)}
+        if end_sid not in idx:
+            raise ValueError(
+                f"ice stream: end snapshot {end_sid} is not an ancestor "
+                "of the current table state (rolled back mid-batch)"
+            )
+        start_sid = start.get("sid", 0)
+        if start_sid == 0:
+            lo = 0
+            prev_paths: set[str] = set()
+            prev_dels: list = []
+        else:
+            if start_sid not in idx:
+                raise ValueError(
+                    f"ice stream: start snapshot {start_sid} was expired "
+                    "or rolled back away; restart the stream from a "
+                    "fresh checkpoint"
+                )
+            lo = idx[start_sid] + 1
+            prev = chain[idx[start_sid]]
+            prev_paths = {f["path"] for f in prev["files"]}
+            prev_dels = prev.get("delete_files", [])
         parts: list[InputPartition] = []
-        prev_paths = (
-            set()
-            if start["n"] == 0
-            else {f["path"] for f in chain[start["n"] - 1]["files"]}
-        )
-        for snap in chain[start["n"] : end["n"]]:
+        for snap in chain[lo : idx[end_sid] + 1]:
             paths = {f["path"] for f in snap["files"]}
-            if not prev_paths <= paths:
+            dels = snap.get("delete_files", [])
+            def key(dl):
+                return sorted((d["path"], int(d["dseq"])) for d in dl)
+            if not prev_paths <= paths or key(dels) != key(prev_dels):
                 if self.skip_non_append:
-                    prev_paths = paths
+                    prev_paths, prev_dels = paths, dels
                     continue
                 raise ValueError(
                     f"ice stream: snapshot {snap['snapshot_id']} removed "
-                    "files (non-append); set skip_non_append=true to skip "
-                    "rewrite/delete snapshots"
+                    "files or changed merge-on-read deletes (non-append); "
+                    "set skip_non_append=true to skip rewrite/delete "
+                    "snapshots"
                 )
-            parts.extend(
-                _FilePartition(p, self._columns)
-                for p in sorted(paths - prev_paths)
-            )
-            prev_paths = paths
+            by_path = {f["path"]: f for f in snap["files"]}
+            for p in sorted(paths - prev_paths):
+                seq = int(by_path[p].get("seq", 0))
+                parts.append(
+                    _FilePartition(p, self._file_columns(meta.doc, seq))
+                )
+            prev_paths, prev_dels = paths, dels
         return parts
 
     def read(self, partition: _FilePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path, columns=partition.columns)
-        table = table.select(partition.columns)
-        # Spark's Arrow bridge takes microsecond timestamps only; the
-        # table files may carry nanos (fixture lineage). Declared DDL
-        # type is TIMESTAMP under the pinned-UTC session, so naive
-        # values are UTC instants.
-        fields = [
-            pa.field(
-                f.name,
-                pa.timestamp("us", tz=f.type.tz or "UTC")
-                if pa.types.is_timestamp(f.type)
-                else f.type,
-            )
-            for f in table.schema
-        ]
-        yield from table.cast(pa.schema(fields)).to_batches()
-
-    def commit(self, end: dict) -> None:
-        pass
+        want = [c[1] for c in partition.columns if c[1] is not None]
+        pf = pq.ParquetFile(partition.path)
+        have = set(pf.schema_arrow.names)
+        table = pq.read_table(
+            partition.path, columns=[c for c in want if c in have]
+        )
+        n = table.num_rows
+        arrays, names = [], []
+        for declared, phys, typ in partition.columns:
+            if phys is not None and phys in have:
+                col = table.column(phys)
+                # Spark's Arrow bridge takes microsecond timestamps
+                # only; table files may carry nanos (fixture lineage).
+                # Declared DDL type is TIMESTAMP under the pinned-UTC
+                # session, so naive values are UTC instants.
+                if pa.types.is_timestamp(col.type):
+                    col = col.cast(
+                        pa.timestamp("us", tz=col.type.tz or "UTC")
+                    )
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(n, type=_ddl_to_arrow(typ)))
+            names.append(declared)
+        yield from pa.table(dict(zip(names, arrays))).to_batches()
 
 
 class IceStreamDataSource(DataSource):

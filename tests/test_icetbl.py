@@ -435,17 +435,15 @@ def test_ice_stream_source_skips_or_rejects_rewrites(spark, tmp_table_dir):
     t.append(spark.range(150, 160).select(F.col("id").alias("k")))
 
     r = _IceStreamReader({"location": tmp_table_dir})
-    n = r.latestOffset()["n"]
+    head = r.latestOffset()
     with pytest.raises(ValueError):
-        r.partitions({"n": 0}, {"n": n})
+        r.partitions({"sid": 0}, head)
 
     r2 = _IceStreamReader(
         {"location": tmp_table_dir, "skip_non_append": "true"}
     )
-    parts = r2.partitions({"n": 0}, {"n": n})
+    parts = r2.partitions({"sid": 0}, head)
     # first two appends + final append; compaction snapshot skipped
-    import pyarrow as pa
-
     rows = sum(
         sum(b.num_rows for b in r2.read(p)) for p in parts
     )
@@ -475,3 +473,77 @@ def test_branch_append_does_not_inherit_main_mor_deletes(spark, tmp_table_dir):
     t.append(spark.createDataFrame([(100,)], "k int"), branch="b")
     assert t.read(ref="b").count() == 21  # 20 original + 1, no deletes
     assert t.read().count() == 15  # main unchanged
+
+
+def test_cherrypick_survives_prior_mor_delete_on_main(spark, tmp_table_dir):
+    t = IceTable.create(spark, tmp_table_dir, "k int")
+    t.insert_values([(1,)])
+    t.create_branch("b")
+    t.append(spark.createDataFrame([(5,)], "k int"), branch="b")
+    head = t.meta.refs["b"]["snapshot_id"]
+    # main inserts then MoR-deletes k=5 AFTER the branch forked
+    t.insert_values([(5,)])
+    t.delete_where_mor("k = 5", keys=["k"])
+    assert sorted(r.k for r in t.read().collect()) == [1]
+    # publish the staged row: it is a NEW commit, newer than the
+    # delete's sequence, so it must survive
+    t.cherrypick(head)
+    assert sorted(r.k for r in t.read().collect()) == [1, 5]
+
+
+def test_ice_stream_rejects_mor_delete_snapshots(spark, tmp_table_dir):
+    from iceberg_workshop_spark.sources.pysource import _IceStreamReader
+
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df)
+    t.delete_where_mor("k < 5", keys=["k"])  # file set unchanged
+    r = _IceStreamReader({"location": tmp_table_dir})
+    with pytest.raises(ValueError):
+        r.partitions({"sid": 0}, r.latestOffset())
+    r2 = _IceStreamReader(
+        {"location": tmp_table_dir, "skip_non_append": "true"}
+    )
+    parts = r2.partitions({"sid": 0}, r2.latestOffset())
+    assert sum(sum(b.num_rows for b in r2.read(p)) for p in parts) == 30
+
+
+def test_ice_stream_offsets_survive_expire_and_detect_loss(spark, tmp_table_dir):
+    from iceberg_workshop_spark.icetbl.meta import now_ms
+    from iceberg_workshop_spark.sources.pysource import _IceStreamReader
+
+    t = IceTable.create(spark, tmp_table_dir, "k int")
+    t.insert_values([(1,)])
+    s1 = t.meta.current_snapshot_id
+    t.insert_values([(2,)])
+    r = _IceStreamReader({"location": tmp_table_dir})
+    # consume up to s1, then expire everything older than now (s1 is
+    # not current, gets dropped) — resuming FROM s1 must fail loudly
+    t.expire_snapshots(older_than_ms=now_ms() + 1)
+    remaining = {s["snapshot_id"] for s in IceTable.load(spark, tmp_table_dir).meta.snapshots}
+    if s1 not in remaining:
+        with pytest.raises(ValueError):
+            r.partitions({"sid": s1}, r.latestOffset())
+    # but a fresh stream over the surviving state still works
+    parts = r.partitions({"sid": 0}, r.latestOffset())
+    assert sum(sum(b.num_rows for b in r.read(p)) for p in parts) == 2
+
+
+def test_ice_stream_maps_renamed_and_added_columns(spark, tmp_table_dir):
+    from iceberg_workshop_spark.sources.pysource import _IceStreamReader
+
+    t = IceTable.create(spark, tmp_table_dir, "k int, v string")
+    t.insert_values([(1, "a")])
+    t.rename_column("v", "val")
+    t.add_column("extra", "bigint")
+    t.insert_values([(2, "b", 99)])
+    # stream declared AFTER the evolution: columns k, val, extra
+    r = _IceStreamReader({"location": tmp_table_dir})
+    parts = r.partitions({"sid": 0}, r.latestOffset())
+    got = {}
+    for p in parts:
+        for b in r.read(p):
+            d = b.to_pydict()
+            for i in range(len(d["k"])):
+                got[d["k"][i]] = (d["val"][i], d["extra"][i])
+    # old file: physical name 'v' read as 'val', extra null-filled
+    assert got == {1: ("a", None), 2: ("b", 99)}
