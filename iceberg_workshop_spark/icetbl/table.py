@@ -882,12 +882,11 @@ class IceTable:
                     .collect()
                 )
                 by_path = {
-                    urllib.parse.unquote(
-                        r["__fp"].removeprefix("file://")
-                    ): r
+                    urllib.parse.urlparse(r["__fp"]).path: r
                     for r in bounds_rows
                 }
                 for d in dels:
+                    # a lookup miss degrades to unpruned-but-correct
                     bounds = by_path.get(os.path.abspath(d["path"]))
                     preds = (
                         [

@@ -547,3 +547,22 @@ def test_ice_stream_maps_renamed_and_added_columns(spark, tmp_table_dir):
                 got[d["k"][i]] = (d["val"][i], d["extra"][i])
     # old file: physical name 'v' read as 'val', extra null-filled
     assert got == {1: ("a", None), 2: ("b", 99)}
+
+
+def test_changelog_mor_bounds_lookup_resolves_paths(spark, tmp_table_dir):
+    """The one-job bounds fetch keys results by file path; a URI
+    mismatch would silently disable stats pruning. Pin the resolution
+    by checking the pruned relevant-set stays below the full common
+    set for a narrow delete."""
+    df = spark.range(0, 400).select(F.col("id").alias("k"))
+    t = IceTable.create_as(spark, tmp_table_dir, df.repartitionByRange(8, "k"))
+    s1 = t.meta.current_snapshot_id
+    t.delete_where_mor("k >= 10 AND k < 15", keys=["k"])
+    cl = t.changelog(s1)
+    assert sorted(r["k"] for r in cl.collect()) == [10, 11, 12, 13, 14]
+    # pruning engaged: the diff plan reads fewer than all 8 common
+    # files (the delete keys span 1 of 8 range files)
+    n_scanned = len(
+        {f.split("/")[-1] for f in cl.inputFiles()}
+    )
+    assert n_scanned <= 2, n_scanned
