@@ -147,6 +147,11 @@ _CALL_RE = re.compile(
     r"\((?P<args>.*)\)$",
     re.I | re.S,
 )
+_ALTER_COL_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
+    r"(?P<verb>ADD|DROP|RENAME)\s+COLUMNS?\s+(?P<body>.+)$",
+    re.I | re.S,
+)
 _REF_DDL_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
     r"(?P<verb>CREATE|DROP)\s+(?P<kind>TAG|BRANCH)\s+(?P<name>\w+)"
@@ -536,6 +541,28 @@ class IceSqlSession:
                     tbl.create_tag(m["name"], snapshot_id=sid)
                 else:
                     tbl.create_branch(m["name"], snapshot_id=sid)
+            return None
+        if m := _ALTER_COL_RE.match(s):
+            # Schema-evolution DDL (A35; the reference's literal
+            # `ALTER TABLE foo.bar ADD COLUMN ts TIMESTAMP`,
+            # /root/reference/limitations.md:8). All metadata-only.
+            tbl = self._table(m["target"])
+            verb = m["verb"].upper()
+            if verb == "ADD":
+                for part in _split_top_commas(m["body"].strip().strip("()")):
+                    name, _, typ = part.strip().partition(" ")
+                    tbl.add_column(name, typ.strip())
+            elif verb == "DROP":
+                tbl.drop_column(m["body"].strip())
+            else:  # RENAME COLUMN old TO new
+                rm = re.match(
+                    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
+                    m["body"].strip(),
+                    re.I,
+                )
+                if not rm:
+                    raise ValueError(f"unparsed RENAME COLUMN: {m['body']!r}")
+                tbl.rename_column(rm["old"], rm["new"])
             return None
         if m := _SET_SPEC_RE.match(s):
             self._table(m["target"]).set_partition_spec(_parse_spec(m["spec"]))
@@ -1476,6 +1503,37 @@ def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
     assert len(tbl.meta.current_files()) <= files_before
     return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
+
+
+@register(
+    "q_sql_schema_evolution_stmt",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'a', CAST(NULL AS VARCHAR)),
+      (2, 'b', '2024-01-01 00:00:00')
+    ) AS t(id, val, ts_s) ORDER BY id
+    """,
+)
+def q_sql_schema_evolution_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal schema-evolution DDL
+    (/root/reference/limitations.md:3-17): `ALTER TABLE foo.bar ADD
+    COLUMN ts TIMESTAMP` then inserts with the new column — the
+    mixed-file read must NOT error (the bug the reference documents),
+    old rows read the column as NULL, and a metadata-only RENAME
+    preserves values across eras."""
+    sess = IceSqlSession(spark)
+    sess.sql("CREATE DATABASE sev")
+    sess.sql(
+        "CREATE TABLE sev.bar (id INT, v STRING) "
+        "STORED BY ICEBERG STORED AS PARQUET"
+    )
+    sess.sql("INSERT INTO sev.bar VALUES (1, 'a')")
+    sess.sql("ALTER TABLE sev.bar ADD COLUMN ts TIMESTAMP")
+    sess.sql("INSERT INTO sev.bar VALUES (2, 'b', '2024-01-01 00:00:00')")
+    sess.sql("ALTER TABLE sev.bar RENAME COLUMN v TO val")
+    return sess.sql(
+        "SELECT id, val, CAST(ts AS STRING) AS ts_s FROM sev.bar ORDER BY id"
+    )
 
 
 @register(
