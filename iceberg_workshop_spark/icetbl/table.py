@@ -811,6 +811,7 @@ class IceTable:
         self,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        identifier_columns: list[str] | None = None,
     ) -> DataFrame:
         """Net row-level changelog between two table states — the
         native analog of Iceberg's `CALL system.create_changelog_view`
@@ -924,7 +925,37 @@ class IceTable:
         deletes = rows_from.exceptAll(rows_to).withColumn(
             "_change_type", F.lit("delete")
         )
-        return inserts.unionByName(deletes)
+        out = inserts.unionByName(deletes)
+        if identifier_columns:
+            # Iceberg's update-image pairing (create_changelog_view's
+            # identifier_columns): a delete and an insert sharing the
+            # row identity are the two halves of an UPDATE — relabel
+            # them update_preimage/update_postimage. The semi-joins
+            # shuffle only the delta, never the table.
+            upd_keys = (
+                inserts.select(*identifier_columns)
+                .intersect(deletes.select(*identifier_columns))
+            )
+            # no broadcast hint: AQE broadcasts when the key set is
+            # small; a huge merge delta stays a shuffled join
+            flagged = out.join(
+                upd_keys.withColumn("__upd", F.lit(1)),
+                identifier_columns,
+                "left",
+            )
+            out = flagged.select(
+                *[c for c in out.columns if c != "_change_type"],
+                F.when(
+                    F.col("__upd").isNotNull(),
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        "update_preimage",
+                    ).otherwise("update_postimage"),
+                )
+                .otherwise(F.col("_change_type"))
+                .alias("_change_type"),
+            )
+        return out
 
     def cherrypick(self, snapshot_id: int) -> None:
         """`CALL system.cherrypick_snapshot`: apply one snapshot's file

@@ -366,6 +366,47 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_changelog_updates",
+    oracle="""
+    SELECT 'insert' AS _change_type, COUNT(*) AS n_rows
+    FROM orders WHERE o_orderkey % 13 = 1
+    UNION ALL
+    SELECT 'update_postimage', COUNT(*)
+    FROM orders WHERE o_orderkey % 13 = 0 AND o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'update_preimage', COUNT(*)
+    FROM orders WHERE o_orderkey % 13 = 0 AND o_orderstatus = 'O'
+    ORDER BY _change_type
+    """,
+)
+def q_cdc_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC with update-image pairing (`create_changelog_view`'s
+    identifier_columns): a MERGE that updates matched rows and inserts
+    new ones yields update_preimage/update_postimage pairs for the
+    updates (delete+insert sharing the row identity) and plain inserts
+    for the rest — the shape a downstream CDC consumer applies."""
+    loc = _fresh(sf_dir, "cdc_changelog_upd")
+    orders = load(spark, sf_dir, "orders")
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 13 = 0"))
+    s1 = t.meta.current_snapshot_id
+    src = (
+        orders.filter(
+            "(o_orderkey % 13 = 0 AND o_orderstatus = 'O') OR o_orderkey % 13 = 1"
+        )
+        .withColumn("o_orderpriority", F.lit("0-TOUCHED"))
+    )
+    t.merge_into(src, on=["o_orderkey"])
+    cl = t.changelog(
+        from_snapshot_id=s1, identifier_columns=["o_orderkey"]
+    )
+    return (
+        cl.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("_change_type")
+    )
+
+
+@register(
     "q_meta_history",
     oracle="""
     SELECT CAST(3 AS BIGINT) AS n_entries,

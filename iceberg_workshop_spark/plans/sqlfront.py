@@ -222,6 +222,9 @@ def _call_literal(s: str):
     if mm:
         items = [_call_literal(p) for p in _split_top_commas(mm["body"])]
         return {str(items[i]): items[i + 1] for i in range(0, len(items) - 1, 2)}
+    am = re.match(r"array\s*\((?P<body>.*)\)$", s, re.I | re.S)
+    if am:
+        return [_call_literal(p) for p in _split_top_commas(am["body"])]
     tm = re.match(r"TIMESTAMP\s+(?P<q>[\"'])(?P<body>.*)(?P=q)$", s, re.I | re.S)
     if tm:
         return tm["body"]
@@ -1118,9 +1121,13 @@ class IceSqlSession:
                 )
             start = opts.get("start-snapshot-id")
             end = opts.get("end-snapshot-id")
+            idcols = named.get("identifier_columns")
             cl = tbl.changelog(
                 from_snapshot_id=None if start is None else int(start),
                 to_snapshot_id=None if end is None else int(end),
+                identifier_columns=(
+                    [str(c) for c in idcols] if idcols else None
+                ),
             )
             self.register_view(vname, cl)
             return self.spark.createDataFrame(

@@ -546,3 +546,27 @@ def test_call_fast_forward_publishes_branch(spark, tmp_path):
 
     with _pt.raises(ValueError):
         s.sql("CALL cat.system.fast_forward('db.t', 'wap', 'main')")
+
+
+def test_call_changelog_identifier_columns(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "clid"), "k int, v string")
+    t.insert_values([(1, "a"), (2, "b")])
+    s1 = t.meta.current_snapshot_id
+    t.merge_into(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        on=["k"],
+    )
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t)
+    s.sql(
+        "CALL c.system.create_changelog_view(table => 'db.t', "
+        "changelog_view => 'clv', "
+        f"options => map('start-snapshot-id', '{s1}'), "
+        "identifier_columns => array('k'))"
+    )
+    rows = {(r.k, r.v, r._change_type) for r in s.sql("SELECT * FROM clv").collect()}
+    assert rows == {
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (3, "c", "insert"),
+    }
