@@ -210,3 +210,33 @@ def test_expire_never_touches_uncommitted_files(spark, loc):
     rep = t.remove_orphan_files(older_than_ms=M.now_ms() + 1000)
     assert rep["orphans_removed"] >= 1
     assert not os.path.exists(stray)
+
+
+def test_concurrent_branch_writers_both_land(spark, loc):
+    """Two handles appending to DIFFERENT branches race on the same
+    metadata version; CAS rebase must land both branch heads without
+    either leaking into main or the other branch."""
+    t = IceTable.create(spark, loc, "k int")
+    t.insert_values([(0,)])
+    t.create_branch("b1")
+    t.create_branch("b2")
+    h1 = IceTable.load(spark, loc)
+    h2 = IceTable.load(spark, loc)
+    errs = []
+
+    def writer(handle, branch, val):
+        try:
+            handle.append(
+                handle.spark.createDataFrame([(val,)], "k int"), branch=branch
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th1 = threading.Thread(target=writer, args=(h1, "b1", 11))
+    th2 = threading.Thread(target=writer, args=(h2, "b2", 22))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs
+    final = IceTable.load(spark, loc)
+    assert sorted(r.k for r in final.read().collect()) == [0]
+    assert sorted(r.k for r in final.read(ref="b1").collect()) == [0, 11]
+    assert sorted(r.k for r in final.read(ref="b2").collect()) == [0, 22]
