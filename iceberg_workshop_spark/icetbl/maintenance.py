@@ -19,14 +19,22 @@ from iceberg_workshop_spark.icetbl.table import IceTable
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg's default 128 MB
 
 
-def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[str, int]:
+def expire_snapshots(
+    tbl: IceTable,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+) -> dict[str, int]:
     """Drop snapshots older than the cutoff (current snapshot always
     survives), then physically delete data files no remaining snapshot
     references — the orphan cleanup the reference demonstrates by
-    listing S3 before/after (README.md:364-381)."""
+    listing S3 before/after (README.md:364-381). ``retain_last`` keeps
+    at least the N newest current-ancestry snapshots regardless of
+    age (Iceberg's expire_snapshots retain_last argument) so time
+    travel always has a floor."""
     import contextlib
 
     cutoff = M.now_ms() if older_than_ms is None else older_than_ms
+    retain_last = max(1, int(retain_last))
     before = len(tbl.meta.snapshots)
     kept: list[dict] = []
     to_delete: set[str] = set()
@@ -39,6 +47,15 @@ def expire_snapshots(tbl: IceTable, older_than_ms: int | None = None) -> dict[st
         protected = {meta.current_snapshot_id} | {
             r["snapshot_id"] for r in meta.refs.values()
         }
+        # retain_last: the N newest current-ancestry snapshots are
+        # retention roots too
+        by_id = {s["snapshot_id"]: s for s in meta.snapshots}
+        cur = meta.current_snapshot_id
+        n_kept = 0
+        while cur is not None and cur in by_id and n_kept < retain_last:
+            protected.add(cur)
+            n_kept += 1
+            cur = by_id[cur]["parent_id"]
         all_before = list(meta.snapshots)
         kept = [
             s

@@ -143,7 +143,8 @@ _EXPIRE_RE = re.compile(
 _CALL_RE = re.compile(
     r"CALL\s+[\w.]*system\.(?P<proc>rewrite_data_files|rewrite_manifests|"
     r"remove_orphan_files|cherrypick_snapshot|rollback_to_snapshot|"
-    r"set_current_snapshot|fast_forward|create_changelog_view)\s*"
+    r"set_current_snapshot|fast_forward|create_changelog_view|"
+    r"expire_snapshots)\s*"
     r"\((?P<args>.*)\)$",
     re.I | re.S,
 )
@@ -1095,6 +1096,23 @@ class IceSqlSession:
                 [(rep["orphans_found"], rep["orphans_removed"])],
                 "orphans_found long, orphans_removed long",
             )
+        elif proc == "expire_snapshots":
+            older = arg("older_than", 1)
+            rep = tbl.expire_snapshots(
+                older_than_ms=(
+                    None if older is None else _call_ts_ms(older)
+                ),
+                retain_last=int(arg("retain_last", 2, 1)),
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        rep["snapshots_before"] - rep["snapshots_after"],
+                        rep["orphan_files_removed"],
+                    )
+                ],
+                "deleted_snapshots long, deleted_data_files long",
+            )
         elif proc == "cherrypick_snapshot":
             tbl.cherrypick(int(arg("snapshot_id", 1)))
         elif proc in ("rollback_to_snapshot", "set_current_snapshot"):
@@ -1160,8 +1178,12 @@ class IceSqlSession:
             tbl = self._table(m["name"])
             if m["kind"].upper() == "SYSTEM_TIME":
                 df = tbl.read(as_of_timestamp_ms=_iso_to_ms(m["lit"]))
-            else:
+            elif re.fullmatch(r"\d+", m["lit"]):
                 df = tbl.read(snapshot_id=int(m["lit"]))
+            else:
+                # Iceberg's Spark dialect: VERSION AS OF also takes a
+                # tag or branch name
+                df = tbl.read(ref=m["lit"])
             vname = _view_name(m["name"]) + "__tt"
             df.createOrReplaceTempView(vname)
             return vname

@@ -570,3 +570,27 @@ def test_call_changelog_identifier_columns(spark, tmp_path):
         (2, "B", "update_postimage"),
         (3, "c", "insert"),
     }
+
+
+def test_call_expire_retain_last_and_version_as_of_tag(spark, tmp_path):
+    from iceberg_workshop_spark.icetbl.meta import now_ms
+
+    t = IceTable.create(spark, str(tmp_path / "exp"), "a int")
+    for i in range(5):
+        t.insert_values([(i,)])
+    t.create_tag("v2", t.meta.snapshots[1]["snapshot_id"])
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t)
+    # tag read through VERSION AS OF
+    assert s.sql("SELECT * FROM db.t FOR SYSTEM_VERSION AS OF 'v2'").count() == 2
+    out = s.sql(
+        "CALL c.system.expire_snapshots(table => 'db.t', "
+        f"older_than => {now_ms() + 1000}, retain_last => 3)"
+    ).collect()[0]
+    final = IceTable.load(spark, str(tmp_path / "exp"))
+    # 3 newest ancestors + the (older) tag head survive
+    ids = {sn["snapshot_id"] for sn in final.meta.snapshots}
+    assert len(ids) == 4
+    assert final.meta.refs["v2"]["snapshot_id"] in ids
+    assert out["deleted_snapshots"] == 1
+    assert final.read().count() == 5
