@@ -643,3 +643,78 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr_len="size", distinct_fn="array_distinct",
         )
     )
+
+
+# ------------------------------------------------------ global shuffle
+
+N_SHARDS = 8
+SHUFFLE_EPOCH = "epoch0"
+
+# DuckDB-side hex→int for the md5 prefix (no native conv(,16,10)):
+# sum of per-nibble place values, generated here so both engines use
+# the same 8-hex-digit window.
+_HEX_TO_INT_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
+
+@register(
+    "q_llm_global_shuffle",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             md5('{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_chars, h,
+             CAST(({_HEX_TO_INT_SQL}) % {N_SHARDS} AS BIGINT) AS shard
+      FROM hashed
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           MIN(h) AS first_hash,
+           MAX(h) AS last_hash,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the
+    epoch-reshuffle a training pipeline runs before writing shards: a
+    keyed cryptographic hash (md5 over epoch‖doc_id) gives a
+    reproducible pseudo-random permutation with no seeded RNG, shard =
+    first 32 hash bits mod N.
+
+    Scale shape: ONE hash-partition exchange on `shard` (exactly the
+    shuffle a `write.partitionBy(shard)` needs) + sortWithinPartitions
+    on the hash — no global sort, no single-partition window, and a
+    different epoch string re-permutes everything without re-reading
+    any shuffle state. Per-shard digests (count, first/last hash, char
+    mass) pin the exact permutation cross-engine."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit(f"{SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    sharded = docs.withColumn(
+        "shard",
+        (F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % N_SHARDS),
+    )
+    # The physical training-shard layout: co-locate each shard, order
+    # rows by the permutation hash inside it.
+    laid_out = sharded.repartition(N_SHARDS, "shard").sortWithinPartitions("h")
+    return (
+        laid_out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("h").alias("first_hash"),
+            F.max("h").alias("last_hash"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

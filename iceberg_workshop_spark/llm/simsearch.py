@@ -628,3 +628,73 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rn")
     )
+
+
+@register(
+    "q_llm_simsearch_sq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e
+    ), q AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x * 127.0 / maxabs + 0.5)) AS qv
+      FROM m
+    ), n AS (
+      SELECT vec_id, qv, list_dot_product(qv, qv) AS qn2 FROM q
+    ), probe AS (
+      SELECT qv AS pqv, qn2 AS pqn2 FROM n WHERE vec_id = {PROBE_VEC_ID}
+    )
+    SELECT n.vec_id,
+           ROUND(list_dot_product(n.qv, probe.pqv)
+                 / sqrt(n.qn2 * probe.pqn2), 4) AS cosine_sq
+    FROM n, probe
+    WHERE n.vec_id <> {PROBE_VEC_ID}
+    ORDER BY list_dot_product(n.qv, probe.pqv) / sqrt(n.qn2 * probe.pqn2)
+               DESC,
+             n.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_simsearch_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-style) top-k search — the compressed-index
+    path: each vector is quantized to per-vector-scaled integers in
+    [-127, 127] (scale = 127/max|x|), and candidates rank by the
+    integer dot product normalized by integer norms.
+
+    Why it matters at 100 TB: the quantized index is ~4× smaller than
+    float32 (scan I/O and cache footprint shrink by the same factor)
+    and integer dot products SIMD-vectorize; the float corpus is only
+    touched to re-rank survivors (here the fixture is small enough
+    that the quantized score IS the result, pinned exactly — every
+    arithmetic step is integer-valued-in-double, so DuckDB reproduces
+    it bit-for-bit). Plan shape matches q_llm_simsearch: 1-row
+    broadcast probe, no shuffle, TakeOrderedAndProject top-k."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> floor(x * 127.0D /"
+            " aggregate(v, 0.0D, (a, y) -> greatest(a, abs(y))) + 0.5D))"
+        ).alias("qv"),
+    ).withColumn("qn2", _dot("qv", "qv"))
+    probe = F.broadcast(
+        quant.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("qv").alias("pqv"), F.col("qn2").alias("pqn2")
+        )
+    )
+    return (
+        quant.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .withColumn(
+            "c", _dot("qv", "pqv") / F.sqrt(F.col("qn2") * F.col("pqn2"))
+        )
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("c", 4).alias("cosine_sq"))
+    )

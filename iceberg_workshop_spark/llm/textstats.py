@@ -451,3 +451,62 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+CHUNK_TOKENS = 20  # tokens per chunk
+CHUNK_STRIDE = 10  # tokens between chunk starts (50% overlap)
+
+
+@register(
+    "q_llm_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+      FROM t
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+             list_slice(toks, s + 1, s + {CHUNK_TOKENS}) AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing /
+    context-window-packing precursor: each document becomes overlapping
+    {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens, identified
+    by (doc_id, chunk_idx) with an md5 over the chunk text.
+
+    Plan: scan → one `transform(sequence(...))` building every chunk
+    slice JVM-side → a single posexplode — no shuffle at all until the
+    final presentation sort; per-row cost is O(len/stride) slices, and
+    at 100 TB the output inherits the scan's partitioning (chunks of a
+    document stay in its input partition — exactly what a downstream
+    embedding pass wants to batch on)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("toks")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - 1, {CHUNK_STRIDE}),"
+                f" s -> slice(toks, s + 1, {CHUNK_TOKENS}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -407,6 +407,104 @@ def q_cdc_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_agg_maintain",
+    oracle="""
+    WITH final AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey % 5 = 0 AND o_orderstatus <> 'F')
+         OR o_orderkey % 5 = 1
+    ), g AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM final GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_groups,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(sum_price) AS DOUBLE) AS total_price
+    FROM g
+    """,
+)
+def q_cdc_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from the CDC changelog — the
+    materialized-view pattern a 100 TB deployment uses instead of
+    re-aggregating the table after every commit.
+
+    A per-customer (COUNT, SUM(price)) aggregate is materialized at
+    snapshot s1; the table then takes a CoW DELETE and an append. The
+    maintained aggregate is base ⟕⟖ delta where delta is the
+    changelog's rows signed +1 for 'insert' / -1 for 'delete' and
+    pre-aggregated per group — O(changed rows) work (the changelog
+    reads only the symmetric difference of the endpoint file sets),
+    versus O(table) for a recompute. Both SUM and COUNT are
+    self-maintainable under insert/delete deltas; groups whose
+    maintained count reaches zero are dropped, matching GROUP BY
+    semantics. The query recomputes the aggregate from the final
+    snapshot and returns the number of disagreeing groups — the oracle
+    pins it at zero, so the delta-application algebra itself is what
+    the driver checks. (Native analog of maintaining a downstream
+    rollup from `CALL system.create_changelog_view`,
+    /root/reference/pyspark-iceberg/README.md time-travel + CDC
+    surface.)"""
+    loc = _fresh(sf_dir, "cdc_agg_maintain")
+    orders = load(spark, sf_dir, "orders")
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 5 = 0"))
+    s1 = t.meta.current_snapshot_id
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("sum_price"),
+        )
+
+    base = agg_of(t.read(snapshot_id=s1))
+
+    t.delete_where("o_orderstatus = 'F'")
+    t.append(orders.filter("o_orderkey % 5 = 1"))
+
+    sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+    delta = (
+        t.changelog(from_snapshot_id=s1)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(sign).alias("d_n"),
+            F.sum(money("o_totalprice") * sign).alias("d_price"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    maintained = (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce("sum_price", zero) + F.coalesce("d_price", zero)).alias(
+                "sum_price"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    recomputed = agg_of(t.read())
+    cmp = maintained.alias("m").join(
+        recomputed.alias("r"), "o_custkey", "full_outer"
+    )
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.when(
+                F.col("m.n_orders").eqNullSafe(F.col("r.n_orders"))
+                & F.col("m.sum_price").eqNullSafe(F.col("r.sum_price")),
+                0,
+            ).otherwise(1)
+        ).alias("n_mismatch"),
+        F.sum("r.n_orders").alias("total_orders"),
+        F.sum("r.sum_price").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "q_meta_history",
     oracle="""
     SELECT CAST(3 AS BIGINT) AS n_entries,

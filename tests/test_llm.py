@@ -117,3 +117,15 @@ def test_embed_lsh_band_knob_recall_sweep(spark, queries):
         f"wide-setting recall {recall_wide:.2f} (default {recall_default:.2f}, "
         f"{len(exact)} true pairs)"
     )
+
+
+def test_sq_recall_vs_brute_force(spark, queries):
+    """Int8 scalar quantization distorts each coordinate by <1/254 of
+    the vector's max|x|, so at 64-d the quantized top-10 should nearly
+    reproduce the exact float top-10 (bar: ≥8/10), with the top-1
+    identical."""
+    brute = [r["vec_id"] for r in queries["q_llm_simsearch"](spark, SF_DIR).collect()]
+    sq = [r["vec_id"] for r in queries["q_llm_simsearch_sq"](spark, SF_DIR).collect()]
+    assert len(sq) == len(brute) == 10
+    assert sq[0] == brute[0]
+    assert len(set(brute) & set(sq)) >= 8
