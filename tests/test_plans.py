@@ -223,3 +223,39 @@ def test_incremental_dedup_no_collect_and_pruned_scan(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # batch-side joins broadcast
+
+
+def test_chunking_has_no_exchange_before_sort(spark):
+    """q_llm_chunking: scan → generate (posexplode) → project; the ONLY
+    exchange is the final presentation sort's range partitioning —
+    chunk construction itself never shuffles."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_chunking"](spark, SF_DIR))
+    assert "Generate posexplode" in plan
+    # exactly one exchange, and it's the presentation sort's
+    assert plan.count("Exchange ") == 1
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_global_shuffle_single_hash_exchange(spark):
+    """q_llm_global_shuffle: the shard layout is ONE hash-partition
+    exchange on `shard` (plus the 8-group agg's own exchange at most);
+    no global sort / single-partition window anywhere."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_global_shuffle"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sq_search_is_broadcast_topk(spark):
+    """q_llm_simsearch_sq keeps the brute-force plan shape: broadcast
+    1-row probe, top-k via TakeOrderedAndProject — no shuffle of the
+    corpus."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_simsearch_sq"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
