@@ -305,10 +305,130 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-# SURVEY §2B declares the MinHash-LSH near-dup operator as
-# ``q_llm_dedup_near``; register the same implementation under that
-# name so the declared inventory resolves 1:1.
-register("q_llm_dedup_near")(q_llm_dedup_minhash)
+# DuckDB-side hex→int over the first 15 md5 nibbles (60 bits, fits
+# BIGINT): no native conv(x, 16, 10), so spell out the place values.
+_MD5_60BIT_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1) * {16 ** (15 - i)}"
+    for i in range(1, 16)
+)
+
+# Shared shingle CTEs (identical to q_llm_dedup_ngram's oracle).
+_SHINGLE_CTES = r"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    )
+"""
+
+
+@register(
+    "q_llm_dedup_near",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    seeds AS (
+      SELECT unnest(generate_series(0, {MINHASH_PERMS - 1})) AS seed
+    ), hashed AS (
+      SELECT doc_id, seed,
+             md5(CAST(seed AS VARCHAR) || ':' || shingle) AS hh
+      FROM ds CROSS JOIN seeds
+    ), minh AS (
+      SELECT doc_id, seed, MIN({_MD5_60BIT_SQL}) AS mh
+      FROM hashed GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // {MINHASH_PERMS // MINHASH_BANDS} AS band_id,
+             string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+      FROM minh GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n + sb.n - i.n_common AS n_union,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {JACCARD_T}
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with a fully EXACT oracle — the
+    §2B contract row. Identical algorithm and parameters to
+    q_llm_dedup_minhash (32 perms, 8 bands × 4 rows, verify-on-
+    collision), but the permutation hashes are the first 60 bits of
+    md5(seed ‖ ':' ‖ shingle) instead of xxhash64, so DuckDB can
+    replay signature building, banding, candidate generation, AND
+    verification bit-for-bit — not just the verified output. The
+    xxhash64 variant stays the production hot path (cheaper hash, same
+    plan); this one pins the algebra cross-engine.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = _doc_shingles(docs).persist()
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    hashed = shingles.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_PERMS - 1}), i ->"
+                " cast(conv(substring(md5(concat(cast(i as string), ':',"
+                " shingle)), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("seed", "h"),
+    )
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    buckets = (
+        minh.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(seed, mh))),"
+                    " s -> cast(s.mh as string))"
+                ),
+            ).alias("sig")
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .persist()
+    )
+    verified = _pair_jaccard(shingles, candidates)
+    out = verified.filter(
+        F.col("n_common") / F.col("n_union") >= JACCARD_T
+    ).orderBy("doc_a", "doc_b")
+    out = out.localCheckpoint(eager=True)
+    shingles.unpersist()
+    candidates.unpersist()
+    return out
 
 
 # --------------------------------------------------------------- SimHash
