@@ -524,6 +524,131 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_MD5_BITS = 60  # first 15 md5 nibbles → BIGINT-safe
+SIMHASH_MD5_BANDS = 10  # 6-bit chunks → guaranteed recall at Hamming ≤ 9
+
+
+@register(
+    "q_llm_dedup_simhash_exact",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    hv AS (
+      SELECT doc_id, ({_MD5_60BIT_SQL}) AS h
+      FROM (SELECT doc_id, md5(shingle) AS hh FROM ds)
+    ), bits AS (
+      SELECT unnest(generate_series(0, {SIMHASH_MD5_BITS - 1})) AS j
+    ), votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM hv CROSS JOIN bits GROUP BY doc_id, j
+    ), chunks AS (
+      SELECT doc_id, j // 6 AS band_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1 << (j % 6)) ELSE 0 END)
+                  AS BIGINT) AS chunk
+      FROM votes GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id, CAST(SUM(chunk << (band_id * 6)) AS BIGINT) AS f
+      FROM chunks GROUP BY doc_id
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b
+        ON a.band_id = b.band_id AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.f, fb.f)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a fully EXACT oracle: 60-bit fingerprints
+    from the first 15 md5 nibbles of each shingle (engine-portable,
+    unlike xxhash64), 10 bands × 6 bits (pigeonhole: any pair at
+    Hamming ≤ 9 collides on ≥ 1 band — covers the ≤ {SIMHASH_MAX_HAMMING}
+    report threshold), candidates verified by true Hamming distance.
+    Same single-wide-groupBy vote plan as q_llm_dedup_simhash — one
+    shuffle of 60 ints per doc; DuckDB replays fingerprints, banding,
+    candidates and verification bit-for-bit.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _doc_shingles(docs).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_MD5_BITS)
+        ]
+    )
+    chunk_cols = [
+        sum(
+            (
+                F.when(F.col(f"v{c * 6 + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(6)
+            ),
+            start=F.lit(0),
+        ).cast("long").alias(f"c{c}")
+        for c in range(SIMHASH_MD5_BANDS)
+    ]
+    fp = votes.select("doc_id", *chunk_cols).persist()
+    buckets = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"c{c}") for c in range(SIMHASH_MD5_BANDS)])
+        ).alias("band_id", "chunk"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{c}").alias(f"a{c}") for c in range(SIMHASH_MD5_BANDS)],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{c}").alias(f"b{c}") for c in range(SIMHASH_MD5_BANDS)],
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}")))
+            for c in range(SIMHASH_MD5_BANDS)
+        ),
+        start=F.lit(0),
+    )
+    out = (
+        candidates.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    fp.unpersist()
+    return out
+
+
 # ------------------------------------------------- embedding-cosine dup
 
 

@@ -129,3 +129,21 @@ def test_sq_recall_vs_brute_force(spark, queries):
     assert len(sq) == len(brute) == 10
     assert sq[0] == brute[0]
     assert len(set(brute) & set(sq)) >= 8
+
+
+def test_simhash_exact_variant_finds_seeded_dups(spark, queries):
+    """The md5-based exact-oracle SimHash must behave like the xxhash64
+    one semantically: recovers most seeded near-dups, no background
+    false positives (60-bit fingerprint, radius 7)."""
+    truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
+    sim = _pairs(queries["q_llm_dedup_simhash_exact"](spark, SF_DIR))
+    assert len(truth & sim) >= int(0.8 * len(truth))
+    assert sim <= truth
+
+
+def test_near_exact_oracle_variant_matches_truth(spark, queries):
+    """md5-permutation MinHash (q_llm_dedup_near) reproduces the
+    all-pairs ground truth exactly, like the xxhash64 variant."""
+    truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
+    near = _pairs(queries["q_llm_dedup_near"](spark, SF_DIR))
+    assert near == truth
