@@ -540,3 +540,80 @@ def q_stream_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT MAX(ts) - INTERVAL 151 MINUTE AS c FROM events
+    )
+    SELECT v.user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched
+    FROM events v
+    LEFT JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+      AND v.ts <= (SELECT c FROM cutoff)
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks: views left-joined
+    to same-user purchases within 30 minutes; a view with no purchase
+    emits a null-extended row once the watermark passes its join
+    window (state eviction = result emission for outer joins).
+
+    The outer-specific semantics under test: Spark only emits the
+    null-extended row when the watermark PROVES no match can still
+    arrive, so rows younger than (watermark horizon + join window)
+    at end-of-stream are still buffered, not emitted. The post-drain
+    comparison therefore restricts both engines to views older than
+    max(ts) − (1 h watermark + 30 min window) — everything the stream
+    was obligated to decide — and on that set the appended output
+    equals the batch left join exactly, matched AND unmatched.
+
+    100 TB: outer-join state is the same O(rate × window) buffer as
+    the inner join plus the emit-on-eviction bookkeeping; the cutoff
+    logic is exactly the 'completeness horizon' a production consumer
+    tracks when reading an outer-join stream."""
+    from iceberg_workshop_spark.sources.tables import load
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    sink = _drain(joined.select("v_user", "v_ts", "p_ts"), "append")
+    # Completeness horizon: one tiny metadata-scale agg on the batch side.
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return (
+        sink.filter(F.col("v_ts") <= F.lit(max_ts) - F.expr("INTERVAL 151 MINUTES"))
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
