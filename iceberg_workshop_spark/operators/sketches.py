@@ -230,3 +230,68 @@ def q_sketch_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     no row ever leaving its partition."""
     load(spark, sf_dir, "supplier").createOrReplaceTempView(f"{_P}supplier")
     return spark.sql(_bloom_merge_sql(_HEX_SPARK, " div ").format(t=_P))
+
+
+@register(
+    "q_sketch_hll_merge",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           true AS merged_within_5pct,
+           true AS global_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark's
+    hll_sketch_agg / hll_union_agg): per-shard sketches of distinct
+    order keys — one sketch per (returnflag, linenumber) shard, the
+    shape a per-partition build produces — are union-merged per
+    returnflag WITHOUT touching the source rows again, and the merged
+    estimate must land within the sketch's error bounds of the exact
+    count, as must a direct single-pass build. Merged and direct
+    register states may legitimately differ (sparse→dense promotions
+    happen at different points), which is why the certificate is
+    error-bounded, not bit-equality — the Bloom variant
+    (q_sketch_bloom_merge) proves exact mergeability where the algebra
+    gives it.
+
+    100 TB: this is THE pattern for distinct-count rollups — shard
+    sketches are a few KB each, so daily/global cardinality rollups
+    merge metadata-scale state instead of re-scanning the fact table.
+    """
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linenumber", "l_orderkey"
+    )
+    shards = li.groupBy("l_returnflag", "l_linenumber").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk")
+    )
+    merged = shards.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(14))).alias(
+            "est_direct"
+        ),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("est_merged") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("merged_within_5pct"),
+            (
+                F.abs(F.col("est_direct") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("global_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
