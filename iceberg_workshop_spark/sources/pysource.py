@@ -34,7 +34,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from iceberg_workshop_spark.registry import register
@@ -448,3 +450,123 @@ def q_stream_ice_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_price"),
     )
     return _drain(agg, "complete").orderBy("o_orderstatus")
+
+
+# ------------------------------------------------- python writer (sink)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, count: int) -> None:
+        self.path = path
+        self.count = count
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-task JSONL files + driver-side manifest commit — the
+    two-phase protocol every distributed sink needs: tasks write to
+    temp names and report a commit message; only the driver's commit()
+    publishes the file list atomically (a reader trusts the manifest,
+    never a directory listing, so half-written task output from failed
+    or speculative attempts is invisible)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        tmp = _os.path.join(self.path, "." + name + ".tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        final = _os.path.join(self.path, name)
+        _os.rename(tmp, final)
+        return _JsonlCommit(final, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.count for m in messages if m is not None),
+        }
+        tmp = _os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.rename(tmp, _os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages or []:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("iws_jsonl").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iws_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options)
+
+
+@register(
+    "q_source_python_write",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_source_python_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through the custom Python SINK (DataSourceWriter):
+    documents are written by executor tasks as JSONL with a
+    driver-committed manifest, read back from exactly the
+    manifest-listed files, and re-aggregated — the write half of the
+    Python Data Source API (reader half: q_source_python). The final
+    aggregate must equal the source table, proving no row was lost or
+    duplicated across task files + commit."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from iceberg_workshop_spark.sources.tables import load
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = _os.path.join(
+        _tempfile.gettempdir(),
+        "iws_pysink",
+        _os.path.basename(sf_dir.rstrip("/")),
+    )
+    if _os.path.exists(out):
+        _shutil.rmtree(out)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("iws_jsonl").mode("append").option("path", out).save()
+    with open(_os.path.join(out, "_MANIFEST")) as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        manifest["files"]
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
