@@ -41,7 +41,7 @@ from iceberg_workshop_spark.registry import register
 
 _MERGE_HEAD_RE = re.compile(
     r"MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
-    r"USING\s+\((?P<src>.+?)\)\s+(?:AS\s+)?(?P<salias>\w+)\s+"
+    r"USING\s+(?:\((?P<src>.+?)\)|(?P<srcname>[\w.]+))\s+(?:AS\s+)?(?P<salias>\w+)\s+"
     r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
     re.I | re.S,
 )
@@ -773,7 +773,8 @@ class IceSqlSession:
         talias = m["talias"] or _view_name(m["target"])
         salias = m["salias"]
         tbl.read().createOrReplaceTempView(talias)
-        self.spark.sql(self._rewrite(m["src"])).createOrReplaceTempView(salias)
+        src_sql = m["src"] or f"SELECT * FROM {m['srcname']}"
+        self.spark.sql(self._rewrite(src_sql)).createOrReplaceTempView(salias)
 
         on_pairs: list[tuple[str, str]] = []  # (target_col, source_col)
         for conj in re.split(r"\s+AND\s+", m["on"], flags=re.I):
@@ -803,9 +804,11 @@ class IceSqlSession:
         # ---- parse WHEN clauses (order-preserving, gap-free) --------
         matched: list[dict] = []
         inserts: list[dict] = []
+        nmbs: list[dict] = []  # WHEN NOT MATCHED BY SOURCE
         for clause_text in _split_merge_clauses(when_text.strip()):
             cm = re.match(
-                r"WHEN\s+(?P<neg>NOT\s+)?MATCHED\b(?P<rest>.*)$",
+                r"WHEN\s+(?P<neg>NOT\s+)?MATCHED"
+                r"(?P<bysrc>\s+BY\s+SOURCE)?(?:\s+BY\s+TARGET)?\b(?P<rest>.*)$",
                 clause_text,
                 re.I | re.S,
             )
@@ -821,6 +824,27 @@ class IceSqlSession:
                     raise ValueError(f"unparsed MERGE clause guard: {pre!r}")
                 cond = am["c"].strip()
             clause = {"cond": cond}
+            if cm["neg"] and cm["bysrc"]:
+                # WHEN NOT MATCHED BY SOURCE — target rows with no
+                # source match; DELETE or UPDATE SET (target-column
+                # references only, by construction of the anti-join).
+                if action.upper() == "DELETE":
+                    clause["kind"] = "delete"
+                elif re.match(r"UPDATE\s+SET\s+", action, re.I):
+                    sets = {}
+                    set_text = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I)
+                    for assign in _split_top_commas(set_text):
+                        k, v = assign.split("=", 1)
+                        sets[k.strip().rsplit(".", 1)[-1]] = v.strip()
+                    clause["kind"] = "update"
+                    clause["sets"] = sets
+                else:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports only"
+                        f" UPDATE SET / DELETE, got: {action!r}"
+                    )
+                nmbs.append(clause)
+                continue
             if cm["neg"]:
                 im = re.match(r"INSERT\s+VALUES\s*(?=\()", action, re.I)
                 if not im:
@@ -848,7 +872,7 @@ class IceSqlSession:
                 matched.append(clause)
             else:
                 raise ValueError(f"unsupported MERGE action: {action!r}")
-        if not matched and not inserts:
+        if not matched and not inserts and not nmbs:
             raise ValueError(f"MERGE has no WHEN clauses: {when_text!r}")
         if len(inserts) > 1:
             raise ValueError("at most one WHEN NOT MATCHED clause is supported")
@@ -904,6 +928,43 @@ class IceSqlSession:
                 f"FROM {salias} LEFT ANTI JOIN {talias} ON {on_sql}{where}"
             )
             src = src.unionByName(ins)
+        if nmbs:
+            # Target rows with NO source match, claimed first-wins by
+            # the NMBS clauses; unclaimed rows stay out of the effect
+            # set entirely (their files are rewritten only if they
+            # share a file with an affected key — merge_into keeps
+            # unmatched rows verbatim). Including claimed rows in the
+            # source makes their files "affected", which is exactly
+            # the Iceberg CoW behavior for NOT MATCHED BY SOURCE.
+            act2 = (
+                "CASE "
+                + " ".join(
+                    f"WHEN ({c['cond'] or 'TRUE'}) THEN {i}"
+                    for i, c in enumerate(nmbs)
+                )
+                + " ELSE -1 END"
+            )
+
+            def value2(col: str) -> str:
+                branches = " ".join(
+                    f"WHEN {i} THEN ({c['sets'].get(col, col)})"
+                    for i, c in enumerate(nmbs)
+                    if c["kind"] == "update"
+                )
+                return f"CASE __act {branches} ELSE {col} END" if branches else col
+
+            del2_ids = [str(i) for i, c in enumerate(nmbs) if c["kind"] == "delete"]
+            del2 = f"__act IN ({', '.join(del2_ids)})" if del2_ids else "FALSE"
+            proj2 = ", ".join(f"{value2(c)} AS {c}" for c in cols)
+            nm = (
+                self.spark.sql(
+                    f"SELECT ({act2}) AS __act, {proj2}, ({del2}) AS __delete "
+                    f"FROM {talias} LEFT ANTI JOIN {salias} ON {on_sql}"
+                )
+                .filter("__act <> -1")
+                .drop("__act")
+            )
+            src = src.unionByName(nm)
         tbl.merge_into(src, on=[t for t, _ in on_pairs])
         return None
 
@@ -1713,6 +1774,88 @@ def q_sql_merge_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return tbl.read().orderBy("code")
+
+
+@register(
+    "q_sql_merge_nmbs_stmt",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), tgt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 0 THEN
+                    CASE WHEN o_orderstatus = 'F' THEN NULL ELSE 'M' END
+                  ELSE
+                    CASE WHEN o_orderstatus = 'O' THEN 'X'
+                         WHEN o_totalprice < 50000 THEN NULL
+                         ELSE o_orderstatus END
+             END AS st,
+             o_totalprice AS p
+      FROM t
+    ), ins AS (
+      SELECT o_orderkey, 'I' AS st, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 4 = 1
+    ), final AS (
+      SELECT * FROM tgt WHERE st IS NOT NULL
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT st AS o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM final GROUP BY st ORDER BY st
+    """,
+)
+def q_sql_merge_nmbs_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-family MERGE grammar through the front-end —
+    conditional MATCHED DELETE + UPDATE, NOT MATCHED INSERT, and the
+    Spark-4/Iceberg ``WHEN NOT MATCHED BY SOURCE`` clauses
+    (first-applicable-wins UPDATE then DELETE) in one statement, one
+    CoW commit. The oracle recomputes the final state row-by-row with
+    CASE logic, so clause precedence across all three families is
+    value-checked, not just parsed."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = IceTable.create_as(
+        spark, _fresh(sf_dir, "sql_merge_nmbs"), orders.filter("o_orderkey % 4 = 0")
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("ice.orders_sub", tbl)
+    sess.register_view(
+        "staging.orders_delta",
+        orders.filter("o_orderkey % 8 = 0 OR o_orderkey % 4 = 1").select(
+            "o_orderkey", "o_totalprice"
+        ),
+    )
+    sess.sql(
+        """
+        MERGE INTO ice.orders_sub AS target
+        USING staging.orders_delta AS source
+        ON o_orderkey = source.o_orderkey
+        WHEN MATCHED AND o_orderstatus = 'F' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+        WHEN NOT MATCHED THEN INSERT VALUES (source.o_orderkey, 'I', source.o_totalprice)
+        WHEN NOT MATCHED BY SOURCE AND o_orderstatus = 'O' THEN UPDATE SET o_orderstatus = 'X'
+        WHEN NOT MATCHED BY SOURCE AND o_totalprice < 50000 THEN DELETE;
+        """
+    )
+    return (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 @register(
