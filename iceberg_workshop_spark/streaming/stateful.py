@@ -617,3 +617,62 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_stream_agg_rocksdb",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q_stream_agg_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same watermarked windowed aggregation running on the
+    RocksDB state-store provider with changelog checkpointing — the
+    large-state configuration for 100 TB streams, where the default
+    in-memory/HDFS provider stops fitting: state lives off-heap in
+    per-partition RocksDB instances, snapshots upload incrementally,
+    and the changelog makes commits O(delta), not O(state). Results
+    must be indistinguishable from the default provider (pinned by the
+    same batch oracle), because the provider is purely a state-backend
+    swap. Conf is scoped to this query and restored after — provider
+    choice is sticky per checkpoint in production, so a real cluster
+    sets it once at job start."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    ckey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(ckey, "true")
+    try:
+        agg = (
+            _events_stream(spark, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.collect_set("user_id").alias("users"),
+            )
+        )
+        sink = _drain(agg, "complete")
+        out = sink.select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            F.size("users").cast("bigint").alias("n_users"),
+        ).orderBy("window_start")
+        # complete-mode memory sink is already materialized; localCheckpoint
+        # pins the rows so conf restoration cannot affect the plan.
+        return out.localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+        spark.conf.unset(ckey)
