@@ -161,12 +161,24 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_binaryfile")  # rows-only: filesystem listing source
+@register(
+    "q_llm_binaryfile",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY file_name
+    """,
+)
 def q_llm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loose-file media ingestion via the ``binaryFile`` source: one
-    row per file with (name, length, modification-free projection).
-    This is how raw images/audio enter the lakehouse before being
-    packed into payload columns."""
+    row per file with name, byte length, and a content digest — how
+    raw images/audio enter the lakehouse before being packed into
+    payload columns. Exact oracle: DuckDB's read_blob lists the same
+    directory, so names, sizes AND full content bytes (via md5) are
+    pinned cross-engine. (The oracle's path literal is the driver's
+    sf0.01 fixture dir — oracles always run at sf0.01.)"""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -175,7 +187,7 @@ def q_llm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
-        F.octet_length("content").alias("content_bytes"),
+        F.md5(F.hex("content")).alias("content_md5"),
     ).orderBy("file_name")
 
 

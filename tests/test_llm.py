@@ -71,7 +71,8 @@ def test_binaryfile_lists_fixture_tables(spark, queries):
     assert "documents.parquet" in names and "lineitem.parquet" in names
     assert len(rows) == 10
     for r in rows:
-        assert r["n_bytes"] == r["content_bytes"] > 0
+        assert r["n_bytes"] > 0
+        assert len(r["content_md5"]) == 32
 
 
 def test_embed_lsh_subset_and_regime(spark, queries):
