@@ -295,6 +295,17 @@ class IceTable:
         snap_dir = os.path.join(self.meta.location, M.DATA_DIR, f"snap-{uuid.uuid4().hex[:12]}")
         part_cols = []
         out = df
+        # Iceberg write.sort-order (ALTER TABLE ... WRITE ORDERED BY):
+        # range-cluster + sort incoming rows so each data file carries
+        # disjoint min/max bounds on the order columns — stats-based
+        # file skipping (A26) then prunes selective scans without any
+        # later rewrite. The range exchange is the one extra shuffle
+        # Iceberg's write.distribution-mode=range pays.
+        order = self.meta.properties.get("write.sort-order")
+        if order:
+            ocols = [c.strip() for c in order.split(",") if c.strip()]
+            parts = max(out.sparkSession.sparkContext.defaultParallelism // 4, 2)
+            out = out.repartitionByRange(parts, *ocols).sortWithinPartitions(*ocols)
         for field in spec:
             pcol = f"__p_{field['name']}"
             out = out.withColumn(pcol, self._transform_expr(field))

@@ -135,6 +135,11 @@ _SET_PROPS_RE = re.compile(
     r"\((?P<props>.+)\)$",
     re.I | re.S,
 )
+_WRITE_ORDERED_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+WRITE\s+"
+    r"(?:ORDERED\s+BY\s+(?P<cols>.+)|UNORDERED)$",
+    re.I | re.S,
+)
 _EXPIRE_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+EXECUTE\s+expire_snapshots\s*\(\s*"
     r"(?P<q>[\"']?)(?P<arg>.+?)(?P=q)\s*\)$",
@@ -573,6 +578,24 @@ class IceSqlSession:
             return None
         if m := _SET_PROPS_RE.match(s):
             self._table(m["target"]).set_properties(_parse_props(m["props"]))
+            return None
+        if m := _WRITE_ORDERED_RE.match(s):
+            # Iceberg write-order DDL: ALTER TABLE t WRITE ORDERED BY
+            # c1 [ASC|DESC][, ...] / WRITE UNORDERED. Stored as the
+            # write.sort-order table property; honored by every later
+            # write (_write_files range-clusters + sorts on it).
+            if m["cols"] is None:
+                self._table(m["target"]).set_properties({"write.sort-order": ""})
+                return None
+            cols = [
+                re.sub(r"\s+(ASC|DESC)$", "", c.strip(), flags=re.I)
+                for c in m["cols"].split(",")
+            ]
+            if not all(re.fullmatch(r"\w+", c) for c in cols):
+                raise ValueError(f"unparsed WRITE ORDERED BY columns: {m['cols']!r}")
+            self._table(m["target"]).set_properties(
+                {"write.sort-order": ", ".join(cols)}
+            )
             return None
         if m := _TRUNCATE_RE.match(s):
             self._table(m["target"]).truncate()
@@ -1774,6 +1797,57 @@ def q_sql_merge_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return tbl.read().orderBy("code")
+
+
+@register(
+    "q_sql_write_ordered",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           true AS pruned
+    FROM events
+    WHERE value >= 2.0 AND value <= 2.5
+    """,
+)
+def q_sql_write_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg write-order DDL end-to-end: ``ALTER TABLE ... WRITE
+    ORDERED BY value`` stores a sort order in table metadata, the next
+    INSERT range-clusters + sorts on it at write time (one extra range
+    exchange — Iceberg's write.distribution-mode=range), and a later
+    selective SELECT through the front-end prunes to the few files
+    whose bounds intersect — no maintenance rewrite needed, unlike
+    q_maint_cluster which pays a compaction to get the same layout.
+    ``pruned`` pins that the scan touched < half the files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tbl = IceTable.create(
+        spark,
+        _fresh(sf_dir, "sql_write_ordered"),
+        "event_id bigint, user_id bigint, value double",
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("ice.events_sorted", tbl)
+    sess.register_view("staging.events_src", ev)
+    sess.sql("ALTER TABLE ice.events_sorted WRITE ORDERED BY value")
+    sess.sql(
+        "INSERT INTO ice.events_sorted SELECT * FROM staging.events_src"
+    )
+    res = sess.sql(
+        """SELECT count(*) AS n_rows,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM ice.events_sorted
+           WHERE value >= 2.0 AND value <= 2.5"""
+    )
+    rep = tbl.last_scan_report or {}
+    pruned = (
+        rep.get("files_total", 0) > 1
+        and rep.get("files_scanned", 1) * 2 < rep.get("files_total", 0)
+    )
+    return res.withColumn("pruned", F.lit(bool(pruned)))
 
 
 @register(
