@@ -304,7 +304,16 @@ class IceTable:
         order = self.meta.properties.get("write.sort-order")
         if order:
             ocols = [c.strip() for c in order.split(",") if c.strip()]
-            parts = max(out.sparkSession.sparkContext.defaultParallelism // 4, 2)
+            # File count tracks the cluster but never drops below 8,
+            # so the clustered layout gives pruning leverage even on a
+            # small driver/session (tunable per table, like Iceberg's
+            # write.target-file-size-bytes).
+            parts = int(
+                self.meta.properties.get(
+                    "write.sort-order.num-files",
+                    max(out.sparkSession.sparkContext.defaultParallelism // 4, 8),
+                )
+            )
             out = out.repartitionByRange(parts, *ocols).sortWithinPartitions(*ocols)
         for field in spec:
             pcol = f"__p_{field['name']}"
