@@ -1164,7 +1164,41 @@ class IceSqlSession:
 
         tbl = self._table(str(arg("table", 0)))
         if proc == "rewrite_data_files":
-            maintenance.rewrite_data_files(tbl)
+            # Iceberg signature: (table, strategy, sort_order, options).
+            # strategy 'sort' + sort_order 'c1 ASC, c2' → clustered
+            # rewrite; sort_order 'zorder(c1, c2)' → Morton clustering;
+            # options map carries the binpack size knobs.
+            sort_order = arg("sort_order", 2)
+            opts = arg("options", 3, {}) or {}
+            if not isinstance(opts, dict):
+                raise ValueError(
+                    "rewrite_data_files: options must be a map('k','v',...) literal"
+                )
+            kw: dict = {}
+            if "target-file-size-bytes" in opts:
+                kw["target_file_size_bytes"] = int(opts["target-file-size-bytes"])
+            if "min-file-size-bytes" in opts:
+                kw["small_file_threshold_bytes"] = int(opts["min-file-size-bytes"])
+            if sort_order is not None:
+                so = str(sort_order).strip()
+                zm = re.match(r"zorder\s*\((?P<cols>.+)\)$", so, re.I)
+                if zm:
+                    kw["zorder_by"] = [c.strip() for c in zm["cols"].split(",")]
+                else:
+                    kw["sort_by"] = [
+                        re.sub(
+                            r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$",
+                            "",
+                            c.strip(),
+                            flags=re.I,
+                        )
+                        for c in _split_top_commas(so)
+                    ]
+            rep = maintenance.rewrite_data_files(tbl, **kw)
+            return self.spark.createDataFrame(
+                [(rep["files_before"], rep["files_after"])],
+                "rewritten_data_files_count long, added_data_files_count long",
+            )
         elif proc == "rewrite_manifests":
             maintenance.rewrite_manifests(tbl)
         elif proc == "remove_orphan_files":
@@ -1616,6 +1650,56 @@ def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
     assert len(tbl.meta.current_files()) <= files_before
     return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
+
+
+@register(
+    "q_sql_call_rewrite_sort",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           true AS pruned
+    FROM events
+    WHERE value >= 2.0 AND value <= 2.5
+    """,
+)
+def q_sql_call_rewrite_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's full rewrite_data_files CALL signature through the
+    front-end: `strategy => 'sort', sort_order => 'value ASC'` turns a
+    round-robin layout (every file spans the full value range — no
+    skipping possible) into a range-clustered one, after which the same
+    selective SELECT prunes to a sliver of files. Answers pinned by the
+    oracle; `pruned` pins that the post-rewrite scan touched < half the
+    files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tbl = IceTable.create_as(
+        spark, _fresh(sf_dir, "sql_call_sort"), ev.repartition(12)
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("db.events_cl", tbl)
+    rep = sess.sql(
+        "CALL catalog_name.system.rewrite_data_files("
+        "table => 'db.events_cl', strategy => 'sort',"
+        " sort_order => 'value ASC',"
+        " options => map('target-file-size-bytes', '16384'))"
+    )
+    assert rep.first()["added_data_files_count"] >= 2
+    res = sess.sql(
+        """SELECT count(*) AS n_rows,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM db.events_cl
+           WHERE value >= 2.0 AND value <= 2.5"""
+    )
+    srep = tbl.last_scan_report or {}
+    pruned = (
+        srep.get("files_total", 0) > 1
+        and srep.get("files_scanned", 1) * 2 < srep.get("files_total", 0)
+    )
+    return res.withColumn("pruned", F.lit(bool(pruned)))
 
 
 @register(
