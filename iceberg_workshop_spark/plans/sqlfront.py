@@ -118,6 +118,15 @@ _INSERT_RE = re.compile(
     re.I | re.S,
 )
 _SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+(?P<target>[\w.]+)$", re.I)
+_SHOW_TABLES_RE = re.compile(
+    r"SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+(?P<db>[\w.]+))?$", re.I
+)
+_SHOW_PROPS_RE = re.compile(
+    r"SHOW\s+TBLPROPERTIES\s+(?P<target>[\w.]+)$", re.I
+)
+_SHOW_CREATE_RE = re.compile(
+    r"SHOW\s+CREATE\s+TABLE\s+(?P<target>[\w.]+)$", re.I
+)
 _UPDATE_RE = re.compile(
     # SET/WHERE are split quote-aware in the dispatcher (_mask_quotes)
     # — a lazy regex group would split at a WHERE inside a string
@@ -633,6 +642,50 @@ class IceSqlSession:
             return None
         if m := _SHOW_PARTS_RE.match(s):
             return self._show_partitions(m)
+        if m := _SHOW_TABLES_RE.match(s):
+            db = m["db"]
+            names = sorted(
+                n for n in {**dict.fromkeys(self.tables), **self.views}
+                if db is None or n.startswith(db + ".")
+            )
+            rows = [
+                (
+                    n.rsplit(".", 1)[0] if "." in n else "",
+                    n.rsplit(".", 1)[-1],
+                    n in self.views,
+                )
+                for n in names
+            ]
+            return self.spark.createDataFrame(
+                rows, "namespace string, tableName string, isTemporary boolean"
+            )
+        if (m := _SHOW_PROPS_RE.match(s)) and m["target"] in self.tables:
+            props = self.tables[m["target"]].meta.properties
+            return self.spark.createDataFrame(
+                sorted(props.items()) or [("", "")], "key string, value string"
+            ).filter("key <> ''")
+        if (m := _SHOW_CREATE_RE.match(s)) and m["target"] in self.tables:
+            tbl = self.tables[m["target"]]
+            from pyspark.sql.types import StructType
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in StructType.fromDDL(tbl.meta.schema_ddl).fields
+            )
+            spec = tbl.meta.specs[tbl.meta.current_spec_id]
+            part = (
+                "\nPARTITIONED BY SPEC ("
+                + ", ".join(f"{f['transform']}({f['source']})" for f in spec)
+                + ")"
+                if spec
+                else ""
+            )
+            stmt = (
+                f"CREATE TABLE {m['target']} (\n  {cols}){part}\n"
+                f"STORED BY ICEBERG\nLOCATION '{tbl.meta.location}'"
+            )
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         if (m := _DESCRIBE_RE.match(s)) and m["target"] in self.tables:
             return self._describe(m)
         if m := _CALL_RE.match(s):
@@ -1650,6 +1703,55 @@ def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
     assert len(tbl.meta.current_files()) <= files_before
     return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
+
+
+@register(
+    "q_sql_show_stmts",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_tables,
+           CAST(1 AS BIGINT) AS n_views,
+           CAST(1 AS BIGINT) AS n_props,
+           true AS create_stmt_ok
+    """,
+)
+def q_sql_show_stmts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection statements: SHOW TABLES [IN db] (tables +
+    views with isTemporary flag), SHOW TBLPROPERTIES, and SHOW CREATE
+    TABLE (reconstructed DDL with schema, partition spec, STORED BY
+    ICEBERG and LOCATION) — the discovery surface a user pastes before
+    touching an unfamiliar catalog."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    t1 = IceTable.create_as(spark, _fresh(sf_dir, "show_t1"), nation)
+    t2 = IceTable.create(
+        spark, _fresh(sf_dir, "show_t2"), "id bigint, v string"
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("db.nation_ice", t1)
+    sess.register_table("db.misc_ice", t2)
+    sess.register_view("db.nation_view", nation)
+    sess.sql(
+        'ALTER TABLE db.misc_ice SET TBLPROPERTIES("write.parquet.compression-codec"="zstd")'
+    )
+    shown = sess.sql("SHOW TABLES IN db")
+    n_tables = shown.filter("NOT isTemporary").count()
+    n_views = shown.filter("isTemporary").count()
+    n_props = sess.sql("SHOW TBLPROPERTIES db.misc_ice").count()
+    stmt = sess.sql("SHOW CREATE TABLE db.nation_ice").first()["createtab_stmt"]
+    ok = (
+        "CREATE TABLE db.nation_ice" in stmt
+        and "n_nationkey INT" in stmt
+        and "STORED BY ICEBERG" in stmt
+        and "LOCATION" in stmt
+    )
+    return spark.createDataFrame(
+        [(n_tables, n_views, n_props, bool(ok))],
+        "n_tables long, n_views long, n_props long, create_stmt_ok boolean",
+    )
 
 
 @register(
