@@ -299,3 +299,88 @@ def q_llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     that rows came back."""
     flat = _payloads(spark, sf_dir).select("doc_id", "payload")
     return flat.mapInPandas(_chunk_payloads, schema=_CHUNK_SCHEMA).orderBy("doc_id")
+
+
+RESIZE_W = 16  # fake raster width; payload rows = len(payload) // 16
+RESIZE_FACTOR = 2  # 2x2 mean-pool downsample
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_w", LongType()),
+        StructField("in_h", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("out_checksum", LongType()),
+    ]
+)
+
+
+def _resize_payload(payload: bytes) -> dict:
+    """Downsample a media payload to half resolution.
+
+    With PIL present the payload is decoded and bilinear-resized for
+    real; otherwise the deterministic fake treats the byte stream as a
+    RESIZE_W-wide raster and 2×2 integer-mean pools it — same schema,
+    same batch shape, reproducible checksum."""
+    if HAVE_REAL_CODECS and payload:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                w, h = img.size
+                out = img.resize((max(w // RESIZE_FACTOR, 1), max(h // RESIZE_FACTOR, 1)))
+                px = list(out.convert("L").getdata())
+                return {
+                    "in_w": w, "in_h": h,
+                    "out_w": out.size[0], "out_h": out.size[1],
+                    "out_checksum": sum(px) % (1 << 31),
+                }
+        except Exception:  # noqa: BLE001 — not an image; fall through
+            pass
+    w = RESIZE_W
+    h = len(payload) // w
+    grid = [payload[r * w : (r + 1) * w] for r in range(h)]
+    ow, oh = w // RESIZE_FACTOR, h // RESIZE_FACTOR
+    checksum = 0
+    for r in range(oh):
+        for c in range(ow):
+            block = (
+                grid[2 * r][2 * c] + grid[2 * r][2 * c + 1]
+                + grid[2 * r + 1][2 * c] + grid[2 * r + 1][2 * c + 1]
+            )
+            checksum = (checksum + block // 4) % (1 << 31)
+    return {"in_w": w, "in_h": h, "out_w": ow, "out_h": oh, "out_checksum": checksum}
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pdf["payload"].map(lambda b: _resize_payload(bytes(b or b"")))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "in_w": out.map(lambda d: d["in_w"]),
+                "in_h": out.map(lambda d: d["in_h"]),
+                "out_w": out.map(lambda d: d["out_w"]),
+                "out_h": out.map(lambda d: d["out_h"]),
+                "out_checksum": out.map(lambda d: d["out_checksum"]),
+            }
+        )
+
+
+@register("q_llm_multimodal_resize")  # rows-only: Python-side decode/resize
+def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize over binary payloads via ``mapInPandas`` — the
+    fourth multimodal primitive (decode → features → RESIZE → frame
+    sample): Arrow batches stream through a pooled downsample, one row
+    per media item with input/output geometry and a deterministic
+    checksum. PIL-backed real resize wires itself in when the codec is
+    present (same probe as the feature extractor); partitioning, batch
+    shape and schema are the production ones either way."""
+    return (
+        _payloads(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )

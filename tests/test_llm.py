@@ -148,3 +148,16 @@ def test_near_exact_oracle_variant_matches_truth(spark, queries):
     truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
     near = _pairs(queries["q_llm_dedup_near"](spark, SF_DIR))
     assert near == truth
+
+
+def test_multimodal_resize_shape(spark, queries):
+    """Resize halves the raster in both dimensions and yields a stable
+    checksum (deterministic across partitionings and runs)."""
+    rows = queries["q_llm_multimodal_resize"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        assert r["out_w"] == r["in_w"] // 2
+        assert r["out_h"] == r["in_h"] // 2
+        assert 0 <= r["out_checksum"] < (1 << 31)
+    again = queries["q_llm_multimodal_resize"](spark, SF_DIR).collect()
+    assert [r["out_checksum"] for r in rows] == [r["out_checksum"] for r in again]
