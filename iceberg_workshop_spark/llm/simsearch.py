@@ -698,3 +698,100 @@ def q_llm_simsearch_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("c", 4).alias("cosine_sq"))
     )
+
+
+EVAL_PROBES = 20
+EVAL_K = 10
+
+
+@register(
+    "q_llm_retrieval_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probes AS (
+      SELECT vec_id AS p_id, label AS p_label, v AS pv, nrm AS pnrm
+      FROM n WHERE vec_id < {EVAL_PROBES}
+    ), scored AS (
+      SELECT p.p_id, p.p_label, n.vec_id, n.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_id
+               ORDER BY list_dot_product(n.v, p.pv) / (n.nrm * p.pnrm) DESC,
+                        n.vec_id ASC
+             ) AS rnk
+      FROM n JOIN probes p ON n.vec_id <> p.p_id
+    ), topk AS (
+      SELECT * FROM scored WHERE rnk <= {EVAL_K}
+    ), per_probe AS (
+      SELECT p_id,
+             SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END) AS n_rel,
+             MIN(CASE WHEN label = p_label THEN rnk END) AS first_rel
+      FROM topk GROUP BY p_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(SUM(n_rel) * 1.0 / (COUNT(*) * {EVAL_K}), 4) AS precision_at_k,
+           ROUND(SUM(CASE WHEN first_rel IS NULL THEN 0.0
+                          ELSE 1.0 / first_rel END) / COUNT(*), 4) AS mrr
+    FROM per_probe
+    """,
+)
+def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: for {EVAL_PROBES} probe
+    vectors, rank the corpus by exact cosine, take top-{EVAL_K}, and
+    score label-match precision@k and MRR — the eval loop every
+    embedding/retrieval pipeline runs after re-indexing or re-training.
+
+    Plan: probes broadcast (tiny), one scored pass over the corpus, a
+    per-probe window for ranks — the corpus never self-joins. At
+    100 TB the same harness runs against the ANN index instead of the
+    exact scan and the metric becomes recall-vs-exact; here the exact
+    ranking itself is the system under test, pinned cross-engine."""
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("v")
+        ),
+        "v",
+        "nrm",
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < EVAL_PROBES).select(
+            F.col("vec_id").alias("p_id"),
+            F.col("label").alias("p_label"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    scored = (
+        emb.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .withColumn("c", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= EVAL_K
+    )
+    per_probe = topk.groupBy("p_id").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("p_label"), 1).otherwise(0)
+        ).alias("n_rel"),
+        F.min(
+            F.when(F.col("label") == F.col("p_label"), F.col("rnk"))
+        ).alias("first_rel"),
+    )
+    return per_probe.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.round(
+            F.sum("n_rel") / (F.count(F.lit(1)) * EVAL_K), 4
+        ).alias("precision_at_k"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                    1.0 / F.col("first_rel")
+                )
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mrr"),
+    )
