@@ -301,3 +301,46 @@ def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per day and joining two small day-keyed tables."""
     _views(spark, sf_dir, "events")
     return spark.sql(_ROLLING_DISTINCT.format(t=_P))
+
+
+_EWMA = """
+WITH seq AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM {t}events
+),
+weighted AS (
+  SELECT a.user_id, a.rn AS rn_a,
+         CAST(SUM(b.cents * CAST(POW(2, 15 - (a.rn - b.rn)) AS BIGINT))
+              AS BIGINT) AS ws,
+         CAST(SUM(CAST(POW(2, 15 - (a.rn - b.rn)) AS BIGINT))
+              AS BIGINT) AS wd
+  FROM seq a JOIN seq b
+    ON b.user_id = a.user_id AND a.rn - b.rn BETWEEN 0 AND 15
+  GROUP BY a.user_id, a.rn
+),
+last AS (SELECT user_id, MAX(rn) AS mrn FROM seq GROUP BY user_id)
+SELECT w.user_id,
+       CAST(l.mrn AS BIGINT) AS n_events,
+       ROUND(CAST(w.ws AS DOUBLE) / (w.wd * 100), 4) AS ewma_last
+FROM weighted w JOIN last l ON l.user_id = w.user_id AND w.rn_a = l.mrn
+ORDER BY w.user_id
+"""
+
+
+@register("q_win_ewma", oracle=_sql(_EWMA))
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) of each user's
+    event values, reported at their latest event — the trend/decay
+    smoother behind rate limiting, anomaly scoring, and feature decay.
+
+    Integer-exact by construction: values in cents, dyadic weights
+    2^(15−lag) over a 16-event tail (older terms contribute < 2^-16 —
+    below the emitted rounding), everything BIGINT until one final
+    double division — so both engines agree bit-for-bit, which a
+    float-recursive EWMA never would. Plan: the banded self-join on
+    (user, lag ≤ 15) shuffles once on user_id and each window tail
+    stays within its user partition — at 100 TB this is a bounded-fan
+    join, not a window over unbounded history."""
+    return _spark_sql(spark, sf_dir, _EWMA, "events")
