@@ -676,3 +676,52 @@ def q_stream_agg_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key, prior)
         spark.conf.unset(ckey)
+
+
+@register(
+    "q_stream_state_reader",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 state data source: after draining a per-user
+    streaming count, read the checkpoint's STATE STORE itself
+    (``spark.read.format("statestore")``) and verify the internal
+    aggregation state equals the batch ground truth — the
+    debugging/ops surface for inspecting, auditing, or repairing
+    stateful-query checkpoints without replaying the stream. At
+    100 TB this is how you answer "what does the state actually hold"
+    after a watermark bug or a skewed-key incident: a parallel scan of
+    the per-partition state files, no stream restart."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="iws_ckpt_statereader_")
+    name = f"iws_stream_sink_{next(_sink_ids)}"
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+    ).orderBy("user_id")
