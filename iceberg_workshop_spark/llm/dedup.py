@@ -311,6 +311,31 @@ _MD5_60BIT_SQL = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1) * {16 ** (15 - i)}"
     for i in range(1, 16)
 )
+# 28-bit variant (7 nibbles) for the MinHash base hash.
+_MD5_28BIT_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(1, 8)
+)
+
+# MinHash permutation family h_i(x) = (a_i·x + b_i) mod p over one
+# shared 28-bit base hash — ONE md5 per shingle instead of PERMS,
+# with a_i·x + b_i < 2^50 so the arithmetic is BIGINT-exact in both
+# engines. Constants from random.Random(20240814) (a_i odd).
+_MINHASH_P = 2147483647
+_MINHASH_A = [
+    1104459, 59763, 1232507, 253343, 503325, 1283019, 1937901, 1349017,
+    1710735, 44115, 1461925, 874511, 1143687, 1360483, 236639, 137161,
+    41261, 1866785, 1043313, 1811915, 541961, 1991927, 1720479, 127385,
+    271425, 1163423, 1225157, 649237, 38197, 1479081, 1242725, 1509407,
+]
+_MINHASH_B = [
+    861461979, 594274019, 1907251197, 1871377962, 499440612, 250790708,
+    298909183, 790258489, 1113302575, 2105809891, 759975815, 1973639832,
+    873129589, 1262234470, 2047196950, 1821270920, 146197161, 1975621842,
+    972951307, 1446976118, 761318729, 589460774, 1698608523, 234619395,
+    87358953, 874158577, 737757367, 699620849, 1893827952, 327919230,
+    233586355, 1586236588,
+]
 
 # Shared shingle CTEs (identical to q_llm_dedup_ngram's oracle).
 _SHINGLE_CTES = r"""
@@ -333,15 +358,14 @@ _SHINGLE_CTES = r"""
     "q_llm_dedup_near",
     oracle=f"""
     WITH {_SHINGLE_CTES},
-    seeds AS (
-      SELECT unnest(generate_series(0, {MINHASH_PERMS - 1})) AS seed
-    ), hashed AS (
-      SELECT doc_id, seed,
-             md5(CAST(seed AS VARCHAR) || ':' || shingle) AS hh
-      FROM ds CROSS JOIN seeds
+    seeds(seed, a, b) AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)))})
+    ), based AS (
+      SELECT doc_id, ({_MD5_28BIT_SQL}) AS base
+      FROM (SELECT doc_id, md5(shingle) AS hh FROM ds)
     ), minh AS (
-      SELECT doc_id, seed, MIN({_MD5_60BIT_SQL}) AS mh
-      FROM hashed GROUP BY doc_id, seed
+      SELECT doc_id, seed, MIN((a * base + b) % {_MINHASH_P}) AS mh
+      FROM based CROSS JOIN seeds GROUP BY doc_id, seed
     ), bands AS (
       SELECT doc_id, seed // {MINHASH_PERMS // MINHASH_BANDS} AS band_id,
              string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
@@ -372,23 +396,28 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection with a fully EXACT oracle — the
     §2B contract row. Identical algorithm and parameters to
     q_llm_dedup_minhash (32 perms, 8 bands × 4 rows, verify-on-
-    collision), but the permutation hashes are the first 60 bits of
-    md5(seed ‖ ':' ‖ shingle) instead of xxhash64, so DuckDB can
-    replay signature building, banding, candidate generation, AND
-    verification bit-for-bit — not just the verified output. The
-    xxhash64 variant stays the production hot path (cheaper hash, same
-    plan); this one pins the algebra cross-engine.
+    collision), but engine-portable hashing: ONE 28-bit md5-prefix
+    base hash per shingle, expanded to 32 permutations by the linear
+    family (a_i·x + b_i) mod p — a_i·x + b_i stays under 2^50, so
+    DuckDB replays signature building, banding, candidate generation
+    AND verification bit-for-bit. One md5 per shingle (not per
+    permutation) keeps this within ~2× of the xxhash64 hot path.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shingles = _doc_shingles(docs).persist()
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    hashed = shingles.select(
+    a_csv = ", ".join(str(a) for a in _MINHASH_A)
+    b_csv = ", ".join(str(b) for b in _MINHASH_B)
+    hashed = shingles.withColumn(
+        "base",
+        F.expr("cast(conv(substring(md5(shingle), 1, 7), 16, 10) as bigint)"),
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {MINHASH_PERMS - 1}), i ->"
-                " cast(conv(substring(md5(concat(cast(i as string), ':',"
-                " shingle)), 1, 15), 16, 10) as bigint))"
+                f" (element_at(array({a_csv}), i + 1) * base"
+                f" + element_at(array({b_csv}), i + 1)) % {_MINHASH_P}L)"
             )
         ).alias("seed", "h"),
     )
