@@ -259,3 +259,24 @@ def test_sq_search_is_broadcast_topk(spark):
     plan = _plan(queries()["q_llm_simsearch_sq"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_retrieval_eval_broadcasts_probes(spark):
+    """q_llm_retrieval_eval: probes are a broadcast side; the corpus
+    is scanned once (no corpus self-join shuffle before the rank
+    window)."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_retrieval_eval"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ewma_shuffles_once_on_user(spark):
+    """q_win_ewma: the banded self-join and both window passes hash on
+    user_id — the plan needs no more than the user_id exchanges plus
+    the final presentation sort."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_win_ewma"](spark, SF_DIR))
+    assert plan.count("Exchange rangepartitioning") == 1  # final ORDER BY
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
