@@ -180,6 +180,8 @@ _META_SUFFIXES = (
     "partitions",
     "refs",
     "metadata_log_entries",
+    "entries",
+    "all_data_files",
 )
 _DESCRIBE_RE = re.compile(
     r"DESCRIBE\s+(?P<fmt>FORMATTED\s+)?(?P<target>[\w.]+)$", re.I
@@ -820,6 +822,56 @@ class IceSqlSession:
                 rows,
                 "timestamp_ms long, file string, version int, "
                 "latest_snapshot_id long",
+            )
+        if suffix == "entries":
+            # Iceberg's .entries: one row per manifest entry of the
+            # CURRENT snapshot — status 1 (ADDED) for files first
+            # referenced by this snapshot, 0 (EXISTING) for files
+            # carried over from an ancestor.
+            snap_id = tbl.meta.current_snapshot_id
+            if snap_id is None:
+                return self.spark.createDataFrame(
+                    [],
+                    "status int, snapshot_id long, path string, record_count long",
+                )
+            snap = tbl.meta.snapshot(snap_id)
+            parent = snap.get("parent_id")
+            parent_paths = (
+                {f["path"] for f in tbl.meta.snapshot(parent)["files"]}
+                if parent is not None
+                and any(
+                    s2["snapshot_id"] == parent for s2 in tbl.meta.snapshots
+                )
+                else set()
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        0 if f["path"] in parent_paths else 1,
+                        snap_id,
+                        f["path"],
+                        f.get("record_count"),
+                    )
+                    for f in snap["files"]
+                ],
+                "status int, snapshot_id long, path string, record_count long",
+            )
+        if suffix == "all_data_files":
+            # .all_data_files: every data file referenced by ANY
+            # retained snapshot, with how many snapshots reference it —
+            # the reachability view expire/orphan tooling reasons over.
+            refs: dict[str, list] = {}
+            for s2 in tbl.meta.snapshots:
+                for f in s2["files"]:
+                    refs.setdefault(f["path"], []).append(
+                        (s2["snapshot_id"], f.get("record_count"))
+                    )
+            return self.spark.createDataFrame(
+                [
+                    (p, v[0][1], len(v))
+                    for p, v in sorted(refs.items())
+                ],
+                "path string, record_count long, n_referencing_snapshots long",
             )
         if suffix == "files":
             return self.spark.createDataFrame(
@@ -1703,6 +1755,68 @@ def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
     assert len(tbl.meta.current_files()) <= files_before
     return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
+
+
+@register(
+    "q_sql_metadata_tables",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_added,
+           CAST(1 AS BIGINT) AS n_existing,
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
+             AS rows_current,
+           CAST(3 AS BIGINT) AS n_all_files,
+           CAST(2 AS BIGINT) AS n_multi_ref
+    """,
+)
+def q_sql_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `.entries` / `.all_data_files` metadata tables: after an
+    initial load, an append, and a CoW delete, the current snapshot's
+    entries split into ADDED (the delete's rewrite output — it is new
+    to this snapshot) and EXISTING (the appended file the delete
+    never touched), and `.all_data_files` sees every file any retained
+    snapshot references with its reference count — the reachability
+    view snapshot-expiry and orphan tooling reason over. Counts are
+    pinned exactly for this scripted history."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    tbl = IceTable.create_as(
+        spark,
+        _fresh(sf_dir, "sql_meta_tables"),
+        nation.filter("n_regionkey <> 4").coalesce(1),
+    )
+    tbl.append(nation.filter("n_regionkey = 4").coalesce(1))
+    # CoW delete rewrites ONLY the file(s) holding n_regionkey = 0
+    # rows (the initial file); the appended region-4 file is untouched.
+    tbl.delete_where("n_regionkey = 0")
+    sess = IceSqlSession(spark)
+    sess.register_table("db.nation_meta", tbl)
+    entries = sess.sql("SELECT * FROM db.nation_meta.entries")
+    alldf = sess.sql("SELECT * FROM db.nation_meta.all_data_files")
+    current = sess.sql("SELECT COUNT(*) AS c FROM db.nation_meta")
+    return (
+        entries.agg(
+            F.sum(F.when(F.col("status") == 1, 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(F.col("status") == 0, 1).otherwise(0)).alias(
+                "n_existing"
+            ),
+        )
+        .crossJoin(current.select(F.col("c").alias("rows_current")))
+        .crossJoin(
+            alldf.agg(
+                F.count(F.lit(1)).alias("n_all_files"),
+                F.sum(
+                    F.when(F.col("n_referencing_snapshots") > 1, 1).otherwise(0)
+                ).alias("n_multi_ref"),
+            )
+        )
+        .select(
+            "n_added", "n_existing", "rows_current", "n_all_files", "n_multi_ref"
+        )
+    )
 
 
 @register(
