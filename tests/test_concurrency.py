@@ -240,3 +240,50 @@ def test_concurrent_branch_writers_both_land(spark, loc):
     assert sorted(r.k for r in final.read().collect()) == [0]
     assert sorted(r.k for r in final.read(ref="b1").collect()) == [0, 11]
     assert sorted(r.k for r in final.read(ref="b2").collect()) == [0, 22]
+
+
+def test_append_races_compaction_no_rows_lost(spark, loc):
+    """Maintenance racing ingestion: a compaction (replace commit)
+    planned against a base the concurrent append has moved must either
+    land via CAS or surface CommitConflict — and in EVERY outcome the
+    table holds exactly the union of committed rows (compaction never
+    swallows a row an append landed, appends never resurrect
+    compacted-away duplicates)."""
+    from iceberg_workshop_spark.icetbl import maintenance
+
+    t1 = _mk(spark, loc, [(i, "x") for i in range(10)])
+    t2 = IceTable.load(spark, loc)
+
+    # t2 plans the compaction against the current base; t1 appends
+    # first, so t2's replace commit is the stale one.
+    t1.append(spark.createDataFrame([(100, "new")], "id int, name string"))
+    try:
+        maintenance.rewrite_data_files(t2, target_num_files=1)
+        compacted = True
+    except CommitConflict:
+        compacted = False
+
+    final = IceTable.load(spark, loc)
+    ids = sorted(r.id for r in final.read().collect())
+    assert ids == sorted(list(range(10)) + [100]), (compacted, ids)
+    # history is linear and versions are unique regardless of outcome
+    assert len({s["snapshot_id"] for s in final.meta.snapshots}) == len(
+        final.meta.snapshots
+    )
+
+
+def test_concurrent_mor_delete_and_append(spark, loc):
+    """A merge-on-read key delete racing an append of DIFFERENT keys:
+    both commits must land (neither is invalidated by the other), the
+    deleted key stays dead, and the appended rows are all visible."""
+    t1 = _mk(spark, loc, [(i, "x") for i in range(6)])
+    t2 = IceTable.load(spark, loc)
+
+    t1.delete_where_mor("id = 3", keys=["id"])
+    # t2 holds the pre-delete base; its blind append must rebase onto
+    # the delete commit without dropping the delete files.
+    t2.append(spark.createDataFrame([(50, "y"), (51, "y")], "id int, name string"))
+
+    final = IceTable.load(spark, loc)
+    ids = sorted(r.id for r in final.read().collect())
+    assert ids == [0, 1, 2, 4, 5, 50, 51]
