@@ -510,3 +510,97 @@ def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+PACK_BUDGET_TOKENS = 256
+PACK_GROUPS = 8
+
+# One SQL text, two engines: runs verbatim under Spark SQL and DuckDB
+# ({t} = view prefix; {split} differs only in the split function name).
+_CHUNK_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, {split}(trim(text), ' ') AS toks FROM {t}documents
+), starts AS (
+  {starts_body}
+), chunks AS (
+  SELECT doc_id, CAST(s / 10 AS INT) AS chunk_idx,
+         {slice_expr} AS chunk
+  FROM starts
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         CAST({size}(chunk) AS BIGINT) AS n_tok,
+         {join_expr} AS ctext
+  FROM chunks
+), ranked AS (
+  SELECT doc_id, chunk_idx, n_tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY ctext ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM ch
+), kept AS (
+  SELECT doc_id, chunk_idx, n_tok, doc_id % {groups} AS pack_group
+  FROM ranked WHERE rn = 1
+), packed AS (
+  SELECT pack_group, doc_id, chunk_idx, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY pack_group ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) {idiv} {budget} AS pack_seq
+  FROM kept
+)
+SELECT pack_group,
+       CAST(pack_seq AS BIGINT) AS pack_seq,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM packed
+GROUP BY pack_group, pack_seq
+ORDER BY pack_group, pack_seq
+"""
+
+
+def _chunk_pack_sql(spark_side: bool) -> str:
+    # max start index: fixture docs are < 4000 tokens; generate_series
+    # is bounded and filtered against the real token count.
+    return _CHUNK_PACK_SQL.format(
+        t="iws_docs_" if spark_side else "",
+        split="split" if spark_side else "string_split",
+        size="size" if spark_side else "len",
+        starts_body=(
+            "SELECT doc_id, toks, s FROM t"
+            " LATERAL VIEW explode(sequence(0, 4000, 10)) x AS s"
+            " WHERE s <= size(toks) - 1"
+            if spark_side
+            else "SELECT doc_id, toks, s FROM t,"
+            " LATERAL (SELECT unnest(generate_series(0, 4000, 10)) AS s)"
+            " WHERE s <= len(toks) - 1"
+        ),
+        slice_expr=(
+            "slice(toks, s + 1, 20)" if spark_side
+            else "list_slice(toks, s + 1, s + 20)"
+        ),
+        join_expr=(
+            "array_join(chunk, ' ')" if spark_side
+            else "array_to_string(chunk, ' ')"
+        ),
+        idiv="DIV" if spark_side else "//",
+        groups=PACK_GROUPS,
+        budget=PACK_BUDGET_TOKENS,
+    )
+
+
+@register("q_llm_chunk_pack_pipeline", oracle=_chunk_pack_sql(False))
+def q_llm_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline over the chunking primitive:
+    sliding-window chunks → EXACT chunk-level dedup (near-duplicate
+    documents share verbatim chunks; keep the first (doc, idx) of each
+    distinct chunk text) → token-budget packing of survivors into
+    {PACK_BUDGET_TOKENS}-token shards WITHIN {PACK_GROUPS} hash groups
+    — the partitioned form of training-shard packing (a global pack
+    order would funnel everything through one partition; per-group
+    running sums keep the window parallel, which is the only shape
+    that survives 100 TB). One fused plan: the dedup window, the
+    packing window and the final rollup all reuse the group
+    partitioning. Identical SQL text runs on both engines."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("iws_docs_documents")
+    return spark.sql(_chunk_pack_sql(True))
