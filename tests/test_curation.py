@@ -100,3 +100,33 @@ def test_multimodal_frame_sampling(spark, queries):
         assert r.n_frames == math.ceil(d.n_bytes / 16)
         assert r.n_sampled == math.ceil(r.n_frames / 4)
         assert 0 < r.sampled_bytes <= d.n_bytes
+
+
+def test_global_shuffle_epoch_changes_permutation(spark):
+    """A different epoch string must re-permute: per-shard first/last
+    hashes change, while shard mass totals remain a partition of the
+    corpus (count preserved)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.llm.curation import N_SHARDS
+    from iceberg_workshop_spark.sources.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+
+    def shards(epoch):
+        d = docs.withColumn(
+            "h", F.md5(F.concat(F.lit(f"{epoch}:"), F.col("doc_id").cast("string")))
+        ).withColumn(
+            "shard", F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % N_SHARDS
+        )
+        return {
+            r["shard"]: (r["n"], r["first"])
+            for r in d.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("first"))
+            .collect()
+        }
+
+    a, b = shards("epoch0"), shards("epoch1")
+    assert sum(n for n, _ in a.values()) == sum(n for n, _ in b.values()) == docs.count()
+    assert any(a[k][1] != b.get(k, (0, None))[1] for k in a)  # permutation moved

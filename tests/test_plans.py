@@ -280,3 +280,14 @@ def test_ewma_shuffles_once_on_user(spark):
     plan = _plan(queries()["q_win_ewma"](spark, SF_DIR))
     assert plan.count("Exchange rangepartitioning") == 1  # final ORDER BY
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunk_pack_pipeline_no_single_partition_window(spark):
+    """q_llm_chunk_pack_pipeline: both windows (chunk dedup, pack
+    running-sum) partition on real keys — a global pack order would
+    plan Exchange SinglePartition and die at scale."""
+    from iceberg_workshop_spark.registry import queries
+
+    plan = _plan(queries()["q_llm_chunk_pack_pipeline"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
