@@ -795,3 +795,68 @@ def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mrr"),
     )
+
+
+@register(
+    "q_llm_negative_sampling",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id < 5
+    ), ranked AS (
+      SELECT a.anchor_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                            || CAST(e.vec_id AS VARCHAR)), e.vec_id
+             ) AS rn
+      FROM embeddings e JOIN anchors a
+        ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, vec_id AS negative_id, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    ORDER BY anchor_id, rank
+    """,
+)
+def q_llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform (non-hard) negative sampling for contrastive training:
+    per anchor, 5 different-label vectors chosen by a KEYED
+    cryptographic hash over (anchor, candidate) — a reproducible
+    pseudo-random draw with no seeded RNG, so resamples are stable
+    across engines, runs and partitionings (the md5 trick
+    q_llm_global_shuffle uses, applied per anchor). Complements
+    q_llm_hard_negatives: production batches mix mostly-uniform
+    negatives with a few hard ones. Plan: anchors broadcast, one
+    corpus pass, per-anchor rank window — no corpus self-join."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+        )
+    )
+    ranked = (
+        emb.crossJoin(anchors)
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy("h", "vec_id")
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rank") <= 5)
+        .select("anchor_id", F.col("vec_id").alias("negative_id"), "rank")
+        .orderBy("anchor_id", "rank")
+    )
