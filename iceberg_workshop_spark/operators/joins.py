@@ -340,6 +340,73 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof_tolerance",
+    oracle='''
+    SELECT purchase_id, err_id, gap_s FROM (
+      SELECT p.event_id AS purchase_id,
+             e.event_id AS err_id,
+             CAST(epoch_us(p.ts) // 1000000
+                  - epoch_us(e.ts) // 1000000 AS BIGINT) AS gap_s,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND e.ts <= p.ts
+    ) WHERE rn = 1 AND gap_s <= 7200
+    ORDER BY purchase_id
+    ''',
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=``): each purchase matches its latest prior error only
+    if that error is within 2 hours — a stale match is no match, NOT
+    an invitation to reach further back (the tolerance filters the
+    as-of winner, it does not re-rank). Same union-then-window plan as
+    q_join_asof, additionally carrying the matched error's timestamp
+    so the gap test runs in the same pass — still one shuffle on
+    user_id, zero Python."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("err_id"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "err_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        purchases.unionAll(errors)
+        .withColumn("last_err", F.last("err_id", ignorenulls=True).over(w))
+        .withColumn("last_err_ts", F.last("err_ts", ignorenulls=True).over(w))
+    )
+    gap = F.expr("unix_micros(ts) div 1000000") - F.expr(
+        "unix_micros(last_err_ts) div 1000000"
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .filter(F.col("last_err").isNotNull())
+        .withColumn("gap_s", gap.cast("long"))
+        .filter(F.col("gap_s") <= 7200)
+        .select("purchase_id", F.col("last_err").alias("err_id"), "gap_s")
+        .orderBy("purchase_id")
+    )
+
+
+@register(
     "q_join_q18_shape",
     oracle="""
     WITH big AS (
