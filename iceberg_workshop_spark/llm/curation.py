@@ -718,3 +718,120 @@ def q_llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------- boilerplate removal
+
+BOILER_DF_FRAC = 0.25  # shingle is boilerplate if in >25% of source's docs
+
+
+@register(
+    "q_llm_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w
+               || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, source, shingle FROM sh
+      WHERE shingle IS NOT NULL
+    ), src_docs AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM ds GROUP BY source
+    ), freq AS (
+      SELECT d.source, d.shingle, COUNT(DISTINCT d.doc_id) AS df
+      FROM ds d GROUP BY d.source, d.shingle
+    ), boiler AS (
+      SELECT f.source, f.shingle
+      FROM freq f JOIN src_docs s ON s.source = f.source
+      WHERE f.df * 100 > {int(BOILER_DF_FRAC * 100)} * s.n_docs
+    ), per_doc AS (
+      SELECT d.doc_id, d.source,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM ds d LEFT JOIN boiler b
+        ON b.source = d.source AND b.shingle = d.shingle
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_boiler) AS BIGINT) AS total_boiler,
+           ROUND(1.0 - CAST(SUM(n_boiler) AS DOUBLE) / SUM(n_shingles), 4)
+             AS keep_ratio
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4/RefinedWeb cleaning
+    step exact dedup misses): a 5-gram appearing in more than
+    {BOILER_DF_FRAC:.0%} of a source's documents is template text
+    (headers, navigation, license blurbs), not content. Pipeline:
+    shingle-explode → per-(source, shingle) document frequency → flag
+    against the per-source doc count (integer cross-multiplication, no
+    float threshold) → per-source retained-content ratio. Plan: two
+    grouped aggregates and one broadcast-sized join of the flagged
+    shingles; at 100 TB the df table is itself partial-aggregated
+    map-side, and the flag join stays proportional to the boilerplate
+    vocabulary, not the corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id", "source", _norm_tokens(F.col("text")).alias("toks")
+    )
+    ds = (
+        toks.filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 5), i ->"
+                    " concat_ws(' ', toks[i], toks[i+1], toks[i+2],"
+                    " toks[i+3], toks[i+4]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    src_docs = ds.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_src")
+    )
+    freq = ds.groupBy("source", "shingle").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = (
+        freq.join(src_docs, "source")
+        .filter(F.col("df") * 100 > int(BOILER_DF_FRAC * 100) * F.col("n_docs_src"))
+        .select("source", "shingle")
+    )
+    per_doc = (
+        ds.join(
+            F.broadcast(boiler.withColumn("is_boiler", F.lit(1))),
+            ["source", "shingle"],
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_boiler").cast("long").alias("total_boiler"),
+            F.round(
+                1.0 - F.sum("n_boiler").cast("double") / F.sum("n_shingles"), 4
+            ).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )
