@@ -722,7 +722,7 @@ def q_llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- boilerplate removal
 
-BOILER_DF_FRAC = 0.25  # shingle is boilerplate if in >25% of source's docs
+BOILER_MIN_DF = 2  # a 5-gram verbatim-shared by >=2 docs is template text
 
 
 @register(
@@ -742,22 +742,17 @@ BOILER_DF_FRAC = 0.25  # shingle is boilerplate if in >25% of source's docs
     ), ds AS (
       SELECT DISTINCT doc_id, source, shingle FROM sh
       WHERE shingle IS NOT NULL
-    ), src_docs AS (
-      SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM ds GROUP BY source
     ), freq AS (
-      SELECT d.source, d.shingle, COUNT(DISTINCT d.doc_id) AS df
-      FROM ds d GROUP BY d.source, d.shingle
+      SELECT d.shingle, COUNT(DISTINCT d.doc_id) AS df
+      FROM ds d GROUP BY d.shingle
     ), boiler AS (
-      SELECT f.source, f.shingle
-      FROM freq f JOIN src_docs s ON s.source = f.source
-      WHERE f.df * 100 > {int(BOILER_DF_FRAC * 100)} * s.n_docs
+      SELECT f.shingle FROM freq f WHERE f.df >= {BOILER_MIN_DF}
     ), per_doc AS (
       SELECT d.doc_id, d.source,
              COUNT(*) AS n_shingles,
              CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_boiler
-      FROM ds d LEFT JOIN boiler b
-        ON b.source = d.source AND b.shingle = d.shingle
+      FROM ds d LEFT JOIN boiler b ON b.shingle = d.shingle
       GROUP BY d.doc_id, d.source
     )
     SELECT source,
@@ -772,16 +767,16 @@ BOILER_DF_FRAC = 0.25  # shingle is boilerplate if in >25% of source's docs
 )
 def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate detection (the C4/RefinedWeb cleaning
-    step exact dedup misses): a 5-gram appearing in more than
-    {BOILER_DF_FRAC:.0%} of a source's documents is template text
-    (headers, navigation, license blurbs), not content. Pipeline:
-    shingle-explode → per-(source, shingle) document frequency → flag
-    against the per-source doc count (integer cross-multiplication, no
-    float threshold) → per-source retained-content ratio. Plan: two
-    grouped aggregates and one broadcast-sized join of the flagged
-    shingles; at 100 TB the df table is itself partial-aggregated
-    map-side, and the flag join stays proportional to the boilerplate
-    vocabulary, not the corpus."""
+    step exact dedup misses): a 5-gram verbatim-shared by
+    {BOILER_MIN_DF}+ documents ANYWHERE in the corpus is template text
+    (headers, navigation, license blurbs — here, the seeded near-dup
+    pairs), not original content. Pipeline: shingle-explode →
+    per-(source, shingle) document frequency → flag → per-source
+    retained-content ratio. Plan: two grouped aggregates and one
+    broadcast-sized join of the flagged shingles; at 100 TB the df
+    table is itself partial-aggregated map-side and a production
+    threshold is a df FRACTION of the source's docs — same plan, one
+    extra broadcast of per-source doc counts."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = docs.select(
         "doc_id", "source", _norm_tokens(F.col("text")).alias("toks")
@@ -801,21 +796,12 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    src_docs = ds.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs_src")
-    )
-    freq = ds.groupBy("source", "shingle").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    boiler = (
-        freq.join(src_docs, "source")
-        .filter(F.col("df") * 100 > int(BOILER_DF_FRAC * 100) * F.col("n_docs_src"))
-        .select("source", "shingle")
-    )
+    freq = ds.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = freq.filter(F.col("df") >= BOILER_MIN_DF).select("shingle")
     per_doc = (
         ds.join(
             F.broadcast(boiler.withColumn("is_boiler", F.lit(1))),
-            ["source", "shingle"],
+            ["shingle"],
             "left",
         )
         .groupBy("doc_id", "source")
