@@ -1,9 +1,13 @@
 """Benchmark harness — the driver runs this per-round at sf0.1.
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. The final
+stdout line is ONE compact JSON summary (<2 KB so the driver's
+2,000-char tail capture parses it): {"metric": ..., "value":
+total_sec, "unit": "sec", "value_warm": ..., "sf": ...,
+"n_queries": ..., "n_errors": ..., "queries": {5 slowest},
+"pruning": ...}. The full per-query cold+warm map is written to
+``BENCH_full.json`` beside this script.
 
 Each query is executed with a ``noop``-format write so the full plan
 runs distributed with zero driver-side materialization (collect would
@@ -67,17 +71,43 @@ def main() -> None:
     warm = run_pass("warm")
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    errors = sorted(n for n, t in timings.items() if t < 0)
+    pruning = _pruning_parity(spark, sf_dir)
+    full = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "value_warm": round(sum(t for t in warm.values() if t >= 0), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pruning": pruning,
+        "errors": errors,
+    }
+    # Full per-query map (~16 KB) goes to a side file; the driver's
+    # tail capture is 2,000 chars, so the LAST stdout line is a compact
+    # summary (<2 KB) it can parse (VERDICT r3 "what's wrong" #2).
+    with open(os.path.join(REPO_ROOT, "BENCH_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(t for t in warm.values() if t >= 0), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "pruning": _pruning_parity(spark, sf_dir),
+                "value_warm": full["value_warm"],
+                "sf": full["sf"],
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "queries": slowest,
+                "pruning": pruning,
+                "full": "BENCH_full.json",
             }
         )
     )

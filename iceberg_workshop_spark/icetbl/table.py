@@ -431,8 +431,23 @@ class IceTable:
                 )
             else:
                 delete_files = carry
+            snap_id = M.new_snapshot_id()
+            # Iceberg persists entry status in manifests: a file is
+            # ADDED in the snapshot that first references it and
+            # EXISTING ever after — even once that first snapshot is
+            # expired. Record the first-referencing snapshot on the
+            # entry at commit time so the .entries metadata view can
+            # report status without walking (possibly expired)
+            # ancestry. New files are re-stamped on every CAS retry
+            # (the attempt's snapshot id changes); carried-over files
+            # keep the stamp of the commit that added them.
+            for f in files:
+                if id(f) in new_ids:
+                    f["first_snapshot_id"] = snap_id
+                else:
+                    f.setdefault("first_snapshot_id", snap_id)
             snap = {
-                "snapshot_id": M.new_snapshot_id(),
+                "snapshot_id": snap_id,
                 "parent_id": parent,
                 "timestamp_ms": M.now_ms(),
                 "operation": operation,

@@ -771,17 +771,25 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BOILER_MIN_DF}+ documents ANYWHERE in the corpus is template text
     (headers, navigation, license blurbs — here, the seeded near-dup
     pairs), not original content. Pipeline: shingle-explode →
-    per-(source, shingle) document frequency → flag → per-source
-    retained-content ratio. Plan: two grouped aggregates and one
-    broadcast-sized join of the flagged shingles; at 100 TB the df
-    table is itself partial-aggregated map-side and a production
-    threshold is a df FRACTION of the source's docs — same plan, one
-    extra broadcast of per-source doc counts."""
+    corpus-global shingle document frequency → flag → per-source
+    retained-content rollup. Plan: two grouped aggregates and one
+    shingle-keyed join of the flagged set — the join strategy is left
+    to AQE (the flagged-shingle table is unbounded on a web corpus, so
+    a forced broadcast would OOM the driver; AQE broadcasts it only
+    when its runtime size allows). The fractional variant
+    (`q_llm_boilerplate_frac` / ``boilerplate_report(min_df_frac=)``)
+    is the production threshold: per-source df ≥ frac × that source's
+    doc count, with only the per-source doc-count table broadcast."""
+    return boilerplate_report(spark, sf_dir, min_df=BOILER_MIN_DF)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, source, 5-gram shingle) triples."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = docs.select(
         "doc_id", "source", _norm_tokens(F.col("text")).alias("toks")
     )
-    ds = (
+    return (
         toks.filter(F.size("toks") >= 5)
         .select(
             "doc_id",
@@ -796,12 +804,53 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    freq = ds.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
-    boiler = freq.filter(F.col("df") >= BOILER_MIN_DF).select("shingle")
+
+
+def boilerplate_report(
+    spark: SparkSession,
+    sf_dir: str,
+    min_df: int = BOILER_MIN_DF,
+    min_df_frac: float | None = None,
+) -> DataFrame:
+    """Per-source boilerplate rollup with a parameterized threshold.
+
+    ``min_df_frac`` set → production mode: a shingle is boilerplate
+    WITHIN a source when its per-source document frequency reaches
+    ``min_df_frac`` × that source's doc count, floored at 2 — a
+    shingle appearing in a single document is never template text no
+    matter how small the source (broadcast of the tiny
+    per-source doc-count table; the flagged-shingle join itself stays
+    AQE-chosen since that table is unbounded on a web corpus).
+    Otherwise → corpus-global absolute df ≥ ``min_df``."""
+    ds = _doc_shingles(spark, sf_dir)
+    if min_df_frac is not None:
+        n_docs = (
+            load(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("src_docs"))
+        )
+        freq = ds.groupBy("source", "shingle").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        boiler = (
+            freq.join(F.broadcast(n_docs), ["source"])
+            .filter(
+                F.col("df")
+                >= F.greatest(
+                    F.lit(2), F.ceil(F.lit(min_df_frac) * F.col("src_docs"))
+                )
+            )
+            .select("source", "shingle")
+        )
+        join_keys = ["source", "shingle"]
+    else:
+        freq = ds.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        boiler = freq.filter(F.col("df") >= min_df).select("shingle")
+        join_keys = ["shingle"]
     per_doc = (
         ds.join(
-            F.broadcast(boiler.withColumn("is_boiler", F.lit(1))),
-            ["shingle"],
+            boiler.withColumn("is_boiler", F.lit(1)),
+            join_keys,
             "left",
         )
         .groupBy("doc_id", "source")
@@ -821,3 +870,62 @@ def q_llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BOILER_FRAC = 0.04  # production threshold: df >= 4% of the source's docs
+
+
+@register(
+    "q_llm_boilerplate_frac",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w
+               || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, source, shingle FROM sh
+      WHERE shingle IS NOT NULL
+    ), src_docs AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS src_docs FROM documents
+      GROUP BY source
+    ), freq AS (
+      SELECT d.source, d.shingle, COUNT(DISTINCT d.doc_id) AS df
+      FROM ds d GROUP BY d.source, d.shingle
+    ), boiler AS (
+      SELECT f.source, f.shingle
+      FROM freq f JOIN src_docs n ON n.source = f.source
+      WHERE f.df >= GREATEST(2, CEIL({BOILER_FRAC} * n.src_docs))
+    ), per_doc AS (
+      SELECT d.doc_id, d.source,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM ds d LEFT JOIN boiler b
+        ON b.source = d.source AND b.shingle = d.shingle
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_boiler) AS BIGINT) AS total_boiler,
+           ROUND(1.0 - CAST(SUM(n_boiler) AS DOUBLE) / SUM(n_shingles), 4)
+             AS keep_ratio
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-threshold boilerplate (the production knob VERDICT r3
+    asked for): a shingle is template text within a source when its
+    per-source df reaches {BOILER_FRAC:.0%} of that source's documents
+    — robust across sources of very different sizes, unlike a global
+    absolute df. Only the per-source doc-count table is broadcast;
+    the flagged-shingle join is AQE-chosen."""
+    return boilerplate_report(spark, sf_dir, min_df_frac=BOILER_FRAC)

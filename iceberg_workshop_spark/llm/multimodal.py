@@ -19,6 +19,7 @@ files; at 100 TB you partition the output by (modality, shard).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -161,13 +162,16 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_SF_DIR = os.environ.get("IWS_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
 @register(
     "q_llm_binaryfile",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            CAST(octet_length(content) AS BIGINT) AS n_bytes,
            md5(hex(content)) AS content_md5
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{_ORACLE_SF_DIR}/*.parquet')
     ORDER BY file_name
     """,
 )
@@ -177,8 +181,8 @@ def q_llm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw images/audio enter the lakehouse before being packed into
     payload columns. Exact oracle: DuckDB's read_blob lists the same
     directory, so names, sizes AND full content bytes (via md5) are
-    pinned cross-engine. (The oracle's path literal is the driver's
-    sf0.01 fixture dir — oracles always run at sf0.01.)"""
+    pinned cross-engine. (The oracle path tracks IWS_TEST_SF_DIR so
+    parity runs at any fixture dir compare the same corpus.)"""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from iceberg_workshop_spark.exprs import money
 from iceberg_workshop_spark.icetbl import IceTable, Pred, spec_field
-from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.registry import register, require
 from iceberg_workshop_spark.sources.tables import load
 
 _SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
@@ -222,7 +222,7 @@ def q_dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = IceTable.create_as(spark, loc, orders)
     stats = t.update_where("o_orderstatus = 'P'", {"o_orderpriority": "'9-PENDING'"})
-    assert stats["files_rewritten"] <= stats["files_total"]
+    require(stats["files_rewritten"] <= stats["files_total"], "rewrite cannot touch more files than exist")
     return t.read().orderBy("o_orderkey")
 
 
@@ -237,7 +237,7 @@ def q_dml_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = _fresh(sf_dir, "truncate")
     t = IceTable.create_as(spark, loc, load(spark, sf_dir, "nation"))
     t.truncate()
-    assert t.read().count() == 0
+    require(t.read().count() == 0, "TRUNCATE must leave zero rows")
     t.insert_values([(990, "FAKELAND", 0)])
     return t.read()
 
@@ -753,7 +753,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(
         spark.createDataFrame([(2, datetime(2022, 1, 1))], "c1 int, ts timestamp")
     )
-    assert t.read().filter("ts >= '2022-01-01'").count() == 1
+    require(t.read().filter("ts >= '2022-01-01'").count() == 1, "evolved partition spec must still return the new row")
     return t.read().orderBy("c1")
 
 
@@ -1165,13 +1165,13 @@ def q_dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = IceTable.create_as(spark, loc, orders)
     stats = t.delete_where_mor("o_orderstatus = 'F'", keys=["o_orderkey"])
-    assert stats["delete_files_added"] >= 1
+    require(stats["delete_files_added"] >= 1, "MoR delete must add a delete file")
     t.append(orders.filter("o_orderstatus = 'F' AND o_orderkey % 10 = 0"))
     n_mor = t.read().count()
     rstats = t.rewrite_equality_deletes()
-    assert rstats["delete_files_removed"] >= 1
+    require(rstats["delete_files_removed"] >= 1, "materialization must drop delete files")
     out = t.read()
-    assert out.count() == n_mor  # materialization preserved the answer
+    require(out.count() == n_mor, "materialization preserved the answer")
     return out.orderBy("o_orderkey")
 
 
@@ -1234,7 +1234,7 @@ def q_part_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = t.scan([Pred("o_custkey", "=", 42)])
     rep = t.last_scan_report
-    assert rep["files_scanned"] * 4 <= rep["files_total"], rep  # ≤ 2/8
+    require(rep["files_scanned"] * 4 <= rep["files_total"], f"bucket scan must prune to <= 1/4 of files: {rep}")
     return df.select("o_orderkey", "o_custkey", "o_orderstatus").orderBy(
         "o_orderkey"
     )
@@ -1269,7 +1269,7 @@ def q_part_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t.scan([Pred("o_custkey", "between", (200, 299))])
     rep = t.last_scan_report
     n_widths = len({f["partition"]["custkey_w100"] for f in t.meta.current_files()})
-    assert rep["files_scanned"] * n_widths <= 2 * rep["files_total"], rep
+    require(rep["files_scanned"] * n_widths <= 2 * rep["files_total"], f"truncate-transform scan must prune: {rep}")
     return df.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
         "o_orderkey"
     )
@@ -1302,8 +1302,8 @@ def q_maint_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_before = len(t.meta.snapshots)
     row_before = ("after_rollback", t.read().count(), n_before)
     stats = t.rewrite_manifests()
-    assert abandoned not in {s["snapshot_id"] for s in t.meta.snapshots}
-    assert t.read(ref="keep").count() == row_before[1]
+    require(abandoned not in {s["snapshot_id"] for s in t.meta.snapshots}, "expire must drop the abandoned snapshot")
+    require(t.read(ref="keep").count() == row_before[1], "kept ref must survive expire with its rows")
     row_after = ("compacted", t.read().count(), stats["snapshots_after"])
     return spark.createDataFrame(
         [row_before, row_after], schema="phase string, n_rows long, n_snapshots int"
@@ -1336,7 +1336,7 @@ def q_schema_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = IceTable.create_as(spark, loc, customer)
     t.drop_column("c_nationkey")
-    assert "c_nationkey" not in t._column_names()
+    require("c_nationkey" not in t._column_names(), "DROP COLUMN must remove the column")
     t.add_column("c_nationkey", "int")
     new_rows = (
         customer.filter(F.col("c_custkey") < 5)
@@ -1370,7 +1370,7 @@ def q_schema_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     t = IceTable.create_as(spark, loc, orders)
     t.rename_column("o_orderpriority", "priority")
-    assert t._column_names() == ["o_orderkey", "priority"]
+    require(t._column_names() == ["o_orderkey", "priority"], "RENAME must be metadata-only and ordered")
     t.append(
         orders.filter(F.col("o_orderkey") < 5).select(
             (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
@@ -1423,8 +1423,8 @@ def q_part_evolution_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_old_files = rep["files_total"] - n_new_files
     # all old-era files survive (no partition info), new era prunes
-    assert rep["files_scanned"] < rep["files_total"], rep
-    assert rep["files_scanned"] >= n_old_files, rep
+    require(rep["files_scanned"] < rep["files_total"], f"evolved-spec scan must prune: {rep}")
+    require(rep["files_scanned"] >= n_old_files, f"pre-evolution files cannot be pruned by the new spec: {rep}")
     return df.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
 
 

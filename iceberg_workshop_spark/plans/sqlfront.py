@@ -37,7 +37,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_workshop_spark.icetbl import IceTable, spec_field
-from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.registry import register, require
 
 _MERGE_HEAD_RE = re.compile(
     r"MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
@@ -835,6 +835,12 @@ class IceSqlSession:
                     "status int, snapshot_id long, path string, record_count long",
                 )
             snap = tbl.meta.snapshot(snap_id)
+            # Status is persisted at commit time (first_snapshot_id on
+            # each entry, icetbl/table.py::_commit_snapshot) so it
+            # survives parent-snapshot expiry, exactly like Iceberg's
+            # manifest-recorded status. Entries lacking the stamp
+            # (none written by this engine, defensive only) fall back
+            # to an immediate-parent diff.
             parent = snap.get("parent_id")
             parent_paths = (
                 {f["path"] for f in tbl.meta.snapshot(parent)["files"]}
@@ -844,10 +850,17 @@ class IceSqlSession:
                 )
                 else set()
             )
+
+            def _status(f: dict) -> int:
+                first = f.get("first_snapshot_id")
+                if first is not None:
+                    return 1 if first == snap_id else 0
+                return 0 if f["path"] in parent_paths else 1
+
             return self.spark.createDataFrame(
                 [
                     (
-                        0 if f["path"] in parent_paths else 1,
+                        _status(f),
                         snap_id,
                         f["path"],
                         f.get("record_count"),
@@ -1300,8 +1313,11 @@ class IceSqlSession:
                         for c in _split_top_commas(so)
                     ]
             rep = maintenance.rewrite_data_files(tbl, **kw)
+            # Iceberg procedure semantics: rewritten = files actually
+            # rewritten, added = new files only — untouched files
+            # (size-tiered mode skips big-enough ones) count in neither.
             return self.spark.createDataFrame(
-                [(rep["files_before"], rep["files_after"])],
+                [(rep["files_rewritten"], rep["files_after"] - rep["files_untouched"])],
                 "rewritten_data_files_count long, added_data_files_count long",
             )
         elif proc == "rewrite_manifests":
@@ -1586,9 +1602,10 @@ def q_sql_airlines_migration_script(spark: SparkSession, sf_dir: str) -> DataFra
         SET TBLPROPERTIES("storage_handler"="org.apache.iceberg.mr.hive.HiveIcebergStorageHandler")"""
     )
     migrated = sess.tables["iws_ice.flights"]
-    assert (
+    require(
         migrated.meta.properties["storage_handler"]
-        == "org.apache.iceberg.mr.hive.HiveIcebergStorageHandler"
+        == "org.apache.iceberg.mr.hive.HiveIcebergStorageHandler",
+        "ALTER TABLE SET TBLPROPERTIES must persist storage_handler",
     )
 
     def stat(mode: str, df: DataFrame) -> DataFrame:
@@ -1723,7 +1740,7 @@ def q_sql_insert_overwrite_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts_after = len(
         {_hive_partition_str(f) for f in tbl.meta.current_files()}
     )
-    assert n_parts_after == n_parts_before  # only yr=1995 replaced
+    require(n_parts_after == n_parts_before, "INSERT OVERWRITE must replace only yr=1995")
     return sess.sql(
         "SELECT * FROM iws_ice.orders_by_yr ORDER BY o_orderkey"
     ).select("o_orderkey", "yr", "o_orderpriority")
@@ -1753,7 +1770,7 @@ def q_sql_call_maintenance_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_before = len(tbl.meta.current_files())
     sess.sql("CALL catalog_name.system.rewrite_data_files('db.sample')")
     sess.sql("CALL catalog_name.system.rewrite_manifests('db.sample')")
-    assert len(tbl.meta.current_files()) <= files_before
+    require(len(tbl.meta.current_files()) <= files_before, "compaction must not grow file count")
     return sess.sql("SELECT * FROM db.sample ORDER BY n_nationkey")
 
 
@@ -1903,7 +1920,7 @@ def q_sql_call_rewrite_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sort_order => 'value ASC',"
         " options => map('target-file-size-bytes', '16384'))"
     )
-    assert rep.first()["added_data_files_count"] >= 2
+    require(rep.first()["added_data_files_count"] >= 2, "sort rewrite must split into >= 2 files")
     res = sess.sql(
         """SELECT count(*) AS n_rows,
                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1983,8 +2000,8 @@ def q_sql_cdc_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(staged, branch="audit")
     audit_head = t.meta.refs["audit"]["snapshot_id"]
     # the audit step: branch rows visible on the branch, absent on main
-    assert t.read(ref="audit").filter("n_nationkey >= 990").count() == 2
-    assert t.read().filter("n_nationkey >= 990").count() == 0
+    require(t.read(ref="audit").filter("n_nationkey >= 990").count() == 2, "WAP branch must hold staged rows")
+    require(t.read().filter("n_nationkey >= 990").count() == 0, "main must not see unpublished WAP rows")
     # main moves before publish — fast_forward would discard this row
     t.append(
         spark.createDataFrame([(992, "ELSEWHERE", 2)], nation.schema)
@@ -2518,7 +2535,7 @@ def q_sql_rollback_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess, tbl = _airlines_session(spark, sf_dir, "sql_rollback", "iws_ice.airlines")
     s1 = tbl.meta.current_snapshot_id
     sess.sql('INSERT INTO iws_ice.airlines VALUES ("ABC", "Real Fake Airlines")')
-    assert sess.sql('SELECT * FROM iws_ice.airlines WHERE code = "ABC"').count() == 1
+    require(sess.sql('SELECT * FROM iws_ice.airlines WHERE code = "ABC"').count() == 1, "migrated row must be queryable")
     sess.sql(f'ALTER TABLE iws_ice.airlines EXECUTE rollback("{s1}")')
     return tbl.read().orderBy("code")
 

@@ -60,6 +60,21 @@ _QUERY_MODULES = [
 ]
 
 
+class QueryInvariantError(AssertionError):
+    """A registered query's self-check failed."""
+
+
+def require(cond: object, msg: str) -> None:
+    """Invariant check inside a registered query function.
+
+    Unlike a bare ``assert`` this survives ``python -O``, so the
+    query keeps validating its own behavioral claim (e.g. "the
+    rewrite split files") wherever the driver runs it.
+    """
+    if not cond:
+        raise QueryInvariantError(msg)
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` means rows-only driver check."""
 
@@ -72,10 +87,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# SURVEY.md §2B contract rows, in contract order. The driver's
-# correctness gate samples the FRONT of the registry, so these (plus
-# the SQL-front-end statements, contract-adjacent) are emitted first;
-# extension queries follow in module order.
+# Driver-verification rotation. The driver's correctness gate samples
+# the FIRST 50 registry rows each round; rounds 1-3 all landed on the
+# same §2B head, leaving 193 of 269 queries with only builder-side
+# verification. Each round we rotate a window of never-driver-verified
+# names to the front so the external gate eventually covers the whole
+# registry. Ledger of which names each round's gate covered lives in
+# NOTES.md ("Driver-gate coverage ledger").
+#
+# Round-4 window: the 17 §2B tail rows (metadata / maintenance /
+# partition+schema evolution / UDF surface / LLM contract), the 4
+# contract-adjacent SQL DML statements, all 18 unverified TPC-H
+# shapes, the 7 sketches, and the CDC/changelog family.
+_DRIVER_WINDOW = [
+    # §2B tail rows never driver-verified (17)
+    "q_meta_history", "q_meta_pinned_read", "q_maint_expire",
+    "q_maint_compact", "q_part_evolution", "q_part_transform",
+    "q_schema_evolution",
+    "q_udf_python", "q_udf_pandas", "q_udaf_grouped", "q_udtf_apply",
+    "q_udtf_words",
+    "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_simsearch",
+    "q_llm_text_stats", "q_llm_multimodal",
+    # contract-adjacent SQL statements (4)
+    "q_sql_merge_stmt", "q_sql_delete_stmt",
+    "q_sql_insert_time_travel_stmt", "q_sql_rollback_stmt",
+    # TPC-H shapes (18)
+    "q_join_q2_shape", "q_join_q3_shape", "q_agg_q4_shape",
+    "q_agg_q6_shape", "q_join_q8_shape", "q_agg_q9_shape",
+    "q_join_q10_shape", "q_agg_q11_shape", "q_agg_q12_shape",
+    "q_agg_q13_shape", "q_agg_q14_shape", "q_join_q15_shape",
+    "q_agg_q16_shape", "q_agg_q17_shape", "q_filter_q19_shape",
+    "q_join_q20_shape", "q_join_q21_shape", "q_agg_q22_shape",
+    # sketches (7)
+    "q_sketch_bloom", "q_sketch_countmin", "q_sketch_hist_quantile",
+    "q_sketch_bloom_merge", "q_sketch_hll_merge", "q_sketch_hll_rolling",
+    "q_sketch_bitmap_distinct",
+    # CDC / changelog (4)
+    "q_tt_changes", "q_cdc_changelog", "q_cdc_changelog_updates",
+    "q_cdc_agg_maintain",
+]
+
+# SURVEY.md §2B contract rows, in contract order; emitted after the
+# rotation window, then extension queries in module order.
 _CONTRACT_ORDER = [
     "q_scan_parquet", "q_scan_csv", "q_ctas_roundtrip", "q_scan_pruned",
     "q_select_star", "q_project_rename", "q_filter_eq_str", "q_filter_eq_int",
@@ -104,7 +157,8 @@ _CONTRACT_ORDER = [
 
 
 def _contract_first(d: dict) -> dict:
-    front = {k: d[k] for k in _CONTRACT_ORDER if k in d}
+    front = {k: d[k] for k in _DRIVER_WINDOW if k in d}
+    front |= {k: d[k] for k in _CONTRACT_ORDER if k in d and k not in front}
     return front | {k: v for k, v in d.items() if k not in front}
 
 

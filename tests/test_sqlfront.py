@@ -594,3 +594,31 @@ def test_call_expire_retain_last_and_version_as_of_tag(spark, tmp_path):
     assert final.meta.refs["v2"]["snapshot_id"] in ids
     assert out["deleted_snapshots"] == 1
     assert final.read().count() == 5
+
+
+def test_entries_status_survives_parent_expiry(spark, tmp_path):
+    # Iceberg persists entry status in manifests: a carried-over file
+    # stays EXISTING in .entries even after the snapshot that first
+    # referenced it is expired (status stamped at commit time, not
+    # derived from a parent diff — ADVICE r3).
+    t = IceTable.create(spark, str(tmp_path / "entexp"), "a int")
+    t.insert_values([(1,)])          # snap 1: file A ADDED
+    t.insert_values([(2,)])          # snap 2: A EXISTING, B ADDED
+    t.insert_values([(3,)])          # snap 3: A,B EXISTING, C ADDED
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t)
+    cur = t.meta.current_snapshot_id
+    before = {
+        r.path: r.status for r in s.sql("SELECT * FROM db.t.entries").collect()
+    }
+    n_added = sum(1 for v in before.values() if v == 1)
+    # only the head commit's writes are ADDED; earlier files EXISTING
+    assert 0 < n_added < len(before)
+    # expire everything but the head — the ancestry the old derivation
+    # walked is gone, but stamped status must not change
+    t.expire_snapshots(older_than_ms=2**62, retain_last=1)
+    assert [sn["snapshot_id"] for sn in t.meta.snapshots] == [cur]
+    after = {
+        r.path: r.status for r in s.sql("SELECT * FROM db.t.entries").collect()
+    }
+    assert after == before
