@@ -1487,3 +1487,139 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ------------------------------------------- line / substring dedup
+
+LINE_RUN_K = 10  # "line" unit: non-overlapping runs of 10 tokens
+LINE_MIN_DOCS = 2  # a run shared verbatim by >= 2 docs is duplicated
+
+
+@register(
+    "q_llm_dedup_lines",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), runs AS (
+      SELECT doc_id,
+             CAST(FLOOR((pos - 1) / {LINE_RUN_K}) AS BIGINT) AS run_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS run,
+             COUNT(*) AS run_len
+      FROM toks GROUP BY doc_id, CAST(FLOOR((pos - 1) / {LINE_RUN_K}) AS BIGINT)
+    ), freq AS (
+      SELECT run FROM runs GROUP BY run
+      HAVING COUNT(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+    ), flagged AS (
+      SELECT r.doc_id, r.run_idx, r.run, r.run_len,
+             (f.run IS NOT NULL) AS is_dup
+      FROM runs r LEFT JOIN freq f ON f.run = r.run
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_runs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN run_len ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           ROUND(1.0 - CAST(SUM(CASE WHEN is_dup THEN run_len ELSE 0 END)
+                 AS DOUBLE) / SUM(run_len), 4) AS keep_ratio,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_dup THEN run END,
+                                   ' ' ORDER BY run_idx), '')) AS retained_md5
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level / substring dedup (RefinedWeb line-dedup; Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"): the
+    corpus-cleaning step that removes REPEATED SPANS from inside
+    documents rather than dropping whole near-duplicate documents.
+    The fixture text has no newlines, so the "line" unit is a
+    non-overlapping run of {LINE_RUN_K} tokens; a run verbatim-shared
+    by {LINE_MIN_DOCS}+ documents anywhere in the corpus is removed
+    from every document, and the query emits per-doc retained text
+    (as an md5 so the full reconstruction is oracle-pinned) plus
+    removal stats.
+
+    Plan: one shuffle to group runs (map-side partial aggregation
+    applies — run strings are short), one shuffle for the run→doc
+    join (AQE picks broadcast only if the duplicated-run table is
+    small; on a web corpus it is not, so no forced hint), one per-doc
+    aggregation. The reconstruction (filter + sort + join of retained
+    runs) happens inside a single per-doc aggregate — no window over
+    an unpartitioned frame, no Python. Scale note: at 100 TB the
+    frequent-run table is the same partial-agg groupBy CCNet/RefinedWeb
+    shard; dedup of the run strings themselves (hash the run instead
+    of carrying the text) is the standard memory optimization —
+    swap `run` for xxhash64(run) in the groupBy and verify on
+    collision exactly as the MinHash path does."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    runs = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(toks) / {LINE_RUN_K}.0) AS INT) - 1),"
+                    f" i -> slice(toks, i * {LINE_RUN_K} + 1, {LINE_RUN_K}))"
+                )
+            ).alias("run_idx", "run_toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("run_idx").cast("long").alias("run_idx"),
+            F.concat_ws(" ", "run_toks").alias("run"),
+            F.size("run_toks").cast("long").alias("run_len"),
+        )
+    )
+    dup_runs = (
+        runs.groupBy("run")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= LINE_MIN_DOCS)
+        .select("run")
+        .withColumn("is_dup", F.lit(True))
+    )
+    flagged = runs.join(dup_runs, ["run"], "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(False))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_runs"),
+        F.sum("run_len").alias("n_tokens"),
+        F.sum(F.when(F.col("is_dup"), F.col("run_len")).otherwise(F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_dup"), F.struct("run_idx", "run")
+                )
+            )
+        ).alias("retained"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_runs",
+            "n_dup_runs",
+            "n_tokens",
+            "n_removed",
+            F.round(
+                1.0 - F.col("n_removed").cast("double") / F.col("n_tokens"), 4
+            ).alias("keep_ratio"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr("transform(retained, r -> r.run)")
+                )
+            ).alias("retained_md5"),
+        )
+        .orderBy("doc_id")
+    )
