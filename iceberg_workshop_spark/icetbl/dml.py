@@ -296,3 +296,79 @@ def insert_overwrite(tbl: IceTable, df: DataFrame) -> dict[str, int]:
 
 
 IceTable.insert_overwrite = insert_overwrite
+
+
+def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
+    """Merge-on-read DELETE via Iceberg v2 POSITIONAL delete files
+    (`sql/update_iceberg_v2_examples.sql:1-18` is the v2 row-level-ops
+    surface; `limitations.md:44-46` shows v2 interop): record
+    (file_path, pos) pairs for the matching rows instead of either
+    rewriting data files (CoW) or writing key tuples (equality MoR).
+    This is the flavor real engines write for copy-on-read DELETEs
+    over unsorted/non-key predicates — it needs no equality key set
+    and composes with equality deletes on the same table.
+
+    Readers anti-join on (file_path, row ordinal); because data-file
+    paths are never reused, path+pos matching is sequence-safe by
+    construction (a re-inserted row lives in a new file). The row
+    ordinal comes from Spark's hidden ``_metadata.row_index``, which
+    is the parquet row position — the exact field Iceberg's
+    positional deletes record.
+
+    At 100 TB: commit cost is O(|matching rows|) positions, not
+    O(table); the read-time anti-join is keyed on (path, pos) so it
+    co-partitions with the scan and AQE broadcasts small delete sets.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.icetbl import meta as M2
+
+    files = tbl.meta.current_files()
+    # Raw-file positions: rows already masked by existing deletes may
+    # be re-recorded — a harmless idempotent no-op at read time, and
+    # it keeps the planning read free of the delete anti-join.
+    matching = (
+        tbl._read_files(files, with_pos=True)
+        .filter(condition)
+        .select(
+            F.col("__path").alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+    )
+    ddir = _os.path.join(
+        tbl.meta.location, M2.DATA_DIR, f"posdel-{_uuid.uuid4().hex[:12]}"
+    )
+    # Iceberg sorts position deletes by (file_path, pos) so readers
+    # can merge-apply them; keep that layout.
+    matching.orderBy("file_path", "pos").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ddir)
+    paths = [
+        _os.path.join(root, n)
+        for root, _d, names in _os.walk(ddir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    n_pos = matching.count()
+    dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
+    entries = [
+        {"path": p, "record_count": n_pos, "kind": "pos", "dseq": dseq}
+        for p in paths
+    ]
+    existing = (
+        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        if tbl.meta.current_snapshot_id is not None
+        else []
+    )
+    tbl._commit_snapshot(
+        tbl.meta.current_files(),
+        "delete-mor",
+        delete_files=existing + entries,
+    )
+    return {"delete_files_added": len(entries), "positions_deleted": n_pos}
+
+
+IceTable.delete_where_pos = delete_where_pos

@@ -378,3 +378,87 @@ def remove_orphan_files(
 
 IceTable.orphan_file_report = orphan_file_report
 IceTable.remove_orphan_files = remove_orphan_files
+
+
+def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
+    """Iceberg's `rewrite_position_delete_files` procedure: compact the
+    table's positional delete files — merge many small ones into one
+    and DROP dangling entries (positions pointing at data files no
+    snapshot-current file set contains, e.g. after a compaction
+    rewrote their target). Data files are untouched; equality deletes
+    are untouched; readers see the same rows before and after.
+
+    At 100 TB this is the companion to compaction: every
+    rewrite_data_files leaves the old files' position deletes
+    dangling, and this procedure is what keeps the delete-file count
+    (and the read-time anti-join input) proportional to LIVE deleted
+    rows."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.icetbl import meta as M2
+
+    cur = tbl.meta.current_snapshot_id
+    dels = (
+        tbl.meta.snapshot(cur).get("delete_files", []) if cur is not None else []
+    )
+    pos_dels = [d for d in dels if d.get("kind") == "pos"]
+    other_dels = [d for d in dels if d.get("kind") != "pos"]
+    if not pos_dels:
+        return {
+            "rewritten_delete_files_count": 0,
+            "added_delete_files_count": 0,
+            "dangling_positions_dropped": 0,
+        }
+    # _metadata.file_path URIs render as file:/abs/path (sometimes
+    # file:///abs/path depending on Hadoop FS impl) — normalize the
+    # scheme off and compare plain absolute paths.
+    live_paths = [
+        _os.path.abspath(f["path"]) for f in tbl.meta.current_files()
+    ]
+    union = tbl.spark.read.parquet(*[d["path"] for d in pos_dels]).select(
+        "file_path", "pos"
+    )
+    n_before = union.count()
+    live = (
+        union.distinct()
+        .filter(
+            F.regexp_replace(F.col("file_path"), r"^file:(//)?", "").isin(
+                live_paths
+            )
+        )
+        .orderBy("file_path", "pos")
+    )
+    n_live = live.count()
+    ddir = _os.path.join(
+        tbl.meta.location, M2.DATA_DIR, f"posdel-{_uuid.uuid4().hex[:12]}"
+    )
+    new_entries: list[dict] = []
+    if n_live:
+        live.coalesce(1).write.mode("overwrite").parquet(ddir)
+        paths = [
+            _os.path.join(root, n)
+            for root, _d, names in _os.walk(ddir)
+            for n in names
+            if n.endswith(".parquet")
+        ]
+        dseq = max(int(d["dseq"]) for d in pos_dels)
+        new_entries = [
+            {"path": p, "record_count": n_live, "kind": "pos", "dseq": dseq}
+            for p in paths
+        ]
+    tbl._commit_snapshot(
+        tbl.meta.current_files(),
+        "rewrite-deletes",
+        delete_files=other_dels + new_entries,
+    )
+    return {
+        "rewritten_delete_files_count": len(pos_dels),
+        "added_delete_files_count": len(new_entries),
+        "dangling_positions_dropped": n_before - n_live,
+    }
+
+
+IceTable.rewrite_position_deletes = rewrite_position_deletes

@@ -563,14 +563,40 @@ class IceTable:
 
         return [f.name for f in StructType.fromDDL(self.meta.schema_ddl).fields]
 
-    def _read_files(self, files: list[dict]) -> DataFrame:
+    def _read_files(self, files: list[dict], with_pos: bool = False) -> DataFrame:
+        """``with_pos=True`` adds ``__path``/``__pos`` columns (the
+        file's URI and the row's ordinal within it, from Spark's hidden
+        ``_metadata`` struct) so positional deletes can anti-join —
+        zero cost when off, and the generated columns never shuffle
+        unless a pos-delete actually exists."""
+
+        def _pos_cols(df: DataFrame) -> DataFrame:
+            if not with_pos:
+                return df
+            return df.withColumns(
+                {
+                    "__path": F.col("_metadata.file_path"),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
+
         if not files:
-            return self.spark.createDataFrame([], schema=self.meta.schema_ddl)
+            df = self.spark.createDataFrame([], schema=self.meta.schema_ddl)
+            if with_pos:
+                df = df.withColumns(
+                    {
+                        "__path": F.lit(None).cast("string"),
+                        "__pos": F.lit(None).cast("long"),
+                    }
+                )
+            return df
         created = self.meta.doc.get("column_created_seq", {})
         renames = self.meta.doc.get("column_renames", [])
         if not created and not renames:
-            return self.spark.read.schema(self.meta.schema_ddl).parquet(
-                *[f["path"] for f in files]
+            return _pos_cols(
+                self.spark.read.schema(self.meta.schema_ddl).parquet(
+                    *[f["path"] for f in files]
+                )
             )
         # Column identity: a file only carries values for columns that
         # existed when it was written (file.seq > column creation seq).
@@ -596,7 +622,7 @@ class IceTable:
                 f"{phys[f.name]} {f.dataType.simpleString()}"
                 for f in StructType.fromDDL(self.meta.schema_ddl).fields
             )
-            df = self.spark.read.schema(era_schema).parquet(*paths)
+            df = _pos_cols(self.spark.read.schema(era_schema).parquet(*paths))
             for name in types:
                 if phys[name] != name:
                     df = df.withColumnRenamed(phys[name], name)
@@ -660,28 +686,51 @@ class IceTable:
         rewrite materializes the deletes."""
         if not delete_files:
             return self._read_files(files)
+        eq_dels = [d for d in delete_files if d.get("kind", "eq") == "eq"]
+        pos_dels = [d for d in delete_files if d.get("kind") == "pos"]
         by_seq: dict[int, list[dict]] = {}
         for f in files:
             by_seq.setdefault(int(f.get("seq", 0)), []).append(f)
         data = None
         for seq, fs in sorted(by_seq.items()):
-            part = self._read_files(fs).withColumn("__seq", F.lit(seq))
+            part = self._read_files(fs, with_pos=bool(pos_dels)).withColumn(
+                "__seq", F.lit(seq)
+            )
             data = part if data is None else data.unionByName(part)
         if data is None:
             return self._read_files([])
-        keys = delete_files[0]["keys"]
-        dels = None
-        for d in delete_files:
-            one = (
-                self.spark.read.parquet(d["path"])
-                .select(*keys)
-                .withColumn("__dseq", F.lit(int(d["dseq"])))
-            )
-            dels = one if dels is None else dels.unionByName(one)
-        cond = F.col("__seq") < F.col("__dseq")
-        for k in keys:
-            cond = cond & (data[k] == dels[k])
-        return data.join(dels, cond, "left_anti").drop("__seq")
+        if pos_dels:
+            # Positional deletes (Iceberg v2's second delete flavor):
+            # (file_path, pos) pairs target rows of a SPECIFIC data
+            # file by ordinal. Data-file paths are never reused, so a
+            # path+pos match alone is already sequence-correct — a key
+            # re-inserted after the delete lands in a NEW file and can
+            # never collide with a recorded (path, pos).
+            pd_union = None
+            for d in pos_dels:
+                one = self.spark.read.parquet(d["path"]).select(
+                    F.col("file_path").alias("__path"),
+                    F.col("pos").alias("__pos"),
+                )
+                pd_union = one if pd_union is None else pd_union.unionByName(one)
+            data = data.join(
+                pd_union, ["__path", "__pos"], "left_anti"
+            ).drop("__path", "__pos")
+        if eq_dels:
+            keys = eq_dels[0]["keys"]
+            dels = None
+            for d in eq_dels:
+                one = (
+                    self.spark.read.parquet(d["path"])
+                    .select(*keys)
+                    .withColumn("__dseq", F.lit(int(d["dseq"])))
+                )
+                dels = one if dels is None else dels.unionByName(one)
+            cond = F.col("__seq") < F.col("__dseq")
+            for k in keys:
+                cond = cond & (data[k] == dels[k])
+            data = data.join(dels, cond, "left_anti")
+        return data.drop("__seq")
 
     def _snapshot_files(
         self,
@@ -900,8 +949,34 @@ class IceTable:
             # equality key set in practice), not one per delete file:
             # sequential per-file .first() round-trips would dominate
             # changelog latency with many delete files.
+            # Positional delete files name their targets outright:
+            # the delete file's distinct file_path values ARE the
+            # affected files — no stats pruning needed, exact by
+            # construction.
+            pos_diff = [d for d in diff_dels if d.get("kind") == "pos"]
+            if pos_diff:
+                hit_uris = {
+                    r["file_path"]
+                    for r in self.spark.read.parquet(
+                        *[d["path"] for d in pos_diff]
+                    )
+                    .select("file_path")
+                    .distinct()
+                    .collect()
+                }
+                hit_paths = {
+                    urllib.parse.urlparse(u).path for u in hit_uris
+                }
+                relevant.update(
+                    f["path"]
+                    for f in from_files
+                    if f["path"] in (fp & tp)
+                    and os.path.abspath(f["path"]) in hit_paths
+                )
             by_keys: dict[tuple, list[dict]] = {}
             for d in diff_dels:
+                if d.get("kind") == "pos":
+                    continue
                 by_keys.setdefault(tuple(d["keys"]), []).append(d)
             for keys, dels in by_keys.items():
                 bounds_rows = (

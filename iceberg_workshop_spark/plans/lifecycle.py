@@ -1176,6 +1176,53 @@ def q_dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dml_delete_positional",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE NOT (o_totalprice < 50000)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice < 50000 AND o_orderkey % 7 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def q_dml_delete_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via Iceberg v2 POSITIONAL delete files
+    (`sql/update_iceberg_v2_examples.sql:1-18`;
+    `limitations.md:44-46`): a non-key predicate (price threshold)
+    deletes rows by recording (file_path, row ordinal) pairs — the
+    delete flavor engines write when there is no equality key. A
+    subset of deleted rows is RE-INSERTED and must survive (their new
+    file's paths can never collide with recorded positions); then
+    `rewrite_position_delete_files` compacts the delete files and the
+    answer must not change."""
+    loc = _fresh(sf_dir, "delete_pos")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IceTable.create_as(spark, loc, orders.repartition(4))
+    stats = t.delete_where_pos("o_totalprice < 50000")
+    require(
+        stats["delete_files_added"] >= 1,
+        "positional delete must add a delete file",
+    )
+    require(
+        stats["positions_deleted"] > 0,
+        "fixture must contain rows under the price threshold",
+    )
+    t.append(orders.filter("o_totalprice < 50000 AND o_orderkey % 7 = 0"))
+    n_mor = t.read().count()
+    rep = t.rewrite_position_deletes()
+    require(
+        rep["rewritten_delete_files_count"] >= 1,
+        "compaction must rewrite the positional delete file",
+    )
+    out = t.read()
+    require(out.count() == n_mor, "delete-file compaction preserved the answer")
+    return out.orderBy("o_orderkey")
+
+
+@register(
     "q_meta_refs",
     oracle="""
     SELECT 'audit' AS ref_name, 'branch' AS ref_type,

@@ -156,6 +156,7 @@ _EXPIRE_RE = re.compile(
 )
 _CALL_RE = re.compile(
     r"CALL\s+[\w.]*system\.(?P<proc>rewrite_data_files|rewrite_manifests|"
+    r"rewrite_position_delete_files|"
     r"remove_orphan_files|cherrypick_snapshot|rollback_to_snapshot|"
     r"set_current_snapshot|fast_forward|create_changelog_view|"
     r"expire_snapshots)\s*"
@@ -1322,6 +1323,20 @@ class IceSqlSession:
             )
         elif proc == "rewrite_manifests":
             maintenance.rewrite_manifests(tbl)
+        elif proc == "rewrite_position_delete_files":
+            rep = maintenance.rewrite_position_deletes(tbl)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        rep["rewritten_delete_files_count"],
+                        rep["added_delete_files_count"],
+                        rep["dangling_positions_dropped"],
+                    )
+                ],
+                "rewritten_delete_files_count long, "
+                "added_delete_files_count long, "
+                "dangling_positions_dropped long",
+            )
         elif proc == "remove_orphan_files":
             # Real deletion with Iceberg's default 3-day age guard —
             # only committed-then-abandoned files old enough to be

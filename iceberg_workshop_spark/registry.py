@@ -144,7 +144,7 @@ _CONTRACT_ORDER = [
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_dedup_watermark", "q_stream_agg_watermark",
     "q_dml_insert_values", "q_dml_insert_select", "q_dml_merge",
-    "q_dml_delete", "q_dml_truncate", "q_tt_as_of", "q_tt_rollback",
+    "q_dml_delete", "q_dml_delete_positional", "q_dml_truncate", "q_tt_as_of", "q_tt_rollback",
     "q_meta_history", "q_maint_expire", "q_maint_compact",
     "q_part_evolution", "q_part_transform", "q_schema_evolution",
     "q_udf_python", "q_udf_pandas", "q_udaf_grouped", "q_udtf_apply",

@@ -1,6 +1,7 @@
-"""Property test for merge-on-read equality-delete semantics: any
-interleaving of appends, MoR key deletes, CoW predicate deletes and
-delete materialization must keep `IceTable.read()` equal to a plain
+"""Property test for merge-on-read delete semantics (BOTH v2
+flavors): any interleaving of appends, MoR equality deletes,
+positional deletes, CoW predicate deletes, delete materialization and
+positional-delete compaction must keep `IceTable.read()` equal to a plain
 Python reference model (dict of live rows). Catches sequence-number
 bookkeeping mistakes (resurrection, over-deletion) that single-path
 tests miss."""
@@ -22,7 +23,7 @@ def _table_rows(t: IceTable) -> set[tuple[int, int]]:
     return {(r["k"], r["v"]) for r in t.read().collect()}
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_random_op_sequences_match_reference(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = IceTable.create(spark, str(tmp_path / f"mor{seed}"), "k bigint, v bigint")
@@ -30,7 +31,16 @@ def test_random_op_sequences_match_reference(spark, tmp_path, seed):
     next_v = 0
 
     for step in range(8):
-        op = rng.choice(["append", "mor_delete", "cow_delete", "materialize"])
+        op = rng.choice(
+            [
+                "append",
+                "mor_delete",
+                "pos_delete",
+                "cow_delete",
+                "materialize",
+                "rewrite_pos",
+            ]
+        )
         if op == "append" or not model:
             # append is INSERT, not upsert — only non-live keys, so the
             # model stays a map. Re-inserting a DELETED key is exactly
@@ -58,8 +68,55 @@ def test_random_op_sequences_match_reference(spark, tmp_path, seed):
             t.delete_where(f"k >= {cut}")
             for k in [k for k in model if k >= cut]:
                 del model[k]
+        elif op == "pos_delete":
+            # positional (file_path, pos) delete — the OTHER v2 MoR
+            # flavor; mixing it with equality deletes in one history is
+            # the interop case real engines hit
+            victims = rng.sample(sorted(model), min(len(model), rng.randint(1, 4)))
+            cond = "k IN (" + ", ".join(str(k) for k in victims) + ")"
+            t.delete_where_pos(cond)
+            for k in victims:
+                del model[k]
+        elif op == "rewrite_pos":
+            t.rewrite_position_deletes()
         else:
             t.rewrite_equality_deletes()
         assert _table_rows(t) == _model_rows(model), (
             f"seed={seed} step={step} op={op}"
         )
+
+
+def test_positional_delete_call_through_frontend(spark, tmp_path):
+    # CALL system.rewrite_position_delete_files through IceSqlSession:
+    # compacts two pos-delete files into one, drops dangling entries,
+    # answer unchanged.
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    t = IceTable.create(spark, str(tmp_path / "poscall"), "k bigint, v bigint")
+    t.append(spark.createDataFrame([(i, i) for i in range(30)], "k bigint, v bigint"))
+    t.delete_where_pos("k < 5")
+    t.delete_where_pos("k >= 25")
+    assert t.read().count() == 20
+    s = IceSqlSession(spark)
+    s.register_table("db.p", t)
+    out = s.sql("CALL cat.system.rewrite_position_delete_files('db.p')").collect()[0]
+    assert out["rewritten_delete_files_count"] == 2
+    assert out["added_delete_files_count"] == 1
+    assert t.read().count() == 20
+    # only one pos-delete entry remains on the head snapshot
+    dels = t.meta.snapshot(t.meta.current_snapshot_id)["delete_files"]
+    assert [d.get("kind") for d in dels] == ["pos"]
+
+
+def test_positional_delete_survives_changelog(spark, tmp_path):
+    # changelog across a pos-delete boundary: the masked rows of an
+    # UNCHANGED file must surface as deletes (pos-delete reach).
+    t = IceTable.create(spark, str(tmp_path / "poscl"), "k bigint, v bigint")
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(10)], "k bigint, v bigint"))
+    s1 = t.meta.current_snapshot_id
+    t.delete_where_pos("k IN (3, 7)")
+    ch = t.changelog(from_snapshot_id=s1).collect()
+    assert {(r["k"], r["_change_type"]) for r in ch} == {
+        (3, "delete"),
+        (7, "delete"),
+    }
