@@ -61,8 +61,76 @@ def _rows_of(tbl: IceTable, files: list[dict]) -> DataFrame:
     return tbl._apply_deletes(files, _current_deletes(tbl))
 
 
+def _del_entry_key(d: dict) -> tuple:
+    return (d["path"], int(d.get("dseq", 0)))
+
+
+def _cow_rebase(tbl, base_files, base_dels, planned, added_conflicts, isolation):
+    """Build the ``rebase`` hook that gives copy-on-write commits
+    Iceberg's validation granularity instead of fail-on-any-race.
+
+    ``isolation`` levels (Iceberg's write.<op>.isolation-level):
+    - ``"strict"`` (this engine's historical default): any concurrent
+      commit invalidates the plan → return None, _commit_snapshot
+      propagates the conflict.
+    - ``"snapshot"``: the plan survives concurrent APPENDS — on
+      conflict, re-validate against fresh metadata: every file the
+      plan read must still exist and the MoR delete-file set must be
+      unchanged (a concurrent equality/positional delete would be
+      silently voided by our rewrite's fresh sequence number); then
+      commit planned files + the concurrently-added ones.
+    - ``"serializable"``: snapshot's checks PLUS no concurrently-added
+      row may match the operation's predicate/source keys — the
+      result must equal some serial order, and a matching added row
+      would have been rewritten had the op run second.
+      ``added_conflicts(df_of_added_rows) -> bool`` decides; it reads
+      only the concurrent delta's files, never the table.
+    """
+    if isolation == "strict":
+        return None
+    if isolation not in ("snapshot", "serializable"):
+        raise ValueError(f"unknown isolation level: {isolation!r}")
+    base_paths = {f["path"] for f in base_files}
+    base_del_keys = {_del_entry_key(d) for d in base_dels}
+
+    def rebase(fresh_meta):
+        from iceberg_workshop_spark.icetbl import meta as M2
+
+        fresh_files = fresh_meta.current_files()
+        fresh_paths = {f["path"] for f in fresh_files}
+        if base_paths - fresh_paths:
+            raise M2.CommitConflict(
+                "isolation validation: files referenced by this plan were "
+                "removed by a concurrent commit — re-plan required"
+            )
+        cur = fresh_meta.current_snapshot_id
+        fresh_dels = (
+            fresh_meta.snapshot(cur).get("delete_files", [])
+            if cur is not None
+            else []
+        )
+        if {_del_entry_key(d) for d in fresh_dels} != base_del_keys:
+            raise M2.CommitConflict(
+                "isolation validation: concurrent delete files committed — "
+                "this rewrite would void them (fresh sequence) — re-plan"
+            )
+        added = [f for f in fresh_files if f["path"] not in base_paths]
+        if isolation == "serializable" and added:
+            if added_conflicts(tbl._read_files(added)):
+                raise M2.CommitConflict(
+                    "serializable isolation: a concurrent append added rows "
+                    "matching this operation's predicate — re-plan required"
+                )
+        return planned + added
+
+    return rebase
+
+
 def delete_where(
-    tbl: IceTable, condition: str, prune: list[Pred] | None = None
+    tbl: IceTable,
+    condition: str,
+    prune: list[Pred] | None = None,
+    isolation: str = "strict",
 ) -> dict[str, int]:
     """DELETE FROM ... WHERE (A10). Returns rewrite statistics."""
     files = tbl.meta.current_files()
@@ -86,7 +154,19 @@ def delete_where(
             _rows_of(tbl, affected).filter(f"NOT ({condition})").select(*tbl._column_names())
         )
         new_files = tbl._write_files(remaining, tbl.meta.specs[spec_id], spec_id)
-    tbl._commit_snapshot(untouched + unaffected + new_files, "delete")
+    planned = untouched + unaffected + new_files
+    tbl._commit_snapshot(
+        planned,
+        "delete",
+        rebase=_cow_rebase(
+            tbl,
+            files,
+            _current_deletes(tbl),
+            planned,
+            lambda df: df.filter(condition).limit(1).count() > 0,
+            isolation,
+        ),
+    )
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
@@ -94,7 +174,12 @@ def delete_where(
     }
 
 
-def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int]:
+def merge_into(
+    tbl: IceTable,
+    source: DataFrame,
+    on: list[str],
+    isolation: str = "strict",
+) -> dict[str, int]:
     """MERGE INTO (A9): source schema == target schema; matched rows
     take the source's non-key columns, unmatched source rows insert.
 
@@ -147,7 +232,26 @@ def merge_into(tbl: IceTable, source: DataFrame, on: list[str]) -> dict[str, int
 
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(updated.unionByName(inserts), tbl.meta.specs[spec_id], spec_id)
-    tbl._commit_snapshot(untouched + new_files, "merge")
+    planned = untouched + new_files
+    src_keys = source.select(*on).distinct()
+    tbl._commit_snapshot(
+        planned,
+        "merge",
+        rebase=_cow_rebase(
+            tbl,
+            files,
+            _current_deletes(tbl),
+            planned,
+            # a concurrently-appended row whose key appears in the
+            # MERGE source would have been updated/deleted had the
+            # MERGE run second — serializable must re-plan
+            lambda df: df.join(F.broadcast(src_keys), on, "left_semi")
+            .limit(1)
+            .count()
+            > 0,
+            isolation,
+        ),
+    )
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),
@@ -160,6 +264,7 @@ def update_where(
     condition: str,
     set_exprs: dict[str, str],
     prune: list[Pred] | None = None,
+    isolation: str = "strict",
 ) -> dict[str, int]:
     """UPDATE ... SET ... WHERE — same CoW machinery as delete."""
     files = tbl.meta.current_files()
@@ -189,7 +294,19 @@ def update_where(
         )
         spec_id = tbl.meta.current_spec_id
         new_files = tbl._write_files(rewritten, tbl.meta.specs[spec_id], spec_id)
-    tbl._commit_snapshot(untouched + unaffected + new_files, "update")
+    planned = untouched + unaffected + new_files
+    tbl._commit_snapshot(
+        planned,
+        "update",
+        rebase=_cow_rebase(
+            tbl,
+            files,
+            _current_deletes(tbl),
+            planned,
+            lambda df: df.filter(condition).limit(1).count() > 0,
+            isolation,
+        ),
+    )
     return {
         "files_total": len(files),
         "files_rewritten": len(affected),

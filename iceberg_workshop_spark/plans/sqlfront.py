@@ -503,6 +503,14 @@ def _dnf_from_where(cond: str) -> list | None:
     return None
 
 
+
+def _iso_level(tbl, op: str) -> str:
+    """Iceberg's write.<op>.isolation-level table property, mapped to
+    the icetbl CoW isolation knob; absent → this engine's historical
+    strict fail-on-any-race."""
+    return tbl.meta.properties.get(f"write.{op}.isolation-level", "strict")
+
+
 class IceSqlSession:
     """Accepts the workshop's SQL text against registered IceTables.
 
@@ -543,7 +551,9 @@ class IceSqlSession:
             # applies the full condition).
             tbl = self._table(m["target"])
             tbl.delete_where(
-                self._rewrite(m["cond"]), prune=self._safe_preds(tbl, m["cond"])
+                self._rewrite(m["cond"]),
+                prune=self._safe_preds(tbl, m["cond"]),
+                isolation=_iso_level(tbl, "delete"),
             )
             return None
         if m := _ROLLBACK_RE.match(s):
@@ -626,6 +636,7 @@ class IceSqlSession:
                 self._rewrite(cond) if cond else "true",
                 assignments,
                 prune=self._safe_preds(tbl, cond) if cond else None,
+                isolation=_iso_level(tbl, "update"),
             )
             return None
         if m := _CREATE_DB_RE.match(s):
@@ -1107,7 +1118,9 @@ class IceSqlSession:
                 .drop("__act")
             )
             src = src.unionByName(nm)
-        tbl.merge_into(src, on=[t for t, _ in on_pairs])
+        tbl.merge_into(
+            src, on=[t for t, _ in on_pairs], isolation=_iso_level(tbl, "merge")
+        )
         return None
 
     def _insert(self, m: re.Match) -> None:

@@ -287,3 +287,100 @@ def test_concurrent_mor_delete_and_append(spark, loc):
     final = IceTable.load(spark, loc)
     ids = sorted(r.id for r in final.read().collect())
     assert ids == [0, 1, 2, 4, 5, 50, 51]
+
+
+# ---------------------------------------- isolation levels (Iceberg's
+# write.<op>.isolation-level validation granularity, VERDICT r3 #7)
+
+
+def test_snapshot_isolation_survives_concurrent_append(spark, loc):
+    """Under isolation='snapshot', a racing append does NOT invalidate
+    a CoW delete: the delete's rewrite lands and the appended rows
+    (even ones matching the delete predicate — they were not visible
+    to its snapshot) survive."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    t1.append(spark.createDataFrame([(1, "late")], "id int, name string"))
+    # t2 plans against the pre-append base; snapshot isolation rebases
+    t2.delete_where("id = 1", isolation="snapshot")
+    final = {(r.id, r.name) for r in IceTable.load(spark, loc).read().collect()}
+    assert final == {(2, "b"), (1, "late")}
+
+
+def test_serializable_conflicts_on_matching_concurrent_append(spark, loc):
+    """Under isolation='serializable', a racing append INTO the delete's
+    key range must force a re-plan (the serial order 'append then
+    delete' would have removed the new row), while a non-matching
+    append still succeeds."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    t1.append(spark.createDataFrame([(1, "late")], "id int, name string"))
+    with pytest.raises(CommitConflict):
+        t2.delete_where("id = 1", isolation="serializable")
+    # loser re-plans on fresh metadata: now the late row dies too
+    t2 = IceTable.load(spark, loc)
+    t2.delete_where("id = 1", isolation="serializable")
+    assert {r.id for r in IceTable.load(spark, loc).read().collect()} == {2}
+
+
+def test_serializable_allows_non_matching_concurrent_append(spark, loc):
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    t1.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+    t2.delete_where("id = 1", isolation="serializable")
+    assert {r.id for r in IceTable.load(spark, loc).read().collect()} == {2, 9}
+
+
+def test_serializable_merge_conflicts_on_source_key_append(spark, loc):
+    """MERGE under serializable: a concurrent append whose key appears
+    in the MERGE source must conflict; one that does not, lands."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    src = spark.createDataFrame([(1, "upd"), (3, "new")], "id int, name string")
+    # non-matching concurrent append → merge lands
+    t1.append(spark.createDataFrame([(7, "q")], "id int, name string"))
+    t2.merge_into(src, on=["id"], isolation="serializable")
+    state = {(r.id, r.name) for r in IceTable.load(spark, loc).read().collect()}
+    assert state == {(1, "upd"), (2, "b"), (3, "new"), (7, "q")}
+    # matching concurrent append (key 3 is in a fresh source) → conflict
+    t3 = IceTable.load(spark, loc)
+    t4 = IceTable.load(spark, loc)
+    t3.append(spark.createDataFrame([(30, "race")], "id int, name string"))
+    src2 = spark.createDataFrame([(30, "upd2")], "id int, name string")
+    with pytest.raises(CommitConflict):
+        t4.merge_into(src2, on=["id"], isolation="serializable")
+
+
+def test_isolation_conflicts_on_concurrent_mor_delete(spark, loc):
+    """Both relaxed levels still conflict when a concurrent MoR delete
+    file lands: the CoW rewrite's fresh sequence number would void it."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b"), (3, "c")])
+    t2 = IceTable.load(spark, loc)
+    t1.delete_where_mor("id = 3", keys=["id"])
+    with pytest.raises(CommitConflict):
+        t2.delete_where("id = 1", isolation="snapshot")
+    assert {r.id for r in IceTable.load(spark, loc).read().collect()} == {1, 2}
+
+
+def test_strict_default_unchanged(spark, loc):
+    """Default isolation stays 'strict': any concurrent commit raises."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    t1.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+    with pytest.raises(CommitConflict):
+        t2.delete_where("id = 1")
+
+
+def test_isolation_property_flows_through_sql_frontend(spark, loc):
+    """write.delete.isolation-level=snapshot set via table properties
+    makes a front-end DELETE survive a racing append."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t1.set_properties({"write.delete.isolation-level": "snapshot"})
+    t2 = IceTable.load(spark, loc)
+    s = IceSqlSession(spark)
+    s.register_table("db.t", t2)
+    t1.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+    s.sql("DELETE FROM db.t WHERE id = 1")
+    assert {r.id for r in IceTable.load(spark, loc).read().collect()} == {2, 9}
