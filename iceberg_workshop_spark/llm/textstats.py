@@ -604,3 +604,115 @@ def q_llm_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. Identical SQL text runs on both engines."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("iws_docs_documents")
     return spark.sql(_chunk_pack_sql(True))
+
+
+# ------------------------------------------------ perplexity filter
+
+PPL_BUCKETS = 3  # CCNet convention: head / middle / tail
+
+
+@register(
+    "q_llm_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(*) AS n FROM toks
+    ), tok_lp AS (
+      SELECT t.doc_id, t.tok, ln(f.c * 1.0 / total.n) AS lp
+      FROM toks t JOIN freq f USING (tok), total
+    ), doc_lists AS (
+      SELECT doc_id, list(lp ORDER BY tok, lp) AS lps FROM tok_lp GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.source,
+             ROUND(list_reduce(l.lps, (a, b) -> a + b) / len(l.lps), 4)
+               AS avg_logprob
+      FROM doc_lists l JOIN documents d USING (doc_id)
+    ), bucketed AS (
+      SELECT source, avg_logprob,
+             NTILE(3) OVER (PARTITION BY source
+                            ORDER BY avg_logprob DESC, doc_id) AS bucket
+      FROM scored
+    )
+    SELECT source,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(SUM(CAST(avg_logprob AS DECIMAL(18,4))) / COUNT(*), 4)
+                AS DOUBLE) AS mean_logprob
+    FROM bucketed
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """,
+)
+def q_llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (mean token log-probability — the cheap
+    perplexity proxy), then split EACH SOURCE into head/middle/tail
+    terciles by score. Training pipelines keep head+middle and drop or
+    down-weight tail; emitting per-(source, bucket) counts and mean
+    scores is the audit table that decision is made from.
+
+    Determinism notes: per-doc log-prob sums use the same sorted-fold
+    as q_llm_unigram_logprob (bit-identical across engines); bucket
+    means sum DECIMAL(18,4)-cast scores so accumulation order cannot
+    flake the float. NTILE orders by (score DESC, doc_id) — unique
+    key, both engines agree.
+
+    Scale: the LM table is a map-side-combined groupBy over tokens;
+    scoring is one broadcast join; the tercile split is one window
+    per source partition — no global sort, no driver state. At 100 TB
+    swap the unigram LM for a trained KenLM behind the same
+    per-document scoring column."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    tok_lp = toks.join(F.broadcast(freq), "tok").select(
+        "doc_id", "tok", F.log(F.col("c") / F.lit(float(total))).alias("lp")
+    )
+    doc_lists = tok_lp.groupBy("doc_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(tok, lp))), s -> s.lp)")
+        .alias("lps")
+    )
+    scored = (
+        doc_lists.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.aggregate("lps", F.lit(0.0), lambda a, b: a + b)
+                / F.size("lps"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    bucketed = scored.withColumn("b", F.ntile(PPL_BUCKETS).over(w))
+    return (
+        bucketed.groupBy(
+            "source",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_logprob").cast("decimal(18,4)"))
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("mean_logprob"),
+        )
+        .orderBy("source", "bucket")
+    )

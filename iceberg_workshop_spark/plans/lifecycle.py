@@ -1223,6 +1223,58 @@ def q_dml_delete_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_meta_delete_files",
+    oracle="""
+    SELECT 'EQUALITY_DELETES' AS content,
+           CAST(1 AS BIGINT) AS n_files,
+           (SELECT COUNT(DISTINCT c_nationkey) FROM customer
+            WHERE c_nationkey < 5) AS total_records
+    UNION ALL
+    SELECT 'POSITION_DELETES',
+           CAST(1 AS BIGINT),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey >= 5 AND c_acctbal < 0)
+    ORDER BY content
+    """,
+)
+def q_meta_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's `.delete_files` metadata table over a mixed MoR
+    history: one equality-delete file (key list) plus one positional
+    delete file (file_path/pos pairs) — the listing reports each
+    flavor's content type and record count without opening data files.
+    `.position_deletes` (the row-level view) is cross-checked: its row
+    count must equal the positional entry's record_count."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    loc = _fresh(sf_dir, "meta_delete_files")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = IceTable.create_as(spark, loc, cust.repartition(4))
+    t.delete_where_mor("c_nationkey < 5", keys=["c_nationkey"])
+    t.delete_where_pos("c_nationkey >= 5 AND c_acctbal < 0")
+    sess = IceSqlSession(spark)
+    sess.register_table("db.cust", t)
+    out = sess.sql(
+        """SELECT content, COUNT(*) AS n_files,
+                  CAST(SUM(record_count) AS BIGINT) AS total_records
+           FROM db.cust.delete_files
+           GROUP BY content ORDER BY content"""
+    )
+    n_pos_rows = sess.sql(
+        "SELECT COUNT(*) AS n FROM db.cust.position_deletes"
+    ).first()["n"]
+    pos_rec = {
+        r["content"]: r["total_records"] for r in out.collect()
+    }["POSITION_DELETES"]
+    require(
+        n_pos_rows == pos_rec,
+        ".position_deletes row count must equal the .delete_files record_count",
+    )
+    return out
+
+
+@register(
     "q_meta_refs",
     oracle="""
     SELECT 'audit' AS ref_name, 'branch' AS ref_type,

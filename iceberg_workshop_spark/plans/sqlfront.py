@@ -183,6 +183,8 @@ _META_SUFFIXES = (
     "metadata_log_entries",
     "entries",
     "all_data_files",
+    "delete_files",
+    "position_deletes",
 )
 _DESCRIBE_RE = re.compile(
     r"DESCRIBE\s+(?P<fmt>FORMATTED\s+)?(?P<target>[\w.]+)$", re.I
@@ -898,6 +900,54 @@ class IceSqlSession:
                 ],
                 "path string, record_count long, n_referencing_snapshots long",
             )
+        if suffix == "delete_files":
+            # Iceberg's .delete_files: one row per delete file of the
+            # current snapshot with its content type (equality /
+            # position) and applying sequence number.
+            cur = tbl.meta.current_snapshot_id
+            dels = (
+                tbl.meta.snapshot(cur).get("delete_files", [])
+                if cur is not None
+                else []
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        d["path"],
+                        (
+                            "POSITION_DELETES"
+                            if d.get("kind") == "pos"
+                            else "EQUALITY_DELETES"
+                        ),
+                        int(d.get("record_count") or 0),
+                        int(d.get("dseq", 0)),
+                    )
+                    for d in dels
+                ],
+                "file_path string, content string, record_count long, "
+                "data_sequence_number long",
+            )
+        if suffix == "position_deletes":
+            # Iceberg's .position_deletes: the ROWS of every positional
+            # delete file of the current snapshot — (file_path, pos)
+            # pairs, queryable for delete-maintenance planning.
+            cur = tbl.meta.current_snapshot_id
+            dels = [
+                d
+                for d in (
+                    tbl.meta.snapshot(cur).get("delete_files", [])
+                    if cur is not None
+                    else []
+                )
+                if d.get("kind") == "pos"
+            ]
+            if not dels:
+                return self.spark.createDataFrame(
+                    [], "file_path string, pos long"
+                )
+            return self.spark.read.parquet(
+                *[d["path"] for d in dels]
+            ).select("file_path", "pos")
         if suffix == "files":
             return self.spark.createDataFrame(
                 [

@@ -1,0 +1,86 @@
+"""Measure sf1/sf0.1 wall-clock ratios for the most expensive queries
+(VERDICT r3 #4). Perfectly linear scaling on local[32] would be ~10x;
+anything well beyond that needs a plan-level explanation in NOTES.md.
+
+Writes BENCH_scale.json: {name: {sf01, sf1, ratio}}.
+
+Usage: python tools/bench_scale.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    # dedup family
+    "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_dedup_minhash",
+    "q_llm_dedup_simhash", "q_llm_dedup_prefix", "q_llm_dedup_clusters",
+    "q_llm_dedup_apply", "q_llm_dedup_embed_lsh", "q_llm_semdedup",
+    "q_llm_dedup_lines", "q_llm_boilerplate", "q_llm_chunk_pack_pipeline",
+    # similarity / shuffle-heavy
+    "q_llm_simsearch_ivf", "q_llm_global_shuffle", "q_graph_pagerank",
+    # DML / MERGE
+    "q_dml_merge", "q_dml_delete_positional", "q_sql_merge_stmt",
+    # streaming joins / agg
+    "q_stream_stream_join", "q_stream_agg_watermark",
+    # TPC-H heavies
+    "q_join_q21_shape", "q_agg_q9_shape",
+]
+
+
+def main() -> None:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1"
+    from iceberg_workshop_spark.registry import queries
+    from iceberg_workshop_spark.session import get_spark
+
+    spark = get_spark("iws-bench-scale")
+    qs = queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # one throwaway pass at sf0.001 to warm JIT/codegen for every
+    # measured query so cold-compile doesn't pollute the RATIO
+    for name in HEAVY:
+        try:
+            run(name, "/root/testdata/sf0.001")
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warm error {name}: {exc}", file=sys.stderr)
+
+    out: dict[str, dict] = {}
+    for name in HEAVY:
+        try:
+            t01 = run(name, "/root/testdata/sf0.1")
+            t1 = run(name, sf1_dir)
+            out[name] = {
+                "sf01": t01,
+                "sf1": t1,
+                "ratio": round(t1 / t01, 2) if t01 > 0 else None,
+            }
+            print(name, out[name], flush=True)
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"error": str(exc)[:200]}
+            print(name, "ERROR", str(exc)[:120], flush=True)
+
+    ratios = [v["ratio"] for v in out.values() if v.get("ratio")]
+    summary = {
+        "queries": out,
+        "max_ratio": max(ratios) if ratios else None,
+        "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
+        "n_errors": sum(1 for v in out.values() if "error" in v),
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_scale.json"), "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: summary[k] for k in ("max_ratio", "median_ratio", "n_errors")}))
+
+
+if __name__ == "__main__":
+    main()
