@@ -620,6 +620,94 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_full_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT MAX(ts) - INTERVAL 151 MINUTE AS c FROM events
+    ), j AS (
+      SELECT v.user_id AS v_user, v.ts AS v_ts,
+             p.user_id AS p_user, p.ts AS p_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT COALESCE(v_user, p_user) AS user_id,
+           CAST(SUM(CASE WHEN v_ts IS NOT NULL AND p_ts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_only,
+           CAST(SUM(CASE WHEN v_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase_only
+    FROM j, cutoff
+    WHERE (v_ts IS NULL OR v_ts <= c) AND (p_ts IS NULL OR p_ts <= c)
+    GROUP BY COALESCE(v_user, p_user)
+    ORDER BY user_id
+    """,
+)
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join with watermarks — completes the
+    streaming join-type matrix (inner / left / full): views and
+    purchases join within a 30-minute window; EACH side emits its
+    null-extended row once the watermark proves the other side cannot
+    still match. Comparison restricts both engines to rows older than
+    the completeness horizon max(ts) − (watermark + window + own-side
+    watermark) on BOTH sides (same measured 151-minute bound as the
+    left join: the view side's decision point dominates — a purchase's
+    match window only reaches backward, so its horizon is strictly
+    earlier).
+
+    100 TB: state is O(rate × window) per side; full outer adds
+    emit-on-eviction for both buffers — the same completeness-horizon
+    contract a downstream consumer of either outer side must track."""
+    from iceberg_workshop_spark.sources.tables import load
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    )
+    sink = _drain(joined.select("v_user", "v_ts", "p_user", "p_ts"), "append")
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 151 MINUTES")
+    return (
+        sink.filter(
+            (F.col("v_ts").isNull() | (F.col("v_ts") <= horizon))
+            & (F.col("p_ts").isNull() | (F.col("p_ts") <= horizon))
+        )
+        .groupBy(F.coalesce("v_user", "p_user").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v_ts").isNotNull() & F.col("p_ts").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_matched"),
+            F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0)).alias(
+                "n_view_only"
+            ),
+            F.sum(F.when(F.col("v_ts").isNull(), 1).otherwise(0)).alias(
+                "n_purchase_only"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q_stream_agg_rocksdb",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -7,10 +7,15 @@ surprises (CC iteration growth, LSH bucket skew) the plans can't show.
 Each fact table is unioned 10x with per-copy key offsets. Content
 perturbation keeps corpus statistics realistic instead of making every
 row a 10-way duplicate:
-- documents: tokens ROTATED by a per-copy stride — same length/token
-  distribution, but shingles differ, so the near-dup structure of each
-  copy stays internal (dup RATE matches sf0.1 instead of jumping to
-  ~100%, which would distort dedup timings);
+- documents: every 7th token gets a per-copy suffix — same length and
+  near-same token distribution, but each substitution corrupts the 5
+  shingle windows covering it (~5/7 of all 5-grams), dropping
+  cross-copy Jaccard to ~0.1, far below every dedup threshold. (A
+  pure token ROTATION does NOT work: it preserves the shingle set up
+  to the seam, making all 10 copies accidental 0.95-Jaccard
+  near-duplicates — measured ratios then reflect an artifact
+  10-way-dup corpus, not the operator.) The near-dup structure of
+  each copy stays internal, so the dup RATE matches sf0.1;
 - embeddings: vector rotated by copy index — norm preserved,
   decorrelated across copies;
 - events/orders/lineitem/customer/part/supplier: key offsets only;
@@ -81,21 +86,20 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     replicate("events", ["event_id", "user_id"])
 
-    def rot_text(p, c):
+    def perturb_text(p, c):
         if c == 0:
             return p
-        stride = 7 * c
+        phase = c % 7
         return p.withColumn(
             "text",
             F.expr(
-                "array_join(concat("
-                f" slice(split(text, ' '), {stride} + 1, 1000000),"
-                f" slice(split(text, ' '), 1, {stride})"
-                "), ' ')"
+                "array_join(transform(split(text, ' '),"
+                f" (t, i) -> CASE WHEN i % 7 = {phase}"
+                f" THEN concat(t, '_x{c}') ELSE t END), ' ')"
             ),
         )
 
-    replicate("documents", ["doc_id"], extra=rot_text)
+    replicate("documents", ["doc_id"], extra=perturb_text)
 
     def rot_vec(p, c):
         if c == 0:
