@@ -716,3 +716,79 @@ def q_llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ------------------------------------------------ vocabulary coverage
+
+VOCAB_KS = (5, 15, 30)  # fixture vocab is 31 tokens; ks must discriminate
+
+
+@register(
+    "q_llm_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+      FROM freq
+    ), total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq
+    )
+    SELECT k,
+           CAST((SELECT COUNT(*) FROM ranked WHERE r <= k) AS BIGINT)
+             AS vocab_size,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM ranked WHERE r <= k)
+                AS BIGINT) AS covered,
+           (SELECT n FROM total) AS total_tokens,
+           ROUND((SELECT COALESCE(SUM(c), 0) FROM ranked WHERE r <= k)
+                 * 1.0 / (SELECT n FROM total), 4) AS coverage
+    FROM (VALUES (5), (15), (30)) AS ks(k)
+    ORDER BY k
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary sizing: rank corpus tokens by
+    frequency and report, for candidate vocab sizes k ∈ VOCAB_KS, how much of the token stream the top-k vocabulary covers
+    (1 − coverage = the OOV/byte-fallback rate a tokenizer of that
+    size would pay). Deterministic tie-break (count DESC, token) so
+    both engines rank identically.
+
+    Scale: one map-side-combined token groupBy; the ranking window
+    runs over the VOCABULARY (distinct tokens), not the token stream
+    — at 100 TB that is millions of rows, not trillions; k-sweep is a
+    broadcast-sized crossJoin against three literals."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok"))),
+    )
+    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k int")
+    per_k = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("c").alias("covered"),
+        )
+    )
+    total = freq.agg(F.sum("c").alias("n")).first()["n"]
+    return (
+        per_k.select(
+            "k",
+            "vocab_size",
+            "covered",
+            F.lit(int(total)).alias("total_tokens"),
+            F.round(F.col("covered") / F.lit(float(total)), 4).alias("coverage"),
+        )
+        .orderBy("k")
+    )
