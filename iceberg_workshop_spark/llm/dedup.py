@@ -1408,6 +1408,18 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (no corpus shuffle), the pair join shuffles by cluster id
     once with per-task work bounded by the cluster-size cap (k scales
     with corpus so n/k stays fixed — SemDeDup used 50k clusters)."""
+    return semdedup_report(spark, sf_dir, n_centroids=8)
+
+
+def semdedup_report(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 8
+) -> DataFrame:
+    """Parameterized SemDeDup: ``n_centroids`` is THE scale knob — the
+    published recipe holds cluster size n/k constant by growing k with
+    the corpus (SemDeDup used 50k clusters for LAION), which keeps the
+    within-cluster pair join linear in n. The registered query pins
+    k=8 for the cross-engine oracle; tools/bench_scale.py demonstrates
+    the k∝n scaling at the sf1 tier."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1415,7 +1427,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000).cast("long"),
         ).alias("e"),
     )
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
     d2 = F.aggregate(
