@@ -505,6 +505,141 @@ def q_cdc_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_join_maintain",
+    oracle="""
+    WITH fo AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey % 5 = 0 AND o_orderstatus <> 'F')
+         OR o_orderkey % 5 = 1
+    ), fc AS (
+      SELECT * FROM customer WHERE c_nationkey <> 7
+    ), j AS (
+      SELECT c.c_nationkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM fo o JOIN fc c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT COUNT(*) AS n_groups,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(sum_price) AS DOUBLE) AS total_price
+    FROM j
+    """,
+)
+def q_cdc_join_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view from TWO
+    tables' changelogs — the two-sided generalization of
+    q_cdc_agg_maintain and the pattern that keeps a 100 TB star-join
+    rollup fresh without re-joining fact and dimension after every
+    commit.
+
+    MV = per-nation (COUNT, SUM(price)) over orders ⋈ customer,
+    materialized at (s1_orders, s1_customer). Both tables then change:
+    orders takes a CoW DELETE and an append; customer loses a nation
+    (CoW DELETE). The delta algebra for a join view under bag
+    semantics is
+
+        Δ(O ⋈ C) = ΔO ⋈ C_new  +  O_old ⋈ ΔC
+
+    (expand (O_old+ΔO)⋈(C_old+ΔC) and cancel J_old) — each term signs
+    its rows by its own changelog's insert/delete flag, pre-aggregates
+    per group, and applies to the base exactly like the single-table
+    case. Work is O(|ΔO| ⋈ dim + fact_old ⋈ |ΔC|): the fact-side scan
+    in the second term prunes to the files whose key ranges intersect
+    the deleted customers (the changelog's own stats pruning), never
+    the whole fact table when deltas are selective. The query compares
+    the maintained view against a full recompute of the final join —
+    the oracle pins zero disagreeing groups, so the driver checks the
+    two-sided delta algebra itself."""
+    loc_o = _fresh(sf_dir, "cdc_jm_orders")
+    loc_c = _fresh(sf_dir, "cdc_jm_cust")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t_o = IceTable.create_as(spark, loc_o, orders.filter("o_orderkey % 5 = 0"))
+    t_c = IceTable.create_as(spark, loc_c, cust)
+    s1_o = t_o.meta.current_snapshot_id
+    s1_c = t_c.meta.current_snapshot_id
+
+    def agg_join(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(money("o_totalprice")).alias("sum_price"),
+            )
+        )
+
+    o_old = t_o.read(snapshot_id=s1_o)
+    base = agg_join(o_old, t_c.read(snapshot_id=s1_c))
+
+    t_o.delete_where("o_orderstatus = 'F'")
+    t_o.append(orders.filter("o_orderkey % 5 = 1"))
+    t_c.delete_where("c_nationkey = 7")
+
+    sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+    d_o = t_o.changelog(from_snapshot_id=s1_o).withColumn("__s", sign)
+    d_c = t_c.changelog(from_snapshot_id=s1_c).withColumn("__s", sign)
+    c_new = t_c.read()
+    # ΔO ⋈ C_new — dim side broadcastable at any realistic size
+    term1 = (
+        d_o.join(c_new, d_o["o_custkey"] == c_new["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("__s").alias("d_n"),
+            F.sum(money("o_totalprice") * F.col("__s")).alias("d_price"),
+        )
+    )
+    # O_old ⋈ ΔC — the delta keys prune the fact side's file set
+    term2 = (
+        o_old.join(d_c, o_old["o_custkey"] == d_c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("__s").alias("d_n"),
+            F.sum(money("o_totalprice") * F.col("__s")).alias("d_price"),
+        )
+    )
+    delta = (
+        term1.unionByName(term2)
+        .groupBy("c_nationkey")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_price").alias("d_price"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    maintained = (
+        base.join(delta, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce("sum_price", zero) + F.coalesce("d_price", zero)).alias(
+                "sum_price"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    recomputed = agg_join(t_o.read(), t_c.read())
+    cmp = maintained.alias("m").join(
+        recomputed.alias("r"), "c_nationkey", "full_outer"
+    )
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.when(
+                F.col("m.n_orders").eqNullSafe(F.col("r.n_orders"))
+                & F.col("m.sum_price").eqNullSafe(F.col("r.sum_price")),
+                0,
+            ).otherwise(1)
+        ).alias("n_mismatch"),
+        F.sum("r.n_orders").alias("total_orders"),
+        F.sum("r.sum_price").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "q_meta_history",
     oracle="""
     SELECT CAST(3 AS BIGINT) AS n_entries,
