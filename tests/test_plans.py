@@ -291,3 +291,47 @@ def test_chunk_pack_pipeline_no_single_partition_window(spark):
     plan = _plan(queries()["q_llm_chunk_pack_pipeline"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_dedup_lines_no_cartesian_no_forced_broadcast(spark):
+    """Line-dedup joins runs to the flagged-run set on the run string:
+    never a cartesian product, and no builder-forced broadcast hint —
+    the flagged-run table is unbounded on a web corpus, so the join
+    strategy must be left to AQE."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_dedup_lines"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "hints=" not in optimized
+
+
+def test_boilerplate_join_not_hint_forced(spark):
+    """VERDICT r3 #6: the flagged-shingle join must be AQE-chosen, not
+    hint-forced (a forced broadcast OOMs on a web-scale shingle set)."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_boilerplate"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "hints=" not in optimized
+
+
+def test_pos_delete_read_plans(spark, tmp_path):
+    """Positional-delete reads: the anti-join on (__path, __pos)
+    appears only when a pos-delete exists; an eq-delete-only table
+    never materializes the _metadata columns."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    df = spark.range(0, 50).selectExpr("id AS a", "id % 5 AS b")
+    t = IceTable.create_as(spark, str(tmp_path / "pp"), df.repartition(2))
+    t.delete_where_mor("b = 1", keys=["a"])
+    plan_eq = _plan(t.read())
+    assert "__pos" not in plan_eq  # no positional machinery for eq-only
+    t.delete_where_pos("b = 2")
+    plan_mixed = _plan(t.read())
+    assert "__pos" in plan_mixed
+    assert plan_mixed.count("LeftAnti") >= 2  # one anti-join per flavor
+    assert t.read().count() == 30
