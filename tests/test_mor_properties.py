@@ -120,3 +120,44 @@ def test_positional_delete_survives_changelog(spark, tmp_path):
         (3, "delete"),
         (7, "delete"),
     }
+
+
+def test_positional_deletes_do_not_leak_into_branches(spark, tmp_path):
+    # A branch append carries the BRANCH PARENT's delete files; a pos
+    # delete committed on main afterwards must not mask branch reads
+    # (same isolation the equality flavor already guarantees).
+    t = IceTable.create(spark, str(tmp_path / "posbr"), "k bigint, v bigint")
+    t.append(spark.createDataFrame([(i, i) for i in range(10)], "k bigint, v bigint"))
+    t.create_branch("audit")
+    t.delete_where_pos("k < 4")          # main only
+    assert t.read().count() == 6
+    t.append(
+        spark.createDataFrame([(100, 100)], "k bigint, v bigint"),
+        branch="audit",
+    )
+    # branch head: all 10 original rows + the branch append
+    assert t.read(ref="audit").count() == 11
+    # main unchanged by the branch write
+    assert t.read().count() == 6
+
+
+def test_ice_stream_flags_positional_delete_as_non_append(spark, tmp_path):
+    # The snapshot-tailing stream source must refuse (or skip) a
+    # positional-delete commit exactly like an equality one: rows in
+    # already-emitted files changed visibility.
+    import pytest
+
+    from iceberg_workshop_spark.sources.pysource import _IceStreamReader
+
+    t = IceTable.create(spark, str(tmp_path / "posstream"), "k bigint, v bigint")
+    t.append(spark.createDataFrame([(i, i) for i in range(8)], "k bigint, v bigint"))
+    s1 = t.meta.current_snapshot_id
+    t.delete_where_pos("k = 3")
+    s2 = t.meta.current_snapshot_id
+    reader = _IceStreamReader({"location": t.meta.location})
+    with pytest.raises(ValueError, match="non-append"):
+        reader.partitions({"sid": s1}, {"sid": s2})
+    skipper = _IceStreamReader(
+        {"location": t.meta.location, "skip_non_append": "true"}
+    )
+    assert skipper.partitions({"sid": s1}, {"sid": s2}) == []
