@@ -35,6 +35,7 @@ import time
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_workshop_spark.icetbl import IceTable, spec_field
 from iceberg_workshop_spark.registry import register, require
@@ -110,6 +111,16 @@ _CREATE_TABLE_RE = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<target>[\w.]+)\s*(?P<body>.*)$",
     re.I | re.S,
+)
+_CREATE_MV_RE = re.compile(
+    r"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s+AS\s+"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>[\w,\s.]+)$",
+    re.I | re.S,
+)
+_REFRESH_MV_RE = re.compile(
+    r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)$", re.I
 )
 _INSERT_RE = re.compile(
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<target>[\w.]+)"
@@ -533,6 +544,8 @@ class IceSqlSession:
         self.views: dict[str, DataFrame] = {}
         self.databases: set[str] = set()
         self.scratch = scratch or tempfile.mkdtemp(prefix="iws_sqlfront_")
+        # materialized views: name -> {src, base_sid, group, aggs, where}
+        self.mviews: dict[str, dict] = {}
         self.location_map = dict(location_map or {})
 
     def register_table(self, name: str, tbl: IceTable) -> None:
@@ -706,6 +719,10 @@ class IceSqlSession:
             return self._describe(m)
         if m := _CALL_RE.match(s):
             return self._call(m)
+        if m := _CREATE_MV_RE.match(s):
+            return self._create_mview(m)
+        if m := _REFRESH_MV_RE.match(s):
+            return self._refresh_mview(m["name"])
         if m := _INSERT_RE.match(s):
             return self._insert(m)
         if m := _CREATE_TABLE_RE.match(s):
@@ -1215,6 +1232,127 @@ class IceSqlSession:
         else:
             tbl.append(src)
         return None
+
+    # -- materialized views -------------------------------------------
+    _MV_AGG_RE = re.compile(
+        r"(?:(?P<cnt>COUNT\s*\(\s*\*\s*\))|SUM\s*\((?P<sum>.+)\))"
+        r"\s+AS\s+(?P<alias>\w+)$",
+        re.I | re.S,
+    )
+
+    def _create_mview(self, m: re.Match) -> None:
+        """CREATE MATERIALIZED VIEW name AS SELECT g1, g2, COUNT(*) AS
+        n, SUM(expr) AS s FROM ice_table [WHERE ...] GROUP BY g1, g2
+        — the incrementally-maintainable aggregate shape (COUNT/SUM
+        are self-maintainable under insert/delete deltas; COUNT(*)
+        is REQUIRED, it is the group-liveness counter that lets
+        REFRESH drop emptied groups). The view materializes once here;
+        REFRESH MATERIALIZED VIEW applies the source table's changelog
+        since the last materialization — O(changed rows), never a
+        re-aggregation of the table."""
+        name = m["name"]
+        src = m["src"]
+        tbl = self._table(src)
+        group = [c.strip() for c in m["group"].split(",")]
+        aggs: list[dict] = []
+        for item in _split_top_commas(m["select"]):
+            item = item.strip()
+            if item in group:
+                continue
+            am = self._MV_AGG_RE.match(item)
+            if not am:
+                raise ValueError(
+                    "materialized view select items must be the group "
+                    f"columns, COUNT(*) AS x, or SUM(expr) AS x: {item!r}"
+                )
+            aggs.append(
+                {
+                    "kind": "count" if am["cnt"] else "sum",
+                    "expr": None if am["cnt"] else am["sum"].strip(),
+                    "alias": am["alias"],
+                }
+            )
+        if not any(a["kind"] == "count" for a in aggs):
+            raise ValueError(
+                "materialized view needs a COUNT(*) column (the "
+                "group-liveness counter REFRESH maintains)"
+            )
+        self.mviews[name] = {
+            "src": src,
+            "base_sid": tbl.meta.current_snapshot_id,
+            "group": group,
+            "aggs": aggs,
+            "where": m["where"].strip() if m["where"] else None,
+        }
+        mv_loc = os.path.join(self.scratch, "mv_" + _view_name(name))
+        mv_tbl = IceTable.create_as(
+            self.spark, mv_loc, self._mv_aggregate(tbl.read(), name)
+        )
+        self.tables[name] = mv_tbl
+
+    def _mv_aggregate(self, rows: DataFrame, name: str):
+        spec = self.mviews[name]
+        if spec["where"]:
+            rows = rows.filter(spec["where"])
+        aggs = [
+            (
+                F.count(F.lit(1)).cast("long").alias(a["alias"])
+                if a["kind"] == "count"
+                else F.sum(F.expr(a["expr"])).alias(a["alias"])
+            )
+            for a in spec["aggs"]
+        ]
+        return rows.groupBy(*spec["group"]).agg(*aggs)
+
+    def _refresh_mview(self, name: str) -> None:
+        if name not in self.mviews:
+            raise KeyError(f"not a materialized view: {name}")
+        spec = self.mviews[name]
+        src_tbl = self._table(spec["src"])
+        cur_sid = src_tbl.meta.current_snapshot_id
+        if cur_sid == spec["base_sid"]:
+            return
+        ch = src_tbl.changelog(from_snapshot_id=spec["base_sid"])
+        if spec["where"]:
+            ch = ch.filter(spec["where"])
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        d_aggs = [
+            (
+                F.sum(sign).cast("long").alias("d_" + a["alias"])
+                if a["kind"] == "count"
+                else F.sum(F.expr(a["expr"]) * sign).alias("d_" + a["alias"])
+            )
+            for a in spec["aggs"]
+        ]
+        delta = ch.groupBy(*spec["group"]).agg(*d_aggs)
+        mv_tbl = self.tables[name]
+        base = mv_tbl.read()
+        cnt_alias = next(
+            a["alias"] for a in spec["aggs"] if a["kind"] == "count"
+        )
+        # base + delta re-widens sum decimals (decimal(28,2) + delta →
+        # decimal(29,2)); cast every maintained column back to the MV
+        # table's declared type so the append matches its schema.
+        mv_types = {f.name: f.dataType for f in mv_tbl.read().schema.fields}
+        merged = base.join(delta, spec["group"], "full_outer").select(
+            *spec["group"],
+            *[
+                (
+                    F.coalesce(F.col(a["alias"]), F.lit(0))
+                    + F.coalesce(F.col("d_" + a["alias"]), F.lit(0))
+                )
+                .cast(mv_types[a["alias"]])
+                .alias(a["alias"])
+                for a in spec["aggs"]
+            ],
+        )
+        merged = merged.filter(F.col(cnt_alias) > 0)
+        # the MV table is snapshot-versioned like any other: the
+        # refresh is one truncate+append commit pair, and time travel
+        # to pre-refresh MV states works for free
+        mv_tbl.truncate()
+        mv_tbl.append(merged.select(*mv_types))
+        spec["base_sid"] = cur_sid
 
     def _create_table(self, m: re.Match) -> None:
         name = m["target"]
@@ -2163,6 +2301,63 @@ def _airlines_session(
     sess.register_table(table_name, tbl)
     sess.register_view("staging.airlines_parquet", staging)
     return sess, tbl
+
+
+@register(
+    "q_sql_materialized_view",
+    oracle="""
+    WITH final AS (
+      SELECT * FROM orders
+      WHERE ((o_orderkey % 4 = 0 AND o_orderstatus <> 'F')
+          OR o_orderkey % 4 = 1)
+        AND o_totalprice > 1000
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW + incremental REFRESH through the SQL
+    front-end: a per-priority (COUNT, SUM) rollup with a WHERE filter
+    is materialized, the base table takes a CoW DELETE and an append,
+    and REFRESH applies the table's changelog since materialization —
+    O(changed rows), never a re-aggregation (the changelog reads only
+    the symmetric difference of the endpoint file sets). The oracle
+    recomputes the final rollup from scratch; matching it proves the
+    delta application, the WHERE pushdown into the delta, and the
+    group-liveness (COUNT>0) rule."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = IceTable.create_as(
+        spark, _fresh(sf_dir, "sql_mv"), orders.filter("o_orderkey % 4 = 0")
+    )
+    sess = IceSqlSession(spark)
+    sess.register_table("db.orders_mv_src", t)
+    sess.sql(
+        """CREATE MATERIALIZED VIEW db.prio_rollup AS
+           SELECT o_orderpriority, COUNT(*) AS n_orders,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+           FROM db.orders_mv_src
+           WHERE o_totalprice > 1000
+           GROUP BY o_orderpriority"""
+    )
+    sess.sql("DELETE FROM db.orders_mv_src WHERE o_orderstatus = 'F'")
+    t.append(orders.filter("o_orderkey % 4 = 1"))
+    sess.sql("REFRESH MATERIALIZED VIEW db.prio_rollup")
+    return sess.sql(
+        """SELECT o_orderpriority, n_orders,
+                  CAST(sum_price AS DOUBLE) AS sum_price
+           FROM db.prio_rollup ORDER BY o_orderpriority"""
+    )
 
 
 @register(

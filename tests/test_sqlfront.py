@@ -622,3 +622,45 @@ def test_entries_status_survives_parent_expiry(spark, tmp_path):
         r.path: r.status for r in s.sql("SELECT * FROM db.t.entries").collect()
     }
     assert after == before
+
+
+def test_materialized_view_group_death_and_noop_refresh(spark, tmp_path):
+    # A group whose maintained COUNT reaches zero disappears from the
+    # MV (GROUP BY semantics); a refresh with no source changes is a
+    # no-op (no new MV snapshot).
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(10)], "id int, g int, v double"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "mvsrc"), df)
+    s = IceSqlSession(spark)
+    s.register_table("db.src", t)
+    s.sql(
+        "CREATE MATERIALIZED VIEW db.m AS SELECT g, COUNT(*) AS n, "
+        "SUM(CAST(v AS DECIMAL(18,2))) AS sv FROM db.src GROUP BY g"
+    )
+    assert s.sql("SELECT * FROM db.m").count() == 2
+    t.delete_where("g = 1")
+    s.sql("REFRESH MATERIALIZED VIEW db.m")
+    rows = s.sql("SELECT * FROM db.m").collect()
+    assert [r.g for r in rows] == [0]
+    mv_tbl = s.tables["db.m"]
+    n_snaps = len(mv_tbl.meta.snapshots)
+    s.sql("REFRESH MATERIALIZED VIEW db.m")   # source unchanged
+    assert len(mv_tbl.meta.snapshots) == n_snaps
+
+
+def test_materialized_view_rejects_unmaintainable_aggs(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1, 1.0)], "id int, g int, v double")
+    t = IceTable.create_as(spark, str(tmp_path / "mvbad"), df)
+    s = IceSqlSession(spark)
+    s.register_table("db.srcb", t)
+    with pytest.raises(ValueError, match="COUNT"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW db.bad AS SELECT g, "
+            "SUM(CAST(v AS DECIMAL(18,2))) AS sv FROM db.srcb GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="select items"):
+        s.sql(
+            "CREATE MATERIALIZED VIEW db.bad2 AS SELECT g, COUNT(*) AS n, "
+            "MAX(v) AS mv FROM db.srcb GROUP BY g"
+        )
