@@ -112,6 +112,15 @@ _CREATE_TABLE_RE = re.compile(
     r"(?P<target>[\w.]+)\s*(?P<body>.*)$",
     re.I | re.S,
 )
+_CREATE_MV_JOIN_RE = re.compile(
+    r"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s+AS\s+"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+"
+    r"(?P<srca>[\w.]+)\s+(?P<aa>\w+)\s+JOIN\s+"
+    r"(?P<srcb>[\w.]+)\s+(?P<ab>\w+)\s+ON\s+(?P<on>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>[\w,\s.]+)$",
+    re.I | re.S,
+)
 _CREATE_MV_RE = re.compile(
     r"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s+AS\s+"
     r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>[\w.]+)"
@@ -719,6 +728,8 @@ class IceSqlSession:
             return self._describe(m)
         if m := _CALL_RE.match(s):
             return self._call(m)
+        if m := _CREATE_MV_JOIN_RE.match(s):
+            return self._create_mview_join(m)
         if m := _CREATE_MV_RE.match(s):
             return self._create_mview(m)
         if m := _REFRESH_MV_RE.match(s):
@@ -1304,27 +1315,145 @@ class IceSqlSession:
         ]
         return rows.groupBy(*spec["group"]).agg(*aggs)
 
+    def _create_mview_join(self, m: re.Match) -> None:
+        """CREATE MATERIALIZED VIEW over an equi-JOIN of two ice
+        tables — the star-join rollup case. REFRESH uses the two-sided
+        bag-semantics delta algebra
+
+            Δ(A ⋈ B) = ΔA ⋈ B_new  +  A_old ⋈ ΔB
+
+        each term signed by its OWN changelog and pre-aggregated, so a
+        refresh costs O(|ΔA| ⋈ B + A ⋈ |ΔB|) with the deltas pruning
+        their join partner's file set — never a re-join of the full
+        sources."""
+        name = m["name"]
+        tbl_a, tbl_b = self._table(m["srca"]), self._table(m["srcb"])
+        group = [c.strip() for c in m["group"].split(",")]
+        aggs: list[dict] = []
+        for item in _split_top_commas(m["select"]):
+            item = item.strip()
+            if item in group:
+                continue
+            am = self._MV_AGG_RE.match(item)
+            if not am:
+                raise ValueError(
+                    "materialized view select items must be the group "
+                    f"columns, COUNT(*) AS x, or SUM(expr) AS x: {item!r}"
+                )
+            aggs.append(
+                {
+                    "kind": "count" if am["cnt"] else "sum",
+                    "expr": None if am["cnt"] else am["sum"].strip(),
+                    "alias": am["alias"],
+                }
+            )
+        if not any(a["kind"] == "count" for a in aggs):
+            raise ValueError(
+                "materialized view needs a COUNT(*) column (the "
+                "group-liveness counter REFRESH maintains)"
+            )
+        self.mviews[name] = {
+            "join": True,
+            "srca": m["srca"], "srcb": m["srcb"],
+            "aa": m["aa"], "ab": m["ab"],
+            "on": m["on"].strip(),
+            "base_sid_a": tbl_a.meta.current_snapshot_id,
+            "base_sid_b": tbl_b.meta.current_snapshot_id,
+            "group": group,
+            "aggs": aggs,
+            "where": m["where"].strip() if m["where"] else None,
+        }
+        joined = tbl_a.read().alias(m["aa"]).join(
+            tbl_b.read().alias(m["ab"]), F.expr(m["on"].strip())
+        )
+        mv_loc = os.path.join(self.scratch, "mv_" + _view_name(name))
+        self.tables[name] = IceTable.create_as(
+            self.spark, mv_loc, self._mv_aggregate(joined, name)
+        )
+
+    def _mv_join_delta(self, spec: dict):
+        """Signed per-group delta for a join MV (None if neither
+        source moved)."""
+        tbl_a, tbl_b = self._table(spec["srca"]), self._table(spec["srcb"])
+        sid_a, sid_b = spec["base_sid_a"], spec["base_sid_b"]
+        cur_a, cur_b = (
+            tbl_a.meta.current_snapshot_id,
+            tbl_b.meta.current_snapshot_id,
+        )
+        if cur_a == sid_a and cur_b == sid_b:
+            return None, cur_a, cur_b
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        terms = []
+        if cur_a != sid_a:
+            ch_a = tbl_a.changelog(from_snapshot_id=sid_a).withColumn("__s", sign)
+            terms.append(
+                ch_a.alias(spec["aa"]).join(
+                    tbl_b.read().alias(spec["ab"]), F.expr(spec["on"])
+                )
+            )
+        if cur_b != sid_b:
+            ch_b = tbl_b.changelog(from_snapshot_id=sid_b).withColumn("__s", sign)
+            terms.append(
+                tbl_a.read(snapshot_id=sid_a).alias(spec["aa"]).join(
+                    ch_b.alias(spec["ab"]), F.expr(spec["on"])
+                )
+            )
+        d_aggs = [
+            (
+                F.sum("__s").cast("long").alias("d_" + a["alias"])
+                if a["kind"] == "count"
+                else F.sum(F.expr(a["expr"]) * F.col("__s")).alias(
+                    "d_" + a["alias"]
+                )
+            )
+            for a in spec["aggs"]
+        ]
+
+        def term_delta(t):
+            if spec["where"]:
+                t = t.filter(spec["where"])
+            return t.groupBy(
+                *[F.expr(g) for g in spec["group"]]
+            ).agg(*d_aggs)
+
+        delta = term_delta(terms[0])
+        for t in terms[1:]:
+            delta = delta.unionByName(term_delta(t))
+        bare = [g.split(".")[-1] for g in spec["group"]]
+        delta = delta.groupBy(*bare).agg(
+            *[
+                F.sum("d_" + a["alias"]).alias("d_" + a["alias"])
+                for a in spec["aggs"]
+            ]
+        )
+        return delta, cur_a, cur_b
+
     def _refresh_mview(self, name: str) -> None:
         if name not in self.mviews:
             raise KeyError(f"not a materialized view: {name}")
         spec = self.mviews[name]
-        src_tbl = self._table(spec["src"])
-        cur_sid = src_tbl.meta.current_snapshot_id
-        if cur_sid == spec["base_sid"]:
-            return
-        ch = src_tbl.changelog(from_snapshot_id=spec["base_sid"])
-        if spec["where"]:
-            ch = ch.filter(spec["where"])
-        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
-        d_aggs = [
-            (
-                F.sum(sign).cast("long").alias("d_" + a["alias"])
-                if a["kind"] == "count"
-                else F.sum(F.expr(a["expr"]) * sign).alias("d_" + a["alias"])
-            )
-            for a in spec["aggs"]
-        ]
-        delta = ch.groupBy(*spec["group"]).agg(*d_aggs)
+        if spec.get("join"):
+            delta, cur_a, cur_b = self._mv_join_delta(spec)
+            if delta is None:
+                return
+        else:
+            src_tbl = self._table(spec["src"])
+            cur_sid = src_tbl.meta.current_snapshot_id
+            if cur_sid == spec["base_sid"]:
+                return
+            ch = src_tbl.changelog(from_snapshot_id=spec["base_sid"])
+            if spec["where"]:
+                ch = ch.filter(spec["where"])
+            sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+            d_aggs = [
+                (
+                    F.sum(sign).cast("long").alias("d_" + a["alias"])
+                    if a["kind"] == "count"
+                    else F.sum(F.expr(a["expr"]) * sign).alias("d_" + a["alias"])
+                )
+                for a in spec["aggs"]
+            ]
+            delta = ch.groupBy(*spec["group"]).agg(*d_aggs)
         mv_tbl = self.tables[name]
         base = mv_tbl.read()
         cnt_alias = next(
@@ -1334,8 +1463,9 @@ class IceSqlSession:
         # decimal(29,2)); cast every maintained column back to the MV
         # table's declared type so the append matches its schema.
         mv_types = {f.name: f.dataType for f in mv_tbl.read().schema.fields}
-        merged = base.join(delta, spec["group"], "full_outer").select(
-            *spec["group"],
+        bare_group = [g.split(".")[-1] for g in spec["group"]]
+        merged = base.join(delta, bare_group, "full_outer").select(
+            *bare_group,
             *[
                 (
                     F.coalesce(F.col(a["alias"]), F.lit(0))
@@ -1352,7 +1482,10 @@ class IceSqlSession:
         # to pre-refresh MV states works for free
         mv_tbl.truncate()
         mv_tbl.append(merged.select(*mv_types))
-        spec["base_sid"] = cur_sid
+        if spec.get("join"):
+            spec["base_sid_a"], spec["base_sid_b"] = cur_a, cur_b
+        else:
+            spec["base_sid"] = cur_sid
 
     def _create_table(self, m: re.Match) -> None:
         name = m["target"]
@@ -2357,6 +2490,66 @@ def q_sql_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT o_orderpriority, n_orders,
                   CAST(sum_price AS DOUBLE) AS sum_price
            FROM db.prio_rollup ORDER BY o_orderpriority"""
+    )
+
+
+@register(
+    "q_sql_materialized_view_join",
+    oracle="""
+    WITH fo AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey % 4 = 0 AND o_orderstatus <> 'F')
+         OR o_orderkey % 4 = 2
+    ), fc AS (
+      SELECT * FROM customer WHERE c_nationkey <> 3
+    )
+    SELECT c.c_nationkey AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM fo o JOIN fc c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY nation
+    """,
+)
+def q_sql_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-source materialized view through the SQL front-end: a
+    per-nation rollup over orders ⋈ customer is materialized, BOTH
+    base tables then change (orders: CoW DELETE + append; customer:
+    CoW DELETE of a nation), and one REFRESH applies the two-sided
+    delta Δ(A⋈B) = ΔA⋈B_new + A_old⋈ΔB — each term signed by its own
+    changelog. The oracle re-joins the final snapshots from scratch;
+    matching it proves the algebra through the SQL surface."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t_o = IceTable.create_as(
+        spark, _fresh(sf_dir, "sql_mvj_o"), orders.filter("o_orderkey % 4 = 0")
+    )
+    t_c = IceTable.create_as(spark, _fresh(sf_dir, "sql_mvj_c"), cust)
+    sess = IceSqlSession(spark)
+    sess.register_table("db.mvj_orders", t_o)
+    sess.register_table("db.mvj_cust", t_c)
+    sess.sql(
+        """CREATE MATERIALIZED VIEW db.nation_rollup AS
+           SELECT c.c_nationkey, COUNT(*) AS n_orders,
+                  SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sum_price
+           FROM db.mvj_orders o JOIN db.mvj_cust c
+             ON o.o_custkey = c.c_custkey
+           GROUP BY c.c_nationkey"""
+    )
+    sess.sql("DELETE FROM db.mvj_orders WHERE o_orderstatus = 'F'")
+    t_o.append(orders.filter("o_orderkey % 4 = 2"))
+    sess.sql("DELETE FROM db.mvj_cust WHERE c_nationkey = 3")
+    sess.sql("REFRESH MATERIALIZED VIEW db.nation_rollup")
+    return sess.sql(
+        """SELECT c_nationkey AS nation, n_orders,
+                  CAST(sum_price AS DOUBLE) AS sum_price
+           FROM db.nation_rollup ORDER BY nation"""
     )
 
 
