@@ -406,3 +406,222 @@ def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_distinct"))
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------------ KMV distinct sketch
+
+KMV_K = 64  # sketch size: k minimum hash values per group
+
+
+@register(
+    "q_sketch_kmv",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey AS STRING)), 1, 15))::BIGINT
+               AS h
+      FROM lineitem
+    ), shard_mins AS (
+      -- per-(group, shard) k smallest hashes: the mergeable state
+      SELECT l_returnflag, h
+      FROM (
+        SELECT l_returnflag, h,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_returnflag, h % 8 ORDER BY h
+               ) AS r
+        FROM hashed
+      ) WHERE r <= {KMV_K}
+    ), merged AS (
+      -- union-merge: k smallest of the shard unions
+      SELECT l_returnflag, h,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS r,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n_avail
+      FROM shard_mins
+    )
+    SELECT m.l_returnflag,
+           CAST(CASE WHEN MAX(m.n_avail) < {KMV_K} THEN MAX(m.n_avail)
+                ELSE CAST(FLOOR(({KMV_K} - 1) /
+                     (MAX(CASE WHEN m.r = {KMV_K} THEN m.h END)
+                      / 1152921504606846976.0)) AS BIGINT)
+           END AS BIGINT) AS kmv_estimate,
+           d.n_exact
+    FROM merged m
+    JOIN (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+          FROM lineitem GROUP BY l_returnflag) d USING (l_returnflag)
+    WHERE m.r <= {KMV_K}
+    GROUP BY m.l_returnflag, d.n_exact
+    ORDER BY m.l_returnflag
+    """,
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch — the
+    order-statistics alternative to HLL: keep the k smallest hash
+    values per group; the estimate is (k-1)/r_k where r_k is the k-th
+    smallest hash normalized to (0,1). Built in two genuinely
+    mergeable levels exactly as a 1000-executor rollup would: k
+    smallest per (group, shard) map-side, then k smallest of the
+    shard unions — merging bottom-k sets is itself a bottom-k, the
+    property that makes KMV a distributive rollup state (and, unlike
+    HLL, it also supports set INTERSECTION estimates via the Jaccard
+    of the union sketch). Groups with fewer than k distinct hashes
+    report the exact count (the sketch degenerates to the value set).
+
+    Deterministic md5 60-bit hashing (shared convention with the
+    bloom/count-min family) lets DuckDB replay the sketch
+    bit-for-bit: estimates AND the exact counts they approximate are
+    both oracle-pinned, so the driver verifies the estimator algebra,
+    not just row shape."""
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    hashed = li.distinct().select(
+        "l_returnflag",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    # level 1: bottom-k per (group, hash-shard) — the map-side state
+    shard_mins = hashed.groupBy(
+        "l_returnflag", (F.col("h") % 8).alias("shard")
+    ).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, KMV_K).alias("mins")
+    )
+    # level 2: union-merge shard sketches, keep bottom-k again
+    merged = shard_mins.groupBy("l_returnflag").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+        ).alias("mins")
+    )
+    est = merged.select(
+        "l_returnflag",
+        F.when(
+            F.size("mins") < KMV_K, F.size("mins").cast("long")
+        )
+        .otherwise(
+            F.floor(
+                F.lit(KMV_K - 1)
+                / (
+                    F.element_at("mins", KMV_K).cast("double")
+                    / F.lit(float(2**60))
+                )
+            ).cast("long")
+        )
+        .alias("kmv_estimate"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+@register(
+    "q_sketch_kmv_intersect",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 15))::BIGINT
+               AS h
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), sk AS (
+      SELECT event_type, list_sort(list(h))[1:{KMV_K}] AS mins
+      FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM hashed
+      ) WHERE r <= {KMV_K}
+      GROUP BY event_type
+    ), pair AS (
+      SELECT a.mins AS ma, b.mins AS mb,
+             list_sort(list_distinct(list_concat(a.mins, b.mins)))
+               [1:{KMV_K}] AS mu
+      FROM (SELECT mins FROM sk WHERE event_type = 'view') a,
+           (SELECT mins FROM sk WHERE event_type = 'purchase') b
+    ), est AS (
+      SELECT len(list_intersect(list_intersect(ma, mb), mu)) AS n_inter,
+             CASE WHEN len(mu) < {KMV_K} THEN len(mu)
+                  ELSE CAST(FLOOR(({KMV_K} - 1) /
+                       (mu[{KMV_K}] / 1152921504606846976.0)) AS BIGINT)
+             END AS est_union
+      FROM pair
+    )
+    SELECT CAST(FLOOR(e.n_inter * e.est_union / {KMV_K}.0) AS BIGINT)
+             AS inter_estimate,
+           (SELECT COUNT(DISTINCT v.user_id)
+            FROM events v JOIN events p
+              ON p.user_id = v.user_id AND p.event_type = 'purchase'
+            WHERE v.event_type = 'view') AS n_exact
+    FROM est e
+    """,
+)
+def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimate — the operation HLL cannot do
+    without inclusion-exclusion error blowup: |A∩B| ≈ J(A,B) × |A∪B|
+    where the Jaccard is read off the sketches directly (fraction of
+    the union's bottom-k that lies in both sides' bottom-k) and the
+    union estimate is the standard (k-1)/r_k on the merged sketch.
+    Distinct viewers ∩ purchasers over events, both the estimate and
+    the exact truth oracle-pinned via the deterministic md5 hash.
+
+    At 100 TB the two per-group sketches are KMV_K-element arrays —
+    the pairwise combine is driver-trivial regardless of corpus size;
+    this is the audience-overlap primitive (campaign reach, cohort
+    intersection) run on rollup state instead of raw events."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+    )
+    hashed = ev.distinct().select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    sk = hashed.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, KMV_K).alias("mins")
+    )
+    a = sk.filter(F.col("event_type") == "view").select(
+        F.col("mins").alias("ma")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("mins").alias("mb")
+    )
+    pair = a.crossJoin(F.broadcast(b)).select(
+        "ma",
+        "mb",
+        F.slice(
+            F.array_sort(F.array_union("ma", "mb")), 1, KMV_K
+        ).alias("mu"),
+    )
+    est = pair.select(
+        F.size(
+            F.array_intersect(F.array_intersect("ma", "mb"), F.col("mu"))
+        ).alias("n_inter"),
+        F.when(F.size("mu") < KMV_K, F.size("mu").cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(KMV_K - 1)
+                / (
+                    F.element_at("mu", KMV_K).cast("double")
+                    / F.lit(float(2**60))
+                )
+            ).cast("long")
+        )
+        .alias("est_union"),
+    )
+    exact = (
+        ev.filter("event_type = 'view'")
+        .select("user_id")
+        .intersect(ev.filter("event_type = 'purchase'").select("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.floor(F.col("n_inter") * F.col("est_union") / F.lit(float(KMV_K)))
+        .cast("long")
+        .alias("inter_estimate"),
+        "n_exact",
+    )
