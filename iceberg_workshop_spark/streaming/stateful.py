@@ -813,3 +813,97 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_stream_mv_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained materialized view: the source IceTable's
+    COMMIT STREAM (iws_ice_stream tails the snapshot log) drives MV
+    maintenance — each micro-batch is one append-only delta,
+    pre-aggregated and merged into the MV table as an atomic
+    truncate+append pair, idempotent per batchId. The streaming
+    counterpart of REFRESH MATERIALIZED VIEW (which replays the
+    changelog on demand): downstream rollups stay fresh commit-by-
+    commit without re-aggregating the table, and without the consumer
+    ever re-scanning old snapshots. Final MV state must equal a
+    from-scratch aggregation of everything committed — exact oracle.
+
+    100 TB: deltas are per-commit file sets (the stream source reads
+    only NEW files per snapshot), the merge is keyed on the MV's
+    group columns, and the MV table's own snapshot history doubles as
+    the rollup's audit log."""
+    import shutil
+
+    from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.pysource import IceStreamDataSource
+    from iceberg_workshop_spark.sources.tables import load
+
+    loc = _fresh(sf_dir, "stream_mv_src")
+    mv_loc = _fresh(sf_dir, "stream_mv_tgt")
+    for p in (loc, mv_loc):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = IceTable.create_as(spark, loc, orders.filter("o_orderkey % 3 = 0"))
+    t.append(orders.filter("o_orderkey % 3 = 1"))
+    t.append(orders.filter("o_orderkey % 3 = 2"))
+
+    mv = IceTable.create(
+        spark,
+        mv_loc,
+        "o_orderpriority string, n_orders bigint, sum_price decimal(28,2)",
+    )
+    seen: set[int] = set()
+
+    def apply_delta(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:  # idempotent re-delivery guard
+            return
+        seen.add(batch_id)
+        delta = batch_df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("d_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("d_s"),
+        )
+        base = mv.read()
+        zero = F.lit(0).cast("decimal(28,2)")
+        merged = base.join(delta, "o_orderpriority", "full_outer").select(
+            "o_orderpriority",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.coalesce("sum_price", zero) + F.coalesce("d_s", zero))
+            .cast("decimal(28,2)")
+            .alias("sum_price"),
+        )
+        mv.truncate()
+        mv.append(merged)
+
+    spark.dataSource.register(IceStreamDataSource)
+    query = (
+        spark.readStream.format("iws_ice_stream")
+        .option("location", loc)
+        .load()
+        .writeStream.foreachBatch(apply_delta)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="iws_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return mv.read().select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    ).orderBy("o_orderpriority")
