@@ -470,9 +470,27 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
         if n.endswith(".parquet")
     ]
     n_pos = matching.count()
+    # Record the delete's TARGET data files on the entry (Iceberg
+    # keeps the same information in manifest stats): readers then
+    # apply the (path, pos) anti-join only to the named files and
+    # scan every other file clean — no _metadata generation, no
+    # anti-join on the untouched part of the table. Metadata-scale:
+    # one normalized path per touched file.
+    target_paths = sorted(
+        {
+            urllib.parse.urlparse(r["file_path"]).path
+            for r in matching.select("file_path").distinct().collect()
+        }
+    )
     dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
     entries = [
-        {"path": p, "record_count": n_pos, "kind": "pos", "dseq": dseq}
+        {
+            "path": p,
+            "record_count": n_pos,
+            "kind": "pos",
+            "dseq": dseq,
+            "target_paths": target_paths,
+        }
         for p in paths
     ]
     existing = (

@@ -444,9 +444,23 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
             for n in names
             if n.endswith(".parquet")
         ]
+        import urllib.parse as _up
+
+        target_paths = sorted(
+            {
+                _up.urlparse(r["file_path"]).path
+                for r in live.select("file_path").distinct().collect()
+            }
+        )
         dseq = max(int(d["dseq"]) for d in pos_dels)
         new_entries = [
-            {"path": p, "record_count": n_live, "kind": "pos", "dseq": dseq}
+            {
+                "path": p,
+                "record_count": n_live,
+                "kind": "pos",
+                "dseq": dseq,
+                "target_paths": target_paths,
+            }
             for p in paths
         ]
     tbl._commit_snapshot(

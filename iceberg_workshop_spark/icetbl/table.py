@@ -688,14 +688,44 @@ class IceTable:
             return self._read_files(files)
         eq_dels = [d for d in delete_files if d.get("kind", "eq") == "eq"]
         pos_dels = [d for d in delete_files if d.get("kind") == "pos"]
-        by_seq: dict[int, list[dict]] = {}
+        # Positional deletes name their target files on the entry
+        # (written by delete_where_pos); only those files need the
+        # _metadata columns and the (path, pos) anti-join — every
+        # other file scans clean. An entry without the target list
+        # (defensive) degrades to all-files-targeted.
+        pos_targets: set[str] | None = set()
+        for d in pos_dels:
+            tp = d.get("target_paths")
+            if tp is None:
+                pos_targets = None
+                break
+            pos_targets.update(tp)
+
+        def _needs_pos(f: dict) -> bool:
+            if not pos_dels:
+                return False
+            if pos_targets is None:
+                return True
+            return os.path.abspath(f["path"]) in pos_targets
+
+        by_key: dict[tuple[int, bool], list[dict]] = {}
         for f in files:
-            by_seq.setdefault(int(f.get("seq", 0)), []).append(f)
+            by_key.setdefault((int(f.get("seq", 0)), _needs_pos(f)), []).append(f)
         data = None
-        for seq, fs in sorted(by_seq.items()):
-            part = self._read_files(fs, with_pos=bool(pos_dels)).withColumn(
+        for (seq, wp), fs in sorted(by_key.items()):
+            part = self._read_files(fs, with_pos=wp).withColumn(
                 "__seq", F.lit(seq)
             )
+            if bool(pos_dels) and not wp:
+                # untouched files still union with the targeted part:
+                # carry null markers so the schemas line up (the
+                # anti-join condition below only binds targeted rows)
+                part = part.withColumns(
+                    {
+                        "__path": F.lit(None).cast("string"),
+                        "__pos": F.lit(None).cast("long"),
+                    }
+                )
             data = part if data is None else data.unionByName(part)
         if data is None:
             return self._read_files([])

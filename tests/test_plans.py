@@ -335,3 +335,32 @@ def test_pos_delete_read_plans(spark, tmp_path):
     assert "__pos" in plan_mixed
     assert plan_mixed.count("LeftAnti") >= 2  # one anti-join per flavor
     assert t.read().count() == 30
+
+
+def test_pos_delete_targets_prune_untouched_files(spark, tmp_path):
+    """A positional delete names its target files at write time; reads
+    attach the _metadata machinery and the anti-join ONLY to those
+    files — a delete confined to one file leaves the other files'
+    scans clean."""
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    df = spark.range(0, 100).selectExpr("id AS a", "id % 7 AS b")
+    t = IceTable.create_as(
+        spark, str(tmp_path / "pt"), df.repartitionByRange(4, "a")
+    )
+    assert len(t.meta.current_files()) == 4
+    t.delete_where_pos("a < 10")  # falls entirely in the first range file
+    dels = t.meta.snapshot(t.meta.current_snapshot_id)["delete_files"]
+    assert len(dels) == 1 and len(dels[0]["target_paths"]) == 1
+    assert t.read().count() == 90
+    plan = _plan(t.read())
+    data_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "file_path:string,pos:bigint" not in ln
+    ]
+    clean = [ln for ln in data_scans if "row_index" not in ln]
+    targeted = [ln for ln in data_scans if "row_index" in ln]
+    # 3 untouched files scan clean; only the delete's target file pays
+    # for the metadata column + anti-join
+    assert clean and targeted, plan
