@@ -2554,6 +2554,53 @@ def q_sql_materialized_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_scripting",
+    oracle="""
+    WITH c AS (
+      SELECT k,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_totalprice < 1000.0 * POWER(2, k)) AS n
+      FROM generate_series(0, 40) AS t(k)
+    ), tot AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT CAST(1000.0 * POWER(2, (SELECT MIN(k) FROM c, tot
+                                   WHERE c.n * 2 >= tot.n)) AS DOUBLE)
+             AS threshold,
+           (SELECT c.n FROM c, tot WHERE c.n * 2 >= tot.n
+            ORDER BY c.k LIMIT 1) AS n_below
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/SET): an iterative
+    doubling search for the smallest power-of-two price threshold that
+    covers half the orders — control flow running INSIDE the SQL
+    engine, each loop iteration a full distributed aggregate. The
+    oracle replays the loop as a closed-form generate_series scan, so
+    the scripting engine's final state is value-pinned. (Scripting is
+    the Spark-native answer to stored procedures; at 100 TB the loop
+    body is an ordinary distributed query each pass, with no
+    driver-side row movement.)"""
+    from iceberg_workshop_spark.sources.tables import load
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("iws_script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1000.0;
+          WHILE (SELECT COUNT(*) FROM iws_script_orders
+                 WHERE o_totalprice < t) * 2
+                < (SELECT COUNT(*) FROM iws_script_orders) DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT CAST(t AS DOUBLE) AS threshold,
+                 (SELECT COUNT(*) FROM iws_script_orders
+                  WHERE o_totalprice < t) AS n_below;
+        END
+        """
+    )
+
+
+@register(
     "q_sql_merge_stmt",
     oracle="""
     SELECT * FROM (VALUES
