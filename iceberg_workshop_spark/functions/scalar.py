@@ -636,3 +636,42 @@ def q_fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_name").alias("name_back"),
         F.col("s.n_regionkey").alias("region_back"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN lower(c_mktsegment) = lower('bUiLdInG')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_lcase_eq,
+      CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_binary_eq,
+      CAST(COUNT(DISTINCT lower(c_mktsegment)) AS BIGINT)
+        AS n_distinct_lcase
+    FROM customer
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: the same predicate under the binary
+    collation and UTF8_LCASE — case-insensitive equality and DISTINCT
+    become COLLATION SEMANTICS instead of scattered lower() calls (the
+    collation travels with the type, so every comparison, join key and
+    aggregate key downstream inherits it; lower() replicates it for
+    the oracle). At scale a collated column keeps whole-stage codegen
+    — no per-row lower() materialization on the hot path."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment"),
+        F.expr("CAST(c_mktsegment AS STRING COLLATE UTF8_LCASE)").alias(
+            "seg_ci"
+        ),
+    )
+    return cust.agg(
+        F.sum(F.when(F.col("seg_ci") == "bUiLdInG", 1).otherwise(0))
+        .cast("long")
+        .alias("n_lcase_eq"),
+        F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("n_binary_eq"),
+        F.countDistinct("seg_ci").cast("long").alias("n_distinct_lcase"),
+    )
