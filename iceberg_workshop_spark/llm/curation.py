@@ -929,3 +929,90 @@ def q_llm_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute df. Only the per-source doc-count table is broadcast;
     the flagged-shingle join is AQE-chosen."""
     return boilerplate_report(spark, sf_dir, min_df_frac=BOILER_FRAC)
+
+
+# ------------------------------------- distilled quality classifier
+
+CLS_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+CLS_THRESHOLD_NUM = 3  # keep when score * 10 >= 3 * n_tokens
+
+
+@register(
+    "q_llm_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is','it')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(SUM(CASE WHEN length(tok) >= 6 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_long,
+             CAST(SUM(CASE WHEN tok ~ '^[0-9]+$' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_digit,
+             CAST(COUNT(*) - COUNT(DISTINCT tok) AS BIGINT) AS n_repeat
+      FROM toks GROUP BY doc_id, source
+    ), scored AS (
+      SELECT *,
+             3 * n_stop + 2 * n_long - 5 * n_digit - 1 * n_repeat AS score
+      FROM feats
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN score * 10 >= {CLS_THRESHOLD_NUM} * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN score * 10 < {CLS_THRESHOLD_NUM} * n_tokens
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(score) AS BIGINT) AS total_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality-classifier application (the FineWeb-Edu /
+    DCLM pattern: a small trained classifier scores every document
+    and a threshold gates the corpus). The 'model' here is a fixed
+    linear scorer over integer token features — stopword hits,
+    long-token count, digit tokens, within-doc repetition — so the
+    whole scoring pass is INTEGER-exact and the oracle replays the
+    model bit-for-bit; swap the weights for a distilled model's and
+    the plan is unchanged. Threshold is scale-free (score·10 ≥ 3·len),
+    so short and long documents gate comparably.
+
+    Scale: one explode + one groupBy per doc (map-side combined), the
+    weight vector is a literal in the plan (a real distilled model
+    rides a broadcast), and the verdict rollup is per-source — the
+    audit table a data-quality pipeline publishes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_norm_tokens(F.col("text"))).alias("tok"),
+    )
+    feats = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("tok").isin(*CLS_STOPWORDS).cast("long")).alias("n_stop"),
+        F.sum((F.length("tok") >= 6).cast("long")).alias("n_long"),
+        F.sum(F.col("tok").rlike("^[0-9]+$").cast("long")).alias("n_digit"),
+        (F.count(F.lit(1)) - F.countDistinct("tok")).alias("n_repeat"),
+    )
+    scored = feats.withColumn(
+        "score",
+        3 * F.col("n_stop")
+        + 2 * F.col("n_long")
+        - 5 * F.col("n_digit")
+        - 1 * F.col("n_repeat"),
+    )
+    keep = F.col("score") * 10 >= CLS_THRESHOLD_NUM * F.col("n_tokens")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped"),
+            F.sum("score").cast("long").alias("total_score"),
+        )
+        .orderBy("source")
+    )
