@@ -41,6 +41,24 @@ def expire_snapshots(
 
     def mutate(meta: M.TableMeta) -> None:
         nonlocal kept, to_delete
+        # history.expire.max-ref-age-ms (Iceberg): named refs older
+        # than the age cap are REMOVED by the expiration pass before
+        # retention roots are computed — their snapshots then expire
+        # like any other. Absent property = refs live forever. Ref age
+        # is measured from creation (stamped by _create_ref; refs
+        # predating the stamp fall back to their head snapshot's
+        # commit time).
+        max_ref_age = meta.properties.get("history.expire.max-ref-age-ms")
+        if max_ref_age is not None:
+            ref_cutoff = M.now_ms() - int(max_ref_age)
+            for name in list(meta.refs):
+                r = meta.refs[name]
+                born = r.get(
+                    "created_at_ms",
+                    meta.snapshot(r["snapshot_id"])["timestamp_ms"],
+                )
+                if born < ref_cutoff:
+                    del meta.refs[name]
         # Ref heads (tags/branches) are retention roots exactly like
         # the current snapshot — Iceberg semantics: expiration never
         # breaks a named ref, however old its head is.

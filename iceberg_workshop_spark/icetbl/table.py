@@ -492,7 +492,11 @@ class IceTable:
             meta.snapshot(sid)  # validates existence
             if name in meta.refs:
                 raise ValueError(f"ref {name!r} already exists")
-            meta.refs[name] = {"snapshot_id": sid, "type": kind}
+            meta.refs[name] = {
+                "snapshot_id": sid,
+                "type": kind,
+                "created_at_ms": M.now_ms(),
+            }
 
         self._retry_commit(mutate)
 

@@ -566,3 +566,28 @@ def test_changelog_mor_bounds_lookup_resolves_paths(spark, tmp_table_dir):
         {f.split("/")[-1] for f in cl.inputFiles()}
     )
     assert n_scanned <= 2, n_scanned
+
+
+def test_expire_max_ref_age_removes_stale_refs(spark, tmp_path):
+    """history.expire.max-ref-age-ms: expiration removes refs older
+    than the cap, then expires their snapshots; without the property
+    refs protect their heads forever."""
+    import time
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create(spark, str(tmp_path / "refage"), "a int")
+    t.insert_values([(1,)])
+    t.create_tag("old_tag")
+    tagged_sid = t.meta.refs["old_tag"]["snapshot_id"]
+    t.insert_values([(2,)])
+    # no property: the tag survives any expire
+    t.expire_snapshots(older_than_ms=2**62, retain_last=1)
+    assert "old_tag" in t.meta.refs
+    assert any(s["snapshot_id"] == tagged_sid for s in t.meta.snapshots)
+    # age cap of 1 ms: the tag is stale -> removed, snapshot expires
+    time.sleep(0.01)
+    t.set_properties({"history.expire.max-ref-age-ms": "1"})
+    t.expire_snapshots(older_than_ms=2**62, retain_last=1)
+    assert "old_tag" not in t.meta.refs
+    assert all(s["snapshot_id"] != tagged_sid for s in t.meta.snapshots)
