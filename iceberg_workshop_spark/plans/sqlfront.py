@@ -131,6 +131,10 @@ _CREATE_MV_RE = re.compile(
 _REFRESH_MV_RE = re.compile(
     r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)$", re.I
 )
+_DROP_MV_RE = re.compile(
+    r"DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)$", re.I
+)
+_SHOW_MV_RE = re.compile(r"SHOW\s+MATERIALIZED\s+VIEWS$", re.I)
 _INSERT_RE = re.compile(
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<target>[\w.]+)"
     r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s+"
@@ -734,6 +738,25 @@ class IceSqlSession:
             return self._create_mview(m)
         if m := _REFRESH_MV_RE.match(s):
             return self._refresh_mview(m["name"])
+        if m := _DROP_MV_RE.match(s):
+            if m["name"] not in self.mviews:
+                raise KeyError(f"not a materialized view: {m['name']}")
+            spec = self.mviews.pop(m["name"])
+            tbl = self.tables.pop(m["name"])
+            IceTable.drop(tbl.meta.location)
+            return None
+        if _SHOW_MV_RE.match(s):
+            rows = []
+            for name, spec in sorted(self.mviews.items()):
+                src = (
+                    f"{spec['srca']} JOIN {spec['srcb']}"
+                    if spec.get("join")
+                    else spec["src"]
+                )
+                rows.append((name, src, ", ".join(spec["group"])))
+            return self.spark.createDataFrame(
+                rows or [], "name string, source string, group_cols string"
+            )
         if m := _INSERT_RE.match(s):
             return self._insert(m)
         if m := _CREATE_TABLE_RE.match(s):

@@ -664,3 +664,33 @@ def test_materialized_view_rejects_unmaintainable_aggs(spark, tmp_path):
             "CREATE MATERIALIZED VIEW db.bad2 AS SELECT g, COUNT(*) AS n, "
             "MAX(v) AS mv FROM db.srcb GROUP BY g"
         )
+
+
+def test_materialized_view_show_drop_and_time_travel(spark, tmp_path):
+    # SHOW lists MVs; the MV table is snapshot-versioned, so time
+    # travel to the pre-refresh state works; DROP removes view + data.
+    import os
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(8)], "id int, g int, v double"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "mvtt"), df)
+    s = IceSqlSession(spark)
+    s.register_table("db.srct", t)
+    s.sql(
+        "CREATE MATERIALIZED VIEW db.mtt AS SELECT g, COUNT(*) AS n, "
+        "SUM(CAST(v AS DECIMAL(18,2))) AS sv FROM db.srct GROUP BY g"
+    )
+    shown = s.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert [(r.name, r.source) for r in shown] == [("db.mtt", "db.srct")]
+    mv_tbl = s.tables["db.mtt"]
+    pre_sid = mv_tbl.meta.current_snapshot_id
+    t.delete_where("g = 1")
+    s.sql("REFRESH MATERIALIZED VIEW db.mtt")
+    assert s.sql("SELECT * FROM db.mtt").count() == 1
+    # pre-refresh MV state still queryable by snapshot (audit trail)
+    assert mv_tbl.read(snapshot_id=pre_sid).count() == 2
+    loc = mv_tbl.meta.location
+    s.sql("DROP MATERIALIZED VIEW db.mtt")
+    assert "db.mtt" not in s.mviews and "db.mtt" not in s.tables
+    assert not os.path.exists(loc)
