@@ -41,7 +41,8 @@ from iceberg_workshop_spark.icetbl import IceTable, spec_field
 from iceberg_workshop_spark.registry import register, require
 
 _MERGE_HEAD_RE = re.compile(
-    r"MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
+    r"MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>[\w.]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
     r"USING\s+(?:\((?P<src>.+?)\)|(?P<srcname>[\w.]+))\s+(?:AS\s+)?(?P<salias>\w+)\s+"
     r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
     re.I | re.S,
@@ -1026,9 +1027,20 @@ class IceSqlSession:
         tbl = self._table(m["target"])
         talias = m["talias"] or _view_name(m["target"])
         salias = m["salias"]
-        tbl.read().createOrReplaceTempView(talias)
         src_sql = m["src"] or f"SELECT * FROM {m['srcname']}"
-        self.spark.sql(self._rewrite(src_sql)).createOrReplaceTempView(salias)
+        src_df = self.spark.sql(self._rewrite(src_sql))
+        if m.group("evolve"):
+            # MERGE WITH SCHEMA EVOLUTION: source columns absent from
+            # the target are added (metadata-only) before the merge;
+            # pre-existing target rows read them as NULL via the
+            # column-creation-sequence era rule — Iceberg/Delta
+            # mergeSchema semantics without rewriting a single file.
+            target_cols = set(tbl._column_names())
+            for f in src_df.schema.fields:
+                if f.name not in target_cols:
+                    tbl.add_column(f.name, f.dataType.simpleString())
+        tbl.read().createOrReplaceTempView(talias)
+        src_df.createOrReplaceTempView(salias)
 
         on_pairs: list[tuple[str, str]] = []  # (target_col, source_col)
         for conj in re.split(r"\s+AND\s+", m["on"], flags=re.I):
@@ -2621,6 +2633,51 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "q_sql_merge_evolution_stmt",
+    oracle="""
+    SELECT r.r_regionkey,
+           CASE WHEN r.r_regionkey = 1 THEN 'EMEA-NEW' ELSE r.r_name END
+             AS r_name,
+           CASE WHEN r.r_regionkey = 1 THEN 'tier-1' ELSE NULL END AS tier
+    FROM region r
+    UNION ALL
+    SELECT 99, 'MOON', 'tier-9'
+    ORDER BY r_regionkey
+    """,
+)
+def q_sql_merge_evolution_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION: the source carries a column the
+    target has never seen; the clause adds it metadata-only before the
+    merge, pre-existing rows read it as NULL (column-creation-sequence
+    era rule), and matched/inserted rows carry source values — the
+    Iceberg/Delta mergeSchema upsert in one statement."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    t = IceTable.create_as(spark, _fresh(sf_dir, "sql_merge_evo"), region)
+    sess = IceSqlSession(spark)
+    sess.register_table("db.region_evo", t)
+    src = spark.createDataFrame(
+        [(1, "EMEA-NEW", "tier-1"), (99, "MOON", "tier-9")],
+        "r_regionkey int, r_name string, tier string",
+    )
+    sess.register_view("staging.region_src", src)
+    sess.sql(
+        """
+        MERGE WITH SCHEMA EVOLUTION INTO db.region_evo AS target
+        USING (SELECT * FROM staging.region_src) AS source
+        ON r_regionkey = source.r_regionkey
+        WHEN MATCHED THEN UPDATE SET r_regionkey=source.r_regionkey,
+          r_name=source.r_name, tier=source.tier
+        WHEN NOT MATCHED THEN INSERT VALUES (source.r_regionkey,
+          source.r_name, source.tier)
+        """
+    )
+    return sess.sql("SELECT * FROM db.region_evo ORDER BY r_regionkey")
 
 
 @register(

@@ -694,3 +694,45 @@ def test_materialized_view_show_drop_and_time_travel(spark, tmp_path):
     s.sql("DROP MATERIALIZED VIEW db.mtt")
     assert "db.mtt" not in s.mviews and "db.mtt" not in s.tables
     assert not os.path.exists(loc)
+
+
+def test_merge_with_schema_evolution(sess, spark):
+    # Source carries a NEW column: the evolution clause adds it to the
+    # target (metadata-only); pre-existing rows read NULL, matched and
+    # inserted rows carry the source value.
+    s, tbl = sess
+    src = spark.createDataFrame(
+        [(2, "B2", "eu"), (9, "I9", "us")], "id int, name string, region string"
+    )
+    s.register_view("staging.evo", src)
+    s.sql(
+        """
+        MERGE WITH SCHEMA EVOLUTION INTO db.t AS target
+        USING (SELECT id, name, region FROM staging.evo) AS source
+        ON id = source.id
+        WHEN MATCHED THEN UPDATE SET id=source.id, name=source.name,
+          region=source.region
+        WHEN NOT MATCHED THEN INSERT VALUES (source.id, source.name,
+          source.region)
+        """
+    )
+    got = {(r.id, r.name, r.region) for r in tbl.read().collect()}
+    assert got == {
+        (1, "a", None),
+        (2, "B2", "eu"),
+        (3, "c", None),
+        (9, "I9", "us"),
+    }
+    # without the clause, a schema-mismatched source still errors
+    src2 = spark.createDataFrame([(5, "x", "zz", 1)], "id int, name string, region string, extra int")
+    s.register_view("staging.evo2", src2)
+    with pytest.raises(Exception):
+        s.sql(
+            """
+            MERGE INTO db.t AS target
+            USING (SELECT * FROM staging.evo2) AS source
+            ON id = source.id
+            WHEN NOT MATCHED THEN INSERT VALUES (source.id, source.name,
+              source.region, source.extra)
+            """
+        )
