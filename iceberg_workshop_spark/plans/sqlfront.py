@@ -839,14 +839,49 @@ class IceSqlSession:
         if suffix == "history":
             return tbl.history()
         if suffix == "snapshots":
+            # Iceberg's .snapshots carries a summary map per commit
+            # (added/removed files and records, total sizes) — derived
+            # here from the parent diff, the same numbers Iceberg
+            # persists in the snapshot summary at commit time.
+            by_id = {
+                sn["snapshot_id"]: sn for sn in tbl.meta.snapshots
+            }
+            rows = []
+            for s2 in tbl.snapshots_info():
+                snap = by_id[s2["snapshot_id"]]
+                parent = by_id.get(snap.get("parent_id"))
+                cur_files = {f["path"]: f for f in snap["files"]}
+                par_files = (
+                    {f["path"]: f for f in parent["files"]}
+                    if parent is not None
+                    else {}
+                )
+                added = [
+                    f for p, f in cur_files.items() if p not in par_files
+                ]
+                removed = [
+                    f for p, f in par_files.items() if p not in cur_files
+                ]
+                rows.append(
+                    (
+                        s2["snapshot_id"],
+                        s2["parent_id"],
+                        s2["timestamp_ms"],
+                        s2["operation"],
+                        s2["n_files"],
+                        s2["n_records"],
+                        len(added),
+                        sum(f.get("record_count") or 0 for f in added),
+                        len(removed),
+                        sum(f.get("record_count") or 0 for f in removed),
+                    )
+                )
             return self.spark.createDataFrame(
-                [
-                    (s["snapshot_id"], s["parent_id"], s["timestamp_ms"],
-                     s["operation"], s["n_files"], s["n_records"])
-                    for s in tbl.snapshots_info()
-                ],
+                rows,
                 "snapshot_id long, parent_id long, timestamp_ms long, "
-                "operation string, n_files long, n_records long",
+                "operation string, n_files long, n_records long, "
+                "added_data_files long, added_records long, "
+                "removed_data_files long, removed_records long",
             )
         if suffix == "refs":
             # Refs are stored as {"snapshot_id": ..., "type": kind}

@@ -736,3 +736,25 @@ def test_merge_with_schema_evolution(sess, spark):
               source.region, source.extra)
             """
         )
+
+
+def test_snapshots_view_summary_columns(spark, tmp_path):
+    # .snapshots reports the per-commit summary diff (added/removed
+    # files and records) the way Iceberg persists it.
+    t = IceTable.create(spark, str(tmp_path / "snapsum"), "a int")
+    t.insert_values([(1,), (2,)])
+    t.insert_values([(3,)])
+    t.delete_where("a = 1")  # CoW: rewrites the first file
+    s = IceSqlSession(spark)
+    s.register_table("db.ss", t)
+    rows = s.sql(
+        "SELECT operation, added_data_files, added_records,"
+        " removed_data_files, removed_records FROM db.ss.snapshots"
+    ).collect()
+    assert [r.operation for r in rows] == ["append", "append", "delete"]
+    assert rows[0].added_records == 2 and rows[0].removed_records == 0
+    assert rows[1].added_records == 1 and rows[1].removed_data_files == 0
+    # the CoW delete swapped out the file holding a=1 (each
+    # insert_values row lands in its own file here)
+    assert rows[2].removed_data_files == 1 and rows[2].removed_records == 1
+    assert rows[2].added_records == 0
