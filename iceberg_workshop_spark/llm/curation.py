@@ -1016,3 +1016,73 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------- temperature mixture weights
+
+MIX_TAU = 0.5  # temperature: w_i ∝ n_i^tau  (tau<1 upsamples small sources)
+MIX_BUDGET = 10000  # planned samples per epoch
+
+
+@register(
+    "q_llm_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt
+      FROM counts
+    ), denom AS (
+      SELECT list_reduce(list(wt ORDER BY source), (a, b) -> a + b) AS d
+      FROM w
+    )
+    SELECT w.source, w.n_docs,
+           ROUND(w.wt / denom.d, 6) AS mix_share,
+           CAST(FLOOR({MIX_BUDGET} * w.wt / denom.d) AS BIGINT)
+             AS planned_samples,
+           ROUND(({MIX_BUDGET} * w.wt / denom.d) / w.n_docs, 4)
+             AS epochs_over_source
+    FROM w, denom
+    ORDER BY w.source
+    """,
+)
+def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual /
+    multi-domain mixing rule: w_i ∝ n_i^τ, τ=0.5 here — τ<1 upsamples
+    small sources, τ=1 is proportional, τ=0 uniform): per-source mix
+    share, planned sample count for a fixed epoch budget, and the
+    implied repetition factor (epochs over the source — the
+    over-sampling audit number that flags memorization risk when it
+    exceeds ~4). Float determinism: sqrt is IEEE-correctly-rounded in
+    both engines and the denominator is a SORTED-order fold over the
+    per-source weights (20 rows), so shares match bit-for-bit.
+
+    At 100 TB this runs on per-source counts (metadata-scale), and the
+    planned_samples column feeds q_llm_sample_stratified /
+    q_llm_global_shuffle as the per-source quota."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn("wt", F.sqrt(F.col("n_docs").cast("double")))
+    denom = w.agg(
+        F.aggregate(
+            F.expr("transform(sort_array(collect_list(struct(source, wt))), s -> s.wt)"),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("d")
+    )
+    return (
+        w.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("wt") / F.col("d"), 6).alias("mix_share"),
+            F.floor(F.lit(MIX_BUDGET) * F.col("wt") / F.col("d"))
+            .cast("long")
+            .alias("planned_samples"),
+            F.round(
+                (F.lit(MIX_BUDGET) * F.col("wt") / F.col("d")) / F.col("n_docs"),
+                4,
+            ).alias("epochs_over_source"),
+        )
+        .orderBy("source")
+    )
