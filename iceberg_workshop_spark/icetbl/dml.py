@@ -41,7 +41,10 @@ def _affected_paths(df_with_fp: DataFrame) -> set[str]:
 
 
 def _with_fp(tbl: IceTable, files: list[dict]) -> DataFrame:
-    return tbl._read_files(files).withColumn("__fp", F.col("_metadata.file_path"))
+    # __fp must be attached inside _read_files: on an evolved table the
+    # read is a union of per-era projections and _metadata only
+    # resolves on the raw scans beneath it.
+    return tbl._read_files(files, with_fp=True)
 
 
 def _current_deletes(tbl: IceTable) -> list[dict]:

@@ -187,6 +187,58 @@ class IceTable:
 
         self._retry_commit(mutate)
 
+    _WIDENINGS = {
+        ("int", "bigint"),
+        ("float", "double"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("int", "double"),  # not Iceberg-legal; rejected below, listed for clarity
+    } - {("int", "double")}
+
+    def update_column_type(self, name: str, new_type: str) -> None:
+        """Schema evolution, type widening (Iceberg's ALTER COLUMN ...
+        TYPE ...): metadata-only — files written before the change
+        keep their narrow physical type and every read casts them up
+        per era (no rewrite). Only Iceberg's safe promotions are
+        allowed (int→bigint, float→double, and the smaller integer
+        widths); anything lossy is rejected."""
+        from pyspark.sql.types import StructType
+
+        new_type = new_type.strip().lower()
+        fields = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(self.meta.schema_ddl).fields
+        }
+        if name not in fields:
+            raise KeyError(f"no such column: {name}")
+        old_type = fields[name]
+        if old_type == new_type:
+            return
+        if (old_type, new_type) not in self._WIDENINGS:
+            raise ValueError(
+                f"illegal type change {old_type} -> {new_type}: only "
+                "widening promotions are metadata-safe"
+            )
+
+        def mutate(meta: M.TableMeta) -> None:
+            fs = [
+                (f.name, new_type if f.name == name else f.dataType.simpleString())
+                for f in StructType.fromDDL(meta.schema_ddl).fields
+            ]
+            meta.schema_ddl = ", ".join(f"{n} {t}" for n, t in fs)
+            meta.doc.setdefault("column_type_history", []).append(
+                {
+                    "name": name,
+                    "seq": int(meta.properties.get("last-sequence-number", "0")),
+                    "old": old_type,
+                }
+            )
+
+        self._retry_commit(mutate)
+
     def rename_column(self, old: str, new: str) -> None:
         """Metadata-only RENAME COLUMN (Iceberg semantics): values in
         existing files are PRESERVED — the rename log records at which
@@ -567,22 +619,34 @@ class IceTable:
 
         return [f.name for f in StructType.fromDDL(self.meta.schema_ddl).fields]
 
-    def _read_files(self, files: list[dict], with_pos: bool = False) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[dict],
+        with_pos: bool = False,
+        with_fp: bool = False,
+    ) -> DataFrame:
         """``with_pos=True`` adds ``__path``/``__pos`` columns (the
         file's URI and the row's ordinal within it, from Spark's hidden
-        ``_metadata`` struct) so positional deletes can anti-join —
-        zero cost when off, and the generated columns never shuffle
-        unless a pos-delete actually exists."""
+        ``_metadata`` struct) so positional deletes can anti-join;
+        ``with_fp=True`` adds just ``__fp`` (the file URI) for
+        affected-file discovery in copy-on-write DML. Both must be
+        attached INSIDE this method: on an evolved table the result is
+        a union of per-era projections, and ``_metadata`` is only
+        resolvable on the raw file scans beneath it — attaching after
+        the union throws UNRESOLVED_COLUMN (bug found by the
+        type-widening work). Zero cost when off."""
 
         def _pos_cols(df: DataFrame) -> DataFrame:
-            if not with_pos:
-                return df
-            return df.withColumns(
-                {
-                    "__path": F.col("_metadata.file_path"),
-                    "__pos": F.col("_metadata.row_index"),
-                }
-            )
+            if with_pos:
+                df = df.withColumns(
+                    {
+                        "__path": F.col("_metadata.file_path"),
+                        "__pos": F.col("_metadata.row_index"),
+                    }
+                )
+            if with_fp:
+                df = df.withColumn("__fp", F.col("_metadata.file_path"))
+            return df
 
         if not files:
             df = self.spark.createDataFrame([], schema=self.meta.schema_ddl)
@@ -593,10 +657,13 @@ class IceTable:
                         "__pos": F.lit(None).cast("long"),
                     }
                 )
+            if with_fp:
+                df = df.withColumn("__fp", F.lit(None).cast("string"))
             return df
         created = self.meta.doc.get("column_created_seq", {})
         renames = self.meta.doc.get("column_renames", [])
-        if not created and not renames:
+        widened = self.meta.doc.get("column_type_history", [])
+        if not created and not renames and not widened:
             return _pos_cols(
                 self.spark.read.schema(self.meta.schema_ddl).parquet(
                     *[f["path"] for f in files]
@@ -618,18 +685,35 @@ class IceTable:
         by_seq: dict[int, list[str]] = {}
         for f in files:
             by_seq.setdefault(int(f.get("seq", 0)), []).append(f["path"])
+        def era_type(name: str, file_seq: int) -> str:
+            # Type widening (Iceberg's ALTER COLUMN TYPE): a file
+            # written before a widening carries the OLD physical type;
+            # read it as written, then cast up. The earliest widening
+            # whose change-seq >= the file's seq gives that file's
+            # physical type; no such change = the declared type.
+            for ch in sorted(
+                (c for c in widened if c["name"] == name),
+                key=lambda c: int(c["seq"]),
+            ):
+                if file_seq <= int(ch["seq"]):
+                    return ch["old"]
+            return types[name].simpleString()
+
         parts = []
         for seq, paths in sorted(by_seq.items()):
-            # read with this era's PHYSICAL names, then alias back
+            # read with this era's PHYSICAL names and types, then
+            # alias/cast back to the declared schema
             phys = {name: self._physical_name(name, seq) for name in types}
             era_schema = ", ".join(
-                f"{phys[f.name]} {f.dataType.simpleString()}"
+                f"{phys[f.name]} {era_type(f.name, seq)}"
                 for f in StructType.fromDDL(self.meta.schema_ddl).fields
             )
             df = _pos_cols(self.spark.read.schema(era_schema).parquet(*paths))
             for name in types:
                 if phys[name] != name:
                     df = df.withColumnRenamed(phys[name], name)
+                if era_type(name, seq) != types[name].simpleString():
+                    df = df.withColumn(name, F.col(name).cast(types[name]))
             for name, cseq in created.items():
                 if name in types and seq <= int(cseq):
                     df = df.withColumn(name, F.lit(None).cast(types[name]))

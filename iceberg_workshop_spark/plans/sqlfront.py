@@ -190,7 +190,7 @@ _CALL_RE = re.compile(
 )
 _ALTER_COL_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
-    r"(?P<verb>ADD|DROP|RENAME)\s+COLUMNS?\s+(?P<body>.+)$",
+    r"(?P<verb>ADD|DROP|RENAME|ALTER)\s+COLUMNS?\s+(?P<body>.+)$",
     re.I | re.S,
 )
 _REF_DDL_RE = re.compile(
@@ -614,6 +614,16 @@ class IceSqlSession:
                     tbl.add_column(name, typ.strip())
             elif verb == "DROP":
                 tbl.drop_column(m["body"].strip())
+            elif verb == "ALTER":
+                # Iceberg type-widening DDL: ALTER COLUMN c TYPE bigint
+                am = re.match(
+                    r"(?P<col>\w+)\s+TYPE\s+(?P<typ>[\w(),\s]+)$",
+                    m["body"].strip(),
+                    re.I,
+                )
+                if not am:
+                    raise ValueError(f"unparsed ALTER COLUMN: {m['body']!r}")
+                tbl.update_column_type(am["col"], am["typ"].strip())
             else:  # RENAME COLUMN old TO new
                 rm = re.match(
                     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
@@ -2713,6 +2723,37 @@ def q_sql_merge_evolution_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return sess.sql("SELECT * FROM db.region_evo ORDER BY r_regionkey")
+
+
+@register(
+    "q_schema_widen",
+    oracle="""
+    SELECT 1 AS k, CAST(10 AS BIGINT) AS v
+    UNION ALL SELECT 2, 20
+    UNION ALL SELECT 3, 1000000000000000
+    ORDER BY k
+    """,
+)
+def q_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (Iceberg's ALTER COLUMN ... TYPE,
+    the remaining A35 surface): an INT column becomes BIGINT
+    metadata-only; files written before the change keep their narrow
+    physical type and are read as written then cast up PER ERA (no
+    rewrite, no parquet type-mismatch error), and a post-widening row
+    carries a value that cannot fit the old type. CoW DML across the
+    widening boundary is covered by unit tests (the same era machinery
+    serves the _metadata-based affected-file discovery)."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+
+    t = IceTable.create(spark, _fresh(sf_dir, "schema_widen"), "k int, v int")
+    t.insert_values([(1, 10), (2, 20)])
+    sess = IceSqlSession(spark)
+    sess.register_table("db.widen", t)
+    sess.sql("ALTER TABLE db.widen ALTER COLUMN v TYPE bigint")
+    t.append(
+        spark.createDataFrame([(3, 10**15)], "k int, v bigint")
+    )
+    return sess.sql("SELECT * FROM db.widen ORDER BY k")
 
 
 @register(

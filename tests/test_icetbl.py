@@ -591,3 +591,33 @@ def test_expire_max_ref_age_removes_stale_refs(spark, tmp_path):
     t.expire_snapshots(older_than_ms=2**62, retain_last=1)
     assert "old_tag" not in t.meta.refs
     assert all(s["snapshot_id"] != tagged_sid for s in t.meta.snapshots)
+
+
+def test_type_widening_mixed_eras_and_dml(spark, tmp_path):
+    """ALTER COLUMN TYPE widening: narrow-era files read-then-cast,
+    wide values land after, CoW delete crosses the boundary, lossy
+    changes rejected, pruning bounds still work across eras."""
+    import pytest as _pt
+
+    from iceberg_workshop_spark.icetbl import IceTable, Pred
+
+    t = IceTable.create(spark, str(tmp_path / "widen"), "k int, v int")
+    t.insert_values([(1, 10), (2, 20)])
+    t.update_column_type("v", "bigint")
+    t.append(spark.createDataFrame([(3, 10**15)], "k int, v bigint"))
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, 10), (2, 20), (3, 10**15),
+    ]
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    # stats pruning across eras: the narrow files' bounds are ints,
+    # the wide file's longs — numeric comparison must prune anyway
+    t.scan([Pred("v", "between", (10**14, 10**16))]).collect()
+    rep = t.last_scan_report
+    assert rep["files_scanned"] < rep["files_total"]
+    # CoW delete across the widening boundary
+    t.delete_where("v = 20")
+    assert sorted(r.v for r in t.read().collect()) == [10, 10**15]
+    with _pt.raises(ValueError, match="widening"):
+        t.update_column_type("v", "int")
+    with _pt.raises(ValueError, match="widening"):
+        t.update_column_type("k", "string")
