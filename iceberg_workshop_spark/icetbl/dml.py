@@ -134,9 +134,20 @@ def delete_where(
     condition: str,
     prune: list[Pred] | None = None,
     isolation: str = "strict",
+    branch: str | None = None,
 ) -> dict[str, int]:
-    """DELETE FROM ... WHERE (A10). Returns rewrite statistics."""
-    files = tbl.meta.current_files()
+    """DELETE FROM ... WHERE (A10). Returns rewrite statistics.
+
+    ``branch=`` runs the copy-on-write delete against that branch's
+    HEAD and commits to the branch — the write-audit-publish pattern
+    with row-level deletes staged off main (Iceberg's branch-scoped
+    DML): main never sees the rewrite until fast_forward publishes
+    it."""
+    files = (
+        tbl.meta.snapshot(tbl.meta.refs[branch]["snapshot_id"])["files"]
+        if branch
+        else tbl.meta.current_files()
+    )
     spec_by_id = {i: s for i, s in enumerate(tbl.meta.specs)}
     candidates, _ = prune_files(files, spec_by_id, prune or [])
     candidate_paths = {f["path"] for f in candidates}
@@ -161,13 +172,18 @@ def delete_where(
     tbl._commit_snapshot(
         planned,
         "delete",
-        rebase=_cow_rebase(
-            tbl,
-            files,
-            _current_deletes(tbl),
-            planned,
-            lambda df: df.filter(condition).limit(1).count() > 0,
-            isolation,
+        branch=branch,
+        rebase=(
+            None
+            if branch
+            else _cow_rebase(
+                tbl,
+                files,
+                _current_deletes(tbl),
+                planned,
+                lambda df: df.filter(condition).limit(1).count() > 0,
+                isolation,
+            )
         ),
     )
     return {

@@ -621,3 +621,18 @@ def test_type_widening_mixed_eras_and_dml(spark, tmp_path):
         t.update_column_type("v", "int")
     with _pt.raises(ValueError, match="widening"):
         t.update_column_type("k", "string")
+
+
+def test_branch_scoped_delete_wap(spark, tmp_path):
+    """WAP with row-level deletes: a CoW DELETE staged on a branch
+    leaves main untouched until fast_forward publishes it."""
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create(spark, str(tmp_path / "brdel"), "k int")
+    t.insert_values([(i,) for i in range(6)])
+    t.create_branch("audit")
+    t.delete_where("k >= 4", branch="audit")
+    assert t.read().count() == 6                 # main untouched
+    assert t.read(ref="audit").count() == 4      # branch sees the delete
+    t.fast_forward("audit")
+    assert t.read().count() == 4                 # published
