@@ -577,12 +577,19 @@ class IceSqlSession:
             # Prune candidate files on the WHERE's simple conjuncts —
             # each is implied by the full condition, so a pruned-out
             # file cannot hold a matching row (the rewrite itself still
-            # applies the full condition).
-            tbl = self._table(m["target"])
+            # applies the full condition). Iceberg's branch identifier
+            # (DELETE FROM db.t.branch_audit ...) routes the CoW
+            # rewrite to that branch's head — WAP with row deletes.
+            target, branch = m["target"], None
+            bm = re.match(r"(?P<base>[\w.]+)\.branch_(?P<br>\w+)$", target)
+            if bm and bm["base"] in self.tables:
+                target, branch = bm["base"], bm["br"]
+            tbl = self._table(target)
             tbl.delete_where(
                 self._rewrite(m["cond"]),
                 prune=self._safe_preds(tbl, m["cond"]),
                 isolation=_iso_level(tbl, "delete"),
+                branch=branch,
             )
             return None
         if m := _ROLLBACK_RE.match(s):

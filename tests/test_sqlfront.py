@@ -758,3 +758,15 @@ def test_snapshots_view_summary_columns(spark, tmp_path):
     # insert_values row lands in its own file here)
     assert rows[2].removed_data_files == 1 and rows[2].removed_records == 1
     assert rows[2].added_records == 0
+
+
+def test_delete_on_branch_identifier(sess):
+    # Iceberg branch identifier: DELETE FROM db.t.branch_audit stages
+    # the CoW delete on the branch; main publishes via fast_forward.
+    s, tbl = sess
+    tbl.create_branch("audit")
+    s.sql("DELETE FROM db.t.branch_audit WHERE id >= 2")
+    assert tbl.read().count() == 3
+    assert tbl.read(ref="audit").count() == 1
+    tbl.fast_forward("audit")
+    assert tbl.read().count() == 1
