@@ -1565,10 +1565,11 @@ class IceSqlSession:
         )
         merged = merged.filter(F.col(cnt_alias) > 0)
         # the MV table is snapshot-versioned like any other: the
-        # refresh is one truncate+append commit pair, and time travel
-        # to pre-refresh MV states works for free
-        mv_tbl.truncate()
-        mv_tbl.append(merged.select(*mv_types))
+        # refresh is ONE atomic overwrite commit (a truncate+append
+        # pair would expose an empty MV to a racing reader between the
+        # two snapshots), and time travel to pre-refresh MV states
+        # works for free
+        mv_tbl.insert_overwrite(merged.select(*mv_types))
         if spec.get("join"):
             spec["base_sid_a"], spec["base_sid_b"] = cur_a, cur_b
         else:

@@ -888,8 +888,8 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(28,2)")
             .alias("sum_price"),
         )
-        mv.truncate()
-        mv.append(merged)
+        # one atomic overwrite per micro-batch — no empty-MV window
+        mv.insert_overwrite(merged)
 
     spark.dataSource.register(IceStreamDataSource)
     query = (
