@@ -32,7 +32,11 @@ from iceberg_workshop_spark.icetbl.table import IceTable, _pred_to_column
 
 
 def _norm_path(spark_file_path: str) -> str:
-    return urllib.parse.urlparse(spark_file_path).path
+    """_metadata.file_path is a Hadoop URI: strip the scheme AND
+    percent-decode (a space in the table location arrives as %20 —
+    comparing the raw .path against os.path file paths silently
+    misses every file under such a location)."""
+    return urllib.parse.unquote(urllib.parse.urlparse(spark_file_path).path)
 
 
 def _affected_paths(df_with_fp: DataFrame) -> set[str]:
@@ -47,8 +51,15 @@ def _with_fp(tbl: IceTable, files: list[dict]) -> DataFrame:
     return tbl._read_files(files, with_fp=True)
 
 
-def _current_deletes(tbl: IceTable) -> list[dict]:
-    cur = tbl.meta.current_snapshot_id
+def _current_deletes(tbl: IceTable, branch: str | None = None) -> list[dict]:
+    """Delete files of the commit base — the BRANCH head's when a
+    branch write is in flight (main's deletes must never mask branch
+    rows and vice versa)."""
+    cur = (
+        tbl.meta.refs[branch]["snapshot_id"]
+        if branch
+        else tbl.meta.current_snapshot_id
+    )
     return (
         list(tbl.meta.snapshot(cur).get("delete_files", []))
         if cur is not None
@@ -56,12 +67,16 @@ def _current_deletes(tbl: IceTable) -> list[dict]:
     )
 
 
-def _rows_of(tbl: IceTable, files: list[dict]) -> DataFrame:
+def _rows_of(
+    tbl: IceTable, files: list[dict], branch: str | None = None
+) -> DataFrame:
     """Rows of ``files`` with merge-on-read deletes applied — every
     CoW rewrite must read THROUGH the deletes: the rewritten file gets
     a fresh sequence number, so a carried equality delete would no
-    longer apply to it and a raw read would resurrect deleted rows."""
-    return tbl._apply_deletes(files, _current_deletes(tbl))
+    longer apply to it and a raw read would resurrect deleted rows.
+    The delete set comes from the same head the files came from
+    (branch-scoped DML reads the branch's deletes, not main's)."""
+    return tbl._apply_deletes(files, _current_deletes(tbl, branch))
 
 
 def _del_entry_key(d: dict) -> tuple:
@@ -143,6 +158,11 @@ def delete_where(
     with row-level deletes staged off main (Iceberg's branch-scoped
     DML): main never sees the rewrite until fast_forward publishes
     it."""
+    if branch and isolation != "strict":
+        raise ValueError(
+            "branch-scoped DELETE supports only isolation='strict' — "
+            "the snapshot/serializable rebase validates against main"
+        )
     files = (
         tbl.meta.snapshot(tbl.meta.refs[branch]["snapshot_id"])["files"]
         if branch
@@ -165,7 +185,9 @@ def delete_where(
     new_files: list[dict] = []
     if affected:
         remaining = (
-            _rows_of(tbl, affected).filter(f"NOT ({condition})").select(*tbl._column_names())
+            _rows_of(tbl, affected, branch)
+            .filter(f"NOT ({condition})")
+            .select(*tbl._column_names())
         )
         new_files = tbl._write_files(remaining, tbl.meta.specs[spec_id], spec_id)
     planned = untouched + unaffected + new_files
@@ -338,6 +360,37 @@ IceTable.merge_into = merge_into
 IceTable.update_where = update_where
 
 
+def _write_delete_sidecar(tbl: IceTable, prefix: str, df: DataFrame):
+    """Shared sidecar-file protocol for delete files: write the rows
+    (sorted, single file) under data/, return (paths, row_count,
+    pyarrow table of the written rows). Reading the just-written local
+    file back is ONE tiny IO instead of re-running the planning scan
+    per derived quantity (row count, distinct targets) — the full-table
+    predicate scan runs exactly once."""
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from iceberg_workshop_spark.icetbl import meta as M2
+
+    ddir = _os.path.join(
+        tbl.meta.location, M2.DATA_DIR, f"{prefix}-{_uuid.uuid4().hex[:12]}"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(ddir)
+    paths = [
+        _os.path.join(root, n)
+        for root, _d, names in _os.walk(ddir)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    tables = [_pq.read_table(p) for p in paths]
+    import pyarrow as _pa
+
+    content = tables[0] if len(tables) == 1 else _pa.concat_tables(tables)
+    return paths, content.num_rows, content
+
+
 def delete_where_mor(
     tbl: IceTable, condition: str, keys: list[str]
 ) -> dict[str, int]:
@@ -353,23 +406,8 @@ def delete_where_mor(
     deletes land in seconds, and the read-time anti-join stays cheap
     because the delete side is a broadcast-sized key list. All delete
     files of a table must share one equality key set (`keys`)."""
-    import os as _os
-    import uuid as _uuid
-
-    from iceberg_workshop_spark.icetbl import meta as M2
-
     matching = tbl.read().filter(condition).select(*keys).distinct()
-    ddir = _os.path.join(
-        tbl.meta.location, M2.DATA_DIR, f"eqdel-{_uuid.uuid4().hex[:12]}"
-    )
-    matching.coalesce(1).write.mode("overwrite").parquet(ddir)
-    paths = [
-        _os.path.join(root, n)
-        for root, _d, names in _os.walk(ddir)
-        for n in names
-        if n.endswith(".parquet")
-    ]
-    n_keys = matching.count()
+    paths, n_keys, _content = _write_delete_sidecar(tbl, "eqdel", matching)
     dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
     entries = [
         {"path": p, "record_count": n_keys, "keys": list(keys), "dseq": dseq}
@@ -455,12 +493,7 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
     O(table); the read-time anti-join is keyed on (path, pos) so it
     co-partitions with the scan and AQE broadcasts small delete sets.
     """
-    import os as _os
-    import uuid as _uuid
-
     from pyspark.sql import functions as F
-
-    from iceberg_workshop_spark.icetbl import meta as M2
 
     files = tbl.meta.current_files()
     # Raw-file positions: rows already masked by existing deletes may
@@ -474,21 +507,13 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
             F.col("__pos").alias("pos"),
         )
     )
-    ddir = _os.path.join(
-        tbl.meta.location, M2.DATA_DIR, f"posdel-{_uuid.uuid4().hex[:12]}"
-    )
     # Iceberg sorts position deletes by (file_path, pos) so readers
-    # can merge-apply them; keep that layout.
-    matching.orderBy("file_path", "pos").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(ddir)
-    paths = [
-        _os.path.join(root, n)
-        for root, _d, names in _os.walk(ddir)
-        for n in names
-        if n.endswith(".parquet")
-    ]
-    n_pos = matching.count()
+    # can merge-apply them; keep that layout. The planning scan runs
+    # ONCE (the write); row count and the target list come from
+    # reading the tiny written file back.
+    paths, n_pos, content = _write_delete_sidecar(
+        tbl, "posdel", matching.orderBy("file_path", "pos")
+    )
     # Record the delete's TARGET data files on the entry (Iceberg
     # keeps the same information in manifest stats): readers then
     # apply the (path, pos) anti-join only to the named files and
@@ -497,8 +522,8 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
     # one normalized path per touched file.
     target_paths = sorted(
         {
-            urllib.parse.urlparse(r["file_path"]).path
-            for r in matching.select("file_path").distinct().collect()
+            _norm_path(u)
+            for u in content.column("file_path").unique().to_pylist()
         }
     )
     dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1

@@ -45,19 +45,17 @@ def expire_snapshots(
         # than the age cap are REMOVED by the expiration pass before
         # retention roots are computed — their snapshots then expire
         # like any other. Absent property = refs live forever. Ref age
-        # is measured from creation (stamped by _create_ref; refs
-        # predating the stamp fall back to their head snapshot's
-        # commit time).
+        # is the age of the HEAD COMMIT, not of ref creation: a branch
+        # that keeps receiving commits stays young however long ago it
+        # was created (measuring from created_at_ms would delete an
+        # actively-written branch and its files — review-caught bug).
         max_ref_age = meta.properties.get("history.expire.max-ref-age-ms")
         if max_ref_age is not None:
             ref_cutoff = M.now_ms() - int(max_ref_age)
             for name in list(meta.refs):
                 r = meta.refs[name]
-                born = r.get(
-                    "created_at_ms",
-                    meta.snapshot(r["snapshot_id"])["timestamp_ms"],
-                )
-                if born < ref_cutoff:
+                head_ts = meta.snapshot(r["snapshot_id"])["timestamp_ms"]
+                if head_ts < ref_cutoff:
                     del meta.refs[name]
         # Ref heads (tags/branches) are retention roots exactly like
         # the current snapshot — Iceberg semantics: expiration never
@@ -412,11 +410,8 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
     (and the read-time anti-join input) proportional to LIVE deleted
     rows."""
     import os as _os
-    import uuid as _uuid
 
     from pyspark.sql import functions as F
-
-    from iceberg_workshop_spark.icetbl import meta as M2
 
     cur = tbl.meta.current_snapshot_id
     dels = (
@@ -431,43 +426,40 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
             "dangling_positions_dropped": 0,
         }
     # _metadata.file_path URIs render as file:/abs/path (sometimes
-    # file:///abs/path depending on Hadoop FS impl) — normalize the
-    # scheme off and compare plain absolute paths.
-    live_paths = [
+    # file:///abs/path) WITH percent-encoding (%20 for a space); match
+    # them to filesystem paths driver-side via urlparse+unquote on the
+    # metadata-scale distinct URI list — a Spark-side string strip
+    # would keep the encoding and silently classify every live
+    # position as dangling.
+    import urllib.parse as _up
+
+    live_paths = {
         _os.path.abspath(f["path"]) for f in tbl.meta.current_files()
-    ]
+    }
     union = tbl.spark.read.parquet(*[d["path"] for d in pos_dels]).select(
         "file_path", "pos"
     )
     n_before = union.count()
+    live_uris = [
+        r["file_path"]
+        for r in union.select("file_path").distinct().collect()
+        if _up.unquote(_up.urlparse(r["file_path"]).path) in live_paths
+    ]
     live = (
         union.distinct()
-        .filter(
-            F.regexp_replace(F.col("file_path"), r"^file:(//)?", "").isin(
-                live_paths
-            )
-        )
+        .filter(F.col("file_path").isin(live_uris))
         .orderBy("file_path", "pos")
     )
     n_live = live.count()
-    ddir = _os.path.join(
-        tbl.meta.location, M2.DATA_DIR, f"posdel-{_uuid.uuid4().hex[:12]}"
-    )
     new_entries: list[dict] = []
     if n_live:
-        live.coalesce(1).write.mode("overwrite").parquet(ddir)
-        paths = [
-            _os.path.join(root, n)
-            for root, _d, names in _os.walk(ddir)
-            for n in names
-            if n.endswith(".parquet")
-        ]
-        import urllib.parse as _up
+        from iceberg_workshop_spark.icetbl.dml import _write_delete_sidecar
 
+        paths, _n, content = _write_delete_sidecar(tbl, "posdel", live)
         target_paths = sorted(
             {
-                _up.urlparse(r["file_path"]).path
-                for r in live.select("file_path").distinct().collect()
+                _up.unquote(_up.urlparse(u).path)
+                for u in content.column("file_path").unique().to_pylist()
             }
         )
         dseq = max(int(d["dseq"]) for d in pos_dels)

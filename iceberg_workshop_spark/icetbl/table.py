@@ -498,6 +498,25 @@ class IceTable:
                     f["first_snapshot_id"] = snap_id
                 else:
                     f.setdefault("first_snapshot_id", snap_id)
+            # Persist the commit summary (added/removed files+records
+            # vs the attempt's parent) like Iceberg's snapshot summary
+            # map — derived-at-read-time diffs go stale the moment the
+            # parent is expired.
+            parent_files = (
+                {
+                    f["path"]: f
+                    for f in self.meta.snapshot(parent)["files"]
+                }
+                if parent is not None
+                else {}
+            )
+            cur_by_path = {f["path"]: f for f in files}
+            s_added = [
+                f for p2, f in cur_by_path.items() if p2 not in parent_files
+            ]
+            s_removed = [
+                f for p2, f in parent_files.items() if p2 not in cur_by_path
+            ]
             snap = {
                 "snapshot_id": snap_id,
                 "parent_id": parent,
@@ -505,6 +524,16 @@ class IceTable:
                 "operation": operation,
                 "files": files,
                 "delete_files": delete_files,
+                "summary": {
+                    "added_data_files": len(s_added),
+                    "added_records": sum(
+                        f.get("record_count") or 0 for f in s_added
+                    ),
+                    "removed_data_files": len(s_removed),
+                    "removed_records": sum(
+                        f.get("record_count") or 0 for f in s_removed
+                    ),
+                },
             }
             self.meta.snapshots.append(snap)
             if branch:
@@ -1083,7 +1112,8 @@ class IceTable:
                     .collect()
                 }
                 hit_paths = {
-                    urllib.parse.urlparse(u).path for u in hit_uris
+                    urllib.parse.unquote(urllib.parse.urlparse(u).path)
+                    for u in hit_uris
                 }
                 relevant.update(
                     f["path"]
@@ -1111,7 +1141,9 @@ class IceTable:
                     .collect()
                 )
                 by_path = {
-                    urllib.parse.urlparse(r["__fp"]).path: r
+                    urllib.parse.unquote(
+                        urllib.parse.urlparse(r["__fp"]).path
+                    ): r
                     for r in bounds_rows
                 }
                 for d in dels:

@@ -856,16 +856,17 @@ class IceSqlSession:
         if suffix == "history":
             return tbl.history()
         if suffix == "snapshots":
-            # Iceberg's .snapshots carries a summary map per commit
-            # (added/removed files and records, total sizes) — derived
-            # here from the parent diff, the same numbers Iceberg
-            # persists in the snapshot summary at commit time.
+            # Iceberg's .snapshots carries a summary map per commit —
+            # PERSISTED at commit time (_commit_snapshot) so it
+            # survives parent expiry; snapshots predating the stamp
+            # (defensive) fall back to a parent diff.
             by_id = {
                 sn["snapshot_id"]: sn for sn in tbl.meta.snapshots
             }
-            rows = []
-            for s2 in tbl.snapshots_info():
-                snap = by_id[s2["snapshot_id"]]
+
+            def _summary(snap: dict) -> dict:
+                if "summary" in snap:
+                    return snap["summary"]
                 parent = by_id.get(snap.get("parent_id"))
                 cur_files = {f["path"]: f for f in snap["files"]}
                 par_files = (
@@ -879,6 +880,20 @@ class IceSqlSession:
                 removed = [
                     f for p, f in par_files.items() if p not in cur_files
                 ]
+                return {
+                    "added_data_files": len(added),
+                    "added_records": sum(
+                        f.get("record_count") or 0 for f in added
+                    ),
+                    "removed_data_files": len(removed),
+                    "removed_records": sum(
+                        f.get("record_count") or 0 for f in removed
+                    ),
+                }
+
+            rows = []
+            for s2 in tbl.snapshots_info():
+                sm = _summary(by_id[s2["snapshot_id"]])
                 rows.append(
                     (
                         s2["snapshot_id"],
@@ -887,10 +902,10 @@ class IceSqlSession:
                         s2["operation"],
                         s2["n_files"],
                         s2["n_records"],
-                        len(added),
-                        sum(f.get("record_count") or 0 for f in added),
-                        len(removed),
-                        sum(f.get("record_count") or 0 for f in removed),
+                        sm["added_data_files"],
+                        sm["added_records"],
+                        sm["removed_data_files"],
+                        sm["removed_records"],
                     )
                 )
             return self.spark.createDataFrame(
@@ -1338,22 +1353,13 @@ class IceSqlSession:
         re.I | re.S,
     )
 
-    def _create_mview(self, m: re.Match) -> None:
-        """CREATE MATERIALIZED VIEW name AS SELECT g1, g2, COUNT(*) AS
-        n, SUM(expr) AS s FROM ice_table [WHERE ...] GROUP BY g1, g2
-        — the incrementally-maintainable aggregate shape (COUNT/SUM
-        are self-maintainable under insert/delete deltas; COUNT(*)
-        is REQUIRED, it is the group-liveness counter that lets
-        REFRESH drop emptied groups). The view materializes once here;
-        REFRESH MATERIALIZED VIEW applies the source table's changelog
-        since the last materialization — O(changed rows), never a
-        re-aggregation of the table."""
-        name = m["name"]
-        src = m["src"]
-        tbl = self._table(src)
-        group = [c.strip() for c in m["group"].split(",")]
+    def _parse_mv_aggs(self, select: str, group: list[str]) -> list[dict]:
+        """Shared select-list parser for both MV forms: group columns
+        pass through; every other item must be COUNT(*) AS x or
+        SUM(expr) AS x (the self-maintainable aggregates), and a
+        COUNT(*) is required as the group-liveness counter."""
         aggs: list[dict] = []
-        for item in _split_top_commas(m["select"]):
+        for item in _split_top_commas(select):
             item = item.strip()
             if item in group:
                 continue
@@ -1375,6 +1381,23 @@ class IceSqlSession:
                 "materialized view needs a COUNT(*) column (the "
                 "group-liveness counter REFRESH maintains)"
             )
+        return aggs
+
+    def _create_mview(self, m: re.Match) -> None:
+        """CREATE MATERIALIZED VIEW name AS SELECT g1, g2, COUNT(*) AS
+        n, SUM(expr) AS s FROM ice_table [WHERE ...] GROUP BY g1, g2
+        — the incrementally-maintainable aggregate shape (COUNT/SUM
+        are self-maintainable under insert/delete deltas; COUNT(*)
+        is REQUIRED, it is the group-liveness counter that lets
+        REFRESH drop emptied groups). The view materializes once here;
+        REFRESH MATERIALIZED VIEW applies the source table's changelog
+        since the last materialization — O(changed rows), never a
+        re-aggregation of the table."""
+        name = m["name"]
+        src = m["src"]
+        tbl = self._table(src)
+        group = [c.strip() for c in m["group"].split(",")]
+        aggs = self._parse_mv_aggs(m["select"], group)
         self.mviews[name] = {
             "src": src,
             "base_sid": tbl.meta.current_snapshot_id,
@@ -1416,29 +1439,7 @@ class IceSqlSession:
         name = m["name"]
         tbl_a, tbl_b = self._table(m["srca"]), self._table(m["srcb"])
         group = [c.strip() for c in m["group"].split(",")]
-        aggs: list[dict] = []
-        for item in _split_top_commas(m["select"]):
-            item = item.strip()
-            if item in group:
-                continue
-            am = self._MV_AGG_RE.match(item)
-            if not am:
-                raise ValueError(
-                    "materialized view select items must be the group "
-                    f"columns, COUNT(*) AS x, or SUM(expr) AS x: {item!r}"
-                )
-            aggs.append(
-                {
-                    "kind": "count" if am["cnt"] else "sum",
-                    "expr": None if am["cnt"] else am["sum"].strip(),
-                    "alias": am["alias"],
-                }
-            )
-        if not any(a["kind"] == "count" for a in aggs):
-            raise ValueError(
-                "materialized view needs a COUNT(*) column (the "
-                "group-liveness counter REFRESH maintains)"
-            )
+        aggs = self._parse_mv_aggs(m["select"], group)
         self.mviews[name] = {
             "join": True,
             "srca": m["srca"], "srcb": m["srcb"],

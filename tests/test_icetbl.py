@@ -636,3 +636,23 @@ def test_branch_scoped_delete_wap(spark, tmp_path):
     assert t.read(ref="audit").count() == 4      # branch sees the delete
     t.fast_forward("audit")
     assert t.read().count() == 4                 # published
+
+
+def test_expire_max_ref_age_spares_active_branch(spark, tmp_path):
+    """Ref age is the HEAD COMMIT's age: a branch created long ago but
+    committed-to recently survives the age cap (measuring from ref
+    creation would delete an actively-written branch)."""
+    import time
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create(spark, str(tmp_path / "refactive"), "a int")
+    t.insert_values([(1,)])
+    t.create_branch("dev")
+    time.sleep(0.05)
+    t.set_properties({"history.expire.max-ref-age-ms": "40"})
+    # fresh commit on the branch renews its head timestamp
+    t.append(spark.createDataFrame([(2,)], "a int"), branch="dev")
+    t.expire_snapshots(older_than_ms=0, retain_last=1)
+    assert "dev" in t.meta.refs
+    assert t.read(ref="dev").count() == 2

@@ -770,3 +770,18 @@ def test_delete_on_branch_identifier(sess):
     assert tbl.read(ref="audit").count() == 1
     tbl.fast_forward("audit")
     assert tbl.read().count() == 1
+
+
+def test_snapshots_summary_survives_parent_expiry(spark, tmp_path):
+    t = IceTable.create(spark, str(tmp_path / "snapsum2"), "a int")
+    t.insert_values([(i,) for i in range(10)])
+    t.insert_values([(99,)])
+    t.expire_snapshots(older_than_ms=2**62, retain_last=1)
+    s = IceSqlSession(spark)
+    s.register_table("db.se", t)
+    row = s.sql(
+        "SELECT added_records FROM db.se.snapshots"
+    ).collect()[-1]
+    # the head commit added ONE record; a read-time parent diff would
+    # claim 11 once the parent is expired
+    assert row.added_records == 1
