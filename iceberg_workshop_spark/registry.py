@@ -95,36 +95,39 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # registry. Ledger of which names each round's gate covered lives in
 # NOTES.md ("Driver-gate coverage ledger").
 #
-# Round-4 window: the 17 §2B tail rows (metadata / maintenance /
-# partition+schema evolution / UDF surface / LLM contract), the 4
-# contract-adjacent SQL DML statements, all 18 unverified TPC-H
-# shapes, the 7 sketches, and the CDC/changelog family.
+# Round-5 window: q_schema_widen (the one §2B contract row with no
+# external CORRECTNESS row), the full q_sql_* script/statement family
+# (the verbatim replays of the reference's SQL are the heart of
+# parity), the streaming extension family, and 16 lifecycle-tail rows
+# (metadata views / maintenance / partition+schema evolution).
 _DRIVER_WINDOW = [
-    # §2B tail rows never driver-verified (17)
-    "q_meta_history", "q_meta_pinned_read", "q_maint_expire",
-    "q_maint_compact", "q_part_evolution", "q_part_transform",
-    "q_schema_evolution",
-    "q_udf_python", "q_udf_pandas", "q_udaf_grouped", "q_udtf_apply",
-    "q_udtf_words",
-    "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_simsearch",
-    "q_llm_text_stats", "q_llm_multimodal",
-    # contract-adjacent SQL statements (4)
-    "q_sql_merge_stmt", "q_sql_delete_stmt",
-    "q_sql_insert_time_travel_stmt", "q_sql_rollback_stmt",
-    # TPC-H shapes (18)
-    "q_join_q2_shape", "q_join_q3_shape", "q_agg_q4_shape",
-    "q_agg_q6_shape", "q_join_q8_shape", "q_agg_q9_shape",
-    "q_join_q10_shape", "q_agg_q11_shape", "q_agg_q12_shape",
-    "q_agg_q13_shape", "q_agg_q14_shape", "q_join_q15_shape",
-    "q_agg_q16_shape", "q_agg_q17_shape", "q_filter_q19_shape",
-    "q_join_q20_shape", "q_join_q21_shape", "q_agg_q22_shape",
-    # sketches (7)
-    "q_sketch_bloom", "q_sketch_countmin", "q_sketch_hist_quantile",
-    "q_sketch_bloom_merge", "q_sketch_hll_merge", "q_sketch_hll_rolling",
-    "q_sketch_bitmap_distinct",
-    # CDC / changelog (4)
-    "q_tt_changes", "q_cdc_changelog", "q_cdc_changelog_updates",
-    "q_cdc_agg_maintain",
+    # §2B contract row never driver-verified (1)
+    "q_schema_widen",
+    # q_sql_* script/statement family (21)
+    "q_sql_airlines_migration_script", "q_sql_hive_partitioning_script",
+    "q_sql_iceberg_partitioning_script", "q_sql_partition_evolution_script",
+    "q_sql_transform_ctas_script",
+    "q_sql_insert_overwrite_stmt", "q_sql_call_maintenance_stmt",
+    "q_sql_metadata_tables", "q_sql_show_stmts", "q_sql_call_rewrite_sort",
+    "q_sql_schema_evolution_stmt", "q_sql_cdc_wap",
+    "q_sql_materialized_view", "q_sql_materialized_view_join",
+    "q_sql_scripting", "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
+    "q_sql_merge_nmbs_stmt", "q_sql_expire_stmt",
+    "q_sql_describe_formatted", "q_sql_metadata_log",
+    # streaming extension family (12)
+    "q_stream_stateful_running", "q_stream_session_window",
+    "q_stream_stream_join", "q_stream_sink_icetbl", "q_stream_static_join",
+    "q_stream_cdc_upsert", "q_stream_dedup_within",
+    "q_stream_stream_left_join", "q_stream_stream_full_join",
+    "q_stream_agg_rocksdb", "q_stream_state_reader", "q_stream_mv_refresh",
+    # lifecycle tail (16)
+    "q_dml_insert_overwrite", "q_dml_update",
+    "q_meta_snapshots", "q_meta_files", "q_meta_partitions", "q_meta_refs",
+    "q_meta_delete_files",
+    "q_maint_cluster", "q_maint_zorder", "q_maint_manifests",
+    "q_maint_orphans",
+    "q_part_bucket", "q_part_truncate", "q_part_evolution_bucket",
+    "q_schema_drop_column", "q_schema_rename_column",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the
