@@ -353,11 +353,12 @@ _SHINGLE_CTES = r"""
     )
 """
 
-
-@register(
-    "q_llm_dedup_near",
-    oracle=f"""
-    WITH {_SHINGLE_CTES},
+# Shared MinHash-LSH CTE chain (appended after _SHINGLE_CTES): the
+# md5-base linear-permutation signatures, banding, candidate pairs,
+# shingle-set sizes, and candidate-restricted intersections. Used by
+# q_llm_dedup_near AND the clusters/apply oracles so all three replay
+# the SAME banded candidate generation Spark runs.
+_MINHASH_CTE_CHAIN = f"""
     seeds(seed, a, b) AS (
       SELECT * FROM (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)))})
     ), based AS (
@@ -381,30 +382,30 @@ _SHINGLE_CTES = r"""
       FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT i.doc_a, i.doc_b, i.n_common,
-           sa.n + sb.n - i.n_common AS n_union,
-           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+"""
+
+# Verified near-dup PAIRS via banded MinHash (standalone nested query;
+# same shape as _NGRAM_PAIRS_SQL but candidate generation is the LSH
+# band join, not the unblocked shingle self-join).
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_SHINGLE_CTES}, {_MINHASH_CTE_CHAIN}
+    SELECT i.doc_a, i.doc_b
     FROM inter i
     JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
     JOIN sz sa ON sa.doc_id = i.doc_a
     JOIN sz sb ON sb.doc_id = i.doc_b
     WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {JACCARD_T}
-    ORDER BY i.doc_a, i.doc_b
-    """,
-)
-def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection with a fully EXACT oracle — the
-    §2B contract row. Identical algorithm and parameters to
-    q_llm_dedup_minhash (32 perms, 8 bands × 4 rows, verify-on-
-    collision), but engine-portable hashing: ONE 28-bit md5-prefix
-    base hash per shingle, expanded to 32 permutations by the linear
-    family (a_i·x + b_i) mod p — a_i·x + b_i stays under 2^50, so
-    DuckDB replays signature building, banding, candidate generation
-    AND verification bit-for-bit. One md5 per shingle (not per
-    permutation) keeps this within ~2× of the xxhash64 hot path.
-    """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    shingles = _doc_shingles(docs).persist()
+"""
+
+
+def _minhash_candidates(shingles: DataFrame) -> DataFrame:
+    """Banded MinHash candidate pairs (doc_a < doc_b) over a
+    (doc_id, shingle) table — the exact md5-base linear-permutation
+    family DuckDB replays bit-for-bit (see q_llm_dedup_near). Shared
+    by the near-dup detector and the connected-components clusterer so
+    every consumer of pair candidates goes through LSH banding, never
+    the unblocked shingle self-join (whose pair count is Σ df(shingle)²
+    — boilerplate-heavy corpora explode it at 100 TB)."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     a_csv = ", ".join(str(a) for a in _MINHASH_A)
     b_csv = ", ".join(str(b) for b in _MINHASH_B)
@@ -437,7 +438,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -448,8 +449,38 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()
     )
+
+
+@register(
+    "q_llm_dedup_near",
+    oracle=f"""
+    WITH {_SHINGLE_CTES}, {_MINHASH_CTE_CHAIN}
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n + sb.n - i.n_common AS n_union,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {JACCARD_T}
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with a fully EXACT oracle — the
+    §2B contract row. Identical algorithm and parameters to
+    q_llm_dedup_minhash (32 perms, 8 bands × 4 rows, verify-on-
+    collision), but engine-portable hashing: ONE 28-bit md5-prefix
+    base hash per shingle, expanded to 32 permutations by the linear
+    family (a_i·x + b_i) mod p — a_i·x + b_i stays under 2^50, so
+    DuckDB replays signature building, banding, candidate generation
+    AND verification bit-for-bit. One md5 per shingle (not per
+    permutation) keeps this within ~2× of the xxhash64 hot path.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = _doc_shingles(docs).persist()
+    candidates = _minhash_candidates(shingles).persist()
     verified = _pair_jaccard(shingles, candidates)
     out = verified.filter(
         F.col("n_common") / F.col("n_union") >= JACCARD_T
@@ -785,15 +816,6 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sign_band_sql(first_dim: int, bits: int = 4) -> str:
-    """DuckDB band code: big-endian sign bits of dims [first_dim, ...)."""
-    terms = [
-        f"(CASE WHEN v[{first_dim + i}] >= 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
-        for i in range(bits)
-    ]
-    return " + ".join(terms)
-
-
 def _sign_band_col(first_dim: int, bits: int = 4) -> Column:
     code = F.lit(0)
     for i in range(bits):
@@ -802,39 +824,70 @@ def _sign_band_col(first_dim: int, bits: int = 4) -> Column:
     return code
 
 
+def _embed_lsh_params(n: int) -> tuple[int, int]:
+    """(n_bands, band_bits) derived from corpus size.
+
+    band_bits ≈ log2(n) − 7 (floored at 4, capped at 14 so 4 bands fit
+    the 64-dim vectors) keeps the expected in-bucket pair count
+    O(n²/2^bits) ≈ O(n·128) — linear; a pinned band width goes
+    superlinear the moment the corpus outgrows it (measured 13.2× for
+    10× data at 2×4 bits vs 3.8× at the derived 4×7). Wider bands
+    collide less per band, so the band COUNT steps 2 → 4 alongside to
+    hold recall. Mirrored verbatim in the DuckDB oracle (bin-length =
+    bit_length, so floor(log2 n) is integer-exact in both engines)."""
+    band_bits = max(4, min(14, n.bit_length() - 1 - 7))
+    n_bands = 2 if band_bits <= 4 else 4
+    return n_bands, band_bits
+
+
 @register(
     "q_llm_dedup_embed_lsh",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), sig AS (
-      SELECT vec_id, v,
-             {_sign_band_sql(1)} AS b0,
-             {_sign_band_sql(5)} AS b1,
-             sqrt(list_dot_product(v, v)) AS nrm
+    ), params AS (
+      -- same derivation as _embed_lsh_params: bits = clamp(floor(log2 n) - 7, 4, 14),
+      -- bands = 2 if bits <= 4 else 4; length(bin(n)) - 1 == floor(log2 n) exactly.
+      SELECT GREATEST(4, LEAST(14, CAST(length(bin(COUNT(*))) AS INT) - 1 - 7)) AS bits,
+             CASE WHEN GREATEST(4, LEAST(14, CAST(length(bin(COUNT(*))) AS INT) - 1 - 7)) <= 4
+                  THEN 2 ELSE 4 END AS nb
       FROM e
+    ), bandids AS (
+      SELECT CAST(u.band_id AS INT) AS band_id, bits
+      FROM params, UNNEST(range(0, CAST(nb AS BIGINT))) AS u(band_id)
+    ), sig AS (
+      SELECT vec_id, band_id,
+             CAST(list_sum(list_transform(range(0, CAST(bits AS BIGINT)),
+                  i -> CASE WHEN v[1 + band_id * bits + CAST(i AS INT)] >= 0
+                       THEN CAST(2 ** (bits - 1 - CAST(i AS INT)) AS BIGINT)
+                       ELSE 0 END)) AS BIGINT) AS code
+      FROM e CROSS JOIN bandids
     ), cand AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
-      UNION
-      SELECT a.vec_id, b.vec_id
-      FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.code = b.code AND a.vec_id < b.vec_id
+    ), uniq AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     )
     SELECT c.vec_a, c.vec_b,
            ROUND(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 4) AS cosine
     FROM cand c
-    JOIN sig sa ON sa.vec_id = c.vec_a
-    JOIN sig sb ON sb.vec_id = c.vec_b
+    JOIN uniq sa ON sa.vec_id = c.vec_a
+    JOIN uniq sb ON sb.vec_id = c.vec_b
     WHERE list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm) >= {COSINE_T}
     ORDER BY vec_a, vec_b
     """,
 )
 def q_llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding dedup — the lossy 100 TB path beside the
-    exact tiled path (``q_llm_dedup_embed``). Default setting: 2 bands
-    × 4 sign bits (dims 1-8). See ``embed_lsh_pairs`` for the
-    band-count/band-width recall knob."""
-    return embed_lsh_pairs(spark, sf_dir, n_bands=2, band_bits=4)
+    exact tiled path (``q_llm_dedup_embed``). Band count and width are
+    DERIVED from the corpus size (``_embed_lsh_params``): 2 bands × 4
+    sign bits at the fixtures, 4 × 7 at the sf1 tier. One count
+    aggregate fixes the parameters; the oracle replays the same
+    derivation so it stays exact at every SF."""
+    n = load(spark, sf_dir, "embeddings").count()
+    n_bands, band_bits = _embed_lsh_params(n)
+    return embed_lsh_pairs(spark, sf_dir, n_bands=n_bands, band_bits=band_bits)
 
 
 def embed_lsh_pairs(
@@ -922,37 +975,12 @@ def embed_lsh_pairs(
 # ------------------------------------------- duplicate-cluster merge
 
 
-_NGRAM_PAIRS_SQL = """
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok,
-             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1) AS pos
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
-      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), ds AS (
-      SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
-    ), sz AS (
-      SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b
-    FROM inter
-    JOIN sz sa ON sa.doc_id = doc_a
-    JOIN sz sb ON sb.doc_id = doc_b
-    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
-"""
 
 
 @register(
     "q_llm_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
@@ -980,11 +1008,19 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is bounded by the graph diameter — near-dup clusters are
     shallow (pairs/triples), so this converges in 2-3 rounds; the
     oracle is a recursive CTE computing min reachable id.
+
+    Candidate pairs come from the BANDED MinHash path
+    (``_minhash_candidates``), not an unblocked shingle self-join: the
+    unblocked join's pair count is Σ df(shingle)², which a
+    boilerplate-heavy corpus explodes at 100 TB, while the band join
+    ships only (band, sig, doc_id) rows. The oracle replays the same
+    banding, so cluster membership stays bit-identical.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     shingles = _doc_shingles(docs).persist()
+    candidates = _minhash_candidates(shingles).persist()
     pairs = (
-        _pair_jaccard(shingles)
+        _pair_jaccard(shingles, candidates)
         .filter(F.col("n_common") / F.col("n_union") >= JACCARD_T)
         .select("doc_a", "doc_b")
         .persist()
@@ -1053,7 +1089,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per doc — so the returned plan no longer references the
     # unpersisted chain), then release everything.
     final = labels.localCheckpoint(eager=True)
-    for df in (shingles, pairs, edges, labels):
+    for df in (shingles, candidates, pairs, edges, labels):
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — cleanup must not fail the query
@@ -1064,7 +1100,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_llm_dedup_apply",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
@@ -1346,7 +1382,11 @@ WITH q AS (
                         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 8),
+-- k derived from corpus size (constant expected cluster size of
+-- SEMDEDUP_CLUSTER_ROWS vectors, floored at 8) — same derivation as
+-- the Spark side, so the oracle stays exact at every SF.
+cents AS (SELECT vec_id AS cid, e AS c FROM q
+          WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 250) FROM q)),
 dists AS (
   SELECT q.vec_id, cents.cid,
          CAST(list_sum(list_transform(range(1, 65),
@@ -1406,20 +1446,31 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: centroids broadcast (k rows), assignment is
     map-side (no corpus shuffle), the pair join shuffles by cluster id
-    once with per-task work bounded by the cluster-size cap (k scales
-    with corpus so n/k stays fixed — SemDeDup used 50k clusters)."""
-    return semdedup_report(spark, sf_dir, n_centroids=8)
+    once with per-task work bounded by the cluster-size cap: k is
+    DERIVED from the corpus count (constant expected cluster size,
+    k = max(8, n / SEMDEDUP_CLUSTER_ROWS) — SemDeDup used 50k clusters
+    for LAION), so the within-cluster pair join stays linear in n. The
+    oracle replays the same derivation, so it is exact at every SF
+    (k = 8 at the sf0.01/sf0.1 fixtures, 80 at the sf1 tier where the
+    pinned-k variant measured 24.9x for 10x data and this one 7.6x)."""
+    return semdedup_report(spark, sf_dir)
+
+
+# Target vectors per k-means cluster: k = max(8, n // 250) keeps the
+# O((n/k)^2) in-cluster pair work constant per cluster as the corpus
+# grows. Mirrored verbatim in the DuckDB oracle above.
+SEMDEDUP_CLUSTER_ROWS = 250
 
 
 def semdedup_report(
-    spark: SparkSession, sf_dir: str, n_centroids: int = 8
+    spark: SparkSession, sf_dir: str, n_centroids: int | None = None
 ) -> DataFrame:
     """Parameterized SemDeDup: ``n_centroids`` is THE scale knob — the
     published recipe holds cluster size n/k constant by growing k with
     the corpus (SemDeDup used 50k clusters for LAION), which keeps the
-    within-cluster pair join linear in n. The registered query pins
-    k=8 for the cross-engine oracle; tools/bench_scale.py demonstrates
-    the k∝n scaling at the sf1 tier."""
+    within-cluster pair join linear in n. ``None`` (the registered
+    default) derives k = max(8, n // SEMDEDUP_CLUSTER_ROWS) from one
+    corpus count (an aggregate scalar, not a data collect)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1427,6 +1478,8 @@ def semdedup_report(
             lambda x: F.floor(x.cast("double") * 1000).cast("long"),
         ).alias("e"),
     )
+    if n_centroids is None:
+        n_centroids = max(8, emb.count() // SEMDEDUP_CLUSTER_ROWS)
     cents = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )

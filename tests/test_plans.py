@@ -364,3 +364,50 @@ def test_pos_delete_targets_prune_untouched_files(spark, tmp_path):
     # 3 untouched files scan clean; only the delete's target file pays
     # for the metadata column + anti-join
     assert clean and targeted, plan
+
+
+def test_cc_clusters_candidates_are_banded(spark):
+    """VERDICT r4 #4: the connected-components pipeline must source
+    its pair candidates from the banded MinHash join, never the
+    unblocked shingle self-join (pair count Σ df(shingle)² explodes on
+    boilerplate-heavy corpora). Asserted two ways: the query's source
+    goes through _minhash_candidates, and the verify join's plan
+    restricts intersections with a LeftSemi against the candidate
+    set."""
+    import inspect
+
+    from iceberg_workshop_spark.llm import dedup
+    from iceberg_workshop_spark.sources.tables import load
+
+    src = inspect.getsource(dedup.q_llm_dedup_clusters)
+    assert "_minhash_candidates" in src
+    assert "_pair_jaccard(shingles)" not in src
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    shingles = dedup._doc_shingles(docs)
+    pairs = dedup._pair_jaccard(shingles, dedup._minhash_candidates(shingles))
+    assert "LeftSemi" in _plan(pairs)
+
+
+def test_scale_params_derive_from_corpus_size():
+    """VERDICT r4 #2/#3: the registered semdedup / embed-LSH entries
+    derive their granularity knobs from the corpus count so in-bucket
+    pair work stays linear. Pin the derivations at the fixture sizes
+    (unchanged behavior) and the sf1 tier (the measured-scale-safe
+    configs)."""
+    from iceberg_workshop_spark.llm.dedup import (
+        SEMDEDUP_CLUSTER_ROWS,
+        _embed_lsh_params,
+    )
+
+    # fixtures: 500 (sf0.01) and 2000 (sf0.1) vectors → today's params
+    assert max(8, 500 // SEMDEDUP_CLUSTER_ROWS) == 8
+    assert max(8, 2000 // SEMDEDUP_CLUSTER_ROWS) == 8
+    assert _embed_lsh_params(500) == (2, 4)
+    assert _embed_lsh_params(2000) == (2, 4)
+    # sf1 tier: 20k vectors → the measured 7.6×/3.8× configurations
+    assert max(8, 20000 // SEMDEDUP_CLUSTER_ROWS) == 80
+    assert _embed_lsh_params(20000) == (4, 7)
+    # 4 bands × capped 14 bits always fit the 64-dim embedding
+    nb, bits = _embed_lsh_params(10**9)
+    assert nb * bits <= 64
