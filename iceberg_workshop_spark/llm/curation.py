@@ -633,15 +633,73 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy (token repetition ratio — repetitive docs first, lexically
     dense docs last) and cut it into 4 NTILE stages, the
     easy-to-hard schedule a curriculum-training run feeds. Score is
-    all-integer (count*1000 div distinct-count), NTILE's ordering ends
-    in doc_id — fully deterministic; the global NTILE runs over
-    (score, id) pairs, not documents, so the sort is narrow."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("iws_curl_documents")
-    return spark.sql(
-        _CURRICULUM.format(
-            t="iws_curl_", intdiv=" div ", split_fn="split",
-            arr_len="size", distinct_fn="array_distinct",
+    all-integer (count*1000 div distinct-count), the ordering ends in
+    doc_id — fully deterministic.
+
+    Scale: a literal ``NTILE(4) OVER (ORDER BY …)`` moves the whole
+    corpus through ONE partition. Instead the global rank is computed
+    the distributed way: range-repartition on the ordering key, count
+    rows per range (one P-row collect — partition metadata, not
+    data), convert the counts to per-partition offsets, then a
+    PARTITIONED row_number + offset gives each row its exact global
+    position, from which NTILE's bucket boundaries (first n%4 buckets
+    one row larger) are pure integer arithmetic. localCheckpoint pins
+    the sampled range boundaries so the offset pass and the final
+    pass see the same partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(size(split(trim(text), ' ')) * 1000)"
+            " div size(array_distinct(split(trim(text), ' ')))"
+        ).alias("verbosity_score"),
+    )
+    nparts = 16
+    rp = (
+        scored.repartitionByRange(nparts, "verbosity_score", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    pcounts = {
+        r["pid"]: r["cnt"]
+        for r in rp.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(pcounts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(pcounts):
+        offsets[pid] = acc
+        acc += pcounts[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("pid"),
+    )
+    local = Window.partitionBy("pid").orderBy("verbosity_score", "doc_id")
+    pos = (off_expr + F.row_number().over(local)).alias("pos")
+    q, r = divmod(n, 4)
+    if q == 0:  # degenerate corpus smaller than the bucket count
+        stage = F.col("pos")
+    else:
+        head = r * (q + 1)  # rows in the one-larger leading buckets
+        stage = F.when(
+            F.col("pos") <= head, ((F.col("pos") + q) / (q + 1)).cast("int")
+        ).otherwise(
+            (F.lit(r) + (F.col("pos") - head + q - 1) / q).cast("int")
         )
+    bucketed = rp.select("doc_id", "verbosity_score", pos).withColumn(
+        "stage", stage
+    )
+    return (
+        bucketed.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("verbosity_score").alias("min_score"),
+            F.max("verbosity_score").alias("max_score"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("stage")
     )
 
 

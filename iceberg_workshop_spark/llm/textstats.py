@@ -755,10 +755,14 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     size would pay). Deterministic tie-break (count DESC, token) so
     both engines rank identically.
 
-    Scale: one map-side-combined token groupBy; the ranking window
-    runs over the VOCABULARY (distinct tokens), not the token stream
-    — at 100 TB that is millions of rows, not trillions; k-sweep is a
-    broadcast-sized crossJoin against three literals."""
+    Scale: one map-side-combined token groupBy, then a TWO-PHASE
+    top-K rank — a global unpartitioned row_number over the vocabulary
+    serializes one executor at web-corpus vocab sizes (10⁸+ distinct
+    tokens), so phase 1 takes each hash-salt partition's local top
+    max(k) (partitioned window, fully parallel; every global-top-k row
+    is also locally top-k) and phase 2 merges the ≤ SALTS·max(k)
+    survivors with ONE bounded hash aggregate (sorted array + slice) —
+    no single-partition WindowExec anywhere in the plan."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -767,27 +771,47 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = freq.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok"))),
-    )
-    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k int")
-    per_k = (
-        ranked.crossJoin(F.broadcast(ks))
-        .filter(F.col("r") <= F.col("k"))
-        .groupBy("k")
-        .agg(
-            F.count(F.lit(1)).alias("vocab_size"),
-            F.sum("c").alias("covered"),
+    kmax = max(VOCAB_KS)
+    salts = 32
+    local = Window.partitionBy("salt").orderBy(F.col("c").desc(), F.col("tok"))
+    survivors = (
+        freq.withColumn(
+            "salt", F.pmod(F.xxhash64("tok"), F.lit(salts)).cast("int")
         )
+        .withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= kmax)
     )
-    total = freq.agg(F.sum("c").alias("n")).first()["n"]
+    # Merge phase: the ≤ salts·kmax survivors collapse into one sorted
+    # array (negated count → ascending sort = count-desc, tok-asc —
+    # the same tie-break both engines rank by).
+    top = survivors.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("c")).alias("nc"), "tok"))
+        ).alias("top")
+    )
+    stats = freq.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    total, vocab_n = int(stats["n"]), int(stats["v"])
+    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k int")
     return (
-        per_k.select(
+        top.crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            F.least(F.col("k").cast("long"), F.lit(vocab_n)).alias(
+                "vocab_size"
+            ),
+            F.aggregate(
+                F.slice("top", F.lit(1), F.col("k")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc - x["nc"],
+            ).alias("covered"),
+        )
+        .select(
             "k",
             "vocab_size",
             "covered",
-            F.lit(int(total)).alias("total_tokens"),
+            F.lit(total).alias("total_tokens"),
             F.round(F.col("covered") / F.lit(float(total)), 4).alias("coverage"),
         )
         .orderBy("k")

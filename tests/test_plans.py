@@ -411,3 +411,37 @@ def test_scale_params_derive_from_corpus_size():
     # 4 bands × capped 14 bits always fit the 64-dim embedding
     nb, bits = _embed_lsh_params(10**9)
     assert nb * bits <= 64
+
+
+def test_vocab_coverage_no_global_window(spark):
+    """VERDICT r4 #6: vocabulary ranking must never move the whole
+    vocabulary through one partition. The two-phase top-K keeps every
+    Window node partitioned (by the hash salt) and Catalyst pushes a
+    WindowGroupLimit (partial per-partition top-max(k) before the
+    shuffle); the merge is a bounded hash aggregate, not a window."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_vocab_coverage"](spark, SF_DIR)
+    plan = _plan(df)
+    window_lines = [
+        ln for ln in plan.splitlines() if ln.strip().startswith(("Window [", "+- Window ["))
+        or "- Window [" in ln
+    ]
+    assert window_lines, "expected the salted phase-1 window"
+    for ln in window_lines:
+        assert "salt" in ln, f"unpartitioned Window in plan: {ln.strip()[:160]}"
+    assert "WindowGroupLimit" in plan
+
+
+def test_curriculum_no_global_ntile_window(spark):
+    """Curriculum staging must not funnel the corpus through a
+    single-partition NTILE: global positions come from a range
+    repartition + per-partition offsets, so the only Window in the
+    plan is partitioned (by pid)."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_curriculum"](spark, SF_DIR)
+    plan = _plan(df)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "pid" in ln, f"unpartitioned Window: {ln.strip()[:160]}"
