@@ -426,33 +426,39 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
             "dangling_positions_dropped": 0,
         }
     # _metadata.file_path URIs render as file:/abs/path (sometimes
-    # file:///abs/path) WITH percent-encoding (%20 for a space); match
-    # them to filesystem paths driver-side via urlparse+unquote on the
-    # metadata-scale distinct URI list — a Spark-side string strip
-    # would keep the encoding and silently classify every live
-    # position as dangling.
-    import urllib.parse as _up
-
-    live_paths = {
-        _os.path.abspath(f["path"]) for f in tbl.meta.current_files()
-    }
+    # file:///abs/path) WITH percent-encoding (%20 for a space). Match
+    # them to the live file set with an EXECUTOR-side normalization +
+    # semi-join against a DataFrame of live paths: collecting the
+    # distinct URIs and inlining an isin() literal list would grow the
+    # plan (and driver memory) with the number of distinct
+    # deleted-from files. url_decode is form-decoding ('+' → space),
+    # so literal plus signs are pre-escaped to %2B first; %XX escapes
+    # then decode exactly like urllib.unquote.
+    live_df = tbl.spark.createDataFrame(
+        [(_os.path.abspath(f["path"]),) for f in tbl.meta.current_files()],
+        "live_path string",
+    ).distinct()
     union = tbl.spark.read.parquet(*[d["path"] for d in pos_dels]).select(
         "file_path", "pos"
     )
     n_before = union.count()
-    live_uris = [
-        r["file_path"]
-        for r in union.select("file_path").distinct().collect()
-        if _up.unquote(_up.urlparse(r["file_path"]).path) in live_paths
-    ]
+    norm = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace("file_path", r"^file:/+", "/"), r"\+", "%2B"
+        )
+    )
     live = (
         union.distinct()
-        .filter(F.col("file_path").isin(live_uris))
+        .withColumn("__norm", norm)
+        .join(live_df, F.col("__norm") == F.col("live_path"), "left_semi")
+        .drop("__norm")
         .orderBy("file_path", "pos")
     )
     n_live = live.count()
     new_entries: list[dict] = []
     if n_live:
+        import urllib.parse as _up
+
         from iceberg_workshop_spark.icetbl.dml import _write_delete_sidecar
 
         paths, _n, content = _write_delete_sidecar(tbl, "posdel", live)

@@ -208,22 +208,36 @@ class IceTable:
         from pyspark.sql.types import StructType
 
         new_type = new_type.strip().lower()
-        fields = {
+        cur = {
             f.name: f.dataType.simpleString()
             for f in StructType.fromDDL(self.meta.schema_ddl).fields
         }
-        if name not in fields:
+        if name not in cur:
             raise KeyError(f"no such column: {name}")
-        old_type = fields[name]
-        if old_type == new_type:
+        if cur[name] == new_type:  # fast path: nothing to commit
             return
-        if (old_type, new_type) not in self._WIDENINGS:
-            raise ValueError(
-                f"illegal type change {old_type} -> {new_type}: only "
-                "widening promotions are metadata-safe"
-            )
 
         def mutate(meta: M.TableMeta) -> None:
+            # Old-type lookup and legality check live INSIDE the retry
+            # closure: on a commit-conflict retry the column may have
+            # been altered by a concurrent writer, so each attempt must
+            # re-derive them from the metadata it is handed (a stale
+            # pre-validation would record the wrong era physical type
+            # in column_type_history).
+            fields = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromDDL(meta.schema_ddl).fields
+            }
+            if name not in fields:
+                raise KeyError(f"no such column: {name}")
+            old_type = fields[name]
+            if old_type == new_type:
+                return
+            if (old_type, new_type) not in self._WIDENINGS:
+                raise ValueError(
+                    f"illegal type change {old_type} -> {new_type}: only "
+                    "widening promotions are metadata-safe"
+                )
             fs = [
                 (f.name, new_type if f.name == name else f.dataType.simpleString())
                 for f in StructType.fromDDL(meta.schema_ddl).fields
@@ -453,6 +467,14 @@ class IceTable:
         new_ids = {id(f) for f in files if "seq" not in f}
         carry = delete_files
         for _ in range(10):
+            # Carried entry dicts may be ALIASED into earlier
+            # snapshots' files lists of the same metadata doc (a
+            # snapshot carries its parent's entries forward by
+            # reference). Copy them before any stamping below so
+            # seq / first_snapshot_id backfills on legacy entries
+            # never mutate history; this commit's own new files are
+            # private dicts and stamp in place.
+            files = [f if id(f) in new_ids else dict(f) for f in files]
             parent = (
                 self.meta.refs[branch]["snapshot_id"]
                 if branch
@@ -493,11 +515,26 @@ class IceTable:
             # ancestry. New files are re-stamped on every CAS retry
             # (the attempt's snapshot id changes); carried-over files
             # keep the stamp of the commit that added them.
+            legacy = [
+                f
+                for f in files
+                if id(f) not in new_ids and "first_snapshot_id" not in f
+            ]
+            if legacy:
+                # Entries from a table written before stamping existed:
+                # derive the stamp from the OLDEST snapshot referencing
+                # the path (its true ADDED commit), not this commit —
+                # stamping with snap_id would report legacy files as
+                # ADDED here and EXISTING nowhere.
+                first_ref: dict[str, int] = {}
+                for sn in self.meta.snapshots:  # oldest-first
+                    for df in sn.get("files", ()):
+                        first_ref.setdefault(df["path"], sn["snapshot_id"])
+                for f in legacy:
+                    f["first_snapshot_id"] = first_ref.get(f["path"], snap_id)
             for f in files:
                 if id(f) in new_ids:
                     f["first_snapshot_id"] = snap_id
-                else:
-                    f.setdefault("first_snapshot_id", snap_id)
             # Persist the commit summary (added/removed files+records
             # vs the attempt's parent) like Iceberg's snapshot summary
             # map — derived-at-read-time diffs go stale the moment the

@@ -1481,8 +1481,17 @@ class IceSqlSession:
             )
         if cur_b != sid_b:
             ch_b = tbl_b.changelog(from_snapshot_id=sid_b).withColumn("__s", sign)
+            # A_old is the CREATE-time state. A table with no snapshot
+            # at creation (sid_a None) was EMPTY then — read(None)
+            # would resolve to the current snapshot and double-count
+            # the ΔA ⋈ B_new term when both sources later changed.
+            a_old = (
+                tbl_a.read(snapshot_id=sid_a)
+                if sid_a is not None
+                else tbl_a.read().limit(0)
+            )
             terms.append(
-                tbl_a.read(snapshot_id=sid_a).alias(spec["aa"]).join(
+                a_old.alias(spec["aa"]).join(
                     ch_b.alias(spec["ab"]), F.expr(spec["on"])
                 )
             )

@@ -656,3 +656,44 @@ def test_expire_max_ref_age_spares_active_branch(spark, tmp_path):
     t.expire_snapshots(older_than_ms=0, retain_last=1)
     assert "dev" in t.meta.refs
     assert t.read(ref="dev").count() == 2
+
+
+def test_legacy_entry_backfill_does_not_rewrite_history(spark, tmp_path):
+    # ADVICE r4: committing over a table whose entries predate
+    # first_snapshot_id stamping must (a) not mutate the carried entry
+    # dicts aliased into earlier snapshots of the same doc, and (b)
+    # derive the backfilled stamp from the OLDEST snapshot referencing
+    # the path, not the committing snapshot.
+    from iceberg_workshop_spark.icetbl import meta as M
+
+    loc = str(tmp_path / "legacy")
+    t = IceTable.create_as(
+        spark, loc, spark.createDataFrame([(1,)], "a int")
+    )
+    t.append(spark.createDataFrame([(2,)], "a int"))
+    true_first = {
+        f["path"]: f["first_snapshot_id"]
+        for sn in t.meta.snapshots
+        for f in sn["files"]
+    }
+    # simulate a pre-stamping table: strip the stamps on disk
+    legacy = M.read_current(loc)
+    for sn in legacy.snapshots:
+        for f in sn["files"]:
+            f.pop("first_snapshot_id", None)
+    M.commit(legacy)
+
+    t2 = IceTable.load(spark, loc)
+    t2.append(spark.createDataFrame([(3,)], "a int"))
+    doc = M.read_current(loc)
+    snaps = doc.snapshots
+    s3 = snaps[-1]["snapshot_id"]
+    # historical snapshots: still unstamped (no retroactive mutation)
+    for sn in snaps[:-1]:
+        assert all("first_snapshot_id" not in f for f in sn["files"]), (
+            "legacy snapshots must not be rewritten"
+        )
+    # head snapshot: backfilled stamps point at the TRUE adding commit
+    for f in snaps[-1]["files"]:
+        expect = true_first.get(f["path"], s3)
+        assert f["first_snapshot_id"] == expect, f["path"]

@@ -785,3 +785,34 @@ def test_snapshots_summary_survives_parent_expiry(spark, tmp_path):
     # the head commit added ONE record; a read-time parent diff would
     # claim 11 once the parent is expired
     assert row.added_records == 1
+
+
+def test_join_mview_over_snapshotless_source(spark, tmp_path):
+    # ADVICE r4: a join MV created while source A had NO snapshot must
+    # treat A_old as EMPTY during refresh — reading "snapshot None"
+    # resolves to the CURRENT snapshot, which double-counts rows that
+    # arrive in both sources after creation (they appear in ΔA⋈B_new
+    # AND in A_new⋈ΔB).
+    t_a = IceTable.create(spark, str(tmp_path / "mva"), "k int, v int")
+    t_b = IceTable.create_as(
+        spark,
+        str(tmp_path / "mvb"),
+        spark.createDataFrame([(1, 10)], "k int, w int"),
+    )
+    s = IceSqlSession(spark)
+    s.register_table("db.a", t_a)
+    s.register_table("db.b", t_b)
+    s.sql(
+        """CREATE MATERIALIZED VIEW db.m AS
+           SELECT a.k, COUNT(*) AS n, SUM(CAST(a.v AS DECIMAL(18,2))) AS sv
+           FROM db.a a JOIN db.b b ON a.k = b.k
+           GROUP BY a.k"""
+    )
+    assert s.sql("SELECT * FROM db.m").count() == 0
+    # both sources change after creation
+    t_a.append(spark.createDataFrame([(1, 5), (2, 7)], "k int, v int"))
+    t_b.append(spark.createDataFrame([(2, 20)], "k int, w int"))
+    s.sql("REFRESH MATERIALIZED VIEW db.m")
+    rows = {r.k: (r.n, float(r.sv)) for r in s.sql("SELECT * FROM db.m").collect()}
+    # from-scratch truth: k=1 joins once (v=5), k=2 joins once (v=7)
+    assert rows == {1: (1, 5.0), 2: (1, 7.0)}
