@@ -83,20 +83,34 @@ def _del_entry_key(d: dict) -> tuple:
     return (d["path"], int(d.get("dseq", 0)))
 
 
-def _cow_rebase(tbl, base_files, base_dels, planned, added_conflicts, isolation):
+def _cow_rebase(
+    tbl, base_files, base_dels, removed_paths, new_files, added_conflicts,
+    isolation,
+):
     """Build the ``rebase`` hook that gives copy-on-write commits
-    Iceberg's validation granularity instead of fail-on-any-race.
+    Iceberg's optimistic-concurrency arbitration: on a CAS conflict
+    the pending snapshot is REBASED onto the winner's state, the
+    operation's validation re-runs against fresh metadata, and the
+    commit retries (bounded by ``_commit_snapshot``'s attempt loop).
+    Conflict detection is FILE-LEVEL — writers touching disjoint file
+    sets both land, mirroring the concurrent Hive/Impala/Spark world
+    of the reference's REST-catalog setup (interoperability.md:60-122).
 
     ``isolation`` levels (Iceberg's write.<op>.isolation-level):
     - ``"strict"`` (this engine's historical default): any concurrent
       commit invalidates the plan → return None, _commit_snapshot
       propagates the conflict.
-    - ``"snapshot"``: the plan survives concurrent APPENDS — on
-      conflict, re-validate against fresh metadata: every file the
-      plan read must still exist and the MoR delete-file set must be
-      unchanged (a concurrent equality/positional delete would be
-      silently voided by our rewrite's fresh sequence number); then
-      commit planned files + the concurrently-added ones.
+    - ``"snapshot"``: the plan survives any concurrent commit that
+      leaves ITS OWN read-set intact — validation checks only that
+      (a) every file this op REWROTE still exists (a concurrent
+      writer rewriting the same file is a genuine write-write
+      conflict) and (b) no concurrent MoR delete file can reach the
+      rewritten files (an equality delete applies by sequence number,
+      so the rewrite's fresh seq would silently void it; a positional
+      delete conflicts only when it targets a rewritten file). The
+      rebased snapshot is the WINNER's file set minus this op's
+      rewritten files plus its rewrites — concurrent appends,
+      compactions and disjoint CoW rewrites all carry through.
     - ``"serializable"``: snapshot's checks PLUS no concurrently-added
       row may match the operation's predicate/source keys — the
       result must equal some serial order, and a matching added row
@@ -108,17 +122,20 @@ def _cow_rebase(tbl, base_files, base_dels, planned, added_conflicts, isolation)
         return None
     if isolation not in ("snapshot", "serializable"):
         raise ValueError(f"unknown isolation level: {isolation!r}")
+    import os as _os
+
     base_paths = {f["path"] for f in base_files}
     base_del_keys = {_del_entry_key(d) for d in base_dels}
+    removed_abs = {_os.path.abspath(p) for p in removed_paths}
 
     def rebase(fresh_meta):
         from iceberg_workshop_spark.icetbl import meta as M2
 
         fresh_files = fresh_meta.current_files()
         fresh_paths = {f["path"] for f in fresh_files}
-        if base_paths - fresh_paths:
+        if removed_paths - fresh_paths:
             raise M2.CommitConflict(
-                "isolation validation: files referenced by this plan were "
+                "isolation validation: files this operation rewrote were "
                 "removed by a concurrent commit — re-plan required"
             )
         cur = fresh_meta.current_snapshot_id
@@ -127,11 +144,23 @@ def _cow_rebase(tbl, base_files, base_dels, planned, added_conflicts, isolation)
             if cur is not None
             else []
         )
-        if {_del_entry_key(d) for d in fresh_dels} != base_del_keys:
-            raise M2.CommitConflict(
-                "isolation validation: concurrent delete files committed — "
-                "this rewrite would void them (fresh sequence) — re-plan"
-            )
+        for d in fresh_dels:
+            if _del_entry_key(d) in base_del_keys:
+                continue  # read through at plan time
+            targets = d.get("target_paths") if d.get("kind") == "pos" else None
+            if targets is None:
+                # equality delete (or untargeted): applies by key to
+                # any older-seq file — could reach a rewritten one
+                raise M2.CommitConflict(
+                    "isolation validation: a concurrent row-level delete "
+                    "file committed — this rewrite's fresh sequence would "
+                    "void it — re-plan"
+                )
+            if removed_abs & {_os.path.abspath(p) for p in targets}:
+                raise M2.CommitConflict(
+                    "isolation validation: a concurrent positional delete "
+                    "targets a file this operation rewrote — re-plan"
+                )
         added = [f for f in fresh_files if f["path"] not in base_paths]
         if isolation == "serializable" and added:
             if added_conflicts(tbl._read_files(added)):
@@ -139,7 +168,9 @@ def _cow_rebase(tbl, base_files, base_dels, planned, added_conflicts, isolation)
                     "serializable isolation: a concurrent append added rows "
                     "matching this operation's predicate — re-plan required"
                 )
-        return planned + added
+        return [
+            f for f in fresh_files if f["path"] not in removed_paths
+        ] + new_files
 
     return rebase
 
@@ -202,7 +233,8 @@ def delete_where(
                 tbl,
                 files,
                 _current_deletes(tbl),
-                planned,
+                {f["path"] for f in affected},
+                new_files,
                 lambda df: df.filter(condition).limit(1).count() > 0,
                 isolation,
             )
@@ -282,7 +314,8 @@ def merge_into(
             tbl,
             files,
             _current_deletes(tbl),
-            planned,
+            set(hit_paths),
+            new_files,
             # a concurrently-appended row whose key appears in the
             # MERGE source would have been updated/deleted had the
             # MERGE run second — serializable must re-plan
@@ -343,7 +376,8 @@ def update_where(
             tbl,
             files,
             _current_deletes(tbl),
-            planned,
+            {f["path"] for f in affected},
+            new_files,
             lambda df: df.filter(condition).limit(1).count() > 0,
             isolation,
         ),
