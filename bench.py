@@ -6,8 +6,10 @@ stdout line is ONE compact JSON summary (<2 KB so the driver's
 2,000-char tail capture parses it): {"metric": ..., "value":
 total_sec, "unit": "sec", "value_warm": ..., "sf": ...,
 "n_queries": ..., "n_errors": ..., "queries": {5 slowest},
-"pruning": ...}. The full per-query cold+warm map is written to
-``BENCH_full.json`` beside this script.
+"pruning": ...}. The full per-query map — cold pass, every warm pass,
+and the per-query MEDIAN across all ``$SPARK_GRAFT_BENCH_PASSES``
+(default 5) passes, the noise-controlled number regression triage
+should diff — is written to ``BENCH_full.json`` beside this script.
 
 Each query is executed with a ``noop``-format write so the full plan
 runs distributed with zero driver-side materialization (collect would
@@ -64,11 +66,30 @@ def main() -> None:
 
     # Cold and warm are reported separately: pass 1 runs each query
     # with JIT warm (warmup above) but no cross-invocation caches
-    # (persists are invocation-scoped); pass 2 measures steady-state
-    # re-execution. The headline value stays the COLD total — the
-    # honest number for a first run at scale.
+    # (persists are invocation-scoped); passes 2..N measure
+    # steady-state re-execution. The headline value stays the COLD
+    # total — the honest number for a first run at scale — while the
+    # per-query MEDIAN across all passes (default 5) gives the
+    # round-over-round triage a noise-controlled number (single runs
+    # jitter ~10% on this box; VERDICT r4 #9).
+    n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     timings = run_pass("cold")
-    warm = run_pass("warm")
+    warm_passes = [run_pass(f"warm{i}") for i in range(1, n_passes)]
+    warm = warm_passes[0]
+
+    def _median(vals: list[float]) -> float:
+        ok = sorted(v for v in vals if v >= 0)
+        if not ok:
+            return -1.0
+        mid = len(ok) // 2
+        return round(
+            ok[mid] if len(ok) % 2 else (ok[mid - 1] + ok[mid]) / 2, 4
+        )
+
+    median = {
+        name: _median([timings[name]] + [p[name] for p in warm_passes])
+        for name in timings
+    }
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     errors = sorted(n for n, t in timings.items() if t < 0)
@@ -79,7 +100,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
+        "queries_warm_passes": warm_passes,
+        "queries_median": median,
+        "n_passes": n_passes,
         "value_warm": round(sum(t for t in warm.values() if t >= 0), 4),
+        "value_median": round(sum(t for t in median.values() if t >= 0), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pruning": pruning,
         "errors": errors,
@@ -102,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "value_warm": full["value_warm"],
+                "value_median": full["value_median"],
                 "sf": full["sf"],
                 "n_queries": len(timings),
                 "n_errors": len(errors),

@@ -860,3 +860,112 @@ def q_llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", F.col("vec_id").alias("negative_id"), "rank")
         .orderBy("anchor_id", "rank")
     )
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8        # subspaces (64 dims → 8 × 8)
+PQ_SUBDIM = 8
+PQ_CODES = 16   # centroids per subspace (codebook = first 16 vectors)
+
+
+@register(
+    "q_llm_simsearch_pq",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ), subs AS (
+      SELECT vec_id, CAST(u.m AS INT) AS m,
+             e[CAST(u.m * {PQ_SUBDIM} + 1 AS INT) : CAST(u.m * {PQ_SUBDIM} + {PQ_SUBDIM} AS INT)] AS sub
+      FROM q, UNNEST(range(0, {PQ_M})) AS u(m)
+    ), cents AS (
+      SELECT vec_id AS c, m, sub AS cent FROM subs WHERE vec_id < {PQ_CODES}
+    ), asg AS (
+      SELECT s.vec_id, s.m, c.c,
+             CAST(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                  i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i])))
+                  AS BIGINT) AS d2
+      FROM subs s JOIN cents c ON s.m = c.m
+    ), codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+        FROM asg) WHERE rn = 1
+    ), lut AS (
+      SELECT m, c, d2 AS pd2 FROM asg WHERE vec_id = {PROBE_VEC_ID}
+    )
+    SELECT codes.vec_id, CAST(SUM(lut.pd2) AS BIGINT) AS adc_d2
+    FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+    WHERE codes.vec_id <> {PROBE_VEC_ID}
+    GROUP BY codes.vec_id
+    ORDER BY adc_d2, codes.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized (PQ) top-k search — the third compression
+    tier beside IVF (q_llm_simsearch_ivf) and int8 SQ
+    (q_llm_simsearch_sq), the Jégou et al. 2011 recipe every
+    billion-vector ANN system (FAISS IVFPQ) runs: split each vector
+    into {PQ_M} subvectors, encode each against a {PQ_CODES}-entry
+    per-subspace codebook (nearest centroid), and rank by ADC
+    (asymmetric distance): the probe precomputes a {PQ_M}×{PQ_CODES}
+    lookup table of subspace distances, and a vector's approximate
+    distance is the sum of {PQ_M} table entries — no float math per
+    corpus vector at query time.
+
+    Exactness: vectors quantized to integer milli-units, codebooks =
+    the subvectors of the first {PQ_CODES} corpus vectors (the
+    kmeans_assign convention), so encode argmin and ADC sums are
+    int64 — DuckDB replays them bit-for-bit.
+
+    Plan shape at 100 TB: the codebook (128 rows) and the probe LUT
+    ({PQ_M}×{PQ_CODES} rows) broadcast; encoding is one broadcast
+    join + a (vec_id, m) min-struct aggregate (in production the
+    codes are precomputed at write time: 8 bytes/vector, a 32×
+    index-size reduction over float32); query-time ADC is a broadcast
+    join + sum — the corpus never shuffles."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("e"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" m -> slice(e, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+            )
+        ).alias("m", "sub"),
+    )
+    cents = subs.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("c"), "m", F.col("sub").alias("cent")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("d2")
+    asg = subs.join(F.broadcast(cents), "m").select("vec_id", "m", "c", d2)
+    codes = asg.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "c")).getField("c").alias("code")
+    )
+    lut = F.broadcast(
+        asg.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            "m", F.col("c").alias("code"), F.col("d2").alias("pd2")
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .join(lut, ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd2").cast("long").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(TOP_K)
+    )

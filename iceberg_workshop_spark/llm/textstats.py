@@ -816,3 +816,145 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------------ Gopher rule filter
+
+# Thresholds follow Rae et al. 2021 (Gopher, §A1.1) with the word-count
+# floor scaled to the fixture's short synthetic documents; every rule
+# is integer/ratio arithmetic so the oracle is exact.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORDLEN = 3.0   # mean characters per word
+GOPHER_MAX_WORDLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' and '…'-style ellipsis per word
+GOPHER_MIN_ALPHA_FRAC = 0.8     # words containing a letter
+GOPHER_MIN_STOPWORDS = 2        # distinct stopwords present
+
+
+@register(
+    "q_llm_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_symbols,
+             len(list_filter(string_split(trim(text), ' '),
+                             t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             len(list_distinct(list_filter(string_split(trim(text), ' '),
+                             t -> list_contains({list(STOPWORDS)!r}, t))))
+               AS n_stop_kinds
+      FROM documents
+    ), rules AS (
+      SELECT doc_id, source,
+             CASE WHEN n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  THEN 1 ELSE 0 END AS r_word_count,
+             CASE WHEN (n_chars - n_tokens + 1) * 1.0 / n_tokens
+                       BETWEEN {GOPHER_MIN_WORDLEN} AND {GOPHER_MAX_WORDLEN}
+                  THEN 1 ELSE 0 END AS r_word_len,
+             CASE WHEN n_symbols * 1.0 / n_tokens <= {GOPHER_MAX_SYMBOL_RATIO}
+                  THEN 1 ELSE 0 END AS r_symbol,
+             CASE WHEN n_alpha * 1.0 / n_tokens >= {GOPHER_MIN_ALPHA_FRAC}
+                  THEN 1 ELSE 0 END AS r_alpha,
+             CASE WHEN n_stop_kinds >= {GOPHER_MIN_STOPWORDS}
+                  THEN 1 ELSE 0 END AS r_stop
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_word_count * r_word_len * r_symbol * r_alpha * r_stop)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(1 - r_word_count) AS BIGINT) AS drop_word_count,
+           CAST(SUM(1 - r_word_len) AS BIGINT) AS drop_word_len,
+           CAST(SUM(1 - r_symbol) AS BIGINT) AS drop_symbol,
+           CAST(SUM(1 - r_alpha) AS BIGINT) AS drop_alpha,
+           CAST(SUM(1 - r_stop) AS BIGINT) AS drop_stop
+    FROM rules
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021 §A1.1): the
+    five arithmetic-only checks a web-corpus pre-filter runs before
+    any model-based scoring — word count bounds, mean word length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, and
+    minimum distinct stopwords — rolled up per source as kept/dropped
+    counts with per-rule attribution (the report a curation dashboard
+    shows). Complements q_llm_quality (the C4-style blended score):
+    these are hard gates, that is a ranking.
+
+    Scale: one narrow projection pass (every rule is codegen'd string/
+    array arithmetic — no UDF, no shuffle before the per-source
+    rollup); the line-level Gopher rules (bullet/ellipsis line
+    fractions) are omitted because the fixture's documents are
+    single-line token streams."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = _toks(F.col("text"))
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "#", ""))
+            + (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            ).cast("long")
+            / F.lit(3).cast("long")
+        ).cast("long").alias("n_symbols"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.array_distinct(
+                F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+            )
+        ).alias("n_stop_kinds"),
+    )
+    rules = base.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens")
+        .between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        .cast("int")
+        .alias("r_word_count"),
+        (
+            ((F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens"))
+            .between(GOPHER_MIN_WORDLEN, GOPHER_MAX_WORDLEN)
+        )
+        .cast("int")
+        .alias("r_word_len"),
+        (F.col("n_symbols") / F.col("n_tokens") <= GOPHER_MAX_SYMBOL_RATIO)
+        .cast("int")
+        .alias("r_symbol"),
+        (F.col("n_alpha") / F.col("n_tokens") >= GOPHER_MIN_ALPHA_FRAC)
+        .cast("int")
+        .alias("r_alpha"),
+        (F.col("n_stop_kinds") >= GOPHER_MIN_STOPWORDS)
+        .cast("int")
+        .alias("r_stop"),
+    )
+    keep = (
+        F.col("r_word_count")
+        * F.col("r_word_len")
+        * F.col("r_symbol")
+        * F.col("r_alpha")
+        * F.col("r_stop")
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_kept"),
+            F.sum(1 - F.col("r_word_count")).cast("long").alias("drop_word_count"),
+            F.sum(1 - F.col("r_word_len")).cast("long").alias("drop_word_len"),
+            F.sum(1 - F.col("r_symbol")).cast("long").alias("drop_symbol"),
+            F.sum(1 - F.col("r_alpha")).cast("long").alias("drop_alpha"),
+            F.sum(1 - F.col("r_stop")).cast("long").alias("drop_stop"),
+        )
+        .orderBy("source")
+    )

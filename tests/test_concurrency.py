@@ -502,3 +502,63 @@ def test_interleaved_threaded_writers_snapshot_isolation(spark, loc):
     final = IceTable.load(spark, loc)
     ids = {r.id for r in final.read().collect()}
     assert ids == {0, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101, 102}
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_snapshot_isolation_serial_equivalence_property(spark, tmp_path, seed):
+    """Randomized two-writer interleavings: writer A commits first;
+    writer B (planned against the shared base, snapshot isolation)
+    must either land with exactly the snapshot-isolation outcome —
+    B's delete removes only rows VISIBLE AT ITS PLAN TIME, A's
+    concurrent effects carry through — or abort with CommitConflict
+    leaving A's state intact. Anything else (lost update, resurrected
+    row, phantom delete of A's appends) fails."""
+    import random
+
+    rng = random.Random(20260814 + seed)
+    loc = str(tmp_path / f"prop{seed}")
+    base_rows = [(i, f"b{i}") for i in range(12)]
+    df = spark.createDataFrame(
+        base_rows, "id int, name string"
+    ).repartitionByRange(3, "id")
+    IceTable.create_as(spark, loc, df)
+    s0 = {i for i, _ in base_rows}
+
+    def rand_op():
+        if rng.random() < 0.5:
+            lo = rng.randrange(0, 200)
+            return ("append", [(lo + 1000 * seed + k, "x") for k in range(rng.randrange(1, 3))])
+        lo = rng.randrange(0, 12)
+        return ("delete", (lo, min(11, lo + rng.randrange(0, 5))))
+
+    op_a, op_b = rand_op(), rand_op()
+    t_a = IceTable.load(spark, loc)
+    t_b = IceTable.load(spark, loc)  # plans against the shared base
+
+    def apply_op(t, op):
+        kind, arg = op
+        if kind == "append":
+            t.append(spark.createDataFrame(arg, "id int, name string"))
+        else:
+            t.delete_where(
+                f"id BETWEEN {arg[0]} AND {arg[1]}", isolation="snapshot"
+            )
+
+    apply_op(t_a, op_a)  # writer A lands first
+    # expected state after A
+    s1 = set(s0)
+    if op_a[0] == "append":
+        s1 |= {i for i, _ in op_a[1]}
+    else:
+        s1 -= {i for i in s0 if op_a[1][0] <= i <= op_a[1][1]}
+    try:
+        apply_op(t_b, op_b)
+        if op_b[0] == "append":
+            expected = s1 | {i for i, _ in op_b[1]}
+        else:
+            # delete removes only rows visible at B's plan time (s0)
+            expected = s1 - {i for i in s0 if op_b[1][0] <= i <= op_b[1][1]}
+    except CommitConflict:
+        expected = s1
+    final = {r.id for r in IceTable.load(spark, loc).read().collect()}
+    assert final == expected, (op_a, op_b, final, expected)
