@@ -1034,10 +1034,19 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Self-loops fold the "min of self and neighbors" update into ONE
     # join+agg per iteration (instead of join + left-join); duplicate
     # edges are harmless under min, so no distinct() shuffle either.
+    #
+    # localCheckpoint (not persist): persist caches the PHYSICAL rows
+    # but every loop iteration still re-analyzes/optimizes the full
+    # LOGICAL lineage — which now includes the banded-MinHash tree
+    # (explodes, two wide aggregates, self-join). That driver-side
+    # planning cost grows per iteration and dominated wall clock
+    # (measured: ~3 s/iteration at fixture scale vs ~0.2 s truncated).
+    # Checkpointing the edge set cuts the loop's plans to
+    # join+aggregate over materialized blocks.
     edges = directed.unionAll(
         verts.select("u", F.col("u").alias("v"))
-    ).persist()
-    labels = verts.select(
+    ).localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
     )
     # The propagation loop's shuffles should track GRAPH size (edges ≈
@@ -1062,34 +1071,30 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round instead of a self-join + count.
         prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
         for _ in range(10):  # diameter bound; near-dup graphs are shallow
+            # Each iteration checkpoints its label set: lineage stays
+            # one join+agg deep, the superseded iteration's blocks are
+            # released by the ContextCleaner when the reference drops.
             updated = (
                 edges.join(labels, edges.v == labels.doc_id)
                 .groupBy("u")
                 .agg(F.min("cluster_id").alias("cluster_id"))
                 .withColumnRenamed("u", "doc_id")
-                .persist()
+                .localCheckpoint(eager=True)
             )
             cur_sum = updated.agg(F.sum("cluster_id")).first()[0]
-            if labels is not edges:  # unpersist the superseded label set
-                try:
-                    labels.unpersist()
-                except Exception:  # noqa: BLE001 — first iteration is unpersisted
-                    pass
             labels = updated
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
     finally:
         sess.conf.set(shuffle_key, prev_parts)
-    # Persist hygiene: the shingle→pair→edge intermediates exist only
-    # to serve the iterations above — leaving them persisted would
-    # grow executor memory monotonically across invocations in a
-    # long-lived session. Truncate the result's lineage first
-    # (localCheckpoint materializes the converged labels — one small
-    # row per doc — so the returned plan no longer references the
-    # unpersisted chain), then release everything.
-    final = labels.localCheckpoint(eager=True)
-    for df in (shingles, candidates, pairs, edges, labels):
+    # Persist hygiene: the shingle→pair intermediates exist only to
+    # serve the loop above — leaving them persisted would grow
+    # executor memory monotonically across invocations in a long-lived
+    # session. The converged labels are already checkpointed (their
+    # plan references no persisted chain), so just release everything.
+    final = labels
+    for df in (shingles, candidates, pairs):
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — cleanup must not fail the query
