@@ -213,6 +213,8 @@ def prune_files(
     disjunct (only un-analyzable terms in that OR branch) keeps every
     file, as it must.
     """
+    from iceberg_workshop_spark.icetbl.bloom import file_survives_bloom
+
     dnf = normalize_dnf(preds)
     if not dnf:
         return files, 0
@@ -223,7 +225,8 @@ def prune_files(
         if any(
             file_survives_partition(f.get("partition", {}), spec, iv)
             and file_survives_bounds(f.get("bounds"), iv)
-            for iv in ivals_list
+            and file_survives_bloom(f.get("bloom"), d)
+            for d, iv in zip(dnf, ivals_list)
         ):
             kept.append(f)
     return kept, len(files) - len(kept)

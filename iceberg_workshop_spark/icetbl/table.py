@@ -392,6 +392,13 @@ class IceTable:
         codec = self.meta.properties.get("write.parquet.compression-codec")
         if codec:
             writer = writer.option("compression", codec)
+        # Iceberg write.parquet.bloom-filter-enabled.column.X: have the
+        # Parquet writer embed REAL bloom pages for external readers…
+        from iceberg_workshop_spark.icetbl import bloom as B
+
+        bloom_cols = [c for c in B.bloom_columns(self.meta.properties) if c in out.columns]
+        for c in bloom_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(snap_dir)
@@ -420,6 +427,42 @@ class IceTable:
                         "bounds": bounds,
                     }
                 )
+        # …and mirror them into the manifest entries so the PLANNER can
+        # skip files on equality predicates (per-file bitmaps computed
+        # in one distributed pass grouped by file; the driver receives
+        # only set-bit positions — metadata scale).
+        if bloom_cols and files:
+            import urllib.parse as _up
+
+            from pyspark.sql import functions as F
+
+            by_path = {os.path.abspath(f["path"]): f for f in files}
+            read = self.spark.read.parquet(snap_dir).select(
+                F.col("_metadata.file_path").alias("__fp"), *bloom_cols
+            )
+            for c in bloom_cols:
+                pos = F.array(
+                    *[
+                        F.expr(B.position_sql(c, seed))
+                        for seed in range(B.BLOOM_HASHES)
+                    ]
+                )
+                rows = (
+                    read.filter(F.col(c).isNotNull())
+                    .select("__fp", F.explode(pos).alias("b"))
+                    .groupBy("__fp")
+                    .agg(F.collect_set("b").alias("bits"))
+                    .collect()
+                )
+                for r in rows:
+                    path = os.path.abspath(_up.unquote(_up.urlparse(r["__fp"]).path))
+                    entry = by_path.get(path)
+                    if entry is not None:
+                        entry.setdefault("bloom", {})[c] = {
+                            "m": B.BLOOM_BITS,
+                            "k": B.BLOOM_HASHES,
+                            "bits": B.encode_bits(r["bits"]),
+                        }
         return files
 
     def _retry_commit(self, mutate, attempts: int = 10) -> None:

@@ -296,3 +296,53 @@ def q_scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .orderBy("n_nationkey", "n_regionkey")
     )
+
+
+@register(
+    "q_scan_bloom",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+)
+def q_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (Iceberg's
+    ``write.parquet.bloom-filter-enabled.column.X`` property): a point
+    lookup on an UNSORTED high-cardinality column, where every file's
+    min/max spans the whole domain and stats skipping is powerless.
+    The write embeds real Parquet bloom pages AND mirrors a per-file
+    bitmap into the manifest (icetbl/bloom.py), so the planner drops
+    files whose bloom provably lacks the probed key. require() pins
+    that the scan engaged the filter (scanned < total) — at 16 files
+    with 3 probe bits the expected false-positive scan is ~1 file.
+    """
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl import IceTable, Pred
+    from iceberg_workshop_spark.registry import require
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="iws_bloom_"), "orders_bloom")
+    t = IceTable.create(
+        spark, loc, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    )
+    t.set_properties({"write.parquet.bloom-filter-enabled.column.o_custkey": "true"})
+    t.append(orders.repartition(16))  # hash layout: stats cannot prune
+    probe = int(orders.agg(F.min("o_custkey")).first()[0])
+    hit = t.scan([Pred("o_custkey", "=", probe)])
+    rep = t.last_scan_report
+    require(
+        rep["files_scanned"] < rep["files_total"],
+        f"bloom skipping did not engage: {rep}",
+    )
+    return hit.filter(F.col("o_custkey") == probe).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -697,3 +697,44 @@ def test_legacy_entry_backfill_does_not_rewrite_history(spark, tmp_path):
     for f in snaps[-1]["files"]:
         expect = true_first.get(f["path"], s3)
         assert f["first_snapshot_id"] == expect, f["path"]
+
+
+def test_bloom_skipping_prunes_unsorted_point_lookup(spark, tmp_path):
+    """Per-file Bloom filters prune equality scans where min/max stats
+    cannot: an unsorted high-cardinality column hashed across files
+    gives every file full-domain bounds, yet a point lookup must scan
+    only the file(s) whose bloom contains the value."""
+    from iceberg_workshop_spark.icetbl import Pred
+
+    df = (
+        spark.range(0, 4000)
+        .selectExpr("cast(xxhash64(id) % 100000 as bigint) AS k", "id AS v")
+        .repartition(16)  # hash layout: every file spans the k domain
+    )
+    loc = str(tmp_path / "bloomtbl")
+    t = IceTable.create(spark, loc, "k bigint, v bigint")
+    t.set_properties({"write.parquet.bloom-filter-enabled.column.k": "true"})
+    t.append(df)
+    files = t.meta.current_files()
+    assert len(files) == 16
+    assert all("bloom" in f and "k" in f["bloom"] for f in files)
+
+    sample = [r.k for r in t.read().limit(40).collect()]
+    # no false negatives: every present value is found, and the scan
+    # touches strictly fewer files than the table holds
+    for val in sample[:10]:
+        got = t.scan([Pred("k", "=", int(val))]).collect()
+        assert any(r.k == val for r in got)
+        rep = t.last_scan_report
+        assert rep["files_scanned"] < rep["files_total"], rep
+    # a value outside the written domain prunes everything (modulo
+    # 3-probe false positives across 16 files)
+    t.scan([Pred("k", "=", 10**12 + 7)]).count()
+    assert t.last_scan_report["files_scanned"] <= 3
+
+
+def test_bloom_absent_without_property(spark, tmp_path):
+    t = IceTable.create_as(
+        spark, str(tmp_path / "nobloom"), spark.range(5).selectExpr("id AS k")
+    )
+    assert all("bloom" not in f for f in t.meta.current_files())
