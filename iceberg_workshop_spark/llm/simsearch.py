@@ -969,3 +969,128 @@ def q_llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2", "vec_id")
         .limit(TOP_K)
     )
+
+
+# --------------------------------------------- Matryoshka truncation
+
+MRL_DIMS = (8, 16, 32)  # truncated prefixes evaluated against full 64
+
+
+@register(
+    "q_llm_mrl_truncation",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+      SELECT CAST(u.d AS INT) AS dim
+      FROM UNNEST([{", ".join(str(d) for d in (*MRL_DIMS, 64))}]) AS u(d)
+    ), sliced AS (
+      SELECT vec_id, dim, v[1:dim] AS sv FROM e CROSS JOIN dims
+    ), n AS (
+      SELECT vec_id, dim, sv, sqrt(list_dot_product(sv, sv)) AS nrm
+      FROM sliced
+    ), probes AS (
+      SELECT vec_id AS p_id, dim, sv AS pv, nrm AS pnrm
+      FROM n WHERE vec_id < {EVAL_PROBES}
+    ), ranked AS (
+      SELECT p.p_id, p.dim, n.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_id, p.dim
+               ORDER BY list_dot_product(n.sv, p.pv) / (n.nrm * p.pnrm) DESC,
+                        n.vec_id ASC
+             ) AS rnk
+      FROM n JOIN p__alias p
+        ON n.dim = p.dim AND n.vec_id <> p.p_id
+    ), topk AS (
+      SELECT p_id, dim, vec_id FROM ranked WHERE rnk <= {EVAL_K}
+    ), full_k AS (
+      SELECT p_id, vec_id FROM topk WHERE dim = 64
+    ), overlap AS (
+      SELECT t.p_id, t.dim, COUNT(f.vec_id) AS n_common
+      FROM topk t LEFT JOIN full_k f
+        ON f.p_id = t.p_id AND f.vec_id = t.vec_id
+      WHERE t.dim <> 64
+      GROUP BY t.p_id, t.dim
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(SUM(n_common) * 1.0 / (COUNT(*) * {EVAL_K}), 4)
+             AS avg_overlap_at_k
+    FROM overlap
+    GROUP BY dim
+    ORDER BY dim
+    """.replace("p__alias", "probes"),
+)
+def q_llm_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation sweep: how
+    much of the full-dimension top-k survives when the index stores
+    only a prefix of each embedding (8/16/32 of 64 dims) — the
+    dimension-vs-recall dial every MRL-trained embedding deployment
+    tunes before shrinking its index 2-8×. For {EVAL_PROBES} probes,
+    rank the corpus by prefix cosine at each width and report mean
+    top-{EVAL_K} overlap with the full-width ranking.
+
+    Plan: the corpus is sliced once per width (explode over a 4-row
+    literal), probes broadcast, one scored pass per (probe, dim) with
+    a partitioned rank window — the corpus never self-joins, and at
+    100 TB each width's scan reads dim/64 of the vector bytes (with a
+    columnar layout storing prefix segments separately, the narrower
+    widths are strictly cheaper scans)."""
+    dims_df = spark.createDataFrame(
+        [(d,) for d in (*MRL_DIMS, 64)], "dim int"
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    sliced = emb.crossJoin(F.broadcast(dims_df)).select(
+        "vec_id", "dim", F.expr("slice(v, 1, dim)").alias("sv")
+    )
+    n = _with_norm(sliced, "sv", "nrm")
+    probes = F.broadcast(
+        n.filter(F.col("vec_id") < EVAL_PROBES).select(
+            F.col("vec_id").alias("p_id"),
+            F.col("dim").alias("p_dim"),
+            F.col("sv").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    scored = (
+        n.join(
+            probes,
+            (F.col("dim") == F.col("p_dim"))
+            & (F.col("vec_id") != F.col("p_id")),
+        )
+        .withColumn("c", _dot("sv", "pv") / (F.col("nrm") * F.col("pnrm")))
+    )
+    w = Window.partitionBy("p_id", "dim").orderBy(
+        F.col("c").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EVAL_K)
+        .select("p_id", "dim", "vec_id")
+    )
+    full_k = topk.filter(F.col("dim") == 64).select(
+        F.col("p_id").alias("f_pid"), F.col("vec_id").alias("f_vid")
+    )
+    overlap = (
+        topk.filter(F.col("dim") != 64)
+        .join(
+            full_k,
+            (F.col("p_id") == F.col("f_pid"))
+            & (F.col("vec_id") == F.col("f_vid")),
+            "left",
+        )
+        .groupBy("p_id", "dim")
+        .agg(F.count("f_vid").alias("n_common"))
+    )
+    return (
+        overlap.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(
+                F.sum("n_common") / (F.count(F.lit(1)) * EVAL_K), 4
+            ).alias("avg_overlap_at_k"),
+        )
+        .orderBy("dim")
+    )
