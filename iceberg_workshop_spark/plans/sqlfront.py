@@ -585,12 +585,21 @@ class IceSqlSession:
             if bm and bm["base"] in self.tables:
                 target, branch = bm["base"], bm["br"]
             tbl = self._table(target)
-            tbl.delete_where(
-                self._rewrite(m["cond"]),
-                prune=self._safe_preds(tbl, m["cond"]),
-                isolation=_iso_level(tbl, "delete"),
-                branch=branch,
-            )
+            # Iceberg's write.delete.mode property: merge-on-read
+            # writes positional delete files (O(matching rows) commit,
+            # no data-file rewrite) instead of the CoW default.
+            # Branch-scoped deletes stay CoW (the MoR sidecar path is
+            # main-head-scoped).
+            mode = tbl.meta.properties.get("write.delete.mode", "copy-on-write")
+            if mode == "merge-on-read" and branch is None:
+                tbl.delete_where_pos(self._rewrite(m["cond"]))
+            else:
+                tbl.delete_where(
+                    self._rewrite(m["cond"]),
+                    prune=self._safe_preds(tbl, m["cond"]),
+                    isolation=_iso_level(tbl, "delete"),
+                    branch=branch,
+                )
             return None
         if m := _ROLLBACK_RE.match(s):
             return self._rollback(m)
@@ -2960,6 +2969,50 @@ def q_sql_delete_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.register_table("hive_cdp.mengel.ice", tbl)
     sess.sql("DELETE FROM hive_cdp.mengel.ice WHERE c1 = 1")
     return tbl.read().orderBy("c1")
+
+
+@register(
+    "q_sql_delete_mor_stmt",
+    oracle="""
+    SELECT n_nationkey AS c1, n_name AS c2 FROM nation
+    WHERE n_regionkey <> 2 ORDER BY c1
+    """,
+)
+def q_sql_delete_mor_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``write.delete.mode = merge-on-read`` through the SQL
+    surface: ALTER TABLE ... SET TBLPROPERTIES flips the mode, and the
+    same DELETE FROM statement then writes a POSITIONAL delete file
+    (O(matching rows) commit) instead of rewriting data files. require()
+    pins the routing: the data file set is untouched and the head
+    snapshot carries a pos-delete entry; the read applies it."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.registry import require
+    from iceberg_workshop_spark.sources.tables import load
+
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c1"),
+        F.col("n_name").alias("c2"),
+        F.col("n_regionkey").alias("c3"),
+    )
+    tbl = IceTable.create_as(spark, _fresh(sf_dir, "sql_delete_mor"), nation)
+    before_files = {f["path"] for f in tbl.meta.current_files()}
+    sess = IceSqlSession(spark)
+    sess.register_table("db.ice_mor", tbl)
+    sess.sql(
+        "ALTER TABLE db.ice_mor SET TBLPROPERTIES"
+        " ('write.delete.mode' = 'merge-on-read')"
+    )
+    sess.sql("DELETE FROM db.ice_mor WHERE c3 = 2")
+    after = tbl.meta.snapshot(tbl.meta.current_snapshot_id)
+    require(
+        {f["path"] for f in after["files"]} == before_files,
+        "merge-on-read DELETE must not rewrite data files",
+    )
+    require(
+        any(d.get("kind") == "pos" for d in after.get("delete_files", [])),
+        "merge-on-read DELETE must add a positional delete file",
+    )
+    return tbl.read().select("c1", "c2").orderBy("c1")
 
 
 @register(
