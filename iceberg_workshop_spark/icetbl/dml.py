@@ -584,4 +584,86 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
     return {"delete_files_added": len(entries), "positions_deleted": n_pos}
 
 
+def update_where_mor(
+    tbl: IceTable, condition: str, set_exprs: dict[str, str]
+) -> dict[str, int]:
+    """Merge-on-read UPDATE (Iceberg's ``write.update.mode =
+    merge-on-read``): instead of rewriting whole data files (CoW), ONE
+    commit adds (a) a positional delete file masking the matching rows
+    and (b) new data files holding their updated images — Iceberg's
+    exact v2 recipe, commit cost O(matching rows).
+
+    The matching scan reads THROUGH the current delete set
+    (``_apply_deletes(..., keep_pos=True)``): a row already masked by
+    an earlier MoR delete must not be resurrected by the insert side.
+
+    At 100 TB: the planning scan touches each file once with the
+    (path, pos) metadata columns attached; read-time cost afterwards
+    is the targeted (path, pos) anti-join plus the appended files —
+    until a rewrite_position_deletes/rewrite_data_files pass
+    materializes them.
+    """
+    from pyspark.sql import functions as F
+
+    files = tbl.meta.current_files()
+    dels = _current_deletes(tbl)
+    cols = tbl._column_names()
+    live = (
+        tbl._apply_deletes(files, dels, keep_pos=True)
+        .filter(condition)
+        .persist()
+    )
+    try:
+        positions = live.select(
+            F.col("__path").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        updated = live.select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in cols
+            ]
+        )
+        spec_id = tbl.meta.current_spec_id
+        new_files = tbl._write_files(updated, tbl.meta.specs[spec_id], spec_id)
+        paths, n_pos, content = _write_delete_sidecar(
+            tbl, "posdel", positions.orderBy("file_path", "pos")
+        )
+    finally:
+        live.unpersist()
+    if n_pos == 0:
+        # nothing matched: drop the empty sidecar-dir artifacts and
+        # leave the table untouched (no empty commit)
+        return {"positions_deleted": 0, "files_added": 0}
+    target_paths = sorted(
+        {
+            _norm_path(u)
+            for u in content.column("file_path").unique().to_pylist()
+        }
+    )
+    dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
+    entries = [
+        {
+            "path": p,
+            "record_count": n_pos,
+            "kind": "pos",
+            "dseq": dseq,
+            "target_paths": target_paths,
+        }
+        for p in paths
+    ]
+    existing = (
+        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        if tbl.meta.current_snapshot_id is not None
+        else []
+    )
+    tbl._commit_snapshot(
+        tbl.meta.current_files() + new_files,
+        "update-mor",
+        delete_files=existing + entries,
+    )
+    return {"positions_deleted": n_pos, "files_added": len(new_files)}
+
+
 IceTable.delete_where_pos = delete_where_pos
+
+IceTable.update_where_mor = update_where_mor

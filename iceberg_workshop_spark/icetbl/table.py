@@ -873,7 +873,8 @@ class IceTable:
         return None if sid is None else self.meta.snapshot(sid)
 
     def _apply_deletes(
-        self, files: list[dict], delete_files: list[dict]
+        self, files: list[dict], delete_files: list[dict],
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Read data files with merge-on-read equality deletes applied:
         one anti-join of (rows, their file's data sequence) against the
@@ -882,7 +883,7 @@ class IceTable:
         file is rewritten — the cost moves to read time until a
         rewrite materializes the deletes."""
         if not delete_files:
-            return self._read_files(files)
+            return self._read_files(files, with_pos=keep_pos)
         eq_dels = [d for d in delete_files if d.get("kind", "eq") == "eq"]
         pos_dels = [d for d in delete_files if d.get("kind") == "pos"]
         # Positional deletes name their target files on the entry
@@ -899,6 +900,8 @@ class IceTable:
             pos_targets.update(tp)
 
         def _needs_pos(f: dict) -> bool:
+            if keep_pos:
+                return True  # caller wants (__path, __pos) on every row
             if not pos_dels:
                 return False
             if pos_targets is None:
@@ -940,9 +943,9 @@ class IceTable:
                     F.col("pos").alias("__pos"),
                 )
                 pd_union = one if pd_union is None else pd_union.unionByName(one)
-            data = data.join(
-                pd_union, ["__path", "__pos"], "left_anti"
-            ).drop("__path", "__pos")
+            data = data.join(pd_union, ["__path", "__pos"], "left_anti")
+            if not keep_pos:
+                data = data.drop("__path", "__pos")
         if eq_dels:
             keys = eq_dels[0]["keys"]
             dels = None

@@ -227,6 +227,44 @@ def q_dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dml_update_mor",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN '9-PENDING'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_dml_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Iceberg's write.update.mode=merge-on-read):
+    one commit adds a positional delete file masking the matching rows
+    plus new data files with their updated images — NO existing data
+    file is rewritten (require-asserted), commit cost O(matching
+    rows). Same statement-level semantics as q_dml_update's CoW
+    variant; the oracle is identical, proving flavor-equivalence."""
+    loc = _fresh(sf_dir, "update_mor")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    t = IceTable.create_as(spark, loc, orders)
+    before_files = {f["path"] for f in t.meta.current_files()}
+    stats = t.update_where_mor(
+        "o_orderstatus = 'P'", {"o_orderpriority": "'9-PENDING'"}
+    )
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    require(
+        before_files <= {f["path"] for f in head["files"]},
+        "MoR UPDATE must keep every pre-existing data file",
+    )
+    require(
+        any(d.get("kind") == "pos" for d in head.get("delete_files", [])),
+        "MoR UPDATE must add a positional delete file",
+    )
+    require(stats["files_added"] >= 1, "updated images must be appended")
+    return t.read().orderBy("o_orderkey")
+
+
+@register(
     "q_dml_truncate",
     oracle="""
     SELECT * FROM (VALUES (990, 'FAKELAND', 0)) AS t(n_nationkey, n_name, n_regionkey)

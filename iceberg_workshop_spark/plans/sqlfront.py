@@ -687,12 +687,24 @@ class IceSqlSession:
                 k, v = assign.split("=", 1)
                 assignments[k.strip()] = self._rewrite(v.strip())
             tbl = self._table(m["target"])
-            tbl.update_where(
-                self._rewrite(cond) if cond else "true",
-                assignments,
-                prune=self._safe_preds(tbl, cond) if cond else None,
-                isolation=_iso_level(tbl, "update"),
+            # Iceberg's write.update.mode: merge-on-read masks the old
+            # rows with a positional delete file and appends the
+            # updated images in one commit (O(matching rows)); the
+            # default stays copy-on-write.
+            upd_mode = tbl.meta.properties.get(
+                "write.update.mode", "copy-on-write"
             )
+            if upd_mode == "merge-on-read":
+                tbl.update_where_mor(
+                    self._rewrite(cond) if cond else "true", assignments
+                )
+            else:
+                tbl.update_where(
+                    self._rewrite(cond) if cond else "true",
+                    assignments,
+                    prune=self._safe_preds(tbl, cond) if cond else None,
+                    isolation=_iso_level(tbl, "update"),
+                )
             return None
         if m := _CREATE_DB_RE.match(s):
             self.databases.add(m["db"])

@@ -161,3 +161,43 @@ def test_ice_stream_flags_positional_delete_as_non_append(spark, tmp_path):
         {"location": t.meta.location, "skip_non_append": "true"}
     )
     assert skipper.partitions({"sid": s1}, {"sid": s2}) == []
+
+
+def test_update_mor_does_not_resurrect_deleted_rows(spark, tmp_path):
+    """MoR UPDATE reads through the existing delete set: a row masked
+    by an earlier MoR delete must not reappear via the update's insert
+    side, even when it matches the update predicate."""
+    from pyspark.sql import functions as F
+
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "umor"),
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    t.delete_where_pos("k < 5")            # rows 0-4 masked
+    stats = t.update_where_mor("k < 10", {"v": "v + 1"})
+    assert stats["positions_deleted"] == 5  # only live rows 5-9
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert set(rows) == set(range(5, 20))   # 0-4 stay gone
+    assert all(rows[k] == k * 10 + 1 for k in range(5, 10))
+    assert all(rows[k] == k * 10 for k in range(10, 20))
+    # compaction materializes both delete generations; answers fixed
+    t.rewrite_position_deletes()
+    rows2 = {r.k: r.v for r in t.read().collect()}
+    assert rows2 == rows
+
+
+def test_update_mor_noop_when_nothing_matches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "umor2"),
+        spark.range(0, 5).select(F.col("id").alias("k")),
+    )
+    v_before = t.meta.version
+    stats = t.update_where_mor("k > 100", {"k": "k + 1"})
+    assert stats == {"positions_deleted": 0, "files_added": 0}
+    assert t.meta.version == v_before  # no empty commit

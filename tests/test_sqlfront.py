@@ -816,3 +816,29 @@ def test_join_mview_over_snapshotless_source(spark, tmp_path):
     rows = {r.k: (r.n, float(r.sv)) for r in s.sql("SELECT * FROM db.m").collect()}
     # from-scratch truth: k=1 joins once (v=5), k=2 joins once (v=7)
     assert rows == {1: (1, 5.0), 2: (1, 7.0)}
+
+
+def test_update_statement_routes_by_write_update_mode(spark, tmp_path):
+    # write.update.mode=merge-on-read: the UPDATE statement masks old
+    # rows with a positional delete and appends updated images — no
+    # data-file rewrite.
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "updmode"),
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "k int, v int"
+        ),
+    )
+    before = {f["path"] for f in t.meta.current_files()}
+    s = IceSqlSession(spark)
+    s.register_table("db.u", t)
+    s.sql(
+        "ALTER TABLE db.u SET TBLPROPERTIES"
+        " ('write.update.mode' = 'merge-on-read')"
+    )
+    s.sql("UPDATE db.u SET v = v + 1 WHERE k < 3")
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    assert before <= {f["path"] for f in head["files"]}
+    assert any(d.get("kind") == "pos" for d in head.get("delete_files", []))
+    rows = {r.k: r.v for r in s.sql("SELECT * FROM db.u").collect()}
+    assert rows == {i: i * 10 + (1 if i < 3 else 0) for i in range(10)}
