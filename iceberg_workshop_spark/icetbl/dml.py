@@ -666,4 +666,115 @@ def update_where_mor(
 
 IceTable.delete_where_pos = delete_where_pos
 
+def merge_into_mor(
+    tbl: IceTable, source: DataFrame, on: list[str]
+) -> dict[str, int]:
+    """Merge-on-read MERGE (Iceberg's ``write.merge.mode =
+    merge-on-read``): matched target rows are masked by ONE positional
+    delete file; their updated images plus the unmatched-source
+    inserts land as appended data files — all in a single commit, no
+    data-file rewrite. Supports the same ``__delete`` effect column as
+    the CoW path (matched rows flagged for deletion are masked but not
+    re-inserted).
+
+    The matching scan reads THROUGH the current delete set with row
+    positions attached, so earlier MoR deletes are never resurrected.
+    At 100 TB the commit cost is O(|matched| + |inserts|) rows.
+    """
+    from pyspark.sql import functions as F
+
+    cols = tbl._column_names()
+    non_keys = [c for c in cols if c not in on]
+    files = tbl.meta.current_files()
+    dels = _current_deletes(tbl)
+    has_delete = "__delete" in source.columns
+    live = (
+        tbl._apply_deletes(files, dels, keep_pos=True).persist()
+        if files
+        else None
+    )
+    try:
+        if live is not None:
+            # not persisted: both consumers re-derive it from the
+            # persisted `live` plus a broadcast — cheap either way
+            matched = live.join(F.broadcast(source), on, "inner")
+            positions = matched.select(
+                F.col("__path").alias("file_path"),
+                F.col("__pos").alias("pos"),
+            )
+            upd = matched
+            if has_delete:
+                upd = upd.filter(
+                    ~F.coalesce(F.col("__delete"), F.lit(False))
+                )
+            updated = upd.select(
+                *on, *[source[c].alias(c) for c in non_keys]
+            ).select(*cols)
+            ins_src = (
+                source.filter(~F.coalesce(F.col("__delete"), F.lit(False)))
+                if has_delete
+                else source
+            )
+            inserts = ins_src.select(*cols).join(
+                live.select(*on).distinct(), on, "left_anti"
+            )
+        else:
+            matched = None
+            positions = None
+            updated = None
+            ins_src = (
+                source.filter(~F.coalesce(F.col("__delete"), F.lit(False)))
+                if has_delete
+                else source
+            )
+            inserts = ins_src.select(*cols)
+        new_rows = (
+            updated.unionByName(inserts) if updated is not None else inserts
+        )
+        spec_id = tbl.meta.current_spec_id
+        new_files = tbl._write_files(
+            new_rows, tbl.meta.specs[spec_id], spec_id
+        )
+        if positions is not None:
+            paths, n_pos, content = _write_delete_sidecar(
+                tbl, "posdel", positions.orderBy("file_path", "pos")
+            )
+        else:
+            paths, n_pos, content = [], 0, None
+    finally:
+        if live is not None:
+            live.unpersist()
+    entries: list[dict] = []
+    if n_pos:
+        target_paths = sorted(
+            {
+                _norm_path(u)
+                for u in content.column("file_path").unique().to_pylist()
+            }
+        )
+        dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
+        entries = [
+            {
+                "path": p,
+                "record_count": n_pos,
+                "kind": "pos",
+                "dseq": dseq,
+                "target_paths": target_paths,
+            }
+            for p in paths
+        ]
+    existing = (
+        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        if tbl.meta.current_snapshot_id is not None
+        else []
+    )
+    tbl._commit_snapshot(
+        tbl.meta.current_files() + new_files,
+        "merge-mor",
+        delete_files=existing + entries,
+    )
+    return {"positions_deleted": n_pos, "files_added": len(new_files)}
+
+
 IceTable.update_where_mor = update_where_mor
+IceTable.merge_into_mor = merge_into_mor

@@ -144,6 +144,56 @@ def q_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dml_merge_mor",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'MERGED' AS c_mktsegment
+      FROM customer WHERE c_custkey < 50
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'NEWROW'
+      FROM customer WHERE c_custkey < 10
+    )
+    SELECT c.c_custkey,
+           COALESCE(s.c_name, c.c_name) AS c_name,
+           COALESCE(s.c_nationkey, c.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, c.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+    FROM customer c LEFT JOIN src s USING (c_custkey)
+    UNION ALL
+    SELECT * FROM src
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def q_dml_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE (write.merge.mode=merge-on-read): matched
+    rows masked by one positional delete file, updates + inserts
+    appended — no data file rewritten (require-asserted), one commit.
+    Same source and oracle as q_dml_merge's CoW variant, proving the
+    two write flavors produce identical tables."""
+    loc = _fresh(sf_dir, "merge_mor")
+    customer = load(spark, sf_dir, "customer")
+    t = IceTable.create_as(spark, loc, customer)
+    before_files = {f["path"] for f in t.meta.current_files()}
+    updates = customer.filter(F.col("c_custkey") < 50).withColumn(
+        "c_mktsegment", F.lit("MERGED")
+    )
+    inserts = (
+        customer.filter(F.col("c_custkey") < 10)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_mktsegment", F.lit("NEWROW"))
+    )
+    stats = t.merge_into_mor(updates.unionByName(inserts), on=["c_custkey"])
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    require(
+        before_files <= {f["path"] for f in head["files"]},
+        "MoR MERGE must keep every pre-existing data file",
+    )
+    require(stats["positions_deleted"] > 0, "matched rows must be masked")
+    return t.read().orderBy("c_custkey")
+
+
+@register(
     "q_dml_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice

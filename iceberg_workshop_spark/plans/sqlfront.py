@@ -1319,9 +1319,20 @@ class IceSqlSession:
                 .drop("__act")
             )
             src = src.unionByName(nm)
-        tbl.merge_into(
-            src, on=[t for t, _ in on_pairs], isolation=_iso_level(tbl, "merge")
-        )
+        # Iceberg's write.merge.mode: merge-on-read masks matched rows
+        # with a positional delete and appends updates+inserts in one
+        # commit; default stays copy-on-write.
+        if (
+            tbl.meta.properties.get("write.merge.mode", "copy-on-write")
+            == "merge-on-read"
+        ):
+            tbl.merge_into_mor(src, on=[t for t, _ in on_pairs])
+        else:
+            tbl.merge_into(
+                src,
+                on=[t for t, _ in on_pairs],
+                isolation=_iso_level(tbl, "merge"),
+            )
         return None
 
     def _insert(self, m: re.Match) -> None:

@@ -201,3 +201,43 @@ def test_update_mor_noop_when_nothing_matches(spark, tmp_path):
     stats = t.update_where_mor("k > 100", {"k": "k + 1"})
     assert stats == {"positions_deleted": 0, "files_added": 0}
     assert t.meta.version == v_before  # no empty commit
+
+
+def test_merge_mor_effect_protocol_and_front_end_routing(spark, tmp_path):
+    """MoR MERGE honors the __delete effect column (masked, not
+    re-inserted) and the front-end routes by write.merge.mode."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+    from pyspark.sql import functions as F
+
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "mmor"),
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k int, v string"
+        ),
+    )
+    before = {f["path"] for f in t.meta.current_files()}
+    s = IceSqlSession(spark)
+    s.register_table("db.m", t)
+    s.sql(
+        "ALTER TABLE db.m SET TBLPROPERTIES"
+        " ('write.merge.mode' = 'merge-on-read')"
+    )
+    spark.createDataFrame(
+        [(1, "UPD"), (3, "DEL"), (20, "NEW")], "k int, v string"
+    ).createOrReplaceTempView("mmor_src")
+    s.sql(
+        """MERGE INTO db.m AS t USING mmor_src AS s ON t.k = s.k
+           WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"""
+    )
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    assert before <= {f["path"] for f in head["files"]}
+    assert any(d.get("kind") == "pos" for d in head.get("delete_files", []))
+    rows = {r.k: r.v for r in t.read().collect()}
+    expect = {i: f"v{i}" for i in range(10)}
+    expect[1] = "UPD"
+    del expect[3]
+    expect[20] = "NEW"
+    assert rows == expect
