@@ -80,3 +80,39 @@ def test_delta_applied_aggregate_equals_recompute(spark, tmp_path, seed):
     got = {(r["g"], r["n"], r["s"]) for r in maintained.collect()}
     want = {(r["g"], r["n"], r["s"]) for r in _agg(t.read()).collect()}
     assert got == want
+
+
+def test_changelog_across_mor_update_and_merge(spark, tmp_path):
+    """The net changelog must see through the one-commit MoR UPDATE /
+    MERGE flavor: old images as deletes (reached via the positional
+    delete file), new images as inserts."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "cdcmor"),
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+        ),
+    )
+    s0 = t.meta.current_snapshot_id
+    t.update_where_mor("k < 3", {"v": "v + 1"})
+    t.merge_into_mor(
+        spark.createDataFrame([(5, 999), (50, 500)], "k long, v long"),
+        on=["k"],
+    )
+    ch = [
+        (r.k, r.v, r._change_type)
+        for r in t.changelog(from_snapshot_id=s0).collect()
+    ]
+    expect = {
+        (0, 0, "delete"), (0, 1, "insert"),
+        (1, 10, "delete"), (1, 11, "insert"),
+        (2, 20, "delete"), (2, 21, "insert"),
+        (5, 50, "delete"), (5, 999, "insert"),
+        (50, 500, "insert"),
+    }
+    assert set(ch) == expect and len(ch) == len(expect)
