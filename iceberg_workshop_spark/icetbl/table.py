@@ -385,6 +385,19 @@ class IceTable:
             pcol = f"__p_{field['name']}"
             out = out.withColumn(pcol, self._transform_expr(field))
             part_cols.append(pcol)
+        # Iceberg write.distribution-mode=hash: cluster rows by their
+        # partition tuple before the partitioned write, so each hidden
+        # partition is written by ONE task instead of every task
+        # emitting a sliver per partition — the standard fix for the
+        # small-files explosion (tasks × partitions files). "range" is
+        # covered by write.sort-order above; default (none) preserves
+        # the incoming layout.
+        if (
+            part_cols
+            and not order
+            and self.meta.properties.get("write.distribution-mode") == "hash"
+        ):
+            out = out.repartition(*[F.col(c) for c in part_cols])
         writer = out.write.mode("overwrite")
         # A28 property surface: Iceberg's write.parquet.compression-codec
         # (zstd/snappy/gzip) — applied at write time, per file, so a
@@ -433,8 +446,6 @@ class IceTable:
         # only set-bit positions — metadata scale).
         if bloom_cols and files:
             import urllib.parse as _up
-
-            from pyspark.sql import functions as F
 
             by_path = {os.path.abspath(f["path"]): f for f in files}
             read = self.spark.read.parquet(snap_dir).select(

@@ -738,3 +738,31 @@ def test_bloom_absent_without_property(spark, tmp_path):
         spark, str(tmp_path / "nobloom"), spark.range(5).selectExpr("id AS k")
     )
     assert all("bloom" not in f for f in t.meta.current_files())
+
+
+def test_write_distribution_mode_hash_compacts_partition_files(spark, tmp_path):
+    """write.distribution-mode=hash clusters rows by partition tuple
+    before the partitioned write: one file per hidden partition
+    instead of (tasks x partitions) slivers."""
+    df = spark.range(0, 4000).selectExpr(
+        "id % 4 AS region", "id AS v"
+    ).repartition(16)
+
+    t_none = IceTable.create(
+        spark, str(tmp_path / "none"), "region bigint, v bigint",
+        partition_spec=[spec_field("region")],
+    )
+    t_none.append(df)
+    files_none = t_none.meta.current_files()
+    assert len(files_none) > 4  # every task writes per-partition slivers
+
+    t_hash = IceTable.create(
+        spark, str(tmp_path / "hash"), "region bigint, v bigint",
+        partition_spec=[spec_field("region")],
+    )
+    t_hash.set_properties({"write.distribution-mode": "hash"})
+    t_hash.append(df)
+    files_hash = t_hash.meta.current_files()
+    assert len(files_hash) == 4  # one file per partition value
+    assert {f["partition"]["region"] for f in files_hash} == {"0", "1", "2", "3"}
+    assert t_hash.read().count() == 4000
