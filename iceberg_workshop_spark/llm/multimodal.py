@@ -144,7 +144,29 @@ def _extract_features(
         )
 
 
-@register("q_llm_multimodal_features")  # rows-only: Python-side decode
+_BYTE_CODES_CTE = """
+    codes AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ord(substr(text, CAST(i AS INT), 1))) AS b,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    )
+"""
+
+
+@register(
+    "q_llm_multimodal_features",
+    oracle=f"""
+    WITH {_BYTE_CODES_CTE}
+    SELECT doc_id, 'text/plain' AS mime, n AS n_bytes,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_sum(b) AS DOUBLE) / n END AS byte_mean,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(b) END AS BIGINT)
+             AS byte_max
+    FROM codes ORDER BY doc_id
+    """,
+)
 def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow batches in, per-item decoded features out. The decode is a
@@ -237,7 +259,26 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
-@register("q_llm_multimodal_frames")  # rows-only: Python-side frame decode
+@register(
+    "q_llm_multimodal_frames",
+    oracle=f"""
+    WITH {_BYTE_CODES_CTE}
+    SELECT doc_id,
+           (n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames,
+           ((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} + {FRAME_STRIDE - 1})
+             // {FRAME_STRIDE} AS n_sampled,
+           CAST(COALESCE(list_sum(list_transform(
+               range(0, (n + {FRAME_BYTES - 1}) // {FRAME_BYTES}),
+               f -> CASE WHEN f % {FRAME_STRIDE} = 0
+                    THEN LEAST({FRAME_BYTES}, n - {FRAME_BYTES} * f)
+                    ELSE 0 END)), 0) AS BIGINT) AS sampled_bytes,
+           CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+               i -> CASE WHEN ((i - 1) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
+                    THEN b[CAST(i AS INT)] ELSE 0 END)), 0) % 2147483648
+                AS BIGINT) AS sampled_crc
+    FROM codes ORDER BY doc_id
+    """,
+)
 def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over binary payloads: Arrow batches
     through ``mapInPandas``, one output row per media item with
@@ -373,7 +414,30 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("q_llm_multimodal_resize")  # rows-only: Python-side decode/resize
+@register(
+    "q_llm_multimodal_resize",
+    oracle=f"""
+    WITH {_BYTE_CODES_CTE}
+    SELECT doc_id,
+           CAST({RESIZE_W} AS BIGINT) AS in_w,
+           n // {RESIZE_W} AS in_h,
+           CAST({RESIZE_W // RESIZE_FACTOR} AS BIGINT) AS out_w,
+           (n // {RESIZE_W}) // {RESIZE_FACTOR} AS out_h,
+           CAST(COALESCE(list_sum(list_transform(
+               range(0, ((n // {RESIZE_W}) // {RESIZE_FACTOR})
+                        * {RESIZE_W // RESIZE_FACTOR}),
+               k -> (  b[CAST({2 * RESIZE_W} * (k // {RESIZE_W // RESIZE_FACTOR})
+                           + 2 * (k % {RESIZE_W // RESIZE_FACTOR}) + 1 AS INT)]
+                     + b[CAST({2 * RESIZE_W} * (k // {RESIZE_W // RESIZE_FACTOR})
+                           + 2 * (k % {RESIZE_W // RESIZE_FACTOR}) + 2 AS INT)]
+                     + b[CAST({2 * RESIZE_W} * (k // {RESIZE_W // RESIZE_FACTOR})
+                           + 2 * (k % {RESIZE_W // RESIZE_FACTOR}) + {RESIZE_W + 1} AS INT)]
+                     + b[CAST({2 * RESIZE_W} * (k // {RESIZE_W // RESIZE_FACTOR})
+                           + 2 * (k % {RESIZE_W // RESIZE_FACTOR}) + {RESIZE_W + 2} AS INT)]
+                    ) // 4)), 0) % 2147483648 AS BIGINT) AS out_checksum
+    FROM codes ORDER BY doc_id
+    """,
+)
 def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize over binary payloads via ``mapInPandas`` — the
     fourth multimodal primitive (decode → features → RESIZE → frame

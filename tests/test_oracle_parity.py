@@ -25,23 +25,15 @@ def test_query_matches_oracle(spark, oracle, name):
     if sql is None:
         # rows-only check (driver's weak path) — pin non-empty output
         # and the exact schema so a silently-empty or drifted result
-        # fails here even without a value oracle. (Behavioral tests for
-        # these five live in test_llm.py.)
+        # fails here even without a value oracle. Only the two
+        # engine-specific-hash (xxhash64) fast paths remain rows-only;
+        # their behavioral equivalence to the exact md5 variants is
+        # pinned in test_llm.py.
         expected_cols = {
             "q_llm_dedup_minhash": [
                 "doc_a", "doc_b", "n_common", "n_union", "jaccard",
             ],
             "q_llm_dedup_simhash": ["doc_a", "doc_b", "hamming"],
-            "q_llm_multimodal_features": [
-                "doc_id", "mime", "n_bytes", "byte_mean", "byte_max",
-            ],
-            "q_llm_multimodal_frames": [
-                "doc_id", "n_frames", "n_sampled", "sampled_bytes",
-                "sampled_crc",
-            ],
-            "q_llm_multimodal_resize": [
-                "doc_id", "in_w", "in_h", "out_w", "out_h", "out_checksum",
-            ],
         }
         assert len(spark_pdf) > 0, f"{name}: rows-only query returned empty"
         assert list(spark_pdf.columns) == expected_cols[name], (
