@@ -241,3 +241,47 @@ def test_dnf_pruning_never_drops_matching_rows(rows, transform, splits, dnf):
                     f"row (ts={ts}, k={k}) matches a disjunct of {dnf} but "
                     f"file {f['path']} was pruned under transform {transform}"
                 )
+
+
+def test_bloom_membership_never_false_negative():
+    """Planner-side bloom check: for ANY value set, every member's
+    probe bits are set in the encoded bitmap (no false negative —
+    pruning must never drop a file that holds the value), and the
+    false-positive rate at fixture-like load stays far below 1 (the
+    filter actually prunes)."""
+    import random
+
+    from iceberg_workshop_spark.icetbl.bloom import (
+        BLOOM_BITS,
+        encode_bits,
+        file_survives_bloom,
+        positions,
+    )
+    from iceberg_workshop_spark.icetbl.pruning import Pred
+
+    rng = random.Random(20260814)
+    for _ in range(20):
+        vals = [rng.randrange(0, 10**9) for _ in range(rng.randrange(1, 120))]
+        bits = [b for v in vals for b in positions(v)]
+        bloom = {
+            "k": {"m": BLOOM_BITS, "k": 3, "bits": encode_bits(bits)}
+        }
+        for v in vals:  # members always survive
+            assert file_survives_bloom(bloom, [Pred("k", "=", v)])
+        # non-members: mostly pruned (3 probes over 1024 bits,
+        # <=360 set bits -> FP rate well under 10%)
+        probes = [rng.randrange(10**12, 10**13) for _ in range(200)]
+        fp = sum(
+            1
+            for v in probes
+            if file_survives_bloom(bloom, [Pred("k", "=", v)])
+        )
+        assert fp < 40, f"false-positive rate too high: {fp}/200"
+        # other predicates / other columns never prune
+        assert file_survives_bloom(bloom, [Pred("k", ">", 0)])
+        assert file_survives_bloom(bloom, [Pred("other", "=", 1)])
+    # absent/malformed filters keep the file
+    assert file_survives_bloom(None, [Pred("k", "=", 1)])
+    assert file_survives_bloom(
+        {"k": {"m": "x", "k": 3, "bits": "zz"}}, [Pred("k", "=", 1)]
+    )
