@@ -241,3 +241,26 @@ def test_merge_mor_effect_protocol_and_front_end_routing(spark, tmp_path):
     del expect[3]
     expect[20] = "NEW"
     assert rows == expect
+
+
+def test_expire_and_orphan_cleanup_keep_mor_update_sidecars(spark, tmp_path):
+    """Snapshot expiry and orphan cleanup must treat the positional
+    delete sidecars written by MoR UPDATE/MERGE as referenced — a
+    sweep that removed one would resurrect the masked rows."""
+    from pyspark.sql import functions as F
+
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "expmor"),
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    t.update_where_mor("k < 5", {"v": "v + 1"})
+    t.append(spark.createDataFrame([(100, 1000)], "k long, v long"))
+    t.expire_snapshots(older_than_ms=2**62, retain_last=1)
+    t.remove_orphan_files(older_than_ms=-1)
+    rows = {r.k: r.v for r in t.read().collect()}
+    expect = {k: k * 10 + (1 if k < 5 else 0) for k in range(20)}
+    expect[100] = 1000
+    assert rows == expect
