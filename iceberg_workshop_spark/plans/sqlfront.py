@@ -99,6 +99,11 @@ _ROLLBACK_RE = re.compile(
     re.I | re.S,
 )
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+TABLE\s+(?P<target>[\w.]+)$", re.I)
+_ANALYZE_RE = re.compile(
+    r"ANALYZE\s+TABLE\s+(?P<target>[\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w,\s]+))?$",
+    re.I,
+)
 _CREATE_DB_RE = re.compile(
     r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>\w+)$", re.I
 )
@@ -600,6 +605,33 @@ class IceSqlSession:
                     isolation=_iso_level(tbl, "delete"),
                     branch=branch,
                 )
+            return None
+        if m := _ANALYZE_RE.match(s):
+            # ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]:
+            # one distributed aggregate computes the row count (and
+            # per-column exact NDV + null counts when columns are
+            # named); results land in table properties like engine
+            # catalogs persist them (SHOW TBLPROPERTIES / DESCRIBE
+            # FORMATTED surface them; a CBO reads them at plan time).
+            tbl = self._table(m["target"])
+            df = tbl.read()
+            cols = (
+                [c.strip() for c in m["cols"].split(",") if c.strip()]
+                if m["cols"]
+                else []
+            )
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in cols:
+                aggs.append(F.countDistinct(c).alias(f"__ndv_{c}"))
+                aggs.append(
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nul_{c}")
+                )
+            row = df.agg(*aggs).first()
+            props = {"statistics.row-count": str(row["__n"])}
+            for c in cols:
+                props[f"statistics.ndv.{c}"] = str(row[f"__ndv_{c}"])
+                props[f"statistics.null-count.{c}"] = str(row[f"__nul_{c}"])
+            tbl.set_properties(props)
             return None
         if m := _ROLLBACK_RE.match(s):
             return self._rollback(m)
@@ -2992,6 +3024,52 @@ def q_sql_delete_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.register_table("hive_cdp.mengel.ice", tbl)
     sess.sql("DELETE FROM hive_cdp.mengel.ice WHERE c1 = 1")
     return tbl.read().orderBy("c1")
+
+
+@register(
+    "q_sql_analyze_stmt",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nulls_status
+    FROM orders
+    """,
+)
+def q_sql_analyze_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS through the
+    SQL surface: one distributed aggregate lands row count, exact NDV
+    and null counts in table properties (the stats a cost-based
+    optimizer consumes; SHOW TBLPROPERTIES surfaces them). The result
+    frame re-reads the PROPERTIES, so the oracle match proves the
+    whole loop: compute → persist → surface."""
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tbl = IceTable.create_as(spark, _fresh(sf_dir, "sql_analyze"), orders)
+    sess = IceSqlSession(spark)
+    sess.register_table("db.an", tbl)
+    sess.sql(
+        "ANALYZE TABLE db.an COMPUTE STATISTICS"
+        " FOR COLUMNS o_orderstatus, o_custkey"
+    )
+    p = tbl.meta.properties
+    return spark.createDataFrame(
+        [
+            (
+                int(p["statistics.row-count"]),
+                int(p["statistics.ndv.o_orderstatus"]),
+                int(p["statistics.ndv.o_custkey"]),
+                int(p["statistics.null-count.o_orderstatus"]),
+            )
+        ],
+        "row_count bigint, ndv_status bigint, ndv_custkey bigint,"
+        " nulls_status bigint",
+    )
 
 
 @register(
