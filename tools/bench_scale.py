@@ -24,6 +24,7 @@ HEAVY = [
     "q_llm_dedup_lines", "q_llm_boilerplate", "q_llm_chunk_pack_pipeline",
     # similarity / shuffle-heavy
     "q_llm_simsearch_ivf", "q_llm_global_shuffle", "q_graph_pagerank",
+    "q_llm_simsearch_pq", "q_llm_mrl_truncation",
     # DML / MERGE
     "q_dml_merge", "q_dml_delete_positional", "q_sql_merge_stmt",
     # streaming joins / agg
