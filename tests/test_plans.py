@@ -445,3 +445,30 @@ def test_curriculum_no_global_ntile_window(spark):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "pid" in ln, f"unpartitioned Window: {ln.strip()[:160]}"
+
+
+def test_pq_search_broadcasts_codebook_and_lut(spark):
+    """PQ encode joins the corpus against a broadcast codebook and the
+    ADC step against a broadcast lookup table — the corpus itself must
+    never shuffle for the join sides."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_simsearch_pq"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:500]
+    assert "CartesianProduct" not in plan
+
+
+def test_mrl_truncation_probes_broadcast(spark):
+    """The MRL sweep scores one corpus pass per width against
+    broadcast probes; no corpus self-join, ranks partitioned by
+    (probe, dim)."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_mrl_truncation"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "p_id" in ln and "dim" in ln
