@@ -625,3 +625,157 @@ def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("inter_estimate"),
         "n_exact",
     )
+
+
+@register(
+    "q_sketch_theta_setops",
+    oracle="""
+    WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM o UNION SELECT o_custkey FROM f)) AS BIGINT) AS exact_union,
+           CAST((SELECT COUNT(*) FROM o WHERE o_custkey IN (SELECT o_custkey FROM f)) AS BIGINT) AS exact_inter,
+           CAST((SELECT COUNT(*) FROM o WHERE o_custkey NOT IN (SELECT o_custkey FROM f)) AS BIGINT) AS exact_diff,
+           true AS union_within_5pct,
+           true AS inter_within_5pct,
+           true AS diff_within_5pct
+    """,
+)
+def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches via Spark 4's
+    theta_sketch_agg / theta_union / theta_intersection /
+    theta_difference): the FULL set algebra HLL cannot do — estimate
+    union, intersection AND difference of the open-order vs
+    fulfilled-order customer sets from two per-segment sketches,
+    certificated within 5% of the exact counts (computed in the same
+    query; the oracle pins the exact side).
+
+    100 TB: audience-overlap / churn questions ("customers in segment
+    A but not B") normally need an expensive distinct self-join;
+    theta sketches answer them from KB-sized per-segment state that
+    merges associatively across shards and days — the production
+    replacement for the KMV demonstration (q_sketch_kmv_intersect)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    sk = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_orderstatus")
+        .agg(F.expr("theta_sketch_agg(o_custkey)").alias("sk"))
+    )
+    o = sk.filter("o_orderstatus = 'O'").select(F.col("sk").alias("sk_o"))
+    f = sk.filter("o_orderstatus = 'F'").select(F.col("sk").alias("sk_f"))
+    ests = o.crossJoin(f).select(
+        F.expr("theta_sketch_estimate(theta_union(sk_o, sk_f))").alias("e_u"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(sk_o, sk_f))"
+        ).alias("e_i"),
+        F.expr(
+            "theta_sketch_estimate(theta_difference(sk_o, sk_f))"
+        ).alias("e_d"),
+    )
+    oc = orders.filter("o_orderstatus = 'O'").select("o_custkey").distinct()
+    fc = orders.filter("o_orderstatus = 'F'").select("o_custkey").distinct()
+    exact = (
+        oc.unionByName(fc)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            oc.join(fc, "o_custkey", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_inter")
+            )
+        )
+        .crossJoin(
+            oc.join(fc, "o_custkey", "left_anti").agg(
+                F.count(F.lit(1)).alias("exact_diff")
+            )
+        )
+    )
+    within = lambda est, ex: (  # noqa: E731 — local readability
+        F.abs(F.col(est) - F.col(ex)) <= 0.05 * F.greatest(F.col(ex), F.lit(1))
+    )
+    return exact.crossJoin(ests).select(
+        "exact_union",
+        "exact_inter",
+        "exact_diff",
+        within("e_u", "exact_union").alias("union_within_5pct"),
+        within("e_i", "exact_inter").alias("inter_within_5pct"),
+        within("e_d", "exact_diff").alias("diff_within_5pct"),
+    )
+
+
+@register(
+    "q_sketch_kll_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           true AS p50_rank_ok,
+           true AS p90_rank_ok,
+           true AS merged_matches_direct
+    FROM orders
+    """,
+)
+def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via Spark
+    4's kll_sketch_agg_double / kll_sketch_merge_double): per-month
+    sketches of order totals merge into a global sketch WITHOUT
+    re-reading rows, and the merged p50/p90 estimates must sit within
+    KLL's rank-error bound of the true ranks (±3 % rank at the default
+    k — certified by computing the estimated value's EXACT rank in the
+    same query). A direct single-pass sketch must agree with the
+    merged one the same way.
+
+    100 TB: percentile dashboards over petabyte fact tables keep one
+    KB-scale sketch per partition/day and merge on demand — the
+    quantile analog of the HLL rollup (q_sketch_hll_rolling)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").alias("mon"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    shards = orders.groupBy("mon").agg(
+        F.expr("kll_sketch_agg_double(price)").alias("sk")
+    )
+    merged = shards.agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_merge_agg_double(sk), array(0.5D, 0.9D))"
+        ).alias("qs")
+    ).select(
+        F.element_at("qs", 1).alias("m50"), F.element_at("qs", 2).alias("m90")
+    )
+    direct = orders.agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(price), array(0.5D, 0.9D))"
+        ).alias("qs")
+    ).select(
+        F.element_at("qs", 1).alias("d50"), F.element_at("qs", 2).alias("d90")
+    )
+    est = merged.crossJoin(direct)
+    ranks = orders.crossJoin(F.broadcast(est)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("price") <= F.col("m50"), 1).otherwise(0)).alias(
+            "r50"
+        ),
+        F.sum(F.when(F.col("price") <= F.col("m90"), 1).otherwise(0)).alias(
+            "r90"
+        ),
+        F.first("m50").alias("m50"),
+        F.first("d50").alias("d50"),
+        F.first("m90").alias("m90"),
+        F.first("d90").alias("d90"),
+    )
+    rank_ok = lambda r, q: (  # noqa: E731 — local readability
+        F.abs(F.col(r) / F.col("n_rows") - q) <= 0.03
+    )
+    return ranks.select(
+        "n_rows",
+        rank_ok("r50", 0.5).alias("p50_rank_ok"),
+        rank_ok("r90", 0.9).alias("p90_rank_ok"),
+        (
+            (F.abs(F.col("m50") - F.col("d50"))
+             <= 0.05 * F.abs(F.col("d50")))
+            & (F.abs(F.col("m90") - F.col("d90"))
+               <= 0.05 * F.abs(F.col("d90")))
+        ).alias("merged_matches_direct"),
+    )
