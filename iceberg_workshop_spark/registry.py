@@ -95,39 +95,36 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # registry. Ledger of which names each round's gate covered lives in
 # NOTES.md ("Driver-gate coverage ledger").
 #
-# Round-5 window: q_schema_widen (the one §2B contract row with no
-# external CORRECTNESS row), the full q_sql_* script/statement family
-# (the verbatim replays of the reference's SQL are the heart of
-# parity), the streaming extension family, and 16 lifecycle-tail rows
-# (metadata views / maintenance / partition+schema evolution).
+# Round-6 window: the LLM extension surface — the north-star
+# training-data-pipeline families (dedup, simsearch, textstats,
+# multimodal, curation) that pass the full local DuckDB-parity suite
+# but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # §2B contract row never driver-verified (1)
-    "q_schema_widen",
-    # q_sql_* script/statement family (21)
-    "q_sql_airlines_migration_script", "q_sql_hive_partitioning_script",
-    "q_sql_iceberg_partitioning_script", "q_sql_partition_evolution_script",
-    "q_sql_transform_ctas_script",
-    "q_sql_insert_overwrite_stmt", "q_sql_call_maintenance_stmt",
-    "q_sql_metadata_tables", "q_sql_show_stmts", "q_sql_call_rewrite_sort",
-    "q_sql_schema_evolution_stmt", "q_sql_cdc_wap",
-    "q_sql_materialized_view", "q_sql_materialized_view_join",
-    "q_sql_scripting", "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
-    "q_sql_merge_nmbs_stmt", "q_sql_expire_stmt",
-    "q_sql_describe_formatted", "q_sql_metadata_log",
-    # streaming extension family (12)
-    "q_stream_stateful_running", "q_stream_session_window",
-    "q_stream_stream_join", "q_stream_sink_icetbl", "q_stream_static_join",
-    "q_stream_cdc_upsert", "q_stream_dedup_within",
-    "q_stream_stream_left_join", "q_stream_stream_full_join",
-    "q_stream_agg_rocksdb", "q_stream_state_reader", "q_stream_mv_refresh",
-    # lifecycle tail (16)
-    "q_dml_insert_overwrite", "q_dml_update",
-    "q_meta_snapshots", "q_meta_files", "q_meta_partitions", "q_meta_refs",
-    "q_meta_delete_files",
-    "q_maint_cluster", "q_maint_zorder", "q_maint_manifests",
-    "q_maint_orphans",
-    "q_part_bucket", "q_part_truncate", "q_part_evolution_bucket",
-    "q_schema_drop_column", "q_schema_rename_column",
+    # dedup family (12)
+    "q_llm_dedup_ngram", "q_llm_dedup_minhash", "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_exact", "q_llm_dedup_embed", "q_llm_dedup_embed_lsh",
+    "q_llm_dedup_clusters", "q_llm_dedup_apply", "q_llm_dedup_prefix",
+    "q_llm_dedup_incremental", "q_llm_semdedup", "q_llm_dedup_lines",
+    # simsearch family (11)
+    "q_llm_simsearch_batch", "q_llm_simsearch_ivf",
+    "q_llm_simsearch_ivf_partitioned", "q_llm_simsearch_sq",
+    "q_llm_simsearch_pq", "q_llm_simsearch_incr", "q_llm_kmeans_assign",
+    "q_llm_mrl_truncation", "q_llm_hard_negatives", "q_llm_retrieval_eval",
+    "q_llm_negative_sampling",
+    # textstats family (12)
+    "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
+    "q_llm_fingerprint", "q_llm_tfidf_top_term", "q_llm_unigram_logprob",
+    "q_llm_bigram_lm", "q_llm_chunking", "q_llm_chunk_pack_pipeline",
+    "q_llm_perplexity_filter", "q_llm_vocab_coverage", "q_llm_gopher_rules",
+    # multimodal family (5)
+    "q_llm_binaryfile", "q_llm_multimodal_features",
+    "q_llm_multimodal_resize", "q_llm_multimodal_frames",
+    "q_llm_multimodal_audio",
+    # curation family (10)
+    "q_llm_pii_redact", "q_llm_contamination", "q_llm_seq_pack",
+    "q_llm_domain_mix", "q_llm_repetition", "q_llm_pipeline_e2e",
+    "q_llm_safety_filter", "q_llm_dataset_card", "q_llm_curriculum",
+    "q_llm_global_shuffle",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the
