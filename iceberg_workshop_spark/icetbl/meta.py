@@ -1,9 +1,26 @@
 """Table metadata model + atomic commit protocol.
 
 One JSON document per table version (``metadata/v<N>.json``) holding
-the full state: schema DDL, partition specs (append-only list —
+the table state: schema DDL, partition specs (append-only list —
 partition evolution keeps old specs addressable by id, mirroring
 Iceberg's spec-id per manifest), properties, and the snapshot log.
+
+**Manifest sharding (O(changed-files) commits).** A snapshot's file
+list is NOT inlined in ``v<N>.json``: each snapshot references a list
+of immutable manifest sidecars (``metadata/mf-<hex>.json``, each
+holding up to ``MANIFEST_TARGET_ENTRIES`` entries), exactly why real
+Iceberg writes per-snapshot manifest files plus a manifest list
+(``/root/reference/pyspark-iceberg/limitations.md:82-105`` shows the
+manifest structure; ``interoperability.md:76-83`` the metadata/
+directory). A commit therefore writes O(changed files): the child
+snapshot REUSES every parent manifest whose entries all survive and
+writes one new manifest for the delta, so appending one file to a
+10\N{SUPERSCRIPT FIVE}-file table writes a constant-size ``v<N>.json``
+plus one tiny manifest — never the full file list. Manifest entries
+materialize lazily (``TableMeta.files``/``delete_entries``) and are
+cached per TableMeta instance; metadata views that only need counts
+read the manifest descriptors (``file_counts``) without loading any
+entries.
 
 Commits are **optimistically concurrent** (Iceberg semantics — the
 reference's whole interop story is concurrent engines on one table,
@@ -33,6 +50,11 @@ from typing import Any
 METADATA_DIR = "metadata"
 DATA_DIR = "data"
 HINT_FILE = "version-hint.text"
+MANIFEST_PREFIX = "mf-"
+# Max entries per newly-written manifest: bounds single-manifest size
+# (Iceberg targets ~8 MB manifests for the same reason) so the initial
+# load of a huge table shards into parallel-loadable chunks.
+MANIFEST_TARGET_ENTRIES = 8192
 
 # Metadata retention property names — the two knobs the reference sets
 # at /root/reference/README.md:314-317.
@@ -55,6 +77,9 @@ class TableMeta:
         self.doc = doc
         self.version = version
         self.location = location
+        # manifest-path -> loaded entries; manifests are immutable, so
+        # one load per TableMeta serves every snapshot referencing it
+        self._mf_cache: dict[str, list[dict[str, Any]]] = {}
 
     # -- accessors ---------------------------------------------------
     @property
@@ -98,9 +123,55 @@ class TableMeta:
                 return s
         raise KeyError(f"snapshot {snapshot_id} not found")
 
+    # -- manifest materialization -------------------------------------
+    def _load_mf(self, rel_path: str) -> list[dict[str, Any]]:
+        ents = self._mf_cache.get(rel_path)
+        if ents is None:
+            with open(os.path.join(self.location, rel_path)) as f:
+                ents = json.load(f)["entries"]
+            self._mf_cache[rel_path] = ents
+        return ents
+
+    def files(self, snap: dict[str, Any]) -> list[dict[str, Any]]:
+        """The snapshot's data-file entries, materializing its
+        manifests on first access (cached in the snap dict). Every
+        reader goes through here — ``snap["files"]`` directly would
+        KeyError on a lazily-loaded snapshot."""
+        if "files" not in snap:
+            snap["files"] = [
+                e
+                for m in snap.get("manifests", [])
+                for e in self._load_mf(m["path"])
+            ]
+        return snap["files"]
+
+    def delete_entries(self, snap: dict[str, Any]) -> list[dict[str, Any]]:
+        """The snapshot's merge-on-read delete-file entries (equality
+        and positional), manifest-lazy like ``files``."""
+        if "delete_files" not in snap:
+            snap["delete_files"] = [
+                e
+                for m in snap.get("delete_manifests", [])
+                for e in self._load_mf(m["path"])
+            ]
+        return snap["delete_files"]
+
+    def file_counts(self, snap: dict[str, Any]) -> tuple[int, int]:
+        """(n_files, n_records) without loading manifest entries —
+        the descriptors carry both counts, so metadata views stay
+        O(manifests), not O(files)."""
+        if "files" in snap:
+            fl = snap["files"]
+            return len(fl), sum(f.get("record_count") or 0 for f in fl)
+        ms = snap.get("manifests", [])
+        return (
+            sum(m["n"] for m in ms),
+            sum(m.get("records") or 0 for m in ms),
+        )
+
     def current_files(self) -> list[dict[str, Any]]:
         sid = self.current_snapshot_id
-        return [] if sid is None else self.snapshot(sid)["files"]
+        return [] if sid is None else self.files(self.snapshot(sid))
 
     # -- construction ------------------------------------------------
     @staticmethod
