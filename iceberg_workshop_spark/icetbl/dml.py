@@ -61,7 +61,7 @@ def _current_deletes(tbl: IceTable, branch: str | None = None) -> list[dict]:
         else tbl.meta.current_snapshot_id
     )
     return (
-        list(tbl.meta.snapshot(cur).get("delete_files", []))
+        list(tbl.meta.delete_entries(tbl.meta.snapshot(cur)))
         if cur is not None
         else []
     )
@@ -140,7 +140,7 @@ def _cow_rebase(
             )
         cur = fresh_meta.current_snapshot_id
         fresh_dels = (
-            fresh_meta.snapshot(cur).get("delete_files", [])
+            fresh_meta.delete_entries(fresh_meta.snapshot(cur))
             if cur is not None
             else []
         )
@@ -195,7 +195,7 @@ def delete_where(
             "the snapshot/serializable rebase validates against main"
         )
     files = (
-        tbl.meta.snapshot(tbl.meta.refs[branch]["snapshot_id"])["files"]
+        tbl.meta.files(tbl.meta.snapshot(tbl.meta.refs[branch]["snapshot_id"]))
         if branch
         else tbl.meta.current_files()
     )
@@ -448,7 +448,7 @@ def delete_where_mor(
         for p in paths
     ]
     existing = (
-        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        list(tbl.meta.delete_entries(tbl.meta.snapshot(tbl.meta.current_snapshot_id)))
         if tbl.meta.current_snapshot_id is not None
         else []
     )
@@ -572,7 +572,7 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
         for p in paths
     ]
     existing = (
-        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        list(tbl.meta.delete_entries(tbl.meta.snapshot(tbl.meta.current_snapshot_id)))
         if tbl.meta.current_snapshot_id is not None
         else []
     )
@@ -652,7 +652,7 @@ def update_where_mor(
         for p in paths
     ]
     existing = (
-        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        list(tbl.meta.delete_entries(tbl.meta.snapshot(tbl.meta.current_snapshot_id)))
         if tbl.meta.current_snapshot_id is not None
         else []
     )
@@ -764,7 +764,7 @@ def merge_into_mor(
             for p in paths
         ]
     existing = (
-        list(tbl.meta.snapshot(tbl.meta.current_snapshot_id).get("delete_files", []))
+        list(tbl.meta.delete_entries(tbl.meta.snapshot(tbl.meta.current_snapshot_id)))
         if tbl.meta.current_snapshot_id is not None
         else []
     )

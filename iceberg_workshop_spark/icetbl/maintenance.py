@@ -90,17 +90,31 @@ def expire_snapshots(
         # would silently resurrect deleted rows on every surviving
         # snapshot that carries it.
         def refs_of(snaps: list[dict]) -> set[str]:
-            return {f["path"] for s in snaps for f in s["files"]} | {
-                d["path"] for s in snaps for d in s.get("delete_files", [])
+            return {f["path"] for s in snaps for f in meta.files(s)} | {
+                d["path"] for s in snaps for d in meta.delete_entries(s)
             }
 
         dropped = [s for s in all_before if s["snapshot_id"] not in kept_ids]
         to_delete = refs_of(dropped) - refs_of(kept)
+        # Manifest sidecars referenced only by expired snapshots die
+        # with them (their data files are deleted below, so any old
+        # vN.json pinning them is already unreadable — same Iceberg
+        # semantics as data-file cleanup).
+        def mfs_of(snaps: list[dict]) -> set[str]:
+            return {
+                m["path"]
+                for s in snaps
+                for m in (s.get("manifests") or []) + (s.get("delete_manifests") or [])
+            }
+
+        mf_delete.clear()
+        mf_delete.update(mfs_of(dropped) - mfs_of(kept))
         meta.doc["snapshots"] = kept
         meta.doc["history_log"] = [
             h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in kept_ids
         ]
 
+    mf_delete: set[str] = set()
     tbl._retry_commit(mutate)
 
     removed = 0
@@ -110,6 +124,9 @@ def expire_snapshots(
         with contextlib.suppress(FileNotFoundError):
             os.remove(p)
             removed += 1
+    for rel in sorted(mf_delete):
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(tbl.meta.location, rel))
     # Sweep write-sidecars and empty dirs only where we deleted data —
     # never across the whole data/ tree (a concurrent writer may be
     # mid-write in a fresh snap dir).
@@ -204,7 +221,7 @@ def rewrite_data_files(
     # deletes (untouched files keep their old seq; the carried deletes
     # still apply to them).
     cur = tbl.meta.current_snapshot_id
-    dels = tbl.meta.snapshot(cur).get("delete_files", []) if cur is not None else []
+    dels = tbl.meta.delete_entries(tbl.meta.snapshot(cur)) if cur is not None else []
     df = tbl._apply_deletes(to_rewrite, dels)
     if zorder_by:
         df = _zorder(df, zorder_by, n)
@@ -264,16 +281,23 @@ def _zorder(df, cols: list[str], n: int):
 
 
 def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
-    """Metadata-log compaction (A30): drop snapshots no longer
-    reachable from the current snapshot's ancestor chain (abandoned
-    rollback branches), shrinking every future vN.json. Named refs are
-    retention roots exactly like the current snapshot — a tag or
-    branch head and its ancestry always survive."""
+    """Manifest + metadata-log compaction (A30): drop snapshots no
+    longer reachable from the current snapshot's ancestor chain
+    (abandoned rollback branches), shrinking every future vN.json, and
+    CONSOLIDATE each live head's manifest list — a long append history
+    leaves the head referencing one tiny manifest per commit, and this
+    rewrites them into ``ceil(n/MANIFEST_TARGET_ENTRIES)`` full shards
+    (Iceberg's rewrite_manifests). Named refs are retention roots
+    exactly like the current snapshot — a tag or branch head and its
+    ancestry always survive. Superseded manifest files stay on disk
+    for pinned old-version reads; remove_orphan_files sweeps them once
+    no retained vN.json references them."""
     before = len(tbl.meta.snapshots)
     ancestors: set = set()
+    mf_before = mf_after = 0
 
     def mutate(meta: M.TableMeta) -> None:
-        nonlocal ancestors
+        nonlocal ancestors, mf_before, mf_after
         by_id = {s["snapshot_id"]: s for s in meta.snapshots}
         roots = [meta.current_snapshot_id] + [
             r["snapshot_id"] for r in meta.refs.values()
@@ -289,9 +313,30 @@ def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
         meta.doc["history_log"] = [
             h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in ancestors
         ]
+        mf_before = mf_after = 0
+        for sid in {r for r in roots if r is not None and r in by_id}:
+            s = by_id[sid]
+            ms = s.get("manifests")
+            if not ms:
+                continue
+            n_entries = sum(
+                m["n"] if "n" in m else len(meta._load_mf(m["path"])) for m in ms
+            )
+            need = max(1, -(-n_entries // M.MANIFEST_TARGET_ENTRIES))
+            mf_before += len(ms)
+            if len(ms) > need:
+                s["manifests"] = M._write_manifest_shards(meta, list(meta.files(s)))
+                mf_after += len(s["manifests"])
+            else:
+                mf_after += len(ms)
 
     tbl._retry_commit(mutate)
-    return {"snapshots_before": before, "snapshots_after": len(ancestors)}
+    return {
+        "snapshots_before": before,
+        "snapshots_after": len(ancestors),
+        "head_manifests_before": mf_before,
+        "head_manifests_after": mf_after,
+    }
 
 
 IceTable.expire_snapshots = expire_snapshots
@@ -308,7 +353,7 @@ def rewrite_equality_deletes(tbl: IceTable) -> dict[str, int]:
     snapshots still sees the MoR pair."""
     cur = tbl.meta.current_snapshot_id
     dels = (
-        tbl.meta.snapshot(cur).get("delete_files", []) if cur is not None else []
+        tbl.meta.delete_entries(tbl.meta.snapshot(cur)) if cur is not None else []
     )
     if not dels:
         return {"delete_files_removed": 0, "files_written": 0}
@@ -328,11 +373,11 @@ def orphan_file_report(tbl: IceTable) -> dict[str, int]:
     Detection only — deletion stays with expire_snapshots' cleanup so
     a mis-scoped path can never eat live data on the report path."""
     referenced = {
-        f["path"] for s in tbl.meta.snapshots for f in s["files"]
+        f["path"] for s in tbl.meta.snapshots for f in tbl.meta.files(s)
     } | {
         d["path"]
         for s in tbl.meta.snapshots
-        for d in s.get("delete_files", [])
+        for d in tbl.meta.delete_entries(s)
     }
     total = orphans = 0
     data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
@@ -363,11 +408,11 @@ def remove_orphan_files(
         M.now_ms() - DEFAULT_ORPHAN_AGE_MS if older_than_ms is None else older_than_ms
     )
     referenced = {
-        f["path"] for s in tbl.meta.snapshots for f in s["files"]
+        f["path"] for s in tbl.meta.snapshots for f in tbl.meta.files(s)
     } | {
         d["path"]
         for s in tbl.meta.snapshots
-        for d in s.get("delete_files", [])
+        for d in tbl.meta.delete_entries(s)
     }
     found = removed = 0
     data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
@@ -389,6 +434,49 @@ def remove_orphan_files(
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(p)
                     removed += 1
+    # Orphan MANIFEST sidecars: losing CAS committers and
+    # rewrite_manifests consolidation leave mf-*.json in metadata/
+    # that no retained vN.json references. A manifest referenced by
+    # ANY on-disk version doc stays (pinned read_version views); the
+    # same age guard protects a writer whose manifests are written
+    # but whose vN.json link hasn't landed yet.
+    mdir = os.path.join(tbl.meta.location, M.METADATA_DIR)
+    live_mfs: set[str] = set()
+    try:
+        names = os.listdir(mdir)
+    except FileNotFoundError:
+        names = []
+    import json as _json
+
+    for name in names:
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    doc = _json.load(f)
+            except (OSError, ValueError):
+                continue
+            for s in doc.get("snapshots", []):
+                for m in (s.get("manifests") or []) + (
+                    s.get("delete_manifests") or []
+                ):
+                    live_mfs.add(os.path.basename(m["path"]))
+    for name in names:
+        if not (name.startswith(M.MANIFEST_PREFIX) and name.endswith(".json")):
+            continue
+        if name in live_mfs:
+            continue
+        p = os.path.join(mdir, name)
+        try:
+            mtime_ms = int(os.path.getmtime(p) * 1000)
+        except FileNotFoundError:
+            continue
+        if mtime_ms >= cutoff:
+            continue
+        found += 1
+        if not dry_run:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(p)
+                removed += 1
     return {"orphans_found": found, "orphans_removed": removed}
 
 
@@ -415,7 +503,7 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
 
     cur = tbl.meta.current_snapshot_id
     dels = (
-        tbl.meta.snapshot(cur).get("delete_files", []) if cur is not None else []
+        tbl.meta.delete_entries(tbl.meta.snapshot(cur)) if cur is not None else []
     )
     pos_dels = [d for d in dels if d.get("kind") == "pos"]
     other_dels = [d for d in dels if d.get("kind") != "pos"]

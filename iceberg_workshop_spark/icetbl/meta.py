@@ -134,9 +134,11 @@ class TableMeta:
 
     def files(self, snap: dict[str, Any]) -> list[dict[str, Any]]:
         """The snapshot's data-file entries, materializing its
-        manifests on first access (cached in the snap dict). Every
-        reader goes through here — ``snap["files"]`` directly would
-        KeyError on a lazily-loaded snapshot."""
+        manifests on first access (cached in the snap dict; ``commit``
+        strips the materialized keys from the serialized doc, so the
+        cache never re-inlines entries into v<N>.json). Every reader
+        goes through here — ``snap["files"]`` directly would KeyError
+        on a lazily-loaded snapshot."""
         if "files" not in snap:
             snap["files"] = [
                 e
@@ -165,7 +167,10 @@ class TableMeta:
             return len(fl), sum(f.get("record_count") or 0 for f in fl)
         ms = snap.get("manifests", [])
         return (
-            sum(m["n"] for m in ms),
+            sum(
+                m["n"] if "n" in m else len(self._load_mf(m["path"]))
+                for m in ms
+            ),
             sum(m.get("records") or 0 for m in ms),
         )
 
@@ -273,6 +278,88 @@ def read_metadata_file(path: str) -> TableMeta:
     return read_version(location, version)
 
 
+def _write_manifest_shards(
+    meta: TableMeta, entries: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Write ``entries`` as one or more immutable manifest sidecars
+    and return their descriptors. Descriptor schema (pinned here, the
+    only writer): ``path`` (relative to the table location), ``n``
+    (entry count), ``records`` (sum of entry record_count — 0 for
+    delete manifests, whose entries carry no record_count)."""
+    out: list[dict[str, Any]] = []
+    mdir = os.path.join(meta.location, METADATA_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    for i in range(0, len(entries), MANIFEST_TARGET_ENTRIES):
+        chunk = entries[i : i + MANIFEST_TARGET_ENTRIES]
+        rel = os.path.join(
+            METADATA_DIR, f"{MANIFEST_PREFIX}{uuid.uuid4().hex[:16]}.json"
+        )
+        path = os.path.join(meta.location, rel)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"entries": chunk}, f, separators=(",", ":"), default=str)
+        os.replace(tmp, path)  # manifests are complete before the CAS
+        out.append(
+            {
+                "path": rel,
+                "n": len(chunk),
+                "records": sum(e.get("record_count") or 0 for e in chunk),
+            }
+        )
+        meta._mf_cache[rel] = chunk
+    return out
+
+
+def _shard_snapshot(
+    meta: TableMeta, snap: dict[str, Any], by_id: dict[int, dict[str, Any]]
+) -> None:
+    """Give ``snap`` manifest descriptors for its entry lists, REUSING
+    every parent manifest whose entries all survive unchanged in the
+    child — so a commit writes O(changed files), never the full list.
+    Entry dicts are JSON-native by construction (stats._jsonable), so
+    plain dict equality is exact across a dump/load round-trip."""
+    parent = by_id.get(snap.get("parent_id"))
+    for key, mkey in (("files", "manifests"), ("delete_files", "delete_manifests")):
+        if mkey in snap:
+            continue  # manifests are immutable once assigned
+        entries = snap.get(key)
+        if entries is None:
+            snap[mkey] = []
+            continue
+        by_path = {e["path"]: e for e in entries}
+        # duplicate paths (equal or conflicting) make path-keyed reuse
+        # lossy — shard such a list verbatim instead
+        dup = len(by_path) != len(entries)
+        reused: list[dict[str, Any]] = []
+        covered: set[str] = set()
+        if parent is not None and not dup:
+            for m in parent.get(mkey) or []:
+                try:
+                    pents = meta._load_mf(m["path"])
+                except FileNotFoundError:
+                    continue
+                if pents and all(
+                    e["path"] not in covered and by_path.get(e["path"]) == e
+                    for e in pents
+                ):
+                    reused.append(m)
+                    covered.update(e["path"] for e in pents)
+        remaining = [e for e in entries if e["path"] not in covered]
+        snap[mkey] = reused + _write_manifest_shards(meta, remaining)
+
+
+def _serializable_doc(meta: TableMeta) -> dict[str, Any]:
+    """The doc with materialized entry lists stripped: snapshots are
+    persisted as manifest descriptors only, so v<N>.json stays O(1)
+    per snapshot regardless of live file count."""
+    doc = dict(meta.doc)
+    doc["snapshots"] = [
+        {k: v for k, v in s.items() if k not in ("files", "delete_files")}
+        for s in meta.doc.get("snapshots", [])
+    ]
+    return doc
+
+
 def commit(meta: TableMeta) -> TableMeta:
     """CAS-commit: claim v(N+1).json atomically, then repoint the hint.
 
@@ -288,9 +375,19 @@ def commit(meta: TableMeta) -> TableMeta:
     next_version = meta.version + 1
     path = metadata_path(meta.location, next_version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # Shard any snapshot still carrying inline entry lists (newly built
+    # snapshots, or a legacy inline-format doc being migrated) into
+    # manifest sidecars — oldest-first so each child can reuse its
+    # parent's freshly-assigned manifests. Manifests are fully written
+    # before the CAS below, so a claimed version file never references
+    # an incomplete sidecar; a LOSING commit's manifests are orphaned
+    # in metadata/ (tiny, swept by expire/rewrite_manifests GC).
+    by_id = {s["snapshot_id"]: s for s in meta.snapshots}
+    for s in meta.snapshots:
+        _shard_snapshot(meta, s, by_id)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
-        json.dump(meta.doc, f, separators=(",", ":"), default=str)
+        json.dump(_serializable_doc(meta), f, separators=(",", ":"), default=str)
     try:
         os.link(tmp, path)
     except FileExistsError:

@@ -553,7 +553,7 @@ class IceTable:
                 # extends the branch head, so main's delete files must
                 # not leak into it (and vice versa)
                 delete_files = (
-                    list(self.meta.snapshot(parent).get("delete_files", []))
+                    list(self.meta.delete_entries(self.meta.snapshot(parent)))
                     if parent is not None
                     else []
                 )
@@ -582,7 +582,7 @@ class IceTable:
                 # ADDED here and EXISTING nowhere.
                 first_ref: dict[str, int] = {}
                 for sn in self.meta.snapshots:  # oldest-first
-                    for df in sn.get("files", ()):
+                    for df in self.meta.files(sn):
                         first_ref.setdefault(df["path"], sn["snapshot_id"])
                 for f in legacy:
                     f["first_snapshot_id"] = first_ref.get(f["path"], snap_id)
@@ -596,7 +596,7 @@ class IceTable:
             parent_files = (
                 {
                     f["path"]: f
-                    for f in self.meta.snapshot(parent)["files"]
+                    for f in self.meta.files(self.meta.snapshot(parent))
                 }
                 if parent is not None
                 else {}
@@ -708,7 +708,7 @@ class IceTable:
 
         def base_files(m: M.TableMeta) -> list[dict]:
             return list(
-                m.snapshot(m.refs[branch]["snapshot_id"])["files"]
+                m.files(m.snapshot(m.refs[branch]["snapshot_id"]))
                 if branch
                 else m.current_files()
             )
@@ -864,7 +864,7 @@ class IceTable:
         snap = self._resolve_snapshot(as_of_timestamp_ms, snapshot_id)
         if snap is None:
             return self._read_files([])
-        return self._apply_deletes(snap["files"], snap.get("delete_files", []))
+        return self._apply_deletes(self.meta.files(snap), self.meta.delete_entries(snap))
 
     def _resolve_snapshot(
         self,
@@ -979,14 +979,14 @@ class IceTable:
         snapshot_id: int | None = None,
     ) -> list[dict]:
         if snapshot_id is not None:
-            return self.meta.snapshot(snapshot_id)["files"]
+            return self.meta.files(self.meta.snapshot(snapshot_id))
         if as_of_timestamp_ms is not None:
             eligible = [
                 s for s in self.meta.snapshots if s["timestamp_ms"] <= as_of_timestamp_ms
             ]
             if not eligible:
                 return []
-            return max(eligible, key=lambda s: s["timestamp_ms"])["files"]
+            return self.meta.files(max(eligible, key=lambda s: s["timestamp_ms"]))
         return self.meta.current_files()
 
     def scan(self, preds: list | None = None) -> DataFrame:
@@ -1098,7 +1098,7 @@ class IceTable:
     def snapshots_info(self) -> list[dict[str, Any]]:
         return [
             {k: s[k] for k in ("snapshot_id", "parent_id", "timestamp_ms", "operation")}
-            | {"n_files": len(s["files"]), "n_records": sum(f["record_count"] for f in s["files"])}
+            | dict(zip(("n_files", "n_records"), self.meta.file_counts(s)))
             for s in self.meta.snapshots
         ]
 
@@ -1122,12 +1122,12 @@ class IceTable:
         to_files = (
             self.meta.current_files()
             if to_snapshot_id is None
-            else self.meta.snapshot(to_snapshot_id)["files"]
+            else self.meta.files(self.meta.snapshot(to_snapshot_id))
         )
         from_paths = (
             set()
             if from_snapshot_id is None
-            else {f["path"] for f in self.meta.snapshot(from_snapshot_id)["files"]}
+            else {f["path"] for f in self.meta.files(self.meta.snapshot(from_snapshot_id))}
         )
         added = [f for f in to_files if f["path"] not in from_paths]
         return self._read_files(added)
@@ -1162,10 +1162,10 @@ class IceTable:
             else self.meta.snapshot(from_snapshot_id)
         )
         to_snap = self._resolve_snapshot(None, to_snapshot_id)
-        from_files = [] if from_snap is None else from_snap["files"]
-        to_files = [] if to_snap is None else to_snap["files"]
-        from_dels = [] if from_snap is None else from_snap.get("delete_files", [])
-        to_dels = [] if to_snap is None else to_snap.get("delete_files", [])
+        from_files = [] if from_snap is None else self.meta.files(from_snap)
+        to_files = [] if to_snap is None else self.meta.files(to_snap)
+        from_dels = [] if from_snap is None else self.meta.delete_entries(from_snap)
+        to_dels = [] if to_snap is None else self.meta.delete_entries(to_snap)
         fp = {f["path"] for f in from_files}
         tp = {f["path"] for f in to_files}
         relevant = fp ^ tp
@@ -1327,18 +1327,18 @@ class IceTable:
         parent_paths = (
             set()
             if parent_snap is None
-            else {f["path"] for f in parent_snap["files"]}
+            else {f["path"] for f in self.meta.files(parent_snap)}
         )
-        snap_paths = {f["path"] for f in snap["files"]}
+        snap_paths = {f["path"] for f in self.meta.files(snap)}
         if not parent_paths <= snap_paths:
             raise ValueError(
                 "cherrypick: snapshot removed files — only append "
                 "snapshots can be cherry-picked"
             )
         parent_dels = (
-            [] if parent_snap is None else parent_snap.get("delete_files", [])
+            [] if parent_snap is None else self.meta.delete_entries(parent_snap)
         )
-        if snap.get("delete_files", []) != parent_dels:
+        if self.meta.delete_entries(snap) != parent_dels:
             raise ValueError(
                 "cherrypick: snapshot changed delete files — only "
                 "append snapshots can be cherry-picked"
@@ -1350,7 +1350,7 @@ class IceTable:
         # staged seq) silently swallow the just-published rows.
         delta = [
             {k: v for k, v in f.items() if k != "seq"}
-            for f in snap["files"]
+            for f in self.meta.files(snap)
             if f["path"] not in parent_paths
         ]
 

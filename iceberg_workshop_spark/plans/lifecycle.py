@@ -186,7 +186,7 @@ def q_dml_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = t.merge_into_mor(updates.unionByName(inserts), on=["c_custkey"])
     head = t.meta.snapshot(t.meta.current_snapshot_id)
     require(
-        before_files <= {f["path"] for f in head["files"]},
+        before_files <= {f["path"] for f in t.meta.files(head)},
         "MoR MERGE must keep every pre-existing data file",
     )
     require(stats["positions_deleted"] > 0, "matched rows must be masked")
@@ -303,11 +303,11 @@ def q_dml_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = t.meta.snapshot(t.meta.current_snapshot_id)
     require(
-        before_files <= {f["path"] for f in head["files"]},
+        before_files <= {f["path"] for f in t.meta.files(head)},
         "MoR UPDATE must keep every pre-existing data file",
     )
     require(
-        any(d.get("kind") == "pos" for d in head.get("delete_files", [])),
+        any(d.get("kind") == "pos" for d in t.meta.delete_entries(head)),
         "MoR UPDATE must add a positional delete file",
     )
     require(stats["files_added"] >= 1, "updated images must be appended")

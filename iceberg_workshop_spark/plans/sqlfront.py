@@ -921,9 +921,9 @@ class IceSqlSession:
                 if "summary" in snap:
                     return snap["summary"]
                 parent = by_id.get(snap.get("parent_id"))
-                cur_files = {f["path"]: f for f in snap["files"]}
+                cur_files = {f["path"]: f for f in tbl.meta.files(snap)}
                 par_files = (
-                    {f["path"]: f for f in parent["files"]}
+                    {f["path"]: f for f in tbl.meta.files(parent)}
                     if parent is not None
                     else {}
                 )
@@ -1029,7 +1029,7 @@ class IceSqlSession:
             # to an immediate-parent diff.
             parent = snap.get("parent_id")
             parent_paths = (
-                {f["path"] for f in tbl.meta.snapshot(parent)["files"]}
+                {f["path"] for f in tbl.meta.files(tbl.meta.snapshot(parent))}
                 if parent is not None
                 and any(
                     s2["snapshot_id"] == parent for s2 in tbl.meta.snapshots
@@ -1051,7 +1051,7 @@ class IceSqlSession:
                         f["path"],
                         f.get("record_count"),
                     )
-                    for f in snap["files"]
+                    for f in tbl.meta.files(snap)
                 ],
                 "status int, snapshot_id long, path string, record_count long",
             )
@@ -1061,7 +1061,7 @@ class IceSqlSession:
             # the reachability view expire/orphan tooling reasons over.
             refs: dict[str, list] = {}
             for s2 in tbl.meta.snapshots:
-                for f in s2["files"]:
+                for f in tbl.meta.files(s2):
                     refs.setdefault(f["path"], []).append(
                         (s2["snapshot_id"], f.get("record_count"))
                     )
@@ -1078,7 +1078,7 @@ class IceSqlSession:
             # position) and applying sequence number.
             cur = tbl.meta.current_snapshot_id
             dels = (
-                tbl.meta.snapshot(cur).get("delete_files", [])
+                tbl.meta.delete_entries(tbl.meta.snapshot(cur))
                 if cur is not None
                 else []
             )
@@ -1107,7 +1107,7 @@ class IceSqlSession:
             dels = [
                 d
                 for d in (
-                    tbl.meta.snapshot(cur).get("delete_files", [])
+                    tbl.meta.delete_entries(tbl.meta.snapshot(cur))
                     if cur is not None
                     else []
                 )
@@ -1968,7 +1968,7 @@ class IceSqlSession:
         sid = tbl.meta.current_snapshot_id
         if sid is None:
             return False
-        return bool(tbl.meta.snapshot(sid).get("delete_files"))
+        return bool(tbl.meta.delete_entries(tbl.meta.snapshot(sid)))
 
 
 # ---------------------------------------------------------------- queries
@@ -3106,11 +3106,11 @@ def q_sql_delete_mor_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.sql("DELETE FROM db.ice_mor WHERE c3 = 2")
     after = tbl.meta.snapshot(tbl.meta.current_snapshot_id)
     require(
-        {f["path"] for f in after["files"]} == before_files,
+        {f["path"] for f in tbl.meta.files(after)} == before_files,
         "merge-on-read DELETE must not rewrite data files",
     )
     require(
-        any(d.get("kind") == "pos" for d in after.get("delete_files", [])),
+        any(d.get("kind") == "pos" for d in tbl.meta.delete_entries(after)),
         "merge-on-read DELETE must add a positional delete file",
     )
     return tbl.read().select("c1", "c2").orderBy("c1")

@@ -335,12 +335,12 @@ class _IceStreamReader(DataSourceStreamReader):
                 )
             lo = idx[start_sid] + 1
             prev = chain[idx[start_sid]]
-            prev_paths = {f["path"] for f in prev["files"]}
-            prev_dels = prev.get("delete_files", [])
+            prev_paths = {f["path"] for f in meta.files(prev)}
+            prev_dels = meta.delete_entries(prev)
         parts: list[InputPartition] = []
         for snap in chain[lo : idx[end_sid] + 1]:
-            paths = {f["path"] for f in snap["files"]}
-            dels = snap.get("delete_files", [])
+            paths = {f["path"] for f in meta.files(snap)}
+            dels = meta.delete_entries(snap)
             def key(dl):
                 return sorted((d["path"], int(d["dseq"])) for d in dl)
             if not prev_paths <= paths or key(dels) != key(prev_dels):
@@ -353,7 +353,7 @@ class _IceStreamReader(DataSourceStreamReader):
                     "set skip_non_append=true to skip rewrite/delete "
                     "snapshots"
                 )
-            by_path = {f["path"]: f for f in snap["files"]}
+            by_path = {f["path"]: f for f in meta.files(snap)}
             for p in sorted(paths - prev_paths):
                 seq = int(by_path[p].get("seq", 0))
                 parts.append(

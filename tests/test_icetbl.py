@@ -676,11 +676,15 @@ def test_legacy_entry_backfill_does_not_rewrite_history(spark, tmp_path):
         for sn in t.meta.snapshots
         for f in sn["files"]
     }
-    # simulate a pre-stamping table: strip the stamps on disk
+    # simulate a pre-stamping table: strip the stamps on disk (also
+    # drop the manifest descriptors so commit re-shards the stripped
+    # entries — a true pre-stamping doc had inline files, no manifests)
     legacy = M.read_current(loc)
     for sn in legacy.snapshots:
-        for f in sn["files"]:
+        for f in legacy.files(sn):
             f.pop("first_snapshot_id", None)
+        sn.pop("manifests", None)
+        sn.pop("delete_manifests", None)
     M.commit(legacy)
 
     t2 = IceTable.load(spark, loc)
@@ -690,11 +694,11 @@ def test_legacy_entry_backfill_does_not_rewrite_history(spark, tmp_path):
     s3 = snaps[-1]["snapshot_id"]
     # historical snapshots: still unstamped (no retroactive mutation)
     for sn in snaps[:-1]:
-        assert all("first_snapshot_id" not in f for f in sn["files"]), (
+        assert all("first_snapshot_id" not in f for f in doc.files(sn)), (
             "legacy snapshots must not be rewritten"
         )
     # head snapshot: backfilled stamps point at the TRUE adding commit
-    for f in snaps[-1]["files"]:
+    for f in doc.files(snaps[-1]):
         expect = true_first.get(f["path"], s3)
         assert f["first_snapshot_id"] == expect, f["path"]
 

@@ -1,0 +1,275 @@
+"""Manifest-sharded metadata: commits write O(changed files).
+
+Pure-metadata tests (no Spark): drive TableMeta/commit directly with
+synthetic file entries, asserting the properties the sharding exists
+for — constant v<N>.json size under appends, parent-manifest reuse,
+exact entry round-trips, count-only metadata reads, and transparent
+migration of legacy inline-file documents.
+"""
+
+import json
+import os
+
+import iceberg_workshop_spark.icetbl.meta as M
+
+
+def _entry(i: int, seq: int = 1) -> dict:
+    return {
+        "path": f"/data/f{i:06d}.parquet",
+        "record_count": 10,
+        "file_size": 1000 + i,
+        "partition": {},
+        "spec_id": 0,
+        "bounds": {"a": [i, i + 9]},
+        "seq": seq,
+        "first_snapshot_id": 1,
+    }
+
+
+def _append_snapshot(meta: M.TableMeta, new_entries: list[dict]) -> M.TableMeta:
+    parent_id = meta.current_snapshot_id
+    files = (list(meta.current_files()) if parent_id is not None else []) + new_entries
+    snap = {
+        "snapshot_id": M.new_snapshot_id(),
+        "parent_id": parent_id,
+        "timestamp_ms": M.now_ms(),
+        "operation": "append",
+        "files": files,
+        "delete_files": [],
+    }
+    meta.snapshots.append(snap)
+    meta.doc["current_snapshot_id"] = snap["snapshot_id"]
+    return M.commit(meta)
+
+
+def _mk(tmp_path) -> M.TableMeta:
+    loc = str(tmp_path / "tbl")
+    os.makedirs(loc)
+    meta = M.TableMeta.empty(loc, "a int", [])
+    return M.commit(meta)
+
+
+def test_commit_size_constant_under_appends(tmp_path):
+    """The O(changed-files) certificate: after a big initial load, each
+    single-file append writes a v<N>.json whose size does NOT grow with
+    live file count, plus exactly one tiny new manifest."""
+    meta = _mk(tmp_path)
+    meta = _append_snapshot(meta, [_entry(i) for i in range(3000)])
+    sizes, new_manifests = [], []
+    mdir = os.path.join(meta.location, M.METADATA_DIR)
+    for k in range(3):
+        before = {n for n in os.listdir(mdir) if n.startswith(M.MANIFEST_PREFIX)}
+        meta = _append_snapshot(meta, [_entry(10000 + k)])
+        after = {n for n in os.listdir(mdir) if n.startswith(M.MANIFEST_PREFIX)}
+        new_manifests.append(len(after - before))
+        sizes.append(os.path.getsize(M.metadata_path(meta.location, meta.version)))
+    # one new manifest per append (the 1-file delta), parents reused
+    assert new_manifests == [1, 1, 1]
+    # vN.json grows only by the per-snapshot descriptor line, never by
+    # the live file count: three appends over a 3000-file table stay
+    # within a few hundred bytes of each other
+    assert max(sizes) - min(sizes) < 1000
+    # and the doc itself is far smaller than the inlined-entry format
+    # (3000 entries would be ~400 KB)
+    assert max(sizes) < 20_000
+    # the full list still materializes exactly once reloaded
+    fresh = M.read_current(meta.location)
+    assert len(fresh.current_files()) == 3003
+
+
+def test_manifest_round_trip_and_descriptor_schema(tmp_path):
+    meta = _mk(tmp_path)
+    entries = [_entry(i) for i in range(10)]
+    meta = _append_snapshot(meta, entries)
+    fresh = M.read_current(meta.location)
+    snap = fresh.snapshot(fresh.current_snapshot_id)
+    # serialized doc carries descriptors, not entries
+    raw = json.load(open(M.metadata_path(meta.location, meta.version)))
+    rsnap = [s for s in raw["snapshots"] if s["snapshot_id"] == snap["snapshot_id"]][0]
+    assert "files" not in rsnap and "delete_files" not in rsnap
+    for m in rsnap["manifests"]:
+        assert set(m) == {"path", "n", "records"}
+        assert os.path.exists(os.path.join(meta.location, m["path"]))
+    # counts come from descriptors without materializing entries
+    assert fresh.file_counts(snap) == (10, 100)
+    assert "files" not in snap  # file_counts alone must not materialize
+    # entries round-trip exactly
+    assert fresh.files(snap) == entries
+
+
+def test_parent_manifest_reuse_after_reload(tmp_path):
+    """Reuse must survive a process restart: entries loaded from JSON
+    compare equal to the carried in-memory dicts."""
+    meta = _mk(tmp_path)
+    meta = _append_snapshot(meta, [_entry(i) for i in range(100)])
+    fresh = M.read_current(meta.location)
+    head = fresh.snapshot(fresh.current_snapshot_id)
+    first_manifests = [m["path"] for m in head["manifests"]]
+    fresh = _append_snapshot(fresh, [_entry(500)])
+    head2 = fresh.snapshot(fresh.current_snapshot_id)
+    reused = [m["path"] for m in head2["manifests"]]
+    assert set(first_manifests) <= set(reused)
+    assert len(reused) == len(first_manifests) + 1
+
+
+def test_delete_manifests_round_trip(tmp_path):
+    meta = _mk(tmp_path)
+    meta = _append_snapshot(meta, [_entry(0)])
+    dels = [{"path": "/data/del-0.json", "kind": "eq", "keys": ["a"], "dseq": 2}]
+    parent_id = meta.current_snapshot_id
+    snap = {
+        "snapshot_id": M.new_snapshot_id(),
+        "parent_id": parent_id,
+        "timestamp_ms": M.now_ms(),
+        "operation": "delete",
+        "files": list(meta.current_files()),
+        "delete_files": dels,
+    }
+    meta.snapshots.append(snap)
+    meta.doc["current_snapshot_id"] = snap["snapshot_id"]
+    meta = M.commit(meta)
+    fresh = M.read_current(meta.location)
+    head = fresh.snapshot(fresh.current_snapshot_id)
+    assert fresh.delete_entries(head) == dels
+    # delete manifests are separate sidecars with their own descriptors
+    assert head["delete_manifests"] and head["delete_manifests"][0]["n"] == 1
+
+
+def test_legacy_inline_doc_migrates_on_next_commit(tmp_path):
+    """A pre-sharding vN.json (inline files) reads fine and is sharded
+    by the next commit without data change."""
+    loc = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(loc, M.METADATA_DIR))
+    entries = [_entry(i) for i in range(5)]
+    doc = {
+        "format_version": 1,
+        "table_uuid": "u",
+        "schema": "a int",
+        "partition_specs": [[]],
+        "current_spec_id": 0,
+        "properties": {},
+        "snapshots": [
+            {
+                "snapshot_id": 1,
+                "parent_id": None,
+                "timestamp_ms": M.now_ms(),
+                "operation": "append",
+                "files": entries,
+                "delete_files": [],
+            }
+        ],
+        "current_snapshot_id": 1,
+    }
+    with open(M.metadata_path(loc, 1), "w") as f:
+        json.dump(doc, f)
+    meta = M.read_current(loc)
+    assert meta.current_files() == entries  # inline reads still work
+    meta = _append_snapshot(meta, [_entry(99)])
+    raw = json.load(open(M.metadata_path(loc, meta.version)))
+    assert all("files" not in s for s in raw["snapshots"])
+    fresh = M.read_current(loc)
+    assert {f["path"] for f in fresh.current_files()} == {
+        e["path"] for e in entries
+    } | {_entry(99)["path"]}
+
+
+def test_sharding_respects_target_entries(tmp_path):
+    meta = _mk(tmp_path)
+    n = M.MANIFEST_TARGET_ENTRIES + 7
+    meta = _append_snapshot(meta, [_entry(i) for i in range(n)])
+    head = meta.snapshot(meta.current_snapshot_id)
+    assert [m["n"] for m in head["manifests"]] == [M.MANIFEST_TARGET_ENTRIES, 7]
+    fresh = M.read_current(meta.location)
+    assert len(fresh.current_files()) == n
+
+
+def _mf_names(loc: str) -> set[str]:
+    mdir = os.path.join(loc, M.METADATA_DIR)
+    return {n for n in os.listdir(mdir) if n.startswith(M.MANIFEST_PREFIX)}
+
+
+def test_expire_gcs_exclusive_manifests(spark, tmp_path):
+    """Expiring snapshots deletes manifests only they referenced;
+    manifests reused by surviving snapshots stay readable."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(spark, loc, spark.createDataFrame([(1,)], "a int"))
+    t.insert_values([(2,)])
+    t.insert_values([(3,)])
+    before = _mf_names(loc)
+    assert len(before) >= 3  # one delta manifest per commit
+    n_head = len(t.meta.current_files())
+    t.expire_snapshots(older_than_ms=M.now_ms() + 1)
+    after = _mf_names(loc)
+    # the head's reused chain survives; nothing the head needs is gone
+    fresh = M.read_current(loc)
+    assert len(fresh.current_files()) == n_head
+    assert t.read().count() == 3
+    # expired-only manifests are deleted (delete_manifests of dropped
+    # snapshots were empty shards here, so only data manifests counted)
+    assert after <= before
+
+
+def test_rewrite_manifests_consolidates_head(spark, tmp_path):
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(spark, loc, spark.createDataFrame([(1,)], "a int"))
+    for i in range(4):
+        t.insert_values([(10 + i,)])
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    n_head = len(t.meta.current_files())
+    assert len(head["manifests"]) == 5  # one per append
+    stats = t.rewrite_manifests()
+    assert stats["head_manifests_before"] == 5
+    assert stats["head_manifests_after"] == 1
+    fresh = M.read_current(loc)
+    assert len(fresh.current_files()) == n_head
+    assert t.read().count() == 5
+    # subsequent appends reuse the consolidated shard
+    t.insert_values([(99,)])
+    head2 = t.meta.snapshot(t.meta.current_snapshot_id)
+    assert len(head2["manifests"]) == 2
+
+
+def test_orphan_sweep_removes_unreferenced_manifests(spark, tmp_path):
+    """After consolidation + metadata GC drops every doc referencing
+    the fragmented manifests, remove_orphan_files sweeps them."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(spark, loc, spark.createDataFrame([(1,)], "a int"))
+    for i in range(3):
+        t.insert_values([(10 + i,)])
+    t.rewrite_manifests()
+    # retain only the newest metadata version so pre-consolidation
+    # docs (which reference the fragmented manifests) are GC'd
+    t.set_properties(
+        {
+            M.PROP_PREV_VERSIONS_MAX: "0",
+            M.PROP_DELETE_AFTER_COMMIT: "true",
+        }
+    )
+    t.insert_values([(99,)])
+    n_before = len(_mf_names(loc))
+    n_head = len(t.meta.current_files())
+    rep = t.remove_orphan_files(older_than_ms=M.now_ms() + 1000)
+    assert rep["orphans_removed"] >= 1
+    assert len(_mf_names(loc)) < n_before
+    # everything the live doc needs is intact
+    assert t.read().count() == 5
+    fresh = M.read_current(loc)
+    assert len(fresh.current_files()) == n_head
+
+
+def test_file_counts_fallback_without_n(tmp_path):
+    """Descriptor missing 'n' (foreign writer): fall back to loading
+    the manifest instead of raising."""
+    meta = _mk(tmp_path)
+    meta = _append_snapshot(meta, [_entry(i) for i in range(4)])
+    fresh = M.read_current(meta.location)
+    head = fresh.snapshot(fresh.current_snapshot_id)
+    for m in head["manifests"]:
+        del m["n"]
+    assert fresh.file_counts(head)[0] == 4
