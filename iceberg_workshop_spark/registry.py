@@ -100,31 +100,35 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # dedup family (12)
-    "q_llm_dedup_ngram", "q_llm_dedup_minhash", "q_llm_dedup_simhash",
-    "q_llm_dedup_simhash_exact", "q_llm_dedup_embed", "q_llm_dedup_embed_lsh",
-    "q_llm_dedup_clusters", "q_llm_dedup_apply", "q_llm_dedup_prefix",
-    "q_llm_dedup_incremental", "q_llm_semdedup", "q_llm_dedup_lines",
-    # simsearch family (11)
-    "q_llm_simsearch_batch", "q_llm_simsearch_ivf",
-    "q_llm_simsearch_ivf_partitioned", "q_llm_simsearch_sq",
-    "q_llm_simsearch_pq", "q_llm_simsearch_incr", "q_llm_kmeans_assign",
-    "q_llm_mrl_truncation", "q_llm_hard_negatives", "q_llm_retrieval_eval",
-    "q_llm_negative_sampling",
-    # textstats family (12)
-    "q_llm_lang_id", "q_llm_quality", "q_llm_token_count",
-    "q_llm_fingerprint", "q_llm_tfidf_top_term", "q_llm_unigram_logprob",
-    "q_llm_bigram_lm", "q_llm_chunking", "q_llm_chunk_pack_pipeline",
-    "q_llm_perplexity_filter", "q_llm_vocab_coverage", "q_llm_gopher_rules",
-    # multimodal family (5)
-    "q_llm_binaryfile", "q_llm_multimodal_features",
-    "q_llm_multimodal_resize", "q_llm_multimodal_frames",
-    "q_llm_multimodal_audio",
-    # curation family (10)
-    "q_llm_pii_redact", "q_llm_contamination", "q_llm_seq_pack",
-    "q_llm_domain_mix", "q_llm_repetition", "q_llm_pipeline_e2e",
-    "q_llm_safety_filter", "q_llm_dataset_card", "q_llm_curriculum",
-    "q_llm_global_shuffle",
+    # round-7 rotation: the never-driver-verified operator tail.
+    # operator/scan/join/set tail (14)
+    "q_dml_delete_positional", "q_scan_bloom", "q_join_asof_tolerance",
+    "q_win_distribution", "q_win_running_distinct",
+    "q_win_period_over_period", "q_sort_nulls", "q_set_union_by_name",
+    "q_limit_offset", "q_set_intersect_all", "q_join_skew_salted",
+    "q_agg_skew_salted", "q_catalog_ops", "q_join_bucketed",
+    # python data-source + ice streaming (4)
+    "q_source_python", "q_source_python_stream", "q_source_python_write",
+    "q_stream_ice_table",
+    # event analytics (5)
+    "q_funnel_conversion", "q_retention_cohort", "q_agg_histogram",
+    "q_agg_stats", "q_quality_expectations",
+    # subqueries / lateral / pipe syntax (6)
+    "q_subquery_exists_in", "q_subquery_scalar", "q_cte_recursive",
+    "q_join_lateral", "q_sql_pipe_syntax", "q_sql_lateral_alias",
+    # window-pattern + SCD (9)
+    "q_win_gaps_islands", "q_scd2_build", "q_win_transition_matrix",
+    "q_agg_cumulative_distinct", "q_agg_heavy_hitters",
+    "q_join_interval_overlap", "q_win_gap_fill", "q_win_rolling_distinct",
+    "q_win_ewma",
+    # graph + mergeable sketches (5)
+    "q_graph_pagerank", "q_sketch_kmv", "q_sketch_kmv_intersect",
+    "q_sketch_theta_setops", "q_sketch_kll_quantiles",
+    # merge-on-read DML + CDC/WAP (7) — also exercises the new
+    # manifest-sharded metadata commits end-to-end
+    "q_dml_merge_mor", "q_dml_update_mor", "q_dml_delete_mor",
+    "q_sql_delete_mor_stmt", "q_cdc_join_maintain",
+    "q_incr_agg_maintenance", "q_wap_pattern",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the
