@@ -175,6 +175,52 @@ def _cow_rebase(
     return rebase
 
 
+def _mor_append_rebase(tbl, base_files, base_dels, own_new_files):
+    """Rebase hook for merge-on-read commits (delete/update/merge
+    sidecar writers): a concurrent winner that only ADDED data files
+    leaves the operation fully valid — positional deletes target
+    specific pre-existing files, and an equality delete's recorded
+    ``dseq`` already confines it to strictly-older data, so the
+    rebased commit is exactly the serial order "this delete, then the
+    winner's append" (the winner's files carry the dseq itself, which
+    is not strictly older). Rebase = winner's file set plus this op's
+    appended images; the carried delete list (base deletes + this
+    op's sidecars) is already correct because the winner's delete set
+    is validated unchanged. Any winner that removed/rewrote a file or
+    touched the delete set re-raises for a re-plan — a concurrent
+    compaction would orphan positional targets, and a concurrent
+    row-level delete interleaved with an update/merge is a genuine
+    write-write conflict (lost-delete hazard)."""
+    base_paths = {f["path"] for f in base_files}
+    base_del_keys = {_del_entry_key(d) for d in base_dels}
+
+    def rebase(fresh_meta):
+        from iceberg_workshop_spark.icetbl import meta as M2
+
+        fresh_files = fresh_meta.current_files()
+        fresh_paths = {f["path"] for f in fresh_files}
+        if not base_paths <= fresh_paths:
+            raise M2.CommitConflict(
+                "merge-on-read rebase: a concurrent commit removed or "
+                "rewrote data files this operation's delete sidecars "
+                "target — re-plan required"
+            )
+        cur = fresh_meta.current_snapshot_id
+        fresh_dels = (
+            fresh_meta.delete_entries(fresh_meta.snapshot(cur))
+            if cur is not None
+            else []
+        )
+        if {_del_entry_key(d) for d in fresh_dels} != base_del_keys:
+            raise M2.CommitConflict(
+                "merge-on-read rebase: a concurrent commit changed the "
+                "delete-file set — re-plan required"
+            )
+        return list(fresh_files) + own_new_files
+
+    return rebase
+
+
 def delete_where(
     tbl: IceTable,
     condition: str,
@@ -456,6 +502,7 @@ def delete_where_mor(
         tbl.meta.current_files(),
         "delete-mor",
         delete_files=existing + entries,
+        rebase=_mor_append_rebase(tbl, tbl.meta.current_files(), existing, []),
     )
     return {"delete_files_added": len(entries), "keys_deleted": n_keys}
 
@@ -580,6 +627,7 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
         tbl.meta.current_files(),
         "delete-mor",
         delete_files=existing + entries,
+        rebase=_mor_append_rebase(tbl, tbl.meta.current_files(), existing, []),
     )
     return {"delete_files_added": len(entries), "positions_deleted": n_pos}
 
@@ -660,6 +708,9 @@ def update_where_mor(
         tbl.meta.current_files() + new_files,
         "update-mor",
         delete_files=existing + entries,
+        rebase=_mor_append_rebase(
+            tbl, tbl.meta.current_files(), existing, new_files
+        ),
     )
     return {"positions_deleted": n_pos, "files_added": len(new_files)}
 
@@ -772,6 +823,9 @@ def merge_into_mor(
         tbl.meta.current_files() + new_files,
         "merge-mor",
         delete_files=existing + entries,
+        rebase=_mor_append_rebase(
+            tbl, tbl.meta.current_files(), existing, new_files
+        ),
     )
     return {"positions_deleted": n_pos, "files_added": len(new_files)}
 

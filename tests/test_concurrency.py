@@ -562,3 +562,98 @@ def test_snapshot_isolation_serial_equivalence_property(spark, tmp_path, seed):
         expected = s1
     final = {r.id for r in IceTable.load(spark, loc).read().collect()}
     assert final == expected, (op_a, op_b, final, expected)
+
+
+# ------------------------------------- merge-on-read rebase under
+# append-only winners (VERDICT r5 #3): an equality/positional delete
+# sidecar stays valid when the CAS winner only added files, so the
+# MoR commit rebases onto the winner instead of raising.
+
+
+def test_mor_delete_rebases_onto_concurrent_append(spark, loc):
+    """MoR equality delete LOSES the CAS to a blind append: the delete
+    must rebase (serial order: delete, then append) — both commits
+    land, the deleted key is dead, every appended row is visible."""
+    t1 = _mk(spark, loc, [(i, "x") for i in range(6)])
+    t2 = IceTable.load(spark, loc)
+
+    t1.append(spark.createDataFrame([(50, "y")], "id int, name string"))
+    # t2 plans the delete against the pre-append base and commits second
+    t2.delete_where_mor("id = 3", keys=["id"])
+
+    final = IceTable.load(spark, loc)
+    ids = sorted(r.id for r in final.read().collect())
+    assert ids == [0, 1, 2, 4, 5, 50]
+
+
+def test_mor_delete_rebase_preserves_winner_matching_rows(spark, loc):
+    """The winner appended a row MATCHING the delete predicate: the
+    rebased serial order is delete-then-append, so the winner's row
+    survives (its seq equals the delete's dseq — not strictly older)."""
+    t1 = _mk(spark, loc, [(1, "a"), (3, "b")])
+    t2 = IceTable.load(spark, loc)
+
+    t1.append(spark.createDataFrame([(3, "winner")], "id int, name string"))
+    t2.delete_where_mor("id = 3", keys=["id"])
+
+    rows = {(r.id, r.name) for r in IceTable.load(spark, loc).read().collect()}
+    assert rows == {(1, "a"), (3, "winner")}
+
+
+def test_mor_update_rebases_onto_concurrent_append(spark, loc):
+    """MoR UPDATE (positional mask + appended images) racing a blind
+    append: both land — updated images and winner rows all visible."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+    t2.set_properties({"write.update.mode": "merge-on-read"})
+
+    t1.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+    # set_properties already refreshed t2 onto the append; reload a
+    # genuinely stale handle to exercise the rebase
+    stale = IceTable.load(spark, loc)
+    stale.meta = M.read_current(loc)
+    t1.append(spark.createDataFrame([(10, "w")], "id int, name string"))
+    stats = stale.update_where_mor("id = 1", {"name": "'UPD'"})
+    assert stats["positions_deleted"] == 1
+
+    rows = {(r.id, r.name) for r in IceTable.load(spark, loc).read().collect()}
+    assert rows == {(1, "UPD"), (2, "b"), (9, "z"), (10, "w")}
+
+
+def test_mor_delete_still_conflicts_on_concurrent_rewrite(spark, loc):
+    """The winner REWROTE files (compaction): positional targets may be
+    orphaned — the MoR commit must re-raise, not rebase."""
+    t1 = _mk(spark, loc, [(i, "x") for i in range(8)])
+    t2 = IceTable.load(spark, loc)
+
+    t1.rewrite_data_files(target_file_size_bytes=1 << 30)
+    with pytest.raises(CommitConflict):
+        t2.delete_where_pos("id = 3")
+
+
+def test_mor_delete_still_conflicts_on_concurrent_mor_delete(spark, loc):
+    """The winner changed the delete-file set: re-raise (delete lists
+    are carried wholesale, a silent union could double-mask or drop)."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b"), (3, "c")])
+    t2 = IceTable.load(spark, loc)
+
+    t1.delete_where_mor("id = 1", keys=["id"])
+    with pytest.raises(CommitConflict):
+        t2.delete_where_mor("id = 2", keys=["id"])
+
+
+def test_mor_rebase_changelog_stays_exact(spark, loc):
+    """After a rebased MoR delete, the changelog between the append
+    snapshot and the delete snapshot reports exactly the masked rows."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b"), (3, "c")])
+    t2 = IceTable.load(spark, loc)
+
+    t1.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+    t2.delete_where_mor("id = 2", keys=["id"])
+
+    final = IceTable.load(spark, loc)
+    snaps = [s["snapshot_id"] for s in final.meta.snapshots]
+    chg = final.changelog(from_snapshot_id=snaps[-2], to_snapshot_id=snaps[-1])
+    rows = [(r["id"], r["_change_type"]) for r in chg.collect()]
+    assert rows == [(2, "delete")]
+    assert sorted(r.id for r in final.read().collect()) == [1, 3, 9]
