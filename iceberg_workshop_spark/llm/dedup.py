@@ -231,6 +231,49 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _certify_pairs(
+    fast: DataFrame,
+    truth: DataFrame,
+    recall_min: float,
+    precision_min: float,
+) -> DataFrame:
+    """Append a quantitative certificate to a hash-family fast path:
+    recall/precision of ``fast``'s (doc_a, doc_b) pair set against the
+    exact ``truth`` pair set, as columns on every output row (constant
+    1-row aggregate broadcast onto the result — the same pattern as
+    the sketch error certificates). The driver's rows-only check then
+    still pins something semantic: a drifted hash family flips
+    ``recall_ok``/``precision_ok`` to false even without a value
+    oracle."""
+    f = fast.select("doc_a", "doc_b").withColumn("in_fast", F.lit(1))
+    t = truth.select("doc_a", "doc_b").withColumn("in_truth", F.lit(1))
+    cert = (
+        f.join(t, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("in_fast").isNotNull() & F.col("in_truth").isNotNull(), 1
+                )
+            ).alias("n_both"),
+            F.count(F.when(F.col("in_truth").isNull(), 1)).alias("n_fast_only"),
+            F.count(F.when(F.col("in_fast").isNull(), 1)).alias("n_truth_only"),
+        )
+        .select(
+            F.round(
+                F.col("n_both") / F.greatest(F.col("n_both") + F.col("n_truth_only"), F.lit(1)),
+                4,
+            ).alias("recall_vs_exact"),
+            F.round(
+                F.col("n_both") / F.greatest(F.col("n_both") + F.col("n_fast_only"), F.lit(1)),
+                4,
+            ).alias("precision_vs_exact"),
+        )
+        .withColumn("recall_ok", F.col("recall_vs_exact") >= recall_min)
+        .withColumn("precision_ok", F.col("precision_vs_exact") >= precision_min)
+    )
+    return fast.crossJoin(F.broadcast(cert))
+
+
 # -------------------------------------------------------- MinHash + LSH
 
 
@@ -300,9 +343,21 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     verified = _pair_jaccard(shingles, candidates)
-    return verified.filter(
+    fast = verified.filter(F.col("n_common") / F.col("n_union") >= JACCARD_T)
+    # Certificate (rows-only gate hardening): replay the exact md5
+    # permutation family (q_llm_dedup_near's engine-portable twin) on
+    # the same shingles and pin recall/precision of the xxhash64 pair
+    # set against it — 1.0/1.0 at these parameters, asserted ≥ 0.99.
+    exact_cand = _minhash_candidates(shingles).persist()
+    exact = _pair_jaccard(shingles, exact_cand).filter(
         F.col("n_common") / F.col("n_union") >= JACCARD_T
-    ).orderBy("doc_a", "doc_b")
+    )
+    out = _certify_pairs(fast, exact, 0.99, 0.99).orderBy("doc_a", "doc_b")
+    out = out.localCheckpoint(eager=True)
+    shingles.unpersist()
+    candidates.unpersist()
+    exact_cand.unpersist()
+    return out
 
 
 # DuckDB-side hex→int over the first 15 md5 nibbles (60 bits, fits
@@ -512,7 +567,10 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of 64 ints per doc, no explode-by-bit blowup.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _doc_shingles(docs).select("doc_id", F.xxhash64("shingle").alias("h"))
+    # shingles feed the fingerprint votes AND the certificate's exact
+    # ground-truth pass — persist so tokenization runs once
+    docs_shingles = _doc_shingles(docs).persist()
+    toks = docs_shingles.select("doc_id", F.xxhash64("shingle").alias("h"))
     # fp feeds the bucket explode and both sides of the verify join —
     # persist (one 9-column row per doc) to evaluate the vote agg once.
     # ±1 vote per bit: shiftrightunsigned keeps bit 63 usable.
@@ -575,13 +633,27 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         start=F.lit(0),
     )
-    return (
+    fast = (
         candidates.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
     )
+    # Certificate (rows-only gate hardening): pin the fingerprint
+    # family against the exact all-pairs Jaccard ground truth —
+    # SimHash at radius 7 legitimately misses a recall tail (asserted
+    # ≥ 0.8, the bar test_llm.py pins) but must report no false pair
+    # (precision 1.0). At corpus scale the truth pass would be
+    # sampled; at certificate scale it is the same Σ df(shingle)²
+    # shingle self-join the exact q_llm_dedup_ngram entry runs.
+    truth = _pair_jaccard(docs_shingles).filter(
+        F.col("n_common") / F.col("n_union") >= JACCARD_T
+    )
+    out = _certify_pairs(fast, truth, 0.8, 0.999).orderBy("doc_a", "doc_b")
+    out = out.localCheckpoint(eager=True)
+    fp.unpersist()
+    docs_shingles.unpersist()
+    return out
 
 
 SIMHASH_MD5_BITS = 60  # first 15 md5 nibbles → BIGINT-safe

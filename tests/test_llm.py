@@ -25,9 +25,18 @@ def test_minhash_matches_exact_ngram(spark, queries):
     ground truth exactly (perfect recall at 8 bands × 4 rows for
     Jaccard ≈ .98 pairs; precision is exact by construction)."""
     truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
-    lsh = _pairs(queries["q_llm_dedup_minhash"](spark, SF_DIR))
+    out = queries["q_llm_dedup_minhash"](spark, SF_DIR)
+    lsh = _pairs(out)
     assert lsh == truth
     assert len(truth) > 0
+    # the in-query certificate must agree: 1.0 recall and precision
+    # vs the exact md5 permutation family, ok-flags true on every row
+    certs = out.select(
+        "recall_vs_exact", "precision_vs_exact", "recall_ok", "precision_ok"
+    ).distinct().collect()
+    assert len(certs) == 1 and certs[0]["recall_ok"] and certs[0]["precision_ok"]
+    assert certs[0]["recall_vs_exact"] == 1.0
+    assert certs[0]["precision_vs_exact"] == 1.0
 
 
 def test_simhash_finds_seeded_dups(spark, queries):
@@ -37,9 +46,12 @@ def test_simhash_finds_seeded_dups(spark, queries):
     and a 64-bit fingerprint at radius 7 legitimately excludes the
     tail (Google's production threshold is radius 3)."""
     truth = _pairs(queries["q_llm_dedup_ngram"](spark, SF_DIR))
-    sim = _pairs(queries["q_llm_dedup_simhash"](spark, SF_DIR))
+    out = queries["q_llm_dedup_simhash"](spark, SF_DIR)
+    sim = _pairs(out)
     assert len(truth & sim) >= int(0.8 * len(truth))
     assert sim <= truth  # every reported pair is a true near-dup here
+    certs = out.select("recall_ok", "precision_ok").distinct().collect()
+    assert len(certs) == 1 and certs[0]["recall_ok"] and certs[0]["precision_ok"]
 
 
 def test_ivf_recall_vs_brute_force(spark, queries):

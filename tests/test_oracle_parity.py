@@ -29,11 +29,15 @@ def test_query_matches_oracle(spark, oracle, name):
         # engine-specific-hash (xxhash64) fast paths remain rows-only;
         # their behavioral equivalence to the exact md5 variants is
         # pinned in test_llm.py.
+        cert = [
+            "recall_vs_exact", "precision_vs_exact", "recall_ok",
+            "precision_ok",
+        ]
         expected_cols = {
             "q_llm_dedup_minhash": [
                 "doc_a", "doc_b", "n_common", "n_union", "jaccard",
-            ],
-            "q_llm_dedup_simhash": ["doc_a", "doc_b", "hamming"],
+            ] + cert,
+            "q_llm_dedup_simhash": ["doc_a", "doc_b", "hamming"] + cert,
         }
         assert len(spark_pdf) > 0, f"{name}: rows-only query returned empty"
         assert list(spark_pdf.columns) == expected_cols[name], (
