@@ -323,18 +323,30 @@ def q_sketch_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the certificate compares every day's estimate against the exact
     band-join count (≤5% — lgK=14 gives ~0.8% standard error)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     )
     daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
-    w = Window.orderBy(
-        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-    ).rangeBetween(-6, 0)
-    est = daily.select(
-        "day",
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"),
+    # Trailing merge WITHOUT a window: each day's sketch is exploded to
+    # the 7 target days it contributes to, then one hash aggregate
+    # unions per target day. Fully partitioned by target day — the
+    # single-partition global-orderBy WindowExec the range-frame form
+    # compiles to would serialize all history through one task; here
+    # the replication is 7 × a few-KB sketch per day, and target days
+    # with no real events (the 6 days past the last) fall out of the
+    # inner certificate join below.
+    est = (
+        daily.select(
+            F.explode(
+                F.expr(
+                    "sequence(day, day + interval 6 days, interval 1 day)"
+                )
+            ).alias("day"),
+            "sk",
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     )
     user_days = ev.distinct().select(F.col("day").alias("uday"), "user_id")
     exact = (

@@ -472,3 +472,19 @@ def test_mrl_truncation_probes_broadcast(spark):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "p_id" in ln and "dim" in ln
+
+
+def test_hll_rolling_no_window_exec(spark):
+    """VERDICT r5 #6: the trailing-7-day sketch merge must not compile
+    to a global-orderBy WindowExec (all history through one task).
+    The explode-to-target-day rewrite has NO window node at all — the
+    rolling union is a hash aggregate partitioned by target day."""
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_sketch_hll_rolling"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window [" not in plan and "- Window " not in plan, (
+        "q_sketch_hll_rolling must not contain a WindowExec"
+    )
+    rows = df.collect()
+    assert rows and all(r["sketch_within_5pct"] for r in rows)
