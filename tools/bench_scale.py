@@ -31,6 +31,26 @@ HEAVY = [
     "q_stream_stream_join", "q_stream_agg_watermark",
     # TPC-H heavies
     "q_join_q21_shape", "q_agg_q9_shape",
+    # SQL front-end script replays + statement families (VERDICT r5
+    # #5): parser/lifecycle/state-store paths where superlinear
+    # surprises hide — each builds its tables at the target SF
+    "q_sql_airlines_migration_script", "q_sql_hive_partitioning_script",
+    "q_sql_iceberg_partitioning_script", "q_sql_partition_evolution_script",
+    "q_sql_transform_ctas_script", "q_sql_expire_stmt",
+    "q_sql_call_maintenance_stmt", "q_sql_insert_overwrite_stmt",
+    "q_sql_cdc_wap", "q_sql_materialized_view",
+    "q_sql_materialized_view_join", "q_sql_scripting",
+    "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
+    "q_sql_merge_nmbs_stmt", "q_sql_call_rewrite_sort",
+    "q_sql_metadata_tables", "q_sql_delete_stmt", "q_sql_analyze_stmt",
+    "q_sql_delete_mor_stmt",
+    # streaming drains (state store, dedup, upsert, sinks)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup_watermark", "q_stream_stateful_running",
+    "q_stream_session_window", "q_stream_sink_icetbl",
+    "q_stream_cdc_upsert", "q_stream_mv_refresh", "q_stream_state_reader",
+    # merge-on-read DML at scale
+    "q_dml_update_mor", "q_dml_merge_mor",
 ]
 
 
