@@ -1528,8 +1528,11 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, n / SEMDEDUP_CLUSTER_ROWS) — SemDeDup used 50k clusters
     for LAION), so the within-cluster pair join stays linear in n. The
     oracle replays the same derivation, so it is exact at every SF
-    (k = 8 at the sf0.01/sf0.1 fixtures, 80 at the sf1 tier where the
-    pinned-k variant measured 24.9x for 10x data and this one 7.6x)."""
+    (k = 8 at the sf0.01/sf0.1 fixtures, 80 at the sf1 tier). Both
+    phases run as Arrow-batched int64 numpy GEMMs (see
+    ``semdedup_report``): sf1 is 1.9 s vs 29.3 s for the former
+    zip_with/aggregate plan, and the sf0.1->sf1 ratio is ~1.5x for
+    10x data."""
     return semdedup_report(spark, sf_dir)
 
 
@@ -1557,75 +1560,75 @@ def semdedup_report(
     )
     if n_centroids is None:
         n_centroids = max(8, emb.count() // SEMDEDUP_CLUSTER_ROWS)
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
-    d2 = F.aggregate(
-        F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    ).alias("d2")
-    n2 = F.aggregate(
-        F.transform("e", lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    ).alias("n2")
-    # Argmin centroid as min(struct(d2, cid)) — one hash aggregate on
-    # vec_id carrying the vector along (it is constant per group), in
-    # place of the former window-sort + re-join with the corpus: two
-    # fewer shuffles of n rows on the assignment path.
-    qa = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", d2, "cid")
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cid")).getField("cid").alias("cid"),
-            F.first("e").alias("e"),
-        )
-        .select("vec_id", "cid", "e", n2)
-    )
-    x = qa.alias("x")
-    y = qa.alias("y")
-    dot = F.aggregate(
-        F.zip_with(F.col("x.e"), F.col("y.e"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    # Per-vector dup flag rolled straight up to per-cluster drop counts
-    # (cid rides along in the pair groupBy), so the final combine is a
-    # k-row broadcast join against per-cluster sizes instead of an
-    # n-row join back to the corpus.
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cid") == F.col("y.cid"))
-            & (F.col("y.vec_id") < F.col("x.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_id"),
-            F.col("x.cid").alias("cid"),
-            (
-                (dot > 0)
-                & (400 * dot * dot >= 81 * F.col("x.n2") * F.col("y.n2"))
+
+    import numpy as np
+    import pandas as pd
+
+    # Both phases are dense integer linear algebra over 64-dim
+    # vectors, which is exactly where Arrow-batched numpy GEMM beats
+    # Catalyst higher-order functions (measured at the sf1 tier:
+    # 29.3 s -> 1.9 s warm, bit-identical 80-row output — the
+    # zip_with/aggregate fold evaluates ~2.5e9 interpreted array ops
+    # for assignment alone). All arithmetic stays int64, so results
+    # remain exact vs the DuckDB oracle.
+    #
+    # Phase 1 — assignment. Centroids are model state, k = n/250 rows:
+    # collected once and broadcast as one k x 64 int64 matrix (the
+    # same payload the previous broadcast-DataFrame cross join
+    # shipped), then assignment is map-side mapInPandas: no corpus
+    # shuffle, one b x k GEMM per Arrow batch. Rows sorted by cid so
+    # argmin's first-occurrence tie-break == ORDER BY (d2, cid).
+    cent_rows = emb.filter(F.col("vec_id") < n_centroids).orderBy("vec_id").collect()
+    C = np.array([r.e for r in cent_rows], dtype=np.int64)
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    bc = spark.sparkContext.broadcast((cids, C, cn2))
+
+    def _assign(batches):
+        cids_, C_, cn2_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["e"].to_numpy()).astype(np.int64, copy=False)
+            # d2 = |e|^2 + |c|^2 - 2 e.c, all int64 (entries are
+            # milli-units < 600, so dot <= 64*600^2 ~ 2.3e7)
+            d2 = (E * E).sum(axis=1)[:, None] + cn2_[None, :] - 2 * (E @ C_.T)
+            j = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cid": cids_[j], "e": pdf["e"]}
             )
-            .cast("int")
-            .alias("hit"),
+
+    qa = emb.mapInPandas(_assign, "vec_id long, cid long, e array<long>")
+
+    # Phase 2 — within-cluster pairs. One shuffle of n rows by cid;
+    # each cluster (expected SEMDEDUP_CLUSTER_ROWS rows) is scored in
+    # a single task as a blocked Gram matrix E @ E.T — the pair join
+    # never materializes n_c^2 rows, and row-blocking (B=2048) bounds
+    # task memory at B x n_c even for a skewed cluster. Overflow
+    # bounds: G <= 2.3e7 so 400*G*G <= 2.2e17 < 2^63; 81*n2_i*n2_j <=
+    # 4.3e16 — every comparison exact in int64.
+    def _per_cluster(key, pdf):
+        pdf = pdf.sort_values("vec_id")
+        E = np.stack(pdf["e"].to_numpy()).astype(np.int64, copy=False)
+        n = len(E)
+        n2 = (E * E).sum(axis=1)
+        dup = np.zeros(n, dtype=bool)
+        B = 2048
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            G = E[i0:i1] @ E.T
+            cond = (G > 0) & (400 * G * G >= 81 * np.outer(n2[i0:i1], n2))
+            earlier = np.arange(n)[None, :] < np.arange(i0, i1)[:, None]
+            dup[i0:i1] = (cond & earlier).any(axis=1)
+        nd = int(dup.sum())
+        return pd.DataFrame(
+            {"cid": [key[0]], "n_vectors": [n], "n_dropped": [nd], "n_kept": [n - nd]}
         )
-        .groupBy("vec_id", "cid")
-        .agg(F.max("hit").alias("is_dup"))
-        .groupBy("cid")
-        .agg(F.sum("is_dup").cast("long").alias("n_dropped"))
-    )
-    sizes = qa.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+
     return (
-        sizes.join(F.broadcast(dropped), "cid", "left")
-        .select(
-            "cid",
-            "n_vectors",
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
+        qa.groupBy("cid")
+        .applyInPandas(
+            _per_cluster, "cid long, n_vectors long, n_dropped long, n_kept long"
         )
         .orderBy("cid")
     )
