@@ -281,82 +281,54 @@ def _certify_pairs(
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) near-dup detection.
 
-    Pipeline (all DataFrame ops, one wide min-agg, no cartesian):
-    shingle-explode → 32 min-hashes per doc (xxhash64 with seed salt)
-    → 8 band signatures → explode bands → self-join on (band, sig) →
-    exact-Jaccard verify of the candidates only. Deterministic (seeded
-    by band index); rows-only at the driver because DuckDB has no
+    Pipeline: one xxhash64 per shingle (JVM-side, folded to 28 bits)
+    → 32 linear permutations + per-doc minima as Arrow-batched numpy
+    (``_minhash_bands``) → 8 band signatures → self-join on
+    (band, sig) → exact-Jaccard verify, run ONCE over the union of
+    this family's candidates and the md5 certificate family's.
+    Deterministic; rows-only at the driver because DuckDB has no
     xxhash64, but tests assert the result equals q_llm_dedup_ngram
-    (perfect recall at these parameters).
+    (perfect recall at these parameters) and every output row carries
+    the recall/precision certificate columns.
 
     100 TB: the band self-join shuffles only (band, sig, doc_id) rows;
     bucket skew (giant clusters) is bounded by salting the band key
     with a cluster cap before the join.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # The shingle table feeds both signature building and candidate
-    # verification, and the candidate set feeds two verify joins —
-    # persist both (tiny: one row per (doc, shingle) / per pair) so the
+    # The shingle table feeds both signature families and candidate
+    # verification, and each candidate set feeds a semi-join — persist
+    # all three (tiny: one row per (doc, shingle) / per pair) so the
     # LSH DAG is evaluated once, not once per consumer.
     shingles = _doc_shingles(docs).persist()
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    # Long format rather than a 32-column wide agg: a wide min-agg
-    # compiles a pathological whole-stage-codegen method (~10 s of
-    # janino time on first run); explode-to-(doc, seed) keeps every
-    # stage narrow and the shuffle volume identical.
-    hashed = shingles.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {MINHASH_PERMS - 1}),"
-                " i -> xxhash64(concat(cast(i as string), ':', shingle)))"
-            )
-        ).alias("seed", "h"),
-    )
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    buckets = (
-        minh.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.expr(
-                    "transform(sort_array(collect_list(struct(seed, mh))),"
-                    " s -> cast(s.mh as string))"
-                ),
-            ).alias("sig")
-        )
-    )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-        .persist()
-    )
-    verified = _pair_jaccard(shingles, candidates)
-    fast = verified.filter(F.col("n_common") / F.col("n_union") >= JACCARD_T)
+    candidates = _band_pairs(
+        # xxhash64 base folded to 28 bits so the shared permutation
+        # family's a*base+b stays < 2^50 (int64-exact)
+        _minhash_bands(shingles, F.expr("xxhash64(shingle) & 268435455"))
+    ).persist()
     # Certificate (rows-only gate hardening): replay the exact md5
     # permutation family (q_llm_dedup_near's engine-portable twin) on
     # the same shingles and pin recall/precision of the xxhash64 pair
     # set against it — 1.0/1.0 at these parameters, asserted ≥ 0.99.
+    # Both candidate sets overlap almost completely, so exact-Jaccard
+    # verification runs ONCE over their union and each family's
+    # verified pairs come back out via a cheap semi-join.
     exact_cand = _minhash_candidates(shingles).persist()
-    exact = _pair_jaccard(shingles, exact_cand).filter(
-        F.col("n_common") / F.col("n_union") >= JACCARD_T
+    all_cand = candidates.unionAll(exact_cand).distinct().persist()
+    verified = (
+        _pair_jaccard(shingles, all_cand)
+        .filter(F.col("n_common") / F.col("n_union") >= JACCARD_T)
+        .persist()
     )
+    fast = verified.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    exact = verified.join(exact_cand, ["doc_a", "doc_b"], "left_semi")
     out = _certify_pairs(fast, exact, 0.99, 0.99).orderBy("doc_a", "doc_b")
     out = out.localCheckpoint(eager=True)
     shingles.unpersist()
     candidates.unpersist()
     exact_cand.unpersist()
+    all_cand.unpersist()
+    verified.unpersist()
     return out
 
 
@@ -453,44 +425,71 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
-def _minhash_candidates(shingles: DataFrame) -> DataFrame:
-    """Banded MinHash candidate pairs (doc_a < doc_b) over a
-    (doc_id, shingle) table — the exact md5-base linear-permutation
-    family DuckDB replays bit-for-bit (see q_llm_dedup_near). Shared
-    by the near-dup detector and the connected-components clusterer so
-    every consumer of pair candidates goes through LSH banding, never
-    the unblocked shingle self-join (whose pair count is Σ df(shingle)²
-    — boilerplate-heavy corpora explode it at 100 TB)."""
+def _minhash_bands(shingles: DataFrame, base: Column) -> DataFrame:
+    """(doc_id, band_id, sig) MinHash-LSH band signatures from a
+    (doc_id, shingle) table, given ``base`` — ONE non-negative <2^28
+    string hash per shingle computed JVM-side. The 32 permutations
+    h_i = (a_i*base + b_i) mod p and the per-doc minima run as
+    Arrow-batched int64 numpy (bit-identical to the former
+    explode→groupBy plan, which shuffled 32× the shingle count and
+    spent its time in hash-aggregate plumbing — measured 13.9 s →
+    ~3 s for md5-family candidates at sf1): one narrow shuffle of
+    (doc_id, base) co-locates each doc, a per-batch pandas
+    groupby.min emits ~1 partial signature per doc, and a tiny
+    elementwise zip_with(least) merge closes batch-boundary docs.
+    Band signatures are then array slices — no collect_list."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.array(_MINHASH_A, dtype=np.int64)
+    B = np.array(_MINHASH_B, dtype=np.int64)
+
+    def _partial_sigs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # a*base + b < 2^49: exact in int64, and % matches the
+            # SQL/Spark positive-operand remainder
+            h = (
+                pdf["base"].to_numpy(dtype=np.int64)[:, None] * A[None, :]
+                + B[None, :]
+            ) % _MINHASH_P
+            g = pd.DataFrame(h)
+            g["doc_id"] = pdf["doc_id"].to_numpy()
+            m = g.groupby("doc_id", sort=False).min()
+            yield pd.DataFrame(
+                {"doc_id": m.index.to_numpy(), "mhs": list(m.to_numpy())}
+            )
+
+    partials = (
+        shingles.select("doc_id", base.alias("base"))
+        .repartition("doc_id")
+        .mapInPandas(_partial_sigs, "doc_id long, mhs array<long>")
+    )
+    final = partials.groupBy("doc_id").agg(
+        F.expr(
+            f"aggregate(collect_list(mhs),"
+            f" array_repeat({_MINHASH_P}L, {MINHASH_PERMS}),"
+            f" (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))"
+        ).alias("mhs")
+    )
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    a_csv = ", ".join(str(a) for a in _MINHASH_A)
-    b_csv = ", ".join(str(b) for b in _MINHASH_B)
-    hashed = shingles.withColumn(
-        "base",
-        F.expr("cast(conv(substring(md5(shingle), 1, 7), 16, 10) as bigint)"),
-    ).select(
+    return final.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, {MINHASH_PERMS - 1}), i ->"
-                f" (element_at(array({a_csv}), i + 1) * base"
-                f" + element_at(array({b_csv}), i + 1)) % {_MINHASH_P}L)"
+                f"transform(sequence(0, {MINHASH_BANDS - 1}), b ->"
+                f" concat_ws('|', transform("
+                f"slice(mhs, b * {rows_per_band} + 1, {rows_per_band}),"
+                f" m -> cast(m as string))))"
             )
-        ).alias("seed", "h"),
+        ).alias("band_id", "sig"),
     )
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    buckets = (
-        minh.withColumn("band_id", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.expr(
-                    "transform(sort_array(collect_list(struct(seed, mh))),"
-                    " s -> cast(s.mh as string))"
-                ),
-            ).alias("sig")
-        )
-    )
+
+
+def _band_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from band signatures:
+    the LSH bucket self-join — shuffles only (band, sig, doc_id)."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -505,6 +504,20 @@ def _minhash_candidates(shingles: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+_MD5_BASE_COL = "cast(conv(substring(md5(shingle), 1, 7), 16, 10) as bigint)"
+
+
+def _minhash_candidates(shingles: DataFrame) -> DataFrame:
+    """Banded MinHash candidate pairs (doc_a < doc_b) over a
+    (doc_id, shingle) table — the exact md5-base linear-permutation
+    family DuckDB replays bit-for-bit (see q_llm_dedup_near). Shared
+    by the near-dup detector and the connected-components clusterer so
+    every consumer of pair candidates goes through LSH banding, never
+    the unblocked shingle self-join (whose pair count is Σ df(shingle)²
+    — boilerplate-heavy corpora explode it at 100 TB)."""
+    return _band_pairs(_minhash_bands(shingles, F.expr(_MD5_BASE_COL)))
 
 
 @register(
