@@ -326,25 +326,41 @@ def _shard_snapshot(
         if entries is None:
             snap[mkey] = []
             continue
-        by_path = {e["path"]: e for e in entries}
-        # duplicate paths (equal or conflicting) make path-keyed reuse
-        # lossy — shard such a list verbatim instead
-        dup = len(by_path) != len(entries)
         reused: list[dict[str, Any]] = []
-        covered: set[str] = set()
-        if parent is not None and not dup:
+        covered_ids: set[int] = set()
+        if parent is not None:
+            # Fast path: carried entries are the SAME OBJECTS as the
+            # parent's materialized manifest entries (commit stamping
+            # only copies a dict when it must backfill), so reuse is
+            # an id()-membership test. Value equality (keyed by path)
+            # is the fallback for copied/legacy entries — built lazily
+            # and only when paths are unique, since duplicate paths
+            # make path-keyed reuse lossy.
+            entry_ids = set(map(id, entries))
+            by_path: dict[str, dict[str, Any]] | None = None
+            dup = False
             for m in parent.get(mkey) or []:
                 try:
                     pents = meta._load_mf(m["path"])
                 except FileNotFoundError:
                     continue
-                if pents and all(
-                    e["path"] not in covered and by_path.get(e["path"]) == e
+                if not pents:
+                    continue
+                if all(id(e) in entry_ids for e in pents):
+                    reused.append(m)
+                    covered_ids.update(map(id, pents))
+                    continue
+                if by_path is None:
+                    by_path = {e["path"]: e for e in entries}
+                    dup = len(by_path) != len(entries)
+                if not dup and all(
+                    by_path.get(e["path"]) == e
+                    and id(by_path[e["path"]]) not in covered_ids
                     for e in pents
                 ):
                     reused.append(m)
-                    covered.update(e["path"] for e in pents)
-        remaining = [e for e in entries if e["path"] not in covered]
+                    covered_ids.update(id(by_path[e["path"]]) for e in pents)
+        remaining = [e for e in entries if id(e) not in covered_ids]
         snap[mkey] = reused + _write_manifest_shards(meta, remaining)
 
 
@@ -404,6 +420,11 @@ def commit(meta: TableMeta) -> TableMeta:
     os.replace(hint_tmp, hint)
 
     committed = TableMeta(meta.doc, next_version, meta.location)
+    # Manifests are immutable: hand the loaded-manifest cache to the
+    # successor TableMeta so the next commit's parent-reuse check and
+    # reads never re-parse sidecars already seen by this process (the
+    # re-load was the dominant commit cost at 10^5 files).
+    committed._mf_cache = meta._mf_cache
     _gc_metadata(committed)
     return committed
 

@@ -524,11 +524,24 @@ class IceTable:
             # Carried entry dicts may be ALIASED into earlier
             # snapshots' files lists of the same metadata doc (a
             # snapshot carries its parent's entries forward by
-            # reference). Copy them before any stamping below so
-            # seq / first_snapshot_id backfills on legacy entries
-            # never mutate history; this commit's own new files are
+            # reference). Copy any that the stamping below would
+            # MUTATE (a legacy entry missing seq/first_snapshot_id)
+            # so backfills never rewrite history; fully-stamped
+            # carried entries pass through by reference — keeping
+            # them identity-shared with the parent's manifest entries
+            # is what makes manifest reuse and the commit summary
+            # O(changed files) id-set checks instead of per-entry
+            # value comparisons. This commit's own new files are
             # private dicts and stamp in place.
-            files = [f if id(f) in new_ids else dict(f) for f in files]
+            copied_any = False
+            out_files = []
+            for f in files:
+                if id(f) in new_ids or ("seq" in f and "first_snapshot_id" in f):
+                    out_files.append(f)
+                else:
+                    out_files.append(dict(f))
+                    copied_any = True
+            files = out_files
             parent = (
                 self.meta.refs[branch]["snapshot_id"]
                 if branch
@@ -593,21 +606,35 @@ class IceTable:
             # vs the attempt's parent) like Iceberg's snapshot summary
             # map — derived-at-read-time diffs go stale the moment the
             # parent is expired.
-            parent_files = (
-                {
-                    f["path"]: f
-                    for f in self.meta.files(self.meta.snapshot(parent))
-                }
+            parent_list = (
+                self.meta.files(self.meta.snapshot(parent))
                 if parent is not None
-                else {}
+                else []
             )
-            cur_by_path = {f["path"]: f for f in files}
-            s_added = [
-                f for p2, f in cur_by_path.items() if p2 not in parent_files
-            ]
-            s_removed = [
-                f for p2, f in parent_files.items() if p2 not in cur_by_path
-            ]
+            parent_ids = set(map(id, parent_list))
+            cand_added = [f for f in files if id(f) not in parent_ids]
+            if not copied_any and all(id(f) in new_ids for f in cand_added):
+                # Every carried entry is identity-shared with the
+                # parent's list (the common case: stamped entries pass
+                # through by reference), so the added/removed diff is
+                # two id-set scans — no per-path dicts. A carried
+                # entry that does NOT identity-match (e.g. a rollback
+                # replaying pre-consolidation manifest objects) drops
+                # to the exact path-keyed diff below.
+                s_added = cand_added
+                file_ids = set(map(id, files))
+                s_removed = [
+                    f for f in parent_list if id(f) not in file_ids
+                ]
+            else:
+                parent_files = {f["path"]: f for f in parent_list}
+                cur_by_path = {f["path"]: f for f in files}
+                s_added = [
+                    f for p2, f in cur_by_path.items() if p2 not in parent_files
+                ]
+                s_removed = [
+                    f for p2, f in parent_files.items() if p2 not in cur_by_path
+                ]
             snap = {
                 "snapshot_id": snap_id,
                 "parent_id": parent,
