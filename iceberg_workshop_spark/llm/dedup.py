@@ -575,9 +575,9 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Features are shingles, not tokens: the fixture corpus shares one
     small vocabulary, so token-level fingerprints collapse (every doc
     within Hamming ~10 of every other); 3-gram features restore the
-    discrimination a natural-language corpus has for free. The vote
-    aggregation is a single wide groupBy (64 sum columns) — one
-    shuffle of 64 ints per doc, no explode-by-bit blowup.
+    discrimination a natural-language corpus has for free. Vote
+    aggregation is Arrow-batched numpy partials merged per doc — one
+    narrow shuffle of (doc_id, hash), no explode-by-bit blowup.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # shingles feed the fingerprint votes AND the certificate's exact
@@ -586,27 +586,42 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs_shingles.select("doc_id", F.xxhash64("shingle").alias("h"))
     # fp feeds the bucket explode and both sides of the verify join —
     # persist (one 9-column row per doc) to evaluate the vote agg once.
-    # ±1 vote per bit: shiftrightunsigned keeps bit 63 usable.
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    # Votes via Arrow-batched numpy shift-and-mask partials (the same
+    # partial-then-merge shape as _minhash_bands; see the md5-exact
+    # variant for the measurement). (x >> j) & 1 extracts bit j under
+    # arithmetic and logical shift alike, so bit 63 stays usable.
+    import numpy as np
+    import pandas as pd
+
+    def _partial_votes(batches):
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            H = pdf["h"].to_numpy(dtype=np.int64)
+            bits = ((H[:, None] >> shifts[None, :]) & 1) * 2 - 1
+            g = pd.DataFrame(bits)
+            g["doc_id"] = pdf["doc_id"].to_numpy()
+            m = g.groupby("doc_id", sort=False).sum()
+            yield pd.DataFrame(
+                {"doc_id": m.index.to_numpy(), "vs": list(m.to_numpy())}
+            )
+
+    partials = toks.repartition("doc_id").mapInPandas(
+        _partial_votes, "doc_id long, vs array<long>"
+    )
+    votes = partials.groupBy("doc_id").agg(
+        F.expr(
+            f"aggregate(collect_list(vs), array_repeat(0L, {SIMHASH_BITS}),"
+            " (acc, x) -> zip_with(acc, x, (p, q) -> p + q))"
+        ).alias("vs")
     )
     bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
     chunk_cols = [
-        sum(
-            (
-                F.when(F.col(f"v{c * bits_per_band + j}") > 0, F.lit(1 << j)).otherwise(
-                    F.lit(0)
-                )
-                for j in range(bits_per_band)
-            ),
-            start=F.lit(0),
+        F.expr(
+            f"aggregate(sequence(0, {bits_per_band - 1}), 0L, (acc, j) ->"
+            f" acc + if(element_at(vs, {c * bits_per_band} + j + 1) > 0,"
+            " shiftleft(1L, j), 0L))"
         ).alias(f"c{c}")
         for c in range(SIMHASH_BANDS)
     ]
@@ -657,8 +672,10 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash at radius 7 legitimately misses a recall tail (asserted
     # ≥ 0.8, the bar test_llm.py pins) but must report no false pair
     # (precision 1.0). At corpus scale the truth pass would be
-    # sampled; at certificate scale it is the same Σ df(shingle)²
-    # shingle self-join the exact q_llm_dedup_ngram entry runs.
+    # sampled (or banded à la _minhash_candidates, measured slower at
+    # fixture scale); at certificate scale it is the same
+    # Σ df(shingle)² shingle self-join the exact q_llm_dedup_ngram
+    # entry runs.
     truth = _pair_jaccard(docs_shingles).filter(
         F.col("n_common") / F.col("n_union") >= JACCARD_T
     )
@@ -715,8 +732,8 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike xxhash64), 10 bands × 6 bits (pigeonhole: any pair at
     Hamming ≤ 9 collides on ≥ 1 band — covers the ≤ {SIMHASH_MAX_HAMMING}
     report threshold), candidates verified by true Hamming distance.
-    Same single-wide-groupBy vote plan as q_llm_dedup_simhash — one
-    shuffle of 60 ints per doc; DuckDB replays fingerprints, banding,
+    Same numpy-partial vote plan as q_llm_dedup_simhash — one narrow
+    shuffle of (doc_id, hash); DuckDB replays fingerprints, banding,
     candidates and verification bit-for-bit.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -726,24 +743,44 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
         ).alias("h"),
     )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_MD5_BITS)
-        ]
+    import numpy as np
+    import pandas as pd
+
+    # Per-bit ±1 votes as Arrow-batched numpy (same partial-then-merge
+    # shape as _minhash_bands): the former 60-column conditional-sum
+    # groupBy compiled a pathological whole-stage-codegen method and
+    # evaluated 60 branches per shingle row; here each batch is one
+    # vectorized shift-and-mask with a pandas groupby.sum, merged by a
+    # tiny elementwise zip_with — integer sums, bit-identical.
+    def _partial_votes(batches):
+        shifts = np.arange(SIMHASH_MD5_BITS, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            H = pdf["h"].to_numpy(dtype=np.int64)
+            bits = ((H[:, None] >> shifts[None, :]) & 1) * 2 - 1
+            g = pd.DataFrame(bits)
+            g["doc_id"] = pdf["doc_id"].to_numpy()
+            m = g.groupby("doc_id", sort=False).sum()
+            yield pd.DataFrame(
+                {"doc_id": m.index.to_numpy(), "vs": list(m.to_numpy())}
+            )
+
+    partials = toks.repartition("doc_id").mapInPandas(
+        _partial_votes, "doc_id long, vs array<long>"
+    )
+    votes = partials.groupBy("doc_id").agg(
+        F.expr(
+            f"aggregate(collect_list(vs), array_repeat(0L, {SIMHASH_MD5_BITS}),"
+            " (acc, x) -> zip_with(acc, x, (p, q) -> p + q))"
+        ).alias("vs")
     )
     chunk_cols = [
-        sum(
-            (
-                F.when(F.col(f"v{c * 6 + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-                for j in range(6)
-            ),
-            start=F.lit(0),
-        ).cast("long").alias(f"c{c}")
+        F.expr(
+            "aggregate(sequence(0, 5), 0L, (acc, j) ->"
+            f" acc + if(element_at(vs, {c * 6} + j + 1) > 0,"
+            " shiftleft(1L, j), 0L))"
+        ).alias(f"c{c}")
         for c in range(SIMHASH_MD5_BANDS)
     ]
     fp = votes.select("doc_id", *chunk_cols).persist()
