@@ -273,3 +273,71 @@ def test_file_counts_fallback_without_n(tmp_path):
     for m in head["manifests"]:
         del m["n"]
     assert fresh.file_counts(head)[0] == 4
+
+
+def _commit_via_table(meta: M.TableMeta, files: list[dict], op: str = "append") -> M.TableMeta:
+    """Run the REAL IceTable commit path (stamping, summary, sharding)
+    over prepared entry lists without a SparkSession."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.meta = meta
+    IceTable._commit_snapshot(shim, files, op)
+    return shim.meta
+
+
+def _fresh_entry(i: int) -> dict:
+    """An entry as _write_files emits it: no seq / first_snapshot_id
+    yet — the commit stamps both."""
+    return {k: v for k, v in _entry(i).items() if k not in ("seq", "first_snapshot_id")}
+
+
+def test_summary_identity_fast_path(tmp_path):
+    """Common case: carried entries pass through by reference, the new
+    file is the only added one — summary via the id-set fast path,
+    including across a fresh metadata read (manifest-loaded objects)."""
+    meta = _mk(tmp_path)
+    meta = _commit_via_table(meta, [_fresh_entry(i) for i in range(5)])
+    meta = M.read_current(meta.location)
+    meta = _commit_via_table(meta, list(meta.current_files()) + [_fresh_entry(99)])
+    head = meta.snapshot(meta.current_snapshot_id)
+    assert head["summary"]["added_data_files"] == 1
+    assert head["summary"]["removed_data_files"] == 0
+
+
+def test_summary_fallback_on_identity_mismatch(tmp_path):
+    """Carried entries that are value-equal COPIES of the parent's
+    (identity broken, e.g. a rollback replaying pre-consolidation
+    manifest objects) must fall back to the exact path-keyed diff —
+    zero added/removed, not 5 of each."""
+    meta = _mk(tmp_path)
+    meta = _commit_via_table(meta, [_fresh_entry(i) for i in range(5)])
+    copies = [dict(f) for f in meta.current_files()]
+    meta = _commit_via_table(meta, copies + [_fresh_entry(99)])
+    head = meta.snapshot(meta.current_snapshot_id)
+    assert head["summary"]["added_data_files"] == 1
+    assert head["summary"]["removed_data_files"] == 0
+    # value-equality fallback still REUSES the parent's manifests for
+    # the copied entries: the head shares the parent's descriptors and
+    # only adds a 1-entry manifest for the genuinely new file
+    parent = meta.snapshot(head["parent_id"])
+    parent_mfs = {m["path"] for m in parent["manifests"]}
+    head_mfs = {m["path"] for m in head["manifests"]}
+    assert parent_mfs <= head_mfs
+    extra = [m for m in head["manifests"] if m["path"] not in parent_mfs]
+    assert len(extra) == 1 and extra[0]["n"] == 1
+
+
+def test_commit_hands_manifest_cache_forward(tmp_path):
+    """commit() must hand the loaded-manifest cache to the successor
+    TableMeta (manifests are immutable) so the next commit's reuse
+    check never re-parses sidecars."""
+    meta = _mk(tmp_path)
+    meta = _append_snapshot(meta, [_entry(i) for i in range(4)])
+    assert meta._mf_cache  # the shards it just wrote are cached
+    cached = set(meta._mf_cache)
+    meta2 = _append_snapshot(meta, [_entry(10)])
+    assert cached <= set(meta2._mf_cache)
