@@ -46,6 +46,8 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.operators.sequences",
     "iceberg_workshop_spark.operators.graph",
     "iceberg_workshop_spark.operators.sketches",
+    "iceberg_workshop_spark.operators.stats_ext",
+    "iceberg_workshop_spark.operators.physical",
     "iceberg_workshop_spark.functions.scalar",
     "iceberg_workshop_spark.functions.udfs",
     "iceberg_workshop_spark.plans.lifecycle",
