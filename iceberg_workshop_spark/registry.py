@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.functions.scalar",
     "iceberg_workshop_spark.functions.udfs",
     "iceberg_workshop_spark.plans.lifecycle",
+    "iceberg_workshop_spark.plans.lifecycle_ext",
     "iceberg_workshop_spark.plans.sqlfront",
     "iceberg_workshop_spark.streaming.windows",
     "iceberg_workshop_spark.streaming.stateful",

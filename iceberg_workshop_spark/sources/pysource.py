@@ -570,3 +570,122 @@ def q_source_python_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter pushdown (Spark 4.1 DataSourceReader.pushFilters)
+
+PUSH_ROWS = 10_000
+PUSH_BUCKETS = 10
+PUSH_PARTS = 4
+
+
+class _BucketPushReader(DataSourceReader):
+    """Generator of (i, bucket=i%B, pruned, h=md5(i)) that ACCEPTS an
+    ``EqualTo(bucket, k)`` pushdown: generation then walks only the
+    k-residue class — 1/B of the work never happens, the custom-source
+    analog of partition pruning. ``pruned`` records whether this
+    reader object actually received the filter, so the query can
+    assert pushdown occurred (a post-scan Spark filter would leave
+    ``pruned`` false and the oracle mismatch is loud)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("rows", PUSH_ROWS))
+        self.buckets = int(options.get("buckets", PUSH_BUCKETS))
+        self.parts = int(options.get("partitions", PUSH_PARTS))
+        self.pushed_bucket: int | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("bucket",)
+                and isinstance(f.value, int)
+                and self.pushed_bucket is None
+            ):
+                self.pushed_bucket = int(f.value)  # handled here
+            else:
+                yield f  # everything else stays Spark-side
+
+    def partitions(self) -> list[InputPartition]:
+        if self.pushed_bucket is None:
+            idx = range(0, self.n)
+        else:
+            idx = range(self.pushed_bucket, self.n, self.buckets)
+        rows = list(idx)
+        step = -(-len(rows) // self.parts)
+        return [
+            _RowsPartition(rows[lo : lo + step])
+            for lo in range(0, len(rows), step)
+        ]
+
+    def read(self, partition: "_RowsPartition"):
+        import hashlib
+
+        pruned = self.pushed_bucket is not None
+        for i in partition.rows:
+            yield (
+                i,
+                i % self.buckets,
+                pruned,
+                hashlib.md5(str(i).encode()).hexdigest(),
+            )
+
+
+class _RowsPartition(InputPartition):
+    def __init__(self, rows: list[int]) -> None:
+        self.rows = rows
+
+
+class BucketPushDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iws_bucketed"
+
+    def schema(self) -> str:
+        return "i bigint, bucket bigint, pruned boolean, h string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BucketPushReader(self.options)
+
+
+@register(
+    "q_source_python_pushdown",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           MIN(i) AS min_i,
+           MAX(i) AS max_i,
+           true AS pushdown_applied,
+           MIN(md5(CAST(i AS VARCHAR))) AS min_h
+    FROM generate_series(0, {PUSH_ROWS - 1}) AS t(i)
+    WHERE i % {PUSH_BUCKETS} = 3
+    """,
+)
+def q_source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO a Python data source (Spark 4.1
+    ``pushFilters``): the ``bucket = 3`` predicate is claimed by the
+    reader, which then generates only that residue class — the scan
+    does 1/10 of the work instead of filtering post-hoc. The
+    ``pushdown_applied`` column is bool_and of a reader-side flag, so
+    the oracle match PROVES the filter reached the source (scan-side
+    pruning, the q_scan_pruned contract, extended to user-defined
+    sources)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BucketPushDataSource)
+    df = (
+        spark.read.format("iws_bucketed")
+        .option("rows", str(PUSH_ROWS))
+        .option("buckets", str(PUSH_BUCKETS))
+        .option("partitions", str(PUSH_PARTS))
+        .load()
+        .filter(F.col("bucket") == 3)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("i").alias("min_i"),
+        F.max("i").alias("max_i"),
+        F.bool_and("pruned").alias("pushdown_applied"),
+        F.min("h").alias("min_h"),
+    )
