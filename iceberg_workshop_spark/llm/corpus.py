@@ -1,0 +1,704 @@
+"""Corpus-analysis operators for LLM training-data pipelines: URL
+canonicalization dedup, soft dedup, cross-source overlap, importance
+resampling, keyword tagging, n-gram novelty, lexical diversity, PMI
+collocations, and tokenizer fertility.
+
+These extend the dedup/curation families (llm/dedup.py,
+llm/curation.py) with the *analysis* passes a data team runs before
+committing to a mix: what overlaps what, which sources are diverse,
+which documents matter for a target domain. The reference has no text
+ops (it is a SQL workshop — ``/root/reference/README.md:22``); these
+follow the public data-pipeline literature (CCNet, Gopher §A, DSIR
+arXiv:2302.03169, RefinedWeb) re-expressed as Spark plans.
+
+Hash-stability: every score is integer or scaled-integer (ppm via
+``DIV``), never float division (SURVEY.md §5.3). Scale notes per
+query; the common shape is explode → narrow distinct/agg on the
+token/shingle key → small broadcast of per-corpus constants → one
+grouped finish. Nothing collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.sources.tables import load
+
+# Shared DuckDB fragments (Spark sides use the equivalent built-ins).
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_CTE = f"""
+    toks AS (
+      SELECT doc_id, lang, source,
+             unnest(string_split({_NORM_SQL}, ' ')) AS tok,
+             generate_subscripts(string_split({_NORM_SQL}, ' '), 1) AS pos
+      FROM documents
+    )
+"""
+
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # textstats.py's pre-tokenizer
+
+
+def _norm_text(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, tok, pos) — pos is 1-based to match
+    DuckDB's generate_subscripts."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias(
+            "pos0", "tok"
+        ),
+    ).select(
+        "doc_id", "lang", "source", "tok", (F.col("pos0") + 1).alias("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup
+
+# Deterministic raw-URL synthesis: 3 host spellings x 4 suffix forms
+# cycle by doc_id; every 4 consecutive doc_ids share a path group, so
+# canonicalization must collapse spelling variants (case, default
+# port, utm params, trailing slash, fragments) to find the dupes.
+_URL_RAW_SQL = """
+    'https://' ||
+    CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                    WHEN 1 THEN 'example.com'
+                    ELSE 'EXAMPLE.com:443' END ||
+    '/p/' || CAST(doc_id // 4 AS VARCHAR) ||
+    CASE (doc_id % 12) // 3
+      WHEN 0 THEN ''
+      WHEN 1 THEN '/'
+      WHEN 2 THEN '?utm_source=feed#top'
+      ELSE '?page=2&utm_campaign=x' END
+"""
+
+
+def _url_raw_spark() -> Column:
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("example.com"))
+        .otherwise(F.lit("EXAMPLE.com:443"))
+    )
+    sfx_k = (F.col("doc_id") % 12).cast("long")
+    suffix = (
+        F.when(sfx_k < 3, F.lit(""))
+        .when(sfx_k < 6, F.lit("/"))
+        .when(sfx_k < 9, F.lit("?utm_source=feed#top"))
+        .otherwise(F.lit("?page=2&utm_campaign=x"))
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        (F.col("doc_id") / 4).cast("long").cast("string"),
+        suffix,
+    )
+
+
+@register(
+    "q_llm_dedup_url",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             'https://' ||
+             regexp_replace(lower(regexp_extract(url, 'https://([^/]+)', 1)),
+                            ':443$', '') ||
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_extract(regexp_replace(url, '#.*$', ''),
+                                    'https://[^/]+(/[^#]*)', 1),
+                     'utm_[a-z]+=[^&]*&?', '', 'g'),
+                   '[?&]+$', ''),
+                 '[?]&', '?'),
+               '/$', '') AS curl
+      FROM raw
+    ), clusters AS (
+      SELECT curl, COUNT(*) AS sz, MIN(doc_id) AS keeper
+      FROM canon GROUP BY curl
+    )
+    SELECT COUNT(*) AS n_canon,
+           CAST(SUM(sz) AS BIGINT) AS n_raw,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dupes,
+           MAX(sz) AS max_cluster,
+           CAST(SUM(keeper) AS BIGINT) AS sum_kept_ids
+    FROM clusters
+    """,
+)
+def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    corpus (crawls re-fetch the same page under case/port/tracking-
+    param/fragment variants). Canonical form: lowercase host, strip
+    default port, drop utm_* params and fragments, trim trailing
+    slash; keep MIN(doc_id) per canonical URL. Pure string built-ins
+    → one groupBy on the canonical key; at 100 TB this is the cheap
+    shuffle that removes ~30% of a crawl before any content hashing
+    runs."""
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id", _url_raw_spark().alias("url")
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"https://([^/]+)", 1)),
+        r":443$",
+        "",
+    )
+    rest = F.regexp_extract(
+        F.regexp_replace(F.col("url"), r"#.*$", ""), r"https://[^/]+(/[^#]*)", 1
+    )
+    rest = F.regexp_replace(rest, r"utm_[a-z]+=[^&]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"[?]&", "?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    canon = raw.select(
+        "doc_id", F.concat(F.lit("https://"), host, rest).alias("curl")
+    )
+    clusters = canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("keeper")
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_canon"),
+        F.sum("sz").alias("n_raw"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("n_dupes"),
+        F.max("sz").alias("max_cluster"),
+        F.sum("keeper").alias("sum_kept_ids"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Soft dedup (down-weight duplicates instead of dropping)
+
+
+@register(
+    "q_llm_dedup_soft",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents
+    ), sz AS (
+      SELECT norm, COUNT(*) AS cluster_sz FROM c GROUP BY norm
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN cluster_sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(1000000 // cluster_sz) AS BIGINT) AS eff_docs_ppm
+    FROM c JOIN sz USING (norm)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup, arXiv:2407.04752 shape): instead of
+    dropping duplicates, each document gets sampling weight
+    1/cluster_size (ppm integer), preserving corpus coverage while
+    removing duplication's gradient bias. Per-source effective
+    dataset mass = Σ weights. Plan: one groupBy on the normalized
+    text (at scale: on xxhash64 of it), broadcast-join the cluster
+    sizes back, one grouped finish."""
+    c = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", _norm_text(F.col("text")).alias("norm")
+    )
+    sz = c.groupBy("norm").agg(F.count(F.lit(1)).alias("cluster_sz"))
+    return (
+        c.join(sz, "norm")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("cluster_sz") == 1, 1).otherwise(0)
+            ).alias("n_unique"),
+            F.sum(
+                F.expr("1000000 DIV cluster_sz")
+            ).alias("eff_docs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source shingle overlap (mirror / contamination matrix)
+
+
+@register(
+    "q_llm_source_overlap",
+    oracle=f"""
+    WITH {_TOKS_CTE}, sh AS (
+      SELECT doc_id, source,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ss AS (
+      SELECT DISTINCT source, shingle FROM sh WHERE shingle IS NOT NULL
+    ), sz AS (
+      SELECT source, COUNT(*) AS n FROM ss GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           CAST(1000000 * n_shared // LEAST(sa.n, sb.n) AS BIGINT)
+        AS overlap_ppm
+    FROM inter
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    ORDER BY overlap_ppm DESC, src_a, src_b
+    LIMIT 20
+    """,
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap matrix: shared distinct word-3-grams
+    between every pair of sources, normalized by the smaller side
+    (containment) — the mirror-site / shared-boilerplate detector
+    that decides which source pairs need cross-source dedup. Shape:
+    shingle-explode → distinct (source, shingle) → self-join on
+    shingle → pair agg. The join key is the shingle, so skew follows
+    shingle document-frequency — at 100 TB the frequent-shingle head
+    is dropped first (boilerplate, see q_llm_boilerplate), which also
+    debloats this join."""
+    from iceberg_workshop_spark.llm.dedup import _doc_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    ss = sh.select("source", "shingle").distinct().persist()
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        inter.join(F.broadcast(sz).withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("n", "na")
+        .join(F.broadcast(sz).withColumnRenamed("source", "src_b"), "src_b")
+        .withColumnRenamed("n", "nb")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "CAST(1000000 * n_shared DIV LEAST(na, nb) AS BIGINT)"
+            " AS overlap_ppm",
+        )
+        .orderBy(F.desc("overlap_ppm"), "src_a", "src_b")
+        .limit(20)
+    )
+    out = out.localCheckpoint()
+    ss.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Importance-ratio data selection (DSIR shape)
+
+IMPORTANCE_TOP_K = 50
+
+
+@register(
+    "q_llm_importance_select",
+    oracle=f"""
+    WITH {_TOKS_CTE}, corpus AS (
+      SELECT tok, COUNT(*) AS c_all FROM toks GROUP BY tok
+    ), tgt AS (
+      SELECT tok, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_all,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks WHERE lang = 'en')
+               AS n_tgt
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(1000000 * COALESCE(g.c_tgt, 0) * tot.n_all
+                      // (c.c_all * tot.n_tgt)) // COUNT(*) AS BIGINT)
+               AS score_ppm
+      FROM toks t
+      JOIN corpus c ON c.tok = t.tok
+      LEFT JOIN tgt g ON g.tok = t.tok
+      CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, d.source, d.lang, s.score_ppm
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.score_ppm DESC, s.doc_id
+    LIMIT {IMPORTANCE_TOP_K}
+    """,
+)
+def q_llm_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-ratio data selection (the DSIR recipe,
+    arXiv:2302.03169, with integer-exact unigram ratios): score each
+    document by the mean target-vs-corpus likelihood ratio of its
+    tokens (target domain = lang 'en'), keep the top-k. Plan: one
+    token explode feeds BOTH LMs (map-side partial counts), the
+    per-token ratio table broadcasts back onto the token stream, one
+    per-doc agg, TakeOrdered(k). The LM join is vocabulary-sized —
+    tiny next to the corpus — so this selects from 100 TB with two
+    narrow shuffles."""
+    toks = _toks(spark, sf_dir).persist()
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_tgt"),
+    )
+    ratio = (
+        corpus.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "tok",
+            "1000000 * COALESCE(c_tgt, 0) * n_all DIV (c_all * n_tgt)"
+            " AS ratio_ppm",
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(ratio_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "score_ppm"
+            )
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    out = (
+        scored.join(docs, "doc_id")
+        .select("doc_id", "source", "lang", "score_ppm")
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(IMPORTANCE_TOP_K)
+    )
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Broadcast keyword tagging
+
+KEYWORDS = ("spark", "hash", "window", "merge", "stream")
+
+
+@register(
+    "q_llm_keyword_tag",
+    oracle=f"""
+    WITH {_TOKS_CTE}, kw AS (
+      SELECT * FROM (VALUES {", ".join(f"('{k}')" for k in KEYWORDS)})
+        AS t(keyword)
+    )
+    SELECT keyword,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT source) AS n_sources
+    FROM toks JOIN kw ON toks.tok = kw.keyword
+    GROUP BY keyword
+    ORDER BY keyword
+    """,
+)
+def q_llm_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-keyword tagging via a broadcast lexicon join — the
+    Aho-Corasick/FlashText use case expressed relationally: explode
+    tokens once, broadcast-hash-join the (tiny) keyword table, agg per
+    keyword. At 100 TB the keyword list stays driver-small (even 10⁵
+    patterns broadcast fine) and the corpus is touched exactly once."""
+    kw = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(k,) for k in KEYWORDS], "keyword string"
+    )
+    return (
+        _toks(spark, sf_dir)
+        .join(F.broadcast(kw), F.col("tok") == F.col("keyword"))
+        .groupBy("keyword")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("keyword")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty curve
+
+
+@register(
+    "q_llm_ngram_novelty",
+    oracle=f"""
+    WITH {_TOKS_CTE}, sh AS (
+      SELECT doc_id, source,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT doc_id, source, shingle FROM sh
+      WHERE shingle IS NOT NULL
+    ), firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM ds GROUP BY shingle
+    ), per_doc AS (
+      SELECT ds.doc_id, ds.source,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM ds JOIN firsts f ON f.shingle = ds.shingle
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_novel) AS BIGINT) AS sum_novel,
+           CAST(SUM(n_shingles) AS BIGINT) AS sum_shingles,
+           CAST(1000000 * SUM(n_novel) // SUM(n_shingles) AS BIGINT)
+             AS novelty_ppm
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty curve: for each document (in doc_id ingest
+    order), the fraction of its distinct 3-grams never seen in any
+    earlier document — the diminishing-returns signal data teams use
+    to decide when another crawl snapshot stops adding value. The
+    'seen before' relation is MIN(doc_id) per shingle (one agg), NOT
+    a quadratic scan; joined back on the shingle key and rolled up
+    per source."""
+    from iceberg_workshop_spark.llm.dedup import _doc_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).persist()
+    firsts = ds.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ds.join(firsts, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    out = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_novel").alias("sum_novel"),
+            F.sum("n_shingles").alias("sum_shingles"),
+            F.expr(
+                "CAST(1000000 * SUM(n_novel) DIV SUM(n_shingles) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("source")
+    )
+    out = out.localCheckpoint()
+    ds.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity (type-token ratio, hapax fraction)
+
+
+@register(
+    "q_llm_ttr",
+    oracle=f"""
+    WITH {_TOKS_CTE}, freq AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(1000000 * COUNT(*) // SUM(c) AS BIGINT) AS ttr_ppm,
+           CAST(1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM freq
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_llm_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and hapax-
+    legomena fraction — the quick template-vs-natural-text
+    discriminator (templated sources have low TTR, spam has extreme
+    hapax rates). One (source, token) count then a per-source finish;
+    both shuffles are vocabulary-sized."""
+    freq = (
+        _toks(spark, sf_dir)
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.expr("CAST(1000000 * COUNT(*) DIV SUM(c) AS BIGINT)").alias(
+                "ttr_ppm"
+            ),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations
+
+PMI_WINDOW = 3
+PMI_MIN_PAIRS = 30
+PMI_TOP = 20
+
+
+@register(
+    "q_llm_pmi_pairs",
+    oracle=f"""
+    WITH {_TOKS_CTE}, n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks
+    ), uni AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), pairs AS (
+      SELECT LEAST(a.tok, b.tok) AS w1,
+             GREATEST(a.tok, b.tok) AS w2,
+             COUNT(*) AS c12
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + {PMI_WINDOW}
+       AND a.tok <> b.tok
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, c12,
+           CAST(1000 * c12 * n.n_toks // (u1.c * u2.c) AS BIGINT)
+             AS lift_x1000
+    FROM pairs
+    JOIN uni u1 ON u1.tok = w1
+    JOIN uni u2 ON u2.tok = w2
+    CROSS JOIN n
+    WHERE c12 >= {PMI_MIN_PAIRS}
+    ORDER BY lift_x1000 DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_llm_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: word pairs co-occurring within a ±3-token
+    window ranked by lift (the exp of PMI, kept as an integer ratio so
+    the ranking is engine-exact without logs). The pair generator is a
+    positional self-join WITHIN each document — banded by doc_id, so
+    it shuffles each document once, never the corpus cross-product.
+    Unigram counts broadcast back onto the pair table."""
+    toks = _toks(spark, sf_dir).select("doc_id", "tok", "pos").persist()
+    n = toks.agg(F.count(F.lit(1)).alias("n_toks"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos") + 1)
+            & (F.col("b.pos") <= F.col("a.pos") + PMI_WINDOW)
+            & (F.col("a.tok") != F.col("b.tok")),
+        )
+        .select(
+            F.least(F.col("a.tok"), F.col("b.tok")).alias("w1"),
+            F.greatest(F.col("a.tok"), F.col("b.tok")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_PAIRS)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1"
+        )
+        .withColumnRenamed("c", "c1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")), "w2")
+        .withColumnRenamed("c", "c2")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c12",
+            "CAST(1000 * c12 * n_toks DIV (c1 * c2) AS BIGINT) AS lift_x1000",
+        )
+        .orderBy(F.desc("lift_x1000"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility
+
+
+@register(
+    "q_llm_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split({_NORM_SQL}, ' ')) AS n_words,
+             len(regexp_extract_all({_NORM_SQL}, '{BPE_REGEX}')) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(1000000 * SUM(n_bpe) // SUM(n_words) AS BIGINT)
+             AS fertility_ppm
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word — the tokenizer-budget planning number (a
+    fertility of 2.0 means a language pays twice the context length).
+    Pure projections + one grouped agg; the regex runs JVM-side in
+    whole-stage codegen, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    norm = _norm_text(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(norm, " ")).alias("n_words"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_REGEX), F.lit(0))).alias(
+            "n_bpe"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.expr(
+                "CAST(1000000 * SUM(n_bpe) DIV SUM(n_words) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

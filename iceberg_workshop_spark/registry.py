@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.llm.textstats",
     "iceberg_workshop_spark.llm.multimodal",
     "iceberg_workshop_spark.llm.curation",
+    "iceberg_workshop_spark.llm.corpus",
 ]
 
 
