@@ -702,3 +702,98 @@ def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-screened ingest dedup
+
+_BLOOM_BITS = 1 << 18  # 262144 bits = 8192 32-bit words
+_BLOOM_WORD = 32
+_BF_HASH_IDX = "SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2"
+_BF_SUB = "substr(md5({key}), 1 + 8 * h.i, 8)"
+_BF_HEX_SPARK = "CAST(conv(" + _BF_SUB + ", 16, 10) AS BIGINT)"
+_BF_HEX_DUCK = "(('0x' || " + _BF_SUB + ")::BIGINT)"
+
+
+def _bloom_screen_sql(hexint: str, intdiv: str, toks_cte: str) -> str:
+    cslot = hexint.format(key="c.shingle") + f" % {_BLOOM_BITS}"
+    pslot = hexint.format(key="p.shingle") + f" % {_BLOOM_BITS}"
+    return f"""
+WITH {toks_cte}, sh AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w
+           AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), ds AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+), corpus AS (
+  SELECT DISTINCT shingle FROM ds WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, shingle FROM ds WHERE doc_id % 5 = 0
+), hashes AS ({_BF_HASH_IDX}),
+filter_words AS (
+  SELECT slot {intdiv} {_BLOOM_WORD} AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << (slot % {_BLOOM_WORD})) AS BIGINT)
+           AS mask
+  FROM (SELECT ({cslot}) AS slot FROM corpus c CROSS JOIN hashes h) s
+  GROUP BY slot {intdiv} {_BLOOM_WORD}
+), pb AS (
+  SELECT p.doc_id, p.shingle, ({pslot}) AS slot
+  FROM batch p CROSS JOIN hashes h
+), tests AS (
+  SELECT pb.doc_id, pb.shingle,
+         MIN(CASE WHEN fw.mask IS NOT NULL
+                   AND (fw.mask &
+                        (CAST(1 AS BIGINT) << (pb.slot % {_BLOOM_WORD}))) <> 0
+             THEN 1 ELSE 0 END) AS hit
+  FROM pb LEFT JOIN filter_words fw
+    ON fw.word = pb.slot {intdiv} {_BLOOM_WORD}
+  GROUP BY pb.doc_id, pb.shingle
+), truth AS (
+  SELECT t.doc_id, t.shingle, t.hit,
+         CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END AS present
+  FROM tests t LEFT JOIN corpus c ON c.shingle = t.shingle
+)
+SELECT COUNT(DISTINCT doc_id) AS n_batch_docs,
+       COUNT(*) AS n_probes,
+       CAST(SUM(present) AS BIGINT) AS n_true_present,
+       CAST(SUM(hit) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN hit = 1 AND present = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       (SUM(CASE WHEN present = 1 AND hit = 0 THEN 1 ELSE 0 END) = 0)
+         AS fn_zero
+FROM truth
+"""
+
+
+@register(
+    "q_llm_dedup_bloom",
+    oracle=_bloom_screen_sql(_BF_HEX_DUCK, "//", _TOKS_CTE),
+)
+def q_llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened ingest dedup: the corpus's distinct shingles
+    build a 2¹⁸-bit Bloom filter (one groupBy(word) bit_or — the
+    sketch is 8192 words regardless of corpus size); a new ingest
+    batch (doc_id % 5 = 0) probes it shingle-by-shingle. The summary
+    certifies the Bloom contract in-query: zero false negatives
+    (every truly-present shingle hits) and a deterministic
+    false-positive count (md5 bit arithmetic, replayed exactly by
+    the oracle). At 100 TB this is the cheap pre-join screen: the
+    8 KB-word filter broadcasts to every executor, and only
+    bloom-positive docs proceed to the exact semi-join
+    (q_llm_dedup_incremental)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "iws_corpus_documents"
+    )
+    spark_toks_cte = """
+    toks AS (
+      SELECT doc_id, tok, pos0 + 1 AS pos
+      FROM (
+        SELECT doc_id,
+               posexplode(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')),
+                                ' ')) AS (pos0, tok)
+        FROM iws_corpus_documents
+      )
+    )
+"""
+    return spark.sql(_bloom_screen_sql(_BF_HEX_SPARK, " div ", spark_toks_cte))

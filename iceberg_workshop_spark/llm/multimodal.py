@@ -452,3 +452,150 @@ def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection over binary payloads
+
+PHASH_ROWS = 6
+PHASH_COLS = 11  # 10 comparisons per row -> 60-bit dHash (int64-safe)
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)
+PHASH_BANDS = 6  # 10 bits per band
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 6
+_PH_SAMPLES = PHASH_ROWS * PHASH_COLS  # 66 sampled bytes
+
+
+@register(
+    "q_llm_multimodal_phash",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             i,
+             ascii(substr(rpad(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                   'g')),
+                               {_PH_SAMPLES + 1}, ' '),
+                          i + 1, 1)) AS g
+      FROM documents, generate_series(0, {_PH_SAMPLES - 1}) AS t(i)
+    ), bits AS (
+      SELECT a.doc_id,
+             (a.i // {PHASH_COLS}) * {PHASH_COLS - 1}
+               + (a.i % {PHASH_COLS}) AS k,
+             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i % {PHASH_COLS} < {PHASH_COLS - 1}
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, fp, b.b AS band,
+             (fp >> ({PHASH_BAND_BITS} * b.b))
+               & {(1 << PHASH_BAND_BITS) - 1} AS band_val
+      FROM fp, generate_series(0, {PHASH_BANDS - 1}) AS b(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {PHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate detection over BINARY
+    payloads — the image-dedup recipe (decode → downsample grid →
+    gradient bits → band-and-verify), with the decode step the
+    deterministic byte-sampler (module docstring: PIL absent, so the
+    'pixels' are the first {_PH_SAMPLES} payload bytes; a real codec
+    swaps into the same mapInPandas without plan changes).
+
+    The fingerprint is computed in Arrow-batched numpy over the raw
+    bytes (mapInPandas — bytes never cross a row-at-a-time boundary);
+    banding + Hamming verification are DataFrame ops (6 bands × 10
+    bits: Hamming ≤ 6 ⟹ some band matches exactly, the pigeonhole
+    recall guarantee — a banded join, never all-pairs). The oracle
+    replays the byte arithmetic bit-for-bit from the text column."""
+    import numpy as np
+
+    fp_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("fp", LongType())]
+    )
+    norm_payload = F.encode(
+        F.rpad(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            _PH_SAMPLES + 1,
+            " ",
+        ),
+        "utf-8",
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", norm_payload.alias("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = (np.arange(PHASH_BITS, dtype=np.int64)).reshape(
+            PHASH_ROWS, PHASH_COLS - 1
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grid = np.frombuffer(
+                b"".join(p[:_PH_SAMPLES] for p in pdf["payload"]),
+                dtype=np.uint8,
+            ).reshape(len(pdf), PHASH_ROWS, PHASH_COLS)
+            bits = (grid[:, :, :-1] < grid[:, :, 1:]).astype(np.int64)
+            fps = (bits << shifts).sum(axis=(1, 2))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "fp": fps}
+            )
+
+    fp = docs.mapInPandas(_phash, schema=fp_schema)
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(fp, {PHASH_BAND_BITS} * band)"
+            f" & {(1 << PHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "iceberg_workshop_spark.operators.stats_ext",
     "iceberg_workshop_spark.operators.physical",
     "iceberg_workshop_spark.functions.scalar",
+    "iceberg_workshop_spark.functions.scalar_ext",
     "iceberg_workshop_spark.functions.udfs",
     "iceberg_workshop_spark.plans.lifecycle",
     "iceberg_workshop_spark.plans.lifecycle_ext",
