@@ -462,7 +462,7 @@ PHASH_COLS = 11  # 10 comparisons per row -> 60-bit dHash (int64-safe)
 PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)
 PHASH_BANDS = 6  # 10 bits per band
 PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
-PHASH_MAX_HAMMING = 6
+PHASH_MAX_HAMMING = 5  # < PHASH_BANDS, so pigeonhole recall holds
 _PH_SAMPLES = PHASH_ROWS * PHASH_COLS  # 66 sampled bytes
 
 
@@ -519,8 +519,10 @@ def q_llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fingerprint is computed in Arrow-batched numpy over the raw
     bytes (mapInPandas — bytes never cross a row-at-a-time boundary);
     banding + Hamming verification are DataFrame ops (6 bands × 10
-    bits: Hamming ≤ 6 ⟹ some band matches exactly, the pigeonhole
-    recall guarantee — a banded join, never all-pairs). The oracle
+    bits: Hamming ≤ 5 < 6 bands ⟹ some band matches exactly, the
+    pigeonhole recall guarantee — a banded join, never all-pairs;
+    at Hamming = 6 the flips could hit all six bands, so the
+    threshold stays strictly below the band count). The oracle
     replays the byte arithmetic bit-for-bit from the text column."""
     import numpy as np
 

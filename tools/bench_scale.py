@@ -51,6 +51,10 @@ HEAVY = [
     "q_stream_cdc_upsert", "q_stream_mv_refresh", "q_stream_state_reader",
     # merge-on-read DML at scale
     "q_dml_update_mor", "q_dml_merge_mor",
+    # round-7 corpus-analysis additions (join/explode-heavy)
+    "q_llm_source_overlap", "q_llm_ngram_novelty", "q_llm_pmi_pairs",
+    "q_llm_dedup_bloom", "q_llm_multimodal_phash",
+    "q_llm_importance_select",
 ]
 
 
