@@ -488,6 +488,16 @@ def delete_where_mor(
     files of a table must share one equality key set (`keys`)."""
     matching = tbl.read().filter(condition).select(*keys).distinct()
     paths, n_keys, _content = _write_delete_sidecar(tbl, "eqdel", matching)
+    # dseq is stamped from the base seen at PLAN time and deliberately
+    # NOT re-stamped when `_mor_append_rebase` retries the commit onto
+    # N concurrent append winners. After a rebase the delete's dseq can
+    # therefore equal (collide with) winner #1's data sequence — that
+    # is the intent: equality deletes apply only to STRICTLY older data
+    # (see `IceTable._apply_deletes`), so winner rows survive, giving
+    # the serializable order delete-then-append. The resulting
+    # invariant — an entry's dseq may be LESS than its committing
+    # snapshot's own sequence number — is pinned by
+    # tests/test_concurrency.py's concurrent MoR cases.
     dseq = int(tbl.meta.properties.get("last-sequence-number", "0")) + 1
     entries = [
         {"path": p, "record_count": n_keys, "keys": list(keys), "dseq": dseq}

@@ -127,8 +127,25 @@ class TableMeta:
     def _load_mf(self, rel_path: str) -> list[dict[str, Any]]:
         ents = self._mf_cache.get(rel_path)
         if ents is None:
-            with open(os.path.join(self.location, rel_path)) as f:
-                ents = json.load(f)["entries"]
+            try:
+                with open(os.path.join(self.location, rel_path)) as f:
+                    ents = json.load(f)["entries"]
+            except FileNotFoundError:
+                # expire_snapshots GCs manifests exclusive to dropped
+                # snapshots, but metadata retention may keep older
+                # v<N>.json docs that still reference them: a pinned
+                # read of such a doc fails HERE (metadata
+                # materialization) rather than at data-read time.
+                # Surface that as the expire event it is, not a bare
+                # missing file. Subclasses FileNotFoundError so
+                # best-effort callers (manifest reuse, GC sweeps) keep
+                # their existing suppress/except behavior.
+                raise SnapshotExpired(
+                    f"manifest {rel_path} under {self.location} was "
+                    "garbage-collected by expire_snapshots; this "
+                    "pinned metadata version references an expired "
+                    "snapshot and can no longer be materialized"
+                ) from None
             self._mf_cache[rel_path] = ents
         return ents
 
@@ -199,6 +216,14 @@ class TableMeta:
 
 def metadata_path(location: str, version: int) -> str:
     return os.path.join(location, METADATA_DIR, f"v{version}.json")
+
+
+class SnapshotExpired(FileNotFoundError):
+    """A retained metadata version references a manifest that
+    ``expire_snapshots`` garbage-collected: the pinned view's snapshot
+    is expired. Raised at metadata-materialization time
+    (``TableMeta.files``/``delete_entries``) — same semantics as
+    Iceberg's data-file cleanup, surfaced earlier and by name."""
 
 
 class CommitConflict(RuntimeError):
@@ -353,13 +378,24 @@ def _shard_snapshot(
                 if by_path is None:
                     by_path = {e["path"]: e for e in entries}
                     dup = len(by_path) != len(entries)
-                if not dup and all(
-                    by_path.get(e["path"]) == e
-                    and id(by_path[e["path"]]) not in covered_ids
-                    for e in pents
-                ):
+                if dup:
+                    continue
+                # One distinct child entry per parent entry: a parent
+                # manifest with two same-path entries would otherwise
+                # map BOTH onto the one child entry (covered_ids only
+                # updates after the scan), get reused, and materialize
+                # a duplicate on reload that the in-memory snapshot
+                # never had.
+                matched_ids: set[int] = set()
+                for e in pents:
+                    c = by_path.get(e["path"])
+                    if c != e or id(c) in covered_ids or id(c) in matched_ids:
+                        matched_ids.clear()
+                        break
+                    matched_ids.add(id(c))
+                if matched_ids:
                     reused.append(m)
-                    covered_ids.update(id(by_path[e["path"]]) for e in pents)
+                    covered_ids.update(matched_ids)
         remaining = [e for e in entries if id(e) not in covered_ids]
         snap[mkey] = reused + _write_manifest_shards(meta, remaining)
 

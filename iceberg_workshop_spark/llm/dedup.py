@@ -259,14 +259,33 @@ def _certify_pairs(
             F.count(F.when(F.col("in_fast").isNull(), 1)).alias("n_truth_only"),
         )
         .select(
-            F.round(
-                F.col("n_both") / F.greatest(F.col("n_both") + F.col("n_truth_only"), F.lit(1)),
-                4,
-            ).alias("recall_vs_exact"),
-            F.round(
-                F.col("n_both") / F.greatest(F.col("n_both") + F.col("n_fast_only"), F.lit(1)),
-                4,
-            ).alias("precision_vs_exact"),
+            # A zero denominator means there was nothing to miss (no
+            # true pairs) / nothing spurious possible (no fast pairs):
+            # the certificate is vacuously perfect, so emit 1.0 —
+            # clamping the denominator to 1 would report 0.0 and flag
+            # a failed certificate on a duplicate-free corpus.
+            F.when(
+                F.col("n_both") + F.col("n_truth_only") == 0, F.lit(1.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_both")
+                    / (F.col("n_both") + F.col("n_truth_only")),
+                    4,
+                )
+            )
+            .alias("recall_vs_exact"),
+            F.when(
+                F.col("n_both") + F.col("n_fast_only") == 0, F.lit(1.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_both")
+                    / (F.col("n_both") + F.col("n_fast_only")),
+                    4,
+                )
+            )
+            .alias("precision_vs_exact"),
         )
         .withColumn("recall_ok", F.col("recall_vs_exact") >= recall_min)
         .withColumn("precision_ok", F.col("precision_vs_exact") >= precision_min)

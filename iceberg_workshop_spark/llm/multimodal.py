@@ -472,8 +472,9 @@ _PH_SAMPLES = PHASH_ROWS * PHASH_COLS  # 66 sampled bytes
     WITH px AS (
       SELECT doc_id,
              i,
-             ascii(substr(rpad(trim(regexp_replace(lower(text), '\\s+', ' ',
-                                                   'g')),
+             ascii(substr(rpad(trim(regexp_replace(lower(regexp_replace(
+                               text, '[^\\x09\\x0A\\x0D\\x20-\\x7E]', '',
+                               'g')), '\\s+', ' ', 'g')),
                                {_PH_SAMPLES + 1}, ' '),
                           i + 1, 1)) AS g
       FROM documents, generate_series(0, {_PH_SAMPLES - 1}) AS t(i)
@@ -529,9 +530,18 @@ def q_llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_schema = StructType(
         [StructField("doc_id", LongType()), StructField("fp", LongType())]
     )
+    # Project to printable ASCII (keeping tab/LF/CR as whitespace)
+    # BEFORE lowering/sampling: the fingerprint samples UTF-8 BYTES in
+    # numpy while the oracle samples codepoints, so the contract only
+    # holds when every sampled char is single-byte. A real image codec
+    # replaces this normalizer wholesale, so the projection costs
+    # nothing on the production path.
+    ascii_text = F.regexp_replace(
+        F.col("text"), "[^\\x09\\x0A\\x0D\\x20-\\x7E]", ""
+    )
     norm_payload = F.encode(
         F.rpad(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            F.trim(F.regexp_replace(F.lower(ascii_text), r"\s+", " ")),
             _PH_SAMPLES + 1,
             " ",
         ),

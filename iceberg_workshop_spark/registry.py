@@ -105,35 +105,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-7 rotation: the never-driver-verified operator tail.
-    # operator/scan/join/set tail (14)
-    "q_dml_delete_positional", "q_scan_bloom", "q_join_asof_tolerance",
-    "q_win_distribution", "q_win_running_distinct",
-    "q_win_period_over_period", "q_sort_nulls", "q_set_union_by_name",
-    "q_limit_offset", "q_set_intersect_all", "q_join_skew_salted",
-    "q_agg_skew_salted", "q_catalog_ops", "q_join_bucketed",
-    # python data-source + ice streaming (4)
-    "q_source_python", "q_source_python_stream", "q_source_python_write",
-    "q_stream_ice_table",
-    # event analytics (5)
-    "q_funnel_conversion", "q_retention_cohort", "q_agg_histogram",
-    "q_agg_stats", "q_quality_expectations",
-    # subqueries / lateral / pipe syntax (6)
-    "q_subquery_exists_in", "q_subquery_scalar", "q_cte_recursive",
-    "q_join_lateral", "q_sql_pipe_syntax", "q_sql_lateral_alias",
-    # window-pattern + SCD (9)
-    "q_win_gaps_islands", "q_scd2_build", "q_win_transition_matrix",
-    "q_agg_cumulative_distinct", "q_agg_heavy_hitters",
-    "q_join_interval_overlap", "q_win_gap_fill", "q_win_rolling_distinct",
-    "q_win_ewma",
-    # graph + mergeable sketches (5)
-    "q_graph_pagerank", "q_sketch_kmv", "q_sketch_kmv_intersect",
-    "q_sketch_theta_setops", "q_sketch_kll_quantiles",
-    # merge-on-read DML + CDC/WAP (7) — also exercises the new
-    # manifest-sharded metadata commits end-to-end
-    "q_dml_merge_mor", "q_dml_update_mor", "q_dml_delete_mor",
-    "q_sql_delete_mor_stmt", "q_cdc_join_maintain",
-    "q_incr_agg_maintenance", "q_wap_pattern",
+    # round-8 rotation: the FINAL 46 never-driver-verified names —
+    # the 22-query fn/util tail plus the 24 round-7 additions. After
+    # this window every registry row has an external CORRECTNESS row.
+    # fn/util tail (22)
+    "q_llm_split_train_val", "q_llm_sample_stratified",
+    "q_fn_variant", "q_fn_higher_order", "q_fn_levenshtein",
+    "q_fn_bitwise", "q_fn_try", "q_fn_regexp", "q_fn_interval",
+    "q_fn_generators", "q_fn_string2", "q_fn_array2",
+    "q_fn_json_roundtrip", "q_fn_collation", "q_udf_arrow",
+    "q_scd2_incremental", "q_tt_tag_branch", "q_sql_analyze_stmt",
+    "q_llm_boilerplate", "q_llm_boilerplate_frac",
+    "q_llm_quality_classifier", "q_llm_mix_temperature",
+    # round-7 additions (24)
+    "q_agg_grouping_id", "q_agg_corr_regr", "q_agg_approx_percentile",
+    "q_win_range_interval", "q_join_dpp", "q_scan_file_metadata",
+    "q_profile_skew", "q_sql_update_stmt", "q_meta_manifests",
+    "q_tt_diff_refs", "q_source_python_pushdown", "q_llm_dedup_url",
+    "q_llm_dedup_soft", "q_llm_source_overlap",
+    "q_llm_importance_select", "q_llm_keyword_tag",
+    "q_llm_ngram_novelty", "q_llm_ttr", "q_llm_pmi_pairs",
+    "q_llm_fertility", "q_llm_dedup_bloom", "q_llm_multimodal_phash",
+    "q_fn_url", "q_fn_format",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

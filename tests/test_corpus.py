@@ -67,6 +67,55 @@ def test_phash_banding_pigeonhole_recall():
         assert any(bands_equal), f"no band survived flips {flips}"
 
 
+def test_phash_nonascii_oracle_parity(spark, tmp_path):
+    """q_llm_multimodal_phash on a corpus with multibyte characters:
+    the numpy fingerprint samples UTF-8 BYTES while the DuckDB oracle
+    samples codepoints, so parity only holds through the ASCII
+    projection both sides now apply. This fixture (accents, CJK, emoji
+    in the first 66 chars, near-dup pairs differing only in non-ASCII
+    content) fails the pre-projection implementation."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "café déjà-vu résumé " * 8,
+        "cafe deja-vu resume " * 8,  # ASCII twin of row 0
+        "日本語のテキスト mixed with english words here " * 4,
+        "mixed with english words here " * 5,  # ASCII residue twin
+        "emoji 🎉 party 🎉 time and plain filler text to pad " * 4,
+        "emoji  party  time and plain filler text to pad " * 4,
+        "ünïcödé héävy röw with ascii tail that dominates sampling " * 3,
+        "unicode heavy row with ascii tail that dominates sampling " * 3,
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["xx"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    from iceberg_workshop_spark.registry import oracle_sql, queries
+
+    from tests.helpers import assert_frames_match
+
+    spark_pdf = (
+        queries()["q_llm_multimodal_phash"](spark, str(tmp_path)).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    oracle_pdf = con.execute(
+        oracle_sql()["q_llm_multimodal_phash"]
+    ).df()
+    assert_frames_match(spark_pdf, oracle_pdf, "phash_nonascii")
+
+
 def test_url_canonicalization_idempotent(spark):
     """canon(canon(u)) == canon(u) for every synthesized variant, and
     the canonical key never contains tracking params / fragments /

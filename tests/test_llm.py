@@ -66,6 +66,30 @@ def test_ivf_recall_vs_brute_force(spark, queries):
     assert len(set(brute) & set(ivf)) >= 4
 
 
+def test_certificate_vacuous_on_dupfree_corpus(spark):
+    """Zero true pairs and zero fast pairs = nothing to miss, nothing
+    spurious: the certificate must read 1.0/ok, not 0.0/failed (the
+    old greatest(denominator, 1) clamp reported a failed certificate
+    on a duplicate-free corpus)."""
+    from iceberg_workshop_spark.llm.dedup import _certify_pairs
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    one = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+
+    # no pairs at all -> certificate columns exist but zero rows out;
+    # exercise the aggregate itself via a non-empty fast side too
+    cert_cols = ["recall_vs_exact", "precision_vs_exact",
+                 "recall_ok", "precision_ok"]
+    both_empty = _certify_pairs(empty, empty, 0.9, 0.9)
+    assert both_empty.count() == 0  # fast side empty -> no output rows
+
+    fast_only = _certify_pairs(one, empty, 0.9, 0.9).collect()[0]
+    assert fast_only["recall_vs_exact"] == 1.0  # nothing to miss
+    assert fast_only["recall_ok"]
+    assert fast_only["precision_vs_exact"] == 0.0  # 1 spurious pair
+    assert not fast_only["precision_ok"]
+
+
 def test_multimodal_features_shape(spark, queries):
     df = queries["q_llm_multimodal_features"](spark, SF_DIR)
     rows = df.collect()

@@ -112,6 +112,44 @@ def test_parent_manifest_reuse_after_reload(tmp_path):
     assert len(reused) == len(first_manifests) + 1
 
 
+def test_dup_path_parent_manifest_not_reused(tmp_path):
+    """A (corrupt/legacy) parent manifest holding two entries with the
+    SAME path must not be value-reused by a child carrying one copied
+    entry for that path: reuse would materialize a duplicate on reload
+    that the in-memory snapshot never had."""
+    meta = _mk(tmp_path)
+    e = _entry(0)
+    descs = M._write_manifest_shards(meta, [dict(e), dict(e)])
+    parent = {
+        "snapshot_id": M.new_snapshot_id(),
+        "parent_id": None,
+        "timestamp_ms": M.now_ms(),
+        "operation": "append",
+        "manifests": descs,
+        "delete_manifests": [],
+    }
+    meta.snapshots.append(parent)
+    child = {
+        "snapshot_id": M.new_snapshot_id(),
+        "parent_id": parent["snapshot_id"],
+        "timestamp_ms": M.now_ms(),
+        "operation": "overwrite",
+        # a fresh value-equal dict: forces the value-equality fallback
+        # (the id() fast path can't fire)
+        "files": [dict(e)],
+        "delete_files": [],
+    }
+    meta.snapshots.append(child)
+    meta.doc["current_snapshot_id"] = child["snapshot_id"]
+    meta = M.commit(meta)
+    head = meta.snapshot(meta.current_snapshot_id)
+    assert [m["path"] for m in head["manifests"]] != [descs[0]["path"]], (
+        "dup-path parent manifest was reused"
+    )
+    fresh = M.read_current(meta.location)
+    assert len(fresh.current_files()) == 1
+
+
 def test_delete_manifests_round_trip(tmp_path):
     meta = _mk(tmp_path)
     meta = _append_snapshot(meta, [_entry(0)])
@@ -209,6 +247,30 @@ def test_expire_gcs_exclusive_manifests(spark, tmp_path):
     # expired-only manifests are deleted (delete_manifests of dropped
     # snapshots were empty shards here, so only data manifests counted)
     assert after <= before
+
+
+def test_pinned_read_of_expired_snapshot_raises_by_name(spark, tmp_path):
+    """A retained v<N>.json whose snapshot's manifests were GC'd by
+    expire_snapshots fails materialization with SnapshotExpired (a
+    FileNotFoundError subclass), not a bare missing-file error."""
+    import pytest
+
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(
+        spark, loc, spark.createDataFrame([(1,), (2,)], "a int")
+    )
+    pinned_version = t.meta.version
+    t.truncate()  # rewrites the file set: the old manifest becomes
+    t.insert_values([(9,)])  # exclusive to the dropped snapshots
+    t.expire_snapshots(older_than_ms=M.now_ms() + 1)
+    assert os.path.exists(M.metadata_path(loc, pinned_version)), (
+        "metadata retention should keep the pinned doc for this test"
+    )
+    pinned = M.read_version(loc, pinned_version)
+    with pytest.raises(M.SnapshotExpired, match="expire"):
+        pinned.current_files()
 
 
 def test_rewrite_manifests_consolidates_head(spark, tmp_path):
