@@ -32,11 +32,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    from iceberg_workshop_spark.registry import queries
+    from iceberg_workshop_spark.registry import TAGS, queries
     from iceberg_workshop_spark.session import get_spark
 
     spark = get_spark("iws-bench")
     qs = queries()
+    baseline_only = sorted(n for n, t in TAGS.items() if "baseline-only" in t)
 
     # Warm the JVM so timings measure steady-state plans, not one-time
     # costs that amortize to zero on a real cluster: whole-stage
@@ -108,6 +109,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pruning": pruning,
         "errors": errors,
+        # intentionally-unscalable exact baselines (registry tag);
+        # bench_diff excludes these from regression-ratio triage.
+        "baseline_only": baseline_only,
     }
     # Full per-query map (~16 KB) goes to a side file; the driver's
     # tail capture is 2,000 chars, so the LAST stdout line is a compact

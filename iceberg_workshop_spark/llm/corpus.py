@@ -104,26 +104,64 @@ def _url_raw_spark() -> Column:
     )
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical dedup key for a raw URL: lowercase host, strip the
+    default :443 port, drop the fragment, strip ``utm_*`` tracking
+    params, collapse the separators that leaves behind, trim a
+    trailing slash. Scheme is pinned to https (the corpus synthesizer
+    only emits https URLs).
+
+    The utm strip is anchored to a parameter BOUNDARY (``[?&]`` kept
+    via backreference): an unanchored strip also rewrites data params
+    that merely contain the substring (``?xutm_source=1`` →
+    ``?x`` — silently merging distinct documents). Percent-encoding is
+    deliberately NOT decoded: ``%2F`` must stay distinct from a
+    literal ``/`` (decoding can only create wrong merges; case-variant
+    escapes failing to merge is a recall miss, the safe direction).
+    Property-tested (idempotence, boundary anchoring, encoded-path
+    round-trip, DuckDB dialect parity) in tests/test_corpus.py."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"https://([^/?#]+)", 1)),
+        r":443$",
+        "",
+    )
+    rest = F.regexp_extract(
+        F.regexp_replace(url, r"#.*$", ""), r"https://[^/?#]+([^#]*)", 1
+    )
+    rest = F.regexp_replace(rest, r"([?&])utm_[a-z]+=[^&]*", "$1")
+    rest = F.regexp_replace(rest, r"([?&])[?&]+", "$1")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(F.lit("https://"), host, rest)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`canonical_url` — same regexes in the
+    RE2 dialect (``\\1`` backreferences, explicit 'g' flag)."""
+    return f"""
+             'https://' ||
+             regexp_replace(lower(regexp_extract({expr}, 'https://([^/?#]+)', 1)),
+                            ':443$', '') ||
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_extract(regexp_replace({expr}, '#.*$', ''),
+                                    'https://[^/?#]+([^#]*)', 1),
+                     '([?&])utm_[a-z]+=[^&]*', '\\1', 'g'),
+                   '([?&])[?&]+', '\\1', 'g'),
+                 '[?&]+$', ''),
+               '/$', '')
+    """
+
+
 @register(
     "q_llm_dedup_url",
     oracle=f"""
     WITH raw AS (
       SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
     ), canon AS (
-      SELECT doc_id,
-             'https://' ||
-             regexp_replace(lower(regexp_extract(url, 'https://([^/]+)', 1)),
-                            ':443$', '') ||
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_extract(regexp_replace(url, '#.*$', ''),
-                                    'https://[^/]+(/[^#]*)', 1),
-                     'utm_[a-z]+=[^&]*&?', '', 'g'),
-                   '[?&]+$', ''),
-                 '[?]&', '?'),
-               '/$', '') AS curl
+      SELECT doc_id, {canonical_url_sql("url")} AS curl
       FROM raw
     ), clusters AS (
       SELECT curl, COUNT(*) AS sz, MIN(doc_id) AS keeper
@@ -149,20 +187,8 @@ def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load(spark, sf_dir, "documents").select(
         "doc_id", _url_raw_spark().alias("url")
     )
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col("url"), r"https://([^/]+)", 1)),
-        r":443$",
-        "",
-    )
-    rest = F.regexp_extract(
-        F.regexp_replace(F.col("url"), r"#.*$", ""), r"https://[^/]+(/[^#]*)", 1
-    )
-    rest = F.regexp_replace(rest, r"utm_[a-z]+=[^&]*&?", "")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
-    rest = F.regexp_replace(rest, r"[?]&", "?")
-    rest = F.regexp_replace(rest, r"/$", "")
     canon = raw.select(
-        "doc_id", F.concat(F.lit("https://"), host, rest).alias("curl")
+        "doc_id", canonical_url(F.col("url")).alias("curl")
     )
     clusters = canon.groupBy("curl").agg(
         F.count(F.lit(1)).alias("sz"), F.min("doc_id").alias("keeper")

@@ -867,10 +867,17 @@ def q_llm_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_T}
     ORDER BY vec_a, vec_b
     """,
+    tags=("baseline-only",),
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via a tiled block self-join —
     exact all-pairs with NO driver materialization.
+
+    BASELINE-ONLY (registry tag): this is O(n²) BY DESIGN — it is the
+    labeled recall baseline that certifies ``q_llm_dedup_embed_lsh``,
+    never a production path. At scale, run the sign-band LSH variant;
+    bench regression triage excludes baseline-only queries
+    (tools/bench_diff.py).
 
     Every vector is hashed into one of B blocks; each unordered block
     pair (i ≤ j) is a tile. A vector in block k replicates to the
@@ -1837,3 +1844,140 @@ def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ duplicated-span dedup
+
+SPAN_MIN_TOKS = 8  # report spans of >= 8 shared consecutive tokens
+SPAN_MAX_DF = 8  # seed shingles must appear in 2..8 docs
+
+_SPAN_PS_CTES = r"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok,
+             generate_subscripts(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), 1) AS pos
+      FROM documents
+    ), ps AS (
+      SELECT doc_id, pos,
+             tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), psn AS (
+      SELECT doc_id, pos, shingle FROM ps WHERE shingle IS NOT NULL
+    )
+"""
+
+
+@register(
+    "q_llm_dedup_spans",
+    oracle=f"""
+    WITH {_SPAN_PS_CTES},
+    rare AS (
+      SELECT shingle FROM (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS d FROM psn GROUP BY shingle
+      ) WHERE d BETWEEN 2 AND {SPAN_MAX_DF}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM psn a JOIN rare USING (shingle)
+      JOIN psn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, pa - pb AS off, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM m
+    ),
+    spans AS (
+      SELECT da, db, COUNT(*) + 2 AS span_toks
+      FROM runs GROUP BY da, db, off, grp
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_toks) AS BIGINT) AS longest_span_toks
+    FROM spans WHERE span_toks >= {SPAN_MIN_TOKS}
+    GROUP BY da, db
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection (the ExactSubstr idea of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): find pairs of documents sharing a run
+    of >= SPAN_MIN_TOKS (8) consecutive tokens — partial overlap that
+    whole-document near-dup (MinHash/SimHash) underweights, the case
+    that matters for quote/boilerplate contamination inside otherwise
+    distinct documents.
+
+    Plan instead of suffix array: positional word-3-shingles; seed
+    shingles screened to document frequency 2..SPAN_MAX_DF (the
+    rare-seed screen — singleton shingles can't witness a pair,
+    ubiquitous ones are boilerplate the dedicated boilerplate pass
+    owns, and the cap bounds the equi-join fan-out per shingle at
+    SPAN_MAX_DF docs, keeping candidate pairs linear in corpus
+    size); matching positions collapse into maximal runs with the
+    gaps-and-islands trick GROUPed on (pair, position offset) — a run
+    of L consecutive matching shingles is a shared span of L+2 tokens.
+    Every window is partitioned by (doc_a, doc_b, offset); nothing
+    quadratic in the corpus, only in per-seed multiplicity which the
+    DF screen caps. DuckDB replays shingling, screen, islands and the
+    span algebra exactly."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    ps = toks.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3), "
+                "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    rare = (
+        ps.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= SPAN_MAX_DF))
+        .select("shingle")
+    )
+    psr = ps.join(rare, "shingle").persist()
+    m = (
+        psr.alias("a")
+        .join(
+            psr.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    w = Window.partitionBy("da", "db", "off").orderBy("pa")
+    runs = m.withColumn("off", F.col("pa") - F.col("pb")).withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("da", "db", "off", "grp").agg(
+        (F.count("*") + 2).alias("span_toks")
+    )
+    out = (
+        spans.filter(F.col("span_toks") >= SPAN_MIN_TOKS)
+        .groupBy("da", "db")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.max("span_toks").alias("longest_span_toks"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_spans",
+            "longest_span_toks",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    psr.unpersist()
+    return out

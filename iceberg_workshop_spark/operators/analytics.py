@@ -254,3 +254,42 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY rule
         """
     )
+
+
+_OHLC = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM {t}events
+)
+SELECT event_type, hr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(MAX(value), 4) AS high,
+       round(MIN(value), 4) AS low,
+       round(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_value
+FROM e GROUP BY event_type, hr
+ORDER BY event_type, hr
+"""
+
+
+@register("q_agg_ohlc", oracle=_OHLC.format(t=""))
+def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample of the event value stream — the
+    hypertable-rollup staple (continuous aggregates in time-series
+    stores): open/close via first/last-in-bucket (two row_number
+    windows sharing one (type, hour)-partitioned sort → ONE shuffle),
+    high/low/avg as plain aggregates. The mean accumulates in
+    DECIMAL(18,6) so Spark's and DuckDB's float summation order can't
+    diverge (registry money convention). Buckets are the partition
+    key, so at 100 TB every window and the final groupBy shard by
+    (event_type, hour) — no global sort anywhere; the rollup output is
+    |types|×|hours| rows, the shape a continuous aggregate would
+    incrementally maintain (q_incr_agg_maintenance)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("iws_ohlc_events")
+    return spark.sql(_OHLC.format(t="iws_ohlc_"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.registry import register, require
 from iceberg_workshop_spark.sources.tables import TABLE_NAMES, load
 
 
@@ -173,3 +173,84 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_catalog_rest",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'docs_all' AS table_name,
+             2 AS n_snapshots,
+             (SELECT COUNT(*) FROM documents) AS n_rows
+      UNION ALL
+      SELECT 'docs_even', 1,
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+    ) ORDER BY table_name
+    """,
+)
+def q_catalog_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST-catalog round trip — the offline slice of the reference's
+    multi-engine catalog story (docker-compose.yml:24-44 serves one
+    Iceberg REST catalog to every engine): build two icetbl tables,
+    serve their metadata over a loopback HTTP REST shim
+    (icetbl/restcat.py), then act as a FOREIGN engine — discover
+    namespaces and tables by name, load each table's current metadata
+    document, and materialize its file list with manifest fetches that
+    go over HTTP (RemoteTableMeta), never the metadata directory. Row
+    counts come from reading exactly the served file list, so the
+    oracle checks that catalog-served metadata reconstructs the same
+    tables the writer committed (docs_all: CTAS + one append = 2
+    snapshots over all documents; docs_even: CTAS of the even half).
+    Per-table work is metadata-scale; the only data-sized jobs are the
+    two CTAS writes and the verification counts."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.restcat import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="iws_restcat_")
+    try:
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        t_all = IceTable.create_as(spark, f"{root}/docs_all", even)
+        t_all.append(odd)
+        IceTable.create_as(spark, f"{root}/docs_even", even)
+
+        srv = RestCatalogServer()
+        srv.register("docs_all", f"{root}/docs_all")
+        srv.register("docs_even", f"{root}/docs_even")
+        base = srv.start()
+        try:
+            cli = RestCatalogClient(base)
+            require(
+                cli.list_namespaces() == [["default"]],
+                "namespace listing must come from the server",
+            )
+            names = cli.list_tables()
+            require(
+                names == ["docs_all", "docs_even"],
+                f"table discovery over REST failed: {names}",
+            )
+            rows = []
+            for name in names:
+                tm = cli.load_table(name)
+                paths = [f["path"] for f in tm.current_files()]
+                require(paths, f"{name}: served metadata lists no files")
+                n_rows = spark.read.parquet(*paths).count()
+                rows.append((name, len(tm.snapshots), n_rows))
+            require(
+                srv.n_requests >= 6,
+                "metadata must be served over HTTP (config/list/load/manifests)",
+            )
+        finally:
+            srv.stop()
+        return spark.createDataFrame(
+            rows, "table_name string, n_snapshots int, n_rows long"
+        ).orderBy("table_name")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -157,10 +157,96 @@ FROM daily ORDER BY day
 def q_agg_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day via the first-seen rewrite:
     instead of a running COUNT(DISTINCT) (quadratic state), take each
-    user's MIN(ts) day, count arrivals per day, prefix-sum. Turns an
-    unbounded-distinct window into one groupBy + a window over ~days
-    rows — the standard trick that makes this computable at 100 TB."""
-    return _spark_sql(spark, sf_dir, _CUMULATIVE, "events")
+    user's MIN(ts) day, count arrivals per day, prefix-sum. The prefix
+    sum itself runs through ``prefix.prefix_sum`` (month-partitioned
+    running window + broadcast per-month offsets) so the plan contains
+    no single-partition WindowExec — the full rewrite turns an
+    unbounded-distinct window into one groupBy + a partitioned window,
+    the shape that stays computable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.operators.prefix import prefix_sum
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    cum = prefix_sum(
+        daily,
+        F.date_trunc("month", "first_day"),
+        ["first_day"],
+        "new_users",
+        "cum_users",
+    )
+    return cum.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.col("cum_users").cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+_SESSIONIZE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, date_trunc('second', ts) AS tss,
+         CASE WHEN {gap} IS NULL OR {gap} >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM {t}events
+),
+sess AS (
+  SELECT user_id, tss,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+  FROM seq
+),
+per AS (
+  SELECT user_id, sid, COUNT(*) AS n_ev, {dur} AS dur_sec
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(MAX(dur_sec) AS BIGINT) AS max_session_sec
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+_SESS_LAG = (
+    "LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id)"
+)
+_SESS_GAP_SPARK = f"timestampdiff(SECOND, {_SESS_LAG}, date_trunc('second', ts))"
+_SESS_GAP_DUCK = f"date_diff('second', {_SESS_LAG}, date_trunc('second', ts))"
+_SESS_DUR_SPARK = "timestampdiff(SECOND, MIN(tss), MAX(tss))"
+_SESS_DUR_DUCK = "date_diff('second', MIN(tss), MAX(tss))"
+
+
+@register(
+    "q_win_sessionize",
+    oracle=_SESSIONIZE.format(t="", gap=_SESS_GAP_DUCK, dur=_SESS_DUR_DUCK),
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap — the
+    batch twin of ``q_stream_session`` (session windows in Structured
+    Streaming): flag a session start where the LAG gap is NULL or
+    ≥ 1800 s, prefix-sum the flags into session ids, aggregate
+    per-session then per-user. Both windows share the
+    (user_id, ts, event_id) sort → ONE shuffle + sort for the whole
+    sessionize; every window is partitioned by user_id, so 100 TB of
+    history sessionizes with per-user state only. Endpoints are
+    second-truncated BEFORE differencing so Spark's timestampdiff and
+    DuckDB's date_diff agree on whole seconds (q_join_interval_overlap
+    convention)."""
+    return _spark_sql(
+        spark,
+        sf_dir,
+        _SESSIONIZE.replace("{gap}", _SESS_GAP_SPARK).replace(
+            "{dur}", _SESS_DUR_SPARK
+        ),
+        "events",
+    )
 
 
 _HEAVY = """

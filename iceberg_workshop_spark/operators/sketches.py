@@ -176,13 +176,46 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     2000-unit bins (integer floor division — exact in both engines),
     prefix-sum the counts, and locate p50/p90/p99 as the first bucket
     whose cumulative count crosses the rank (integer cross-multiply,
-    no float at the boundary). The answer is an interval, not a point
-    — the sketch's honest contract: error ≤ bucket width, the
-    structure is a few hundred ints, and partial histograms merge by
-    addition (the 100 TB property; exact per-group sort-based
+    no float at the boundary). The histogram prefix sum runs through
+    ``prefix.prefix_sum`` (64-bucket-block partitioned window +
+    broadcast block offsets) so no single-partition WindowExec exists
+    even on the bounded histogram frame. The answer is an interval,
+    not a point — the sketch's honest contract: error ≤ bucket width,
+    the structure is a few hundred ints, and partial histograms merge
+    by addition (the 100 TB property; exact per-group sort-based
     percentiles live in q_agg_percentile)."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView(f"{_P}orders")
-    return spark.sql(_histq_sql().format(t=_P))
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.operators.prefix import prefix_sum
+
+    orders = load(spark, sf_dir, "orders")
+    hist = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 2000).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    cum = prefix_sum(
+        hist,
+        F.floor(F.col("bucket") / 64).cast("bigint"),
+        ["bucket"],
+        "cnt",
+        "running",
+    )
+    total = orders.agg(F.count("*").alias("total"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(pcts),
+            F.col("running") * 100 >= F.col("total") * F.col("pct"),
+        )
+        .groupBy("pct")
+        .agg(
+            (F.min("bucket") * 2000).cast("bigint").alias("bucket_floor"),
+            (F.min("bucket") * 2000 + 2000).cast("bigint").alias("bucket_ceil"),
+        )
+        .orderBy("pct")
+    )
 
 
 def _bloom_merge_sql(hexint: str, intdiv: str) -> str:

@@ -251,9 +251,31 @@ ORDER BY yr, mon
 @register("q_win_period_over_period", oracle=_POP.format(t=""))
 def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: the dashboard staple — monthly
-    decimal-exact totals, LAG for the prior period, growth as a
-    rounded float ratio. The window runs over the ~80-row monthly
-    aggregate, so the single-partition LAG is free at any input
-    scale; only the grouped aggregation is distributed."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("iws_pop_orders")
-    return spark.sql(_POP.format(t="iws_pop_"))
+    decimal-exact totals, previous-period revenue, growth as a rounded
+    float ratio. The global-order LAG is decomposed by
+    ``prefix.prefix_lag`` (year-partitioned LAG + a boundary patch
+    from the prior year's last month), so even the monthly rollup
+    keeps the engine-wide rule that every Window node is partitioned —
+    no single-partition WindowExec anywhere in the plan."""
+    from iceberg_workshop_spark.operators.prefix import prefix_lag
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    lagged = prefix_lag(monthly, F.col("yr"), ["mon"], "rev", "prev_rev")
+    return lagged.select(
+        "yr",
+        "mon",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("prev_rev").cast("double").alias("prev_revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("prev_rev").cast("double")
+            - 1,
+            4,
+        ).alias("mom_growth"),
+    ).orderBy("yr", "mon")

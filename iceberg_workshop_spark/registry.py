@@ -26,6 +26,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Advisory metadata per query. Known tags:
+#   "baseline-only" — an intentionally-unscalable exact baseline that
+#   exists to certify a scale path's recall (e.g. q_llm_dedup_embed's
+#   O(n²) all-pairs vs q_llm_dedup_embed_lsh); never a production
+#   path, and excluded from bench regression-ratio triage.
+TAGS: dict[str, frozenset[str]] = {}
 
 # Modules that define queries; imported lazily by load_all() so that
 # `import iceberg_workshop_spark` stays cheap.
@@ -80,13 +86,20 @@ def require(cond: object, msg: str) -> None:
         raise QueryInvariantError(msg)
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query; ``oracle=None`` means rows-only driver check."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` means rows-only driver check.
+    ``tags`` attaches advisory metadata (see ``TAGS``)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if tags:
+            TAGS[name] = frozenset(tags)
         return fn
 
     return deco
@@ -106,8 +119,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
     # round-8 rotation: the FINAL 46 never-driver-verified names —
-    # the 22-query fn/util tail plus the 24 round-7 additions. After
-    # this window every registry row has an external CORRECTNESS row.
+    # the 22-query fn/util tail plus the 24 round-7 additions — plus
+    # the 4 round-8 additions, filling all 50 slots. After this window
+    # every registry row has an external CORRECTNESS row.
+    # round-8 additions (4)
+    "q_win_sessionize", "q_agg_ohlc", "q_llm_dedup_spans",
+    "q_catalog_rest",
     # fn/util tail (22)
     "q_llm_split_train_val", "q_llm_sample_stratified",
     "q_fn_variant", "q_fn_higher_order", "q_fn_levenshtein",

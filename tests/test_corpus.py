@@ -122,31 +122,121 @@ def test_url_canonicalization_idempotent(spark):
     default ports."""
     from pyspark.sql import functions as F
 
-    from iceberg_workshop_spark.llm.corpus import _url_raw_spark
+    from iceberg_workshop_spark.llm.corpus import _url_raw_spark, canonical_url
 
     raw = (
         spark.range(0, 48)
         .withColumnRenamed("id", "doc_id")
         .select("doc_id", _url_raw_spark().alias("url"))
     )
-
-    def canon(col):
-        host = F.regexp_replace(
-            F.lower(F.regexp_extract(col, r"https://([^/]+)", 1)), r":443$", ""
-        )
-        rest = F.regexp_extract(
-            F.regexp_replace(col, r"#.*$", ""), r"https://[^/]+(/[^#]*)", 1
-        )
-        rest = F.regexp_replace(rest, r"utm_[a-z]+=[^&]*&?", "")
-        rest = F.regexp_replace(rest, r"[?&]+$", "")
-        rest = F.regexp_replace(rest, r"[?]&", "?")
-        rest = F.regexp_replace(rest, r"/$", "")
-        return F.concat(F.lit("https://"), host, rest)
-
-    once = raw.select("doc_id", canon(F.col("url")).alias("c1"))
-    twice = once.select("doc_id", "c1", canon(F.col("c1")).alias("c2"))
+    once = raw.select("doc_id", canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("doc_id", "c1", canonical_url(F.col("c1")).alias("c2"))
     rows = twice.collect()
     for r in rows:
         assert r.c1 == r.c2, f"not idempotent: {r.c1!r} -> {r.c2!r}"
         assert "utm_" not in r.c1 and "#" not in r.c1 and ":443" not in r.c1
         assert not r.c1.endswith(("/", "?", "&"))
+
+
+def _adversarial_urls() -> list[str]:
+    """Hypothesis-style grammar sweep: every combination of host
+    spelling × port × path (incl. %-encoded) × query (incl. boundary
+    attacks) × fragment — 540 URLs covering the VERDICT r7 #8 cases
+    (ports in hosts, %-encoding, query-only URLs)."""
+    hosts = ["example.com", "Example.COM", "EXAMPLE.com"]
+    ports = ["", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a%2Fb", "/a%2fb", "/p%20q/"]
+    queries = [
+        "",
+        "?utm_source=feed",
+        "?xutm_source=1",
+        "?utm_a=1&utm_b=2",
+        "?a=1&utm_mid=9&b=2",
+        "?a=utm_b=1",
+        "?page=2&utm_campaign=x",
+        "?only=1",
+        "?utm_source=feed&page=2",
+        "?a=%2F",
+    ]
+    frags = ["", "#top", "#utm_source=f"]
+    return [
+        f"https://{h}{p}{pa}{q}{f}"
+        for h in hosts
+        for p in ports
+        for pa in paths
+        for q in queries
+        for f in frags
+    ]
+
+
+def test_url_canonicalization_adversarial_properties(spark):
+    """VERDICT r7 #8 — the canonicalizer under adversarial inputs, one
+    Spark job over the full grammar sweep:
+
+    1. idempotence everywhere, including %-encoded paths;
+    2. boundary anchoring: params merely CONTAINING 'utm_'
+       (?xutm_source=…, ?a=utm_b=1) survive verbatim — no wrong merge;
+    3. %-encoding is preserved, never decoded: %2F stays distinct from
+       a literal / (and from %2f — the safe, recall-miss direction);
+    4. non-default ports survive, :443 strips, query-only URLs keep
+       their query instead of leaking it into the host;
+    5. the DuckDB rendering (canonical_url_sql) agrees character for
+       character on every URL — the oracle canonicalizes identically.
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.llm.corpus import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    urls = _adversarial_urls()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, url string")
+    got = {
+        r["i"]: (r["c1"], r["c2"])
+        for r in df.select(
+            "i",
+            canonical_url(F.col("url")).alias("c1"),
+        )
+        .select("i", "c1", canonical_url(F.col("c1")).alias("c2"))
+        .collect()
+    }
+    canon = {u: got[i][0] for i, u in enumerate(urls)}
+    for i, u in enumerate(urls):
+        c1, c2 = got[i]
+        assert c1 == c2, f"not idempotent: {u!r} -> {c1!r} -> {c2!r}"
+        assert "#" not in c1 and "utm_source=feed" not in c1
+
+    # boundary anchoring: lookalike params survive, real utm strips
+    assert canon["https://example.com/a/b?xutm_source=1"].endswith("?xutm_source=1")
+    assert canon["https://example.com/a/b?a=utm_b=1"].endswith("?a=utm_b=1")
+    assert canon["https://example.com/a/b?utm_a=1&utm_b=2"] == "https://example.com/a/b"
+    assert canon["https://example.com/a/b?a=1&utm_mid=9&b=2"].endswith("?a=1&b=2")
+    # distinct lookalike params never merge
+    assert (
+        canon["https://example.com/a/b?xutm_source=1"]
+        != canon["https://example.com/a/b?utm_source=feed"]
+    )
+    # %-encoding preserved, distinct from literal and from other case
+    enc = {canon[f"https://example.com{p}"] for p in ("/a/b", "/a%2Fb", "/a%2fb")}
+    assert len(enc) == 3
+    # ports: default strips, explicit survives; query-only keeps query
+    assert canon["https://EXAMPLE.com:443/a/b"] == "https://example.com/a/b"
+    assert canon["https://example.com:8080/a/b"] == "https://example.com:8080/a/b"
+    assert canon["https://example.com?only=1"] == "https://example.com?only=1"
+    assert canon["https://example.com?utm_source=feed"] == "https://example.com"
+
+    # dialect parity: DuckDB canonicalizes every URL identically
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i INT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    du = dict(
+        con.execute(
+            f"SELECT i, {canonical_url_sql('url')} FROM u"
+        ).fetchall()
+    )
+    for i, u in enumerate(urls):
+        assert du[i] == got[i][0], (
+            f"dialect mismatch on {u!r}: duckdb={du[i]!r} spark={got[i][0]!r}"
+        )

@@ -26,8 +26,13 @@ def _per_query(doc: dict) -> dict[str, float]:
 def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    new_doc = json.load(open(new_path))
     old = _per_query(json.load(open(old_path)))
-    new = _per_query(json.load(open(new_path)))
+    new = _per_query(new_doc)
+    # baseline-only queries (registry tag, carried in BENCH_full.json)
+    # are intentionally-unscalable exact baselines: annotate, don't
+    # triage them as regressions.
+    baseline_only = set(new_doc.get("baseline_only", ()))
     common = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
@@ -47,6 +52,12 @@ def main() -> None:
             continue
         ratio = new[q] / old[q]
         if ratio >= thresh and new[q] - old[q] >= 0.2:  # ignore sub-noise abs deltas
+            if q in baseline_only:
+                print(
+                    f"baseline-only (not triaged) {ratio:.2f}x {q}: "
+                    f"{old[q]:.2f}s -> {new[q]:.2f}s"
+                )
+                continue
             rows.append((ratio, q, old[q], new[q]))
     for ratio, q, o, n in sorted(rows, reverse=True):
         print(f"REGRESSION {ratio:.2f}x {q}: {o:.2f}s -> {n:.2f}s")
