@@ -4,7 +4,11 @@ anything well beyond that needs a plan-level explanation in NOTES.md.
 
 Writes BENCH_scale.json: {name: {sf01, sf1, ratio}}.
 
-Usage: python tools/bench_scale.py [sf1_dir]
+Usage: python tools/bench_scale.py [sf1_dir] [--only name1,name2]
+
+``--only`` measures just the named queries and MERGES their rows into
+the existing BENCH_scale.json (summary stats recomputed over the full
+merged map) — for extending the tier without re-running it.
 """
 
 from __future__ import annotations
@@ -55,11 +59,22 @@ HEAVY = [
     "q_llm_source_overlap", "q_llm_ngram_novelty", "q_llm_pmi_pairs",
     "q_llm_dedup_bloom", "q_llm_multimodal_phash",
     "q_llm_importance_select",
+    # round-8 additions: positional-shingle self-join, full-history
+    # sessionization windows, OHLC rollup, REST-catalog round trip
+    "q_llm_dedup_spans", "q_win_sessionize", "q_agg_ohlc",
+    "q_catalog_rest",
 ]
 
 
 def main() -> None:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1"
+    args = list(sys.argv[1:])
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
+    sf1_dir = args[0] if args else ".scale/sf1"
+    heavy = [n for n in HEAVY if only is None or n in only]
     from iceberg_workshop_spark.registry import queries
     from iceberg_workshop_spark.session import get_spark
 
@@ -73,14 +88,14 @@ def main() -> None:
 
     # one throwaway pass at sf0.001 to warm JIT/codegen for every
     # measured query so cold-compile doesn't pollute the RATIO
-    for name in HEAVY:
+    for name in heavy:
         try:
             run(name, "/root/testdata/sf0.001")
         except Exception as exc:  # noqa: BLE001
             print(f"# warm error {name}: {exc}", file=sys.stderr)
 
     out: dict[str, dict] = {}
-    for name in HEAVY:
+    for name in heavy:
         try:
             t01 = run(name, "/root/testdata/sf0.1")
             t1 = run(name, sf1_dir)
@@ -94,6 +109,14 @@ def main() -> None:
             out[name] = {"error": str(exc)[:200]}
             print(name, "ERROR", str(exc)[:120], flush=True)
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scale_path = os.path.join(root, "BENCH_scale.json")
+    if only is not None and os.path.exists(scale_path):
+        # extend-and-merge: keep existing rows, overwrite measured ones
+        with open(scale_path) as fh:
+            merged = json.load(fh).get("queries", {})
+        merged.update(out)
+        out = merged
     ratios = [v["ratio"] for v in out.values() if v.get("ratio")]
     summary = {
         "queries": out,
@@ -101,8 +124,7 @@ def main() -> None:
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "n_errors": sum(1 for v in out.values() if "error" in v),
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_scale.json"), "w") as fh:
+    with open(scale_path, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)
     print(json.dumps({k: summary[k] for k in ("max_ratio", "median_ratio", "n_errors")}))
 
