@@ -1981,3 +1981,56 @@ def q_llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     psr.unpersist()
     return out
+
+
+# ------------------------------------------------ quality-aware keeper
+
+_KEEP_BEST = r"""
+WITH both_copies AS (
+  SELECT doc_id, text FROM {t}documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, '  ' || upper(text) || ' ' AS text
+  FROM {t}documents
+),
+scored AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' '{g})) AS norm,
+         CAST((1000000 * (length(text)
+                          - length(regexp_replace(text, '[a-z]', ''{g}))))
+              {div} (CASE WHEN length(text) > 1 THEN length(text) ELSE 1 END)
+              AS BIGINT) AS q
+  FROM both_copies
+),
+ranked AS (
+  SELECT doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY norm ORDER BY q DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY norm) AS n_copies
+  FROM scored
+)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+       q AS keeper_quality_ppm
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register(
+    "q_llm_dedup_keep_best",
+    oracle=_KEEP_BEST.format(t="", g=", 'g'", div="//"),
+)
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution: within each exact-normalized
+    cluster keep the HIGHEST-quality copy, not the lowest id — the
+    policy real pipelines use (of N crawls of a page, keep the
+    cleanest). Quality here is the lowercase-character ppm of the RAW
+    text (integer, engine-portable), which by construction ranks every
+    original above its case-mangled twin from the same noisy-union
+    harness as q_llm_dedup_exact — so the oracle proves the selector
+    picks the clean copy in all 2-clusters, not just any
+    representative. One shuffle on the norm key; the two windows share
+    the norm partition → one WindowExec; at 100 TB the keeper choice
+    is the same groupBy-sized pass as keep-min-id, just with a real
+    ranking."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "iws_dd_documents"
+    )
+    return spark.sql(_KEEP_BEST.format(t="iws_dd_", g="", div="div"))

@@ -129,3 +129,65 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         F.col("node").alias("nationkey"), F.col("score").alias("pagerank_scaled")
     ).orderBy(F.col("pagerank_scaled").desc(), "nationkey")
+
+
+_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM {t}lineitem a JOIN {t}lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) ends GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+              THEN p.u ELSE p.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+              THEN p.v ELSE p.u END AS t
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+),
+wedge AS (
+  SELECT e1.t AS x, e2.t AS y
+  FROM oriented e1 JOIN oriented e2
+    ON e1.s = e2.s AND e1.t < e2.t
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM wedge w JOIN pairs p ON p.u = w.x AND p.v = w.y
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT n_tri FROM tri) AS n_triangles,
+       round(CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE) /
+             CAST((SELECT SUM((d * (d - 1)) {div} 2) FROM deg) AS DOUBLE),
+             4) AS global_clustering
+"""
+
+
+@register("q_graph_triangles", oracle=_TRIANGLES.format(t="", div="//"))
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient on the
+    part co-purchase graph (parts linked when bought in the same
+    order — the market-basket projection; pair fan-out per order is
+    bounded by order size, so the edge build is linear in lineitem).
+
+    The count uses the degree-ORIENTED wedge algorithm (Schank's
+    node-iterator++/forward): every edge points from its lower-degree
+    endpoint to the higher (id tiebreak), wedges enumerate pairs of
+    OUT-neighbors of a common source, and a wedge is a triangle iff
+    its far endpoints are an edge. Orientation caps out-degree at
+    O(sqrt(m)), so the wedge join — the only superlinear step in naive
+    triangle counting — is O(m^1.5) worst case and far less on skewed
+    degree distributions, all as three self-equi-joins Catalyst
+    shuffles on graph-sized keys (no data-table rescans). Clustering =
+    3*triangles / wedges-over-degrees, float only at the final round;
+    DuckDB replays orientation and joins bit-for-bit (integer `//` vs
+    `div`)."""
+    for n in ("lineitem",):
+        load(spark, sf_dir, n).createOrReplaceTempView(f"{_P}{n}")
+    return spark.sql(_TRIANGLES.format(t=_P, div="div"))

@@ -430,3 +430,132 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays within its user partition — at 100 TB this is a bounded-fan
     join, not a window over unbounded history."""
     return _spark_sql(spark, sf_dir, _EWMA, "events")
+
+
+_INTERP = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM {t}events GROUP BY event_type, date_trunc('day', ts)
+),
+seq AS (
+  SELECT event_type, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+marked AS (
+  SELECT event_type, day, cents,
+         CASE WHEN rn % 3 <> 0 THEN cents END AS kc,
+         CASE WHEN rn % 3 <> 0 THEN day END AS kd
+  FROM seq
+),
+nb AS (
+  SELECT event_type, day, cents, kc,
+         {prev_c} AS pc, {prev_d} AS pd,
+         {next_c} AS nc, {next_d} AS nd
+  FROM marked
+),
+interp AS (
+  SELECT event_type, cents,
+         (pc * ({dd_day_nd}) + nc * ({dd_pd_day})) {div} ({dd_pd_nd}) AS est
+  FROM nb
+  WHERE kc IS NULL AND pc IS NOT NULL AND nc IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_interp,
+       CAST(MAX(abs(est - cents)) AS BIGINT) AS max_abs_err_cents,
+       CAST(SUM(abs(est - cents)) AS BIGINT) AS sum_abs_err_cents
+FROM interp GROUP BY event_type ORDER BY event_type
+"""
+
+_ITP_FRAME_PREV = (
+    "OVER (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+)
+_ITP_FRAME_NEXT = (
+    "OVER (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+)
+
+
+def _interp_sql(spark_dialect: bool) -> str:
+    if spark_dialect:
+        last, first = "last({0}, true)", "first({0}, true)"
+        dd = "datediff({1}, {0})"
+    else:
+        last, first = "last_value({0} IGNORE NULLS)", "first_value({0} IGNORE NULLS)"
+        dd = "date_diff('day', {0}, {1})"
+    return _INTERP.format(
+        t="{t}",
+        prev_c=last.format("kc") + " " + _ITP_FRAME_PREV,
+        prev_d=last.format("kd") + " " + _ITP_FRAME_PREV,
+        next_c=first.format("kc") + " " + _ITP_FRAME_NEXT,
+        next_d=first.format("kd") + " " + _ITP_FRAME_NEXT,
+        dd_day_nd=dd.format("day", "nd"),
+        dd_pd_day=dd.format("pd", "day"),
+        dd_pd_nd=dd.format("pd", "nd"),
+        div="div" if spark_dialect else "//",
+    )
+
+
+@register("q_win_interpolate", oracle=_sql(_interp_sql(False)))
+def q_win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation, self-certifying: drop every 3rd day of
+    each event type's daily cents series (synthetic gaps with known
+    truth), reconstruct each hole from its nearest KEPT neighbors with
+    the integer-lerp ``(prev*(nd-day) + next*(day-pd)) div (nd-pd)``,
+    and report reconstruction error vs the held-out actuals. The
+    numerator is a sum of non-negative products, so truncating `div`
+    (Spark) and flooring `//` (DuckDB) agree — the negative-operand
+    divergence between the two is designed out. All four IGNORE-NULLS
+    neighbor lookups share one (event_type, day) sort → a single
+    partitioned WindowExec; at 100 TB gap repair costs one window pass
+    over the pre-aggregated daily rollup, never the raw events."""
+    return _spark_sql(spark, sf_dir, _interp_sql(True), "events")
+
+
+_ANOMALY = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM {t}events
+),
+w AS (
+  SELECT user_id, cents,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 23 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n
+  FROM e
+),
+flags AS (
+  SELECT user_id,
+         CASE WHEN n >= 8 AND
+                   (n * cents - s1) * (n * cents - s1) > 4 * (n * s2 - s1 * s1)
+              THEN 1 ELSE 0 END AS anom
+  FROM w
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(anom) AS BIGINT) AS n_anomalies
+FROM flags GROUP BY user_id
+HAVING SUM(anom) > 0
+ORDER BY user_id
+"""
+
+
+@register("q_win_anomaly_zscore", oracle=_sql(_ANOMALY))
+def q_win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection with ZERO floats: flag an
+    event whose cents value sits more than 2 sigma from its own
+    trailing-23-event baseline (current row excluded, >= 8 events of
+    warm-up). The test ``z^2 > 4`` is cleared of divisions and square
+    roots by multiplying through — ``(n*x - s1)^2 > 4*(n*s2 - s1^2)``
+    over integer window sums — so Spark and DuckDB agree bit-for-bit
+    where a float mean/stddev pipeline could not. The three window
+    sums share one (user, ts, event_id) sort -> a single partitioned
+    WindowExec with O(1) per-row state; at 100 TB anomaly screening is
+    one shuffle by user."""
+    return _spark_sql(spark, sf_dir, _ANOMALY, "events")

@@ -270,3 +270,44 @@ def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "q_sql_qualify",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    ORDER BY o_orderstatus, rn
+    """,
+)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY — the window-predicate clause (SQL:2023 pattern, native
+    in DuckDB/BigQuery/Snowflake) that Spark's parser lacks: top-3
+    orders per status expressed as ``QUALIFY rn <= 3`` instead of the
+    wrap-in-subquery idiom. The string front-end rewrites it to the
+    double-wrap form (plans/sqlfront.py::_rewrite_qualify) supporting
+    both alias references and raw window expressions in the predicate;
+    the oracle is the IDENTICAL statement run through DuckDB's native
+    QUALIFY — same text, two parsers, one answer. The rewritten plan
+    is the ordinary partitioned window + filter (Catalyst pushes a
+    WindowGroupLimit), so nothing is lost vs the hand-written
+    subquery."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    _views(spark, sf_dir, "orders")
+    sess = IceSqlSession(spark)
+    return sess.sql(
+        f"""
+        SELECT o_orderstatus, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM {_PREFIX}orders
+        QUALIFY rn <= 3
+        ORDER BY o_orderstatus, rn
+        """
+    )

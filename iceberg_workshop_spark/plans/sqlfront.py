@@ -75,6 +75,63 @@ def _find_top_keyword(s: str, kw: str) -> int:
     return -1
 
 
+def _rewrite_qualify(s: str) -> tuple[list[str], bool]:
+    """Rewrite a trailing top-level ``QUALIFY <pred>`` (SQL:2023 /
+    DuckDB / BigQuery window filter — Spark has no native support)
+    into candidate Spark statements, tried in order:
+
+    1. same-scope injection — the predicate is appended to the
+       ORIGINAL select list, so a RAW window expression in it may
+       reference any base column (``QUALIFY ROW_NUMBER() OVER
+       (ORDER BY v) = 1`` where v isn't projected)::
+
+           SELECT * FROM (SELECT <list>, (<pred>) AS __iws_qualify__
+                          FROM <rest>) __iws_q
+           WHERE __iws_qualify__ [tail]
+
+    2. double-wrap — the predicate is evaluated OVER the finished
+       subquery, so it may reference the query's ALIASES (``QUALIFY
+       rn <= 3``), which form 1 cannot (Spark's lateral column
+       aliases don't cover window aliases)::
+
+           SELECT * FROM (SELECT __iws_q.*, (<pred>) AS __iws_qualify__
+                          FROM (<select>) __iws_q) __iws_q2
+           WHERE __iws_qualify__ [tail]
+
+    The caller tries each until one analyzes, then drops
+    ``__iws_qualify__``. ORDER BY/LIMIT after QUALIFY stay outside,
+    where the aliases remain visible."""
+    i = _find_top_keyword(s, "QUALIFY")
+    if i < 0:
+        return [s], False
+    head, rest = s[:i].strip(), s[i + len("QUALIFY"):]
+    cuts = [
+        j
+        for j in (
+            _find_top_keyword(rest, "ORDER\\s+BY"),
+            _find_top_keyword(rest, "LIMIT"),
+        )
+        if j >= 0
+    ]
+    cut = min(cuts) if cuts else len(rest)
+    pred, tail = rest[:cut].strip(), rest[cut:].strip()
+    candidates = []
+    f = _find_top_keyword(head, "FROM")
+    if f > 0:
+        injected = (
+            f"{head[:f].rstrip()}, ({pred}) AS __iws_qualify__ {head[f:]}"
+        )
+        candidates.append(
+            f"SELECT * FROM ({injected}) __iws_q "
+            f"WHERE __iws_qualify__ {tail}"
+        )
+    candidates.append(
+        f"SELECT * FROM (SELECT __iws_q.*, ({pred}) AS __iws_qualify__ "
+        f"FROM ({head}) __iws_q) __iws_q2 WHERE __iws_qualify__ {tail}"
+    )
+    return candidates, True
+
+
 def _split_merge_clauses(when_text: str) -> list[str]:
     """Split MERGE's WHEN section into whole clauses at quote-masked
     top-level ``WHEN [NOT] MATCHED`` tokens. Splitting on the full
@@ -1939,6 +1996,19 @@ class IceSqlSession:
             return vname
 
         s = _TT_RE.sub(tt_repl, s)
+        q_candidates, has_qualify = _rewrite_qualify(s)
+        if has_qualify:
+            from pyspark.errors import AnalysisException
+
+            last_exc: Exception | None = None
+            for cand in q_candidates:
+                try:
+                    return self.spark.sql(self._rewrite(cand)).drop(
+                        "__iws_qualify__"
+                    )
+                except AnalysisException as exc:
+                    last_exc = exc
+            raise last_exc  # neither form analyzed: surface Spark's error
         # Single-table SELECT with a simple WHERE: bind the table view
         # to a PRUNED scan (partition-transform + stats file pruning in
         # the planner — the 1-of-N-files behavior the reference shows

@@ -842,3 +842,42 @@ def test_update_statement_routes_by_write_update_mode(spark, tmp_path):
     assert any(d.get("kind") == "pos" for d in head.get("delete_files", []))
     rows = {r.k: r.v for r in s.sql("SELECT * FROM db.u").collect()}
     assert rows == {i: i * 10 + (1 if i < 3 else 0) for i in range(10)}
+
+
+def test_qualify_rewrite_forms(spark):
+    """QUALIFY through the front-end: (a) predicate referencing a
+    select alias, (b) raw window expression in the predicate, (c)
+    ORDER BY + LIMIT surviving after the clause, (d) parenthesized
+    QUALIFY-like text inside strings/subqueries is NOT treated as the
+    clause."""
+    from iceberg_workshop_spark.plans.sqlfront import (
+        IceSqlSession,
+        _rewrite_qualify,
+    )
+
+    spark.range(0, 10).selectExpr(
+        "id", "id % 3 AS g", "cast(id * 7 % 10 as long) AS v"
+    ).createOrReplaceTempView("iws_qual_t")
+    sess = IceSqlSession(spark)
+
+    alias_form = sess.sql(
+        """SELECT g, id, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id)
+           AS rn FROM iws_qual_t QUALIFY rn <= 2 ORDER BY g, rn"""
+    ).collect()
+    assert len(alias_form) == 6 and [r.rn for r in alias_form] == [1, 2] * 3
+    assert "__iws_qualify__" not in alias_form[0].asDict()
+
+    raw_form = sess.sql(
+        """SELECT g, id FROM iws_qual_t
+           QUALIFY RANK() OVER (PARTITION BY g ORDER BY v DESC, id) = 1
+           ORDER BY g LIMIT 2"""
+    ).collect()
+    assert len(raw_form) == 2 and [r.g for r in raw_form] == [0, 1]
+
+    # no top-level QUALIFY -> untouched
+    cands, hit = _rewrite_qualify("SELECT 'has QUALIFY inside' AS s FROM t")
+    assert not hit and "has QUALIFY inside" in cands[0]
+    cands, hit = _rewrite_qualify(
+        "SELECT * FROM (SELECT a FROM t QUALIFY rn = 1) sub"
+    )
+    assert not hit  # parenthesized: the inner query's clause, not ours
