@@ -745,3 +745,114 @@ def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(merged, "merge").unionAll(agg(hashed, "shuffle_hash")).orderBy(
         "strategy"
     )
+
+
+EDITDIST_K = 2  # report pairs at levenshtein distance <= 2
+
+
+@register(
+    "q_join_editdist",
+    oracle=f"""
+    WITH s AS (SELECT DISTINCT lower(p_name) AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM s a JOIN s b
+      ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= {EDITDIST_K}
+    WHERE levenshtein(a.name, b.name) <= {EDITDIST_K}
+    ORDER BY name_a, name_b
+    """,
+)
+def q_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity JOIN (PassJoin, Li et al. 2011): all
+    distinct part-name pairs within levenshtein distance EDITDIST_K
+    (2) — the string twin of the set-similarity PPJoin
+    (llm/dedup.py q_llm_dedup_prefix). The oracle is the brute-force
+    all-pairs join, so the blocking is oracle-PROVEN lossless.
+
+    Scale path instead of all-pairs: every name of length L is cut
+    into K+1 = 3 segments (shorter segments first — the PassJoin
+    convention); by pigeonhole, any string within distance K contains
+    at least one segment EXACTLY, shifted by at most K characters. The
+    index side emits 3 signature rows per name keyed
+    (seg_idx, seg, L); the probe side emits one substring per
+    (candidate length in [len-K, len+K], seg_idx, start within +-K of
+    the segment's home position) — a constant ~(2K+1)^2*(K+1) rows
+    per name. The equi-join on long exact segments is selective, and
+    levenshtein runs ONLY on surviving candidates. At 100 TB this
+    replaces an O(n^2) quadratic join with a constant-factor explode +
+    one hash join, the standard shape for fuzzy keying/entity
+    resolution."""
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.lower("p_name").alias("name"))
+        .distinct()
+        .withColumn("l", F.length("name"))
+    )
+    # segment geometry for a string of length la: base/rem split with
+    # the longer segments LAST: len_i = base + (i >= 3-rem),
+    # pos_i = i*base + max(0, i - (3-rem))
+    seg_len = (
+        "(la div 3) + IF(i >= 3 - la % 3, 1, 0)"
+    )
+    seg_pos = "i * (la div 3) + GREATEST(0, i - (3 - la % 3))"
+    sig = names.select(
+        F.col("name").alias("a"),
+        F.col("l").alias("la"),
+        F.explode(F.expr("sequence(0, 2)")).alias("i"),
+    ).select(
+        "a",
+        "la",
+        "i",
+        F.expr(f"substring(a, ({seg_pos}) + 1, {seg_len})").alias("seg"),
+    )
+    probe = (
+        names.select(
+            F.col("name").alias("b"),
+            F.col("l").alias("lb"),
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(3, l - {EDITDIST_K}),"
+                    f" l + {EDITDIST_K})"
+                )
+            ).alias("la"),
+        )
+        .select(
+            "b",
+            "lb",
+            "la",
+            F.explode(F.expr("sequence(0, 2)")).alias("i"),
+        )
+        .select(
+            "b",
+            "lb",
+            "la",
+            "i",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(0, ({seg_pos}) - {EDITDIST_K}),"
+                    f" least(lb - ({seg_len}), ({seg_pos}) + {EDITDIST_K}))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "b",
+            "la",
+            "i",
+            F.expr(f"substring(b, p + 1, {seg_len})").alias("seg"),
+        )
+    )
+    cand = (
+        sig.join(probe, ["la", "i", "seg"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("name_a"),
+            F.greatest("a", "b").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= EDITDIST_K)
+        .orderBy("name_a", "name_b")
+    )

