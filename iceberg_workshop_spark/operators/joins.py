@@ -856,3 +856,103 @@ def q_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= EDITDIST_K)
         .orderBy("name_a", "name_b")
     )
+
+
+SPATIAL_R = 300  # radius in grid units
+SPATIAL_CELL = 300  # bucketing cell width == R, so 3x3 cells cover it
+
+_SPATIAL_PTS = """
+  SELECT c_custkey AS pid,
+         CAST({hex8a} AS BIGINT) % 100000 AS x,
+         CAST({hex8b} AS BIGINT) % 100000 AS y
+  FROM {t}customer
+"""
+
+
+@register(
+    "q_join_spatial_radius",
+    oracle=f"""
+    WITH pts AS ({_SPATIAL_PTS.format(
+        t="",
+        hex8a="('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT",
+        hex8b="('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT",
+    )}),
+    pairs AS (
+      SELECT a.pid AS pid_a, b.pid AS pid_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b ON a.pid < b.pid
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {SPATIAL_R * SPATIAL_R}
+    )
+    SELECT (SELECT COUNT(*) FROM pts) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d2) AS BIGINT) AS min_d2,
+           CAST(MAX(d2) AS BIGINT) AS max_d2,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2
+    FROM pairs
+    """,
+)
+def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join on integer planar coordinates — the
+    grid-bucketing pattern every distributed spatial join uses
+    (GeoSpark/Sedona's partition-then-refine), made integer-exact so
+    DuckDB replays it bit-for-bit: points live on a 100k x 100k grid
+    (coordinates from md5(custkey) halves — engine-portable), a pair
+    matches when squared Euclidean distance <= R^2 (no sqrt, no
+    floats).
+
+    Scale path: bucket each point into a cell of width R; any pair
+    within R lies in the same or an adjacent cell, so each point
+    replicates to its 3x3 cell neighborhood on ONE side of the join
+    (9x replication, not 9x pairs) and the equi-join on cell ids
+    shards the quadratic candidate space to per-neighborhood products
+    — the oracle is the all-pairs join, proving the cell cover is
+    lossless. Dedup falls out of joining replicated-side cell ==
+    home cell of the other side; at 100 TB this is one hash join on
+    cell keys instead of a cross join."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("iws_sp_customer")
+    pts = spark.sql(
+        _SPATIAL_PTS.format(
+            t="iws_sp_",
+            hex8a="conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)",
+            hex8b="conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)",
+        )
+    )
+    C = SPATIAL_CELL
+    home = pts.select(
+        "pid", "x", "y",
+        F.expr(f"CAST(floor(x / {C}) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(floor(y / {C}) AS BIGINT)").alias("cy"),
+    )
+    # replicate side a to its 3x3 neighborhood; side b stays at home
+    a = home.select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("cx"),
+        F.col("cy").alias("cy0"),
+    ).select(
+        "pid_a", "xa", "ya", "cx",
+        F.explode(F.expr("sequence(cy0 - 1, cy0 + 1)")).alias("cy"),
+    )
+    b = home.select(
+        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), "cx", "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .select("pid_a", "pid_b", d2.alias("d2"))
+        .filter(F.col("d2") <= SPATIAL_R * SPATIAL_R)
+    )
+    n_points = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("d2").cast("bigint").alias("min_d2"),
+        F.max("d2").cast("bigint").alias("max_d2"),
+        F.sum("d2").cast("bigint").alias("sum_d2"),
+    ).crossJoin(F.broadcast(n_points)).select(
+        "n_points", "n_pairs", "min_d2", "max_d2", "sum_d2"
+    )
