@@ -63,6 +63,9 @@ HEAVY = [
     # sessionization windows, OHLC rollup, REST-catalog round trip
     "q_llm_dedup_spans", "q_win_sessionize", "q_agg_ohlc",
     "q_catalog_rest",
+    # late round-8 additions: oriented-wedge join, PassJoin blocking,
+    # grid-bucketed spatial join — the superlinear-risk shapes
+    "q_graph_triangles", "q_join_editdist", "q_join_spatial_radius",
 ]
 
 
