@@ -586,3 +586,30 @@ def test_prefix_helpers_random_sweep():
     for r in exp:
         assert got_sum[(r["ex"], r["i"])] == r["cum"], (r["ex"], r["i"])
         assert got_lag[(r["ex"], r["i"])] == r["prev"], (r["ex"], r["i"])
+
+
+def test_new_similarity_joins_avoid_cartesian(spark):
+    """The round-8 similarity/spatial/graph joins must all plan as
+    hash equi-joins on their blocking keys — a CartesianProduct or
+    BroadcastNestedLoopJoin in any of them means the blocking key
+    dropped out of the join condition and the quadratic path came
+    back."""
+    from iceberg_workshop_spark.registry import queries
+
+    qs = queries()
+    # spatial attaches the scalar n_points via a single-row broadcast
+    # crossJoin — the one legitimate BroadcastNestedLoopJoin.
+    # (q_llm_dedup_spans is not assertable here: it returns a
+    # localCheckpoint, so its executed plan is an RDD scan.)
+    bnlj_budget = {"q_join_spatial_radius": 1}
+    for name in (
+        "q_join_editdist",
+        "q_join_spatial_radius",
+        "q_graph_triangles",
+    ):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget.get(
+            name, 0
+        ), name
+        assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan, name
