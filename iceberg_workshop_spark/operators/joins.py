@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from iceberg_workshop_spark.exprs import SQL_REVENUE, money, revenue_expr
-from iceberg_workshop_spark.registry import register
+from iceberg_workshop_spark.registry import register, require
 from iceberg_workshop_spark.sources.tables import load
 
 
@@ -788,6 +788,15 @@ def q_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower("p_name").alias("name"))
         .distinct()
         .withColumn("l", F.length("name"))
+    )
+    # The probe never emits candidate lengths < K+1 (zero-length
+    # segments would match everything), so a name shorter than K+1
+    # characters would be indexed but silently unreachable. Part
+    # names are ~20+ chars; fail LOUDLY if a corpus ever violates
+    # this instead of quietly missing pairs vs the all-pairs oracle.
+    require(
+        names.agg(F.min("l")).first()[0] >= EDITDIST_K + 1,
+        f"editdist blocking requires names of >= {EDITDIST_K + 1} chars",
     )
     # segment geometry for a string of length la: base/rem split with
     # the longer segments LAST: len_i = base + (i >= 3-rem),
