@@ -507,7 +507,11 @@ def q_win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and report reconstruction error vs the held-out actuals. The
     numerator is a sum of non-negative products, so truncating `div`
     (Spark) and flooring `//` (DuckDB) agree — the negative-operand
-    divergence between the two is designed out. All four IGNORE-NULLS
+    divergence between the two is designed out. (Precondition: event
+    values are non-negative, true of every fixture SF incl. sf1
+    [0, 560.21]; a corpus with negative values would need an offset
+    shift before the lerp to keep the engines' integer divisions in
+    agreement.) All four IGNORE-NULLS
     neighbor lookups share one (event_type, day) sort → a single
     partitioned WindowExec; at 100 TB gap repair costs one window pass
     over the pre-aggregated daily rollup, never the raw events."""
