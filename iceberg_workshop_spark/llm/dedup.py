@@ -2034,3 +2034,89 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iws_dd_documents"
     )
     return spark.sql(_KEEP_BEST.format(t="iws_dd_", g="", div="div"))
+
+
+CONTAINMENT_T = 0.8
+
+
+@register(
+    "q_llm_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTES}, sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(n_common * 1.0 / LEAST(sa.n, sb.n), 4) AS containment,
+           CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) — the
+    asymmetric metric that catches a document swallowed inside a
+    larger one (quote-plus-commentary, concatenated crawls), which
+    symmetric Jaccard structurally underweights: a doc fully contained
+    in one 3x its size has containment 1.0 but Jaccard 0.33, far below
+    any dedup threshold. Reports the contained (smaller) side so the
+    keep/drop policy knows which doc is the subset. Same
+    exact-on-shingle-strings ground-truth contract as
+    q_llm_dedup_ngram; at scale this pass runs on MinHash-LSH
+    candidates only (q_llm_dedup_near's banding admits high-
+    containment pairs whenever the smaller doc dominates the band
+    min-hashes) — and span-level partial overlap below the shingle-set
+    threshold is q_llm_dedup_spans' job."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = _doc_shingles(docs).persist()
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b"),
+                4,
+            ),
+        )
+        .filter(
+            F.col("n_common") / F.least("n_a", "n_b") >= CONTAINMENT_T
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            "containment",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    ds.unpersist()
+    return out

@@ -293,3 +293,39 @@ def q_agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally maintain (q_incr_agg_maintenance)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("iws_ohlc_events")
     return spark.sql(_OHLC.format(t="iws_ohlc_"))
+
+
+_GINI = """
+WITH cnt AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM {t}documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         COUNT(*) AS n_langs
+  FROM cnt GROUP BY source
+)
+SELECT source, n_langs, total,
+       round(1.0 - CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) *
+                                             CAST(total AS DOUBLE)),
+             6) AS gini_impurity
+FROM tot ORDER BY source
+"""
+
+
+@register("q_agg_gini", oracle=_GINI.format(t=""))
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix Gini impurity (1 − Σ pᵢ²) — the
+    diversity diagnostic a corpus-mixing pipeline reads before setting
+    per-source sampling temperatures (q_llm_mix_temperature). Chosen
+    over Shannon entropy deliberately: entropy needs ln(), whose last
+    ulp differs between the JVM and C runtimes, while Gini is a
+    RATIONAL function of the exact integer counts — one double
+    division at the end, bit-identical across engines. Two hash
+    aggregates on (source, lang) then (source); output is
+    |sources| rows at any corpus size."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "iws_gini_documents"
+    )
+    return spark.sql(_GINI.format(t="iws_gini_"))

@@ -563,3 +563,43 @@ def q_win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowExec with O(1) per-row state; at 100 TB anomaly screening is
     one shuffle by user."""
     return _spark_sql(spark, sf_dir, _ANOMALY, "events")
+
+
+_DRAWDOWN = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM {t}events
+),
+cum AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS bal
+  FROM e
+),
+dd AS (
+  SELECT user_id, bal,
+         CAST(MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak
+  FROM cum
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(bal) AS BIGINT) AS peak_cents
+FROM dd GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("q_win_drawdown", oracle=_sql(_DRAWDOWN))
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — peak-to-trough decline of the
+    running cents balance, the risk metric every financial time-series
+    store ships: running SUM for the balance, running MAX for the
+    high-water mark, MAX(peak − balance) per user. All three windows
+    and the final groupBy share one (user_id, ts, event_id) sort →
+    ONE shuffle, O(1) window state per row; pure integer arithmetic
+    end to end, so both engines agree exactly."""
+    return _spark_sql(spark, sf_dir, _DRAWDOWN, "events")

@@ -66,6 +66,7 @@ HEAVY = [
     # late round-8 additions: oriented-wedge join, PassJoin blocking,
     # grid-bucketed spatial join — the superlinear-risk shapes
     "q_graph_triangles", "q_join_editdist", "q_join_spatial_radius",
+    "q_llm_dedup_containment",
 ]
 
 
