@@ -563,13 +563,17 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                FROM documents)
     SELECT doc_id,
-           list_sort(list_intersect(array_distinct(toks),
-                                    ['key', 'value', 'row'])) AS kw_hits,
-           list_slice(toks, 2, 4) AS mid3,
+           COALESCE(array_to_string(
+               list_sort(list_intersect(array_distinct(toks),
+                         ['key', 'value', 'row'])), '|'), '') AS kw_hits,
+           COALESCE(array_to_string(list_slice(toks, 2, 4), '|'), '')
+               AS mid3,
            CAST(COALESCE(list_position(toks, 'the'), 0) AS INT) AS pos_the,
            CAST(list_contains(toks, 'key') AS INT) AS has_key,
            CAST(length(list_distinct(toks)) AS INT) AS n_uniq,
-           flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]) AS stitched
+           COALESCE(array_to_string(flatten([list_slice(toks, 1, 2),
+                                    list_slice(toks, 3, 4)]), '|'), '')
+               AS stitched
     FROM t
     ORDER BY doc_id
     """,
@@ -579,25 +583,40 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     left order, DuckDB right, so both sides normalize through a sort),
     slice (Spark's (start, LENGTH) vs DuckDB's inclusive (begin, end)),
     position (DuckDB returns NULL where Spark returns 0 — COALESCEd),
-    contains, distinct-size, and flatten over an array-of-arrays."""
+    contains, distinct-size, and flatten over an array-of-arrays.
+
+    All three array-valued columns are serialized to '|'-joined strings
+    on BOTH sides (`F.array_join` / DuckDB `array_to_string`): the
+    driver's canonicalizer lexsorts the result frame with pandas, which
+    raises ``TypeError: unhashable type: 'list'`` on raw ARRAY columns
+    (round-8 CORRECTNESS failure). Tokens come from a space-split so
+    they cannot contain the delimiter. DuckDB's ``array_to_string``
+    yields NULL for an EMPTY list where Spark's ``array_join`` yields
+    ``''`` — the oracle COALESCEs to ``''`` to match."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), " ")
     return (
         docs.select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
-            F.sort_array(
-                F.array_intersect(
-                    F.array_distinct("toks"),
-                    F.array(F.lit("key"), F.lit("value"), F.lit("row")),
-                )
+            F.array_join(
+                F.sort_array(
+                    F.array_intersect(
+                        F.array_distinct("toks"),
+                        F.array(F.lit("key"), F.lit("value"), F.lit("row")),
+                    )
+                ),
+                "|",
             ).alias("kw_hits"),
-            F.slice("toks", 2, 3).alias("mid3"),
+            F.array_join(F.slice("toks", 2, 3), "|").alias("mid3"),
             F.array_position("toks", "the").cast("int").alias("pos_the"),
             F.array_contains("toks", "key").cast("int").alias("has_key"),
             F.size(F.array_distinct("toks")).alias("n_uniq"),
-            F.flatten(
-                F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))
+            F.array_join(
+                F.flatten(
+                    F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))
+                ),
+                "|",
             ).alias("stitched"),
         )
         .orderBy("doc_id")

@@ -44,7 +44,13 @@ class RestCatalogServer:
 
     def __init__(self) -> None:
         self._tables: dict[str, str] = {}
+        # n_requests backs a correctness assertion (q_catalog_rest's
+        # require(n >= 6)); ThreadingHTTPServer handles each request on
+        # its own thread, so the increment must be locked — a bare
+        # `+= 1` is read-modify-write and can drop counts under
+        # concurrent fetches.
         self.n_requests = 0
+        self._count_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -52,7 +58,8 @@ class RestCatalogServer:
                 pass
 
             def do_GET(self) -> None:  # noqa: N802 — http.server API
-                outer.n_requests += 1
+                with outer._count_lock:
+                    outer.n_requests += 1
                 body, status = outer._route(self.path)
                 payload = json.dumps(body).encode()
                 self.send_response(status)

@@ -1994,7 +1994,7 @@ WITH both_copies AS (
 ),
 scored AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '\s+', ' '{g})) AS norm,
+         trim(regexp_replace(lower(text), '{ws}', ' '{g})) AS norm,
          CAST((1000000 * (length(text)
                           - length(regexp_replace(text, '[a-z]', ''{g}))))
               {div} (CASE WHEN length(text) > 1 THEN length(text) ELSE 1 END)
@@ -2015,7 +2015,7 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 
 @register(
     "q_llm_dedup_keep_best",
-    oracle=_KEEP_BEST.format(t="", g=", 'g'", div="//"),
+    oracle=_KEEP_BEST.format(t="", g=", 'g'", div="//", ws=r"\s+"),
 )
 def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware duplicate resolution: within each exact-normalized
@@ -2033,7 +2033,13 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "documents").createOrReplaceTempView(
         "iws_dd_documents"
     )
-    return spark.sql(_KEEP_BEST.format(t="iws_dd_", g="", div="div"))
+    # Spark SQL unescapes backslashes in single-quoted literals, so the
+    # whitespace regex needs '\\s+' in the SQL text where DuckDB takes
+    # '\s+' (the curation.py `ws` dialect seam) — a single backslash
+    # would collapse runs of the LETTER 's', not whitespace.
+    return spark.sql(
+        _KEEP_BEST.format(t="iws_dd_", g="", div="div", ws=r"\\s+")
+    )
 
 
 CONTAINMENT_T = 0.8

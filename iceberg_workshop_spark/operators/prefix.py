@@ -99,7 +99,14 @@ def prefix_lag(
     """
     d = df.withColumn(_G, grp)
     w = Window.partitionBy(_G).orderBy(*order_cols)
-    within = d.withColumn("_pfx_lag", F.lag(value_col).over(w))
+    # Track the true first row per group explicitly: a NULL within-group
+    # lag is ambiguous between "first row of group" and "previous row's
+    # value was NULL", and only the former may take the boundary patch —
+    # coalescing every NULL would resurrect the prior group's last value
+    # mid-group, diverging from global LAG on NULL-bearing value_cols.
+    within = d.withColumn("_pfx_lag", F.lag(value_col).over(w)).withColumn(
+        "_pfx_first", F.row_number().over(w) == 1
+    )
     wd = Window.partitionBy(_G).orderBy(*[F.col(c).desc() for c in order_cols])
     last = (
         d.withColumn("_pfx_rn", F.row_number().over(wd))
@@ -125,6 +132,11 @@ def prefix_lag(
     )
     return (
         within.join(F.broadcast(patch), _G, "left")
-        .withColumn(out_col, F.coalesce("_pfx_lag", "_pfx_patch"))
-        .drop(_G, "_pfx_lag", "_pfx_patch")
+        .withColumn(
+            out_col,
+            F.when(F.col("_pfx_first"), F.col("_pfx_patch")).otherwise(
+                F.col("_pfx_lag")
+            ),
+        )
+        .drop(_G, "_pfx_lag", "_pfx_patch", "_pfx_first")
     )

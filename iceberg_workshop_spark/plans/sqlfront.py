@@ -100,7 +100,14 @@ def _rewrite_qualify(s: str) -> tuple[list[str], bool]:
 
     The caller tries each until one analyzes, then drops
     ``__iws_qualify__``. ORDER BY/LIMIT after QUALIFY stay outside,
-    where the aliases remain visible."""
+    where the aliases remain visible.
+
+    Ordering: if the predicate references any SELECT-list alias
+    (``AS name``), form 2 goes FIRST. Both forms can analyze when an
+    alias shadows a base column, but form 1 would bind the BASE
+    column while SQL:2023/DuckDB QUALIFY binds the alias — trying the
+    alias-binding form first keeps the semantics instead of silently
+    picking whichever analyzes."""
     i = _find_top_keyword(s, "QUALIFY")
     if i < 0:
         return [s], False
@@ -125,10 +132,25 @@ def _rewrite_qualify(s: str) -> tuple[list[str], bool]:
             f"SELECT * FROM ({injected}) __iws_q "
             f"WHERE __iws_qualify__ {tail}"
         )
-    candidates.append(
+    wrapped = (
         f"SELECT * FROM (SELECT __iws_q.*, ({pred}) AS __iws_qualify__ "
         f"FROM ({head}) __iws_q) __iws_q2 WHERE __iws_qualify__ {tail}"
     )
+    select_aliases = {
+        m.group(1).lower()
+        for m in re.finditer(
+            r"\bAS\s+([A-Za-z_]\w*)", _mask_quotes(head[:f] if f > 0 else head),
+            re.I,
+        )
+    }
+    pred_idents = {
+        m.group(0).lower()
+        for m in re.finditer(r"\b[A-Za-z_]\w*\b", _mask_quotes(pred))
+    }
+    if pred_idents & select_aliases:
+        candidates.insert(0, wrapped)  # alias-binding form wins
+    else:
+        candidates.append(wrapped)
     return candidates, True
 
 

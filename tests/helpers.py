@@ -39,7 +39,34 @@ def _canon(v):
     return str(v)
 
 
+def assert_driver_sortable(pdf: pd.DataFrame, name: str, side: str = "spark"):
+    """Replay the driver's canonicalization contract on the RAW frame.
+
+    The driver lexsorts the raw result with pandas ``sort_values``
+    before hashing; pandas builds an ordered ``Categorical`` per sort
+    key, which requires hashable, mutually-comparable cell values.
+    Raw ARRAY/MAP outputs (python lists / ndarrays / dicts) raise
+    ``TypeError: unhashable type`` there — exactly the round-8
+    ``q_fn_array2`` driver failure, which our permissive ``_canon``
+    stringification masked locally. Run the same raw sort here so the
+    contract violation fails pre-commit, not in the driver.
+    """
+    if len(pdf) == 0 or len(pdf.columns) == 0:
+        return
+    try:
+        pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    except TypeError as exc:
+        raise AssertionError(
+            f"{name}: {side} result violates the driver's canonicalizer "
+            f"contract (raw pandas lexsort failed: {exc}). Serialize "
+            f"ARRAY/MAP columns to strings on both sides "
+            f"(F.array_join / to_json; DuckDB array_to_string)."
+        ) from exc
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert_driver_sortable(spark_pdf, name, "spark")
+    assert_driver_sortable(oracle_pdf, name, "oracle")
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )

@@ -25,3 +25,19 @@ def test_survey_inventory_fully_registered():
     undocumented = registered - declared
     assert not undocumented, f"registered but absent from SURVEY.md: {sorted(undocumented)}"
     assert set(oracle_sql()) <= registered
+
+
+def test_driver_sortable_rejects_raw_arrays():
+    """The gate-sim/parity hashability check must replay the driver's
+    raw pandas lexsort: a frame with a list-valued column (the round-8
+    q_fn_array2 failure shape) must be rejected, scalars accepted."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from tests.helpers import assert_driver_sortable
+
+    bad = pd.DataFrame({"doc_id": [1, 2], "kw_hits": [["a"], ["b", "c"]]})
+    with _pytest.raises(AssertionError, match="canonicalizer"):
+        assert_driver_sortable(bad, "synthetic")
+    ok = pd.DataFrame({"doc_id": [1, 2], "kw_hits": ["a", "b|c"]})
+    assert_driver_sortable(ok, "synthetic")

@@ -197,3 +197,43 @@ def test_multimodal_resize_shape(spark, queries):
         assert 0 <= r["out_checksum"] < (1 << 31)
     again = queries["q_llm_multimodal_resize"](spark, SF_DIR).collect()
     assert [r["out_checksum"] for r in rows] == [r["out_checksum"] for r in again]
+
+
+def test_keep_best_whitespace_regex_dialect(spark, tmp_path):
+    """Regression (round-9 ADVICE): Spark SQL unescapes '\\s+' in a
+    single-quoted literal to 's+', silently collapsing runs of the
+    LETTER 's' instead of whitespace in _KEEP_BEST's norm key. Craft
+    docs where the two regexes disagree — 's'-runs plus differing
+    internal whitespace — and assert exact DuckDB parity: under the
+    buggy rendering 'press  pass' and 'press pass' land in different
+    clusters on the Spark side but one cluster in the oracle."""
+    import duckdb
+
+    from iceberg_workshop_spark.llm.dedup import _KEEP_BEST
+    from iceberg_workshop_spark.registry import queries
+    from tests.helpers import assert_frames_match
+
+    docs = spark.createDataFrame(
+        [(1, "press  pass"), (2, "press pass"), (3, "assess\tless")],
+        "doc_id int, text string",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spark_pdf = (
+        queries()["q_llm_dedup_keep_best"](spark, str(tmp_path)).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle_pdf = con.execute(
+        _KEEP_BEST.format(t="", g=", 'g'", div="//", ws=r"\s+")
+    ).df()
+    assert_frames_match(spark_pdf, oracle_pdf, "keep_best_ws_dialect")
+    # whitespace-run variants MUST merge: docs 1+2 (and their twins)
+    # form one 4-copy cluster; doc 2 ('press pass', fewer padding
+    # chars → higher lowercase-ppm) is the quality keeper, doc 1 drops.
+    kept = set(spark_pdf["doc_id"])
+    assert 1 not in kept and 2 in kept
+    assert int(spark_pdf.set_index("doc_id").loc[2, "n_copies"]) == 4

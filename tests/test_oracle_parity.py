@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_DIR
-from tests.helpers import assert_frames_match
+from tests.helpers import assert_driver_sortable, assert_frames_match
 
 
 def _all_query_names():
@@ -20,6 +20,19 @@ def test_query_matches_oracle(spark, oracle, name):
     from iceberg_workshop_spark.registry import oracle_sql, queries
 
     df = queries()[name](spark, SF_DIR)
+    # Driver-canonicalizer contract: no raw ARRAY/MAP result columns —
+    # the driver's pandas lexsort cannot hash them (round-8
+    # q_fn_array2 failure). Serialize via array_join/to_json instead.
+    from pyspark.sql.types import ArrayType, MapType
+
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not complex_cols, (
+        f"{name}: ArrayType/MapType result columns {complex_cols} violate "
+        f"the driver's hashability contract; serialize them to strings"
+    )
     spark_pdf = df.toPandas()
     sql = oracle_sql().get(name)
     if sql is None:
@@ -43,6 +56,7 @@ def test_query_matches_oracle(spark, oracle, name):
         assert list(spark_pdf.columns) == expected_cols[name], (
             f"{name}: schema drifted: {list(spark_pdf.columns)}"
         )
+        assert_driver_sortable(spark_pdf, name)
         return
     oracle_pdf = oracle.execute(sql).df()
     assert_frames_match(spark_pdf, oracle_pdf, name)

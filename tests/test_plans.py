@@ -613,3 +613,35 @@ def test_new_similarity_joins_avoid_cartesian(spark):
             name, 0
         ), name
         assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan, name
+
+
+def test_prefix_lag_null_values_mid_group():
+    """Regression (round-9 ADVICE): with NULLs in value_col, a
+    mid-group row whose PREVIOUS row holds NULL must lag to NULL —
+    not resurrect the prior group's last value. Also: a group whose
+    predecessor ENDS in NULL must patch its first row to that NULL."""
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.operators.prefix import prefix_lag
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    # g=0: [10, NULL, 30]  → row i=2's prev is NULL (mid-group NULL)
+    # g=1: [40, NULL]      → group ends in NULL
+    # g=2: [50]            → first row must patch to g=1's NULL tail
+    rows = [
+        (0, 0, 10), (0, 1, None), (0, 2, 30),
+        (1, 3, 40), (1, 4, None),
+        (2, 5, 50),
+    ]
+    df = spark.createDataFrame(rows, "g int, i int, v int")
+    got = {
+        r["i"]: r["prev"]
+        for r in prefix_lag(df, F.col("g"), ["i"], "v", "prev").collect()
+    }
+    w = Window.orderBy("g", "i")
+    exp = {
+        r["i"]: r["prev"]
+        for r in df.select("i", F.lag("v").over(w).alias("prev")).collect()
+    }
+    assert got == exp, f"{got} != {exp}"

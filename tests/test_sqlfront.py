@@ -881,3 +881,25 @@ def test_qualify_rewrite_forms(spark):
         "SELECT * FROM (SELECT a FROM t QUALIFY rn = 1) sub"
     )
     assert not hit  # parenthesized: the inner query's clause, not ours
+
+
+def test_qualify_alias_shadows_base_column(spark):
+    """Regression (round-9 ADVICE): when the QUALIFY predicate names an
+    identifier that is BOTH a base column and a select alias, the
+    rewrite must bind the ALIAS (SQL:2023 / DuckDB semantics), not
+    whichever candidate form analyzes first. Here the alias `v`
+    negates the base `v`: alias-binding keeps base-v < 0 rows per
+    group; base-binding would keep base-v > 0 rows."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    spark.createDataFrame(
+        [(0, -3), (0, 2), (1, -1), (1, 4)], "g int, v int"
+    ).createOrReplaceTempView("iws_qual_shadow_t")
+    sess = IceSqlSession(spark)
+    rows = sess.sql(
+        """SELECT g, -v AS v,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY -v) AS rn
+           FROM iws_qual_shadow_t QUALIFY v > 0 ORDER BY g"""
+    ).collect()
+    # alias v = -base_v > 0  ⇔  base v < 0 → rows (0,-3) and (1,-1)
+    assert [(r.g, r.v) for r in rows] == [(0, 3), (1, 1)], rows

@@ -30,7 +30,7 @@ TABLES = [
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    from tests.helpers import assert_frames_match
+    from tests.helpers import assert_driver_sortable, assert_frames_match
 
     from iceberg_workshop_spark.registry import oracle_sql, queries
     from iceberg_workshop_spark.session import get_spark
@@ -54,6 +54,7 @@ def main() -> int:
             sql = oracles.get(name)
             if sql is None:
                 assert len(spark_pdf) > 0, "rows-only query returned empty"
+                assert_driver_sortable(spark_pdf, name)
                 status = "rows_only_ok"
             else:
                 oracle_pdf = con.execute(sql).df()
