@@ -1094,3 +1094,298 @@ def q_llm_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ------------------------------------------------------------- BM25 top-k
+#
+# Lexical retrieval complement to the vector paths above: Okapi BM25
+# (Robertson/Spärck Jones; Lucene's +1 idf smoothing) over the
+# documents table for a fixed query set, top-K per query.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+# (qid, term) pairs — fixture terms chosen from the synthetic corpus
+# vocabulary; multi-term queries exercise the per-query score sum.
+BM25_QUERIES = [
+    ("q_kv", "key"), ("q_kv", "value"),
+    ("q_rt", "row"), ("q_rt", "table"),
+    ("q_dk", "data"), ("q_dk", "the"), ("q_dk", "key"),
+]
+
+def _bm25_sql_ctes(queries: list[tuple[str, str]]) -> str:
+    """DuckDB CTE chain ``q → … → doc_score(qid, doc_id, score)`` for
+    a (qid, term) list — shared by the BM25 and hybrid-RRF oracles."""
+    values = ", ".join(f"('{q}', '{t}')" for q, t in queries)
+    return f"""q(qid, tok) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+),
+qv AS (SELECT DISTINCT tok FROM q),
+tf AS (
+  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+  FROM toks t JOIN qv USING (tok) GROUP BY t.doc_id, t.tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+term_score AS (
+  SELECT tf.doc_id, tf.tok,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * {BM25_K1 + 1})
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                   + {BM25_B} * dl.dl / stats.avgdl))
+           AS s
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+),
+doc_score AS (
+  SELECT q.qid, ts.doc_id,
+         ROUND(list_reduce(list(ts.s ORDER BY ts.tok), (a, b) -> a + b),
+               4) AS score
+  FROM q JOIN term_score ts USING (tok)
+  GROUP BY q.qid, ts.doc_id
+)"""
+
+
+_BM25_ORACLE = f"""
+WITH {_bm25_sql_ctes(BM25_QUERIES)},
+ranked AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM doc_score
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY qid, rank
+"""
+
+
+def _bm25_doc_scores(
+    spark: SparkSession, sf_dir: str, queries: list[tuple[str, str]]
+) -> DataFrame:
+    """Spark mirror of :func:`_bm25_sql_ctes`: per-(qid, doc) BM25
+    scores, rounded to 4 decimals with the per-doc term sum computed
+    over a SORTED term array so float addition order is pinned."""
+    docs = load(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(queries, "qid string, tok string")
+    qvocab = qterms.select("tok").distinct()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qvocab), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    term_score = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        1
+                        - F.lit(BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        qterms.join(term_score, "tok")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("tok", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+
+
+@register("q_llm_bm25_topk", oracle=_BM25_ORACLE)
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{K} lexical retrieval over the documents table
+    for a fixed multi-query set — the sparse-retrieval half of a
+    hybrid search stack (the dense half is q_llm_simsearch*).
+
+    Plan shape: one explode+groupBy pass builds per-doc TF (restricted
+    to the query vocabulary by a broadcast semi-join FIRST, so the
+    big aggregation keys only on terms that matter), DF and corpus
+    stats are broadcast-sized dimensions, and the final per-query sum
+    runs over a sorted per-doc term array so float addition order is
+    pinned in both engines (the unigram_logprob ordered-reduce
+    discipline). Scores are ranked on their ROUNDED value with doc_id
+    tiebreak, so ranking is deterministic cross-engine. At 100 TB the
+    only corpus-sized shuffles are the token TF aggregation and the
+    top-K window partitioned by query — no join ever carries the
+    corpus on both sides."""
+    doc_score = _bm25_doc_scores(spark, sf_dir, BM25_QUERIES)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        doc_score.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    )
+
+
+# ----------------------------------------------------------- hybrid RRF
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_DEPTH = 20  # per-system candidate depth
+RRF_TOPK = 10
+RRF_QUERY = [("h", "key"), ("h", "value")]
+
+_RRF_ORACLE = f"""
+WITH {_bm25_sql_ctes(RRF_QUERY)},
+sparse AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS srank
+  FROM doc_score QUALIFY srank <= {RRF_DEPTH}
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), probe AS (
+  SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = {PROBE_VEC_ID}
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(list_dot_product(n.v, probe.pv)
+                          / (n.nrm * probe.pnrm), 4) DESC, n.vec_id
+         ) AS drank
+  FROM n, probe
+  WHERE n.vec_id <> {PROBE_VEC_ID}
+  QUALIFY drank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         s.srank AS sparse_rank,
+         d.drank AS dense_rank,
+         COALESCE(1000000 // ({RRF_K} + s.srank), 0)
+           + COALESCE(1000000 // ({RRF_K} + d.drank), 0) AS rrf_ppm
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id,
+       CAST(sparse_rank AS BIGINT) AS sparse_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+FROM fused
+QUALIFY rank <= {RRF_TOPK}
+ORDER BY rank
+"""
+
+
+@register("q_llm_hybrid_rrf", oracle=_RRF_ORACLE)
+def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 sparse
+    ranking (one query, top-{RRF_DEPTH}) and the dense cosine ranking
+    (probe vector {PROBE_VEC_ID}, top-{RRF_DEPTH}) merge on doc_id ==
+    vec_id with the RRF score Σ 1/(k + rank), k = {RRF_K} — the
+    standard hybrid-search re-ranker (Cormack et al., SIGIR'09).
+
+    Exactness: each system ranks on ROUNDED scores with id tiebreaks
+    (deterministic), and the fusion score is the scaled-INTEGER
+    ``1000000 div (k + rank)`` — so the merged ranking is pure integer
+    arithmetic, bit-identical in both engines. Scale: each ranking is
+    a top-K (TakeOrderedAndProject, no full sort); the fusion joins
+    two K-row frames — driver-free and broadcast-sized regardless of
+    corpus size."""
+    sparse = (
+        _bm25_doc_scores(spark, sf_dir, RRF_QUERY)
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("srank") <= RRF_DEPTH)
+        .select("doc_id", "srank")
+    )
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
+        "v",
+        "nrm",
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
+        )
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .withColumn(
+            "cos_r",
+            F.round(_dot("v", "pv") / (F.col("nrm") * F.col("pnrm")), 4),
+        )
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_r").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("drank") <= RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "drank")
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("srank").cast("long").alias("sparse_rank"),
+            F.col("drank").cast("long").alias("dense_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + srank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + drank)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_ppm"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_ppm").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("rank", "doc_id", "sparse_rank", "dense_rank", "rrf_ppm")
+        .orderBy("rank")
+    )

@@ -118,32 +118,27 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-8 rotation: the FINAL 46 never-driver-verified names —
-    # the 22-query fn/util tail plus the 24 round-7 additions — plus
-    # the 4 round-8 additions, filling all 50 slots. After this window
-    # every registry row has an external CORRECTNESS row.
-    # round-8 additions (4)
-    "q_win_sessionize", "q_agg_ohlc", "q_llm_dedup_spans",
-    "q_catalog_rest",
-    # fn/util tail (22)
-    "q_llm_split_train_val", "q_llm_sample_stratified",
-    "q_fn_variant", "q_fn_higher_order", "q_fn_levenshtein",
-    "q_fn_bitwise", "q_fn_try", "q_fn_regexp", "q_fn_interval",
-    "q_fn_generators", "q_fn_string2", "q_fn_array2",
-    "q_fn_json_roundtrip", "q_fn_collation", "q_udf_arrow",
-    "q_scd2_incremental", "q_tt_tag_branch", "q_sql_analyze_stmt",
-    "q_llm_boilerplate", "q_llm_boilerplate_frac",
-    "q_llm_quality_classifier", "q_llm_mix_temperature",
-    # round-7 additions (24)
-    "q_agg_grouping_id", "q_agg_corr_regr", "q_agg_approx_percentile",
-    "q_win_range_interval", "q_join_dpp", "q_scan_file_metadata",
-    "q_profile_skew", "q_sql_update_stmt", "q_meta_manifests",
-    "q_tt_diff_refs", "q_source_python_pushdown", "q_llm_dedup_url",
-    "q_llm_dedup_soft", "q_llm_source_overlap",
-    "q_llm_importance_select", "q_llm_keyword_tag",
-    "q_llm_ngram_novelty", "q_llm_ttr", "q_llm_pmi_pairs",
-    "q_llm_fertility", "q_llm_dedup_bloom", "q_llm_multimodal_phash",
-    "q_fn_url", "q_fn_format",
+    # round-9 rotation. After the r8 window every pre-r8 registry row
+    # has an external CORRECTNESS row; this window front-loads:
+    # (1) q_fn_array2 — the ONE red r8 row (raw-array output shape),
+    #     re-sampled after the array_join fix;
+    "q_fn_array2",
+    # (2) the 10 late-round-8 additions the driver never sampled
+    #     (LEDGER.md r9 candidates); q_graph_triangles also re-pins
+    #     its round-9 schema (added est_triangles / est_err_pct
+    #     certificate columns);
+    "q_sql_qualify", "q_graph_triangles", "q_win_interpolate",
+    "q_win_anomaly_zscore", "q_win_drawdown", "q_agg_gini",
+    "q_llm_dedup_keep_best", "q_join_editdist",
+    "q_join_spatial_radius", "q_llm_dedup_containment",
+    # (3) the round-9 additions;
+    "q_graph_triangles_approx", "q_llm_bm25_topk", "q_llm_hybrid_rrf",
+    # (4) the multimodal decode trio — driver status still rows-only
+    #     from r4; exact byte-arithmetic oracles landed in r8, so a
+    #     resample upgrades them to exact rows.
+    "q_llm_multimodal_features", "q_llm_multimodal_frames",
+    "q_llm_multimodal_resize",
+    # remaining 33 slots pad from the §2B contract head below.
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

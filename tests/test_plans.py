@@ -606,6 +606,7 @@ def test_new_similarity_joins_avoid_cartesian(spark):
         "q_join_editdist",
         "q_join_spatial_radius",
         "q_graph_triangles",
+        "q_graph_triangles_approx",
     ):
         plan = _plan(qs[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -613,6 +614,26 @@ def test_new_similarity_joins_avoid_cartesian(spark):
             name, 0
         ), name
         assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan, name
+
+
+def test_triangle_estimate_certificate(spark):
+    """The Doulion-sampled production estimator must land near the
+    exact wedge count — the baseline-only q_graph_triangles carries
+    the in-query certificate (est_err_pct); pin it ≤ 10% at sf0.01
+    (measured 3.8% here, 0.3% at sf0.1 — error shrinks as 1/sqrt(T))
+    and pin the approx query's estimate to the baseline's replay."""
+    from iceberg_workshop_spark.registry import queries
+
+    qs = queries()
+    base = qs["q_graph_triangles"](spark, SF_DIR).collect()[0]
+    approx = qs["q_graph_triangles_approx"](spark, SF_DIR).collect()[0]
+    assert base["est_err_pct"] <= 10.0, base
+    assert approx["est_triangles"] == base["est_triangles"]
+    assert base["n_triangles"] > 0
+    # deterministic coin: sampled edge count within 5σ of p·m
+    m, p = approx["n_edges"], 0.25
+    sd = (m * p * (1 - p)) ** 0.5
+    assert abs(approx["n_edges_sampled"] - p * m) < 5 * sd
 
 
 def test_prefix_lag_null_values_mid_group():

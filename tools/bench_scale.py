@@ -5,10 +5,17 @@ anything well beyond that needs a plan-level explanation in NOTES.md.
 Writes BENCH_scale.json: {name: {sf01, sf1, ratio}}.
 
 Usage: python tools/bench_scale.py [sf1_dir] [--only name1,name2]
+                                   [--three sf2_dir]
 
 ``--only`` measures just the named queries and MERGES their rows into
 the existing BENCH_scale.json (summary stats recomputed over the full
 merged map) — for extending the tier without re-running it.
+
+``--three sf2_dir`` adds a third measurement point (a 2x-of-sf1 tier,
+built with ``IWS_SCALE_COPIES=20 python tools/gen_scale.py .scale/sf2``)
+and records per-query growth exponents alpha10/alpha2 plus an
+``accelerating`` flag — a two-point curve cannot distinguish linear
+from superlinear growth.
 """
 
 from __future__ import annotations
@@ -67,6 +74,8 @@ HEAVY = [
     # grid-bucketed spatial join — the superlinear-risk shapes
     "q_graph_triangles", "q_join_editdist", "q_join_spatial_radius",
     "q_llm_dedup_containment",
+    # round-9: the scale-safe triangle production path
+    "q_graph_triangles_approx",
 ]
 
 
@@ -76,6 +85,16 @@ def main() -> None:
     if "--only" in args:
         i = args.index("--only")
         only = args[i + 1].split(",")
+        del args[i : i + 2]
+    # --three <sf2_dir>: ALSO measure each query at a 2x-of-sf1 tier
+    # and record growth exponents — a two-point curve cannot tell
+    # linear from superlinear (VERDICT r8 #5). alpha10 = log10 slope
+    # of sf0.1→sf1; alpha2 = log2 slope of sf1→sf2; "accelerating"
+    # means alpha2 meaningfully above alpha10.
+    sf2_dir: str | None = None
+    if "--three" in args:
+        i = args.index("--three")
+        sf2_dir = args[i + 1]
         del args[i : i + 2]
     sf1_dir = args[0] if args else ".scale/sf1"
     heavy = [n for n in HEAVY if only is None or n in only]
@@ -98,6 +117,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# warm error {name}: {exc}", file=sys.stderr)
 
+    import math
+
     out: dict[str, dict] = {}
     for name in heavy:
         try:
@@ -108,6 +129,17 @@ def main() -> None:
                 "sf1": t1,
                 "ratio": round(t1 / t01, 2) if t01 > 0 else None,
             }
+            if sf2_dir is not None:
+                t2 = run(name, sf2_dir)
+                row = out[name]
+                row["sf2"] = t2
+                row["ratio2"] = round(t2 / t1, 2) if t1 > 0 else None
+                if t01 > 0 and t1 > 0 and t2 > 0:
+                    row["alpha10"] = round(math.log10(t1 / t01), 2)
+                    row["alpha2"] = round(math.log2(t2 / t1), 2)
+                    row["accelerating"] = bool(
+                        row["alpha2"] > row["alpha10"] + 0.25
+                    )
             print(name, out[name], flush=True)
         except Exception as exc:  # noqa: BLE001
             out[name] = {"error": str(exc)[:200]}
