@@ -485,7 +485,21 @@ def delete_where_mor(
     O(|matching keys|), independent of table size — GDPR-style point
     deletes land in seconds, and the read-time anti-join stays cheap
     because the delete side is a broadcast-sized key list. All delete
-    files of a table must share one equality key set (`keys`)."""
+    files of a table must share one equality key set (`keys`) —
+    enforced loudly here, because the reader resolves the key columns
+    from a single entry and a silently-mixed key set would misapply
+    every later delete."""
+    if tbl.meta.current_snapshot_id is not None:
+        for d in tbl.meta.delete_entries(
+            tbl.meta.snapshot(tbl.meta.current_snapshot_id)
+        ):
+            if d.get("kind", "eq") == "eq" and list(d["keys"]) != list(keys):
+                raise ValueError(
+                    "equality-delete key set mismatch: table already "
+                    f"carries deletes keyed on {d['keys']}, got {list(keys)}; "
+                    "run rewrite_equality_deletes() first to materialize "
+                    "the old deletes before changing the key set"
+                )
     matching = tbl.read().filter(condition).select(*keys).distinct()
     paths, n_keys, _content = _write_delete_sidecar(tbl, "eqdel", matching)
     # dseq is stamped from the base seen at PLAN time and deliberately

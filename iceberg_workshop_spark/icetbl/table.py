@@ -986,6 +986,15 @@ class IceTable:
                 data = data.drop("__path", "__pos")
         if eq_dels:
             keys = eq_dels[0]["keys"]
+            # delete_where_mor rejects mixed key sets at write time;
+            # re-check here so a hand-crafted manifest cannot silently
+            # apply a later delete with the wrong equality columns.
+            for d in eq_dels[1:]:
+                if list(d["keys"]) != list(keys):
+                    raise ValueError(
+                        "equality-delete files disagree on key columns: "
+                        f"{keys} vs {d['keys']}"
+                    )
             dels = None
             for d in eq_dels:
                 one = (

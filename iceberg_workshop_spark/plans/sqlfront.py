@@ -41,8 +41,11 @@ from iceberg_workshop_spark.icetbl import IceTable, spec_field
 from iceberg_workshop_spark.registry import register, require
 
 _MERGE_HEAD_RE = re.compile(
+    # the target alias takes an optional AS (standard SQL allows the
+    # bare form `MERGE INTO t tgt USING …`); the negative lookahead
+    # keeps the USING keyword from being eaten as the alias
     r"MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
-    r"INTO\s+(?P<target>[\w.]+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
+    r"INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?\s+"
     r"USING\s+(?:\((?P<src>.+?)\)|(?P<srcname>[\w.]+))\s+(?:AS\s+)?(?P<salias>\w+)\s+"
     r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
     re.I | re.S,
@@ -170,7 +173,11 @@ def _split_merge_clauses(when_text: str) -> list[str]:
         when_text[a:b].strip() for a, b in zip(bounds, bounds[1:])
     ]
 _DELETE_RE = re.compile(
-    r"DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<cond>.+)$", re.I | re.S
+    # WHERE is optional: standard SQL's bare DELETE FROM t removes all
+    # rows (it previously fell through to spark.sql and failed with an
+    # unrelated error); the handler maps a missing condition to "true".
+    r"DELETE\s+FROM\s+(?P<target>[\w.]+)(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.I | re.S,
 )
 _ROLLBACK_RE = re.compile(
     r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+EXECUTE\s+rollback\s*\(\s*"
@@ -674,13 +681,16 @@ class IceSqlSession:
             # no data-file rewrite) instead of the CoW default.
             # Branch-scoped deletes stay CoW (the MoR sidecar path is
             # main-head-scoped).
+            cond = m["cond"]
             mode = tbl.meta.properties.get("write.delete.mode", "copy-on-write")
             if mode == "merge-on-read" and branch is None:
-                tbl.delete_where_pos(self._rewrite(m["cond"]))
+                tbl.delete_where_pos(
+                    self._rewrite(cond) if cond else "true"
+                )
             else:
                 tbl.delete_where(
-                    self._rewrite(m["cond"]),
-                    prune=self._safe_preds(tbl, m["cond"]),
+                    self._rewrite(cond) if cond else "true",
+                    prune=self._safe_preds(tbl, cond) if cond else None,
                     isolation=_iso_level(tbl, "delete"),
                     branch=branch,
                 )
@@ -1311,12 +1321,36 @@ class IceSqlSession:
                 nmbs.append(clause)
                 continue
             if cm["neg"]:
+                # Three standard INSERT forms: bare `INSERT VALUES
+                # (…)` (positional, full width), `INSERT (cols)
+                # VALUES (…)` (named subset; unnamed columns NULL),
+                # and `INSERT *` (source columns by name).
+                if re.fullmatch(r"INSERT\s*\*", action.strip(), re.I):
+                    clause["star"] = True
+                    inserts.append(clause)
+                    continue
+                clause["cols"] = None
                 im = re.match(r"INSERT\s+VALUES\s*(?=\()", action, re.I)
                 if not im:
-                    raise ValueError(
-                        f"WHEN NOT MATCHED supports only INSERT, got: {action!r}"
-                    )
-                vals_text, trailing = _take_parens(action[im.end():])
+                    im = re.match(r"INSERT\s*(?=\()", action, re.I)
+                    if not im:
+                        raise ValueError(
+                            f"WHEN NOT MATCHED supports only INSERT, got: {action!r}"
+                        )
+                    col_text, after = _take_parens(action[im.end():])
+                    vm = re.match(r"\s*VALUES\s*(?=\()", after, re.I)
+                    if not vm:
+                        raise ValueError(
+                            f"MERGE INSERT column list must be followed by "
+                            f"VALUES, got: {after!r}"
+                        )
+                    clause["cols"] = [
+                        c.strip().rsplit(".", 1)[-1]
+                        for c in _split_top_commas(col_text)
+                    ]
+                    vals_text, trailing = _take_parens(after[vm.end():])
+                else:
+                    vals_text, trailing = _take_parens(action[im.end():])
                 if trailing.strip():
                     raise ValueError(
                         f"unparsed text after INSERT VALUES: {trailing!r}"
@@ -1379,14 +1413,42 @@ class IceSqlSession:
         ).drop("__act")
         src = effects
         for ic in inserts:
-            vals = ic["vals"]
-            if len(vals) != len(cols):
-                # zip() would silently truncate and die later in
-                # unionByName with a confusing column-mismatch error.
-                raise ValueError(
-                    f"MERGE INSERT VALUES width {len(vals)} != table width {len(cols)}"
+            if ic.get("star"):
+                # INSERT *: source columns map to target columns by
+                # name — the source must provide every target column.
+                ins_proj = ", ".join(f"{salias}.{c} AS {c}" for c in cols)
+            elif ic.get("cols") is not None:
+                # INSERT (cols) VALUES (…): named subset; unnamed
+                # target columns take a typed NULL (CAST keeps
+                # unionByName from widening through VOID).
+                vals = ic["vals"]
+                if len(vals) != len(ic["cols"]):
+                    raise ValueError(
+                        f"MERGE INSERT column list width {len(ic['cols'])}"
+                        f" != VALUES width {len(vals)}"
+                    )
+                provided = dict(zip(ic["cols"], vals))
+                unknown = set(provided) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        f"MERGE INSERT names unknown columns: {sorted(unknown)}"
+                    )
+                dtypes = dict(tbl.read().dtypes)
+                ins_proj = ", ".join(
+                    f"{provided[c]} AS {c}"
+                    if c in provided
+                    else f"CAST(NULL AS {dtypes[c]}) AS {c}"
+                    for c in cols
                 )
-            ins_proj = ", ".join(f"{v} AS {c}" for c, v in zip(cols, vals))
+            else:
+                vals = ic["vals"]
+                if len(vals) != len(cols):
+                    # zip() would silently truncate and die later in
+                    # unionByName with a confusing column-mismatch error.
+                    raise ValueError(
+                        f"MERGE INSERT VALUES width {len(vals)} != table width {len(cols)}"
+                    )
+                ins_proj = ", ".join(f"{v} AS {c}" for c, v in zip(cols, vals))
             where = f" WHERE ({ic['cond']})" if ic["cond"] else ""
             ins = self.spark.sql(
                 f"SELECT {ins_proj}, FALSE AS __delete "

@@ -264,3 +264,44 @@ def test_expire_and_orphan_cleanup_keep_mor_update_sidecars(spark, tmp_path):
     expect = {k: k * 10 + (1 if k < 5 else 0) for k in range(20)}
     expect[100] = 1000
     assert rows == expect
+
+
+def test_mor_mixed_equality_key_sets_rejected(spark, tmp_path):
+    """Round-9 hardening: the reader resolves equality-delete key
+    columns from a single entry, so a table must never accumulate
+    delete files with DIFFERENT key sets — the second delete_where_mor
+    with new keys must fail loudly (not silently misapply), and after
+    materializing the old deletes the new key set is accepted."""
+    import pytest as _pytest
+
+    t = IceTable.create(spark, str(tmp_path / "mixkeys"), "k bigint, v bigint")
+    t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"))
+    t.delete_where_mor("k = 1", keys=["k"])
+    with _pytest.raises(ValueError, match="key set mismatch"):
+        t.delete_where_mor("v = 20", keys=["v"])
+    # state unchanged by the failed call
+    assert _table_rows(t) == {(2, 20), (3, 30)}
+    # materialize, then the new key set is legal
+    t.rewrite_equality_deletes()
+    t.delete_where_mor("v = 20", keys=["v"])
+    assert _table_rows(t) == {(3, 30)}
+
+
+def test_mor_delete_reinsert_delete_stacked_dseq(spark, tmp_path):
+    """Sequence-rule edge: delete key k (dseq d1), re-insert k (seq >
+    d1), delete k again (dseq d2 > seq). The middle insert must be
+    visible between the deletes and gone after the second — two
+    stacked delete files for the SAME key with different dseq values
+    must each confine themselves to their own past."""
+    t = IceTable.create(spark, str(tmp_path / "stacked"), "k bigint, v bigint")
+    t.append(spark.createDataFrame([(7, 1), (8, 1)], "k bigint, v bigint"))
+    t.delete_where_mor("k = 7", keys=["k"])
+    assert _table_rows(t) == {(8, 1)}
+    t.append(spark.createDataFrame([(7, 2)], "k bigint, v bigint"))
+    assert _table_rows(t) == {(7, 2), (8, 1)}, "re-insert must survive older delete"
+    t.delete_where_mor("k = 7", keys=["k"])
+    assert _table_rows(t) == {(8, 1)}
+    # and time travel still sees each intermediate state
+    snaps = [s["snapshot_id"] for s in t.meta.snapshots]
+    mid = {(r["k"], r["v"]) for r in t.read(snapshot_id=snaps[-2]).collect()}
+    assert mid == {(7, 2), (8, 1)}

@@ -903,3 +903,97 @@ def test_qualify_alias_shadows_base_column(spark):
     ).collect()
     # alias v = -base_v > 0  ⇔  base v < 0 → rows (0,-3) and (1,-1)
     assert [(r.g, r.v) for r in rows] == [(0, 3), (1, 1)], rows
+
+
+def test_delete_without_where_deletes_all(spark, tmp_path):
+    """Standard SQL: a bare DELETE FROM t removes every row (it used
+    to fall through to spark.sql and die with an unrelated analysis
+    error). History must be preserved — time travel still sees the
+    pre-delete snapshot — and the MoR positional path honors the same
+    form."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    sess = IceSqlSession(spark)
+    sess.sql(f"CREATE TABLE db.da (k BIGINT, v BIGINT) LOCATION '{tmp_path}/da'")
+    sess.sql("INSERT INTO db.da VALUES (1, 10), (2, 20)")
+    sess.sql("DELETE FROM db.da")
+    assert sess.sql("SELECT * FROM db.da").count() == 0
+    t = sess.tables["db.da"]
+    snaps = [s["snapshot_id"] for s in t.meta.snapshots]
+    assert t.read(snapshot_id=snaps[-2]).count() == 2
+    # merge-on-read delete mode takes the positional-delete route
+    sess.sql(
+        f"CREATE TABLE db.dm (k BIGINT) LOCATION '{tmp_path}/dm'"
+    )
+    sess.tables["db.dm"].set_properties({"write.delete.mode": "merge-on-read"})
+    sess.sql("INSERT INTO db.dm VALUES (1), (2), (3)")
+    sess.sql("DELETE FROM db.dm")
+    assert sess.sql("SELECT * FROM db.dm").count() == 0
+
+
+def test_parser_error_paths_are_loud(spark, tmp_path):
+    """Malformed statements near handled grammar must raise a
+    targeted error, not silently fall through to a different
+    interpretation: unknown DML target, MERGE clause without THEN,
+    two WHEN NOT MATCHED clauses, unparsed ALTER COLUMN body."""
+    import pytest as _pytest
+
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    sess = IceSqlSession(spark)
+    sess.sql(f"CREATE TABLE db.t9 (k BIGINT, v BIGINT) LOCATION '{tmp_path}/t9'")
+    sess.sql("INSERT INTO db.t9 VALUES (1, 10)")
+    with _pytest.raises(KeyError, match="not a registered ice table"):
+        sess.sql("DELETE FROM db.nope WHERE k = 1")
+    with _pytest.raises(ValueError, match="missing THEN"):
+        sess.sql(
+            "MERGE INTO db.t9 t USING (SELECT 1 AS k, 2 AS v) s ON t.k = s.k "
+            "WHEN MATCHED UPDATE SET v = s.v"
+        )
+    with _pytest.raises(ValueError, match="at most one WHEN NOT MATCHED"):
+        sess.sql(
+            "MERGE INTO db.t9 t USING (SELECT 1 AS k, 2 AS v) s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v) "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+        )
+    with _pytest.raises(ValueError, match="unparsed ALTER COLUMN"):
+        sess.sql("ALTER TABLE db.t9 ALTER COLUMN v FROBNICATE")
+    # failed statements must not have mutated the table
+    assert sess.sql("SELECT * FROM db.t9").count() == 1
+
+
+def test_merge_insert_forms_and_bare_alias(spark, tmp_path):
+    """Round-9 grammar closure: MERGE accepts a bare (AS-less) target
+    alias and all three standard WHEN NOT MATCHED INSERT forms —
+    positional `INSERT VALUES`, named-subset `INSERT (cols) VALUES`
+    (unnamed columns take typed NULLs), and `INSERT *`."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    sess = IceSqlSession(spark)
+    sess.sql(
+        f"CREATE TABLE db.m9 (k BIGINT, v BIGINT, note STRING) "
+        f"LOCATION '{tmp_path}/m9'"
+    )
+    sess.sql("INSERT INTO db.m9 VALUES (1, 10, 'a')")
+    # bare alias + named-subset insert: note gets a typed NULL
+    sess.sql(
+        "MERGE INTO db.m9 t USING (SELECT 2 AS k, 20 AS v) s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    rows = {(r.k, r.v, r.note) for r in sess.sql("SELECT * FROM db.m9").collect()}
+    assert rows == {(1, 10, "a"), (2, 20, None)}
+    # INSERT * with full-width source
+    sess.sql(
+        "MERGE INTO db.m9 AS t USING "
+        "(SELECT 3 AS k, 30 AS v, 'c' AS note) s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {(r.k, r.v, r.note) for r in sess.sql("SELECT * FROM db.m9").collect()}
+    assert rows == {(1, 10, "a"), (2, 20, None), (3, 30, "c")}
+    # bare-alias matched update still works alongside
+    sess.sql(
+        "MERGE INTO db.m9 t USING (SELECT 1 AS k, 99 AS v) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    rows = {(r.k, r.v) for r in sess.sql("SELECT k, v FROM db.m9").collect()}
+    assert rows == {(1, 99), (2, 20), (3, 30)}
