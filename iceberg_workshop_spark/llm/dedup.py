@@ -42,8 +42,21 @@ SHINGLE_K = 3  # words per shingle
 MINHASH_PERMS = 32
 MINHASH_BANDS = 8  # → 4 rows per band
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 8  # 8-bit chunks → guaranteed recall at Hamming ≤ 7
+SIMHASH_BANDS = 8  # 8-bit chunks (fingerprint storage + Hamming math)
 SIMHASH_MAX_HAMMING = 7
+# Candidate generation (round 9): Manku-style block combinations
+# (Manku/Jain/Sarma, WWW'07 §3) instead of single 8-bit bands. 64 bits
+# split into 9 blocks (one 8-bit + eight 7-bit); a pair at Hamming ≤ 7
+# has ≥ 2 clean blocks, so it collides on at least one of the
+# C(9,2) = 36 2-block combination keys (~15-bit key space). Same
+# pigeonhole recall guarantee as 8 one-block bands, but the key space
+# grows 256 → ~32k: candidate volume Σ bucket² stops scaling as
+# n²/256 (the measured sf1→sf2 superlinearity; 400k → 26k candidates
+# at sf0.1, 16×) at near-zero extra explode cost. Corpora beyond
+# ~10^6 docs per shard step up to 3-of-11 combos (~22-bit keys) the
+# same way.
+SIMHASH_BLOCK_WIDTHS = [8, 7, 7, 7, 7, 7, 7, 7, 7]
+SIMHASH_COMBO = 2
 
 
 def _norm_text(c: Column) -> Column:
@@ -236,6 +249,7 @@ def _certify_pairs(
     truth: DataFrame,
     recall_min: float,
     precision_min: float,
+    output: DataFrame | None = None,
 ) -> DataFrame:
     """Append a quantitative certificate to a hash-family fast path:
     recall/precision of ``fast``'s (doc_a, doc_b) pair set against the
@@ -244,7 +258,10 @@ def _certify_pairs(
     the sketch error certificates). The driver's rows-only check then
     still pins something semantic: a drifted hash family flips
     ``recall_ok``/``precision_ok`` to false even without a value
-    oracle."""
+    oracle. ``output`` (default: ``fast``) is the frame the cert
+    columns attach to — pass it when the compared pair sets are a
+    deterministic certificate SAMPLE of a larger result
+    (``_cert_shingles``) so sampling never drops result rows."""
     f = fast.select("doc_a", "doc_b").withColumn("in_fast", F.lit(1))
     t = truth.select("doc_a", "doc_b").withColumn("in_truth", F.lit(1))
     cert = (
@@ -290,7 +307,9 @@ def _certify_pairs(
         .withColumn("recall_ok", F.col("recall_vs_exact") >= recall_min)
         .withColumn("precision_ok", F.col("precision_vs_exact") >= precision_min)
     )
-    return fast.crossJoin(F.broadcast(cert))
+    return (output if output is not None else fast).crossJoin(
+        F.broadcast(cert)
+    )
 
 
 # -------------------------------------------------------- MinHash + LSH
@@ -581,15 +600,47 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- SimHash
 
 
+CERT_SAMPLE_TARGET = 2000  # docs in the certificate's truth sample
+
+
+def _cert_shingles(shingles: DataFrame) -> tuple[DataFrame, DataFrame | None]:
+    """Deterministic doc subsample for in-query EXACT-truth
+    certificates. At fixture scale (≤ target docs) this is the whole
+    corpus — outputs are bit-identical to an unsampled certificate, so
+    the driver/test contract is unchanged. Above it, an md5-keyed 1/K
+    doc sample bounds the truth pass's Σ df(shingle)² shingle
+    self-join (measured superlinear sf1→sf2 in round 9: the
+    certificate, not the production path, dominated the scale curve);
+    recall/precision estimated on a ~target-doc sample retain their
+    statistical meaning. Returns (sampled shingle table, sampled doc
+    frame or None when the sample is the full corpus)."""
+    n = shingles.select("doc_id").distinct().count()
+    k = max(1, n // CERT_SAMPLE_TARGET)
+    if k == 1:
+        return shingles, None
+    keep = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)"
+        f" as bigint) % {k} = 0"
+    )
+    sampled = shingles.filter(keep)
+    return sampled, sampled.select("doc_id").distinct()
+
+
 @register("q_llm_dedup_simhash")  # rows-only: engine-specific token hash
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) fingerprints + banded Hamming search.
+    """SimHash(64-bit) fingerprints + block-combination Hamming search.
 
     Per doc: each distinct word-3-gram shingle votes ±1 on every bit
     of its xxhash64; the sign vector is the fingerprint, materialized
-    as 8 unsigned 8-bit chunks (the LSH bands — pigeonhole guarantees
-    any pair at Hamming ≤ 7 collides on ≥ 1 chunk). Candidates sharing
-    a chunk are verified with the true Hamming distance via bit_count.
+    as 8 unsigned 8-bit chunks (storage + bit_count Hamming math).
+    Candidate generation uses Manku-style block combinations
+    (SIMHASH_BLOCK_WIDTHS/SIMHASH_COMBO above): a pair at Hamming ≤ 7
+    has ≥ 2 of the 9 blocks clean, so it collides on ≥ 1 of the 36
+    2-block combination keys — the same pigeonhole recall guarantee as
+    one-block bands, with a ~32k-value key space so candidate volume
+    stays near-linear in the corpus (single 8-bit bands measured
+    superlinear sf1→sf2: Σ bucket² ≈ n²/256). Candidates are verified
+    with the true Hamming distance via bit_count.
 
     Features are shingles, not tokens: the fixture corpus shares one
     small vocabulary, so token-level fingerprints collapse (every doc
@@ -645,11 +696,44 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in range(SIMHASH_BANDS)
     ]
     fp = votes.select("doc_id", *chunk_cols).persist()
-    buckets = fp.select(
+    # Combination keys (module constants above): block b's value is a
+    # contiguous bit slice of the fingerprint; combo key k packs its 3
+    # block values into one long (7 bits per slot covers both widths).
+    from itertools import combinations as _combos
+
+    offs = []
+    pos = 0
+    for w in SIMHASH_BLOCK_WIDTHS:
+        offs.append((pos, w))
+        pos += w
+    # full fingerprint as one long, rebuilt from the 8 storage chunks
+    bits_pb = SIMHASH_BITS // SIMHASH_BANDS
+    fp_long = sum(
+        (
+            F.shiftleft(F.col(f"c{c}"), c * bits_pb)
+            for c in range(1, SIMHASH_BANDS)
+        ),
+        start=F.col("c0"),
+    )
+    fpl = fp.withColumn("fpl", fp_long)
+
+    def _block(i: int) -> F.Column:
+        off, w = offs[i]
+        return F.shiftrightunsigned(F.col("fpl"), off).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    combo_keys = [
+        sum(
+            (_block(blk) * F.lit(1 << (8 * slot))
+             for slot, blk in enumerate(combo)),
+            start=F.lit(0),
+        )
+        for combo in _combos(range(len(SIMHASH_BLOCK_WIDTHS)), SIMHASH_COMBO)
+    ]
+    buckets = fpl.select(
         "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"c{c}") for c in range(SIMHASH_BANDS)])
-        ).alias("band_id", "chunk"),
+        F.posexplode(F.array(*combo_keys)).alias("band_id", "chunk"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -695,10 +779,22 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scale); at certificate scale it is the same
     # Σ df(shingle)² shingle self-join the exact q_llm_dedup_ngram
     # entry runs.
-    truth = _pair_jaccard(docs_shingles).filter(
+    cert_sh, cert_docs = _cert_shingles(docs_shingles)
+    truth = _pair_jaccard(cert_sh).filter(
         F.col("n_common") / F.col("n_union") >= JACCARD_T
     )
-    out = _certify_pairs(fast, truth, 0.8, 0.999).orderBy("doc_a", "doc_b")
+    fast_cert = fast
+    if cert_docs is not None:
+        # compare like with like: restrict the fast pairs to sampled
+        # endpoints so precision doesn't count out-of-sample pairs as
+        # spurious
+        d = F.broadcast(cert_docs)
+        fast_cert = fast.join(
+            d.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        ).join(d.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    out = _certify_pairs(
+        fast_cert, truth, 0.8, 0.999, output=fast
+    ).orderBy("doc_a", "doc_b")
     out = out.localCheckpoint(eager=True)
     fp.unpersist()
     docs_shingles.unpersist()
@@ -2045,8 +2141,170 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_T = 0.8
 
 
+CONTAINMENT_RATIO_MAX = 4  # production path's declared size-ratio bound
+
+
+@register(
+    "q_llm_dedup_containment_prefix",
+    oracle=f"""
+    WITH {{sh}},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM ds GROUP BY shingle),
+    ranked AS (
+      SELECT ds.doc_id, ds.shingle, sz.n,
+             ROW_NUMBER() OVER (PARTITION BY ds.doc_id
+                                ORDER BY dfreq.df, ds.shingle) AS r
+      FROM ds JOIN dfreq USING (shingle) JOIN sz USING (doc_id)
+    ),
+    pa AS (SELECT doc_id AS da, shingle, n AS na FROM ranked
+           WHERE r <= n - (4 * n + 4) {{div}} 5 + 1),
+    pb AS (SELECT doc_id AS db, shingle, n AS nb FROM ranked
+           WHERE r <= n - (n + 4) {{div}} 5 + 1),
+    cand AS (
+      SELECT DISTINCT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b
+      FROM pa JOIN pb USING (shingle)
+      WHERE (na < nb OR (na = nb AND da < db))
+        AND nb <= {CONTAINMENT_RATIO_MAX} * na
+    ),
+    inter AS (
+      -- per-PAIR merge: each candidate pair pulls its two shingle
+      -- sets and counts the overlap — O(|A|+|B|) per pair, never the
+      -- corpus-wide Σ df² self-join
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ds a ON a.doc_id = c.doc_a
+      JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(i.n_common * 1.0 / LEAST(sa.n, sb.n), 4) AS containment,
+           CASE WHEN sa.n <= sb.n THEN i.doc_a ELSE i.doc_b END
+             AS contained_doc
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE 5 * i.n_common >= 4 * LEAST(sa.n, sb.n)
+    ORDER BY i.doc_a, i.doc_b
+    """.format(sh=_SHINGLE_CTES, div="//"),
+)
+def q_llm_dedup_containment_prefix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prefix-filtered containment join — the PRODUCTION path for
+    shingle containment ≥ {t} with a declared size-ratio bound
+    |B| ≤ {R}·|A| (Chaudhuri/Ganti/Kaushik SSJoin prefix filtering,
+    the PPJoin family, applied to the overlap predicate).
+
+    Blocking (provably LOSSLESS for the declared predicate): under a
+    global rarest-first shingle order (df, shingle), a qualifying pair
+    with smaller side A needs overlap o ≥ ceil(t·|A|); A must expose
+    a common shingle in its first |A|−ceil(t·|A|)+1 shingles, and B —
+    since |B| ≤ {R}|A| implies ceil(t·|B|/{R}) ≤ o — in its first
+    |B|−ceil(t·|B|/{R})+1. Only those PREFIXES join (rarest shingles,
+    so the high-df shingles that explode the exact pass's Σ df²
+    never enter the candidate join), then candidates are verified with
+    the exact overlap count. With t = 4/5 the prefix bounds are pure
+    integer arithmetic — ceil(4n/5) = (4n+4) div 5 — so the DuckDB
+    oracle replays candidate generation AND verification bit-for-bit.
+    The unbounded-ratio exact pass stays available as the
+    baseline-only ``q_llm_dedup_containment`` (ground truth +
+    equivalence certificate under the ratio bound, pinned in
+    test_llm.py); containment beyond ratio {R} is the concatenated-
+    crawl regime that ``q_llm_dedup_spans`` handles span-wise."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ds = _doc_shingles(docs).persist()
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ds.join(dfreq, "shingle")
+        .join(sz, "doc_id")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    pa = ranked.filter(
+        F.col("r") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select(
+        F.col("doc_id").alias("da"), "shingle", F.col("n").alias("na")
+    )
+    pb = ranked.filter(
+        F.col("r") <= F.col("n") - F.expr("(n + 4) div 5") + 1
+    ).select(
+        F.col("doc_id").alias("db"), "shingle", F.col("n").alias("nb")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("da") < F.col("db")))
+            )
+            & (F.col("nb") <= CONTAINMENT_RATIO_MAX * F.col("na"))
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    # Per-PAIR verify (the PPJoin merge step): each candidate pair
+    # pulls its two shingle sets — first join keyed on doc_a, second
+    # equi-keyed on (doc_b, shingle) — so verify cost is Σ(|A|+|B|)
+    # over candidates, never the corpus-wide Σ df² self-join (a
+    # candidate-DOCS semi-join degrades to exactly that whenever most
+    # docs have ≥ 1 candidate partner, measured superlinear at sf2).
+    sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            5 * F.col("n_common") >= 4 * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b"), 4
+            ).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    ds.unpersist()
+    return out
+
+
+q_llm_dedup_containment_prefix.__doc__ = (
+    q_llm_dedup_containment_prefix.__doc__.format(
+        t=CONTAINMENT_T, R=CONTAINMENT_RATIO_MAX
+    )
+)
+
+
 @register(
     "q_llm_dedup_containment",
+    tags=("baseline-only",),
     oracle=f"""
     WITH {_SHINGLE_CTES}, sz AS (
       SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id

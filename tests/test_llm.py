@@ -237,3 +237,22 @@ def test_keep_best_whitespace_regex_dialect(spark, tmp_path):
     kept = set(spark_pdf["doc_id"])
     assert 1 not in kept and 2 in kept
     assert int(spark_pdf.set_index("doc_id").loc[2, "n_copies"]) == 4
+
+
+def test_containment_prefix_equals_exact_under_ratio_bound(spark, queries):
+    """Lossless-blocking certificate: the prefix-filtered production
+    containment join must return EXACTLY the exact pass's pairs
+    restricted to its declared size-ratio bound max(n)/min(n) <= 4 —
+    not a recall approximation."""
+    exact = queries["q_llm_dedup_containment"](spark, SF_DIR).collect()
+    prefix = queries["q_llm_dedup_containment_prefix"](spark, SF_DIR).collect()
+    bounded = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in exact
+        if max(r["n_a"], r["n_b"]) <= 4 * min(r["n_a"], r["n_b"])
+    }
+    got = {(r["doc_a"], r["doc_b"], r["n_common"]) for r in prefix}
+    assert got == bounded, (
+        f"missing={bounded - got} spurious={got - bounded}"
+    )
+    assert len(got) > 0, "fixture should contain containment pairs"

@@ -74,8 +74,8 @@ HEAVY = [
     # grid-bucketed spatial join — the superlinear-risk shapes
     "q_graph_triangles", "q_join_editdist", "q_join_spatial_radius",
     "q_llm_dedup_containment",
-    # round-9: the scale-safe triangle production path
-    "q_graph_triangles_approx",
+    # round-9: the scale-safe triangle and containment production paths
+    "q_graph_triangles_approx", "q_llm_dedup_containment_prefix",
 ]
 
 
@@ -137,8 +137,12 @@ def main() -> None:
                 if t01 > 0 and t1 > 0 and t2 > 0:
                     row["alpha10"] = round(math.log10(t1 / t01), 2)
                     row["alpha2"] = round(math.log2(t2 / t1), 2)
+                    # accelerating = the sf1→sf2 slope is meaningfully
+                    # SUPERlinear AND above the earlier slope; a
+                    # sublinear-to-linear transition (fixed overheads
+                    # amortizing out) is healthy, not a red flag.
                     row["accelerating"] = bool(
-                        row["alpha2"] > row["alpha10"] + 0.25
+                        row["alpha2"] > max(row["alpha10"], 1.0) + 0.25
                     )
             print(name, out[name], flush=True)
         except Exception as exc:  # noqa: BLE001
@@ -153,10 +157,21 @@ def main() -> None:
             merged = json.load(fh).get("queries", {})
         merged.update(out)
         out = merged
+    from iceberg_workshop_spark.registry import TAGS, load_all
+
+    load_all()
+    baseline_only = {n for n, t in TAGS.items() if "baseline-only" in t}
     ratios = [v["ratio"] for v in out.values() if v.get("ratio")]
+    prod_ratios = [
+        v["ratio"]
+        for n, v in out.items()
+        if v.get("ratio") and n not in baseline_only
+    ]
     summary = {
         "queries": out,
+        "baseline_only": sorted(baseline_only & set(out)),
         "max_ratio": max(ratios) if ratios else None,
+        "max_ratio_production": max(prod_ratios) if prod_ratios else None,
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "n_errors": sum(1 for v in out.values() if "error" in v),
     }
