@@ -105,30 +105,38 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame | None = None) -> D
 
     ``candidates`` (doc_a, doc_b) restricts the pair space — that is
     the LSH contract: exact verification only on bucket collisions.
-    The shingle table itself is semi-joined down to candidate docs
-    *before* the pair join, so verification cost tracks the candidate
-    count, not the corpus (otherwise LSH would save nothing).
+    With candidates the overlap count is a per-PAIR merge (first join
+    keyed on doc_a, second equi-keyed on (doc_b, shingle)), so verify
+    cost is Σ(|A|+|B|) over candidate pairs. (The earlier
+    semi-join-to-candidate-DOCS formulation degraded back to the
+    corpus-wide Σ df(shingle)² self-join whenever most docs have ≥ 1
+    candidate partner — the round-9 sf2 superlinearity.) Precondition:
+    ``candidates`` must be DISTINCT (doc_a, doc_b) pairs — a duplicate
+    pair would now multiply into the overlap count, where the old
+    shape was merely redundant (every producer ends in .distinct()).
     """
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
-        cand_docs = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        shingles = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -226,6 +234,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_T}
     ORDER BY doc_a, doc_b
     """,
+    tags=("baseline-only",),
 )
 def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard near-dup pairs (ground truth).
@@ -233,7 +242,9 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-oracle checkable because no hashing is involved: the join is
     on the shingle strings themselves. At scale this exact pass runs
     only on LSH candidates (see q_llm_dedup_minhash); here it doubles
-    as the recall yardstick for both sketch variants.
+    as the recall yardstick for both sketch variants. BASELINE-ONLY
+    (round 9): the unblocked shingle self-join is Σ df(shingle)² —
+    the production near-dup paths are q_llm_dedup_near / _minhash.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # Three consumers (sizes + both join sides) — persist so the

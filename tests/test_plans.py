@@ -371,9 +371,11 @@ def test_cc_clusters_candidates_are_banded(spark):
     its pair candidates from the banded MinHash join, never the
     unblocked shingle self-join (pair count Σ df(shingle)² explodes on
     boilerplate-heavy corpora). Asserted two ways: the query's source
-    goes through _minhash_candidates, and the verify join's plan
-    restricts intersections with a LeftSemi against the candidate
-    set."""
+    goes through _minhash_candidates, and the verify is the round-9
+    per-PAIR merge — the candidate pair list drives both shingle-set
+    joins (keys (doc_a) then (doc_b, shingle)), with NO semi-join-to-
+    candidate-docs path (that shape degraded to the corpus self-join
+    whenever most docs had a candidate partner)."""
     import inspect
 
     from iceberg_workshop_spark.llm import dedup
@@ -386,7 +388,16 @@ def test_cc_clusters_candidates_are_banded(spark):
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     shingles = dedup._doc_shingles(docs)
     pairs = dedup._pair_jaccard(shingles, dedup._minhash_candidates(shingles))
-    assert "LeftSemi" in _plan(pairs)
+    plan = _plan(pairs)
+    assert "LeftSemi" not in plan  # the degradable semi-join shape is gone
+    # the verify drives both shingle-set joins from the candidate pair
+    # list (equi-joins; broadcast at fixture scale, shuffle at corpus
+    # scale — never a nested-loop/cartesian)
+    n_joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins >= 2 and "Cartesian" not in plan
 
 
 def test_scale_params_derive_from_corpus_size():
