@@ -677,3 +677,46 @@ def test_prefix_lag_null_values_mid_group():
         for r in df.select("i", F.lag("v").over(w).alias("prev")).collect()
     }
     assert got == exp, f"{got} != {exp}"
+
+
+def test_simhash_combo_pigeonhole_constants():
+    """Pure-arithmetic check of the round-9 combination-blocking
+    constants: ANY pattern of <= SIMHASH_MAX_HAMMING bit flips over 64
+    bits leaves >= SIMHASH_COMBO blocks clean, so at least one
+    SIMHASH_COMBO-subset of blocks (a combination key) is unaffected —
+    the recall guarantee is structural, not empirical. Exhaustive over
+    block-occupancy patterns (which blocks are hit), the only thing
+    that matters."""
+    from itertools import combinations
+
+    from iceberg_workshop_spark.llm.dedup import (
+        SIMHASH_BLOCK_WIDTHS,
+        SIMHASH_COMBO,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    n_blocks = len(SIMHASH_BLOCK_WIDTHS)
+    assert sum(SIMHASH_BLOCK_WIDTHS) == 64
+    # worst case: each flip lands in a distinct block
+    assert n_blocks - SIMHASH_MAX_HAMMING >= SIMHASH_COMBO
+    # and the combination cover is complete: for every way the flips
+    # can occupy blocks, some enumerated combo avoids all hit blocks
+    combos = list(combinations(range(n_blocks), SIMHASH_COMBO))
+    for k in range(SIMHASH_MAX_HAMMING + 1):
+        for hit in combinations(range(n_blocks), min(k, n_blocks)):
+            assert any(set(c).isdisjoint(hit) for c in combos), hit
+
+
+def test_bm25_and_hybrid_plan_shapes(spark):
+    """Retrieval plans: BM25's TF aggregation must be bounded by a
+    broadcast semi-ish join with the query vocabulary (no corpus-wide
+    DF build), and neither query may plan a cartesian product; the
+    hybrid fusion joins two K-row frames."""
+    from iceberg_workshop_spark.registry import queries
+
+    qs = queries()
+    bm25 = _plan(qs["q_llm_bm25_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in bm25
+    assert "BroadcastHashJoin" in bm25  # query vocab + DF dims broadcast
+    rrf = _plan(qs["q_llm_hybrid_rrf"](spark, SF_DIR))
+    assert "CartesianProduct" not in rrf
