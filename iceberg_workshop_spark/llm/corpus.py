@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from iceberg_workshop_spark.registry import register
 from iceberg_workshop_spark.sources.tables import load
@@ -823,3 +824,124 @@ def q_llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 """
     return spark.sql(_bloom_screen_sql(_BF_HEX_SPARK, " div ", spark_toks_cte))
+
+
+# -------------------------------------------------- distribution drift
+
+KS_DRIFT_PPM = 150000  # flag a source when D >= 0.15
+
+
+_KS_SQL = """
+WITH counts AS (
+  SELECT source, n_chars AS x, COUNT(*) AS c
+  FROM {t}documents GROUP BY source, n_chars
+),
+grid AS (
+  SELECT s.source, xs.x, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM counts) s
+  CROSS JOIN (SELECT DISTINCT x FROM counts) xs
+  LEFT JOIN counts c ON c.source = s.source AND c.x = xs.x
+),
+cum1 AS (
+  SELECT source, x,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+           AS cum_src
+  FROM grid
+),
+cum_all AS (
+  SELECT x, CAST(SUM(cum_src) AS BIGINT) AS cum_tot
+  FROM cum1 GROUP BY x
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM {t}documents
+  GROUP BY source
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM {t}documents),
+stat AS (
+  SELECT c1.source,
+         t.n_src,
+         n.n_all - t.n_src AS n_rest,
+         MAX(ABS(c1.cum_src * (n.n_all - t.n_src)
+                 - (ca.cum_tot - c1.cum_src) * t.n_src)) AS d_num
+  FROM cum1 c1
+  JOIN cum_all ca ON ca.x = c1.x
+  JOIN tot t ON t.source = c1.source, n
+  GROUP BY c1.source, t.n_src, n.n_all
+)
+SELECT source, n_src, n_rest,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(1000000 * d_num {div} (n_src * n_rest) AS BIGINT) AS d_ppm,
+       CAST(CAST(1000000 * d_num {div} (n_src * n_rest) AS BIGINT)
+            >= {thr} AS INT) AS drifted
+FROM stat
+ORDER BY source
+"""
+
+
+@register(
+    "q_llm_drift_ks",
+    oracle=_KS_SQL.format(t="", div="//", thr=KS_DRIFT_PPM),
+)
+def q_llm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift detector per source: the
+    max CDF gap between a source's doc-length distribution and the
+    REST of the corpus — the standard distribution-shift monitor a
+    training pipeline runs when a crawl/source update lands (flag
+    before the mix silently changes).
+
+    Integer-exact cross-engine: with counts c, D's comparison is done
+    on the cross-multiplied numerator max |cum_src·n_rest −
+    cum_rest·n_src| and reported as ppm via integer division — no
+    float CDFs. Scale shape: counts groupBy is the only corpus-sized
+    pass; the (source × distinct-length) grid is a cross join of two
+    BOUNDED dims (doc length is physically capped); per-source CDFs
+    use a window PARTITIONED by source; and the global CDF needs NO
+    unpartitioned window — it is the per-x SUM of the per-source
+    cumulative counts (Σ_s cum_src(s, x) = cum_total(x)), one grouped
+    aggregate over the grid."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sources = counts.select("source").distinct()
+    xs = counts.select("x").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(xs))
+        .join(counts, ["source", "x"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    cum1 = grid.withColumn("cum_src", F.sum("c").over(w).cast("long"))
+    cum_all = cum1.groupBy("x").agg(
+        F.sum("cum_src").cast("long").alias("cum_tot")
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_all = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    stat = (
+        cum1.join(cum_all, "x")
+        .join(tot, "source")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_src"))
+        .groupBy("source", "n_src", "n_rest")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_src") * F.col("n_rest")
+                    - (F.col("cum_tot") - F.col("cum_src")) * F.col("n_src")
+                )
+            ).alias("d_num")
+        )
+    )
+    return stat.select(
+        "source",
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr("CAST(1000000 * d_num div (n_src * n_rest) AS BIGINT)").alias(
+            "d_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(1000000 * d_num div (n_src * n_rest) AS BIGINT)"
+            f" >= {KS_DRIFT_PPM} AS INT)"
+        ).alias("drifted"),
+    ).orderBy("source")

@@ -603,3 +603,64 @@ def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle, O(1) window state per row; pure integer arithmetic
     end to end, so both engines agree exactly."""
     return _spark_sql(spark, sf_dir, _DRAWDOWN, "events")
+
+
+_CUSUM = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k
+  FROM {t}events
+),
+tot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM seq GROUP BY user_id
+),
+cum AS (
+  SELECT user_id, k,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY k)
+              AS BIGINT) AS cum
+  FROM seq
+),
+stat AS (
+  SELECT c.user_id, c.k,
+         ABS(t.n * c.cum - c.k * t.total) AS g
+  FROM cum c JOIN tot t ON t.user_id = c.user_id
+  WHERE c.k < t.n
+),
+agg AS (
+  SELECT user_id, CAST(MAX(g) AS BIGINT) AS g_stat
+  FROM stat GROUP BY user_id
+)
+SELECT a.user_id,
+       t.n AS n_events,
+       t.total AS total_cents,
+       a.g_stat,
+       CAST(MIN(s.k) AS BIGINT) AS k_star
+FROM agg a
+JOIN tot t ON t.user_id = a.user_id
+JOIN stat s ON s.user_id = a.user_id AND s.g = a.g_stat
+GROUP BY a.user_id, t.n, t.total, a.g_stat
+ORDER BY a.user_id
+"""
+
+
+@register("q_win_cusum", oracle=_sql(_CUSUM))
+def q_win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style change-point detection per user event series: the
+    single most likely mean-shift split point. At each prefix k the
+    centered statistic is |n·cum_k − k·total| (= n·k·|mean_{1..k} −
+    mean_all| cross-multiplied into pure integers); the reported
+    change point k* is the earliest position attaining the per-user
+    maximum — binary segmentation's first step, the monitor a feature
+    pipeline runs to catch level shifts in a metric stream.
+
+    Shapes: one (user_id, ts, event_id) sort shared by the ranking and
+    the cumulative-sum windows (both PARTITIONED by user), per-user
+    totals as a grouped aggregate joined back on the narrow key, and
+    the argmax via max-then-min-k joins rather than any global window.
+    Integer cents end to end, so both engines agree bit-for-bit on
+    statistic AND split position."""
+    return _spark_sql(spark, sf_dir, _CUSUM, "events")
