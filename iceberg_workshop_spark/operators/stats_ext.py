@@ -238,3 +238,100 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_events_24h"), "user_id")
         .limit(25)
     )
+
+
+_MANNWHITNEY = """
+WITH ev AS (
+  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM {t}events
+),
+counts AS (SELECT g, v, COUNT(*) AS c FROM ev GROUP BY g, v),
+c_all AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM counts GROUP BY v),
+cumv AS (
+  SELECT v, cv,
+         CAST(SUM(cv) OVER (ORDER BY v) - cv AS BIGINT) AS cum_before
+  FROM c_all
+),
+r2 AS (SELECT v, cv, 2 * cum_before + cv + 1 AS rank2 FROM cumv),
+grp AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n1,
+         CAST(SUM(c * r2.rank2) AS BIGINT) AS rsum2
+  FROM counts JOIN r2 USING (v) GROUP BY g
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts)
+SELECT g AS event_type, n1, n.n_all - n1 AS n2,
+       CAST(rsum2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       CAST(1000000 * (rsum2 - n1 * (n1 + 1))
+            {div} (2 * n1 * (n.n_all - n1)) AS BIGINT) AS cl_ppm
+FROM grp, n
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_agg_mannwhitney",
+    oracle=_MANNWHITNEY.format(t="", div="//"),
+)
+def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test per event type vs the rest of the
+    stream — the nonparametric location-shift check (does this event
+    type's value distribution sit higher/lower?) that complements
+    q_llm_drift_ks's shape test. ``cl_ppm`` is the common-language
+    effect size U/(n1·n2) in ppm (500000 = no shift).
+
+    Integer-exact with ties: tie-averaged ranks are carried DOUBLED
+    (2·avg_rank = 2·cum_before + tie_count + 1, always integer), so
+    rank sums, U2 = 2U, and the ppm effect size are pure integer
+    arithmetic in both engines. Scale shape: one groupBy builds
+    (group, value) counts; ranking happens over the bounded
+    distinct-VALUE dimension, not the event stream, and the global
+    cumulative count needs no unpartitioned window on the Spark side —
+    it is the per-value SUM of per-group PARTITIONED cumsums (the
+    q_llm_drift_ks construction)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+    )
+    counts = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    groups = counts.select("g").distinct()
+    vs = counts.select("v").distinct()
+    grid = (
+        groups.crossJoin(F.broadcast(vs))
+        .join(counts, ["g", "v"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum_g = grid.withColumn("cum_incl", F.sum("c").over(w).cast("long"))
+    cum_all = cum_g.groupBy("v").agg(
+        F.sum("cum_incl").cast("long").alias("cum_all_incl")
+    )
+    c_all = counts.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    r2 = (
+        cum_all.join(c_all, "v")
+        .withColumn("cum_before", F.col("cum_all_incl") - F.col("cv"))
+        .withColumn("rank2", 2 * F.col("cum_before") + F.col("cv") + 1)
+        .select("v", "rank2")
+    )
+    grp = (
+        counts.join(F.broadcast(r2), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n1"),
+            F.sum(F.col("c") * F.col("rank2")).cast("long").alias("rsum2"),
+        )
+    )
+    n_all = counts.agg(F.sum("c").cast("long").alias("n_all"))
+    return (
+        grp.crossJoin(F.broadcast(n_all))
+        .select(
+            F.col("g").alias("event_type"),
+            "n1",
+            (F.col("n_all") - F.col("n1")).alias("n2"),
+            F.expr("CAST(rsum2 - n1 * (n1 + 1) AS BIGINT)").alias("u2"),
+            F.expr(
+                "CAST(1000000 * (rsum2 - n1 * (n1 + 1))"
+                " div (2 * n1 * (n_all - n1)) AS BIGINT)"
+            ).alias("cl_ppm"),
+        )
+        .orderBy("event_type")
+    )
