@@ -1,0 +1,181 @@
+"""Independent-reference checks for the round-9 statistics operators.
+
+The DuckDB oracles of q_llm_drift_ks / q_win_cusum /
+q_agg_mannwhitney intentionally REPLAY the same integer construction
+as the Spark plans (that is what makes them hash-exact), so a bug in
+the shared math would sail through parity. These tests recompute each
+statistic from the raw fixture with an INDEPENDENT formulation — naive
+sorted-loop Python over pandas rows — and assert agreement."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, source, n_chars FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+
+
+def _events():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT event_id, ts, user_id, event_type, "
+        f"CAST(floor(value * 100) AS BIGINT) AS cents FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).df()
+
+
+def test_drift_ks_matches_naive_python(spark):
+    from iceberg_workshop_spark.registry import queries
+
+    got = {
+        r["source"]: (r["d_num"], r["d_ppm"])
+        for r in queries()["q_llm_drift_ks"](spark, SF_DIR).collect()
+    }
+    docs = _docs()
+    n_all = len(docs)
+    for source, grp in docs.groupby("source"):
+        a = sorted(grp["n_chars"])
+        b = sorted(docs.loc[docs["source"] != source, "n_chars"])
+        n1, n2 = len(a), len(b)
+        xs = sorted(set(a) | set(b))
+        d_num = 0
+        for x in xs:
+            c1 = sum(1 for v in a if v <= x)
+            c2 = sum(1 for v in b if v <= x)
+            d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+        assert got[source] == (d_num, 1000000 * d_num // (n1 * n2)), source
+    assert len(got) == docs["source"].nunique()
+
+
+def test_cusum_matches_naive_python(spark):
+    from iceberg_workshop_spark.registry import queries
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"], r["g_stat"], r["k_star"])
+        for r in queries()["q_win_cusum"](spark, SF_DIR).collect()
+    }
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    for user, grp in ev.groupby("user_id"):
+        vals = list(grp["cents"])
+        n, total = len(vals), sum(vals)
+        best_g, best_k, cum = -1, None, 0
+        for k in range(1, n):  # k < n
+            cum += vals[k - 1]
+            g = abs(n * cum - k * total)
+            if g > best_g:
+                best_g, best_k = g, k
+        if n >= 2:
+            assert got[user] == (n, total, best_g, best_k), user
+        else:
+            assert user not in got  # single-event series has no split
+
+
+def test_mannwhitney_matches_naive_python(spark):
+    from iceberg_workshop_spark.registry import queries
+
+    got = {
+        r["event_type"]: (r["n1"], r["n2"], r["u2"], r["cl_ppm"])
+        for r in queries()["q_agg_mannwhitney"](spark, SF_DIR).collect()
+    }
+    ev = _events()
+    all_vals = sorted(ev["cents"])
+    n_all = len(all_vals)
+    # independent tie-averaged ranks: position-scan, not cum-count math
+    rank2 = {}  # value -> 2 * average rank
+    i = 0
+    while i < n_all:
+        j = i
+        while j < n_all and all_vals[j] == all_vals[i]:
+            j += 1
+        # ranks i+1 .. j (1-based); 2*avg = (i+1) + j
+        rank2[all_vals[i]] = (i + 1) + j
+        i = j
+    for etype, grp in ev.groupby("event_type"):
+        n1 = len(grp)
+        n2 = n_all - n1
+        rsum2 = sum(rank2[v] for v in grp["cents"])
+        u2 = rsum2 - n1 * (n1 + 1)
+        assert got[etype] == (n1, n2, u2, 1000000 * u2 // (2 * n1 * n2)), etype
+
+
+def test_containment_prefix_lossless_on_random_corpus(spark, tmp_path):
+    """Randomized losslessness check for the prefix-filtered
+    containment join: a seeded synthetic corpus with PLANTED
+    containment pairs (docs embedded in up-to-4x larger supersets,
+    plus shared-boilerplate decoys and ratio->4 boundary cases). The
+    production path must return exactly the naive Python ground truth
+    restricted to the declared predicate (containment >= 0.8, size
+    ratio <= 4) — on a corpus the fixture's structure never saw."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    doc_id = 0
+
+    def add(tokens):
+        nonlocal doc_id
+        docs.append((doc_id, " ".join(tokens)))
+        doc_id += 1
+
+    base_docs = []
+    for _ in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(10, 60))]
+        base_docs.append(toks)
+        add(toks)
+    # planted: supersets at ratios ~1.2 / ~3 / ~4.2 (last exceeds R)
+    for i, toks in enumerate(base_docs[:12]):
+        ratio = [1.2, 3.0, 4.2][i % 3]
+        extra = [rng.choice(vocab) for _ in range(int(len(toks) * (ratio - 1)))]
+        add(toks + extra)
+    # boilerplate decoys: same frequent prefix, different bodies
+    boiler = [rng.choice(vocab) for _ in range(8)]
+    for _ in range(10):
+        add(boiler + [rng.choice(vocab) for _ in range(40)])
+
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from iceberg_workshop_spark.registry import queries
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in queries()["q_llm_dedup_containment_prefix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # naive truth: 3-gram shingle sets per doc, all pairs
+    def shingles(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sh = {d: shingles(t) for d, t in docs}
+    truth = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            na, nb = len(sh[a]), len(sh[b])
+            if not na or not nb:
+                continue
+            if max(na, nb) > 4 * min(na, nb):
+                continue
+            common = len(sh[a] & sh[b])
+            if 5 * common >= 4 * min(na, nb):
+                truth[(a, b)] = (common, na, nb)
+    assert got == truth, (
+        f"missing={set(truth) - set(got)} spurious={set(got) - set(truth)}"
+    )
+    # the corpus must actually exercise the operator
+    assert len(truth) >= 8
