@@ -165,3 +165,119 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+_DRIFT_WIN_PPM = 150000
+
+
+@register(
+    "q_stream_drift_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events
+    ),
+    counts AS (SELECT ws, v, COUNT(*) AS c FROM w GROUP BY ws, v),
+    grid AS (
+      SELECT s.ws, xs.v, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT ws FROM counts) s
+      CROSS JOIN (SELECT DISTINCT v FROM counts) xs
+      LEFT JOIN counts c ON c.ws = s.ws AND c.v = xs.v
+    ),
+    cum1 AS (
+      SELECT ws, v,
+             CAST(SUM(c) OVER (PARTITION BY ws ORDER BY v) AS BIGINT)
+               AS cum_w
+      FROM grid
+    ),
+    cum_all AS (
+      SELECT v, CAST(SUM(cum_w) AS BIGINT) AS cum_tot FROM cum1 GROUP BY v
+    ),
+    tot AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_win FROM w GROUP BY ws),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM w),
+    stat AS (
+      SELECT c1.ws, t.n_win, n.n_all - t.n_win AS n_rest,
+             MAX(ABS(c1.cum_w * (n.n_all - t.n_win)
+                     - (ca.cum_tot - c1.cum_w) * t.n_win)) AS d_num
+      FROM cum1 c1
+      JOIN cum_all ca ON ca.v = c1.v
+      JOIN tot t ON t.ws = c1.ws, n
+      GROUP BY c1.ws, t.n_win, n.n_all
+    )
+    SELECT ws AS window_start, n_win, n_rest,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST(1000000 * d_num // (n_win * n_rest) AS BIGINT) AS d_ppm,
+           CAST(CAST(1000000 * d_num // (n_win * n_rest) AS BIGINT)
+                >= {_DRIFT_WIN_PPM} AS INT) AS drifted
+    FROM stat
+    ORDER BY window_start
+    """,
+)
+def q_stream_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window distribution-drift monitor (batch-exact streaming
+    shape): each 1-hour event-time window's value distribution vs the
+    REST of the stream, scored with the integer two-sample KS
+    construction of ``q_llm_drift_ks`` — the alert a metrics pipeline
+    raises when one ingest hour's distribution shifts (bad deploy,
+    bot burst) rather than when a source drifts.
+
+    Same engine-portable integer arithmetic (cross-multiplied CDF gap
+    in ppm) and the same no-global-window trick: the stream-wide CDF
+    is the per-value SUM of per-WINDOW partitioned cumsums. The value
+    axis is binned to WHOLE UNITS (floor(value)) — the statistic is
+    KS over the histogram at that grain, which is exactly what a
+    streaming monitor keeps as state (a histogram sketch, never raw
+    values); unbinned cents would cross a ~n-sized value dim with the
+    window dim (measured 12M grid rows at sf0.1). In the true-stream
+    deployment the per-window counts come from the watermarked
+    tumbling aggregate (q_stream_tumbling's state) and the
+    rest-of-stream reference is the previous epoch's sketch; the
+    scoring join is identical."""
+    ev = load(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").start.alias("ws"),
+        F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
+    )
+    counts = ev.groupBy("ws", "v").agg(F.count(F.lit(1)).alias("c"))
+    wins = counts.select("ws").distinct()
+    vs = counts.select("v").distinct()
+    grid = (
+        wins.crossJoin(F.broadcast(vs))
+        .join(counts, ["ws", "v"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = Window.partitionBy("ws").orderBy("v")
+    cum1 = grid.withColumn("cum_w", F.sum("c").over(w).cast("long"))
+    cum_all = cum1.groupBy("v").agg(
+        F.sum("cum_w").cast("long").alias("cum_tot")
+    )
+    tot = ev.groupBy("ws").agg(F.count(F.lit(1)).alias("n_win"))
+    n_all = ev.agg(F.count(F.lit(1)).alias("n_all"))
+    stat = (
+        cum1.join(cum_all, "v")
+        .join(tot, "ws")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_win"))
+        .groupBy("ws", "n_win", "n_rest")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_w") * F.col("n_rest")
+                    - (F.col("cum_tot") - F.col("cum_w")) * F.col("n_win")
+                )
+            ).alias("d_num")
+        )
+    )
+    return stat.select(
+        F.col("ws").alias("window_start"),
+        F.col("n_win").cast("long").alias("n_win"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr("CAST(1000000 * d_num div (n_win * n_rest) AS BIGINT)").alias(
+            "d_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(1000000 * d_num div (n_win * n_rest) AS BIGINT)"
+            f" >= {_DRIFT_WIN_PPM} AS INT)"
+        ).alias("drifted"),
+    ).orderBy("window_start")
