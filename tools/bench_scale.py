@@ -76,6 +76,9 @@ HEAVY = [
     "q_llm_dedup_containment",
     # round-9: the scale-safe triangle and containment production paths
     "q_graph_triangles_approx", "q_llm_dedup_containment_prefix",
+    # round-9 retrieval + statistics additions
+    "q_llm_bm25_topk", "q_llm_hybrid_rrf", "q_llm_drift_ks",
+    "q_win_cusum", "q_agg_mannwhitney", "q_stream_drift_window",
 ]
 
 
