@@ -945,3 +945,116 @@ def q_llm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" >= {KS_DRIFT_PPM} AS INT)"
         ).alias("drifted"),
     ).orderBy("source")
+
+
+PSI_ALERT = 0.2  # the classic PSI action threshold
+
+
+_PSI_SQL = """
+WITH b AS (
+  SELECT source, n_chars {div} 100 AS bucket FROM {t}documents
+),
+counts AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY source, bucket),
+grid AS (
+  SELECT s.source, xs.bucket, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM counts) s
+  CROSS JOIN (SELECT DISTINCT bucket FROM counts) xs
+  LEFT JOIN counts c ON c.source = s.source AND c.bucket = xs.bucket
+),
+c_all AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cv FROM grid GROUP BY bucket),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets FROM c_all),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM grid GROUP BY source),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts),
+terms AS (
+  SELECT g.source, g.bucket,
+         ((g.c + 1.0) / (t.n_src + nb.n_buckets)
+          - (ca.cv - g.c + 1.0) / (n.n_all - t.n_src + nb.n_buckets))
+         * ln(((g.c + 1.0) / (t.n_src + nb.n_buckets))
+              / ((ca.cv - g.c + 1.0)
+                 / (n.n_all - t.n_src + nb.n_buckets))) AS term,
+         t.n_src, n.n_all - t.n_src AS n_rest
+  FROM grid g
+  JOIN c_all ca ON ca.bucket = g.bucket
+  JOIN tot t ON t.source = g.source, nb, n
+),
+psi AS (
+  SELECT source, n_src, n_rest,
+         ROUND(list_reduce(list(term ORDER BY bucket), (a, x) -> a + x),
+               4) AS psi
+  FROM terms GROUP BY source, n_src, n_rest
+)
+SELECT source, n_src, n_rest, psi,
+       CAST(psi >= {thr} AS INT) AS shifted
+FROM psi ORDER BY source
+"""
+
+
+@register(
+    "q_llm_drift_psi",
+    oracle=_PSI_SQL.format(t="", div="//", thr=PSI_ALERT),
+)
+def q_llm_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs rest-of-corpus over
+    100-char doc-length buckets — the ML-monitoring drift score
+    (PSI ≥ 0.2 = action) that complements q_llm_drift_ks's max-gap
+    statistic with a mass-weighted whole-distribution one.
+
+    Laplace-smoothed (+1 per bucket) so empty buckets never divide by
+    zero, which also makes every (source, bucket) cell well-defined on
+    the dense grid. Floats are unavoidable (PSI is a log measure), so
+    the per-source sum runs over a list ORDERED BY bucket in both
+    engines (the unigram_logprob ordered-reduce discipline) and the
+    result is rounded to 4 — deterministic cross-engine. Scale shape:
+    identical to q_llm_drift_ks (one corpus-sized groupBy, bounded
+    source × bucket grid, no global window)."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select("source", F.expr("n_chars div 100").alias("bucket"))
+    counts = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    sources = counts.select("source").distinct()
+    buckets = counts.select("bucket").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(buckets))
+        .join(counts, ["source", "bucket"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    c_all = grid.groupBy("bucket").agg(F.sum("c").cast("long").alias("cv"))
+    nb = c_all.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    tot = grid.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    n_all = counts.agg(F.sum("c").cast("long").alias("n_all"))
+    terms = (
+        grid.join(c_all, "bucket")
+        .join(tot, "source")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("p1", (F.col("c") + 1.0) / (F.col("n_src") + F.col("n_buckets")))
+        .withColumn(
+            "p2",
+            (F.col("cv") - F.col("c") + 1.0)
+            / (F.col("n_all") - F.col("n_src") + F.col("n_buckets")),
+        )
+        .withColumn(
+            "term",
+            (F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2")),
+        )
+        .withColumn("n_rest", F.col("n_all") - F.col("n_src"))
+    )
+    psi = (
+        terms.groupBy("source", "n_src", "n_rest")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                4,
+            ).alias("psi")
+        )
+    )
+    return psi.select(
+        "source",
+        "n_src",
+        "n_rest",
+        "psi",
+        (F.col("psi") >= PSI_ALERT).cast("int").alias("shifted"),
+    ).orderBy("source")

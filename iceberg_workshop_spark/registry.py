@@ -134,7 +134,7 @@ _DRIVER_WINDOW = [
     # (3) the round-9 additions;
     "q_graph_triangles_approx", "q_llm_bm25_topk", "q_llm_hybrid_rrf",
     "q_llm_dedup_containment_prefix", "q_llm_drift_ks", "q_win_cusum",
-    "q_agg_mannwhitney", "q_stream_drift_window",
+    "q_agg_mannwhitney", "q_stream_drift_window", "q_llm_drift_psi",
     # (4) the multimodal decode trio — driver status still rows-only
     #     from r4; exact byte-arithmetic oracles landed in r8, so a
     #     resample upgrades them to exact rows.

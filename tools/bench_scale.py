@@ -79,6 +79,7 @@ HEAVY = [
     # round-9 retrieval + statistics additions
     "q_llm_bm25_topk", "q_llm_hybrid_rrf", "q_llm_drift_ks",
     "q_win_cusum", "q_agg_mannwhitney", "q_stream_drift_window",
+    "q_llm_drift_psi",
 ]
 
 
