@@ -493,7 +493,9 @@ def delete_where_mor(
         for d in tbl.meta.delete_entries(
             tbl.meta.snapshot(tbl.meta.current_snapshot_id)
         ):
-            if d.get("kind", "eq") == "eq" and list(d["keys"]) != list(keys):
+            if d.get("kind", "eq") == "eq" and sorted(d["keys"]) != sorted(
+                keys
+            ):
                 raise ValueError(
                     "equality-delete key set mismatch: table already "
                     f"carries deletes keyed on {d['keys']}, got {list(keys)}; "

@@ -477,6 +477,37 @@ def remove_orphan_files(
             with contextlib.suppress(FileNotFoundError):
                 os.remove(p)
                 removed += 1
+    # Torn-commit debris: `commit()` writes v(N+1).json and the
+    # version hint via unique write-tmp-then-link/replace sidecars, so
+    # a writer crashing mid-commit leaves `*.tmp` files in metadata/
+    # (half-written doc that never got linked) or at the table root
+    # (hint repoint that never landed). They are invisible to readers
+    # (read_current probes vN.json and treats the hint as an
+    # accelerator only) but accumulate forever; sweep them under the
+    # SAME age guard — a live writer's tmp younger than the cutoff is
+    # never eaten.
+    for d in (mdir, tbl.meta.location):
+        try:
+            tmp_names = os.listdir(d)
+        except FileNotFoundError:
+            continue
+        for name in tmp_names:
+            if not name.endswith(".tmp"):
+                continue
+            p = os.path.join(d, name)
+            if not os.path.isfile(p):
+                continue
+            try:
+                mtime_ms = int(os.path.getmtime(p) * 1000)
+            except FileNotFoundError:
+                continue
+            if mtime_ms >= cutoff:
+                continue  # may belong to an in-flight commit
+            found += 1
+            if not dry_run:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(p)
+                    removed += 1
     return {"orphans_found": found, "orphans_removed": removed}
 
 

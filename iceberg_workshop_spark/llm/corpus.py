@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from iceberg_workshop_spark.registry import guard_axis as _guard_axis
 from iceberg_workshop_spark.registry import register
 from iceberg_workshop_spark.sources.tables import load
 
@@ -275,8 +276,8 @@ def q_llm_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT src_a, src_b, n_shared,
-           CAST(1000000 * n_shared // LEAST(sa.n, sb.n) AS BIGINT)
-        AS overlap_ppm
+           CAST(CAST(1000000 AS HUGEINT) * n_shared
+                // LEAST(sa.n, sb.n) AS BIGINT) AS overlap_ppm
     FROM inter
     JOIN sz sa ON sa.source = src_a
     JOIN sz sb ON sb.source = src_b
@@ -324,8 +325,8 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "n_shared",
-            "CAST(1000000 * n_shared DIV LEAST(na, nb) AS BIGINT)"
-            " AS overlap_ppm",
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_shared"
+            " DIV LEAST(na, nb) AS BIGINT) AS overlap_ppm",
         )
         .orderBy(F.desc("overlap_ppm"), "src_a", "src_b")
         .limit(20)
@@ -833,8 +834,8 @@ KS_DRIFT_PPM = 150000  # flag a source when D >= 0.15
 
 _KS_SQL = """
 WITH counts AS (
-  SELECT source, n_chars AS x, COUNT(*) AS c
-  FROM {t}documents GROUP BY source, n_chars
+  SELECT source, n_chars {div} {grain} AS x, COUNT(*) AS c
+  FROM {t}documents GROUP BY 1, 2
 ),
 grid AS (
   SELECT s.source, xs.x, COALESCE(c.c, 0) AS c
@@ -870,19 +871,30 @@ stat AS (
 )
 SELECT source, n_src, n_rest,
        CAST(d_num AS BIGINT) AS d_num,
-       CAST(1000000 * d_num {div} (n_src * n_rest) AS BIGINT) AS d_ppm,
-       CAST(CAST(1000000 * d_num {div} (n_src * n_rest) AS BIGINT)
+       CAST(CAST(1000000 AS HUGEINT) * d_num
+            {div} (CAST(n_src AS HUGEINT) * n_rest) AS BIGINT) AS d_ppm,
+       CAST(CAST(CAST(1000000 AS HUGEINT) * d_num
+            {div} (CAST(n_src AS HUGEINT) * n_rest) AS BIGINT)
             >= {thr} AS INT) AS drifted
 FROM stat
 ORDER BY source
 """
 
 
+KS_MAX_GRID = 100_000  # dense-grid cap on the distinct-value axis
+
+
 @register(
     "q_llm_drift_ks",
-    oracle=_KS_SQL.format(t="", div="//", thr=KS_DRIFT_PPM),
+    oracle=_KS_SQL.format(t="", div="//", thr=KS_DRIFT_PPM, grain=1),
 )
-def q_llm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_llm_drift_ks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    grain: int = 1,
+    max_grid: int = KS_MAX_GRID,
+) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift detector per source: the
     max CDF gap between a source's doc-length distribution and the
     REST of the corpus — the standard distribution-shift monitor a
@@ -892,19 +904,26 @@ def q_llm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact cross-engine: with counts c, D's comparison is done
     on the cross-multiplied numerator max |cum_src·n_rest −
     cum_rest·n_src| and reported as ppm via integer division — no
-    float CDFs. Scale shape: counts groupBy is the only corpus-sized
-    pass; the (source × distinct-length) grid is a cross join of two
-    BOUNDED dims (doc length is physically capped); per-source CDFs
-    use a window PARTITIONED by source; and the global CDF needs NO
-    unpartitioned window — it is the per-x SUM of the per-source
-    cumulative counts (Σ_s cum_src(s, x) = cum_total(x)), one grouped
-    aggregate over the grid."""
+    float CDFs (the 1e6 scaling runs in DECIMAL(38,0) / HUGEINT so
+    d_num·1e6 cannot wrap BIGINT at corpus scale). Scale shape:
+    counts groupBy is the only corpus-sized pass; the (source ×
+    distinct-length) grid is a cross join of two BOUNDED dims — and
+    that precondition is now ENFORCED, not assumed: an in-plan
+    ``assert_true`` fails the job loudly when the value axis exceeds
+    ``max_grid`` distinct points (raise ``grain`` to bucket the axis,
+    the PSI ``div 100`` pattern, instead of OOMing on a continuous
+    column). Per-source CDFs use a window PARTITIONED by source; the
+    global CDF needs NO unpartitioned window — it is the per-x SUM of
+    the per-source cumulative counts (Σ_s cum_src(s, x) =
+    cum_total(x)), one grouped aggregate over the grid."""
     docs = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    counts = docs.groupBy(
+        "source", F.expr(f"n_chars div {int(grain)}").alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
     sources = counts.select("source").distinct()
-    xs = counts.select("x").distinct()
+    xs = _guard_axis(
+        counts.select("x").distinct(), "q_llm_drift_ks", int(max_grid)
+    )
     grid = (
         sources.crossJoin(F.broadcast(xs))
         .join(counts, ["source", "x"], "left")
@@ -937,11 +956,13 @@ def q_llm_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_src").cast("long").alias("n_src"),
         F.col("n_rest").cast("long").alias("n_rest"),
         F.col("d_num").cast("long").alias("d_num"),
-        F.expr("CAST(1000000 * d_num div (n_src * n_rest) AS BIGINT)").alias(
-            "d_ppm"
-        ),
         F.expr(
-            "CAST(CAST(1000000 * d_num div (n_src * n_rest) AS BIGINT)"
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * d_num"
+            " div (CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)"
+        ).alias("d_ppm"),
+        F.expr(
+            "CAST(CAST(CAST(1000000 AS DECIMAL(38,0)) * d_num"
+            " div (CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)"
             f" >= {KS_DRIFT_PPM} AS INT)"
         ).alias("drifted"),
     ).orderBy("source")

@@ -206,17 +206,19 @@ _TRIANGLES = (
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM pairs) AS n_edges,
        (SELECT n_tri FROM tri) AS n_triangles,
-       round(CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE) /
+       CASE WHEN (SELECT SUM((d * (d - 1)) {div} 2) FROM deg) = 0 THEN NULL
+            ELSE round(CAST(3 * (SELECT n_tri FROM tri) AS DOUBLE) /
              CAST((SELECT SUM((d * (d - 1)) {div} 2) FROM deg) AS DOUBLE),
-             4) AS global_clustering,
+             4) END AS global_clustering,
        CAST("""
     + str(_SAMPLE_P_INV**3)
     + """ * (SELECT n_tri FROM s_tri) AS BIGINT) AS est_triangles,
-       round(CAST(100 * abs("""
+       CASE WHEN (SELECT n_tri FROM tri) = 0 THEN NULL
+            ELSE round(CAST(100 * abs("""
     + str(_SAMPLE_P_INV**3)
     + """ * (SELECT n_tri FROM s_tri)
                            - (SELECT n_tri FROM tri)) AS DOUBLE)
-             / CAST((SELECT n_tri FROM tri) AS DOUBLE), 1) AS est_err_pct
+             / CAST((SELECT n_tri FROM tri) AS DOUBLE), 1) END AS est_err_pct
 """
 )
 

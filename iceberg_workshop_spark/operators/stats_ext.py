@@ -242,7 +242,8 @@ def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MANNWHITNEY = """
 WITH ev AS (
-  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v
+  SELECT event_type AS g,
+         CAST(floor(value * 100) AS BIGINT) {div} {grain} AS v
   FROM {t}events
 ),
 counts AS (SELECT g, v, COUNT(*) AS c FROM ev GROUP BY g, v),
@@ -261,18 +262,28 @@ grp AS (
 n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts)
 SELECT g AS event_type, n1, n.n_all - n1 AS n2,
        CAST(rsum2 - n1 * (n1 + 1) AS BIGINT) AS u2,
-       CAST(1000000 * (rsum2 - n1 * (n1 + 1))
-            {div} (2 * n1 * (n.n_all - n1)) AS BIGINT) AS cl_ppm
+       CAST(CAST(1000000 AS HUGEINT) * (rsum2 - n1 * (n1 + 1))
+            {div} (CAST(2 AS HUGEINT) * n1 * (n.n_all - n1))
+            AS BIGINT) AS cl_ppm
 FROM grp, n
 ORDER BY event_type
 """
 
 
+MWU_MAX_GRID = 100_000  # dense-grid cap on the distinct-value axis
+
+
 @register(
     "q_agg_mannwhitney",
-    oracle=_MANNWHITNEY.format(t="", div="//"),
+    oracle=_MANNWHITNEY.format(t="", div="//", grain=1),
 )
-def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_mannwhitney(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    grain: int = 1,
+    max_grid: int = MWU_MAX_GRID,
+) -> DataFrame:
     """Mann–Whitney U rank-sum test per event type vs the rest of the
     stream — the nonparametric location-shift check (does this event
     type's value distribution sit higher/lower?) that complements
@@ -282,19 +293,32 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact with ties: tie-averaged ranks are carried DOUBLED
     (2·avg_rank = 2·cum_before + tie_count + 1, always integer), so
     rank sums, U2 = 2U, and the ppm effect size are pure integer
-    arithmetic in both engines. Scale shape: one groupBy builds
-    (group, value) counts; ranking happens over the bounded
-    distinct-VALUE dimension, not the event stream, and the global
-    cumulative count needs no unpartitioned window on the Spark side —
-    it is the per-value SUM of per-group PARTITIONED cumsums (the
-    q_llm_drift_ks construction)."""
+    arithmetic in both engines (the 1e6 scaling and the n1·n2
+    denominator run in DECIMAL(38,0) / HUGEINT so neither wraps
+    BIGINT at stream scale; the BIGINT bound that remains is the
+    rank-sum accumulator rsum2 ≲ 2n², i.e. n ≲ 2e9 events). Scale
+    shape: one groupBy builds (group, value) counts; ranking happens
+    over the bounded distinct-VALUE dimension, not the event stream —
+    a precondition now ENFORCED by an in-plan ``assert_true``: a
+    value axis beyond ``max_grid`` distinct points fails loudly with
+    a hint to bucket via ``grain`` (PSI's ``div`` pattern) instead of
+    OOMing on the grid. The global cumulative count needs no
+    unpartitioned window on the Spark side — it is the per-value SUM
+    of per-group PARTITIONED cumsums (the q_llm_drift_ks
+    construction)."""
+    from iceberg_workshop_spark.registry import guard_axis
+
     ev = load(spark, sf_dir, "events").select(
         F.col("event_type").alias("g"),
-        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+        F.expr(
+            f"CAST(floor(value * 100) AS BIGINT) div {int(grain)}"
+        ).alias("v"),
     )
     counts = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
     groups = counts.select("g").distinct()
-    vs = counts.select("v").distinct()
+    vs = guard_axis(
+        counts.select("v").distinct(), "q_agg_mannwhitney", int(max_grid)
+    )
     grid = (
         groups.crossJoin(F.broadcast(vs))
         .join(counts, ["g", "v"], "left")
@@ -329,8 +353,10 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_all") - F.col("n1")).alias("n2"),
             F.expr("CAST(rsum2 - n1 * (n1 + 1) AS BIGINT)").alias("u2"),
             F.expr(
-                "CAST(1000000 * (rsum2 - n1 * (n1 + 1))"
-                " div (2 * n1 * (n_all - n1)) AS BIGINT)"
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * (rsum2 - n1 * (n1 + 1))"
+                " div (CAST(2 AS DECIMAL(38,0)) * n1 * (n_all - n1))"
+                " AS BIGINT)"
             ).alias("cl_ppm"),
         )
         .orderBy("event_type")

@@ -139,13 +139,23 @@ def _rewrite_qualify(s: str) -> tuple[list[str], bool]:
         f"SELECT * FROM (SELECT __iws_q.*, ({pred}) AS __iws_qualify__ "
         f"FROM ({head}) __iws_q) __iws_q2 WHERE __iws_qualify__ {tail}"
     )
+    # `AS <word>` also matches CAST(x AS BIGINT) — drop type-name
+    # keywords so a predicate identifier that happens to equal a type
+    # name doesn't flip candidate ordering to the wrapped form.
+    _type_kw = {
+        "tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+        "float", "real", "double", "decimal", "numeric", "string",
+        "varchar", "char", "text", "boolean", "date", "timestamp",
+        "timestamp_ntz", "timestamp_ltz", "binary", "blob", "interval",
+        "array", "map", "struct", "variant", "uuid", "json",
+    }
     select_aliases = {
         m.group(1).lower()
         for m in re.finditer(
             r"\bAS\s+([A-Za-z_]\w*)", _mask_quotes(head[:f] if f > 0 else head),
             re.I,
         )
-    }
+    } - _type_kw
     pred_idents = {
         m.group(0).lower()
         for m in re.finditer(r"\b[A-Za-z_]\w*\b", _mask_quotes(pred))

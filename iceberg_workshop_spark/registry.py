@@ -86,6 +86,41 @@ def require(cond: object, msg: str) -> None:
         raise QueryInvariantError(msg)
 
 
+def guard_axis(axis: DataFrame, query: str, max_grid: int) -> DataFrame:
+    """Enforce a dense-grid query's bounded-cardinality precondition.
+
+    Grid-shaped statistics (KS, Mann–Whitney) cross-join a group dim
+    with a distinct-VALUE dim and are only scale-safe while the value
+    axis stays bounded. This wraps the single-column ``axis`` frame
+    with an IN-PLAN ``assert_true`` against a broadcast 1-row count:
+    no extra scan/job is added, and a genuinely continuous column
+    (100 TB of distinct values) fails the job LOUDLY with a message
+    telling the caller to bucket via the query's ``grain`` parameter
+    — instead of OOMing on a |groups| × |distinct| grid. The count
+    aggregates the already-distinct axis, so the guard itself is
+    metadata-sized at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    col = axis.columns[0]
+    n = axis.agg(F.count(F.lit(1)).alias("__iws_axis_n__"))
+    msg = (
+        f"{query}: dense-grid value axis exceeds max_grid={max_grid} "
+        "distinct points; bucket the axis with a coarser grain= "
+        "(PSI-style `value div grain`) instead of materializing the "
+        "groups x values grid"
+    )
+    return (
+        axis.crossJoin(F.broadcast(n))
+        .where(
+            F.assert_true(
+                F.col("__iws_axis_n__") <= F.lit(int(max_grid)), F.lit(msg)
+            ).isNull()
+        )
+        .select(col)
+    )
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -118,29 +153,40 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-9 rotation. After the r8 window every pre-r8 registry row
-    # has an external CORRECTNESS row; this window front-loads:
-    # (1) q_fn_array2 — the ONE red r8 row (raw-array output shape),
-    #     re-sampled after the array_join fix;
-    "q_fn_array2",
-    # (2) the 10 late-round-8 additions the driver never sampled
-    #     (LEDGER.md r9 candidates); q_graph_triangles also re-pins
-    #     its round-9 schema (added est_triangles / est_err_pct
-    #     certificate columns);
-    "q_sql_qualify", "q_graph_triangles", "q_win_interpolate",
-    "q_win_anomaly_zscore", "q_win_drawdown", "q_agg_gini",
-    "q_llm_dedup_keep_best", "q_join_editdist",
-    "q_join_spatial_radius", "q_llm_dedup_containment",
-    # (3) the round-9 additions;
-    "q_graph_triangles_approx", "q_llm_bm25_topk", "q_llm_hybrid_rrf",
-    "q_llm_dedup_containment_prefix", "q_llm_drift_ks", "q_win_cusum",
-    "q_agg_mannwhitney", "q_stream_drift_window", "q_llm_drift_psi",
-    # (4) the multimodal decode trio — driver status still rows-only
-    #     from r4; exact byte-arithmetic oracles landed in r8, so a
-    #     resample upgrades them to exact rows.
-    "q_llm_multimodal_features", "q_llm_multimodal_frames",
-    "q_llm_multimodal_resize",
-    # remaining 33 slots pad from the §2B contract head below.
+    # round-10 rotation. The registry is CLOSED (345/345 externally
+    # verified, r9); the gate's job is now regression RE-SAMPLING.
+    # This window holds the 50 stalest externally-verified names plus
+    # the queries whose plans changed this round — a 100% re-sample
+    # window (VERDICT r9 task #1 asked for >=80%).
+    # (1) plans changed in round 10 (grid guards, DECIMAL/HUGEINT ppm
+    #     scaling, est_err_pct zero guard) — values identical, plans
+    #     not, so the external gate re-pins them first;
+    "q_llm_drift_ks", "q_agg_mannwhitney", "q_stream_drift_window",
+    "q_llm_source_overlap", "q_graph_triangles",
+    # (2) the 26 queries last externally sampled in ROUND 1 — nine
+    #     rounds of refactors ago (scan formats, outer/banded/asof
+    #     joins, the aggregate head);
+    "q_scan_json", "q_scan_orc", "q_scan_text", "q_scan_xml",
+    "q_scan_csv_dirty", "q_scan_recursive_glob",
+    "q_join_q18_shape", "q_join_q7_shape", "q_join_full_outer",
+    "q_join_range_banded", "q_join_asof_forward", "q_join_null_safe",
+    "q_join_hints", "q_agg_percentile", "q_profile_table",
+    "q_agg_pivot_unpivot", "q_agg_bools", "q_agg_listagg",
+    "q_agg_mode", "q_agg_rollup_time", "q_agg_group_by_all",
+    "q_agg_filter_clause", "q_agg_variance", "q_agg_min_max_by",
+    "q_agg_weighted_median", "q_agg_skewness",
+    # (3) 19 of the 23 round-3-vintage names (set ops, array/map fns —
+    #     the r8 red-row family — DML head, time travel, the streaming
+    #     five); the four scalar-fn leftovers (q_fn_string/_date/_math/
+    #     _conditional) are LEDGER r11 candidates.
+    "q_win_topk_per_group", "q_sort_multi", "q_limit_topk",
+    "q_set_union_all", "q_set_intersect_except",
+    "q_fn_array", "q_fn_map_json",
+    "q_dml_insert_values", "q_dml_insert_select", "q_dml_merge",
+    "q_dml_delete", "q_dml_truncate", "q_tt_as_of", "q_tt_rollback",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup_watermark", "q_stream_agg_watermark",
+    # 50 names total — zero pad slots this round.
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

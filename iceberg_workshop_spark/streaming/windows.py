@@ -207,8 +207,10 @@ _DRIFT_WIN_PPM = 150000
     )
     SELECT ws AS window_start, n_win, n_rest,
            CAST(d_num AS BIGINT) AS d_num,
-           CAST(1000000 * d_num // (n_win * n_rest) AS BIGINT) AS d_ppm,
-           CAST(CAST(1000000 * d_num // (n_win * n_rest) AS BIGINT)
+           CAST(CAST(1000000 AS HUGEINT) * d_num
+                // (CAST(n_win AS HUGEINT) * n_rest) AS BIGINT) AS d_ppm,
+           CAST(CAST(CAST(1000000 AS HUGEINT) * d_num
+                // (CAST(n_win AS HUGEINT) * n_rest) AS BIGINT)
                 >= {_DRIFT_WIN_PPM} AS INT) AS drifted
     FROM stat
     ORDER BY window_start
@@ -273,11 +275,13 @@ def q_stream_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_win").cast("long").alias("n_win"),
         F.col("n_rest").cast("long").alias("n_rest"),
         F.col("d_num").cast("long").alias("d_num"),
-        F.expr("CAST(1000000 * d_num div (n_win * n_rest) AS BIGINT)").alias(
-            "d_ppm"
-        ),
         F.expr(
-            "CAST(CAST(1000000 * d_num div (n_win * n_rest) AS BIGINT)"
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * d_num"
+            " div (CAST(n_win AS DECIMAL(38,0)) * n_rest) AS BIGINT)"
+        ).alias("d_ppm"),
+        F.expr(
+            "CAST(CAST(CAST(1000000 AS DECIMAL(38,0)) * d_num"
+            " div (CAST(n_win AS DECIMAL(38,0)) * n_rest) AS BIGINT)"
             f" >= {_DRIFT_WIN_PPM} AS INT)"
         ).alias("drifted"),
     ).orderBy("window_start")

@@ -657,3 +657,80 @@ def test_mor_rebase_changelog_stays_exact(spark, loc):
     rows = [(r["id"], r["_change_type"]) for r in chg.collect()]
     assert rows == [(2, "delete")]
     assert sorted(r.id for r in final.read().collect()) == [1, 3, 9]
+
+
+def test_torn_commit_metadata_linked_hint_not_repointed(spark, loc):
+    """Crash BETWEEN the v(N+1).json link and the hint repoint: the
+    new version file exists, the hint still says N, and the half-done
+    writer's hint tmp sidecar is stranded at the table root. Readers
+    must see N+1 (hint is an accelerator, never truth), the next
+    commit must land as N+2, and the stranded tmp must not trip
+    anything."""
+    t = _mk(spark, loc, [(1, "a")])
+    v = t.meta.version
+    # simulate the torn commit: next version file appears "out of
+    # nowhere" (the crashed writer linked it), hint stays at v, and
+    # the writer's hint tmp survives the crash
+    meta = M.read_current(loc)
+    meta.doc.setdefault("notes", []).append("torn-writer")
+    M.commit(meta)  # v+1 fully committed...
+    with open(os.path.join(loc, M.HINT_FILE), "w") as f:
+        f.write(str(v))  # ...but the crash rolled the hint back
+    with open(os.path.join(loc, f"{M.HINT_FILE}.deadbeef.tmp"), "w") as f:
+        f.write(str(v + 1))  # stranded hint sidecar
+
+    cur = M.read_current(loc)
+    assert cur.version == v + 1  # probe walked past the stale hint
+    assert "torn-writer" in cur.doc.get("notes", [])
+
+    # the table keeps working: a fresh handle reads and commits v+2
+    t2 = IceTable.load(spark, loc)
+    t2.append(spark.createDataFrame([(2, "b")], "id int, name string"))
+    assert M.read_current(loc).version == v + 2
+    assert {r.id for r in t2.read().collect()} == {1, 2}
+
+
+def test_orphan_metadata_tmp_crashed_before_link(spark, loc):
+    """Crash BEFORE os.link: a half-written v(N+1).json.<uuid>.tmp sits
+    in metadata/ (truncated JSON — the write died mid-dump). Readers
+    must ignore it, the version number must still be claimable by the
+    next writer, and remove_orphan_files must sweep it only once it is
+    older than the age guard."""
+    t = _mk(spark, loc, [(1, "a")])
+    v = t.meta.version
+    torn = M.metadata_path(loc, v + 1) + ".ab12cd34.tmp"
+    with open(torn, "w") as f:
+        f.write('{"snapshots": [{"trunc')  # half-written JSON
+
+    assert M.read_current(loc).version == v  # invisible to readers
+    t.append(spark.createDataFrame([(2, "b")], "id int, name string"))
+    assert M.read_current(loc).version == v + 1  # version still free
+
+    # age guard: a YOUNG tmp (a possibly-live writer) is skipped...
+    rep = t.remove_orphan_files()
+    assert os.path.exists(torn), rep
+    # ...an aged one is swept (cutoff in the future ages everything)
+    rep = t.remove_orphan_files(older_than_ms=M.now_ms() + 60_000)
+    assert not os.path.exists(torn)
+    assert rep["orphans_removed"] >= 1
+    # the table itself is untouched
+    assert {r.id for r in IceTable.load(spark, loc).read().collect()} == {1, 2}
+
+
+def test_orphan_hint_tmp_swept_with_age_guard(spark, loc):
+    """A stranded version-hint tmp at the table root follows the same
+    rule: skipped while young, swept once aged, and never confused
+    with the real hint."""
+    t = _mk(spark, loc, [(1, "a")])
+    stranded = os.path.join(loc, f"{M.HINT_FILE}.feedf00d.tmp")
+    with open(stranded, "w") as f:
+        f.write("999")  # pointing at a version that never landed
+
+    assert M.read_current(loc).version == t.meta.version
+    t.remove_orphan_files()
+    assert os.path.exists(stranded)  # young: may be a live writer
+    t.remove_orphan_files(older_than_ms=M.now_ms() + 60_000)
+    assert not os.path.exists(stranded)
+    # the REAL hint survived the sweep
+    assert os.path.exists(os.path.join(loc, M.HINT_FILE))
+    assert M.read_current(loc).version == t.meta.version

@@ -106,6 +106,62 @@ def test_mannwhitney_matches_naive_python(spark):
         assert got[etype] == (n1, n2, u2, 1000000 * u2 // (2 * n1 * n2)), etype
 
 
+def test_drift_ks_guard_fails_loudly(spark):
+    """A value axis wider than max_grid must fail the job with the
+    bucketing hint (QueryInvariantError-style loud stop), never
+    materialize the groups x values grid (the 100 TB OOM mode)."""
+    import pytest
+
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_llm_drift_ks"](spark, SF_DIR, max_grid=3)
+    with pytest.raises(Exception, match="max_grid=3"):
+        df.collect()
+
+
+def test_drift_ks_grain_bucketing_matches_oracle(spark, oracle):
+    """grain=50 buckets the length axis under a tight guard and still
+    hash-matches the DuckDB oracle rendered at the same grain."""
+    from iceberg_workshop_spark.llm.corpus import KS_DRIFT_PPM, _KS_SQL
+    from iceberg_workshop_spark.registry import queries
+    from tests.helpers import assert_frames_match
+
+    got = (
+        queries()["q_llm_drift_ks"](spark, SF_DIR, grain=50, max_grid=500)
+        .toPandas()
+    )
+    want = oracle.execute(
+        _KS_SQL.format(t="", div="//", thr=KS_DRIFT_PPM, grain=50)
+    ).df()
+    assert_frames_match(got, want, "q_llm_drift_ks[grain=50]")
+
+
+def test_mannwhitney_guard_fails_loudly(spark):
+    import pytest
+
+    from iceberg_workshop_spark.registry import queries
+
+    df = queries()["q_agg_mannwhitney"](spark, SF_DIR, max_grid=5)
+    with pytest.raises(Exception, match="max_grid=5"):
+        df.collect()
+
+
+def test_mannwhitney_grain_bucketing_matches_oracle(spark, oracle):
+    """grain=100 coarsens cents to whole units under a tight guard and
+    still hash-matches the oracle at the same grain (the tie-averaged
+    doubled ranks stay integer-exact across the rebucketing)."""
+    from iceberg_workshop_spark.operators.stats_ext import _MANNWHITNEY
+    from iceberg_workshop_spark.registry import queries
+    from tests.helpers import assert_frames_match
+
+    got = (
+        queries()["q_agg_mannwhitney"](spark, SF_DIR, grain=100, max_grid=400)
+        .toPandas()
+    )
+    want = oracle.execute(_MANNWHITNEY.format(t="", div="//", grain=100)).df()
+    assert_frames_match(got, want, "q_agg_mannwhitney[grain=100]")
+
+
 def test_containment_prefix_lossless_on_random_corpus(spark, tmp_path):
     """Randomized losslessness check for the prefix-filtered
     containment join: a seeded synthetic corpus with PLANTED
