@@ -180,6 +180,10 @@ class IceTable:
             fields = StructType.fromDDL(meta.schema_ddl).fields
             if name not in {f.name for f in fields}:
                 raise KeyError(f"column {name!r} not in schema")
+            if len(fields) == 1:
+                # Iceberg refuses too: an empty schema is unreadable
+                # (and a later add_column would emit malformed DDL).
+                raise ValueError("cannot drop the last column")
             meta.schema_ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in fields if f.name != name
             )
@@ -847,24 +851,58 @@ class IceTable:
             return types[name].simpleString()
 
         parts = []
+        declared = [
+            f.name for f in StructType.fromDDL(self.meta.schema_ddl).fields
+        ]
         for seq, paths in sorted(by_seq.items()):
-            # read with this era's PHYSICAL names and types, then
-            # alias/cast back to the declared schema
-            phys = {name: self._physical_name(name, seq) for name in types}
-            era_schema = ", ".join(
-                f"{phys[f.name]} {era_type(f.name, seq)}"
-                for f in StructType.fromDDL(self.meta.schema_ddl).fields
+            # Only columns ALIVE in this era (created before the file
+            # was written) are read from the files; columns created
+            # later materialize as NULL without touching the file at
+            # all. Reading a dead column and masking it afterwards —
+            # the previous approach — broke on rename-then-re-add:
+            # with `a` renamed to `b` and a NEW `a` added later, BOTH
+            # declared columns resolve to physical name `a` in the old
+            # era, and the duplicate column name fails the scan
+            # (COLUMN_ALREADY_EXISTS). Alive physical names are
+            # injective by construction: they all coexisted in one
+            # write-time schema.
+            alive = [
+                n
+                for n in declared
+                if n not in created or seq > int(created[n])
+            ]
+            meta_cols = (["__path", "__pos"] if with_pos else []) + (
+                ["__fp"] if with_fp else []
             )
-            df = _pos_cols(self.spark.read.schema(era_schema).parquet(*paths))
-            for name in types:
-                if phys[name] != name:
-                    df = df.withColumnRenamed(phys[name], name)
-                if era_type(name, seq) != types[name].simpleString():
-                    df = df.withColumn(name, F.col(name).cast(types[name]))
-            for name, cseq in created.items():
-                if name in types and seq <= int(cseq):
-                    df = df.withColumn(name, F.lit(None).cast(types[name]))
-            parts.append(df)
+            if alive:
+                phys = {n: self._physical_name(n, seq) for n in alive}
+                era_schema = ", ".join(
+                    f"{phys[n]} {era_type(n, seq)}" for n in alive
+                )
+                df = _pos_cols(
+                    self.spark.read.schema(era_schema).parquet(*paths)
+                )
+                # One atomic select does rename + upcast for every
+                # column (sequential withColumnRenamed can collide
+                # transiently when a rename chain swaps names).
+                df = df.select(
+                    *[F.col(c) for c in meta_cols],
+                    *[
+                        F.col(phys[n]).cast(types[n]).alias(n)
+                        for n in alive
+                    ],
+                )
+            else:
+                # No declared column existed in this era (all dropped/
+                # re-added later): the file still contributes its ROWS
+                # as all-NULL, matching Iceberg field-id semantics.
+                df = _pos_cols(self.spark.read.parquet(*paths)).select(
+                    *[F.col(c) for c in meta_cols]
+                )
+            for n in declared:
+                if n not in alive:
+                    df = df.withColumn(n, F.lit(None).cast(types[n]))
+            parts.append(df.select(*meta_cols, *declared))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -1389,3 +1389,231 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "sparse_rank", "dense_rank", "rrf_ppm")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted ANN index lifecycle (round-10): the operator a real 100 TB
+# embedding store needs — build the IVF index ONCE as a catalog table,
+# keep its codebook in table properties, refresh it incrementally from
+# the base table's changelog, and serve probes from a fresh handle.
+
+ANN_N_CENTS = 4  # codebook size (seeded like q_llm_kmeans_assign)
+ANN_REFRESH_MOD = 5  # vec_id % 5 == 4 arrives AFTER the index build
+
+
+@register(
+    "q_llm_ann_index_lifecycle",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, e AS c FROM q
+              WHERE vec_id < {ANN_N_CENTS}),
+    dists AS (
+      SELECT q.vec_id, cents.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (q.e[i] - cents.c[i]) * (q.e[i] - cents.c[i])))
+                  AS BIGINT) AS d2
+      FROM q CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+                 AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    best AS (
+      SELECT cid FROM dists WHERE vec_id = {PROBE_VEC_ID}
+      ORDER BY d2, cid LIMIT {N_PROBE}
+    ),
+    pd AS (
+      SELECT q.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (q.e[i] - p.e[i]) * (q.e[i] - p.e[i])))
+                  AS BIGINT) AS d2
+      FROM q, (SELECT e FROM q WHERE vec_id = {PROBE_VEC_ID}) p
+      WHERE q.vec_id <> {PROBE_VEC_ID}
+    )
+    SELECT pd.vec_id, a.cid AS ivf_cluster, pd.d2,
+           CAST(pd.vec_id % {ANN_REFRESH_MOD} = {ANN_REFRESH_MOD - 1}
+                AS INT) AS from_refresh
+    FROM pd JOIN assign a USING (vec_id)
+    WHERE a.cid IN (SELECT cid FROM best)
+    ORDER BY pd.d2, pd.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index LIFECYCLE: build → property-pinned codebook
+    → changelog-driven incremental refresh → partition-pruned probe
+    from a fresh handle. Composes three proven families
+    (q_llm_simsearch_ivf_partitioned's cluster-partitioned layout,
+    icetbl table properties, q_tt_changes/changelog maintenance) into
+    the operator a production embedding store runs.
+
+    Lifecycle, in order:
+    1. BUILD — vectors present at build time (vec_id % 5 != 4) are
+       SQ-quantized (floor(x*1000), the q_llm_kmeans_assign integer
+       recipe — every distance below is integer-exact cross-engine),
+       assigned to their nearest of {ANN_N_CENTS} codebook centroids,
+       and written as an icetbl table PARTITIONED BY ivf_cluster; the
+       codebook itself is stored in TABLE PROPERTIES (JSON of ints —
+       the index is self-describing, no side file).
+    2. REFRESH — a late ingest batch appends to the BASE table; the
+       index is maintained from base.changelog(build_snap → head):
+       only the inserted rows are assigned (codebook READ BACK from
+       the index's own properties) and appended into their cluster
+       partitions. O(new batch), never an index rebuild.
+    3. PROBE "across sessions" — a FRESH IceTable.load handle parses
+       the codebook from properties, ranks centroids driver-side
+       (k integers — query-router state, not data), and scans ONLY the
+       {N_PROBE}-of-{ANN_N_CENTS} best clusters via partition-pruned
+       DNF predicates; require() asserts files_scanned < files_total.
+
+    100 TB: the build is one write (the partitioned layout IS the
+    index); refresh cost tracks ingest, not corpus; probes read
+    nprobe/k of the files forever. ``from_refresh`` in the output
+    proves refreshed rows are probe-visible. The oracle replays the
+    same assignment/probe rule over the full corpus — parity is exact
+    because top-k is restricted to the same best clusters."""
+    import json as _json
+
+    from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.icetbl.pruning import Pred
+    from iceberg_workshop_spark.icetbl.table import spec_field
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.registry import require
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("e"),
+    )
+    initial = emb.filter(
+        F.col("vec_id") % ANN_REFRESH_MOD != ANN_REFRESH_MOD - 1
+    )
+    arriving = emb.filter(
+        F.col("vec_id") % ANN_REFRESH_MOD == ANN_REFRESH_MOD - 1
+    )
+
+    _D2 = (
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    )
+
+    def assign(df: DataFrame, codebook: dict[int, list[int]]) -> DataFrame:
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                sorted(codebook.items()), "cid int, c array<bigint>"
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            df.crossJoin(cdf)
+            .withColumn("d2", F.expr(_D2))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", F.col("cid").alias("ivf_cluster"))
+        )
+
+    # 1. BUILD: base table, codebook (k rows -> driver), cluster-
+    #    partitioned index table with the codebook as properties.
+    base = IceTable.create_as(spark, _fresh(sf_dir, "ann_base"), initial)
+    build_snap = base.meta.current_snapshot_id
+    codebook = {
+        int(r["cid"]): [int(x) for x in r["c"]]
+        for r in initial.filter(F.col("vec_id") < ANN_N_CENTS)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        .collect()
+    }
+    require(
+        len(codebook) == ANN_N_CENTS,
+        f"ann_index_lifecycle: codebook needs {ANN_N_CENTS} centroids",
+    )
+    idx = IceTable.create_as(
+        spark,
+        _fresh(sf_dir, "ann_index"),
+        assign(initial, codebook),
+        partition_spec=[spec_field("ivf_cluster")],
+    )
+    idx.set_properties(
+        {
+            "ann.codebook": _json.dumps(codebook, sort_keys=True),
+            "ann.metric": "l2_sq1000",
+            "ann.nprobe": str(N_PROBE),
+            "ann.k": str(TOP_K),
+        }
+    )
+
+    # 2. REFRESH: late batch lands in the base table; the index is
+    #    maintained from the changelog with the PROPERTY codebook.
+    base.append(arriving)
+    chg = base.changelog(
+        from_snapshot_id=build_snap,
+        to_snapshot_id=base.meta.current_snapshot_id,
+    )
+    cb_from_props = {
+        int(k): v
+        for k, v in _json.loads(idx.meta.properties["ann.codebook"]).items()
+    }
+    idx.append(
+        assign(
+            chg.filter(F.col("_change_type") == "insert").select(
+                "vec_id", "e"
+            ),
+            cb_from_props,
+        )
+    )
+
+    # 3. PROBE from a fresh handle: codebook out of properties, best
+    #    clusters ranked driver-side (pure integer math), candidates
+    #    read via partition-pruned DNF scan.
+    idx2 = IceTable.load(spark, idx.meta.location)
+    cb = {
+        int(k): v
+        for k, v in _json.loads(idx2.meta.properties["ann.codebook"]).items()
+    }
+    probe_vec = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == PROBE_VEC_ID)
+        .collect()[0]["e"]
+    ]
+    ranked = sorted(
+        (sum((x - y) * (x - y) for x, y in zip(probe_vec, c)), cid)
+        for cid, c in cb.items()
+    )
+    best = [cid for _, cid in ranked[:N_PROBE]]
+    cand = idx2.scan([[Pred("ivf_cluster", "=", c)] for c in best])
+    rep = idx2.last_scan_report
+    require(
+        rep["files_scanned"] < rep["files_total"],
+        f"ann_index_lifecycle: probe must partition-prune, got {rep}",
+    )
+
+    probe_b = F.broadcast(
+        spark.createDataFrame([(probe_vec,)], "c array<bigint>")
+    )
+    return (
+        cand.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe_b)
+        .withColumn("d2", F.expr(_D2))
+        .orderBy("d2", "vec_id")
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            F.col("ivf_cluster").cast("int").alias("ivf_cluster"),
+            F.col("d2").cast("long").alias("d2"),
+            F.expr(
+                f"CAST(vec_id % {ANN_REFRESH_MOD} = {ANN_REFRESH_MOD - 1}"
+                " AS INT)"
+            ).alias("from_refresh"),
+        )
+    )

@@ -240,9 +240,16 @@ def q_stream_drift_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 hour").start.alias("ws"),
         F.expr("CAST(floor(value) AS BIGINT)").alias("v"),
     )
+    from iceberg_workshop_spark.registry import guard_axis
+
     counts = ev.groupBy("ws", "v").agg(F.count(F.lit(1)).alias("c"))
     wins = counts.select("ws").distinct()
-    vs = counts.select("v").distinct()
+    # same bounded-axis enforcement as q_llm_drift_ks/q_agg_mannwhitney:
+    # whole-unit binning keeps the axis small, but the precondition is
+    # now asserted in-plan, not assumed.
+    vs = guard_axis(
+        counts.select("v").distinct(), "q_stream_drift_window", 100_000
+    )
     grid = (
         wins.crossJoin(F.broadcast(vs))
         .join(counts, ["ws", "v"], "left")

@@ -770,3 +770,60 @@ def test_write_distribution_mode_hash_compacts_partition_files(spark, tmp_path):
     assert len(files_hash) == 4  # one file per partition value
     assert {f["partition"]["region"] for f in files_hash} == {"0", "1", "2", "3"}
     assert t_hash.read().count() == 4000
+
+
+def test_rename_then_readd_old_name_no_collision(spark, tmp_table_dir):
+    """Round-10 era-identity fix: after RENAME a->b, a NEW column may
+    reuse the name `a`. For files from before the rename, BOTH
+    declared columns used to resolve to physical `a` — a duplicate
+    read-schema entry (COLUMN_ALREADY_EXISTS). Alive-era projection:
+    old files feed `b` from physical `a` and read the new `a` as
+    NULL; new files carry both."""
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark,
+        tmp_table_dir,
+        spark.createDataFrame([(1, 10)], "id int, a int"),
+    )
+    t.rename_column("a", "b")
+    t.add_column("a", "int")
+    t.append(spark.createDataFrame([(2, 20, 200)], "id int, b int, a int"))
+    assert sorted(
+        (r.id, r.b, r.a) for r in t.read().collect()
+    ) == [(1, 10, None), (2, 20, 200)]
+
+
+def test_rename_chain_with_readd_stays_era_correct(spark, tmp_table_dir):
+    """a->b->c with a later re-added `b`: every era projects its own
+    physical name into `c`, and the re-added `b` is NULL for all
+    files written before its creation."""
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark,
+        tmp_table_dir,
+        spark.createDataFrame([(1, 10)], "id int, a int"),
+    )
+    t.rename_column("a", "b")
+    t.append(spark.createDataFrame([(2, 20)], "id int, b int"))
+    t.rename_column("b", "c")
+    t.add_column("b", "int")
+    t.append(spark.createDataFrame([(3, 30, 300)], "id int, c int, b int"))
+    assert sorted(
+        (r.id, r.c, r.b) for r in t.read().collect()
+    ) == [(1, 10, None), (2, 20, None), (3, 30, 300)]
+
+
+def test_drop_last_column_refused(spark, tmp_table_dir):
+    """Iceberg refuses to drop a table's only column; so do we (an
+    empty schema is unreadable and poisons later add_column DDL)."""
+    import pytest as _pytest
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark, tmp_table_dir, spark.createDataFrame([(1,)], "x int")
+    )
+    with _pytest.raises(ValueError, match="last column"):
+        t.drop_column("x")

@@ -36,6 +36,7 @@ HEAVY = [
     # similarity / shuffle-heavy
     "q_llm_simsearch_ivf", "q_llm_global_shuffle", "q_graph_pagerank",
     "q_llm_simsearch_pq", "q_llm_mrl_truncation",
+    "q_llm_ann_index_lifecycle",
     # DML / MERGE
     "q_dml_merge", "q_dml_delete_positional", "q_sql_merge_stmt",
     # streaming joins / agg
