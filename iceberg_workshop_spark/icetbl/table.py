@@ -1024,11 +1024,13 @@ class IceTable:
                 data = data.drop("__path", "__pos")
         if eq_dels:
             keys = eq_dels[0]["keys"]
-            # delete_where_mor rejects mixed key sets at write time;
+            # delete_where_mor rejects mixed key SETS at write time;
             # re-check here so a hand-crafted manifest cannot silently
             # apply a later delete with the wrong equality columns.
+            # Order-insensitive (round-10 ADVICE): the anti-join binds
+            # by column NAME, so ['k','v'] and ['v','k'] are one set.
             for d in eq_dels[1:]:
-                if list(d["keys"]) != list(keys):
+                if sorted(d["keys"]) != sorted(keys):
                     raise ValueError(
                         "equality-delete files disagree on key columns: "
                         f"{keys} vs {d['keys']}"

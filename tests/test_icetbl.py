@@ -827,3 +827,26 @@ def test_drop_last_column_refused(spark, tmp_table_dir):
     )
     with _pytest.raises(ValueError, match="last column"):
         t.drop_column("x")
+
+
+def test_eq_delete_key_set_guard_is_order_insensitive(spark, tmp_table_dir):
+    """Round-10 ADVICE fix: ['k','v'] and ['v','k'] are the same key
+    SET — a reordered spelling must not be rejected as a mismatch,
+    while a genuinely different set still is."""
+    import pytest as _pytest
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark,
+        tmp_table_dir,
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k int, v int, s string",
+        ),
+    )
+    t.delete_where_mor("k = 1", keys=["k", "v"])
+    t.delete_where_mor("k = 2", keys=["v", "k"])  # same set, reordered
+    assert sorted(r.k for r in t.read().collect()) == [3]
+    with _pytest.raises(ValueError, match="key set mismatch"):
+        t.delete_where_mor("k = 3", keys=["k", "s"])

@@ -997,3 +997,24 @@ def test_merge_insert_forms_and_bare_alias(spark, tmp_path):
     )
     rows = {(r.k, r.v) for r in sess.sql("SELECT k, v FROM db.m9").collect()}
     assert rows == {(1, 99), (2, 20), (3, 30)}
+
+
+def test_qualify_cast_type_names_do_not_flip_candidate_order():
+    """Regression (round-10 ADVICE): `AS BIGINT` inside CAST(...) in
+    the select list must not count as a select alias. A predicate
+    identifier that happens to equal a type name (here a column
+    literally named `bigint`) used to flip the candidate order to the
+    wrapped form; now only REAL aliases do."""
+    from iceberg_workshop_spark.plans.sqlfront import _rewrite_qualify
+
+    wrapped_head = "SELECT * FROM (SELECT __iws_q.*"
+    # pred ident 'bigint' == CAST type name, NOT an alias -> injected first
+    cands, hit = _rewrite_qualify(
+        "SELECT g, CAST(v AS BIGINT) AS w FROM t QUALIFY bigint > 1"
+    )
+    assert hit and not cands[0].startswith(wrapped_head), cands[0]
+    # pred referencing the REAL alias w -> wrapped (alias-binding) first
+    cands, hit = _rewrite_qualify(
+        "SELECT g, CAST(v AS BIGINT) AS w FROM t QUALIFY w > 1"
+    )
+    assert hit and cands[0].startswith(wrapped_head), cands[0]
