@@ -503,6 +503,38 @@ def delete_where_mor(
                     "the old deletes before changing the key set"
                 )
     matching = tbl.read().filter(condition).select(*keys).distinct()
+    return _commit_eq_delete(tbl, matching, keys)
+
+
+def delete_keys_mor(
+    tbl: IceTable, keys_df: DataFrame, keys: list[str]
+) -> dict[str, int]:
+    """Equality-delete by EXPLICIT key set — the CDC/changelog-consumer
+    form of ``delete_where_mor``: the caller already holds the key
+    tuples (a changelog's delete rows, an upstream tombstone feed), so
+    no table scan plans the delete. Same key-set guard, same sidecar
+    protocol, same sequence rule; commit cost is O(|keys|) regardless
+    of table size — the index-maintenance primitive a derived table
+    (e.g. a persisted ANN index) needs to track its base's deletes."""
+    if tbl.meta.current_snapshot_id is not None:
+        for d in tbl.meta.delete_entries(
+            tbl.meta.snapshot(tbl.meta.current_snapshot_id)
+        ):
+            if d.get("kind", "eq") == "eq" and sorted(d["keys"]) != sorted(
+                keys
+            ):
+                raise ValueError(
+                    "equality-delete key set mismatch: table already "
+                    f"carries deletes keyed on {d['keys']}, got {list(keys)}; "
+                    "run rewrite_equality_deletes() first to materialize "
+                    "the old deletes before changing the key set"
+                )
+    return _commit_eq_delete(tbl, keys_df.select(*keys).distinct(), keys)
+
+
+def _commit_eq_delete(
+    tbl: IceTable, matching: DataFrame, keys: list[str]
+) -> dict[str, int]:
     paths, n_keys, _content = _write_delete_sidecar(tbl, "eqdel", matching)
     # dseq is stamped from the base seen at PLAN time and deliberately
     # NOT re-stamped when `_mor_append_rebase` retries the commit onto
@@ -534,6 +566,7 @@ def delete_where_mor(
 
 
 IceTable.delete_where_mor = delete_where_mor
+IceTable.delete_keys_mor = delete_keys_mor
 
 
 def insert_overwrite(tbl: IceTable, df: DataFrame) -> dict[str, int]:

@@ -1094,7 +1094,18 @@ class IceTable:
             "bytes_total": sum(f.get("file_size", 0) for f in files),
             "bytes_scanned": sum(f.get("file_size", 0) for f in kept),
         }
-        df = self._read_files(kept)
+        # Merge-on-read deletes apply on the pruned path too (round-10
+        # fix: scan() used to read kept files raw, silently
+        # resurrecting MoR-deleted rows on any pruned read, including
+        # sqlfront predicate pushdown). The anti-join runs against the
+        # KEPT subset only, so pruning still pays.
+        cur = self.meta.current_snapshot_id
+        dels = (
+            self.meta.delete_entries(self.meta.snapshot(cur))
+            if cur is not None
+            else []
+        )
+        df = self._apply_deletes(kept, dels) if dels else self._read_files(kept)
         if dnf:
             df = df.filter(_dnf_to_column(dnf))
         return df

@@ -1617,3 +1617,176 @@ def q_llm_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("from_refresh"),
         )
     )
+
+
+ANN_DELETE_MOD = 7  # vec_id % 7 == 3 is GDPR-deleted after the build
+
+
+@register(
+    "q_llm_ann_index_delete",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, e AS c FROM q
+              WHERE vec_id < {ANN_N_CENTS}),
+    live AS (SELECT * FROM q WHERE vec_id % {ANN_DELETE_MOD} <> 3),
+    dists AS (
+      SELECT live.vec_id, cents.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (live.e[i] - cents.c[i]) * (live.e[i] - cents.c[i])))
+                  AS BIGINT) AS d2
+      FROM live CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+                 AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    best AS (
+      SELECT cid FROM dists WHERE vec_id = {PROBE_VEC_ID}
+      ORDER BY d2, cid LIMIT {N_PROBE}
+    ),
+    pd AS (
+      SELECT live.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (live.e[i] - p.e[i]) * (live.e[i] - p.e[i])))
+                  AS BIGINT) AS d2
+      FROM live, (SELECT e FROM q WHERE vec_id = {PROBE_VEC_ID}) p
+      WHERE live.vec_id <> {PROBE_VEC_ID}
+    )
+    SELECT pd.vec_id, a.cid AS ivf_cluster, pd.d2
+    FROM pd JOIN assign a USING (vec_id)
+    WHERE a.cid IN (SELECT cid FROM best)
+    ORDER BY pd.d2, pd.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_llm_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance under DELETES — the GDPR/tombstone side
+    of ``q_llm_ann_index_lifecycle``: a delete lands on the BASE
+    table (merge-on-read), the index consumes the changelog's delete
+    rows as an EXPLICIT key set via ``delete_keys_mor`` (O(|deleted|)
+    commit, no index scan, no rebuild), and the probe — a fresh
+    handle, partition-pruned — must never surface a deleted vector.
+
+    The probe exercises the round-10 ``scan()`` fix end-to-end: the
+    pruned read path applies the index's outstanding equality deletes
+    (it used to resurrect them), and the oracle's ``live`` restriction
+    breaks parity if any tombstoned vector leaks. The codebook
+    OUTLIVES its seed vectors (centroid 3's seed is itself deleted:
+    an IVF codebook is statistics, not data — deletes never force a
+    re-train). Same integer-exact SQ distances as the lifecycle
+    query."""
+    import json as _json
+
+    from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
+    from iceberg_workshop_spark.registry import require
+
+    # same quantize + assignment shapes as q_llm_ann_index_lifecycle
+    from iceberg_workshop_spark.icetbl.pruning import Pred
+    from iceberg_workshop_spark.icetbl.table import spec_field
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("e"),
+    )
+    _D2 = (
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    )
+
+    def assign(df: DataFrame, codebook: dict[int, list[int]]) -> DataFrame:
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                sorted(codebook.items()), "cid int, c array<bigint>"
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            df.crossJoin(cdf)
+            .withColumn("d2", F.expr(_D2))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", F.col("cid").alias("ivf_cluster"))
+        )
+
+    # BUILD over the full corpus
+    base = IceTable.create_as(spark, _fresh(sf_dir, "annd_base"), emb)
+    build_snap = base.meta.current_snapshot_id
+    codebook = {
+        int(r["cid"]): [int(x) for x in r["c"]]
+        for r in emb.filter(F.col("vec_id") < ANN_N_CENTS)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        .collect()
+    }
+    idx = IceTable.create_as(
+        spark,
+        _fresh(sf_dir, "annd_index"),
+        assign(emb, codebook),
+        partition_spec=[spec_field("ivf_cluster")],
+    )
+    idx.set_properties({"ann.codebook": _json.dumps(codebook, sort_keys=True)})
+
+    # DELETE on the base; index consumes the changelog's delete keys
+    base.delete_where_mor(
+        f"vec_id % {ANN_DELETE_MOD} = 3", keys=["vec_id"]
+    )
+    del_keys = base.changelog(
+        from_snapshot_id=build_snap,
+        to_snapshot_id=base.meta.current_snapshot_id,
+    ).filter(F.col("_change_type") == "delete").select("vec_id")
+    rep_del = idx.delete_keys_mor(del_keys, keys=["vec_id"])
+    require(
+        rep_del["keys_deleted"] > 0,
+        "ann_index_delete: the changelog must surface deleted keys",
+    )
+
+    # PROBE from a fresh handle; pruned scan must apply the deletes
+    idx2 = IceTable.load(spark, idx.meta.location)
+    cb = {
+        int(k): v
+        for k, v in _json.loads(idx2.meta.properties["ann.codebook"]).items()
+    }
+    probe_vec = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == PROBE_VEC_ID)
+        .collect()[0]["e"]
+    ]
+    ranked = sorted(
+        (sum((x - y) * (x - y) for x, y in zip(probe_vec, c)), cid)
+        for cid, c in cb.items()
+    )
+    best = [cid for _, cid in ranked[:N_PROBE]]
+    cand = idx2.scan([[Pred("ivf_cluster", "=", c)] for c in best])
+    rep = idx2.last_scan_report
+    require(
+        rep["files_scanned"] < rep["files_total"],
+        f"ann_index_delete: probe must partition-prune, got {rep}",
+    )
+    probe_b = F.broadcast(
+        spark.createDataFrame([(probe_vec,)], "c array<bigint>")
+    )
+    return (
+        cand.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe_b)
+        .withColumn("d2", F.expr(_D2))
+        .orderBy("d2", "vec_id")
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            F.col("ivf_cluster").cast("int").alias("ivf_cluster"),
+            F.col("d2").cast("long").alias("d2"),
+        )
+    )

@@ -158,8 +158,8 @@ _DRIVER_WINDOW = [
     # This window holds the 50 stalest externally-verified names plus
     # the queries whose plans changed this round — a 100% re-sample
     # window (VERDICT r9 task #1 asked for >=80%).
-    # (0) the one round-10 addition (never externally sampled);
-    "q_llm_ann_index_lifecycle",
+    # (0) the two round-10 additions (never externally sampled);
+    "q_llm_ann_index_lifecycle", "q_llm_ann_index_delete",
     # (1) plans changed in round 10 (grid guards, DECIMAL/HUGEINT ppm
     #     scaling, est_err_pct zero guard) — values identical, plans
     #     not, so the external gate re-pins them first;
@@ -177,11 +177,12 @@ _DRIVER_WINDOW = [
     "q_agg_mode", "q_agg_rollup_time", "q_agg_group_by_all",
     "q_agg_filter_clause", "q_agg_variance", "q_agg_min_max_by",
     "q_agg_weighted_median", "q_agg_skewness",
-    # (3) 18 of the 23 round-3-vintage names (set ops, array/map fns —
+    # (3) 17 of the 23 round-3-vintage names (set ops, array/map fns —
     #     the r8 red-row family — DML head, time travel, the streaming
-    #     five); the five leftovers (q_fn_string/_date/_math/
-    #     _conditional, q_limit_topk) are LEDGER r11 candidates.
-    "q_win_topk_per_group", "q_sort_multi",
+    #     five); the six leftovers (q_fn_string/_date/_math/
+    #     _conditional, q_limit_topk, q_sort_multi) are LEDGER r11
+    #     candidates.
+    "q_win_topk_per_group",
     "q_set_union_all", "q_set_intersect_except",
     "q_fn_array", "q_fn_map_json",
     "q_dml_insert_values", "q_dml_insert_select", "q_dml_merge",

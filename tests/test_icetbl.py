@@ -850,3 +850,53 @@ def test_eq_delete_key_set_guard_is_order_insensitive(spark, tmp_table_dir):
     assert sorted(r.k for r in t.read().collect()) == [3]
     with _pytest.raises(ValueError, match="key set mismatch"):
         t.delete_where_mor("k = 3", keys=["k", "s"])
+
+
+def test_pruned_scan_applies_mor_deletes(spark, tmp_table_dir):
+    """Round-10 fix: scan() (the pruned-read path) must apply
+    outstanding merge-on-read deletes exactly like read() — it used to
+    read kept files raw and resurrect deleted rows on any pruned
+    read. Both delete kinds, with and without predicates."""
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark,
+        tmp_table_dir,
+        spark.createDataFrame([(i, i * 10) for i in range(6)], "k int, v int"),
+    )
+    t.delete_where_mor("k = 2", keys=["k"])
+    assert sorted(r.k for r in t.scan().collect()) == [0, 1, 3, 4, 5]
+    assert sorted(
+        r.k for r in t.scan([Pred("k", "between", (0, 5))]).collect()
+    ) == [0, 1, 3, 4, 5]
+    # positional deletes through the same path
+    t.delete_where_pos("k = 4")
+    assert sorted(
+        r.k for r in t.scan([Pred("k", "between", (0, 5))]).collect()
+    ) == [0, 1, 3, 5]
+
+
+def test_delete_keys_mor_by_explicit_key_set(spark, tmp_table_dir):
+    """delete_keys_mor: the changelog-consumer delete form — an
+    explicit key DataFrame, no table scan, same sequence rule and
+    key-set guard as delete_where_mor; later appends survive."""
+    import pytest as _pytest
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    t = IceTable.create_as(
+        spark,
+        tmp_table_dir,
+        spark.createDataFrame([(i, i * 10) for i in range(5)], "k int, v int"),
+    )
+    rep = t.delete_keys_mor(
+        spark.createDataFrame([(1,), (3,), (99,)], "k int"), keys=["k"]
+    )
+    assert rep["keys_deleted"] == 3  # 99 matches nothing but is carried
+    assert sorted(r.k for r in t.read().collect()) == [0, 2, 4]
+    # strictly-older rule: a re-appended key 1 is NOT masked
+    t.append(spark.createDataFrame([(1, 111)], "k int, v int"))
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 4]
+    # key-set guard still applies
+    with _pytest.raises(ValueError, match="key set mismatch"):
+        t.delete_keys_mor(spark.createDataFrame([(0, 0)], "k int, v int"), keys=["k", "v"])

@@ -1018,3 +1018,24 @@ def test_qualify_cast_type_names_do_not_flip_candidate_order():
         "SELECT g, CAST(v AS BIGINT) AS w FROM t QUALIFY w > 1"
     )
     assert hit and cands[0].startswith(wrapped_head), cands[0]
+
+
+def test_select_with_pushdown_applies_mor_deletes(spark, tmp_path):
+    """Round-10 fix: a SELECT whose WHERE is pushed into the pruned
+    table scan must not resurrect rows masked by outstanding
+    merge-on-read deletes."""
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    sess = IceSqlSession(spark)
+    sess.sql(
+        f"CREATE TABLE db.morsel (k BIGINT, v BIGINT) LOCATION '{tmp_path}/m'"
+    )
+    sess.tables["db.morsel"].set_properties(
+        {"write.delete.mode": "merge-on-read"}
+    )
+    sess.sql("INSERT INTO db.morsel VALUES (1, 10), (2, 20), (3, 30)")
+    sess.sql("DELETE FROM db.morsel WHERE k = 2")
+    got = sorted(
+        r.k for r in sess.sql("SELECT k FROM db.morsel WHERE k >= 1").collect()
+    )
+    assert got == [1, 3], got
