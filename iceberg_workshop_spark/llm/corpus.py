@@ -355,8 +355,10 @@ IMPORTANCE_TOP_K = 50
                AS n_tgt
     ), scored AS (
       SELECT t.doc_id,
-             CAST(SUM(1000000 * COALESCE(g.c_tgt, 0) * tot.n_all
-                      // (c.c_all * tot.n_tgt)) // COUNT(*) AS BIGINT)
+             CAST(SUM(CAST(1000000 AS HUGEINT) * COALESCE(g.c_tgt, 0)
+                      * tot.n_all
+                      // (CAST(c.c_all AS HUGEINT) * tot.n_tgt))
+                  // COUNT(*) AS BIGINT)
                AS score_ppm
       FROM toks t
       JOIN corpus c ON c.tok = t.tok
@@ -379,7 +381,11 @@ def q_llm_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token ratio table broadcasts back onto the token stream, one
     per-doc agg, TakeOrdered(k). The LM join is vocabulary-sized —
     tiny next to the corpus — so this selects from 100 TB with two
-    narrow shuffles."""
+    narrow shuffles. The 1e6·c_tgt·n_all ratio numerator multiplies
+    two corpus-scale counts, so it runs in DECIMAL(38,0)/HUGEINT
+    (the round-10 ppm discipline) — BIGINT would wrap at ~10^6
+    target tokens; the per-doc SUM of BIGINT ratios that remains is
+    bounded by doc_len · 1e6 · (n_all/n_tgt)."""
     toks = _toks(spark, sf_dir).persist()
     corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
     tgt = (
@@ -396,8 +402,9 @@ def q_llm_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .selectExpr(
             "tok",
-            "1000000 * COALESCE(c_tgt, 0) * n_all DIV (c_all * n_tgt)"
-            " AS ratio_ppm",
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * COALESCE(c_tgt, 0)"
+            " * n_all DIV (CAST(c_all AS DECIMAL(38,0)) * n_tgt)"
+            " AS BIGINT) AS ratio_ppm",
         )
     )
     scored = (
@@ -494,7 +501,8 @@ def q_llm_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(n_novel) AS BIGINT) AS sum_novel,
            CAST(SUM(n_shingles) AS BIGINT) AS sum_shingles,
-           CAST(1000000 * SUM(n_novel) // SUM(n_shingles) AS BIGINT)
+           CAST(CAST(1000000 AS HUGEINT) * SUM(n_novel)
+                // CAST(SUM(n_shingles) AS HUGEINT) AS BIGINT)
              AS novelty_ppm
     FROM per_doc
     GROUP BY source
@@ -533,7 +541,8 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_novel").alias("sum_novel"),
             F.sum("n_shingles").alias("sum_shingles"),
             F.expr(
-                "CAST(1000000 * SUM(n_novel) DIV SUM(n_shingles) AS BIGINT)"
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * SUM(n_novel)"
+                " DIV CAST(SUM(n_shingles) AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("novelty_ppm"),
         )
         .orderBy("source")
@@ -697,7 +706,8 @@ def q_llm_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(SUM(n_words) AS BIGINT) AS n_words,
            CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
-           CAST(1000000 * SUM(n_bpe) // SUM(n_words) AS BIGINT)
+           CAST(CAST(1000000 AS HUGEINT) * SUM(n_bpe)
+                // CAST(SUM(n_words) AS HUGEINT) AS BIGINT)
              AS fertility_ppm
     FROM per_doc
     GROUP BY lang
@@ -725,7 +735,8 @@ def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("n_words"),
             F.sum("n_bpe").alias("n_bpe_tokens"),
             F.expr(
-                "CAST(1000000 * SUM(n_bpe) DIV SUM(n_words) AS BIGINT)"
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * SUM(n_bpe)"
+                " DIV CAST(SUM(n_words) AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("fertility_ppm"),
         )
         .orderBy("lang")
@@ -905,7 +916,10 @@ def q_llm_drift_ks(
     on the cross-multiplied numerator max |cum_src·n_rest −
     cum_rest·n_src| and reported as ppm via integer division — no
     float CDFs (the 1e6 scaling runs in DECIMAL(38,0) / HUGEINT so
-    d_num·1e6 cannot wrap BIGINT at corpus scale). Scale shape:
+    d_num·1e6 cannot wrap BIGINT at corpus scale; the d_num statistic
+    itself is inherently ~n_src·n_rest and stays BIGINT-exact up to
+    ~3·10^9 docs per side — the same documented-accumulator class as
+    Mann–Whitney's rsum2). Scale shape:
     counts groupBy is the only corpus-sized pass; the (source ×
     distinct-length) grid is a cross join of two BOUNDED dims — and
     that precondition is now ENFORCED, not assumed: an in-plan

@@ -307,7 +307,12 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     float accumulation order can flip a target count between engines;
     doc selection within a source is the md5 rank — deterministic,
     seedless, engine-independent. One broadcast of the tiny per-source
-    target table + one window per source: two narrow shuffles total."""
+    target table + one window per source: two narrow shuffles total.
+    100 TB note: n_target here is corpus-proportional (not a small
+    k), so the per-source rank window holds a whole source in one
+    task; at that scale refine to bucket-selection — count per
+    (source, md5-prefix bucket), prefix-sum the ~256 bucket counts to
+    find each source's threshold bucket, rank only inside it."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     strata = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),

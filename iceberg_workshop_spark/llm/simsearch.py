@@ -56,6 +56,43 @@ def _with_norm(df: DataFrame, vcol: str, out: str) -> DataFrame:
     )
 
 
+# fan-out of the two-level exact per-group top-k (_topk_per_group)
+TOPK_BUCKETS = 32
+
+
+def _topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    bucket_on: str,
+    rank_col: str,
+) -> DataFrame:
+    """Exact per-group top-k that never sorts a whole group in one
+    task (round-10 fix: ``Window.partitionBy(group)`` alone puts a
+    probe/query group's ENTIRE corpus-sized score stream into a
+    single window partition — the 100 TB bottleneck of every
+    broadcast-probe ranking here). Level 1 takes top-k within
+    (group, hash-bucket-of-``bucket_on``), so each window partition
+    holds ~1/TOPK_BUCKETS of the group; level 2 ranks only the
+    surviving TOPK_BUCKETS·k rows per group. Exact: every true
+    top-k member survives its own bucket's cut by definition, and
+    both levels share one deterministic total order (``order`` must
+    end in a unique tiebreak column)."""
+    w1 = Window.partitionBy(*keys, "__tkb").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(
+            "__tkb", F.pmod(F.xxhash64(bucket_on), F.lit(TOPK_BUCKETS))
+        )
+        .withColumn("__tkr1", F.row_number().over(w1))
+        .filter(F.col("__tkr1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("__tkb", "__tkr1")
+    )
+
+
 @register(
     "q_llm_simsearch",
     oracle=f"""
@@ -373,9 +410,10 @@ N_PROBES_BATCH = 5
 )
 def q_llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-probe top-k: N probes answered in ONE corpus scan
-    (probe set broadcast; per-row scoring against every probe, window
-    top-k per probe). The amortization that makes interactive ANN
-    serving viable — k probes cost one pass, not k passes."""
+    (probe set broadcast; per-row scoring against every probe,
+    two-level exact top-k per probe — see ``_topk_per_group``). The
+    amortization that makes interactive ANN serving viable — k probes
+    cost one pass, not k passes."""
     emb = _with_norm(
         load(spark, sf_dir, "embeddings").select(
             "vec_id", _as_double("embedding").alias("v")
@@ -395,12 +433,15 @@ def q_llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("c", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
     )
-    rn = Window.partitionBy("probe_id").orderBy(
-        F.col("c").desc(), F.col("vec_id").asc()
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(rn))
-        .filter(F.col("rank") <= TOP_K)
+        _topk_per_group(
+            scored,
+            ["probe_id"],
+            [F.col("c").desc(), F.col("vec_id").asc()],
+            TOP_K,
+            "vec_id",
+            "rank",
+        )
         .select("probe_id", "vec_id", F.round("c", 4).alias("cosine"), "rank")
         .orderBy("probe_id", "rank")
     )
@@ -592,9 +633,10 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the
     most-similar vectors carrying a DIFFERENT label — the examples a
     retrieval model must learn to push apart. Same one-scan broadcast-
-    anchor plan as batched top-k, with the label inequality applied
-    before scoring so same-class rows never enter the ranking. Cosines
-    use the left-to-right float fold that matches DuckDB's
+    anchor plan as batched top-k (two-level exact top-k per anchor —
+    ``_topk_per_group``), with the label inequality applied before
+    scoring so same-class rows never enter the ranking. Cosines use
+    the left-to-right float fold that matches DuckDB's
     list_dot_product bit-for-bit."""
     emb = _with_norm(
         load(spark, sf_dir, "embeddings").select(
@@ -616,10 +658,15 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label") != F.col("anchor_label"))
         .withColumn("c", _dot("v", "av") / (F.col("nrm") * F.col("anrm")))
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("c").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        _topk_per_group(
+            scored,
+            ["anchor_id"],
+            [F.col("c").desc(), F.col("vec_id")],
+            3,
+            "vec_id",
+            "rn",
+        )
         .select(
             "anchor_id",
             F.col("vec_id").alias("negative_id"),
@@ -768,9 +815,13 @@ def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("p_id"))
         .withColumn("c", _dot("v", "pv") / (F.col("nrm") * F.col("pnrm")))
     )
-    w = Window.partitionBy("p_id").orderBy(F.col("c").desc(), F.col("vec_id"))
-    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= EVAL_K
+    topk = _topk_per_group(
+        scored,
+        ["p_id"],
+        [F.col("c").desc(), F.col("vec_id")],
+        EVAL_K,
+        "vec_id",
+        "rnk",
     )
     per_probe = topk.groupBy("p_id").agg(
         F.sum(
@@ -848,15 +899,16 @@ def q_llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("anchor_id").orderBy("h", "vec_id")
-            ),
-        )
     )
     return (
-        ranked.filter(F.col("rank") <= 5)
+        _topk_per_group(
+            ranked,
+            ["anchor_id"],
+            [F.col("h"), F.col("vec_id")],
+            5,
+            "vec_id",
+            "rank",
+        )
         .select("anchor_id", F.col("vec_id").alias("negative_id"), "rank")
         .orderBy("anchor_id", "rank")
     )
@@ -1062,14 +1114,14 @@ def q_llm_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("c", _dot("sv", "pv") / (F.col("nrm") * F.col("pnrm")))
     )
-    w = Window.partitionBy("p_id", "dim").orderBy(
-        F.col("c").desc(), F.col("vec_id").asc()
-    )
-    topk = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= EVAL_K)
-        .select("p_id", "dim", "vec_id")
-    )
+    topk = _topk_per_group(
+        scored,
+        ["p_id", "dim"],
+        [F.col("c").desc(), F.col("vec_id").asc()],
+        EVAL_K,
+        "vec_id",
+        "rnk",
+    ).select("p_id", "dim", "vec_id")
     full_k = topk.filter(F.col("dim") == 64).select(
         F.col("p_id").alias("f_pid"), F.col("vec_id").alias("f_vid")
     )
@@ -1244,14 +1296,21 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in both engines (the unigram_logprob ordered-reduce
     discipline). Scores are ranked on their ROUNDED value with doc_id
     tiebreak, so ranking is deterministic cross-engine. At 100 TB the
-    only corpus-sized shuffles are the token TF aggregation and the
-    top-K window partitioned by query — no join ever carries the
-    corpus on both sides."""
+    only corpus-sized shuffle is the token TF aggregation: the
+    per-query top-K is TWO-LEVEL (round-10 fix — a window partitioned
+    by qid alone would sort the whole corpus in |queries| tasks): see
+    ``_topk_per_group``."""
     doc_score = _bm25_doc_scores(spark, sf_dir, BM25_QUERIES)
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
     return (
-        doc_score.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BM25_TOPK)
+        _topk_per_group(
+            doc_score,
+            ["qid"],
+            [F.col("score").desc(), F.col("doc_id")],
+            BM25_TOPK,
+            "doc_id",
+            "rank",
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("qid", "rank", "doc_id", "score")
         .orderBy("qid", "rank")
     )
@@ -1323,15 +1382,23 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a top-K (TakeOrderedAndProject, no full sort); the fusion joins
     two K-row frames — driver-free and broadcast-sized regardless of
     corpus size."""
+    # top-DEPTH via orderBy().limit() = TakeOrderedAndProject (a
+    # per-partition heap + K-row merge, NO single-task global sort —
+    # round-10 fix: ranking the full score stream through an
+    # unpartitioned window was the 100 TB bottleneck); the row_number
+    # that assigns ranks then runs over DEPTH rows only. Same
+    # (score DESC, doc_id) total order in both steps keeps the set
+    # and the ranks identical to the one-window form.
     sparse = (
         _bm25_doc_scores(spark, sf_dir, RRF_QUERY)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
         .withColumn(
             "srank",
             F.row_number().over(
                 Window.orderBy(F.col("score").desc(), "doc_id")
             ),
         )
-        .filter(F.col("srank") <= RRF_DEPTH)
         .select("doc_id", "srank")
     )
     emb = _with_norm(
@@ -1353,13 +1420,14 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_r",
             F.round(_dot("v", "pv") / (F.col("nrm") * F.col("pnrm")), 4),
         )
+        .orderBy(F.col("cos_r").desc(), F.col("vec_id").asc())
+        .limit(RRF_DEPTH)
         .withColumn(
             "drank",
             F.row_number().over(
                 Window.orderBy(F.col("cos_r").desc(), F.col("vec_id").asc())
             ),
         )
-        .filter(F.col("drank") <= RRF_DEPTH)
         .select(F.col("vec_id").alias("doc_id"), "drank")
     )
     fused = (

@@ -666,7 +666,11 @@ def q_llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is one broadcast join; the tercile split is one window
     per source partition — no global sort, no driver state. At 100 TB
     swap the unigram LM for a trained KenLM behind the same
-    per-document scoring column."""
+    per-document scoring column; and since NTILE's positional
+    semantics put a whole source into one window task, at that scale
+    derive the two tercile CUT SCORES from per-(source, score-bucket)
+    counts instead and bucket by comparison — same output table, no
+    full-source ordering."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")

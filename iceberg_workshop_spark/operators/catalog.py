@@ -152,7 +152,12 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reproducibility property a training-data pipeline needs; the
     md5 rank replaces `TABLESAMPLE`, which is neither stratified nor
     deterministic). One window over the stratum key, no driver logic.
-    """
+    100 TB note: the 20% target is stratum-proportional (large k), so
+    the per-stratum rank window holds a whole stratum in one task; at
+    that scale refine to bucket-selection (count per (lang,
+    md5-prefix bucket), prefix-sum the bucket counts to locate each
+    stratum's cut bucket, rank only inside it) — q_llm_domain_mix
+    documents the same plan."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     from pyspark.sql.window import Window
 

@@ -155,12 +155,14 @@ def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_keys,
            CAST(SUM(cnt) AS BIGINT) AS n_rows,
            MAX(cnt) AS max_key_rows,
-           CAST((1000000 * MAX(cnt)) // CAST(SUM(cnt) AS BIGINT) AS BIGINT)
+           CAST((CAST(1000000 AS HUGEINT) * MAX(cnt))
+                // CAST(SUM(cnt) AS HUGEINT) AS BIGINT)
              AS top1_share_ppm,
-           CAST((100 * MAX(cnt) * COUNT(*)) // CAST(SUM(cnt) AS BIGINT) AS BIGINT)
+           CAST((CAST(100 AS HUGEINT) * MAX(cnt) * COUNT(*))
+                // CAST(SUM(cnt) AS HUGEINT) AS BIGINT)
              AS skew_x100,
-           CAST((1000000 * (SELECT top10_rows FROM top10))
-                // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS top10_share_ppm
+           CAST((CAST(1000000 AS HUGEINT) * (SELECT top10_rows FROM top10))
+                // CAST(SUM(cnt) AS HUGEINT) AS BIGINT) AS top10_share_ppm
     FROM per_key
     """,
 )
@@ -169,9 +171,12 @@ def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest-key share (ppm), max/mean ratio (×100), and the top-10-key
     share — the numbers that decide between a plain shuffle join,
     AQE skew splitting, and explicit salting (operators/skew.py).
-    Integer arithmetic throughout (DIV, not float division). One
-    grouped agg plus a 10-row TakeOrdered; nothing touches the
-    driver."""
+    Integer arithmetic throughout (DIV, not float division); the
+    share/skew products multiply table-scale counts (1e6·max_rows,
+    100·max_rows·n_keys), so they run in DECIMAL(38,0)/HUGEINT —
+    the round-10 ppm discipline — instead of wrapping BIGINT at
+    ~10^13 rows. One grouped agg plus a 10-row TakeOrdered; nothing
+    touches the driver."""
     per_key = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -193,8 +198,13 @@ def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
             "n_rows",
             "max_key_rows",
-            "(1000000 * max_key_rows) DIV n_rows AS top1_share_ppm",
-            "(100 * max_key_rows * n_keys) DIV n_rows AS skew_x100",
-            "(1000000 * top10_rows) DIV n_rows AS top10_share_ppm",
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * max_key_rows"
+            " DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+            " AS top1_share_ppm",
+            "CAST(CAST(100 AS DECIMAL(38,0)) * max_key_rows * n_keys"
+            " DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT) AS skew_x100",
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * top10_rows"
+            " DIV CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+            " AS top10_share_ppm",
         )
     )

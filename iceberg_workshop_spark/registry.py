@@ -165,6 +165,11 @@ _DRIVER_WINDOW = [
     #     not, so the external gate re-pins them first;
     "q_llm_drift_ks", "q_agg_mannwhitney", "q_stream_drift_window",
     "q_llm_source_overlap", "q_graph_triangles",
+    "q_llm_importance_select", "q_llm_ngram_novelty", "q_llm_fertility",
+    "q_profile_skew", "q_llm_bm25_topk", "q_llm_hybrid_rrf",
+    "q_llm_simsearch_batch", "q_llm_hard_negatives",
+    "q_llm_retrieval_eval", "q_llm_negative_sampling",
+    "q_llm_mrl_truncation",
     # (2) the 26 queries last externally sampled in ROUND 1 — nine
     #     rounds of refactors ago (scan formats, outer/banded/asof
     #     joins, the aggregate head);
@@ -177,17 +182,21 @@ _DRIVER_WINDOW = [
     "q_agg_mode", "q_agg_rollup_time", "q_agg_group_by_all",
     "q_agg_filter_clause", "q_agg_variance", "q_agg_min_max_by",
     "q_agg_weighted_median", "q_agg_skewness",
-    # (3) 17 of the 23 round-3-vintage names (set ops, array/map fns —
-    #     the r8 red-row family — DML head, time travel, the streaming
-    #     five); the six leftovers (q_fn_string/_date/_math/
-    #     _conditional, q_limit_topk, q_sort_multi) are LEDGER r11
-    #     candidates.
-    "q_win_topk_per_group",
-    "q_set_union_all", "q_set_intersect_except",
+    # (3) 6 of the 23 round-3-vintage names (array/map fns — the r8
+    #     red-row family — the MoR-exercising DML pair, the two
+    #     watermark streams); the seventeen leftovers
+    #     (q_fn_string/_date/_math/_conditional, q_limit_topk,
+    #     q_sort_multi, and the eleven displaced by the late plan
+    #     changes — ppm discipline + the two-level top-K rewrites:
+    #     q_win_topk_per_group, q_set_union_all,
+    #     q_set_intersect_except, q_stream_tumbling, q_stream_sliding,
+    #     q_stream_session, q_dml_insert_values, q_dml_insert_select,
+    #     q_dml_truncate, q_tt_as_of, q_tt_rollback) are LEDGER r11
+    #     candidates — displacement picked the least-churned /
+    #     least-subtle implementations first, keeping the MoR and
+    #     watermark rows.
     "q_fn_array", "q_fn_map_json",
-    "q_dml_insert_values", "q_dml_insert_select", "q_dml_merge",
-    "q_dml_delete", "q_dml_truncate", "q_tt_as_of", "q_tt_rollback",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_dml_merge", "q_dml_delete",
     "q_stream_dedup_watermark", "q_stream_agg_watermark",
     # 50 names total — zero pad slots this round.
 ]

@@ -235,3 +235,67 @@ def test_containment_prefix_lossless_on_random_corpus(spark, tmp_path):
     )
     # the corpus must actually exercise the operator
     assert len(truth) >= 8
+
+
+def test_ppm_decimal_discipline_survives_bigint_wrap(spark):
+    """Round-10 ppm discipline: every corpus-scale ppm/share product
+    (1e6 * count [* count]) runs in DECIMAL(38,0) on the Spark side
+    and HUGEINT in the oracle. This pins the arithmetic at magnitudes
+    where the OLD BIGINT forms provably wrap (products > 2^63),
+    asserting Spark == DuckDB == Python-int truth for each fixed
+    expression shape:
+
+    - importance ratio  (corpus.py q_llm_importance_select):
+      1e6 * c_tgt * n_all DIV (c_all * n_tgt) — triple product;
+    - corpus share      (novelty/fertility):
+      1e6 * num DIV den at num ~ 10^13 tokens;
+    - skew diagnostics  (physical.py q_profile_skew):
+      1e6 * max_rows DIV n_rows and 100 * max_rows * n_keys DIV
+      n_rows — two table-scale factors.
+    """
+    cases = [
+        # (spark_sql_expr, duckdb_sql_expr, python_truth)
+        (
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * 4000000000000"
+            " * 9000000000000"
+            " DIV (CAST(5000000000000 AS DECIMAL(38,0))"
+            " * 6000000000000) AS BIGINT)",
+            "CAST(CAST(1000000 AS HUGEINT) * 4000000000000"
+            " * 9000000000000"
+            " // (CAST(5000000000000 AS HUGEINT)"
+            " * 6000000000000) AS BIGINT)",
+            1_000_000 * 4_000_000_000_000 * 9_000_000_000_000
+            // (5_000_000_000_000 * 6_000_000_000_000),
+        ),
+        (
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * 17000000000000"
+            " DIV CAST(21000000000000 AS DECIMAL(38,0)) AS BIGINT)",
+            "CAST(CAST(1000000 AS HUGEINT) * 17000000000000"
+            " // CAST(21000000000000 AS HUGEINT) AS BIGINT)",
+            1_000_000 * 17_000_000_000_000 // 21_000_000_000_000,
+        ),
+        (
+            "CAST(CAST(100 AS DECIMAL(38,0)) * 9000000000000"
+            " * 10000000000"
+            " DIV CAST(13000000000000 AS DECIMAL(38,0)) AS BIGINT)",
+            "CAST(CAST(100 AS HUGEINT) * 9000000000000"
+            " * 10000000000"
+            " // CAST(13000000000000 AS HUGEINT) AS BIGINT)",
+            100 * 9_000_000_000_000 * 10_000_000_000
+            // 13_000_000_000_000,
+        ),
+    ]
+    con = duckdb.connect()
+    wrapping_products = [
+        1_000_000 * 4_000_000_000_000 * 9_000_000_000_000,
+        1_000_000 * 17_000_000_000_000,
+        100 * 9_000_000_000_000 * 10_000_000_000,
+    ]
+    for p in wrapping_products:  # the old BIGINT forms really wrapped
+        assert p >= 2**63
+    for s_expr, d_expr, truth in cases:
+        # ...while the quotient fits BIGINT (the discipline's contract)
+        assert 0 < truth < 2**63
+        got_spark = spark.sql(f"SELECT {s_expr} AS v").collect()[0]["v"]
+        got_duck = con.execute(f"SELECT {d_expr} AS v").fetchone()[0]
+        assert got_spark == got_duck == truth, (s_expr, got_spark, got_duck)
