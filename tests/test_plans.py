@@ -720,3 +720,36 @@ def test_bm25_and_hybrid_plan_shapes(spark):
     assert "BroadcastHashJoin" in bm25  # query vocab + DF dims broadcast
     rrf = _plan(qs["q_llm_hybrid_rrf"](spark, SF_DIR))
     assert "CartesianProduct" not in rrf
+
+
+def test_probe_rankings_avoid_corpus_sized_window_partitions(spark):
+    """Round-10 top-K plan contract: the broadcast-probe ranking
+    family must never put a group's whole corpus-sized score stream
+    into one window partition.
+
+    - q_llm_hybrid_rrf's sparse/dense legs take their top-DEPTH via
+      TakeOrderedAndProject (per-partition heap + K-row merge); every
+      Window node in the plan runs AFTER a DEPTH-row limit.
+    - The `_topk_per_group` users (bm25/batch/hard-negatives/
+      retrieval-eval/negative-sampling/mrl) rank level 1 inside
+      (group, item-hash bucket): the first Window's partition spec
+      must include the bucket column alongside the group key.
+    """
+    from iceberg_workshop_spark.registry import queries
+
+    qs = queries()
+    rrf = _plan(qs["q_llm_hybrid_rrf"](spark, SF_DIR))
+    # three TakeOrderedAndProject: sparse leg, dense leg, fused rank
+    assert rrf.count("TakeOrderedAndProject") >= 3, rrf
+    for name in (
+        "q_llm_bm25_topk",
+        "q_llm_simsearch_batch",
+        "q_llm_hard_negatives",
+        "q_llm_retrieval_eval",
+        "q_llm_negative_sampling",
+        "q_llm_mrl_truncation",
+    ):
+        plan = _plan(qs[name](spark, SF_DIR))
+        # level-1 window partitions by (group, __tkb) — the bucket
+        # column must appear in a window partition spec
+        assert "__tkb" in plan, name
