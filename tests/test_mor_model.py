@@ -7,7 +7,7 @@ skipped `_apply_deletes` and resurrected MoR-deleted rows). This test
 drives random — but seeded, so deterministic — interleavings of
 
     append / delete_where_mor / delete_keys_mor / delete_where_pos /
-    insert_overwrite / rewrite_equality_deletes
+    update_where_mor / insert_overwrite / rewrite_equality_deletes
 
 against a pure-Python model of the Iceberg v2 semantics and asserts
 after EVERY op that `tbl.read()` equals the model exactly, and
@@ -20,6 +20,11 @@ outstanding deletes (the round-10 fix, kept fixed):
 - positional deletes are planned on RAW file positions and bind
   (path, pos), so they compose with equality deletes and never touch
   re-inserted rows;
+- update_where_mor is ONE commit: a positional delete of the matched
+  visible rows plus their updated images stamped with the commit's
+  own sequence — the updated rows must survive every older equality
+  delete (seq strictly greater), and a no-match update must not
+  commit at all;
 - insert_overwrite (unpartitioned → whole-table replace) carries
   delete entries forward, but they cannot match the new, higher-seq
   rows;
@@ -75,9 +80,9 @@ def _run_sequence(spark, loc, rng):
     rows = [{"k": k, "v": v, "seq": seq} for k, v in first]
     eq_dels = []  # list of (frozenset-of-k, dseq)
 
-    ops = ["append", "del_where", "del_keys", "del_pos", "overwrite",
-           "rewrite"]
-    weights = [4, 3, 2, 2, 1, 1]
+    ops = ["append", "del_where", "del_keys", "del_pos", "upd_mor",
+           "overwrite", "rewrite"]
+    weights = [4, 3, 2, 2, 2, 1, 1]
     history = []
     for step in range(OPS_PER_SEQ):
         op = rng.choices(ops, weights)[0]
@@ -110,6 +115,20 @@ def _run_sequence(spark, loc, rng):
             t.delete_where_pos(f"v % {m} = {res}")
             seq += 1
             rows = [r for r in rows if r["v"] % m != res]
+        elif op == "upd_mor":
+            cut = rng.randint(0, max(next_v[0] - 1, 0))
+            matched = [
+                r for r in _visible(rows, eq_dels) if r["v"] >= cut
+            ]
+            t.update_where_mor(f"v >= {cut}", {"v": "v + 1000"})
+            if matched:  # a no-match update must not commit
+                seq += 1
+                mv = {r["v"] for r in matched}  # v is unique per row
+                rows = [r for r in rows if r["v"] not in mv]
+                rows.extend(
+                    {"k": r["k"], "v": r["v"] + 1000, "seq": seq}
+                    for r in matched
+                )
         elif op == "overwrite":
             b = batch(rng.randint(2, 5))
             t.insert_overwrite(df_of(b))
