@@ -7,7 +7,8 @@ skipped `_apply_deletes` and resurrected MoR-deleted rows). This test
 drives random — but seeded, so deterministic — interleavings of
 
     append / delete_where_mor / delete_keys_mor / delete_where_pos /
-    update_where_mor / insert_overwrite / rewrite_equality_deletes
+    update_where_mor / merge_into_mor / insert_overwrite /
+    rewrite_equality_deletes
 
 against a pure-Python model of the Iceberg v2 semantics and asserts
 after EVERY op that `tbl.read()` equals the model exactly, and
@@ -25,6 +26,11 @@ outstanding deletes (the round-10 fix, kept fixed):
   own sequence — the updated rows must survive every older equality
   delete (seq strictly greater), and a no-match update must not
   commit at all;
+- merge_into_mor is the one-commit upsert: every VISIBLE target row
+  whose key matches the source is position-masked and replaced by
+  the source image (rows hidden by an older equality delete stay
+  hidden — planning reads through the delete set), unmatched source
+  rows insert; all new rows carry the commit's own sequence;
 - insert_overwrite (unpartitioned → whole-table replace) carries
   delete entries forward, but they cannot match the new, higher-seq
   rows;
@@ -81,8 +87,8 @@ def _run_sequence(spark, loc, rng):
     eq_dels = []  # list of (frozenset-of-k, dseq)
 
     ops = ["append", "del_where", "del_keys", "del_pos", "upd_mor",
-           "overwrite", "rewrite"]
-    weights = [4, 3, 2, 2, 2, 1, 1]
+           "merge_mor", "overwrite", "rewrite"]
+    weights = [4, 3, 2, 2, 2, 2, 1, 1]
     history = []
     for step in range(OPS_PER_SEQ):
         op = rng.choices(ops, weights)[0]
@@ -129,6 +135,28 @@ def _run_sequence(spark, loc, rng):
                     {"k": r["k"], "v": r["v"] + 1000, "seq": seq}
                     for r in matched
                 )
+        elif op == "merge_mor":
+            ks = rng.sample(KEY_SPACE, rng.randint(1, 3))
+            src = [(k, next_v[0] + i) for i, k in enumerate(ks)]
+            next_v[0] += len(ks)
+            src_v = dict(src)
+            vis = _visible(rows, eq_dels)
+            vis_keys = {r["k"] for r in vis}
+            t.merge_into_mor(df_of(src), on=["k"])
+            seq += 1
+            matched_ids = {id(r) for r in vis if r["k"] in src_v}
+            new_model = [
+                {"k": r["k"], "v": src_v[r["k"]], "seq": seq}
+                for r in vis
+                if r["k"] in src_v
+            ] + [
+                {"k": k, "v": v, "seq": seq}
+                for k, v in src
+                if k not in vis_keys
+            ]
+            rows = [
+                r for r in rows if id(r) not in matched_ids
+            ] + new_model
         elif op == "overwrite":
             b = batch(rng.randint(2, 5))
             t.insert_overwrite(df_of(b))
