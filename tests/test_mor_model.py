@@ -87,8 +87,8 @@ def _run_sequence(spark, loc, rng):
     eq_dels = []  # list of (frozenset-of-k, dseq)
 
     ops = ["append", "del_where", "del_keys", "del_pos", "upd_mor",
-           "merge_mor", "overwrite", "rewrite"]
-    weights = [4, 3, 2, 2, 2, 2, 1, 1]
+           "merge_mor", "overwrite", "rewrite", "compact"]
+    weights = [4, 3, 2, 2, 2, 2, 1, 1, 2]
     history = []
     for step in range(OPS_PER_SEQ):
         op = rng.choices(ops, weights)[0]
@@ -169,6 +169,17 @@ def _run_sequence(spark, loc, rng):
             seq += 1
             rows = [dict(r, seq=seq) for r in _visible(rows, eq_dels)]
             eq_dels = []
+        elif op == "compact":
+            # rewrite_data_files must read THROUGH the deletes and
+            # re-stamp survivors at the commit's own sequence; the
+            # CARRIED equality deletes then exempt the rewritten rows
+            # (seq rule) but would resurrect nothing
+            kw = rng.choice(
+                [{}, {"sort_by": ["k"]}, {"zorder_by": ["k", "v"]}]
+            )
+            t.rewrite_data_files(**kw)
+            seq += 1
+            rows = [dict(r, seq=seq) for r in _visible(rows, eq_dels)]
         assert _read_set(t) == _model_set(rows, eq_dels), (
             f"step {step} op {op} history {history}"
         )
