@@ -168,14 +168,23 @@ def _cow_rebase(
                     "serializable isolation: a concurrent append added rows "
                     "matching this operation's predicate — re-plan required"
                 )
-        return [
-            f for f in fresh_files if f["path"] not in removed_paths
-        ] + new_files
+        # Delta against the WINNER's head: this op's rewrites plus the
+        # winner's fresh entry objects for the files it removed (old
+        # identities are stale after the refresh).
+        return (
+            new_files,
+            [f for f in fresh_files if f["path"] in removed_paths],
+            None,
+            None,
+            False,
+        )
 
     return rebase
 
 
-def _mor_append_rebase(tbl, base_files, base_dels, own_new_files):
+def _mor_append_rebase(
+    tbl, base_meta, base_head_id, base_dels, own_new_files, own_entries
+):
     """Rebase hook for merge-on-read commits (delete/update/merge
     sidecar writers): a concurrent winner that only ADDED data files
     leaves the operation fully valid — positional deletes target
@@ -190,13 +199,25 @@ def _mor_append_rebase(tbl, base_files, base_dels, own_new_files):
     touched the delete set re-raises for a re-plan — a concurrent
     compaction would orphan positional targets, and a concurrent
     row-level delete interleaved with an update/merge is a genuine
-    write-write conflict (lost-delete hazard)."""
-    base_paths = {f["path"] for f in base_files}
+    write-write conflict (lost-delete hazard).
+
+    ``base_meta``/``base_head_id`` identify the PLAN-TIME head; the
+    base path set is derived lazily inside the hook, so the no-conflict
+    fast path never materializes the live file list (delete_keys_mor's
+    O(|keys|) commit claim)."""
     base_del_keys = {_del_entry_key(d) for d in base_dels}
 
     def rebase(fresh_meta):
         from iceberg_workshop_spark.icetbl import meta as M2
 
+        base_paths = (
+            {
+                f["path"]
+                for f in base_meta.files(base_meta.snapshot(base_head_id))
+            }
+            if base_head_id is not None
+            else set()
+        )
         fresh_files = fresh_meta.current_files()
         fresh_paths = {f["path"] for f in fresh_files}
         if not base_paths <= fresh_paths:
@@ -216,7 +237,7 @@ def _mor_append_rebase(tbl, base_files, base_dels, own_new_files):
                 "merge-on-read rebase: a concurrent commit changed the "
                 "delete-file set — re-plan required"
             )
-        return list(fresh_files) + own_new_files
+        return (own_new_files, [], own_entries, None, False)
 
     return rebase
 
@@ -267,9 +288,9 @@ def delete_where(
             .select(*tbl._column_names())
         )
         new_files = tbl._write_files(remaining, tbl.meta.specs[spec_id], spec_id)
-    planned = untouched + unaffected + new_files
-    tbl._commit_snapshot(
-        planned,
+    tbl._commit_snapshot_delta(
+        new_files,
+        affected,
         "delete",
         branch=branch,
         rebase=(
@@ -351,10 +372,10 @@ def merge_into(
 
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(updated.unionByName(inserts), tbl.meta.specs[spec_id], spec_id)
-    planned = untouched + new_files
     src_keys = source.select(*on).distinct()
-    tbl._commit_snapshot(
-        planned,
+    tbl._commit_snapshot_delta(
+        new_files,
+        affected,
         "merge",
         rebase=_cow_rebase(
             tbl,
@@ -414,9 +435,9 @@ def update_where(
         )
         spec_id = tbl.meta.current_spec_id
         new_files = tbl._write_files(rewritten, tbl.meta.specs[spec_id], spec_id)
-    planned = untouched + unaffected + new_files
-    tbl._commit_snapshot(
-        planned,
+    tbl._commit_snapshot_delta(
+        new_files,
+        affected,
         "update",
         rebase=_cow_rebase(
             tbl,
@@ -556,11 +577,19 @@ def _commit_eq_delete(
         if tbl.meta.current_snapshot_id is not None
         else []
     )
-    tbl._commit_snapshot(
-        tbl.meta.current_files(),
+    # Delta commit: the head's data AND delete manifests carry by
+    # reference; only the new sidecar entries are written — the commit
+    # never materializes the live file list (O(|keys|) at any table
+    # size; the rebase hook derives the base path set lazily, only on
+    # an actual conflict).
+    tbl._commit_snapshot_delta(
+        [],
+        [],
         "delete-mor",
-        delete_files=existing + entries,
-        rebase=_mor_append_rebase(tbl, tbl.meta.current_files(), existing, []),
+        added_deletes=entries,
+        rebase=_mor_append_rebase(
+            tbl, tbl.meta, tbl.meta.current_snapshot_id, existing, [], entries
+        ),
     )
     return {"delete_files_added": len(entries), "keys_deleted": n_keys}
 
@@ -591,20 +620,26 @@ def insert_overwrite(tbl: IceTable, df: DataFrame) -> dict[str, int]:
     current = tbl.meta.current_files()
     new_files = tbl._write_files(df, spec, spec_id)
     if not spec:
-        kept = []
-    else:
-        incoming = {
-            tuple(sorted((f.get("partition") or {}).items())) for f in new_files
+        # unpartitioned: replace whole — O(1) truncate of the parent's
+        # manifests plus the new files
+        tbl._commit_snapshot_delta(new_files, [], "overwrite", truncate=True)
+        return {
+            "files_total": len(current),
+            "files_replaced": len(current),
+            "files_added": len(new_files),
         }
-        kept = [
-            f
-            for f in current
-            if tuple(sorted((f.get("partition") or {}).items())) not in incoming
-        ]
-    tbl._commit_snapshot(kept + new_files, "overwrite")
+    incoming = {
+        tuple(sorted((f.get("partition") or {}).items())) for f in new_files
+    }
+    replaced = [
+        f
+        for f in current
+        if tuple(sorted((f.get("partition") or {}).items())) in incoming
+    ]
+    tbl._commit_snapshot_delta(new_files, replaced, "overwrite")
     return {
         "files_total": len(current),
-        "files_replaced": len(current) - len(kept),
+        "files_replaced": len(replaced),
         "files_added": len(new_files),
     }
 
@@ -682,11 +717,14 @@ def delete_where_pos(tbl: IceTable, condition: str) -> dict[str, int]:
         if tbl.meta.current_snapshot_id is not None
         else []
     )
-    tbl._commit_snapshot(
-        tbl.meta.current_files(),
+    tbl._commit_snapshot_delta(
+        [],
+        [],
         "delete-mor",
-        delete_files=existing + entries,
-        rebase=_mor_append_rebase(tbl, tbl.meta.current_files(), existing, []),
+        added_deletes=entries,
+        rebase=_mor_append_rebase(
+            tbl, tbl.meta, tbl.meta.current_snapshot_id, existing, [], entries
+        ),
     )
     return {"delete_files_added": len(entries), "positions_deleted": n_pos}
 
@@ -763,12 +801,18 @@ def update_where_mor(
         if tbl.meta.current_snapshot_id is not None
         else []
     )
-    tbl._commit_snapshot(
-        tbl.meta.current_files() + new_files,
+    tbl._commit_snapshot_delta(
+        new_files,
+        [],
         "update-mor",
-        delete_files=existing + entries,
+        added_deletes=entries,
         rebase=_mor_append_rebase(
-            tbl, tbl.meta.current_files(), existing, new_files
+            tbl,
+            tbl.meta,
+            tbl.meta.current_snapshot_id,
+            existing,
+            new_files,
+            entries,
         ),
     )
     return {"positions_deleted": n_pos, "files_added": len(new_files)}
@@ -878,12 +922,18 @@ def merge_into_mor(
         if tbl.meta.current_snapshot_id is not None
         else []
     )
-    tbl._commit_snapshot(
-        tbl.meta.current_files() + new_files,
+    tbl._commit_snapshot_delta(
+        new_files,
+        [],
         "merge-mor",
-        delete_files=existing + entries,
+        added_deletes=entries,
         rebase=_mor_append_rebase(
-            tbl, tbl.meta.current_files(), existing, new_files
+            tbl,
+            tbl.meta,
+            tbl.meta.current_snapshot_id,
+            existing,
+            new_files,
+            entries,
         ),
     )
     return {"positions_deleted": n_pos, "files_added": len(new_files)}

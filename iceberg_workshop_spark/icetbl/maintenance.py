@@ -231,7 +231,7 @@ def rewrite_data_files(
         df = df.repartition(n)
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(df, tbl.meta.specs[spec_id], spec_id)
-    tbl._commit_snapshot(untouched + new_files, "replace")
+    tbl._commit_snapshot_delta(new_files, to_rewrite, "replace")
     return {
         "files_before": len(files),
         "files_after": len(untouched) + len(new_files),
@@ -360,7 +360,9 @@ def rewrite_equality_deletes(tbl: IceTable) -> dict[str, int]:
     clean = tbl.read().select(*tbl._column_names())
     spec_id = tbl.meta.current_spec_id
     new_files = tbl._write_files(clean, tbl.meta.specs[spec_id], spec_id)
-    tbl._commit_snapshot(new_files, "rewrite-deletes", delete_files=[])
+    tbl._commit_snapshot_delta(
+        new_files, [], "rewrite-deletes", truncate=True, truncate_deletes=True
+    )
     return {"delete_files_removed": len(dels), "files_written": len(new_files)}
 
 
@@ -598,10 +600,12 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
             }
             for p in paths
         ]
-    tbl._commit_snapshot(
-        tbl.meta.current_files(),
+    tbl._commit_snapshot_delta(
+        [],
+        [],
         "rewrite-deletes",
-        delete_files=other_dels + new_entries,
+        added_deletes=new_entries,
+        removed_deletes=pos_dels,
     )
     return {
         "rewritten_delete_files_count": len(pos_dels),

@@ -80,6 +80,12 @@ class TableMeta:
         # manifest-path -> loaded entries; manifests are immutable, so
         # one load per TableMeta serves every snapshot referencing it
         self._mf_cache: dict[str, list[dict[str, Any]]] = {}
+        # manifest-path -> frozenset of id()s of its cached entry
+        # objects: the delta-commit path locates removed entries by
+        # identity in O(|manifests|) set probes instead of walking
+        # every live entry per commit. Keyed off _mf_cache's objects,
+        # handed across commits together with it.
+        self._mf_idset: dict[str, frozenset[int]] = {}
 
     # -- accessors ---------------------------------------------------
     @property
@@ -148,6 +154,15 @@ class TableMeta:
                 ) from None
             self._mf_cache[rel_path] = ents
         return ents
+
+    def mf_idset(self, rel_path: str) -> frozenset[int]:
+        """id()s of the manifest's cached entry objects (lazy, cached;
+        valid as long as ``_mf_cache`` holds the entries alive)."""
+        ids = self._mf_idset.get(rel_path)
+        if ids is None:
+            ids = frozenset(map(id, self._load_mf(rel_path)))
+            self._mf_idset[rel_path] = ids
+        return ids
 
     def files(self, snap: dict[str, Any]) -> list[dict[str, Any]]:
         """The snapshot's data-file entries, materializing its
@@ -329,9 +344,19 @@ def _write_manifest_shards(
                 "path": rel,
                 "n": len(chunk),
                 "records": sum(e.get("record_count") or 0 for e in chunk),
+                # Every entry carries seq + first_snapshot_id: the
+                # delta-commit fast path may carry this manifest by
+                # reference without the legacy per-entry backfill.
+                # False for delete manifests (their entries are
+                # dseq-stamped by the writer, a different contract)
+                # and for migrated pre-stamping docs.
+                "stamped": all(
+                    "seq" in e and "first_snapshot_id" in e for e in chunk
+                ),
             }
         )
         meta._mf_cache[rel] = chunk
+        meta._mf_idset[rel] = frozenset(map(id, chunk))
     return out
 
 
@@ -461,6 +486,7 @@ def commit(meta: TableMeta) -> TableMeta:
     # reads never re-parse sidecars already seen by this process (the
     # re-load was the dominant commit cost at 10^5 files).
     committed._mf_cache = meta._mf_cache
+    committed._mf_idset = meta._mf_idset
     _gc_metadata(committed)
     return committed
 

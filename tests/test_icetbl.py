@@ -674,7 +674,7 @@ def test_legacy_entry_backfill_does_not_rewrite_history(spark, tmp_path):
     true_first = {
         f["path"]: f["first_snapshot_id"]
         for sn in t.meta.snapshots
-        for f in sn["files"]
+        for f in t.meta.files(sn)
     }
     # simulate a pre-stamping table: strip the stamps on disk (also
     # drop the manifest descriptors so commit re-shards the stripped

@@ -88,7 +88,7 @@ def test_manifest_round_trip_and_descriptor_schema(tmp_path):
     rsnap = [s for s in raw["snapshots"] if s["snapshot_id"] == snap["snapshot_id"]][0]
     assert "files" not in rsnap and "delete_files" not in rsnap
     for m in rsnap["manifests"]:
-        assert set(m) == {"path", "n", "records"}
+        assert set(m) == {"path", "n", "records", "stamped"}
         assert os.path.exists(os.path.join(meta.location, m["path"]))
     # counts come from descriptors without materializing entries
     assert fresh.file_counts(snap) == (10, 100)

@@ -104,7 +104,7 @@ def test_positional_delete_call_through_frontend(spark, tmp_path):
     assert out["added_delete_files_count"] == 1
     assert t.read().count() == 20
     # only one pos-delete entry remains on the head snapshot
-    dels = t.meta.snapshot(t.meta.current_snapshot_id)["delete_files"]
+    dels = t.meta.delete_entries(t.meta.snapshot(t.meta.current_snapshot_id))
     assert [d.get("kind") for d in dels] == ["pos"]
 
 
@@ -233,8 +233,8 @@ def test_merge_mor_effect_protocol_and_front_end_routing(spark, tmp_path):
            WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"""
     )
     head = t.meta.snapshot(t.meta.current_snapshot_id)
-    assert before <= {f["path"] for f in head["files"]}
-    assert any(d.get("kind") == "pos" for d in head.get("delete_files", []))
+    assert before <= {f["path"] for f in t.meta.files(head)}
+    assert any(d.get("kind") == "pos" for d in t.meta.delete_entries(head))
     rows = {r.k: r.v for r in t.read().collect()}
     expect = {i: f"v{i}" for i in range(10)}
     expect[1] = "UPD"

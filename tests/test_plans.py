@@ -350,7 +350,7 @@ def test_pos_delete_targets_prune_untouched_files(spark, tmp_path):
     )
     assert len(t.meta.current_files()) == 4
     t.delete_where_pos("a < 10")  # falls entirely in the first range file
-    dels = t.meta.snapshot(t.meta.current_snapshot_id)["delete_files"]
+    dels = t.meta.delete_entries(t.meta.snapshot(t.meta.current_snapshot_id))
     assert len(dels) == 1 and len(dels[0]["target_paths"]) == 1
     assert t.read().count() == 90
     plan = _plan(t.read())

@@ -838,8 +838,8 @@ def test_update_statement_routes_by_write_update_mode(spark, tmp_path):
     )
     s.sql("UPDATE db.u SET v = v + 1 WHERE k < 3")
     head = t.meta.snapshot(t.meta.current_snapshot_id)
-    assert before <= {f["path"] for f in head["files"]}
-    assert any(d.get("kind") == "pos" for d in head.get("delete_files", []))
+    assert before <= {f["path"] for f in t.meta.files(head)}
+    assert any(d.get("kind") == "pos" for d in t.meta.delete_entries(head))
     rows = {r.k: r.v for r in s.sql("SELECT * FROM db.u").collect()}
     assert rows == {i: i * 10 + (1 if i < 3 else 0) for i in range(10)}
 

@@ -54,9 +54,13 @@ def _entry(i: int) -> dict:
 
 
 class _Shim:
-    """Minimal stand-in for IceTable in _commit_snapshot (which only
-    touches self.meta); lets the benchmark run the real commit path
-    without a SparkSession."""
+    """Minimal stand-in for IceTable in _commit_snapshot_delta (which
+    only touches self.meta plus sibling helpers); lets the benchmark
+    run the real commit path without a SparkSession."""
+
+    _partition_manifests = IceTable._partition_manifests
+    _commit_snapshot = IceTable._commit_snapshot
+    _commit_snapshot_delta_fallback = IceTable._commit_snapshot_delta_fallback
 
 
 def _metadata_bytes(location: str) -> dict[str, int]:
@@ -79,21 +83,21 @@ def main() -> None:
         n_live = 0
         next_id = 0
         for tier in TIERS:
-            # one batch append up to the tier size (real commit too)
+            # one batch append up to the tier size (the real append()
+            # delta contract: added entries only, the base's manifests
+            # carry by reference)
             batch = [_entry(next_id + j) for j in range(tier - n_live)]
             next_id += len(batch)
-            base = list(shim.meta.current_files())
-            IceTable._commit_snapshot(shim, base + batch, "append")
+            IceTable._commit_snapshot_delta(shim, batch, [], "append", rebase="blind")
             n_live = tier
 
             ms, vbytes, mfbytes, mfcount = [], [], [], []
             for _ in range(PROBES):
                 before = _metadata_bytes(loc)
-                base = list(shim.meta.current_files())
                 one = [_entry(next_id)]
                 next_id += 1
                 t0 = time.perf_counter()
-                IceTable._commit_snapshot(shim, base + one, "append")
+                IceTable._commit_snapshot_delta(shim, one, [], "append", rebase="blind")
                 ms.append((time.perf_counter() - t0) * 1000)
                 after = _metadata_bytes(loc)
                 new = {k: v for k, v in after.items() if k not in before}
@@ -150,10 +154,17 @@ def main() -> None:
                 hi["commit_ms_median"] / max(lo["commit_ms_median"], 0.001), 3
             ),
         }
-        with open(
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_meta.json"),
-            "w",
-        ) as f:
+        dest = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_meta.json",
+        )
+        # keep non-benchmark keys other tools/rounds recorded in the
+        # same file (e.g. the r10 warm/cold triage note)
+        if os.path.exists(dest):
+            with open(dest) as f:
+                prev = json.load(f)
+            out = {**{k: v for k, v in prev.items() if k not in out}, **out}
+        with open(dest, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(json.dumps(out))
     finally:
