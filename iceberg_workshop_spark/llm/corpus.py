@@ -873,8 +873,9 @@ stat AS (
   SELECT c1.source,
          t.n_src,
          n.n_all - t.n_src AS n_rest,
-         MAX(ABS(c1.cum_src * (n.n_all - t.n_src)
-                 - (ca.cum_tot - c1.cum_src) * t.n_src)) AS d_num
+         MAX(ABS(CAST(c1.cum_src AS HUGEINT) * (n.n_all - t.n_src)
+                 - CAST(ca.cum_tot - c1.cum_src AS HUGEINT) * t.n_src))
+           AS d_num
   FROM cum1 c1
   JOIN cum_all ca ON ca.x = c1.x
   JOIN tot t ON t.source = c1.source, n
@@ -915,11 +916,11 @@ def q_llm_drift_ks(
     Integer-exact cross-engine: with counts c, D's comparison is done
     on the cross-multiplied numerator max |cum_src·n_rest −
     cum_rest·n_src| and reported as ppm via integer division — no
-    float CDFs (the 1e6 scaling runs in DECIMAL(38,0) / HUGEINT so
-    d_num·1e6 cannot wrap BIGINT at corpus scale; the d_num statistic
-    itself is inherently ~n_src·n_rest and stays BIGINT-exact up to
-    ~3·10^9 docs per side — the same documented-accumulator class as
-    Mann–Whitney's rsum2). Scale shape:
+    float CDFs (BOTH the 1e6 scaling and the ~n_src·n_rest-sized
+    d_num products run in DECIMAL(38,0) / HUGEINT — no silent BIGINT
+    wrap at any corpus size; the unbounded d_num output column is
+    narrowed to BIGINT under an in-plan ``assert_true``, same
+    discipline as Mann–Whitney's rsum2). Scale shape:
     counts groupBy is the only corpus-sized pass; the (source ×
     distinct-length) grid is a cross join of two BOUNDED dims — and
     that precondition is now ENFORCED, not assumed: an in-plan
@@ -931,6 +932,10 @@ def q_llm_drift_ks(
     the per-source cumulative counts (Σ_s cum_src(s, x) =
     cum_total(x)), one grouped aggregate over the grid."""
     docs = load(spark, sf_dir, "documents")
+    # `div` (truncate toward zero) == the oracle's floor `//` here
+    # ONLY because n_chars >= 0 by construction (a character count);
+    # a sign-carrying axis must use the pmod floor-division form
+    # (see q_agg_mannwhitney's value bucketing)
     counts = docs.groupBy(
         "source", F.expr(f"n_chars div {int(grain)}").alias("x")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -957,15 +962,31 @@ def q_llm_drift_ks(
         .withColumn("n_rest", F.col("n_all") - F.col("n_src"))
         .groupBy("source", "n_src", "n_rest")
         .agg(
+            # cross-multiplied CDF-gap numerator in DECIMAL(38,0):
+            # d_num ~ n_src·n_rest wraps BIGINT past ~6e9 docs — same
+            # closed-accumulator class as Mann–Whitney's rsum2
             F.max(
                 F.abs(
-                    F.col("cum_src") * F.col("n_rest")
-                    - (F.col("cum_tot") - F.col("cum_src")) * F.col("n_src")
+                    F.col("cum_src").cast("decimal(38,0)")
+                    * F.col("n_rest")
+                    - (F.col("cum_tot") - F.col("cum_src")).cast(
+                        "decimal(38,0)"
+                    )
+                    * F.col("n_src")
                 )
             ).alias("d_num")
         )
     )
-    return stat.select(
+    return stat.where(
+        # d_num's BIGINT output is narrowed LOUDLY, never wrapped
+        F.assert_true(
+            F.expr("d_num <= 9223372036854775807"),
+            F.lit(
+                "q_llm_drift_ks: d_num exceeds BIGINT — report d_ppm "
+                "only or widen the output contract"
+            ),
+        ).isNull()
+    ).select(
         "source",
         F.col("n_src").cast("long").alias("n_src"),
         F.col("n_rest").cast("long").alias("n_rest"),

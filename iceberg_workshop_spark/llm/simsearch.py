@@ -56,8 +56,15 @@ def _with_norm(df: DataFrame, vcol: str, out: str) -> DataFrame:
     )
 
 
-# fan-out of the two-level exact per-group top-k (_topk_per_group)
+# default fan-out of the two-level exact per-group top-k
+# (_topk_per_group); right-sized for the bench/test scale here (groups
+# of 10^4-10^6 rows). Callers at larger expected group sizes pass
+# ``buckets`` explicitly — see the docstring's 100 TB guidance.
 TOPK_BUCKETS = 32
+# declared per-task row bound the fan-out guidance targets: a level-1
+# window partition of ~5M (score, id) rows sorts comfortably in one
+# executor task (sub-GB) without spilling
+TOPK_MAX_TASK_ROWS = 5_000_000
 
 
 def _topk_per_group(
@@ -67,6 +74,7 @@ def _topk_per_group(
     k: int,
     bucket_on: str,
     rank_col: str,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Exact per-group top-k that never sorts a whole group in one
     task (round-10 fix: ``Window.partitionBy(group)`` alone puts a
@@ -74,16 +82,39 @@ def _topk_per_group(
     single window partition — the 100 TB bottleneck of every
     broadcast-probe ranking here). Level 1 takes top-k within
     (group, hash-bucket-of-``bucket_on``), so each window partition
-    holds ~1/TOPK_BUCKETS of the group; level 2 ranks only the
-    surviving TOPK_BUCKETS·k rows per group. Exact: every true
-    top-k member survives its own bucket's cut by definition, and
-    both levels share one deterministic total order (``order`` must
-    end in a unique tiebreak column)."""
+    holds ~1/buckets of the group; level 2 ranks only the surviving
+    buckets·k rows per group. Exact: every true top-k member survives
+    its own bucket's cut by definition, and both levels share one
+    deterministic total order.
+
+    Fan-out sizing: each level-1 task holds ~|group|/buckets rows, so
+    choose ``buckets ≈ ceil(expected_group_rows / TOPK_MAX_TASK_ROWS)``
+    — at a 10^9-row group (full-corpus scoring at 100 TB) that is
+    ~200 buckets, bounding every task at the declared
+    TOPK_MAX_TASK_ROWS. The default TOPK_BUCKETS fits the ≤10^6-row
+    groups of the bench scales; level 2's input is buckets·k rows per
+    group either way, driver-trivial at any realistic k.
+
+    CONTRACT (enforced): ``order`` must end in a unique-per-row
+    tiebreak column and ``bucket_on`` must be (or derive from) that
+    same row identity — otherwise a tied row cut at level 1 could have
+    ranked ≤ k at level 2 and the result would be silently
+    nondeterministic. The guard below requires the last order
+    expression to reference ``bucket_on``; pass the row-id column in
+    both places (as every caller here does)."""
+    if bucket_on not in str(order[-1]):
+        raise ValueError(
+            "_topk_per_group: the last `order` expression must be the "
+            f"unique tiebreak column {bucket_on!r} (got "
+            f"{str(order[-1])!r}) — without a shared unique total "
+            "order the two-level cut is not exact under ties"
+        )
+    n_buckets = buckets or TOPK_BUCKETS
     w1 = Window.partitionBy(*keys, "__tkb").orderBy(*order)
     w2 = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn(
-            "__tkb", F.pmod(F.xxhash64(bucket_on), F.lit(TOPK_BUCKETS))
+            "__tkb", F.pmod(F.xxhash64(bucket_on), F.lit(n_buckets))
         )
         .withColumn("__tkr1", F.row_number().over(w1))
         .filter(F.col("__tkr1") <= k)

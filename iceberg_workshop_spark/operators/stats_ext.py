@@ -256,7 +256,7 @@ cumv AS (
 r2 AS (SELECT v, cv, 2 * cum_before + cv + 1 AS rank2 FROM cumv),
 grp AS (
   SELECT g, CAST(SUM(c) AS BIGINT) AS n1,
-         CAST(SUM(c * r2.rank2) AS BIGINT) AS rsum2
+         CAST(SUM(CAST(c AS HUGEINT) * r2.rank2) AS HUGEINT) AS rsum2
   FROM counts JOIN r2 USING (v) GROUP BY g
 ),
 n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts)
@@ -293,10 +293,13 @@ def q_agg_mannwhitney(
     Integer-exact with ties: tie-averaged ranks are carried DOUBLED
     (2·avg_rank = 2·cum_before + tie_count + 1, always integer), so
     rank sums, U2 = 2U, and the ppm effect size are pure integer
-    arithmetic in both engines (the 1e6 scaling and the n1·n2
-    denominator run in DECIMAL(38,0) / HUGEINT so neither wraps
-    BIGINT at stream scale; the BIGINT bound that remains is the
-    rank-sum accumulator rsum2 ≲ 2n², i.e. n ≲ 2e9 events). Scale
+    arithmetic in both engines; ALL corpus-scale products — the
+    rank-sum accumulator rsum2 ≲ 2n², the 1e6 scaling, and the n1·n2
+    denominator — run in DECIMAL(38,0) / HUGEINT (no silent BIGINT
+    wrap at any stream size), and the one BIGINT output that is not
+    logically bounded (u2 = 2U, > 2^63 past n ≈ 4e9 events) is
+    narrowed under an in-plan ``assert_true`` that fails loudly
+    instead of wrapping. Scale
     shape: one groupBy builds (group, value) counts; ranking happens
     over the bounded distinct-VALUE dimension, not the event stream —
     a precondition now ENFORCED by an in-plan ``assert_true``: a
@@ -310,8 +313,15 @@ def q_agg_mannwhitney(
 
     ev = load(spark, sf_dir, "events").select(
         F.col("event_type").alias("g"),
+        # FLOOR division, not Spark's truncate-toward-zero `div`:
+        # value can be negative, and the DuckDB oracle's `//` floors —
+        # (v - pmod(v, g)) div g is exact integer floor division for
+        # any sign (pmod's remainder is non-negative), so both engines
+        # bucket negative values identically at any grain
         F.expr(
-            f"CAST(floor(value * 100) AS BIGINT) div {int(grain)}"
+            "CAST((CAST(floor(value * 100) AS BIGINT)"
+            f" - pmod(CAST(floor(value * 100) AS BIGINT), {int(grain)}))"
+            f" div {int(grain)} AS BIGINT)"
         ).alias("v"),
     )
     counts = ev.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
@@ -341,20 +351,43 @@ def q_agg_mannwhitney(
         .groupBy("g")
         .agg(
             F.sum("c").cast("long").alias("n1"),
-            F.sum(F.col("c") * F.col("rank2")).cast("long").alias("rsum2"),
+            # rank-sum accumulator in DECIMAL(38,0): rsum2 ~ 2n² wraps
+            # BIGINT past n ≈ 2·10^9 events — the last documented
+            # BIGINT bound of the round-10 ppm sweep, closed here (the
+            # per-term product c·rank2 is cast BEFORE multiplying so
+            # no intermediate ever runs in long)
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("rank2")
+            ).alias("rsum2"),
         )
     )
     n_all = counts.agg(F.sum("c").cast("long").alias("n_all"))
+    # u2 is computed in DECIMAL and only then narrowed to the BIGINT
+    # output column; the in-plan assert makes the narrowing LOUD if a
+    # stream ever pushes u2 = 2·U past 2^63 (n ≳ 4·10^9 events) —
+    # same guard discipline as the dense-grid axis check
+    u2_dec = (
+        "(rsum2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))"
+    )
     return (
         grp.crossJoin(F.broadcast(n_all))
+        .where(
+            F.assert_true(
+                F.expr(f"abs({u2_dec}) <= 9223372036854775807"),
+                F.lit(
+                    "q_agg_mannwhitney: u2 = 2U exceeds BIGINT — report "
+                    "cl_ppm only or widen the output contract"
+                ),
+            ).isNull()
+        )
         .select(
             F.col("g").alias("event_type"),
             "n1",
             (F.col("n_all") - F.col("n1")).alias("n2"),
-            F.expr("CAST(rsum2 - n1 * (n1 + 1) AS BIGINT)").alias("u2"),
+            F.expr(f"CAST({u2_dec} AS BIGINT)").alias("u2"),
             F.expr(
                 "CAST(CAST(1000000 AS DECIMAL(38,0))"
-                " * (rsum2 - n1 * (n1 + 1))"
+                f" * {u2_dec}"
                 " div (CAST(2 AS DECIMAL(38,0)) * n1 * (n_all - n1))"
                 " AS BIGINT)"
             ).alias("cl_ppm"),

@@ -92,13 +92,16 @@ def guard_axis(axis: DataFrame, query: str, max_grid: int) -> DataFrame:
     Grid-shaped statistics (KS, Mann–Whitney) cross-join a group dim
     with a distinct-VALUE dim and are only scale-safe while the value
     axis stays bounded. This wraps the single-column ``axis`` frame
-    with an IN-PLAN ``assert_true`` against a broadcast 1-row count:
-    no extra scan/job is added, and a genuinely continuous column
-    (100 TB of distinct values) fails the job LOUDLY with a message
-    telling the caller to bucket via the query's ``grain`` parameter
-    — instead of OOMing on a |groups| × |distinct| grid. The count
-    aggregates the already-distinct axis, so the guard itself is
-    metadata-sized at any scale.
+    with an IN-PLAN ``assert_true`` against a broadcast 1-row count,
+    so a genuinely continuous column (100 TB of distinct values)
+    fails the job LOUDLY with a message telling the caller to bucket
+    via the query's ``grain`` parameter — instead of OOMing on a
+    |groups| × |distinct| grid. Cost note: the guard's 1-row count
+    aggregates the distinct-axis SUBTREE, which duplicates the
+    upstream scan+distinct in the plan unless Spark's exchange reuse
+    kicks in — cheap (the axis is bounded by construction when the
+    guard passes) but not free; callers for whom the duplicated
+    subtree ever matters should persist the axis first.
     """
     from pyspark.sql import functions as F
 

@@ -299,3 +299,77 @@ def test_ppm_decimal_discipline_survives_bigint_wrap(spark):
         got_spark = spark.sql(f"SELECT {s_expr} AS v").collect()[0]["v"]
         got_duck = con.execute(f"SELECT {d_expr} AS v").fetchone()[0]
         assert got_spark == got_duck == truth, (s_expr, got_spark, got_duck)
+
+
+def test_rank_accumulator_decimal_discipline_survives_bigint_wrap(spark):
+    """Round-11 closes the two documented BIGINT accumulator bounds
+    the r10 sweep left open: Mann–Whitney's rank-sum rsum2 (~2n²,
+    wraps past n ≈ 2e9 events) and KS's cross-multiplied CDF-gap
+    d_num (~n_src·n_rest, wraps past ~6e9 docs). Both now accumulate
+    in DECIMAL(38,0) / HUGEINT; this pins the exact expression shapes
+    at magnitudes where the old BIGINT forms provably wrap."""
+    # rsum2 term: c * rank2 with c=3e9 docs at a tied rank2=4e9
+    c, rank2 = 3_000_000_000, 7_000_000_000
+    n1 = c
+    rsum2 = c * rank2
+    u2 = rsum2 - n1 * (n1 + 1)
+    cl_ppm = 1_000_000 * u2 // (2 * n1 * (5_000_000_000 - n1))
+    assert rsum2 >= 2**63 and u2 >= 2**63  # old forms wrapped
+    assert 0 < cl_ppm < 2**63
+    # KS d_num: cum_src * n_rest - cum_rest * n_src at ~3e9 per side
+    cum_src, n_rest, cum_rest, n_src = (
+        2_900_000_000,
+        4_100_000_000,
+        1_000_000_000,
+        3_000_000_000,
+    )
+    d_num = abs(cum_src * n_rest - cum_rest * n_src)
+    d_ppm = 1_000_000 * d_num // (n_src * n_rest)
+    assert cum_src * n_rest >= 2**63
+    cases = [
+        (
+            f"CAST(CAST(1000000 AS DECIMAL(38,0)) * (SUM(CAST({c} AS"
+            f" DECIMAL(38,0)) * {rank2}) - CAST({n1} AS DECIMAL(38,0))"
+            f" * ({n1} + 1)) div (CAST(2 AS DECIMAL(38,0)) * {n1}"
+            f" * (5000000000 - {n1})) AS BIGINT)",
+            f"CAST(CAST(1000000 AS HUGEINT) * (SUM(CAST({c} AS HUGEINT)"
+            f" * {rank2}) - CAST({n1} AS HUGEINT) * ({n1} + 1))"
+            f" // (CAST(2 AS HUGEINT) * {n1} * (5000000000 - {n1}))"
+            " AS BIGINT)",
+            cl_ppm,
+        ),
+        (
+            f"CAST(CAST(1000000 AS DECIMAL(38,0)) * ABS(CAST({cum_src}"
+            f" AS DECIMAL(38,0)) * {n_rest} - CAST({cum_rest} AS"
+            f" DECIMAL(38,0)) * {n_src}) div (CAST({n_src} AS"
+            f" DECIMAL(38,0)) * {n_rest}) AS BIGINT)",
+            f"CAST(CAST(1000000 AS HUGEINT) * ABS(CAST({cum_src} AS"
+            f" HUGEINT) * {n_rest} - CAST({cum_rest} AS HUGEINT)"
+            f" * {n_src}) // (CAST({n_src} AS HUGEINT) * {n_rest})"
+            " AS BIGINT)",
+            d_ppm,
+        ),
+    ]
+    con = duckdb.connect()
+    for s_expr, d_expr, truth in cases:
+        got_spark = spark.sql(f"SELECT {s_expr} AS v").collect()[0]["v"]
+        got_duck = con.execute(f"SELECT {d_expr} AS v").fetchone()[0]
+        assert got_spark == got_duck == truth, (s_expr, got_spark, got_duck)
+    # the loud-narrow guard: a u2 past 2^63 fails with the query's
+    # message instead of wrapping into a negative BIGINT
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = spark.range(1).select(
+        F.expr("CAST(9300000000000000000000 AS DECIMAL(38,0))").alias(
+            "d_num"
+        )
+    )
+    guarded = big.where(
+        F.assert_true(
+            F.expr("d_num <= 9223372036854775807"),
+            F.lit("q_llm_drift_ks: d_num exceeds BIGINT"),
+        ).isNull()
+    )
+    with pytest.raises(Exception, match="exceeds BIGINT"):
+        guarded.collect()
