@@ -514,12 +514,13 @@ def delete_where_mor(
         for d in tbl.meta.delete_entries(
             tbl.meta.snapshot(tbl.meta.current_snapshot_id)
         ):
-            if d.get("kind", "eq") == "eq" and sorted(d["keys"]) != sorted(
-                keys
-            ):
+            if d.get("kind", "eq") == "eq" and sorted(
+                tbl._eq_delete_current_keys(d)
+            ) != sorted(keys):
                 raise ValueError(
                     "equality-delete key set mismatch: table already "
-                    f"carries deletes keyed on {d['keys']}, got {list(keys)}; "
+                    "carries deletes keyed on "
+                    f"{tbl._eq_delete_current_keys(d)}, got {list(keys)}; "
                     "run rewrite_equality_deletes() first to materialize "
                     "the old deletes before changing the key set"
                 )
@@ -541,15 +542,42 @@ def delete_keys_mor(
         for d in tbl.meta.delete_entries(
             tbl.meta.snapshot(tbl.meta.current_snapshot_id)
         ):
-            if d.get("kind", "eq") == "eq" and sorted(d["keys"]) != sorted(
-                keys
-            ):
+            if d.get("kind", "eq") == "eq" and sorted(
+                tbl._eq_delete_current_keys(d)
+            ) != sorted(keys):
                 raise ValueError(
                     "equality-delete key set mismatch: table already "
-                    f"carries deletes keyed on {d['keys']}, got {list(keys)}; "
+                    "carries deletes keyed on "
+                    f"{tbl._eq_delete_current_keys(d)}, got {list(keys)}; "
                     "run rewrite_equality_deletes() first to materialize "
                     "the old deletes before changing the key set"
                 )
+    # Validate the caller's key column TYPES against the table schema
+    # at write time: the read-time anti-join compares sidecar columns
+    # to table columns, and a mistyped key (string keys against a
+    # bigint column) would rely on implicit casts that can silently
+    # fail to match — resurrecting deleted rows — instead of erroring
+    # here where the bad feed is visible.
+    from pyspark.sql.types import StructType
+
+    declared = {
+        f.name: f.dataType for f in StructType.fromDDL(tbl.meta.schema_ddl).fields
+    }
+    got = {f.name: f.dataType for f in keys_df.select(*keys).schema.fields}
+    for k in keys:
+        if k not in declared:
+            raise ValueError(
+                f"equality-delete key {k!r} is not a column of the table "
+                f"schema ({tbl.meta.schema_ddl})"
+            )
+        if got[k] != declared[k]:
+            raise TypeError(
+                f"equality-delete key {k!r} has type "
+                f"{got[k].simpleString()} but the table declares "
+                f"{declared[k].simpleString()}; cast the key feed "
+                "explicitly — an implicitly-cast sidecar can silently "
+                "miss rows at read time"
+            )
     return _commit_eq_delete(tbl, keys_df.select(*keys).distinct(), keys)
 
 

@@ -296,6 +296,26 @@ class IceTable:
                 name = r["old"]
         return name
 
+    def _logical_name(self, physical: str, file_seq: int) -> str:
+        """Inverse of ``_physical_name``: the CURRENT logical name of a
+        column physically recorded as ``physical`` in era ``file_seq``
+        — walk the rename log forward, applying renames that happened
+        at-or-after the file was written. Equality-delete sidecars
+        need this: their key columns are recorded under write-time
+        names, and a later RENAME COLUMN must not detach them (Iceberg
+        tracks delete keys by field id, so deletes follow renames)."""
+        name = physical
+        for r in self.meta.doc.get("column_renames", []):
+            if file_seq <= int(r["seq"]) and name == r["old"]:
+                name = r["new"]
+        return name
+
+    def _eq_delete_current_keys(self, d: dict) -> list[str]:
+        """An equality-delete entry's key columns under CURRENT names
+        (rename-log translation of the recorded write-time names)."""
+        dseq = int(d.get("dseq", 0))
+        return [self._logical_name(k, dseq) for k in d["keys"]]
+
     def set_partition_spec(self, spec: list[SpecField]) -> None:
         """Partition evolution (A22): append a new spec; files keep the
         spec id they were written under, scans union per-spec pruned
@@ -1283,29 +1303,47 @@ class IceTable:
             if not keep_pos:
                 data = data.drop("__path", "__pos")
         if eq_dels:
-            keys = eq_dels[0]["keys"]
+            # Key columns are compared under CURRENT logical names:
+            # each sidecar's recorded write-time names are translated
+            # through the rename log (round-11 fix: RENAME COLUMN with
+            # outstanding equality deletes used to break every read
+            # with UNRESOLVED_COLUMN — deletes must follow renames,
+            # Iceberg's field-id semantics).
+            keys = self._eq_delete_current_keys(eq_dels[0])
             # delete_where_mor rejects mixed key SETS at write time;
             # re-check here so a hand-crafted manifest cannot silently
             # apply a later delete with the wrong equality columns.
             # Order-insensitive (round-10 ADVICE): the anti-join binds
             # by column NAME, so ['k','v'] and ['v','k'] are one set.
             for d in eq_dels[1:]:
-                if sorted(d["keys"]) != sorted(keys):
+                cur = self._eq_delete_current_keys(d)
+                if sorted(cur) != sorted(keys):
                     raise ValueError(
                         "equality-delete files disagree on key columns: "
-                        f"{keys} vs {d['keys']}"
+                        f"{keys} vs {cur}"
                     )
             dels = None
             for d in eq_dels:
                 one = (
                     self.spark.read.parquet(d["path"])
-                    .select(*keys)
+                    .select(
+                        *[
+                            F.col(phys).alias(cur)
+                            for phys, cur in zip(
+                                d["keys"], self._eq_delete_current_keys(d)
+                            )
+                        ]
+                    )
                     .withColumn("__dseq", F.lit(int(d["dseq"])))
                 )
                 dels = one if dels is None else dels.unionByName(one)
             cond = F.col("__seq") < F.col("__dseq")
             for k in keys:
-                cond = cond & (data[k] == dels[k])
+                # NULL-SAFE equality (round-11 fix): Iceberg equality
+                # deletes treat null as equal to null, so a delete row
+                # with a NULL key must delete NULL-keyed data rows —
+                # plain `=` made such tombstones silent no-ops
+                cond = cond & data[k].eqNullSafe(dels[k])
             data = data.join(dels, cond, "left_anti")
         return data.drop("__seq")
 
@@ -1324,6 +1362,19 @@ class IceTable:
                 return []
             return self.meta.files(max(eligible, key=lambda s: s["timestamp_ms"]))
         return self.meta.current_files()
+
+    @staticmethod
+    def _delete_entry_bytes(d: dict) -> int:
+        """Physical size of a MoR delete sidecar for IO reporting —
+        entries don't record file_size (they carry record_count and
+        keys/targets), so stat the tiny file, tolerating a sidecar
+        GC'd under a stale report call."""
+        if "file_size" in d:
+            return d["file_size"] or 0
+        try:
+            return os.path.getsize(d["path"])
+        except OSError:
+            return 0
 
     def scan(self, preds: list | None = None) -> DataFrame:
         """Pruned scan (A25/A26): partition-transform + column-bounds
@@ -1348,12 +1399,6 @@ class IceTable:
                 k = self._prune_bucket(k, d)
                 kept_paths.update(f["path"] for f in k)
             kept = [f for f in files if f["path"] in kept_paths]
-        self.last_scan_report = {
-            "files_total": len(files),
-            "files_scanned": len(kept),
-            "bytes_total": sum(f.get("file_size", 0) for f in files),
-            "bytes_scanned": sum(f.get("file_size", 0) for f in kept),
-        }
         # Merge-on-read deletes apply on the pruned path too (round-10
         # fix: scan() used to read kept files raw, silently
         # resurrecting MoR-deleted rows on any pruned read, including
@@ -1365,6 +1410,21 @@ class IceTable:
             if cur is not None
             else []
         )
+        self.last_scan_report = {
+            "files_total": len(files),
+            "files_scanned": len(kept),
+            "bytes_total": sum(f.get("file_size", 0) for f in files),
+            "bytes_scanned": sum(f.get("file_size", 0) for f in kept),
+            # MoR sidecars the read must ALSO touch (they are not part
+            # of the prune ratio — files_/bytes_scanned measure the
+            # data-file skipping the planner achieved — but the report
+            # should not understate total read IO when deletes are
+            # outstanding)
+            "delete_files_read": len(dels),
+            "delete_bytes_read": sum(
+                self._delete_entry_bytes(d) for d in dels
+            ),
+        }
         df = self._apply_deletes(kept, dels) if dels else self._read_files(kept)
         if dnf:
             df = df.filter(_dnf_to_column(dnf))

@@ -305,3 +305,97 @@ def test_mor_delete_reinsert_delete_stacked_dseq(spark, tmp_path):
     snaps = [s["snapshot_id"] for s in t.meta.snapshots]
     mid = {(r["k"], r["v"]) for r in t.read(snapshot_id=snaps[-2]).collect()}
     assert mid == {(7, 2), (8, 1)}
+
+
+def test_eq_delete_null_key_tombstone(spark, tmp_path):
+    """Iceberg equality-delete semantics treat null as equal to null:
+    a delete row with a NULL key must delete NULL-keyed data rows
+    (round-11 fix — plain `=` matching made such tombstones silent
+    no-ops), while the sequence rule still protects a NULL row
+    re-inserted after the delete."""
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "nullkey"),
+        spark.createDataFrame(
+            [(1, "a"), (None, "b"), (3, "c")], "k int, v string"
+        ),
+    )
+    t.delete_keys_mor(spark.createDataFrame([(None,), (3,)], "k int"), ["k"])
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, "a")}
+    t.append(spark.createDataFrame([(None, "b2")], "k int, v string"))
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, "a"),
+        (None, "b2"),
+    }, "NULL row re-inserted after the delete must survive"
+
+
+def test_eq_delete_duplicate_keys_in_one_batch(spark, tmp_path):
+    """Duplicate key tuples in one delete feed are deduped at write
+    time: one sidecar, keys_deleted counts DISTINCT keys, and the
+    delete applies exactly once."""
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "dup"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    out = t.delete_keys_mor(
+        spark.createDataFrame([(1,), (1,), (1,)], "k int"), ["k"]
+    )
+    assert out == {"delete_files_added": 1, "keys_deleted": 1}
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(2, "b")}
+
+
+def test_eq_delete_survives_column_rename(spark, tmp_path):
+    """Delete-key schema drift across eras (round-11 fix): a RENAME
+    COLUMN with outstanding equality deletes used to break every read
+    with UNRESOLVED_COLUMN. The sidecar's write-time key names now
+    translate through the rename log (Iceberg's field-id semantics:
+    deletes follow renames), and a post-rename delete under the NEW
+    name composes with the old sidecar."""
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "ren"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    t.delete_keys_mor(spark.createDataFrame([(1,)], "k int"), ["k"])
+    t.rename_column("k", "kk")
+    assert {(r["kk"], r["v"]) for r in t.read().collect()} == {(2, "b")}
+    t.delete_keys_mor(spark.createDataFrame([(2,)], "kk int"), ["kk"])
+    assert t.read().count() == 0
+    # the key-set guard also compares TRANSLATED names: 'kk' is the
+    # same key set as the pre-rename 'k' sidecar, so no mismatch above;
+    # a genuinely different column still trips it
+    t.append(spark.createDataFrame([(9, "z")], "kk int, v string"))
+    with pytest.raises(ValueError, match="key set mismatch"):
+        t.delete_keys_mor(spark.createDataFrame([("z",)], "v string"), ["v"])
+
+
+def test_eq_delete_key_type_validated_at_write(spark, tmp_path):
+    """A mistyped key feed (string keys against an int column) fails
+    loudly at write time instead of committing a sidecar whose
+    read-time anti-join silently misses rows."""
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "typed"),
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+    )
+    with pytest.raises(TypeError, match="cast the key feed"):
+        t.delete_keys_mor(spark.createDataFrame([("1",)], "k string"), ["k"])
+    with pytest.raises(ValueError, match="not a column"):
+        t.delete_keys_mor(spark.createDataFrame([(1,)], "zz int"), ["zz"])
+    # table untouched by the failed calls
+    assert t.read().count() == 1
+
+
+def test_eq_delete_applies_across_type_widening(spark, tmp_path):
+    """An int-era equality-delete sidecar still applies after the key
+    column widens to bigint (the comparison coerces; widening is
+    metadata-only so the sidecar bytes never change)."""
+    t = IceTable.create_as(
+        spark,
+        str(tmp_path / "widen"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    t.delete_keys_mor(spark.createDataFrame([(1,)], "k int"), ["k"])
+    t.update_column_type("k", "bigint")
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(2, "b")}
