@@ -156,51 +156,37 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-10 rotation. The registry is CLOSED (345/345 externally
-    # verified, r9); the gate's job is now regression RE-SAMPLING.
-    # This window holds the 50 stalest externally-verified names plus
-    # the queries whose plans changed this round — a 100% re-sample
-    # window (VERDICT r9 task #1 asked for >=80%).
-    # (0) the two round-10 additions (never externally sampled);
+    # round-11 rotation — a 100% re-sample window (registry closed at
+    # 347/347 since r10; the gate's job is regression re-sampling).
+    # (1) plans/engine paths changed THIS round, re-pinned first:
+    #     the O(changed-files) delta commit rewired every DML /
+    #     maintenance / ANN-lifecycle commit; the equality-delete
+    #     anti-join went null-safe with rename translation (MoR
+    #     family); Mann-Whitney + KS moved their accumulators to
+    #     DECIMAL(38,0) with loud BIGINT narrowing.
+    "q_agg_mannwhitney", "q_llm_drift_ks",
+    "q_dml_delete_mor", "q_dml_update_mor", "q_dml_merge_mor",
+    "q_dml_delete_positional", "q_sql_delete_mor_stmt",
     "q_llm_ann_index_lifecycle", "q_llm_ann_index_delete",
-    # (1) plans changed in round 10 (grid guards, DECIMAL/HUGEINT ppm
-    #     scaling, est_err_pct zero guard) — values identical, plans
-    #     not, so the external gate re-pins them first;
-    "q_llm_drift_ks", "q_agg_mannwhitney", "q_stream_drift_window",
-    "q_llm_source_overlap", "q_graph_triangles",
-    "q_llm_importance_select", "q_llm_ngram_novelty", "q_llm_fertility",
-    "q_profile_skew", "q_llm_bm25_topk", "q_llm_hybrid_rrf",
-    "q_llm_simsearch_batch", "q_llm_hard_negatives",
-    "q_llm_retrieval_eval", "q_llm_negative_sampling",
-    "q_llm_mrl_truncation",
-    # (2) the 26 queries last externally sampled in ROUND 1 — nine
-    #     rounds of refactors ago (scan formats, outer/banded/asof
-    #     joins, the aggregate head);
-    "q_scan_json", "q_scan_orc", "q_scan_text", "q_scan_xml",
-    "q_scan_csv_dirty", "q_scan_recursive_glob",
-    "q_join_q18_shape", "q_join_q7_shape", "q_join_full_outer",
-    "q_join_range_banded", "q_join_asof_forward", "q_join_null_safe",
-    "q_join_hints", "q_agg_percentile", "q_profile_table",
-    "q_agg_pivot_unpivot", "q_agg_bools", "q_agg_listagg",
-    "q_agg_mode", "q_agg_rollup_time", "q_agg_group_by_all",
-    "q_agg_filter_clause", "q_agg_variance", "q_agg_min_max_by",
-    "q_agg_weighted_median", "q_agg_skewness",
-    # (3) 6 of the 23 round-3-vintage names (array/map fns — the r8
-    #     red-row family — the MoR-exercising DML pair, the two
-    #     watermark streams); the seventeen leftovers
-    #     (q_fn_string/_date/_math/_conditional, q_limit_topk,
-    #     q_sort_multi, and the eleven displaced by the late plan
-    #     changes — ppm discipline + the two-level top-K rewrites:
-    #     q_win_topk_per_group, q_set_union_all,
-    #     q_set_intersect_except, q_stream_tumbling, q_stream_sliding,
-    #     q_stream_session, q_dml_insert_values, q_dml_insert_select,
-    #     q_dml_truncate, q_tt_as_of, q_tt_rollback) are LEDGER r11
-    #     candidates — displacement picked the least-churned /
-    #     least-subtle implementations first, keeping the MoR and
-    #     watermark rows.
-    "q_fn_array", "q_fn_map_json",
-    "q_dml_merge", "q_dml_delete",
-    "q_stream_dedup_watermark", "q_stream_agg_watermark",
+    "q_dml_insert_overwrite", "q_maint_compact",
+    # (2) the 17 round-3-vintage leftovers (LEDGER r11 candidates —
+    #     displaced from the r10 window by its late plan changes);
+    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_conditional",
+    "q_limit_topk", "q_sort_multi", "q_win_topk_per_group",
+    "q_set_union_all", "q_set_intersect_except",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_dml_insert_values", "q_dml_insert_select", "q_dml_truncate",
+    "q_tt_as_of", "q_tt_rollback",
+    # (3) the r4-vintage staleness block head (TPC-H shapes + sketch
+    #     head, per CORRECTNESS_r04 membership) — 22 pads to 50.
+    "q_join_q2_shape", "q_join_q3_shape", "q_agg_q4_shape",
+    "q_agg_q6_shape", "q_join_q8_shape", "q_agg_q9_shape",
+    "q_join_q10_shape", "q_agg_q11_shape", "q_agg_q12_shape",
+    "q_agg_q13_shape", "q_agg_q14_shape", "q_join_q15_shape",
+    "q_agg_q16_shape", "q_agg_q17_shape", "q_filter_q19_shape",
+    "q_join_q20_shape", "q_join_q21_shape", "q_agg_q22_shape",
+    "q_sketch_bloom", "q_sketch_countmin", "q_sketch_hist_quantile",
+    "q_sketch_bloom_merge",
     # 50 names total — zero pad slots this round.
 ]
 
