@@ -101,6 +101,17 @@ def main() -> None:
         i = args.index("--three")
         sf2_dir = args[i + 1]
         del args[i : i + 2]
+    # --four <sf4_dir>: a FOURTH point (2x of sf2, IWS_SCALE_COPIES=40)
+    # for rows whose sf1→sf2 slope was steep-linear — one more doubling
+    # distinguishes "linear with a big constant" from quietly
+    # superlinear (VERDICT r10 #7). Requires --three.
+    sf4_dir: str | None = None
+    if "--four" in args:
+        i = args.index("--four")
+        sf4_dir = args[i + 1]
+        del args[i : i + 2]
+        if "--three" not in sys.argv:
+            raise SystemExit("--four requires --three")
     sf1_dir = args[0] if args else ".scale/sf1"
     heavy = [n for n in HEAVY if only is None or n in only]
     from iceberg_workshop_spark.registry import queries
@@ -149,6 +160,17 @@ def main() -> None:
                     row["accelerating"] = bool(
                         row["alpha2"] > max(row["alpha10"], 1.0) + 0.25
                     )
+                if sf4_dir is not None:
+                    t4 = run(name, sf4_dir)
+                    row["sf4"] = t4
+                    row["ratio4"] = round(t4 / t2, 2) if t2 > 0 else None
+                    if t1 > 0 and t2 > 0 and t4 > 0:
+                        row["alpha2b"] = round(math.log2(t4 / t2), 2)
+                        # acceleration now judged on the LAST doubling
+                        row["accelerating"] = bool(
+                            row["alpha2b"]
+                            > max(row.get("alpha2", 0.0), 1.0) + 0.25
+                        )
             print(name, out[name], flush=True)
         except Exception as exc:  # noqa: BLE001
             out[name] = {"error": str(exc)[:200]}
@@ -172,8 +194,13 @@ def main() -> None:
         for n, v in out.items()
         if v.get("ratio") and n not in baseline_only
     ]
+    prev_triage = {}
+    if os.path.exists(scale_path):
+        with open(scale_path) as fh:
+            prev_triage = json.load(fh).get("triage", {})
     summary = {
         "queries": out,
+        "triage": prev_triage,
         "baseline_only": sorted(baseline_only & set(out)),
         "max_ratio": max(ratios) if ratios else None,
         "max_ratio_production": max(prod_ratios) if prod_ratios else None,
