@@ -104,11 +104,20 @@ def expire_snapshots(
             return {
                 m["path"]
                 for s in snaps
-                for m in (s.get("manifests") or []) + (s.get("delete_manifests") or [])
+                for m in meta.manifests_of(s)
+                + meta.manifests_of(s, "delete_manifests")
+            }
+
+        def mls_of(snaps: list[dict]) -> set[str]:
+            return {
+                s["manifest_list"] for s in snaps if s.get("manifest_list")
             }
 
         mf_delete.clear()
         mf_delete.update(mfs_of(dropped) - mfs_of(kept))
+        # manifest-list sidecars are per-snapshot, never shared — every
+        # dropped snapshot's list dies with it
+        mf_delete.update(mls_of(dropped) - mls_of(kept))
         meta.doc["snapshots"] = kept
         meta.doc["history_log"] = [
             h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in kept_ids
@@ -316,7 +325,7 @@ def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
         mf_before = mf_after = 0
         for sid in {r for r in roots if r is not None and r in by_id}:
             s = by_id[sid]
-            ms = s.get("manifests")
+            ms = meta.manifests_of(s)
             if not ms:
                 continue
             n_entries = sum(
@@ -325,7 +334,12 @@ def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
             need = max(1, -(-n_entries // M.MANIFEST_TARGET_ENTRIES))
             mf_before += len(ms)
             if len(ms) > need:
+                # materialize the delete side inline BEFORE dropping
+                # the manifest-list pointer (it is the only remaining
+                # locator), then reassign and force a fresh spill
+                meta.manifests_of(s, "delete_manifests")
                 s["manifests"] = M._write_manifest_shards(meta, list(meta.files(s)))
+                s.pop("manifest_list", None)
                 mf_after += len(s["manifests"])
             else:
                 mf_after += len(ms)
@@ -458,12 +472,29 @@ def remove_orphan_files(
             except (OSError, ValueError):
                 continue
             for s in doc.get("snapshots", []):
-                for m in (s.get("manifests") or []) + (
-                    s.get("delete_manifests") or []
-                ):
-                    live_mfs.add(os.path.basename(m["path"]))
+                groups = [s.get("manifests") or [], s.get("delete_manifests") or []]
+                ml = s.get("manifest_list")
+                if ml:
+                    # resolve the manifest-list indirection so its
+                    # manifests count as referenced
+                    live_mfs.add(os.path.basename(ml))
+                    try:
+                        with open(os.path.join(tbl.meta.location, ml)) as f:
+                            lists = _json.load(f)
+                        groups += [
+                            lists.get("manifests") or [],
+                            lists.get("delete_manifests") or [],
+                        ]
+                    except (OSError, ValueError):
+                        pass
+                for g in groups:
+                    for m in g:
+                        live_mfs.add(os.path.basename(m["path"]))
     for name in names:
-        if not (name.startswith(M.MANIFEST_PREFIX) and name.endswith(".json")):
+        if not (
+            name.startswith((M.MANIFEST_PREFIX, M.MANIFEST_LIST_PREFIX))
+            and name.endswith(".json")
+        ):
             continue
         if name in live_mfs:
             continue

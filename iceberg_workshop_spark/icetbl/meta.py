@@ -51,6 +51,7 @@ METADATA_DIR = "metadata"
 DATA_DIR = "data"
 HINT_FILE = "version-hint.text"
 MANIFEST_PREFIX = "mf-"
+MANIFEST_LIST_PREFIX = "ml-"
 # Max entries per newly-written manifest: bounds single-manifest size
 # (Iceberg targets ~8 MB manifests for the same reason) so the initial
 # load of a huge table shards into parallel-loadable chunks.
@@ -155,6 +156,50 @@ class TableMeta:
             self._mf_cache[rel_path] = ents
         return ents
 
+    def manifests_of(
+        self, snap: dict[str, Any], mkey: str = "manifests"
+    ) -> list[dict[str, Any]]:
+        """The snapshot's manifest DESCRIPTORS (``mkey`` is
+        ``manifests`` or ``delete_manifests``), resolving its
+        manifest-list sidecar on first access. Iceberg's exact
+        metadata topology (v<N>.json → manifest list → manifests,
+        ``/root/reference/limitations.md:82-105`` describes the same
+        three-level layout): the version document stores ONE
+        ``manifest_list`` path per snapshot, so v<N>.json stays
+        O(retained snapshots) no matter how many manifests the table
+        accumulates, and a commit's descriptor churn is one list file
+        for the new snapshot — never a rewrite of every parent's
+        descriptor rows. Resolution caches both descriptor lists into
+        the snap dict (mirroring ``files``'s entry caching); ``commit``
+        strips them from the serialized doc."""
+        if mkey not in snap:
+            ml = snap.get("manifest_list")
+            if ml is None:
+                snap.setdefault("manifests", [])
+                snap.setdefault("delete_manifests", [])
+            else:
+                lists = self._load_ml(ml)
+                snap.setdefault("manifests", lists.get("manifests", []))
+                snap.setdefault(
+                    "delete_manifests", lists.get("delete_manifests", [])
+                )
+        return snap[mkey]
+
+    def _load_ml(self, rel_path: str) -> dict[str, Any]:
+        """Load a manifest-list sidecar (overridden by the REST-client
+        TableMeta, which fetches it through the catalog instead of the
+        filesystem)."""
+        try:
+            with open(os.path.join(self.location, rel_path)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise SnapshotExpired(
+                f"manifest list {rel_path} under {self.location} was "
+                "garbage-collected by expire_snapshots; this pinned "
+                "metadata version references an expired snapshot and "
+                "can no longer be materialized"
+            ) from None
+
     def mf_idset(self, rel_path: str) -> frozenset[int]:
         """id()s of the manifest's cached entry objects (lazy, cached;
         valid as long as ``_mf_cache`` holds the entries alive)."""
@@ -174,7 +219,7 @@ class TableMeta:
         if "files" not in snap:
             snap["files"] = [
                 e
-                for m in snap.get("manifests", [])
+                for m in self.manifests_of(snap)
                 for e in self._load_mf(m["path"])
             ]
         return snap["files"]
@@ -185,7 +230,7 @@ class TableMeta:
         if "delete_files" not in snap:
             snap["delete_files"] = [
                 e
-                for m in snap.get("delete_manifests", [])
+                for m in self.manifests_of(snap, "delete_manifests")
                 for e in self._load_mf(m["path"])
             ]
         return snap["delete_files"]
@@ -197,7 +242,7 @@ class TableMeta:
         if "files" in snap:
             fl = snap["files"]
             return len(fl), sum(f.get("record_count") or 0 for f in fl)
-        ms = snap.get("manifests", [])
+        ms = self.manifests_of(snap)
         return (
             sum(
                 m["n"] if "n" in m else len(self._load_mf(m["path"]))
@@ -370,7 +415,7 @@ def _shard_snapshot(
     plain dict equality is exact across a dump/load round-trip."""
     parent = by_id.get(snap.get("parent_id"))
     for key, mkey in (("files", "manifests"), ("delete_files", "delete_manifests")):
-        if mkey in snap:
+        if mkey in snap or "manifest_list" in snap:
             continue  # manifests are immutable once assigned
         entries = snap.get(key)
         if entries is None:
@@ -389,7 +434,7 @@ def _shard_snapshot(
             entry_ids = set(map(id, entries))
             by_path: dict[str, dict[str, Any]] | None = None
             dup = False
-            for m in parent.get(mkey) or []:
+            for m in meta.manifests_of(parent, mkey):
                 try:
                     pents = meta._load_mf(m["path"])
                 except FileNotFoundError:
@@ -425,13 +470,49 @@ def _shard_snapshot(
         snap[mkey] = reused + _write_manifest_shards(meta, remaining)
 
 
+def _spill_manifest_lists(meta: TableMeta) -> None:
+    """Write one manifest-list sidecar per snapshot that lacks one
+    (new snapshots; legacy/migrated docs; rewrite_manifests drops the
+    list to force a re-spill). With the list spilled, the version
+    document stores ONE path per snapshot — O(retained snapshots)
+    bytes regardless of manifest count. Losing-CAS attempts orphan
+    their list files like their manifests (tiny, swept with them)."""
+    mdir = os.path.join(meta.location, METADATA_DIR)
+    for s in meta.doc.get("snapshots", []):
+        if "manifest_list" in s:
+            continue
+        lists = {
+            "manifests": meta.manifests_of(s),
+            "delete_manifests": meta.manifests_of(s, "delete_manifests"),
+        }
+        os.makedirs(mdir, exist_ok=True)
+        rel = os.path.join(
+            METADATA_DIR, f"{MANIFEST_LIST_PREFIX}{uuid.uuid4().hex[:16]}.json"
+        )
+        path = os.path.join(meta.location, rel)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(lists, f, separators=(",", ":"), default=str)
+        os.replace(tmp, path)  # complete before the CAS
+        s["manifest_list"] = rel
+
+
 def _serializable_doc(meta: TableMeta) -> dict[str, Any]:
-    """The doc with materialized entry lists stripped: snapshots are
-    persisted as manifest descriptors only, so v<N>.json stays O(1)
-    per snapshot regardless of live file count."""
+    """The doc with materialized entry lists AND in-memory descriptor
+    caches stripped: a snapshot persists as its manifest-list path
+    (plus O(1) summary fields), so v<N>.json stays O(retained
+    snapshots) regardless of live file or manifest count."""
     doc = dict(meta.doc)
     doc["snapshots"] = [
-        {k: v for k, v in s.items() if k not in ("files", "delete_files")}
+        {
+            k: v
+            for k, v in s.items()
+            if k not in ("files", "delete_files")
+            and not (
+                "manifest_list" in s
+                and k in ("manifests", "delete_manifests")
+            )
+        }
         for s in meta.doc.get("snapshots", [])
     ]
     return doc
@@ -462,6 +543,7 @@ def commit(meta: TableMeta) -> TableMeta:
     by_id = {s["snapshot_id"]: s for s in meta.snapshots}
     for s in meta.snapshots:
         _shard_snapshot(meta, s, by_id)
+    _spill_manifest_lists(meta)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(_serializable_doc(meta), f, separators=(",", ":"), default=str)

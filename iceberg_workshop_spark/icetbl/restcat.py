@@ -142,18 +142,26 @@ class RemoteTableMeta(M.TableMeta):
         self._base_url = base_url
         self._name = name
 
+    def _fetch_metadata_file(self, rel_path: str) -> dict[str, Any]:
+        mf = urllib.parse.quote(os.path.basename(rel_path), safe="")
+        url = (
+            f"{self._base_url}/v1/namespaces/default/tables/"
+            f"{self._name}/manifests/{mf}"
+        )
+        with urllib.request.urlopen(url) as resp:
+            return json.loads(resp.read())
+
     def _load_mf(self, rel_path: str) -> list[dict[str, Any]]:
         ents = self._mf_cache.get(rel_path)
         if ents is None:
-            mf = urllib.parse.quote(os.path.basename(rel_path), safe="")
-            url = (
-                f"{self._base_url}/v1/namespaces/default/tables/"
-                f"{self._name}/manifests/{mf}"
-            )
-            with urllib.request.urlopen(url) as resp:
-                ents = json.loads(resp.read())["entries"]
+            ents = self._fetch_metadata_file(rel_path)["entries"]
             self._mf_cache[rel_path] = ents
         return ents
+
+    def _load_ml(self, rel_path: str) -> dict[str, Any]:
+        # manifest lists ride the same metadata-file route as
+        # manifests (served by basename under metadata/)
+        return self._fetch_metadata_file(rel_path)
 
 
 class RestCatalogClient:

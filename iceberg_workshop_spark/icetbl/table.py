@@ -709,7 +709,7 @@ class IceTable:
         is by object identity (``TableMeta.mf_idset``), exact because
         manifests are immutable and entries identity-shared through
         ``_mf_cache``."""
-        mans = list(parent.get(mkey) or []) if parent else []
+        mans = list(self.meta.manifests_of(parent, mkey)) if parent else []
         if not removed:
             return mans, [], True
         removed_ids = frozenset(map(id, removed))
@@ -792,7 +792,7 @@ class IceTable:
                 self.meta.snapshot(parent_id) if parent_id is not None else None
             )
             eligible = parent is None or all(
-                m.get("stamped") for m in parent.get("manifests") or []
+                m.get("stamped") for m in self.meta.manifests_of(parent)
             )
             carried: list[dict] = []
             pool: list[dict] = []

@@ -101,7 +101,7 @@ def q_meta_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     parent_paths: set[str] = set()
     for ordinal, snap in enumerate(snaps, start=1):
-        ms = snap.get("manifests", [])
+        ms = tbl.meta.manifests_of(snap)
         reused = sum(1 for m in ms if m["path"] in parent_paths)
         rows.append(
             (

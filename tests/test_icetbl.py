@@ -685,6 +685,7 @@ def test_legacy_entry_backfill_does_not_rewrite_history(spark, tmp_path):
             f.pop("first_snapshot_id", None)
         sn.pop("manifests", None)
         sn.pop("delete_manifests", None)
+        sn.pop("manifest_list", None)
     M.commit(legacy)
 
     t2 = IceTable.load(spark, loc)

@@ -83,11 +83,18 @@ def test_manifest_round_trip_and_descriptor_schema(tmp_path):
     meta = _append_snapshot(meta, entries)
     fresh = M.read_current(meta.location)
     snap = fresh.snapshot(fresh.current_snapshot_id)
-    # serialized doc carries descriptors, not entries
+    # serialized doc carries ONE manifest-list path per snapshot —
+    # neither entries nor descriptor rows (Iceberg's three-level
+    # topology: v<N>.json -> manifest list -> manifests)
     raw = json.load(open(M.metadata_path(meta.location, meta.version)))
     rsnap = [s for s in raw["snapshots"] if s["snapshot_id"] == snap["snapshot_id"]][0]
     assert "files" not in rsnap and "delete_files" not in rsnap
-    for m in rsnap["manifests"]:
+    assert "manifests" not in rsnap and "delete_manifests" not in rsnap
+    ml = rsnap["manifest_list"]
+    assert os.path.exists(os.path.join(meta.location, ml))
+    lists = json.load(open(os.path.join(meta.location, ml)))
+    assert set(lists) == {"manifests", "delete_manifests"}
+    for m in lists["manifests"]:
         assert set(m) == {"path", "n", "records", "stamped"}
         assert os.path.exists(os.path.join(meta.location, m["path"]))
     # counts come from descriptors without materializing entries
@@ -104,10 +111,10 @@ def test_parent_manifest_reuse_after_reload(tmp_path):
     meta = _append_snapshot(meta, [_entry(i) for i in range(100)])
     fresh = M.read_current(meta.location)
     head = fresh.snapshot(fresh.current_snapshot_id)
-    first_manifests = [m["path"] for m in head["manifests"]]
+    first_manifests = [m["path"] for m in fresh.manifests_of(head)]
     fresh = _append_snapshot(fresh, [_entry(500)])
     head2 = fresh.snapshot(fresh.current_snapshot_id)
-    reused = [m["path"] for m in head2["manifests"]]
+    reused = [m["path"] for m in fresh.manifests_of(head2)]
     assert set(first_manifests) <= set(reused)
     assert len(reused) == len(first_manifests) + 1
 
@@ -332,7 +339,7 @@ def test_file_counts_fallback_without_n(tmp_path):
     meta = _append_snapshot(meta, [_entry(i) for i in range(4)])
     fresh = M.read_current(meta.location)
     head = fresh.snapshot(fresh.current_snapshot_id)
-    for m in head["manifests"]:
+    for m in fresh.manifests_of(head):
         del m["n"]
     assert fresh.file_counts(head)[0] == 4
 
@@ -403,3 +410,59 @@ def test_commit_hands_manifest_cache_forward(tmp_path):
     cached = set(meta._mf_cache)
     meta2 = _append_snapshot(meta, [_entry(10)])
     assert cached <= set(meta2._mf_cache)
+
+
+def test_manifest_list_files_gcd_with_their_snapshots(spark, tmp_path):
+    """Every snapshot persists ONE ml-*.json manifest list; expiring a
+    snapshot deletes its list file with it (lists are per-snapshot,
+    never shared), while surviving snapshots' lists stay readable."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(spark, loc, spark.createDataFrame([(1,)], "a int"))
+    t.insert_values([(2,)])
+    t.insert_values([(3,)])
+
+    def mls() -> set[str]:
+        mdir = os.path.join(loc, M.METADATA_DIR)
+        return {
+            n
+            for n in os.listdir(mdir)
+            if n.startswith(M.MANIFEST_LIST_PREFIX)
+        }
+
+    before = mls()
+    assert len(before) >= 3  # one list per committed snapshot
+    t.expire_snapshots(older_than_ms=M.now_ms() + 1, retain_last=1)
+    after = mls()
+    assert len(after) < len(before), "dropped snapshots' lists must die"
+    # the survivor still materializes through its list
+    fresh = M.read_current(loc)
+    assert fresh.current_files() and t.read().count() == 3
+
+
+def test_vjson_stays_flat_as_manifests_accumulate(tmp_path):
+    """The three-level topology's payoff: v<N>.json size depends on
+    RETAINED SNAPSHOT count only — growing the manifest count per
+    snapshot (many small appends, each adding a manifest) must not
+    grow the per-snapshot footprint in the version document."""
+    meta = _mk(tmp_path)
+    meta = _append_snapshot(meta, [_entry(0)])
+    few = os.path.getsize(M.metadata_path(meta.location, meta.version))
+    # 30 more manifests accumulate on the head chain
+    for i in range(1, 31):
+        meta = _append_snapshot(meta, [_entry(i)])
+    head = meta.snapshot(meta.current_snapshot_id)
+    assert len(meta.manifests_of(head)) == 31
+    # keep only the head snapshot in a fresh doc to compare like for
+    # like (same snapshot count, 31x the manifests)
+    meta.doc["snapshots"] = [head]
+    meta = M.commit(meta)
+    one_snap_many_mfs = os.path.getsize(
+        M.metadata_path(meta.location, meta.version)
+    )
+    assert one_snap_many_mfs < few + 1000, (
+        "v<N>.json must not grow with manifest count",
+        few,
+        one_snap_many_mfs,
+    )

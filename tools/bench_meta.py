@@ -91,7 +91,7 @@ def main() -> None:
             IceTable._commit_snapshot_delta(shim, batch, [], "append", rebase="blind")
             n_live = tier
 
-            ms, vbytes, mfbytes, mfcount = [], [], [], []
+            ms, vbytes, mfbytes, mfcount, mlbytes = [], [], [], [], []
             for _ in range(PROBES):
                 before = _metadata_bytes(loc)
                 one = [_entry(next_id)]
@@ -111,6 +111,13 @@ def main() -> None:
                 }
                 mfbytes.append(sum(mfs.values()))
                 mfcount.append(len(mfs))
+                mlbytes.append(
+                    sum(
+                        v
+                        for k, v in new.items()
+                        if k.startswith(M.MANIFEST_LIST_PREFIX)
+                    )
+                )
 
             # inline-equivalent baseline: what v<N>.json carried before
             # sharding — every retained snapshot's full entry lists
@@ -130,9 +137,14 @@ def main() -> None:
                 "vjson_bytes": int(statistics.median(vbytes)),
                 "new_manifest_bytes": int(statistics.median(mfbytes)),
                 "new_manifests": int(statistics.median(mfcount)),
+                "manifest_list_bytes": int(statistics.median(mlbytes)),
                 "inline_equiv_bytes": inline,
                 "written_over_inline": round(
-                    (statistics.median(vbytes) + statistics.median(mfbytes))
+                    (
+                        statistics.median(vbytes)
+                        + statistics.median(mfbytes)
+                        + statistics.median(mlbytes)
+                    )
                     / max(inline, 1),
                     6,
                 ),
@@ -146,8 +158,17 @@ def main() -> None:
             # written bytes should be ~flat across a 100x live-file
             # growth; the inline baseline grows ~linearly
             "written_bytes_growth_100x": round(
-                (hi["vjson_bytes"] + hi["new_manifest_bytes"])
-                / max(lo["vjson_bytes"] + lo["new_manifest_bytes"], 1),
+                (
+                    hi["vjson_bytes"]
+                    + hi["new_manifest_bytes"]
+                    + hi["manifest_list_bytes"]
+                )
+                / max(
+                    lo["vjson_bytes"]
+                    + lo["new_manifest_bytes"]
+                    + lo["manifest_list_bytes"],
+                    1,
+                ),
                 3,
             ),
             "commit_ms_growth_100x": round(
