@@ -466,3 +466,29 @@ def test_vjson_stays_flat_as_manifests_accumulate(tmp_path):
         few,
         one_snap_many_mfs,
     )
+
+
+def test_pinned_read_fails_loudly_on_expired_manifest_list(spark, tmp_path):
+    """With the three-level topology the first thing a pinned read of
+    an expired snapshot hits is its GC'd manifest LIST — that path
+    must raise SnapshotExpired by name too, not a bare file error."""
+    import pytest
+
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(
+        spark, loc, spark.createDataFrame([(1,), (2,)], "a int")
+    )
+    pinned_version = t.meta.version
+    old_head = t.meta.snapshot(t.meta.current_snapshot_id)
+    old_ml = old_head["manifest_list"]
+    t.truncate()
+    t.insert_values([(9,)])
+    t.expire_snapshots(older_than_ms=M.now_ms() + 1)
+    assert not os.path.exists(os.path.join(loc, old_ml)), (
+        "the dropped snapshot's manifest list must be GC'd"
+    )
+    pinned = M.read_version(loc, pinned_version)
+    with pytest.raises(M.SnapshotExpired, match="manifest list"):
+        pinned.current_files()

@@ -64,7 +64,15 @@ def _model_set(rows, eq_dels):
     return sorted((r["k"], r["v"]) for r in _visible(rows, eq_dels))
 
 
-def _run_sequence(spark, loc, rng):
+def _run_sequence(spark, loc, rng, reload_each_step=False):
+    """``reload_each_step=True`` re-opens the table from disk through
+    a FRESH TableMeta after every op before comparing to the model —
+    the in-memory handle's caches (materialized entry lists, manifest
+    descriptor lists, idsets) are all discarded, so any divergence
+    between what the delta-commit path holds in memory and what the
+    serialized v<N>.json -> manifest list -> manifest chain actually
+    persists fails here (round-11 hardening for the O(changed-files)
+    commit + manifest-list topology)."""
     from iceberg_workshop_spark.icetbl import IceTable
     from iceberg_workshop_spark.icetbl.pruning import Pred
 
@@ -180,14 +188,17 @@ def _run_sequence(spark, loc, rng):
             t.rewrite_data_files(**kw)
             seq += 1
             rows = [dict(r, seq=seq) for r in _visible(rows, eq_dels)]
-        assert _read_set(t) == _model_set(rows, eq_dels), (
+        checked = (
+            IceTable.load(spark, loc) if reload_each_step else t
+        )
+        assert _read_set(checked) == _model_set(rows, eq_dels), (
             f"step {step} op {op} history {history}"
         )
         if step % 3 == 2:
             kpick = rng.choice(KEY_SPACE)
             got = sorted(
                 (row["k"], row["v"])
-                for row in t.scan([[Pred("k", "=", kpick)]]).collect()
+                for row in checked.scan([[Pred("k", "=", kpick)]]).collect()
             )
             want = [
                 (k, v)
@@ -203,3 +214,18 @@ def test_mor_delete_model_randomized(spark, tmp_path):
     for i in range(N_SEQUENCES):
         rng = random.Random(1000 + i)
         _run_sequence(spark, str(tmp_path / f"mor_model_{i}"), rng)
+
+
+def test_mor_delete_model_randomized_fresh_reload(spark, tmp_path):
+    """Same randomized interleavings, but every post-op check reads
+    through a freshly-loaded table handle — pinning that the
+    persisted metadata chain (not the writer's caches) carries the
+    correct state after every delta commit."""
+    for i in range(2):
+        rng = random.Random(7000 + i)
+        _run_sequence(
+            spark,
+            str(tmp_path / f"mor_model_r_{i}"),
+            rng,
+            reload_each_step=True,
+        )
