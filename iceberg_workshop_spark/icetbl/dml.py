@@ -127,10 +127,20 @@ def _cow_rebase(
     base_paths = {f["path"] for f in base_files}
     base_del_keys = {_del_entry_key(d) for d in base_dels}
     removed_abs = {_os.path.abspath(p) for p in removed_paths}
+    base_schema = tbl.meta.schema_ddl
 
     def rebase(fresh_meta):
         from iceberg_workshop_spark.icetbl import meta as M2
 
+        if fresh_meta.schema_ddl != base_schema:
+            # A concurrent schema change (rename/add/drop/widen) voids
+            # the plan outright: rewritten files carry plan-time
+            # physical column names but would be stamped into the
+            # post-change era, so reads would resolve them wrongly.
+            raise M2.CommitConflict(
+                "isolation validation: a concurrent schema change "
+                "committed — re-plan against the new schema"
+            )
         fresh_files = fresh_meta.current_files()
         fresh_paths = {f["path"] for f in fresh_files}
         if removed_paths - fresh_paths:
@@ -206,10 +216,23 @@ def _mor_append_rebase(
     fast path never materializes the live file list (delete_keys_mor's
     O(|keys|) commit claim)."""
     base_del_keys = {_del_entry_key(d) for d in base_dels}
+    base_schema = base_meta.schema_ddl
 
     def rebase(fresh_meta):
         from iceberg_workshop_spark.icetbl import meta as M2
 
+        if fresh_meta.schema_ddl != base_schema:
+            # A concurrent schema change voids the plan: an equality-
+            # delete sidecar records plan-time key names with a dseq
+            # NEWER than the rename's logged sequence, so the rename
+            # translation would never apply to it and every later read
+            # would fail resolving the stale key (found by round-11
+            # review) — and appended images carry plan-time physical
+            # column names that the post-change era would misread.
+            raise M2.CommitConflict(
+                "merge-on-read rebase: a concurrent schema change "
+                "committed — re-plan against the new schema"
+            )
         base_paths = (
             {
                 f["path"]

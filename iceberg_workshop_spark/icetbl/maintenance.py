@@ -464,6 +464,20 @@ def remove_orphan_files(
         names = []
     import json as _json
 
+    ml_cache: dict[str, dict] = {}
+
+    def _ml_lists(ml: str) -> dict:
+        # manifest lists are immutable and per-snapshot, but MANY
+        # retained version docs reference the same snapshot — parse
+        # each list once, not once per referencing doc
+        if ml not in ml_cache:
+            try:
+                with open(os.path.join(tbl.meta.location, ml)) as f:
+                    ml_cache[ml] = _json.load(f)
+            except (OSError, ValueError):
+                ml_cache[ml] = {}
+        return ml_cache[ml]
+
     for name in names:
         if name.startswith("v") and name.endswith(".json"):
             try:
@@ -478,15 +492,11 @@ def remove_orphan_files(
                     # resolve the manifest-list indirection so its
                     # manifests count as referenced
                     live_mfs.add(os.path.basename(ml))
-                    try:
-                        with open(os.path.join(tbl.meta.location, ml)) as f:
-                            lists = _json.load(f)
-                        groups += [
-                            lists.get("manifests") or [],
-                            lists.get("delete_manifests") or [],
-                        ]
-                    except (OSError, ValueError):
-                        pass
+                    lists = _ml_lists(ml)
+                    groups += [
+                        lists.get("manifests") or [],
+                        lists.get("delete_manifests") or [],
+                    ]
                 for g in groups:
                     for m in g:
                         live_mfs.add(os.path.basename(m["path"]))

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -148,8 +149,21 @@ class RemoteTableMeta(M.TableMeta):
             f"{self._base_url}/v1/namespaces/default/tables/"
             f"{self._name}/manifests/{mf}"
         )
-        with urllib.request.urlopen(url) as resp:
-            return json.loads(resp.read())
+        try:
+            with urllib.request.urlopen(url) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            if exc.code == 404:
+                # same typed error as the filesystem path: a pinned
+                # doc whose manifests/list were GC'd raises
+                # SnapshotExpired, not a transport error
+                raise M.SnapshotExpired(
+                    f"metadata file {rel_path} for table {self._name} "
+                    "is gone from the catalog (garbage-collected by "
+                    "expire_snapshots); this pinned metadata version "
+                    "can no longer be materialized"
+                ) from None
+            raise
 
     def _load_mf(self, rel_path: str) -> list[dict[str, Any]]:
         ents = self._mf_cache.get(rel_path)

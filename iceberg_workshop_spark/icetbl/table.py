@@ -782,6 +782,7 @@ class IceTable:
         that only the legacy path performs."""
         if rebase == "blind" and removed:
             raise ValueError("blind rebase requires an empty removed set")
+        plan_schema = self.meta.schema_ddl
         for _ in range(10):
             parent_id = (
                 self.meta.refs[branch]["snapshot_id"]
@@ -885,7 +886,17 @@ class IceTable:
                 self.meta = M.read_current(self.meta.location)
                 if rebase is None:
                     raise
-                if rebase != "blind":
+                if rebase == "blind":
+                    if self.meta.schema_ddl != plan_schema:
+                        # even a blind append is schema-sensitive: its
+                        # files carry plan-time physical column names,
+                        # but the retry would stamp them into the
+                        # post-change era, which reads would misresolve
+                        raise M.CommitConflict(
+                            "blind rebase: a concurrent schema change "
+                            "committed — re-plan against the new schema"
+                        )
+                else:
                     (
                         added,
                         removed,
@@ -929,6 +940,14 @@ class IceTable:
             return base, dels
 
         def apply(meta, added2, removed2, added_d2, removed_d2, trunc2):
+            # a CAS-losing delta attempt may have stamped the added
+            # entries with ITS seq/snapshot id; strip so the legacy
+            # path treats them as new and re-stamps with the committing
+            # attempt's values (a stale first_snapshot_id would name a
+            # snapshot that never committed — found by round-11 review)
+            for f in added2:
+                f.pop("seq", None)
+                f.pop("first_snapshot_id", None)
             base, dels = materialize(meta)
             rm = set(map(id, removed2))
             files = ([] if trunc2 else [f for f in base if id(f) not in rm])
@@ -1309,29 +1328,27 @@ class IceTable:
             # outstanding equality deletes used to break every read
             # with UNRESOLVED_COLUMN — deletes must follow renames,
             # Iceberg's field-id semantics).
-            keys = self._eq_delete_current_keys(eq_dels[0])
+            cur_keys = [self._eq_delete_current_keys(d) for d in eq_dels]
+            keys = cur_keys[0]
             # delete_where_mor rejects mixed key SETS at write time;
             # re-check here so a hand-crafted manifest cannot silently
             # apply a later delete with the wrong equality columns.
             # Order-insensitive (round-10 ADVICE): the anti-join binds
             # by column NAME, so ['k','v'] and ['v','k'] are one set.
-            for d in eq_dels[1:]:
-                cur = self._eq_delete_current_keys(d)
+            for cur in cur_keys[1:]:
                 if sorted(cur) != sorted(keys):
                     raise ValueError(
                         "equality-delete files disagree on key columns: "
                         f"{keys} vs {cur}"
                     )
             dels = None
-            for d in eq_dels:
+            for d, cur in zip(eq_dels, cur_keys):
                 one = (
                     self.spark.read.parquet(d["path"])
                     .select(
                         *[
-                            F.col(phys).alias(cur)
-                            for phys, cur in zip(
-                                d["keys"], self._eq_delete_current_keys(d)
-                            )
+                            F.col(phys).alias(c)
+                            for phys, c in zip(d["keys"], cur)
                         ]
                     )
                     .withColumn("__dseq", F.lit(int(d["dseq"])))

@@ -102,7 +102,15 @@ def _topk_per_group(
     nondeterministic. The guard below requires the last order
     expression to reference ``bucket_on``; pass the row-id column in
     both places (as every caller here does)."""
-    if bucket_on not in str(order[-1]):
+    # Column reprs look like "Column<'doc_id DESC NULLS LAST'>": strip
+    # the wrapper and compare the FIRST token exactly — a substring
+    # test would accept e.g. bucket_on='id' against a 'doc_id' tail
+    # (round-11 review) even though that tiebreak is neither unique
+    # nor the bucketing key.
+    tail = str(order[-1])
+    if tail.startswith("Column<'") and tail.endswith("'>"):
+        tail = tail[len("Column<'"):-2]
+    if tail.split(None, 1)[0] != bucket_on:
         raise ValueError(
             "_topk_per_group: the last `order` expression must be the "
             f"unique tiebreak column {bucket_on!r} (got "

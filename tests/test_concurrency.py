@@ -734,3 +734,43 @@ def test_orphan_hint_tmp_swept_with_age_guard(spark, loc):
     # the REAL hint survived the sweep
     assert os.path.exists(os.path.join(loc, M.HINT_FILE))
     assert M.read_current(loc).version == t.meta.version
+
+
+def test_mor_delete_conflicts_on_concurrent_rename(spark, loc):
+    """A concurrent RENAME COLUMN voids a merge-on-read delete plan:
+    the sidecar would record the OLD key name with a dseq NEWER than
+    the rename's logged sequence, so the rename translation could
+    never reattach it and every later read would fail resolving the
+    stale key. The rebase must surface CommitConflict (re-plan), not
+    commit the wedged sidecar (round-11 review finding)."""
+    t1 = _mk(spark, loc, [(1, "a"), (2, "b")])
+    t2 = IceTable.load(spark, loc)
+
+    t1.rename_column("id", "rid")
+    with pytest.raises(CommitConflict, match="schema change"):
+        t2.delete_where_mor("id = 1", keys=["id"])
+
+    # the table stays readable and intact; a re-planned delete under
+    # the new name works
+    fresh = IceTable.load(spark, loc)
+    assert fresh.read().count() == 2
+    fresh.delete_where_mor("rid = 1", keys=["rid"])
+    assert {r.rid for r in fresh.read().collect()} == {2}
+
+
+def test_blind_append_conflicts_on_concurrent_schema_change(spark, loc):
+    """Even a blind append is schema-sensitive: its files carry
+    plan-time physical column names, but a post-conflict retry would
+    stamp them into the post-change era, which reads would misresolve.
+    The rebase raises instead."""
+    t1 = _mk(spark, loc, [(1, "a")])
+    t2 = IceTable.load(spark, loc)
+
+    t1.rename_column("name", "label")
+    with pytest.raises(CommitConflict, match="schema change"):
+        t2.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+
+    fresh = IceTable.load(spark, loc)
+    assert {(r.id, r.label) for r in fresh.read().collect()} == {(1, "a")}
+    fresh.append(spark.createDataFrame([(9, "z")], "id int, label string"))
+    assert fresh.read().count() == 2

@@ -81,3 +81,23 @@ def test_remote_meta_matches_disk_and_caches(served_table):
             base,
             "/v1/namespaces/default/tables/t/manifests/..%2F..%2Fetc%2Fpasswd",
         )
+
+
+def test_remote_pinned_read_of_expired_snapshot_raises_typed(spark, served_table):
+    """The REST path mirrors the filesystem contract: a pinned remote
+    handle whose snapshot's metadata files were GC'd raises
+    SnapshotExpired (via the catalog's 404), not a raw HTTPError."""
+    import pytest
+
+    from iceberg_workshop_spark.icetbl import meta as M
+    from iceberg_workshop_spark.icetbl.restcat import RestCatalogClient
+
+    srv, base, loc = served_table
+    cli = RestCatalogClient(base)
+    pinned = cli.load_table("t")  # holds the pre-expire metadata doc
+    t = IceTable.load(spark, loc)
+    t.truncate()
+    t.insert_values([(9, "z")])
+    t.expire_snapshots(older_than_ms=M.now_ms() + 1)
+    with pytest.raises(M.SnapshotExpired):
+        pinned.current_files()

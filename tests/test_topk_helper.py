@@ -104,3 +104,21 @@ def test_topk_per_group_rejects_non_unique_order_tail(spark):
         _topk_per_group(
             df, ["g"], [F.col("score").desc()], 3, "item", "rk"
         )
+    # the match is an exact token, not a substring: an order tail that
+    # merely CONTAINS the bucket column's name is rejected too
+    df2 = spark.createDataFrame(
+        [(1, 1, 1, 1.0)], "g int, item bigint, item2 bigint, score double"
+    )
+    with pytest.raises(ValueError, match="unique tiebreak"):
+        _topk_per_group(
+            df2, ["g"], [F.col("score").desc(), F.col("item2")], 3,
+            "item", "rk",
+        )
+    # and the legitimate exact-column tail still passes under asc/desc
+    assert (
+        _topk_per_group(
+            df2, ["g"], [F.col("score").desc(), F.col("item").desc()], 3,
+            "item", "rk",
+        ).count()
+        == 1
+    )
