@@ -223,6 +223,14 @@ def rewrite_data_files(
             }
     else:
         to_rewrite, untouched = files, []
+    if not to_rewrite:
+        # nothing to rewrite: no empty write job, no empty-file commit
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "files_rewritten": 0,
+            "files_untouched": len(files),
+        }
     total = sum(f.get("file_size", 0) for f in to_rewrite)
     n = target_num_files or max(1, math.ceil(total / target_file_size_bytes))
     # Rewritten files get a fresh sequence number, exempting them from
@@ -270,10 +278,13 @@ def _zorder(df, cols: list[str], n: int):
     from pyspark.sql import functions as F
 
     n_buckets = 1 << _Z_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column sketch pass over the compaction input — the
+    # per-column overload would re-scan the input once per z-order
+    # column for identical information
+    all_bounds = df.stat.approxQuantile(cols, probs, 0.001)
     codes = []
-    for c in cols:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = df.stat.approxQuantile(c, probs, 0.001)
+    for c, bounds in zip(cols, all_bounds):
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         v = F.col(c).cast("double")
         codes.append(F.size(F.filter(arr, lambda b: b <= v)).cast("long"))
@@ -323,26 +334,44 @@ def rewrite_manifests(tbl: IceTable) -> dict[str, int]:
             h for h in meta.doc.get("history_log", []) if h["snapshot_id"] in ancestors
         ]
         mf_before = mf_after = 0
+        def _need(descrs: list[dict]) -> int:
+            n_entries = sum(
+                m["n"] if "n" in m else len(meta._load_mf(m["path"]))
+                for m in descrs
+            )
+            return max(1, -(-n_entries // M.MANIFEST_TARGET_ENTRIES))
+
         for sid in {r for r in roots if r is not None and r in by_id}:
             s = by_id[sid]
             ms = meta.manifests_of(s)
-            if not ms:
+            dms = meta.manifests_of(s, "delete_manifests")
+            if not ms and not dms:
                 continue
-            n_entries = sum(
-                m["n"] if "n" in m else len(meta._load_mf(m["path"])) for m in ms
-            )
-            need = max(1, -(-n_entries // M.MANIFEST_TARGET_ENTRIES))
-            mf_before += len(ms)
-            if len(ms) > need:
-                # materialize the delete side inline BEFORE dropping
-                # the manifest-list pointer (it is the only remaining
-                # locator), then reassign and force a fresh spill
-                meta.manifests_of(s, "delete_manifests")
-                s["manifests"] = M._write_manifest_shards(meta, list(meta.files(s)))
+            mf_before += len(ms) + len(dms)
+            changed = False
+            if ms and len(ms) > _need(ms):
+                s["manifests"] = M._write_manifest_shards(
+                    meta, list(meta.files(s))
+                )
+                changed = True
+            # delete manifests fragment the same way (one tiny sidecar
+            # entry per MoR delete commit) and are consolidated the
+            # same way — a head carrying thousands of one-entry delete
+            # manifests would pay thousands of loads per read
+            if dms and len(dms) > _need(dms):
+                s["delete_manifests"] = M._write_manifest_shards(
+                    meta, list(meta.delete_entries(s))
+                )
+                changed = True
+            if changed:
+                # both descriptor lists are inline now (manifests_of
+                # resolved them above); drop the manifest-list pointer
+                # so commit re-spills a fresh one
                 s.pop("manifest_list", None)
-                mf_after += len(s["manifests"])
-            else:
-                mf_after += len(ms)
+            mf_after += len(s["manifests"] if "manifests" in s else ms)
+            mf_after += len(
+                s["delete_manifests"] if "delete_manifests" in s else dms
+            )
 
     tbl._retry_commit(mutate)
     return {
@@ -423,13 +452,38 @@ def remove_orphan_files(
     cutoff = (
         M.now_ms() - DEFAULT_ORPHAN_AGE_MS if older_than_ms is None else older_than_ms
     )
-    referenced = {
-        f["path"] for s in tbl.meta.snapshots for f in tbl.meta.files(s)
-    } | {
-        d["path"]
-        for s in tbl.meta.snapshots
-        for d in tbl.meta.delete_entries(s)
-    }
+    # The data-file reference set comes from EVERY retained on-disk
+    # version document via fresh reads — never the handle's in-memory
+    # meta (round-11 review: a stale handle loaded at v5 would miss
+    # files appended at v6+, and files referenced only by retained
+    # older docs back pinned read_version views), mirroring the
+    # manifest sweep below. Manifest caches are shared across the doc
+    # reads so each immutable sidecar parses once; snapshots whose
+    # manifests were already expired are skipped (their data files
+    # were removed by expire_snapshots itself).
+    referenced: set[str] = set()
+    shared_mf: dict = {}
+    shared_ids: dict = {}
+    ref_mdir = os.path.join(tbl.meta.location, M.METADATA_DIR)
+    try:
+        doc_names = sorted(os.listdir(ref_mdir))
+    except FileNotFoundError:
+        doc_names = []
+    for name in doc_names:
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            tm = M.read_metadata_file(os.path.join(ref_mdir, name))
+        except (OSError, ValueError, KeyError):
+            continue
+        tm._mf_cache = shared_mf
+        tm._mf_idset = shared_ids
+        for s in tm.snapshots:
+            try:
+                referenced |= {f["path"] for f in tm.files(s)}
+                referenced |= {d["path"] for d in tm.delete_entries(s)}
+            except FileNotFoundError:
+                continue  # SnapshotExpired: already unmaterializable
     found = removed = 0
     data_dir = os.path.join(tbl.meta.location, M.DATA_DIR)
     for root, _dirs, names in os.walk(data_dir, topdown=False):
@@ -580,7 +634,8 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
         tbl.meta.delete_entries(tbl.meta.snapshot(cur)) if cur is not None else []
     )
     pos_dels = [d for d in dels if d.get("kind") == "pos"]
-    other_dels = [d for d in dels if d.get("kind") != "pos"]
+    # (equality deletes carry forward by manifest reference — the
+    # delta commit below removes only the pos-delete entries)
     if not pos_dels:
         return {
             "rewritten_delete_files_count": 0,
@@ -603,14 +658,19 @@ def rewrite_position_deletes(tbl: IceTable) -> dict[str, int]:
     union = tbl.spark.read.parquet(*[d["path"] for d in pos_dels]).select(
         "file_path", "pos"
     )
-    n_before = union.count()
+    # count the DISTINCT position set on both sides: a (path, pos)
+    # pair recorded in two sidecars is a consolidation no-op, not a
+    # "dangling position dropped" (round-11 review — the raw-union
+    # count overstated the dangling report)
+    dedup = union.distinct()
+    n_before = dedup.count()
     norm = F.url_decode(
         F.regexp_replace(
             F.regexp_replace("file_path", r"^file:/+", "/"), r"\+", "%2B"
         )
     )
     live = (
-        union.distinct()
+        dedup
         .withColumn("__norm", norm)
         .join(live_df, F.col("__norm") == F.col("live_path"), "left_semi")
         .drop("__norm")

@@ -41,6 +41,7 @@ backwards self-heals on the next read).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -175,6 +176,18 @@ class TableMeta:
         if mkey not in snap:
             ml = snap.get("manifest_list")
             if ml is None:
+                if "files" in snap or "delete_files" in snap:
+                    # legacy/unsharded snapshot (inline entry lists,
+                    # pre-migration): no descriptors exist. Report none
+                    # WITHOUT caching an empty list into the snap —
+                    # "manifests" in snap must stay a truthful
+                    # is-this-snapshot-sharded signal, because the
+                    # delta-commit eligibility check uses it to route
+                    # legacy parents to the materializing fallback (a
+                    # fabricated empty list made that check vacuously
+                    # pass and silently dropped every pre-migration
+                    # file — round-11 review finding).
+                    return []
                 snap.setdefault("manifests", [])
                 snap.setdefault("delete_manifests", [])
             else:
@@ -248,7 +261,19 @@ class TableMeta:
                 m["n"] if "n" in m else len(self._load_mf(m["path"]))
                 for m in ms
             ),
-            sum(m.get("records") or 0 for m in ms),
+            # a foreign/hand-written descriptor missing 'records'
+            # falls back to summing the loaded entries — reporting 0
+            # records for a snapshot that has data would silently
+            # corrupt the metadata views
+            sum(
+                m["records"]
+                if "records" in m
+                else sum(
+                    e.get("record_count") or 0
+                    for e in self._load_mf(m["path"])
+                )
+                for m in ms
+            ),
         )
 
     def current_files(self) -> list[dict[str, Any]]:
@@ -591,7 +616,5 @@ def _gc_metadata(meta: TableMeta) -> None:
                 # A concurrent committer's GC pass may remove the same
                 # file first; a successful commit must not raise for a
                 # lost cleanup race.
-                import contextlib
-
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(os.path.join(mdir, name))

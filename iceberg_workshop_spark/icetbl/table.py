@@ -792,8 +792,17 @@ class IceTable:
             parent = (
                 self.meta.snapshot(parent_id) if parent_id is not None else None
             )
-            eligible = parent is None or all(
-                m.get("stamped") for m in self.meta.manifests_of(parent)
+            # A parent is delta-eligible only if it is SHARDED (carries
+            # manifest descriptors or a manifest list — a legacy
+            # inline-file snapshot must take the materializing
+            # fallback, which migrates and backfills it) AND every
+            # descriptor is stamped.
+            eligible = parent is None or (
+                ("manifest_list" in parent or "manifests" in parent)
+                and all(
+                    m.get("stamped")
+                    for m in self.meta.manifests_of(parent)
+                )
             )
             carried: list[dict] = []
             pool: list[dict] = []

@@ -492,3 +492,110 @@ def test_pinned_read_fails_loudly_on_expired_manifest_list(spark, tmp_path):
     pinned = M.read_version(loc, pinned_version)
     with pytest.raises(M.SnapshotExpired, match="manifest list"):
         pinned.current_files()
+
+
+def test_legacy_inline_doc_survives_delta_append(tmp_path):
+    """Round-11 review data-loss finding, pinned: a DELTA append over
+    a pre-sharding vN.json (snapshots carry inline 'files', no
+    manifests, no manifest list) must route to the materializing
+    fallback and keep every pre-migration file — the fabricated-empty-
+    descriptor path made the eligibility check vacuously pass and
+    dropped the whole table."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(loc, M.METADATA_DIR))
+    entries = [_entry(i) for i in range(5)]
+    doc = {
+        "format_version": 1,
+        "table_uuid": "u",
+        "schema": "a int",
+        "partition_specs": [[]],
+        "current_spec_id": 0,
+        "properties": {"last-sequence-number": "1"},
+        "snapshots": [
+            {
+                "snapshot_id": 1,
+                "parent_id": None,
+                "timestamp_ms": M.now_ms(),
+                "operation": "append",
+                "files": entries,
+                "delete_files": [],
+            }
+        ],
+        "current_snapshot_id": 1,
+    }
+    with open(M.metadata_path(loc, 1), "w") as f:
+        json.dump(doc, f)
+
+    class _Shim:
+        _partition_manifests = IceTable._partition_manifests
+        _commit_snapshot = IceTable._commit_snapshot
+        _commit_snapshot_delta = IceTable._commit_snapshot_delta
+        _commit_snapshot_delta_fallback = (
+            IceTable._commit_snapshot_delta_fallback
+        )
+
+    shim = _Shim()
+    shim.meta = M.read_current(loc)
+    new = {k: v for k, v in _entry(99).items() if k not in ("seq", "first_snapshot_id")}
+    IceTable._commit_snapshot_delta(shim, [new], [], "append", rebase="blind")
+
+    fresh = M.read_current(loc)
+    assert {f["path"] for f in fresh.current_files()} == {
+        e["path"] for e in entries
+    } | {new["path"]}, "pre-migration files must survive a delta append"
+    # and the next delta commit runs the FAST path over the migrated doc
+    head = fresh.snapshot(fresh.current_snapshot_id)
+    assert "manifest_list" in head
+
+
+def test_remove_orphans_respects_files_committed_after_handle_load(
+    spark, tmp_path
+):
+    """remove_orphan_files derives its reference set from the retained
+    ON-DISK version docs, never the calling handle's in-memory meta: a
+    stale handle must not delete files other writers committed after
+    it loaded (round-11 review — this was current-table data loss)."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t1 = IceTable.create_as(
+        spark, loc, spark.createDataFrame([(1,)], "a int")
+    )
+    stale = IceTable.load(spark, loc)  # pinned at v-now
+    t1.insert_values([(2,)])           # another writer advances
+    rep = stale.remove_orphan_files(older_than_ms=M.now_ms() + 1000)
+    assert rep["orphans_removed"] == 0
+    assert {r.a for r in IceTable.load(spark, loc).read().collect()} == {1, 2}
+
+
+def test_rewrite_manifests_consolidates_delete_manifests(spark, tmp_path):
+    """Per-commit MoR deletes fragment the delete-manifest list the
+    same way appends fragment the data side; rewrite_manifests now
+    compacts both."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    loc = str(tmp_path / "t")
+    t = IceTable.create_as(
+        spark,
+        loc,
+        spark.createDataFrame([(i, i) for i in range(8)], "k int, v int"),
+    )
+    for i in range(4):
+        t.delete_keys_mor(
+            spark.createDataFrame([(i,)], "k int"), ["k"]
+        )
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    assert len(t.meta.manifests_of(head, "delete_manifests")) == 4
+    t.rewrite_manifests()
+    head = t.meta.snapshot(t.meta.current_snapshot_id)
+    assert len(t.meta.manifests_of(head, "delete_manifests")) == 1
+    # semantics unchanged: the four deletes still apply
+    assert {r.k for r in t.read().collect()} == {4, 5, 6, 7}
+    fresh = M.read_current(loc)
+    assert len(
+        fresh.manifests_of(
+            fresh.snapshot(fresh.current_snapshot_id), "delete_manifests"
+        )
+    ) == 1
