@@ -77,32 +77,48 @@ def transform_value(transform: str, v: Any) -> Any:
         if isinstance(v, (int, float)) and not isinstance(v, bool):
             return v
         return _part_str(v)
-    if isinstance(v, str):
-        v = datetime.fromisoformat(v)
-    if transform == "year":
-        return f"{v.year:04d}"
-    if transform == "month":
-        return f"{v.year:04d}-{v.month:02d}"
-    if transform == "day":
-        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
-    if transform == "hour":
+    if transform in ("year", "month", "day", "hour"):
+        # TIME transforms coerce string literals to datetime; other
+        # transforms must NOT (a truncate[w] on a STRING column whose
+        # values merely look ISO-ish would otherwise compare
+        # str(datetime) — space-separated — against the raw substring
+        # dir value and over-prune, round-11 review finding)
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        if transform == "year":
+            return f"{v.year:04d}"
+        if transform == "month":
+            return f"{v.year:04d}-{v.month:02d}"
+        if transform == "day":
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+        # hour: a plain DATE literal has no .hour — treat it as
+        # midnight (its day's first hour) instead of crashing
+        if isinstance(v, date) and not isinstance(v, datetime):
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-00"
         return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{v.hour:02d}"
     if transform.startswith("truncate["):
         w = int(transform[9:-1])
-        if isinstance(v, int):
+        if isinstance(v, int) and not isinstance(v, bool):
             # numeric truncate: return the INT so the caller compares
             # numerically — "1000" < "200" lexicographically, so a
             # string comparison over-prunes
             return v - v % w
-        return str(v)[:w]
+        return _part_str(v)[:w]
     raise ValueError(f"cannot prune transform {transform}")
 
 
 def _part_str(v: Any) -> str:
     """The string Spark writes into a partition directory for value v."""
+    if isinstance(v, bool):
+        # Spark writes lowercase 'true'/'false' dirs; Python's
+        # str(True) == 'True' would compare above 'true' and prune
+        # every matching file (round-11 review finding)
+        return str(v).lower()
     if isinstance(v, datetime):
         # Spark dir encoding for timestamps varies; identity-partition
-        # comparison is done on ISO seconds.
+        # comparison is done on ISO seconds (both sides truncated to
+        # second precision in file_survives_partition — a literal's
+        # sub-second digits must never narrow a bound).
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, date):
         return v.isoformat()
@@ -124,6 +140,11 @@ def file_survives_partition(
             continue  # bucket pruning handled separately (needs Spark hash)
         lo, hi = ivals[src]
         pv = file_partition[name]
+        if pv == "__HIVE_DEFAULT_PARTITION__":
+            # Spark's shared dir for NULL and empty-string partition
+            # values: the file may hold rows matching any predicate on
+            # those values, so it always survives this field
+            continue
         try:
             tlo = None if lo is None else transform_value(transform, lo)
             thi = None if hi is None else transform_value(transform, hi)
@@ -139,12 +160,23 @@ def file_survives_partition(
                 pvc = float(pv)
             else:
                 pvc = pv
+            if (
+                transform == "identity"
+                and isinstance(lo if lo is not None else hi, datetime)
+            ):
+                # both sides at SECOND precision: the bound string was
+                # second-truncated, and a dir value carrying fractional
+                # seconds must not compare past an equal-second bound
+                # (sub-second rows would be over-pruned)
+                pvc = str(pvc)[:19]
             if tlo is not None and pvc < tlo:
                 return False
             if thi is not None and pvc > thi:
                 return False
-        except (ValueError, TypeError):
-            return True  # un-prunable literal → keep the file
+        except (ValueError, TypeError, AttributeError):
+            # un-prunable literal for THIS field → the field cannot
+            # prune, but the remaining spec fields still can
+            continue
     return True
 
 

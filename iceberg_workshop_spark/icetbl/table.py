@@ -31,7 +31,7 @@ import os
 import shutil
 import urllib.parse
 import uuid
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1060,9 +1060,38 @@ class IceTable:
         self._commit_snapshot_delta(new, [], "append", branch=branch, rebase="blind")
 
     def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> None:
-        df = self.spark.createDataFrame(rows, schema=self.meta.schema_ddl)
+        """INSERT INTO ... [(col, ...)] VALUES: with ``columns``, the
+        tuples are bound to THOSE columns in the caller's order (SQL
+        column-list semantics) and unnamed columns land NULL. The
+        frame is then projected back to table order for append. (The
+        old implementation bound tuples positionally against the FULL
+        schema before a reorder-only select, silently inverting the
+        caller's values — round-11 review finding.)"""
+        from pyspark.sql.types import StructType
+
         if columns:
-            df = df.select(*columns)
+            fields = {
+                f.name: f for f in StructType.fromDDL(self.meta.schema_ddl).fields
+            }
+            unknown = [c for c in columns if c not in fields]
+            if unknown:
+                raise ValueError(
+                    f"insert_values columns {unknown} not in table "
+                    f"schema ({self.meta.schema_ddl})"
+                )
+            partial = ", ".join(
+                f"{c} {fields[c].dataType.simpleString()}" for c in columns
+            )
+            df = self.spark.createDataFrame(rows, schema=partial).select(
+                *[
+                    F.col(n)
+                    if n in columns
+                    else F.lit(None).cast(fields[n].dataType).alias(n)
+                    for n in fields
+                ]
+            )
+        else:
+            df = self.spark.createDataFrame(rows, schema=self.meta.schema_ddl)
         self.append(df)
 
     def truncate(self) -> None:
@@ -1247,6 +1276,27 @@ class IceTable:
         if snapshot_id is not None:
             return self.meta.snapshot(snapshot_id)
         if as_of_timestamp_ms is not None:
+            # AS OF resolves through the SNAPSHOT LOG (history_log,
+            # Iceberg's snapshot-log semantics): the snapshot that was
+            # CURRENT at that instant. A max-over-all-snapshots rule
+            # would (a) leak unpublished branch heads — a staged WAP
+            # snapshot has the newest timestamp but never was current
+            # on main — and (b) ignore rollback, which re-points
+            # current at an OLDER snapshot and records that in the log
+            # (round-11 review finding).
+            log = self.meta.doc.get("history_log")
+            if log:
+                by_id = {s["snapshot_id"]: s for s in self.meta.snapshots}
+                cur = None
+                for h in log:  # chronological
+                    if (
+                        h["made_current_at_ms"] <= as_of_timestamp_ms
+                        and h["snapshot_id"] in by_id
+                    ):
+                        cur = by_id[h["snapshot_id"]]
+                return cur
+            # legacy doc without a history log: fall back to the
+            # newest snapshot at-or-before the instant
             eligible = [
                 s
                 for s in self.meta.snapshots
@@ -1372,22 +1422,6 @@ class IceTable:
                 cond = cond & data[k].eqNullSafe(dels[k])
             data = data.join(dels, cond, "left_anti")
         return data.drop("__seq")
-
-    def _snapshot_files(
-        self,
-        as_of_timestamp_ms: int | None = None,
-        snapshot_id: int | None = None,
-    ) -> list[dict]:
-        if snapshot_id is not None:
-            return self.meta.files(self.meta.snapshot(snapshot_id))
-        if as_of_timestamp_ms is not None:
-            eligible = [
-                s for s in self.meta.snapshots if s["timestamp_ms"] <= as_of_timestamp_ms
-            ]
-            if not eligible:
-                return []
-            return self.meta.files(max(eligible, key=lambda s: s["timestamp_ms"]))
-        return self.meta.current_files()
 
     @staticmethod
     def _delete_entry_bytes(d: dict) -> int:
@@ -1516,7 +1550,12 @@ class IceTable:
             cur = by_id[cur]["parent_id"] if cur in by_id else None
         rows = [
             (
-                datetime.utcfromtimestamp(h["made_current_at_ms"] / 1000.0),
+                # tz-aware UTC instant (naive utcfromtimestamp would be
+                # reinterpreted in the session timezone, shifting the
+                # reported time on non-UTC sessions; also deprecated)
+                datetime.fromtimestamp(
+                    h["made_current_at_ms"] / 1000.0, tz=timezone.utc
+                ),
                 h["snapshot_id"],
                 by_id[h["snapshot_id"]]["parent_id"] if h["snapshot_id"] in by_id else None,
                 h["snapshot_id"] in ancestors,
