@@ -59,6 +59,8 @@ class _SeqReader(DataSourceReader):
         self.parts = int(options.get("partitions", SEQ_PARTS))
 
     def partitions(self) -> list[InputPartition]:
+        if self.n <= 0:
+            return []  # range() rejects a zero step — empty source, empty plan
         step = -(-self.n // self.parts)  # ceil
         return [
             _RangePartition(lo, min(lo + step, self.n))
@@ -95,6 +97,12 @@ class _TicksStreamReader(DataSourceStreamReader):
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
+        # the TERMINAL offset: an availableNow drain polls
+        # latestOffset once and consumes everything up to it — an
+        # incremental per-poll advance would leave data behind
+        # (probed round 11: the drain is one batch by design here;
+        # the per-batch offset protocol is exercised by the
+        # continuous-trigger path, not this bounded demo feed)
         return {"offset": TICKS_PER_BATCH * TICK_BATCHES}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -264,7 +272,14 @@ class _IceStreamReader(DataSourceStreamReader):
         )
         from iceberg_workshop_spark.icetbl import meta as M
 
-        self._fields = _ddl_fields(M.read_current(self.location).schema_ddl)
+        start_meta = M.read_current(self.location)
+        self._fields = _ddl_fields(start_meta.schema_ddl)
+        # sequence number at stream start: forward rename-resolution
+        # applies only renames logged AFTER this point (the captured
+        # schema already reflects earlier ones)
+        self._start_seq = int(
+            start_meta.properties.get("last-sequence-number", "0")
+        )
 
     def _meta(self):
         from iceberg_workshop_spark.icetbl import meta as M
@@ -298,7 +313,12 @@ class _IceStreamReader(DataSourceStreamReader):
         for declared, typ in self._fields:
             cur = declared  # the column's name in the LATEST schema
             for r in renames:
-                if cur == r["old"]:
+                # only renames logged AFTER stream start can retarget a
+                # captured name — an unconditional walk resurrected old
+                # data when a pre-start rename's source name was later
+                # RE-ADDED as a new column (the streaming counterpart
+                # of the batch era-collision fix; round-11 review)
+                if int(r["seq"]) >= self._start_seq and cur == r["old"]:
                     cur = r["new"]
             phys = cur  # its physical name in this file's era
             for r in reversed(renames):
@@ -382,8 +402,14 @@ class _IceStreamReader(DataSourceStreamReader):
                 # Declared DDL type is TIMESTAMP under the pinned-UTC
                 # session, so naive values are UTC instants.
                 if pa.types.is_timestamp(col.type):
+                    # safe=False: nanosecond payloads TRUNCATE to the
+                    # microsecond grid instead of raising ArrowInvalid
+                    # on sub-microsecond values (the default safe cast
+                    # killed the stream on exactly the nanos files this
+                    # branch exists for)
                     col = col.cast(
-                        pa.timestamp("us", tz=col.type.tz or "UTC")
+                        pa.timestamp("us", tz=col.type.tz or "UTC"),
+                        safe=False,
                     )
                 arrays.append(col)
             else:
@@ -603,8 +629,15 @@ class _BucketPushReader(DataSourceReader):
                 isinstance(f, EqualTo)
                 and tuple(f.attribute) == ("bucket",)
                 and isinstance(f.value, int)
+                and 0 <= f.value < self.buckets
                 and self.pushed_bucket is None
             ):
+                # claim only predicates inside the bucket domain: a
+                # claimed out-of-range value (bucket = 15 of 10) would
+                # generate the residue class 15 mod 10 — rows whose
+                # actual bucket is 5 — instead of the correct empty
+                # result; unclaimed predicates stay Spark-side and
+                # filter to empty correctly
                 self.pushed_bucket = int(f.value)  # handled here
             else:
                 yield f  # everything else stays Spark-side
@@ -615,6 +648,8 @@ class _BucketPushReader(DataSourceReader):
         else:
             idx = range(self.pushed_bucket, self.n, self.buckets)
         rows = list(idx)
+        if not rows:
+            return []
         step = -(-len(rows) // self.parts)
         return [
             _RowsPartition(rows[lo : lo + step])

@@ -60,7 +60,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _drain(
+    stream_df: DataFrame, output_mode: str, checkpoint: str | None = None
+) -> DataFrame:
     """Run the streaming query to completion; return the sink table.
 
     Stateful streaming allocates one state-store instance per shuffle
@@ -82,7 +84,10 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="iws_ckpt_"))
+            .option(
+                "checkpointLocation",
+                checkpoint or tempfile.mkdtemp(prefix="iws_ckpt_"),
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -222,14 +227,14 @@ def q_stream_agg_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
     ), marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN gap_us IS NULL OR gap_us >= {30 * 60 * 1_000_000}
                   THEN 1 ELSE 0 END AS new_session
       FROM seq
     ), sessions AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM marked
     )
@@ -355,19 +360,10 @@ def q_stream_sink_icetbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse — commits are metadata-only appends, readers time-travel
     across micro-batch history, and compaction (q_maint_compact)
     absorbs the small-file stream afterwards."""
-    import os
-    import shutil
-
     from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
 
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        "iws_lifecycle",
-        os.path.basename(sf_dir.rstrip("/")),
-        "stream_sink",
-    )
-    if os.path.exists(loc):
-        shutil.rmtree(loc)
+    loc = _fresh(sf_dir, "stream_sink")
     t = IceTable.create(
         spark,
         loc,
@@ -465,20 +461,12 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state equals the batch per-user argmax, checked exactly. At
     100 TB the per-batch merge is file-granular CoW: only files
     holding updated users rewrite."""
-    import shutil
-
     from pyspark.sql.window import Window as W
 
     from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.plans.lifecycle import _fresh
 
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        "iws_lifecycle",
-        os.path.basename(sf_dir.rstrip("/")),
-        "cdc_upsert",
-    )
-    if os.path.exists(loc):
-        shutil.rmtree(loc)
+    loc = _fresh(sf_dir, "cdc_upsert")
     t = IceTable.create(
         spark, loc, "user_id bigint, last_event_id bigint, last_value double"
     )
@@ -733,6 +721,7 @@ def q_stream_agg_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "spark.sql.streaming.stateStore.providerClass"
     ckey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     prior = spark.conf.get(key, None)
+    cprior = spark.conf.get(ckey, None)
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state."
@@ -763,7 +752,12 @@ def q_stream_agg_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
-        spark.conf.unset(ckey)
+        # restore (not blindly unset) the changelog conf too — a
+        # session that set it explicitly keeps its setting
+        if cprior is None:
+            spark.conf.unset(ckey)
+        else:
+            spark.conf.set(ckey, cprior)
 
 
 @register(
@@ -792,22 +786,7 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     ckpt = tempfile.mkdtemp(prefix="iws_ckpt_statereader_")
-    name = f"iws_stream_sink_{next(_sink_ids)}"
-    key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(key)
-    spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(key, prior)
+    _drain(agg, "complete", checkpoint=ckpt)  # same drain protocol
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.user_id").alias("user_id"),
@@ -843,18 +822,13 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only NEW files per snapshot), the merge is keyed on the MV's
     group columns, and the MV table's own snapshot history doubles as
     the rollup's audit log."""
-    import shutil
-
     from iceberg_workshop_spark.icetbl import IceTable
     from iceberg_workshop_spark.plans.lifecycle import _fresh
     from iceberg_workshop_spark.sources.pysource import IceStreamDataSource
     from iceberg_workshop_spark.sources.tables import load
 
     loc = _fresh(sf_dir, "stream_mv_src")
-    mv_loc = _fresh(sf_dir, "stream_mv_tgt")
-    for p in (loc, mv_loc):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    mv_loc = _fresh(sf_dir, "stream_mv_tgt")  # _fresh already cleans
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )

@@ -901,3 +901,33 @@ def test_delete_keys_mor_by_explicit_key_set(spark, tmp_table_dir):
     # key-set guard still applies
     with _pytest.raises(ValueError, match="key set mismatch"):
         t.delete_keys_mor(spark.createDataFrame([(0, 0)], "k int, v int"), keys=["k", "v"])
+
+
+def test_stream_rename_then_readd_matches_batch(spark, tmp_table_dir):
+    """Streaming counterpart of the round-10 batch era-identity fix
+    (round-11 review): after RENAME a->b and a re-ADDED `a`, a stream
+    STARTED on the evolved table must resolve the declared `a` to the
+    NEW column — the unconditional forward rename-walk used to map it
+    back onto physical `b` and silently emit the old data."""
+    from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.sources.pysource import _IceStreamReader
+
+    t = IceTable.create_as(
+        spark,
+        tmp_table_dir,
+        spark.createDataFrame([(1, 10)], "id int, a int"),
+    )
+    t.rename_column("a", "b")
+    t.add_column("a", "int")
+    t.append(spark.createDataFrame([(2, 20, 200)], "id int, b int, a int"))
+
+    r = _IceStreamReader({"location": tmp_table_dir})
+    head = {"sid": t.meta.current_snapshot_id}
+    got = sorted(
+        row
+        for p in r.partitions({"sid": 0}, head)
+        for b in r.read(p)
+        for row in zip(*[c.to_pylist() for c in b.columns])
+    )
+    # stream == batch: old file feeds b from physical a, new 'a' NULL
+    assert got == [(1, 10, None), (2, 20, 200)], got
