@@ -169,6 +169,10 @@ _DRIVER_WINDOW = [
     "q_dml_delete_positional", "q_sql_delete_mor_stmt",
     "q_llm_ann_index_lifecycle", "q_llm_ann_index_delete",
     "q_dml_insert_overwrite", "q_maint_compact",
+    #     late round-11 additions from the review-pass fixes: the
+    #     session-window ORACLE gained its tiebreak, zorder's quantile
+    #     pass and the orphan reference set were rewired
+    "q_stream_session_window", "q_maint_zorder", "q_maint_orphans",
     # (2) the 17 round-3-vintage leftovers (LEDGER r11 candidates —
     #     displaced from the r10 window by its late plan changes);
     "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_conditional",
@@ -185,8 +189,9 @@ _DRIVER_WINDOW = [
     "q_agg_q13_shape", "q_agg_q14_shape", "q_join_q15_shape",
     "q_agg_q16_shape", "q_agg_q17_shape", "q_filter_q19_shape",
     "q_join_q20_shape", "q_join_q21_shape", "q_agg_q22_shape",
-    "q_sketch_bloom", "q_sketch_countmin", "q_sketch_hist_quantile",
-    "q_sketch_bloom_merge",
+    "q_sketch_bloom",
+    # (q_sketch_countmin/hist_quantile/bloom_merge displaced to r12 by
+    #  the three late plan-changed rows above)
     # 50 names total — zero pad slots this round.
 ]
 
