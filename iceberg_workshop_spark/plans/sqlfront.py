@@ -46,7 +46,8 @@ _MERGE_HEAD_RE = re.compile(
     # keeps the USING keyword from being eaten as the alias
     r"MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
     r"INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?\s+"
-    r"USING\s+(?:\((?P<src>.+?)\)|(?P<srcname>[\w.]+))\s+(?:AS\s+)?(?P<salias>\w+)\s+"
+    r"USING\s+(?:\((?P<src>.+?)\)|(?P<srcname>[\w.]+))"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<salias>\w+))?\s+"
     r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
     re.I | re.S,
 )
@@ -239,7 +240,8 @@ _DROP_MV_RE = re.compile(
 _SHOW_MV_RE = re.compile(r"SHOW\s+MATERIALIZED\s+VIEWS$", re.I)
 _INSERT_RE = re.compile(
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<target>[\w.]+)"
-    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?\s+"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
+    r"(?:\s*\((?P<cols>[\w`,\s]*)\))?\s+"
     r"(?P<rest>(?:VALUES|SELECT)\b.+)$",
     re.I | re.S,
 )
@@ -405,7 +407,10 @@ def _call_ts_ms(v) -> int:
     return _iso_to_ms(str(v))
 
 
-_QUOTED_SPAN = re.compile(r"\"[^\"]*\"|'[^']*'")
+# backslash-escaped quotes (Spark's default literal syntax) stay
+# INSIDE the span — without the escape alternation, 'don\\'t' ended
+# the span early and keyword detection ran inside string literals
+_QUOTED_SPAN = re.compile(r"\"(?:\\.|[^\"\\])*\"|'(?:\\.|[^'\\])*'")
 
 
 def _mask_quotes(text: str) -> str:
@@ -429,10 +434,12 @@ def _sub_outside_quotes(pattern: str, repl: str, text: str) -> str:
 
 
 def _take_parens(text: str) -> tuple[str, str]:
-    """Split '(...)...' into (inner, rest) at the balanced close."""
+    """Split '(...)...' into (inner, rest) at the balanced close.
+    Parens inside string literals don't count (the mask is
+    length-preserving, so indices address the original text)."""
     assert text[0] == "("
     depth = 0
-    for i, ch in enumerate(text):
+    for i, ch in enumerate(_mask_quotes(text)):
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -810,9 +817,11 @@ class IceSqlSession:
             return None
         if m := _UPDATE_RE.match(s):
             rest = m["rest"]
-            wm = re.search(r"\sWHERE\s", _mask_quotes(rest), re.I)
-            set_text = rest[: wm.start()] if wm else rest
-            cond = rest[wm.end():].strip() if wm else None
+            # depth-aware split: a WHERE inside a scalar-subquery or
+            # EXISTS assignment must not terminate the SET list
+            wi = _find_top_keyword(rest, "WHERE")
+            set_text = rest[:wi] if wi >= 0 else rest
+            cond = rest[wi + len("WHERE"):].strip() if wi >= 0 else None
             assignments = {}
             for assign in _split_top_commas(set_text):
                 k, v = assign.split("=", 1)
@@ -847,10 +856,14 @@ class IceSqlSession:
                 del self.tables[name]
             for name in [n for n in self.views if n.startswith(prefix)]:
                 del self.views[name]
+            for name in [n for n in self.mviews if n.startswith(prefix)]:
+                del self.mviews[name]
             return None
         if m := _DROP_TABLE_RE.match(s):
             self.tables.pop(m["target"], None)
             self.views.pop(m["target"], None)
+            # a dropped MV must not survive as a ghost registration
+            self.mviews.pop(m["target"], None)
             return None
         if m := _SHOW_PARTS_RE.match(s):
             return self._show_partitions(m)
@@ -1245,7 +1258,11 @@ class IceSqlSession:
         ``merge_into`` applies both in a single copy-on-write commit."""
         tbl = self._table(m["target"])
         talias = m["talias"] or _view_name(m["target"])
-        salias = m["salias"]
+        # alias-less `USING s ON ...`: the source is referenced by its
+        # (last-component) table name, standard SQL
+        salias = m["salias"] or (
+            m["srcname"].split(".")[-1] if m["srcname"] else "__merge_src"
+        )
         src_sql = m["src"] or f"SELECT * FROM {m['srcname']}"
         src_df = self.spark.sql(self._rewrite(src_sql))
         if m.group("evolve"):
@@ -1525,34 +1542,56 @@ class IceSqlSession:
             src = self.spark.sql(f"SELECT * FROM VALUES {rest[6:].strip()}")
         else:
             src = self._select(rest)
-        # Static PARTITION(col="lit") assignments append the literal to
-        # every row (Hive semantics — partition columns come last);
-        # dynamic PARTITION(col) means the SELECT already carries them.
-        if m["part"]:
-            from pyspark.sql import functions as F
-
-            for item in _split_top_commas(m["part"]):
-                if "=" in item:
-                    _, v = item.split("=", 1)
-                    src = src.withColumn(
-                        f"__part_{len(src.columns)}",
-                        F.expr(v.strip()),
-                    )
-        cols = tbl._column_names()
-        if len(src.columns) != len(cols):
-            raise ValueError(
-                f"INSERT width {len(src.columns)} != table width {len(cols)}"
-            )
-        # SQL literals arrive as DECIMAL/STRING; cast positionally to
-        # the declared column types (INSERT assignment casts).
-        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromDDL(tbl.meta.schema_ddl)
-        src = src.toDF(*cols).select(
+        cols = tbl._column_names()
+        # Static PARTITION(col="lit") assignments bind BY NAME (the
+        # old positional append placed static literals AFTER dynamic
+        # partition columns, silently swapping their values in a mixed
+        # static+dynamic insert); the SELECT/VALUES list supplies the
+        # remaining columns in table order (Hive semantics), or the
+        # explicit (col, ...) list when given — unnamed columns land
+        # NULL, SQL column-list semantics.
+        static: dict[str, str] = {}
+        if m["part"]:
+            for item in _split_top_commas(m["part"]):
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    k = k.strip().strip("`")
+                    if k not in cols:
+                        raise ValueError(
+                            f"unknown partition column {k!r} in INSERT"
+                        )
+                    static[k] = v.strip()
+        explicit = m.groupdict().get("cols")
+        if explicit and explicit.strip():
+            provided = [c.strip().strip("`") for c in explicit.split(",")]
+            unknown = [c for c in provided if c not in cols]
+            if unknown:
+                raise ValueError(f"unknown INSERT columns {unknown}")
+        else:
+            provided = [c for c in cols if c not in static]
+        if len(src.columns) != len(provided):
+            raise ValueError(
+                f"INSERT width {len(src.columns)} != expected "
+                f"{len(provided)} ({provided})"
+            )
+        src = src.toDF(*provided)
+        for k, v in static.items():
+            src = src.withColumn(k, F.expr(v))
+        # SQL literals arrive as DECIMAL/STRING; cast to the declared
+        # column types (INSERT assignment casts), NULL-filling any
+        # column neither provided nor statically assigned.
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(tbl.meta.schema_ddl).fields
+        }
+        src = src.select(
             *[
-                F.col(c).cast(f.dataType).alias(c)
-                for c, f in zip(cols, schema.fields)
+                (F.col(c) if c in src.columns else F.lit(None))
+                .cast(types[c])
+                .alias(c)
+                for c in cols
             ]
         )
         if m["mode"].upper() == "OVERWRITE":
@@ -1819,10 +1858,14 @@ class IceSqlSession:
         elif pm := re.search(r"PARTITIONED\s+BY\s*(?=\()", body, re.I):
             part_text, _ = _take_parens(body[pm.end():])
         loc_m = re.search(r"LOCATION\s+'(?P<loc>[^']+)'", body, re.I)
-        props_m = re.search(r"TBLPROPERTIES\s*\((?P<pr>[^)]*)\)", body, re.I)
+        props_m = re.search(r"TBLPROPERTIES\s*(?=\()", body, re.I)
         as_m = re.search(r"\bAS\s+(?P<sel>SELECT\b.+)$", body, re.I | re.S)
         textfile = re.search(r"STORED\s+AS\s+TEXTFILE", body, re.I)
-        props = _parse_props(props_m["pr"]) if props_m else {}
+        props = (
+            _parse_props(_take_parens(body[props_m.end():])[0])
+            if props_m
+            else {}
+        )
 
         if textfile and loc_m:
             # CSV-backed external source table: a read-only view over

@@ -1039,3 +1039,110 @@ def test_select_with_pushdown_applies_mor_deletes(spark, tmp_path):
         r.k for r in sess.sql("SELECT k FROM db.morsel WHERE k >= 1").collect()
     )
     assert got == [1, 3], got
+
+
+def _fresh_sess(spark, tmp_path):
+    from iceberg_workshop_spark.plans.sqlfront import IceSqlSession
+
+    return IceSqlSession(spark, scratch=str(tmp_path / "scratch"))
+
+
+def test_literals_with_parens_and_escaped_quotes(spark, tmp_path):
+    """Round-11 review: parens inside string literals crashed the
+    WHERE-peel ('unbalanced parens'); backslash-escaped quotes ended
+    the mask span early so keyword detection ran inside literals."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql("CREATE TABLE db.t (id INT, note STRING) STORED BY ICEBERG")
+    s.sql("INSERT INTO db.t VALUES (1, 'a'), (2, 'b')")
+    assert s.sql("SELECT * FROM db.t WHERE (note = '(' AND id = 1)").count() == 0
+    s.sql("UPDATE db.t SET note = 'don\\'t (x)' WHERE id = 1")
+    assert sorted(
+        (r.id, r.note) for r in s.sql("SELECT * FROM db.t").collect()
+    ) == [(1, "don't (x)"), (2, "b")]
+
+
+def test_update_set_with_scalar_subquery_where(spark, tmp_path):
+    """The SET/WHERE split is depth-aware: a WHERE inside a scalar
+    subquery assignment must not terminate the SET list."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql("CREATE TABLE db.u (k INT, v INT) STORED BY ICEBERG")
+    s.sql("INSERT INTO db.u VALUES (1, 10), (2, 20)")
+    s.sql("UPDATE db.u SET v = (SELECT max(v) FROM db.u WHERE k = 1) WHERE k = 2")
+    assert sorted(
+        (r.k, r.v) for r in s.sql("SELECT * FROM db.u").collect()
+    ) == [(1, 10), (2, 10)]
+
+
+def test_insert_with_explicit_column_list(spark, tmp_path):
+    """INSERT INTO t (col, ...) VALUES — standard column-list form:
+    binds by name in the caller's order, unnamed columns NULL."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql("CREATE TABLE db.c (a INT, b INT, c STRING) STORED BY ICEBERG")
+    s.sql("INSERT INTO db.c (b, a) VALUES (7, 1)")
+    assert [tuple(r) for r in s.sql("SELECT * FROM db.c").collect()] == [
+        (1, 7, None)
+    ]
+
+
+def test_mixed_static_dynamic_partition_insert_binds_by_name(spark, tmp_path):
+    """Round-11 review: static PARTITION literals used to be appended
+    AFTER dynamic partition columns, silently swapping their values in
+    a mixed insert. Statics bind by name now."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql(
+        "CREATE TABLE db.p (v INT) PARTITIONED BY (p1 STRING, p2 STRING)"
+        " STORED BY ICEBERG"
+    )
+    s.sql('INSERT INTO db.p PARTITION(p1="a", p2) SELECT 5, \'x\'')
+    assert [tuple(r) for r in s.sql("SELECT * FROM db.p").collect()] == [
+        (5, "a", "x")
+    ]
+
+
+def test_merge_without_source_alias(spark, tmp_path):
+    """Standard alias-less MERGE INTO t USING s ON ...: the source is
+    referenced by its table name."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql("CREATE TABLE db.m (k INT, v STRING) STORED BY ICEBERG")
+    s.sql("INSERT INTO db.m VALUES (1, 'old')")
+    s.sql("CREATE TABLE db.srct (k INT, v STRING) STORED BY ICEBERG")
+    s.sql("INSERT INTO db.srct VALUES (1, 'new'), (2, 'ins')")
+    s.sql(
+        "MERGE INTO db.m AS t USING db.srct ON t.k = srct.k "
+        "WHEN MATCHED THEN UPDATE SET v = srct.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (srct.k, srct.v)"
+    )
+    assert sorted(
+        (r.k, r.v) for r in s.sql("SELECT * FROM db.m").collect()
+    ) == [(1, "new"), (2, "ins")]
+
+
+def test_drop_table_clears_materialized_view_registration(spark, tmp_path):
+    """DROP TABLE on an MV must not leave a ghost in the MV registry
+    (SHOW listed it; REFRESH raised a bare KeyError)."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql("CREATE TABLE db.base (g STRING, x INT) STORED BY ICEBERG")
+    s.sql("INSERT INTO db.base VALUES ('a', 1)")
+    s.sql(
+        "CREATE MATERIALIZED VIEW db.mv AS"
+        " SELECT g, COUNT(*) AS n FROM db.base GROUP BY g"
+    )
+    s.sql("DROP TABLE db.mv")
+    assert all(
+        r[0] != "db.mv" for r in s.sql("SHOW MATERIALIZED VIEWS").collect()
+    )
+
+
+def test_create_tblproperties_value_with_paren(spark, tmp_path):
+    """A ')' inside a CREATE-time property value must not truncate the
+    property (the ALTER path already handled it)."""
+    s = _fresh_sess(spark, tmp_path)
+    s.sql(
+        'CREATE TABLE db.pp (x INT) STORED BY ICEBERG'
+        ' TBLPROPERTIES("comment"="x (y)")'
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in s.sql("SHOW TBLPROPERTIES db.pp").collect()
+    }
+    assert props.get("comment") == "x (y)"
