@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from iceberg_workshop_spark.registry import QUERIES, register
+from iceberg_workshop_spark.registry import QUERIES, register, require
 from iceberg_workshop_spark.sources.tables import load
 
 # Near-dup thresholds (fixture has 25 seeded pairs at Jaccard ≈ .98;
@@ -1280,6 +1280,36 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
+    final = _cc_min_label(pairs)
+    # Persist hygiene: the shingle→pair intermediates exist only to
+    # serve the propagation loop — leaving them persisted would grow
+    # executor memory monotonically across invocations in a long-lived
+    # session. The converged labels are already checkpointed (their
+    # plan references no persisted chain), so just release everything.
+    for df in (shingles, candidates, pairs):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup must not fail the query
+            pass
+    return final.orderBy("doc_id")
+
+
+def _cc_min_label(pairs: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair set ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)``.
+
+    Pregel-style: each iteration every node takes the min label among
+    itself and its neighbors — one distributed join+agg. Iterations
+    are bounded by graph DIAMETER; near-dup graphs are shallow
+    (pairs/triples, 2-3 rounds), but chain-shaped families (template
+    pages with drifting boilerplate) can be arbitrarily deep at crawl
+    scale, so the loop runs to a hard cap
+    (``SPARK_GRAFT_CC_MAX_ITERS``, default 64 ≈ graphs 2^64 nodes
+    could not exceed if balanced, and far past any real crawl chain)
+    and FAILS LOUDLY via ``require`` if the label sum is still moving
+    — silent partial propagation would return split clusters that an
+    apply step then under-dedups.
+    """
     directed = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(
@@ -1313,19 +1343,21 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Env-tunable for a truly huge duplicate graph.
     import os as _os
 
-    sess = docs.sparkSession
+    sess = pairs.sparkSession
     shuffle_key = "spark.sql.shuffle.partitions"
     prev_parts = sess.conf.get(shuffle_key)
     sess.conf.set(
         shuffle_key, _os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "8")
     )
+    max_iters = int(_os.environ.get("SPARK_GRAFT_CC_MAX_ITERS", "64"))
+    converged = False
     try:
         # Labels are monotone non-increasing (least of self and
         # neighbor min), so sum(cluster_id) strictly decreases on any
         # change — convergence detection is one cheap aggregate per
         # round instead of a self-join + count.
         prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        for _ in range(10):  # diameter bound; near-dup graphs are shallow
+        for _ in range(max_iters):
             # Each iteration checkpoints its label set: lineage stays
             # one join+agg deep, the superseded iteration's blocks are
             # released by the ContextCleaner when the reference drops.
@@ -1339,22 +1371,19 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur_sum = updated.agg(F.sum("cluster_id")).first()[0]
             labels = updated
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+        require(
+            converged,
+            "connected-components label propagation did not converge "
+            f"within {max_iters} iterations — the duplicate graph has "
+            "diameter > SPARK_GRAFT_CC_MAX_ITERS; raise the cap rather "
+            "than accept partially-merged clusters",
+        )
     finally:
         sess.conf.set(shuffle_key, prev_parts)
-    # Persist hygiene: the shingle→pair intermediates exist only to
-    # serve the loop above — leaving them persisted would grow
-    # executor memory monotonically across invocations in a long-lived
-    # session. The converged labels are already checkpointed (their
-    # plan references no persisted chain), so just release everything.
-    final = labels
-    for df in (shingles, candidates, pairs):
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — cleanup must not fail the query
-            pass
-    return final.orderBy("doc_id")
+    return labels
 
 
 @register(

@@ -156,43 +156,38 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-11 rotation — a 100% re-sample window (registry closed at
-    # 347/347 since r10; the gate's job is regression re-sampling).
-    # (1) plans/engine paths changed THIS round, re-pinned first:
-    #     the O(changed-files) delta commit rewired every DML /
-    #     maintenance / ANN-lifecycle commit; the equality-delete
-    #     anti-join went null-safe with rename translation (MoR
-    #     family); Mann-Whitney + KS moved their accumulators to
-    #     DECIMAL(38,0) with loud BIGINT narrowing.
-    "q_agg_mannwhitney", "q_llm_drift_ks",
-    "q_dml_delete_mor", "q_dml_update_mor", "q_dml_merge_mor",
-    "q_dml_delete_positional", "q_sql_delete_mor_stmt",
-    "q_llm_ann_index_lifecycle", "q_llm_ann_index_delete",
-    "q_dml_insert_overwrite", "q_maint_compact",
-    #     late round-11 additions from the review-pass fixes: the
-    #     session-window ORACLE gained its tiebreak, zorder's quantile
-    #     pass and the orphan reference set were rewired
-    "q_stream_session_window", "q_maint_zorder", "q_maint_orphans",
-    # (2) the 17 round-3-vintage leftovers (LEDGER r11 candidates —
-    #     displaced from the r10 window by its late plan changes);
-    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_conditional",
-    "q_limit_topk", "q_sort_multi", "q_win_topk_per_group",
-    "q_set_union_all", "q_set_intersect_except",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_dml_insert_values", "q_dml_insert_select", "q_dml_truncate",
-    "q_tt_as_of", "q_tt_rollback",
-    # (3) the r4-vintage staleness block head (TPC-H shapes + sketch
-    #     head, per CORRECTNESS_r04 membership) — 22 pads to 50.
-    "q_join_q2_shape", "q_join_q3_shape", "q_agg_q4_shape",
-    "q_agg_q6_shape", "q_join_q8_shape", "q_agg_q9_shape",
-    "q_join_q10_shape", "q_agg_q11_shape", "q_agg_q12_shape",
-    "q_agg_q13_shape", "q_agg_q14_shape", "q_join_q15_shape",
-    "q_agg_q16_shape", "q_agg_q17_shape", "q_filter_q19_shape",
-    "q_join_q20_shape", "q_join_q21_shape", "q_agg_q22_shape",
-    "q_sketch_bloom",
-    # (q_sketch_countmin/hist_quantile/bloom_merge displaced to r12 by
-    #  the three late plan-changed rows above)
-    # 50 names total — zero pad slots this round.
+    # round-12 rotation — the staleness-tail window (VERDICT r11 task
+    # #1): the 30 remaining r4-vintage rows, whose latest external
+    # sample is CORRECTNESS_r04 (7 rounds stale). The three sketch
+    # rows displaced from the r11 window by its late plan changes come
+    # first, then the r4 block in LEDGER membership order. After this
+    # window lands green, no registry row's external sample predates
+    # r5 — the 20 pad slots start rotating the r5 vintage next.
+    "q_sketch_countmin", "q_sketch_hist_quantile", "q_sketch_bloom_merge",
+    "q_sketch_hll_merge", "q_sketch_hll_rolling", "q_sketch_bitmap_distinct",
+    "q_udf_python", "q_udf_pandas", "q_udaf_grouped",
+    "q_udtf_apply", "q_udtf_words",
+    "q_meta_history", "q_meta_pinned_read", "q_maint_expire",
+    "q_part_evolution", "q_part_transform", "q_schema_evolution",
+    "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_simsearch",
+    "q_llm_text_stats", "q_llm_multimodal",
+    "q_sql_merge_stmt", "q_sql_delete_stmt",
+    "q_sql_insert_time_travel_stmt", "q_sql_rollback_stmt",
+    "q_tt_changes", "q_cdc_changelog", "q_cdc_changelog_updates",
+    "q_cdc_agg_maintain",
+    # r5-vintage pads (the oldest remaining vintage once the 30 above
+    # land): the SQL front-end script/statement heads from the r5
+    # window, in LEDGER membership order — 20 pads to 50.
+    "q_schema_widen", "q_sql_airlines_migration_script",
+    "q_sql_hive_partitioning_script", "q_sql_iceberg_partitioning_script",
+    "q_sql_partition_evolution_script", "q_sql_transform_ctas_script",
+    "q_sql_insert_overwrite_stmt", "q_sql_call_maintenance_stmt",
+    "q_sql_metadata_tables", "q_sql_show_stmts", "q_sql_call_rewrite_sort",
+    "q_sql_schema_evolution_stmt", "q_sql_cdc_wap",
+    "q_sql_materialized_view", "q_sql_materialized_view_join",
+    "q_sql_scripting", "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
+    "q_sql_merge_nmbs_stmt", "q_sql_expire_stmt",
+    # 50 names total — zero free slots this round.
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

@@ -256,3 +256,33 @@ def test_containment_prefix_equals_exact_under_ratio_bound(spark, queries):
         f"missing={bounded - got} spurious={got - bounded}"
     )
     assert len(got) > 0, "fixture should contain containment pairs"
+
+
+def test_cc_min_label_deep_chain_converges(spark):
+    """A 20-node chain graph (diameter 19 > the old range(10) bound)
+    must fully propagate to ONE cluster labeled by the min node —
+    the silent-partial-merge regression guard for _cc_min_label."""
+    from iceberg_workshop_spark.llm.dedup import _cc_min_label
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], ["doc_a", "doc_b"]
+    )
+    rows = _cc_min_label(pairs).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == list(range(1, 21))
+    assert {r["cluster_id"] for r in rows} == {1}
+
+
+def test_cc_min_label_unconverged_raises(spark, monkeypatch):
+    """With the iteration cap forced below the chain diameter the loop
+    must raise loudly instead of returning partially-merged labels."""
+    import pytest as _pytest
+
+    from iceberg_workshop_spark.llm.dedup import _cc_min_label
+    from iceberg_workshop_spark.registry import QueryInvariantError
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_MAX_ITERS", "3")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], ["doc_a", "doc_b"]
+    )
+    with _pytest.raises(QueryInvariantError, match="did not converge"):
+        _cc_min_label(pairs).collect()
