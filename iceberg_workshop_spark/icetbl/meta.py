@@ -82,12 +82,16 @@ class TableMeta:
         # manifest-path -> loaded entries; manifests are immutable, so
         # one load per TableMeta serves every snapshot referencing it
         self._mf_cache: dict[str, list[dict[str, Any]]] = {}
-        # manifest-path -> frozenset of id()s of its cached entry
-        # objects: the delta-commit path locates removed entries by
-        # identity in O(|manifests|) set probes instead of walking
-        # every live entry per commit. Keyed off _mf_cache's objects,
-        # handed across commits together with it.
-        self._mf_idset: dict[str, frozenset[int]] = {}
+        # manifest-path -> (id(entries list), frozenset of id()s of its
+        # cached entry objects): the delta-commit path locates removed
+        # entries by identity in O(|manifests|) set probes instead of
+        # walking every live entry per commit. The first element PINS
+        # the idset to the exact list object in _mf_cache it indexes —
+        # if the cache entry is ever evicted/reloaded, mf_idset()
+        # detects the identity change and rebuilds, so CPython id reuse
+        # can never produce false identity hits against a stale set.
+        # Handed across commits together with _mf_cache.
+        self._mf_idset: dict[str, tuple[int, frozenset[int]]] = {}
 
     # -- accessors ---------------------------------------------------
     @property
@@ -214,13 +218,16 @@ class TableMeta:
             ) from None
 
     def mf_idset(self, rel_path: str) -> frozenset[int]:
-        """id()s of the manifest's cached entry objects (lazy, cached;
-        valid as long as ``_mf_cache`` holds the entries alive)."""
-        ids = self._mf_idset.get(rel_path)
-        if ids is None:
-            ids = frozenset(map(id, self._load_mf(rel_path)))
-            self._mf_idset[rel_path] = ids
-        return ids
+        """id()s of the manifest's cached entry objects (lazy, cached).
+        The cached set is validated against the IDENTITY of the live
+        ``_mf_cache`` list each call — a cache reset or reload between
+        calls triggers a rebuild instead of a silent stale-id lookup."""
+        ents = self._load_mf(rel_path)
+        keyed = self._mf_idset.get(rel_path)
+        if keyed is None or keyed[0] != id(ents):
+            keyed = (id(ents), frozenset(map(id, ents)))
+            self._mf_idset[rel_path] = keyed
+        return keyed[1]
 
     def files(self, snap: dict[str, Any]) -> list[dict[str, Any]]:
         """The snapshot's data-file entries, materializing its
@@ -426,7 +433,7 @@ def _write_manifest_shards(
             }
         )
         meta._mf_cache[rel] = chunk
-        meta._mf_idset[rel] = frozenset(map(id, chunk))
+        meta._mf_idset[rel] = (id(chunk), frozenset(map(id, chunk)))
     return out
 
 
@@ -543,6 +550,29 @@ def _serializable_doc(meta: TableMeta) -> dict[str, Any]:
     return doc
 
 
+def prepare_commit_doc(meta: TableMeta) -> dict:
+    """Writer-side commit preparation — everything ``commit`` does
+    BEFORE the atomic version claim.
+
+    Shard any snapshot still carrying inline entry lists (newly built
+    snapshots, or a legacy inline-format doc being migrated) into
+    manifest sidecars — oldest-first so each child can reuse its
+    parent's freshly-assigned manifests. Manifests are fully written
+    before any CAS, so a claimed version file never references an
+    incomplete sidecar; a LOSING commit's manifests are orphaned in
+    metadata/ (tiny, swept by expire/rewrite_manifests GC). Returns
+    the serializable version document. The REST-catalog commit path
+    calls this directly: the WRITER materializes manifest files in
+    storage, then ships only the document for the catalog's pointer
+    swap — the same split the real Iceberg REST protocol makes.
+    """
+    by_id = {s["snapshot_id"]: s for s in meta.snapshots}
+    for s in meta.snapshots:
+        _shard_snapshot(meta, s, by_id)
+    _spill_manifest_lists(meta)
+    return _serializable_doc(meta)
+
+
 def commit(meta: TableMeta) -> TableMeta:
     """CAS-commit: claim v(N+1).json atomically, then repoint the hint.
 
@@ -558,20 +588,10 @@ def commit(meta: TableMeta) -> TableMeta:
     next_version = meta.version + 1
     path = metadata_path(meta.location, next_version)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    # Shard any snapshot still carrying inline entry lists (newly built
-    # snapshots, or a legacy inline-format doc being migrated) into
-    # manifest sidecars — oldest-first so each child can reuse its
-    # parent's freshly-assigned manifests. Manifests are fully written
-    # before the CAS below, so a claimed version file never references
-    # an incomplete sidecar; a LOSING commit's manifests are orphaned
-    # in metadata/ (tiny, swept by expire/rewrite_manifests GC).
-    by_id = {s["snapshot_id"]: s for s in meta.snapshots}
-    for s in meta.snapshots:
-        _shard_snapshot(meta, s, by_id)
-    _spill_manifest_lists(meta)
+    doc = prepare_commit_doc(meta)
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
-        json.dump(_serializable_doc(meta), f, separators=(",", ":"), default=str)
+        json.dump(doc, f, separators=(",", ":"), default=str)
     try:
         os.link(tmp, path)
     except FileExistsError:

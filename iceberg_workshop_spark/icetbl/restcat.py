@@ -18,12 +18,28 @@ exactly the separation the REST catalog exists for. Data files stay
 local-filesystem reads (in production: object store), matching the real
 protocol, which serves metadata only.
 
-Endpoints (GET only):
-  /v1/config                                  -> {"defaults":{}, "overrides":{}}
-  /v1/namespaces                              -> {"namespaces": [["default"]]}
-  /v1/namespaces/default/tables               -> {"identifiers": [...]}
-  /v1/namespaces/default/tables/<name>        -> {"metadata-location": ..., "metadata": <v<N>.json doc>}
-  /v1/namespaces/default/tables/<name>/manifests/<rel> -> {"entries": [...]}
+Endpoints:
+  GET /v1/config                                  -> {"defaults":{}, "overrides":{}}
+  GET /v1/namespaces                              -> {"namespaces": [["default"]]}
+  GET /v1/namespaces/default/tables               -> {"identifiers": [...]}
+  GET /v1/namespaces/default/tables/<name>        -> {"metadata-location": ..., "metadata": <v<N>.json doc>}
+  GET /v1/namespaces/default/tables/<name>/manifests/<rel> -> {"entries": [...]}
+  POST /v1/namespaces/default/tables/<name>       -> commit: body
+       {"requirements": [{"type": "assert-table-version", "version": N}],
+        "metadata": <prepared doc>}; 200 with the new metadata-location,
+       or 409 CommitFailedException when the requirement fails.
+
+The POST endpoint is the catalog's WRITE half — the concurrent-writer
+arbitration the reference's REST catalog provides to every engine in
+its stack (docker-compose.yml:24-44). Split of labor mirrors the real
+protocol: the writer materializes data files and manifest sidecars in
+storage itself (``meta.prepare_commit_doc``), then ships only the
+version DOCUMENT with an optimistic requirement; the catalog serializes
+the pointer swap. Writers attached via ``RestCatalogClient
+.attach_writer`` get the table's full optimistic-retry machinery
+(refresh → rebase → re-commit) routed through the catalog, so two
+simultaneous appenders both land without manual retry while
+conflicting schema changes still raise.
 """
 
 from __future__ import annotations
@@ -52,22 +68,43 @@ class RestCatalogServer:
         # concurrent fetches.
         self.n_requests = 0
         self._count_lock = threading.Lock()
+        # Serializes the check-requirement → claim-version sequence of
+        # catalog commits. The underlying meta.commit still does the
+        # atomic v<N+1>.json link, so a rogue DIRECT-filesystem writer
+        # racing the catalog also surfaces as a clean 409, never a
+        # torn version.
+        self._commit_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args: Any) -> None:  # silence stderr
                 pass
 
-            def do_GET(self) -> None:  # noqa: N802 — http.server API
-                with outer._count_lock:
-                    outer.n_requests += 1
-                body, status = outer._route(self.path)
-                payload = json.dumps(body).encode()
+            def _reply(self, body: dict[str, Any], status: int) -> None:
+                payload = json.dumps(body, default=str).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
+
+            def do_GET(self) -> None:  # noqa: N802 — http.server API
+                with outer._count_lock:
+                    outer.n_requests += 1
+                body, status = outer._route(self.path)
+                self._reply(body, status)
+
+            def do_POST(self) -> None:  # noqa: N802 — http.server API
+                with outer._count_lock:
+                    outer.n_requests += 1
+                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    self._reply({"error": "malformed JSON body"}, 400)
+                    return
+                body, status = outer._route_post(self.path, req)
+                self._reply(body, status)
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self._thread = threading.Thread(
@@ -130,6 +167,67 @@ class RestCatalogServer:
                 return {"error": "no such manifest"}, 404
         return {"error": "not found"}, 404
 
+    def _route_post(
+        self, path: str, req: dict[str, Any]
+    ) -> tuple[dict[str, Any], int]:
+        parts = [urllib.parse.unquote(p) for p in path.split("/") if p]
+        if (
+            len(parts) == 5
+            and parts[:4] == ["v1", "namespaces", "default", "tables"]
+        ):
+            return self._commit_table(parts[4], req)
+        return {"error": "not found"}, 404
+
+    def _commit_table(
+        self, name: str, req: dict[str, Any]
+    ) -> tuple[dict[str, Any], int]:
+        """CAS pointer swap: apply the writer's prepared version doc iff
+        every requirement still holds against the CURRENT table state —
+        the shape of the real REST protocol's CommitTableRequest
+        (requirements + updates → 200, or 409 CommitFailedException
+        telling the writer to refresh and rebase)."""
+        loc = self._tables.get(name)
+        if loc is None:
+            return {"error": "no such table"}, 404
+        doc = req.get("metadata")
+        if not isinstance(doc, dict):
+            return {"error": "missing metadata document"}, 400
+        asserted = None
+        for r in req.get("requirements", []):
+            if r.get("type") == "assert-table-version":
+                asserted = int(r["version"])
+        if asserted is None:
+            # An unconditional swap would be a lost-update machine;
+            # refuse rather than guess (the real catalog likewise
+            # requires assert-ref-snapshot-id for branch writes).
+            return {"error": "missing assert-table-version requirement"}, 400
+        with self._commit_lock:
+            cur = M.read_current(loc)
+            if cur.version != asserted:
+                return {
+                    "error": "CommitFailedException",
+                    "message": (
+                        f"requirement failed: table {name} is at version "
+                        f"{cur.version}, commit asserted {asserted}"
+                    ),
+                    "current_version": cur.version,
+                }, 409
+            try:
+                committed = M.commit(M.TableMeta(doc, asserted, loc))
+            except M.CommitConflict as exc:
+                # a direct-filesystem writer claimed v<N+1> between our
+                # read and the link — same client-visible outcome
+                return {
+                    "error": "CommitFailedException",
+                    "message": str(exc),
+                    "current_version": M.read_current(loc).version,
+                }, 409
+        return {
+            "metadata-location": M.metadata_path(loc, committed.version),
+            "location": loc,
+            "metadata": committed.doc,
+        }, 200
+
 
 class RemoteTableMeta(M.TableMeta):
     """A TableMeta whose manifest loads go through the REST server —
@@ -154,14 +252,32 @@ class RemoteTableMeta(M.TableMeta):
                 return json.loads(resp.read())
         except urllib.error.HTTPError as exc:
             if exc.code == 404:
-                # same typed error as the filesystem path: a pinned
-                # doc whose manifests/list were GC'd raises
-                # SnapshotExpired, not a transport error
+                # A 404 here usually means the pinned doc's manifests
+                # were GC'd (same typed error as the filesystem path:
+                # SnapshotExpired, not a transport error) — but a
+                # misconfigured base URL / wrong namespace / dropped
+                # table 404s identically, so distinguish: if the TABLE
+                # endpoint itself is gone, report a catalog problem
+                # instead of blaming expire_snapshots.
+                table_url = (
+                    f"{self._base_url}/v1/namespaces/default/tables/"
+                    f"{self._name}"
+                )
+                try:
+                    urllib.request.urlopen(table_url).close()
+                except (urllib.error.URLError, OSError):
+                    raise M.SnapshotExpired(
+                        f"catalog GET {url} returned 404 and the table "
+                        f"endpoint {table_url} is unreachable too — "
+                        "check the catalog base URL / namespace / table "
+                        "name before attributing this to snapshot GC"
+                    ) from None
                 raise M.SnapshotExpired(
                     f"metadata file {rel_path} for table {self._name} "
-                    "is gone from the catalog (garbage-collected by "
-                    "expire_snapshots); this pinned metadata version "
-                    "can no longer be materialized"
+                    f"is gone from the catalog (GET {url} -> 404; "
+                    "garbage-collected by expire_snapshots); this "
+                    "pinned metadata version can no longer be "
+                    "materialized"
                 ) from None
             raise
 
@@ -179,7 +295,8 @@ class RemoteTableMeta(M.TableMeta):
 
 
 class RestCatalogClient:
-    """Minimal read client for :class:`RestCatalogServer`."""
+    """Client for :class:`RestCatalogServer` — reads AND arbitrated
+    writes (the commit POST)."""
 
     def __init__(self, base_url: str) -> None:
         self.base_url = base_url.rstrip("/")
@@ -187,6 +304,30 @@ class RestCatalogClient:
     def _get(self, path: str) -> dict[str, Any]:
         with urllib.request.urlopen(f"{self.base_url}{path}") as resp:
             return json.loads(resp.read())
+
+    def _post(self, path: str, payload: dict[str, Any]) -> dict[str, Any]:
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=json.dumps(payload, default=str).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            detail = exc.read().decode(errors="replace")
+            if exc.code == 409:
+                # surface the SAME typed conflict as the filesystem
+                # commit point, so IceTable's optimistic-retry loops
+                # rebase through a catalog exactly as they do through
+                # os.link losses
+                raise M.CommitConflict(
+                    f"catalog rejected commit ({exc.code}): {detail}"
+                ) from None
+            raise RuntimeError(
+                f"catalog POST {path} failed ({exc.code}): {detail}"
+            ) from None
 
     def list_namespaces(self) -> list[list[str]]:
         return self._get("/v1/namespaces")["namespaces"]
@@ -205,3 +346,48 @@ class RestCatalogClient:
         return RemoteTableMeta(
             doc["metadata"], version, doc["location"], self.base_url, name
         )
+
+    # -- arbitrated writes ----------------------------------------------
+    def commit_table(self, name: str, meta: M.TableMeta) -> RemoteTableMeta:
+        """One optimistic commit attempt through the catalog.
+
+        Writer-side: shard this attempt's snapshots into manifest
+        sidecars in storage (``prepare_commit_doc`` — the writer owns
+        its metadata FILES, same as the real protocol), then ship the
+        version document with an assert-table-version requirement
+        pinned to the version this mutation was planned against.
+        Raises ``meta.CommitConflict`` on 409 so callers' retry loops
+        refresh + rebase."""
+        doc = M.prepare_commit_doc(meta)
+        body = self._post(
+            f"/v1/namespaces/default/tables/{name}",
+            {
+                "requirements": [
+                    {"type": "assert-table-version", "version": meta.version}
+                ],
+                "metadata": doc,
+            },
+        )
+        version = int(
+            os.path.basename(body["metadata-location"])[1:].split(".")[0]
+        )
+        return RemoteTableMeta(
+            body["metadata"], version, body["location"], self.base_url, name
+        )
+
+    def attach_writer(self, spark: Any, name: str) -> Any:
+        """An :class:`IceTable` handle whose COMMIT POINT is this
+        catalog: reads fetch metadata over HTTP (RemoteTableMeta) and
+        every commit goes through ``commit_table``'s CAS requirement,
+        refreshing from the catalog on conflict. Two attach_writer
+        handles appending concurrently both land (blind-append rebase);
+        a conflicting schema change still raises — the arbitration the
+        reference delegates to its REST catalog container."""
+        from iceberg_workshop_spark.icetbl.table import IceTable
+
+        tbl = IceTable(spark, self.load_table(name))
+        tbl.set_commit_arbiter(
+            committer=lambda meta: self.commit_table(name, meta),
+            refresher=lambda: self.load_table(name),
+        )
+        return tbl

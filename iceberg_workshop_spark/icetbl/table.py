@@ -57,6 +57,39 @@ class IceTable:
         self.spark = spark
         self.meta = meta
         self.last_scan_report: dict[str, Any] | None = None
+        # Commit-point seam. By default the table IS its own arbiter:
+        # the commit point is the filesystem's atomic v<N+1>.json claim
+        # (meta.commit) and refresh re-reads the hint/probe path. A
+        # catalog-attached handle (restcat.attach_writer) reroutes BOTH
+        # through the catalog, which then arbitrates concurrent writers
+        # exactly like the reference's REST catalog arbitrates Spark/
+        # Hive/Impala (reference docker-compose.yml:24-44) — data and
+        # metadata documents still land in storage from the writer; only
+        # the version swap is centralized.
+        self._committer: Any = M.commit
+        self._refresher: Any = None
+
+    def set_commit_arbiter(self, committer, refresher) -> None:
+        """Route this handle's commit point through an external catalog.
+
+        ``committer(meta) -> TableMeta`` must atomically claim the next
+        version or raise ``meta.CommitConflict``; ``refresher() ->
+        TableMeta`` must return the current committed metadata. Every
+        optimistic-retry loop in this class (``_retry_commit``,
+        ``_commit_snapshot``, ``_commit_snapshot_delta``) then rebases
+        through the arbiter, so two writers attached to the same
+        catalog both land without manual retry while conflicting
+        schema changes still raise."""
+        self._committer = committer
+        self._refresher = refresher
+
+    def _commit_meta(self) -> M.TableMeta:
+        return self._committer(self.meta)
+
+    def _refresh_meta(self) -> M.TableMeta:
+        if self._refresher is not None:
+            return self._refresher()
+        return M.read_current(self.meta.location)
 
     # ------------------------------------------------------------- DDL
     @classmethod
@@ -509,10 +542,10 @@ class IceTable:
         for _ in range(attempts):
             mutate(self.meta)
             try:
-                self.meta = M.commit(self.meta)
+                self.meta = self._commit_meta()
                 return
             except M.CommitConflict:
-                self.meta = M.read_current(self.meta.location)
+                self.meta = self._refresh_meta()
         raise M.CommitConflict(
             f"commit did not succeed after {attempts} attempts at {self.meta.location}"
         )
@@ -684,12 +717,12 @@ class IceTable:
                     {"made_current_at_ms": snap["timestamp_ms"], "snapshot_id": snap["snapshot_id"]}
                 )
             try:
-                self.meta = M.commit(self.meta)
+                self.meta = self._commit_meta()
                 return
             except M.CommitConflict:
                 # Discard this attempt's in-memory mutation by adopting
                 # the winner's metadata, then rebase or re-raise.
-                self.meta = M.read_current(self.meta.location)
+                self.meta = self._refresh_meta()
                 if rebase is None:
                     raise
                 files = rebase(self.meta)
@@ -889,10 +922,10 @@ class IceTable:
                     }
                 )
             try:
-                self.meta = M.commit(self.meta)
+                self.meta = self._commit_meta()
                 return
             except M.CommitConflict:
-                self.meta = M.read_current(self.meta.location)
+                self.meta = self._refresh_meta()
                 if rebase is None:
                     raise
                 if rebase == "blind":

@@ -774,3 +774,144 @@ def test_blind_append_conflicts_on_concurrent_schema_change(spark, loc):
     assert {(r.id, r.label) for r in fresh.read().collect()} == {(1, "a")}
     fresh.append(spark.createDataFrame([(9, "z")], "id int, label string"))
     assert fresh.read().count() == 2
+
+
+# --------------------------------------------------------------------
+# REST-catalog commit arbitration (VERDICT r11 task #3): the reference
+# delegates multi-writer arbitration to its REST catalog container
+# (docker-compose.yml:24-44); these tests pin our POST-commit CAS —
+# writers prepare metadata files themselves, the catalog serializes
+# the version swap, and IceTable's retry loops rebase through it.
+
+
+@pytest.fixture
+def catalog(spark, loc):
+    from iceberg_workshop_spark.icetbl.restcat import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    _mk(spark, loc, [(0, "base")])
+    srv = RestCatalogServer()
+    srv.register("t", loc)
+    base = srv.start()
+    yield srv, RestCatalogClient(base)
+    srv.stop()
+
+
+def test_catalog_two_appenders_both_land_without_manual_retry(
+    spark, loc, catalog
+):
+    srv, client = catalog
+    w1 = client.attach_writer(spark, "t")
+    w2 = client.attach_writer(spark, "t")
+    assert w1.meta.version == w2.meta.version
+
+    w1.append(spark.createDataFrame([(1, "a")], "id int, name string"))
+    # w2 still holds the stale base: its POST gets 409, the handle
+    # refreshes FROM THE CATALOG, blind-rebases, and re-commits —
+    # no manual retry by the caller.
+    w2.append(spark.createDataFrame([(2, "b")], "id int, name string"))
+
+    final = IceTable.load(spark, loc)
+    assert {r.id for r in final.read().collect()} == {0, 1, 2}
+    ops = [s["operation"] for s in final.meta.snapshots]
+    assert ops.count("append") == 3  # create_as + both writers
+    # both commits actually went through the catalog (2 POSTs + the
+    # 409'd first attempt of w2)
+    assert srv.n_requests >= 3
+
+
+def test_catalog_threaded_appenders_all_land(spark, loc, catalog):
+    srv, client = catalog
+    n = 5
+    handles = [client.attach_writer(spark, "t") for _ in range(n)]
+    errs: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            handles[i].append(
+                spark.createDataFrame(
+                    [(100 + i, f"w{i}")], "id int, name string"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    final = IceTable.load(spark, loc)
+    assert {r.id for r in final.read().collect()} == {0, *range(100, 100 + n)}
+    assert final.meta.version == 2 + n  # one version per landed commit
+
+
+def test_catalog_append_conflicts_on_concurrent_schema_change(
+    spark, loc, catalog
+):
+    srv, client = catalog
+    w1 = client.attach_writer(spark, "t")
+    w2 = client.attach_writer(spark, "t")
+    w1.rename_column("name", "label")
+    with pytest.raises(CommitConflict, match="schema change"):
+        w2.append(spark.createDataFrame([(9, "z")], "id int, name string"))
+    fresh = IceTable.load(spark, loc)
+    assert {(r.id, r.label) for r in fresh.read().collect()} == {(0, "base")}
+
+
+def test_catalog_commit_protocol_rejections(spark, loc, catalog):
+    """Protocol-level contract: a commit without the optimistic
+    requirement is refused (400 — an unconditional swap is a
+    lost-update machine), a stale requirement gets 409 with the
+    current version, and an unknown table 404s."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    srv, client = catalog
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{client.base_url}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    cur = M.read_current(loc)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post("/v1/namespaces/default/tables/t", {"metadata": cur.doc})
+    assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(
+            "/v1/namespaces/default/tables/t",
+            {
+                "requirements": [
+                    {"type": "assert-table-version", "version": cur.version - 1}
+                ],
+                "metadata": cur.doc,
+            },
+        )
+    assert exc.value.code == 409
+    assert json.loads(exc.value.read())["current_version"] == cur.version
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post("/v1/namespaces/default/tables/nope", {"metadata": {}})
+    assert exc.value.code == 404
+
+
+def test_catalog_writer_races_direct_fs_writer(spark, loc, catalog):
+    """A catalog-attached writer and a plain filesystem writer hit the
+    same table: the catalog's inner meta.commit loses the version claim
+    cleanly (409 -> refresh -> rebase) and both rows survive."""
+    srv, client = catalog
+    wc = client.attach_writer(spark, "t")
+    wf = IceTable.load(spark, loc)
+    wf.append(spark.createDataFrame([(7, "fs")], "id int, name string"))
+    wc.append(spark.createDataFrame([(8, "cat")], "id int, name string"))
+    final = IceTable.load(spark, loc)
+    assert {r.id for r in final.read().collect()} == {0, 7, 8}

@@ -350,7 +350,10 @@ def _commit_via_table(meta: M.TableMeta, files: list[dict], op: str = "append") 
     from iceberg_workshop_spark.icetbl.table import IceTable
 
     class _Shim:
-        pass
+        _commit_meta = IceTable._commit_meta
+        _refresh_meta = IceTable._refresh_meta
+        _committer = staticmethod(M.commit)
+        _refresher = None
 
     shim = _Shim()
     shim.meta = meta
@@ -535,6 +538,10 @@ def test_legacy_inline_doc_survives_delta_append(tmp_path):
         _commit_snapshot_delta_fallback = (
             IceTable._commit_snapshot_delta_fallback
         )
+        _commit_meta = IceTable._commit_meta
+        _refresh_meta = IceTable._refresh_meta
+        _committer = staticmethod(M.commit)
+        _refresher = None
 
     shim = _Shim()
     shim.meta = M.read_current(loc)
