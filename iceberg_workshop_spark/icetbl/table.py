@@ -1320,14 +1320,28 @@ class IceTable:
             log = self.meta.doc.get("history_log")
             if log:
                 by_id = {s["snapshot_id"]: s for s in self.meta.snapshots}
-                cur = None
+                last = None
                 for h in log:  # chronological
-                    if (
-                        h["made_current_at_ms"] <= as_of_timestamp_ms
-                        and h["snapshot_id"] in by_id
-                    ):
-                        cur = by_id[h["snapshot_id"]]
-                return cur
+                    if h["made_current_at_ms"] <= as_of_timestamp_ms:
+                        last = h
+                if last is None:
+                    return None
+                snap = by_id.get(last["snapshot_id"])
+                if snap is None:
+                    # The snapshot that WAS current at the requested
+                    # instant has been expired. Silently resolving to
+                    # an older still-live entry would return data that
+                    # was not current then (round-12 review fix);
+                    # Iceberg likewise fails time travel to expired
+                    # state.
+                    raise M.SnapshotExpired(
+                        f"time travel to {as_of_timestamp_ms}: snapshot "
+                        f"{last['snapshot_id']} was current at that "
+                        "instant but has been removed by "
+                        "expire_snapshots; the requested state can no "
+                        "longer be materialized"
+                    )
+                return snap
             # legacy doc without a history log: fall back to the
             # newest snapshot at-or-before the instant
             eligible = [

@@ -95,31 +95,20 @@ def _topk_per_group(
     groups of the bench scales; level 2's input is buckets·k rows per
     group either way, driver-trivial at any realistic k.
 
-    CONTRACT (enforced): ``order`` must end in a unique-per-row
-    tiebreak column and ``bucket_on`` must be (or derive from) that
-    same row identity — otherwise a tied row cut at level 1 could have
-    ranked ≤ k at level 2 and the result would be silently
-    nondeterministic. The guard below requires the last order
-    expression to reference ``bucket_on``; pass the row-id column in
-    both places (as every caller here does)."""
-    # Column reprs look like "Column<'doc_id DESC NULLS LAST'>": strip
-    # the wrapper and compare the FIRST token exactly — a substring
-    # test would accept e.g. bucket_on='id' against a 'doc_id' tail
-    # (round-11 review) even though that tiebreak is neither unique
-    # nor the bucketing key.
-    tail = str(order[-1])
-    if tail.startswith("Column<'") and tail.endswith("'>"):
-        tail = tail[len("Column<'"):-2]
-    if tail.split(None, 1)[0] != bucket_on:
-        raise ValueError(
-            "_topk_per_group: the last `order` expression must be the "
-            f"unique tiebreak column {bucket_on!r} (got "
-            f"{str(order[-1])!r}) — without a shared unique total "
-            "order the two-level cut is not exact under ties"
-        )
+    CONTRACT (enforced by construction): ``bucket_on`` must be a
+    unique-per-row id column; the helper itself APPENDS
+    ``F.col(bucket_on).asc()`` as the final tiebreak of BOTH levels,
+    so the two cuts always share one deterministic total order and a
+    tied row cut at level 1 can never have ranked ≤ k at level 2.
+    Callers pass only the semantic ordering in ``order`` — never the
+    tiebreak. (Round-12: the previous API took the tiebreak inside
+    ``order`` and reverse-engineered it from ``str(Column)`` reprs,
+    which is not a stable surface and rejected legitimate qualified
+    names; appending structurally removes the parse entirely.)"""
+    full_order = [*order, F.col(bucket_on).asc()]
     n_buckets = buckets or TOPK_BUCKETS
-    w1 = Window.partitionBy(*keys, "__tkb").orderBy(*order)
-    w2 = Window.partitionBy(*keys).orderBy(*order)
+    w1 = Window.partitionBy(*keys, "__tkb").orderBy(*full_order)
+    w2 = Window.partitionBy(*keys).orderBy(*full_order)
     return (
         df.withColumn(
             "__tkb", F.pmod(F.xxhash64(bucket_on), F.lit(n_buckets))
@@ -476,7 +465,7 @@ def q_llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _topk_per_group(
             scored,
             ["probe_id"],
-            [F.col("c").desc(), F.col("vec_id").asc()],
+            [F.col("c").desc()],
             TOP_K,
             "vec_id",
             "rank",
@@ -701,7 +690,7 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         _topk_per_group(
             scored,
             ["anchor_id"],
-            [F.col("c").desc(), F.col("vec_id")],
+            [F.col("c").desc()],
             3,
             "vec_id",
             "rn",
@@ -857,7 +846,7 @@ def q_llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = _topk_per_group(
         scored,
         ["p_id"],
-        [F.col("c").desc(), F.col("vec_id")],
+        [F.col("c").desc()],
         EVAL_K,
         "vec_id",
         "rnk",
@@ -943,7 +932,7 @@ def q_llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         _topk_per_group(
             ranked,
             ["anchor_id"],
-            [F.col("h"), F.col("vec_id")],
+            [F.col("h")],
             5,
             "vec_id",
             "rank",
@@ -1156,7 +1145,7 @@ def q_llm_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = _topk_per_group(
         scored,
         ["p_id", "dim"],
-        [F.col("c").desc(), F.col("vec_id").asc()],
+        [F.col("c").desc()],
         EVAL_K,
         "vec_id",
         "rnk",
@@ -1344,7 +1333,7 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _topk_per_group(
             doc_score,
             ["qid"],
-            [F.col("score").desc(), F.col("doc_id")],
+            [F.col("score").desc()],
             BM25_TOPK,
             "doc_id",
             "rank",

@@ -1,8 +1,9 @@
 """Property check for simsearch._topk_per_group: on random frames the
 two-level bucketed top-k must equal the naive single-window form
 exactly — same surviving rows AND same ranks — for any k, group
-count, and tie pattern (ties broken by the unique tiebreak column,
-as the helper's contract requires)."""
+count, and tie pattern. The unique tiebreak (``bucket_on`` ascending)
+is appended by the helper ITSELF, so determinism under ties is part of
+its construction, not a caller obligation."""
 
 from __future__ import annotations
 
@@ -29,13 +30,17 @@ def test_topk_per_group_matches_single_window(spark):
             for i in range(n_rows)
         ]
         df = spark.createDataFrame(rows, "g int, item bigint, score int")
-        order = [F.col("score").desc(), F.col("item")]
         got = {
             (r["g"], r["item"], r["rk"])
-            for r in _topk_per_group(df, ["g"], order, k, "item", "rk")
-            .collect()
+            for r in _topk_per_group(
+                df, ["g"], [F.col("score").desc()], k, "item", "rk"
+            ).collect()
         }
-        w = Window.partitionBy("g").orderBy(*order)
+        # naive form replicates the helper's full order: semantic
+        # ordering + the appended bucket_on ascending tiebreak
+        w = Window.partitionBy("g").orderBy(
+            F.col("score").desc(), F.col("item").asc()
+        )
         want = {
             (r["g"], r["item"], r["rk"])
             for r in df.withColumn("rk", F.row_number().over(w))
@@ -59,8 +64,9 @@ def test_topk_per_group_skewed_group_and_bucket_counts(spark):
         (0 if i % 20 else 1, i, rng.randrange(4)) for i in range(2000)
     ]
     df = spark.createDataFrame(rows, "g int, item bigint, score int")
-    order = [F.col("score").desc(), F.col("item")]
-    w = Window.partitionBy("g").orderBy(*order)
+    w = Window.partitionBy("g").orderBy(
+        F.col("score").desc(), F.col("item").asc()
+    )
     want = {
         (r["g"], r["item"], r["rk"])
         for r in df.withColumn("rk", F.row_number().over(w))
@@ -71,7 +77,8 @@ def test_topk_per_group_skewed_group_and_bucket_counts(spark):
         got = {
             (r["g"], r["item"], r["rk"])
             for r in _topk_per_group(
-                df, ["g"], order, 7, "item", "rk", buckets=buckets
+                df, ["g"], [F.col("score").desc()], 7, "item", "rk",
+                buckets=buckets,
             ).collect()
         }
         assert got == want, f"buckets={buckets}"
@@ -88,37 +95,27 @@ def test_topk_per_group_skewed_group_and_bucket_counts(spark):
     assert per_bucket < big / 8, (per_bucket, big)
 
 
-def test_topk_per_group_rejects_non_unique_order_tail(spark):
-    """The unique-tiebreak contract is enforced, not just documented:
-    an order list whose last expression does not reference the
-    bucketing row-id fails loudly instead of silently returning
-    nondeterministic results under ties."""
-    import pytest
-
+def test_topk_per_group_ties_broken_by_bucket_on_structurally(spark):
+    """All-tied scores: the appended bucket_on tiebreak alone must
+    produce the deterministic ascending-id ranking — the case the old
+    repr-parsed guard existed to protect, now guaranteed by
+    construction (no caller can forget the tiebreak)."""
     from iceberg_workshop_spark.llm.simsearch import _topk_per_group
 
     df = spark.createDataFrame(
-        [(1, 1, 1.0)], "g int, item bigint, score double"
+        [(1, i, 5) for i in range(40)], "g int, item bigint, score int"
     )
-    with pytest.raises(ValueError, match="unique tiebreak"):
-        _topk_per_group(
-            df, ["g"], [F.col("score").desc()], 3, "item", "rk"
-        )
-    # the match is an exact token, not a substring: an order tail that
-    # merely CONTAINS the bucket column's name is rejected too
-    df2 = spark.createDataFrame(
-        [(1, 1, 1, 1.0)], "g int, item bigint, item2 bigint, score double"
+    rows = (
+        _topk_per_group(df, ["g"], [F.col("score").desc()], 5, "item", "rk")
+        .orderBy("rk")
+        .collect()
     )
-    with pytest.raises(ValueError, match="unique tiebreak"):
-        _topk_per_group(
-            df2, ["g"], [F.col("score").desc(), F.col("item2")], 3,
-            "item", "rk",
-        )
-    # and the legitimate exact-column tail still passes under asc/desc
-    assert (
-        _topk_per_group(
-            df2, ["g"], [F.col("score").desc(), F.col("item").desc()], 3,
-            "item", "rk",
-        ).count()
-        == 1
-    )
+    assert [(r["item"], r["rk"]) for r in rows] == [
+        (i, i + 1) for i in range(5)
+    ]
+    # qualified / derived orderings are fine now — no repr parsing
+    df2 = df.alias("t")
+    got = _topk_per_group(
+        df2, ["g"], [(F.col("t.score") * 2).desc()], 3, "item", "rk"
+    ).count()
+    assert got == 3

@@ -161,3 +161,65 @@ def test_tt_expire_model_randomized(spark, tmp_path):
     for i in range(N_SEQUENCES):
         rng = random.Random(5150 + i)
         _run_sequence(spark, str(tmp_path / f"tt_model_{i}"), rng)
+
+
+def test_as_of_to_expired_instant_raises_not_older_data(spark, tmp_path):
+    """AS-OF pointing at an instant whose then-current snapshot is gone
+    from the snapshots list but still present in the history log (a doc
+    shape an external writer or partial expire can produce — our own
+    expire trims both in lockstep) must raise SnapshotExpired, not
+    silently resolve to an OLDER live snapshot: that would return data
+    that was not current at the requested instant. Iceberg likewise
+    fails time travel to expired state."""
+    import time
+
+    import pytest
+
+    from iceberg_workshop_spark.icetbl import IceTable
+    from iceberg_workshop_spark.icetbl import meta as M
+
+    loc = str(tmp_path / "t_asof_expired")
+    t = IceTable.create_as(
+        spark, loc, spark.createDataFrame([(1, "a")], "id int, s string")
+    )
+    time.sleep(0.01)  # appends can land within one ms otherwise
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    time.sleep(0.01)
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    snaps = list(t.meta.snapshots)
+    assert snaps[1]["timestamp_ms"] < snaps[2]["timestamp_ms"]
+    mid_ts = snaps[1]["timestamp_ms"]  # instant when snapshot 2 was current
+    # synthesize the divergent doc: snapshot 2 expired, log entry kept
+    t.meta.doc["snapshots"] = [
+        s for s in t.meta.doc["snapshots"]
+        if s["snapshot_id"] != snaps[1]["snapshot_id"]
+    ]
+    with pytest.raises(M.SnapshotExpired, match="was current at that instant"):
+        t.read(as_of_timestamp_ms=mid_ts).collect()
+    # instants where the then-current snapshot is live still resolve
+    assert t.read(as_of_timestamp_ms=snaps[0]["timestamp_ms"]).count() == 1
+    assert t.read(as_of_timestamp_ms=snaps[2]["timestamp_ms"]).count() == 3
+
+
+def test_as_of_after_full_expire_reads_empty_not_older(spark, tmp_path):
+    """After a real expire (which trims the history log in lockstep) a
+    mid-history instant no longer resolves to ANY snapshot: the read is
+    empty — never an older snapshot's data."""
+    import time
+
+    from iceberg_workshop_spark.icetbl import IceTable
+
+    loc = str(tmp_path / "t_asof_trimmed")
+    t = IceTable.create_as(
+        spark, loc, spark.createDataFrame([(1, "a")], "id int, s string")
+    )
+    time.sleep(0.01)
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    time.sleep(0.01)
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    snaps = list(t.meta.snapshots)
+    t.expire_snapshots(retain_last=1)
+    fresh = IceTable.load(spark, loc)
+    assert len(fresh.meta.snapshots) == 1
+    assert fresh.read(as_of_timestamp_ms=snaps[1]["timestamp_ms"]).count() == 0
+    assert fresh.read(as_of_timestamp_ms=snaps[2]["timestamp_ms"]).count() == 3
