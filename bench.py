@@ -52,7 +52,27 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup must never sink the bench
             pass
 
+    # Host-variance telemetry (VERDICT r11 #6): two rounds in a row
+    # needed manual warm/cold triage against co-tenant noise. Record
+    # the 1/5/15-min load averages at start, around every pass, and at
+    # end, plus per-pass wall timestamps, so tools/bench_diff.py can
+    # flag UNIFORM inflation (everything moving together = host noise)
+    # automatically instead of by narrative.
+    def _loadavg() -> list[float]:
+        try:
+            with open("/proc/loadavg") as fh:
+                return [float(x) for x in fh.read().split()[:3]]
+        except OSError:
+            return []
+
+    pass_meta: list[dict] = []
+
     def run_pass(label: str) -> dict[str, float]:
+        meta = {
+            "label": label,
+            "started_unix": round(time.time(), 1),
+            "loadavg_before": _loadavg(),
+        }
         timings: dict[str, float] = {}
         for name in sorted(qs):
             t0 = time.perf_counter()
@@ -63,6 +83,9 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — a broken query must not hide the rest
                 timings[name] = -1.0
                 print(f"# bench error {label} {name}: {exc}", file=sys.stderr)
+        meta["ended_unix"] = round(time.time(), 1)
+        meta["loadavg_after"] = _loadavg()
+        pass_meta.append(meta)
         return timings
 
     # Cold and warm are reported separately: pass 1 runs each query
@@ -112,6 +135,10 @@ def main() -> None:
         # intentionally-unscalable exact baselines (registry tag);
         # bench_diff excludes these from regression-ratio triage.
         "baseline_only": baseline_only,
+        "host": {
+            "cpus": os.cpu_count(),
+            "passes": pass_meta,
+        },
     }
     # Full per-query map (~16 KB) goes to a side file; the driver's
     # tail capture is 2,000 chars, so the LAST stdout line is a compact
@@ -137,6 +164,10 @@ def main() -> None:
                 "n_errors": len(errors),
                 "queries": slowest,
                 "pruning": pruning,
+                "load1": [
+                    pass_meta[0]["loadavg_before"][:1],
+                    pass_meta[-1]["loadavg_after"][:1],
+                ] if pass_meta else [],
                 "full": "BENCH_full.json",
             }
         )

@@ -259,3 +259,83 @@ def q_catalog_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("table_name")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_export_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Apache Iceberg BYTE-format round trip — the interop the
+    reference demonstrates by opening one table from several engines
+    via its metadata files (interoperability.md:76-112: `v<N>.metadata
+    .json` + Avro manifests are the shared contract).
+
+    Build an icetbl table from `nation`, EXPORT it as a spec-compliant
+    Iceberg v2 table (icetbl/iceformat.py: TableMetadata JSON with
+    schemas/specs/refs/snapshot-log, manifest list + manifest as Avro
+    object container files written by the canonical Apache Avro Java
+    library with Iceberg's field-ids, version-hint.text), then act as
+    a FOREIGN engine: re-open the table purely from those bytes —
+    version-hint → metadata.json → manifest-list Avro → manifest Avro
+    → parquet paths — using an independent pure-Python Avro decoder,
+    and aggregate the rows. The oracle checks the round-tripped table
+    equals the source; require() pins the spec surface (format-version
+    2, field-ids, summary counts). Metadata-scale work only."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        iceberg_data_files,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    nation = load(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="iws_iceexp_")
+    try:
+        src = IceTable.create_as(spark, f"{root}/src", nation)
+        export_iceberg(src, f"{root}/ice")
+        doc = resolve_iceberg_metadata(f"{root}/ice")
+        require(doc["format-version"] == 2, "must emit Iceberg v2 metadata")
+        require(
+            all(f.get("id") for f in doc["schemas"][0]["fields"]),
+            "schema fields must carry Iceberg field-ids",
+        )
+        require(
+            doc["refs"]["main"]["snapshot-id"] == doc["current-snapshot-id"],
+            "main branch ref must point at the current snapshot",
+        )
+        files = iceberg_data_files(doc)
+        require(files, "manifest walk must surface data files")
+        n_src = nation.count()
+        require(
+            sum(f["record_count"] for f in files) == n_src,
+            "manifest record counts must sum to the table rows",
+        )
+        rows = (
+            read_iceberg(spark, f"{root}/ice")
+            .groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "n_regionkey bigint, n_nations bigint, sum_key bigint, "
+            "first_name string",
+        ).orderBy("n_regionkey")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

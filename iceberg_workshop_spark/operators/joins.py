@@ -878,6 +878,48 @@ _SPATIAL_PTS = """
 """
 
 
+def _spatial_candidates(spark: SparkSession, sf_dir: str):
+    """(points, candidate pairs) of the grid-bucketed spatial join —
+    the 3x3 cell-neighborhood equi-join BEFORE the radius refine.
+    Shared by ``q_join_spatial_radius`` and the scale certificate
+    (``tools/spatial_certificate.py``): the fixture multiplies point
+    DENSITY on a fixed 100k x 100k grid, so the candidate (and output)
+    pair count is inherently ~quadratic in SF — wall-clock per
+    CANDIDATE PAIR, not wall-clock per row, is the quantity that must
+    stay flat for the plan to be scale-sound, and the certificate
+    measures exactly this stream."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("iws_sp_customer")
+    pts = spark.sql(
+        _SPATIAL_PTS.format(
+            t="iws_sp_",
+            hex8a="conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)",
+            hex8b="conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)",
+        )
+    )
+    C = SPATIAL_CELL
+    home = pts.select(
+        "pid", "x", "y",
+        F.expr(f"CAST(floor(x / {C}) AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(floor(y / {C}) AS BIGINT)").alias("cy"),
+    )
+    # replicate side a to its 3x3 neighborhood; side b stays at home
+    a = home.select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("cx"),
+        F.col("cy").alias("cy0"),
+    ).select(
+        "pid_a", "xa", "ya", "cx",
+        F.explode(F.expr("sequence(cy0 - 1, cy0 + 1)")).alias("cy"),
+    )
+    b = home.select(
+        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), "cx", "cy",
+    )
+    cands = a.join(b, ["cx", "cy"]).filter(F.col("pid_a") < F.col("pid_b"))
+    return pts, cands
+
+
 @register(
     "q_join_spatial_radius",
     oracle=f"""
@@ -919,41 +961,12 @@ def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless. Dedup falls out of joining replicated-side cell ==
     home cell of the other side; at 100 TB this is one hash join on
     cell keys instead of a cross join."""
-    load(spark, sf_dir, "customer").createOrReplaceTempView("iws_sp_customer")
-    pts = spark.sql(
-        _SPATIAL_PTS.format(
-            t="iws_sp_",
-            hex8a="conv(substring(md5(CAST(c_custkey AS STRING)), 1, 8), 16, 10)",
-            hex8b="conv(substring(md5(CAST(c_custkey AS STRING)), 9, 8), 16, 10)",
-        )
-    )
-    C = SPATIAL_CELL
-    home = pts.select(
-        "pid", "x", "y",
-        F.expr(f"CAST(floor(x / {C}) AS BIGINT)").alias("cx"),
-        F.expr(f"CAST(floor(y / {C}) AS BIGINT)").alias("cy"),
-    )
-    # replicate side a to its 3x3 neighborhood; side b stays at home
-    a = home.select(
-        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        F.explode(F.expr("sequence(cx - 1, cx + 1)")).alias("cx"),
-        F.col("cy").alias("cy0"),
-    ).select(
-        "pid_a", "xa", "ya", "cx",
-        F.explode(F.expr("sequence(cy0 - 1, cy0 + 1)")).alias("cy"),
-    )
-    b = home.select(
-        F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
-        F.col("y").alias("yb"), "cx", "cy",
-    )
+    pts, cands = _spatial_candidates(spark, sf_dir)
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
     pairs = (
-        a.join(b, ["cx", "cy"])
-        .filter(F.col("pid_a") < F.col("pid_b"))
-        .select("pid_a", "pid_b", d2.alias("d2"))
+        cands.select("pid_a", "pid_b", d2.alias("d2"))
         .filter(F.col("d2") <= SPATIAL_R * SPATIAL_R)
     )
     n_points = pts.agg(F.count(F.lit(1)).alias("n_points"))

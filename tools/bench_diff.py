@@ -70,6 +70,53 @@ def main() -> None:
         print(f"improved {ratio:.2f}x {q}: {o:.2f}s -> {n:.2f}s")
     if not rows:
         print(f"no regressions >= {thresh}x")
+    _host_noise_verdict(json.load(open(old_path)), new_doc, old, new, common)
+
+
+def _host_noise_verdict(
+    old_doc: dict, new_doc: dict,
+    old: dict[str, float], new: dict[str, float], common: list[str],
+) -> None:
+    """Structural host-variance triage (VERDICT r11 #6): a REAL
+    regression is localized to the queries whose code changed, while a
+    busy co-tenant inflates (almost) everything together. If >80% of
+    the common set moved the same direction beyond ±10%, call it host
+    noise and say so — the per-query REGRESSION lines above should
+    then be read against the uniform factor, not at face value.
+    Loadavg telemetry (bench.py `host.passes`) is printed alongside as
+    corroboration when both files carry it."""
+    sized = [q for q in common if old[q] >= 0.2 and old[q] > 0]
+    if len(sized) < 20:
+        return
+    ratios = sorted(new[q] / old[q] for q in sized)
+    n = len(ratios)
+    med = ratios[n // 2]
+    frac_up = sum(1 for r in ratios if r > 1.10) / n
+    frac_down = sum(1 for r in ratios if r < 1 / 1.10) / n
+    verdict = "no uniform drift"
+    if frac_up > 0.80:
+        verdict = (
+            f"HOST-NOISE SUSPECTED: {frac_up:.0%} of {n} sized queries "
+            f"inflated together (median {med:.2f}x) — treat per-query "
+            "regressions as (ratio / uniform factor), or re-run on a "
+            "quiet host"
+        )
+    elif frac_down > 0.80:
+        verdict = (
+            f"uniform speedup: {frac_down:.0%} of {n} sized queries "
+            f"deflated together (median {med:.2f}x) — likely a quieter "
+            "host, not a real win; compare medians across rounds"
+        )
+    print(
+        f"host-variance: {verdict} "
+        f"(up>{1.10}x: {frac_up:.0%}, down: {frac_down:.0%}, median {med:.2f}x)"
+    )
+    for tag, doc in (("old", old_doc), ("new", new_doc)):
+        passes = doc.get("host", {}).get("passes") or []
+        if passes:
+            l0 = passes[0].get("loadavg_before")
+            l1 = passes[-1].get("loadavg_after")
+            print(f"host-loadavg {tag}: start {l0} end {l1}")
 
 
 if __name__ == "__main__":
