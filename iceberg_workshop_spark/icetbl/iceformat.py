@@ -161,7 +161,12 @@ def _bound_bytes(ice_type: Any, value: Any) -> bytes | None:
             dt = _dt.datetime.fromisoformat(s)
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=_dt.timezone.utc)
-            micros = int(dt.timestamp() * 1_000_000)
+            # integer arithmetic: dt.timestamp()*1e6 floats ~1.3% of
+            # microsecond values off by 1µs (review-reproduced), which
+            # would let an engine prune a file whose true max matches
+            # an equality predicate
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            micros = (dt - epoch) // _dt.timedelta(microseconds=1)
             return struct.pack("<q", micros)
     except (ValueError, OverflowError, struct.error):
         return None
@@ -275,6 +280,21 @@ def export_iceberg(tbl: Any, dest: str) -> str:
     place by absolute path (Iceberg paths may live anywhere); only
     metadata is written. Returns the metadata file path."""
     spark: SparkSession = tbl.spark
+    # Outstanding merge-on-read delete sidecars are applied at READ
+    # time in the icetbl dialect; exporting only the data file list
+    # would resurrect every deleted row on the other side. Refuse
+    # loudly (the import side refuses delete manifests the same way) —
+    # compaction materializes the deletes and makes the table
+    # exportable.
+    cur_sid = tbl.meta.current_snapshot_id
+    if cur_sid is not None and tbl.meta.delete_entries(
+        tbl.meta.snapshot(cur_sid)
+    ):
+        raise ValueError(
+            "table has outstanding merge-on-read delete files; exporting "
+            "the data file list alone would resurrect deleted rows — run "
+            "compaction (rewrite_data_files) first"
+        )
     mdir = os.path.join(dest, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
@@ -387,7 +407,20 @@ def export_iceberg(tbl: Any, dest: str) -> str:
         "last-partition-id": 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {
+            "write.format.default": "parquet",
+            # our parquet files are written by vanilla Spark without
+            # PARQUET field-id metadata; real Iceberg engines resolve
+            # columns by FIELD ID and need this name-mapping fallback
+            # (spec: "Column Projection") to project ID-less files —
+            # without it they would read every column as NULL
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {"field-id": f["id"], "names": [f["name"]]}
+                    for f in schema["fields"]
+                ]
+            ),
+        },
         "current-snapshot-id": snap_id,
         "snapshots": [{
             "snapshot-id": snap_id,
@@ -422,6 +455,55 @@ def _strip_scheme(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
 
 
+_FROM_ICE = {
+    "int": "int", "long": "bigint", "float": "float", "double": "double",
+    "boolean": "boolean", "string": "string", "binary": "binary",
+    "date": "date", "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz", "uuid": "string", "time": "bigint",
+}
+
+
+def _spark_type_of(ice: Any) -> str:
+    """Spark DDL type for an Iceberg type (inverse of _iceberg_type)."""
+    if isinstance(ice, str):
+        if ice in _FROM_ICE:
+            return _FROM_ICE[ice]
+        if ice.startswith("decimal"):
+            return ice.replace(" ", "")
+        raise ValueError(f"cannot map Iceberg type {ice!r} to Spark")
+    t = ice["type"]
+    if t == "list":
+        return f"array<{_spark_type_of(ice['element'])}>"
+    if t == "struct":
+        inner = ",".join(
+            f"{f['name']}:{_spark_type_of(f['type'])}" for f in ice["fields"]
+        )
+        return f"struct<{inner}>"
+    if t == "map":
+        return (
+            f"map<{_spark_type_of(ice['key'])},"
+            f"{_spark_type_of(ice['value'])}>"
+        )
+    raise ValueError(f"cannot map Iceberg type {ice!r} to Spark")
+
+
+def _current_schema(doc: dict) -> list[dict]:
+    sid = doc.get("current-schema-id", 0)
+    for sch in doc.get("schemas", []):
+        if sch.get("schema-id") == sid:
+            return sch["fields"]
+    # v1-style single inline schema
+    if "schema" in doc and isinstance(doc["schema"], dict):
+        return doc["schema"].get("fields", [])
+    raise ValueError("Iceberg metadata has no resolvable current schema")
+
+
+def _ddl_of(doc: dict) -> str:
+    return ", ".join(
+        f"{f['name']} {_spark_type_of(f['type'])}" for f in _current_schema(doc)
+    )
+
+
 def resolve_iceberg_metadata(location: str) -> dict:
     """Locate and parse the current ``*.metadata.json`` of a real
     Iceberg table: version-hint.text (HadoopTables) first, else the
@@ -438,8 +520,19 @@ def resolve_iceberg_metadata(location: str) -> dict:
                 path = p
                 break
     if path is None:
+        def _order(name: str):
+            # HadoopTables names are v<N>.metadata.json — sort those
+            # NUMERICALLY (lexical order reads v9 > v10 and would
+            # silently open stale metadata); catalog-written names
+            # (00000-<uuid>.metadata.json) sort lexically.
+            stem = name[: -len(".metadata.json")]
+            if stem.startswith("v") and stem[1:].isdigit():
+                return (1, int(stem[1:]), name)
+            return (0, 0, name)
+
         cands = sorted(
-            n for n in os.listdir(mdir) if n.endswith(".metadata.json")
+            (n for n in os.listdir(mdir) if n.endswith(".metadata.json")),
+            key=_order,
         )
         if not cands:
             raise FileNotFoundError(f"no *.metadata.json under {mdir}")
@@ -493,7 +586,102 @@ def read_iceberg(
     doc = resolve_iceberg_metadata(location)
     files = iceberg_data_files(doc, snapshot_id)
     if not files:
-        return spark.createDataFrame([], schema="dummy string").limit(0)
+        # empty table: the TABLE's schema, not a placeholder — unions
+        # and .select() downstream must keep working
+        return spark.createDataFrame([], schema=_ddl_of(doc))
     return spark.read.parquet(
         *[_strip_scheme(f["file_path"]) for f in files]
     )
+
+
+def _bound_value(ice_type: Any, raw: bytes) -> Any:
+    """Inverse of ``_bound_bytes`` for the types we import."""
+    if not isinstance(ice_type, str):
+        return None
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", raw)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", raw)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", raw)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", raw)[0]
+        if ice_type == "string":
+            return raw.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
+    """Adopt a REAL Iceberg table into the icetbl dialect so its files
+    can be MANAGED here (appends, MoR deletes, compaction, expiry) —
+    the other half of the interop story: ``read_iceberg`` opens the
+    bytes, this registers them. Data files are adopted in place (no
+    rewrite — the same no-copy migration the reference demonstrates
+    for Hive tables, ``limitations.md:39-73``); manifest stats
+    (record counts, int/long/float/double/string bounds) are carried
+    over so pruning keeps working, unlike the reference's stats-less
+    Hive migration."""
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    doc = resolve_iceberg_metadata(location)
+    files = iceberg_data_files(doc)
+    if not files:
+        raise ValueError(f"no live data files in Iceberg table {location}")
+    fields = _current_schema(doc)
+    by_id = {f["id"]: f for f in fields}
+    # Adopt under the metadata's CURRENT schema, not the first file's
+    # footer (a schema-evolved table's oldest file is missing added
+    # columns). Our adopted reads resolve columns BY NAME, which is
+    # only sound while every live file's physical names match the
+    # current schema — a renamed column (same field-id, new name)
+    # breaks that mapping, so detect the mismatch on the oldest file
+    # and refuse loudly rather than read wrong/missing columns.
+    paths = [_strip_scheme(f["file_path"]) for f in files]
+    declared = {f["name"] for f in fields}
+    physical = set(spark.read.parquet(paths[0]).schema.names)
+    if not physical <= declared:
+        raise ValueError(
+            "Iceberg table's data files carry column names absent from "
+            f"its current schema ({sorted(physical - declared)}) — a "
+            "renamed column needs field-id resolution, which the adopt "
+            "path does not provide; rewrite the files first"
+        )
+    tbl = IceTable.create(spark, dest, _ddl_of(doc), [])
+
+    def bounds_of(df_entry: dict) -> dict:
+        out: dict[str, list] = {}
+        lowers = {
+            kv["key"]: kv["value"]
+            for kv in (df_entry.get("lower_bounds") or [])
+        }
+        uppers = {
+            kv["key"]: kv["value"]
+            for kv in (df_entry.get("upper_bounds") or [])
+        }
+        for fid, f in by_id.items():
+            if fid in lowers and fid in uppers:
+                lo = _bound_value(f["type"], lowers[fid])
+                hi = _bound_value(f["type"], uppers[fid])
+                if lo is not None and hi is not None:
+                    out[f["name"]] = [lo, hi]
+        return out
+
+    entries = [
+        {
+            "path": _strip_scheme(f["file_path"]),
+            "record_count": int(f.get("record_count") or 0),
+            "file_size": int(
+                f.get("file_size_in_bytes")
+                or os.path.getsize(_strip_scheme(f["file_path"]))
+            ),
+            "partition": {},
+            "spec_id": 0,
+            "bounds": bounds_of(f),
+        }
+        for f in files
+    ]
+    tbl._commit_snapshot_delta(entries, [], "adopt", rebase="blind")
+    return tbl

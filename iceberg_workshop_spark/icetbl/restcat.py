@@ -193,9 +193,14 @@ class RestCatalogServer:
         if not isinstance(doc, dict):
             return {"error": "missing metadata document"}, 400
         asserted = None
-        for r in req.get("requirements", []):
-            if r.get("type") == "assert-table-version":
-                asserted = int(r["version"])
+        try:
+            for r in req.get("requirements", []):
+                if r.get("type") == "assert-table-version":
+                    asserted = int(r["version"])
+        except (KeyError, TypeError, ValueError, AttributeError):
+            # malformed requirement entries are a CLIENT error — reply
+            # 400 instead of aborting the handler thread mid-response
+            return {"error": "malformed requirements"}, 400
         if asserted is None:
             # An unconditional swap would be a lost-update machine;
             # refuse rather than guess (the real catalog likewise
@@ -264,9 +269,13 @@ class RemoteTableMeta(M.TableMeta):
                     f"{self._name}"
                 )
                 try:
-                    urllib.request.urlopen(table_url).close()
+                    urllib.request.urlopen(table_url, timeout=5).close()
                 except (urllib.error.URLError, OSError):
-                    raise M.SnapshotExpired(
+                    # NOT SnapshotExpired: a dead/misconfigured catalog
+                    # must not be catchable as the GC'd-snapshot case
+                    # (SnapshotExpired subclasses FileNotFoundError,
+                    # which best-effort sweep loops suppress)
+                    raise RuntimeError(
                         f"catalog GET {url} returned 404 and the table "
                         f"endpoint {table_url} is unreachable too — "
                         "check the catalog base URL / namespace / table "

@@ -1280,17 +1280,21 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
-    final = _cc_min_label(pairs)
     # Persist hygiene: the shingle→pair intermediates exist only to
     # serve the propagation loop — leaving them persisted would grow
     # executor memory monotonically across invocations in a long-lived
     # session. The converged labels are already checkpointed (their
-    # plan references no persisted chain), so just release everything.
-    for df in (shingles, candidates, pairs):
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — cleanup must not fail the query
-            pass
+    # plan references no persisted chain), so release everything —
+    # INCLUDING on the non-convergence require() raise (try/finally),
+    # or a failing run would leak three corpus-scale cached frames.
+    try:
+        final = _cc_min_label(pairs)
+    finally:
+        for df in (shingles, candidates, pairs):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — cleanup must not fail the query
+                pass
     return final.orderBy("doc_id")
 
 

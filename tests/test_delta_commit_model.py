@@ -36,6 +36,10 @@ class _Shim:
     _commit_snapshot = IceTable._commit_snapshot
     _commit_snapshot_delta = IceTable._commit_snapshot_delta
     _commit_snapshot_delta_fallback = IceTable._commit_snapshot_delta_fallback
+    _commit_meta = IceTable._commit_meta
+    _refresh_meta = IceTable._refresh_meta
+    _committer = staticmethod(M.commit)
+    _refresher = None
 
 
 def _entry(i: int) -> dict:

@@ -235,3 +235,103 @@ def test_resolve_metadata_without_hint_uses_newest(spark, exported):
     doc = resolve_iceberg_metadata(dest)
     assert doc["format-version"] == 2
     assert doc["current-snapshot-id"] == doc["refs"]["main"]["snapshot-id"]
+
+
+def test_import_iceberg_adopts_with_stats_and_stays_manageable(
+    spark, exported, tmp_path
+):
+    """import_iceberg registers a REAL Iceberg table's files in the
+    icetbl dialect without rewriting them, carries manifest stats over
+    (so pruning works — unlike the reference's stats-less Hive
+    migration), and the adopted table accepts further writes."""
+    from iceberg_workshop_spark.icetbl.iceformat import import_iceberg
+
+    src, dest, _ = exported
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    assert adopted.read().count() == 110
+    ent = adopted.meta.current_files()
+    assert sum(e["record_count"] for e in ent) == 110
+    # bounds carried: id (long) min over all files is 0
+    los = [e["bounds"]["id"][0] for e in ent if "id" in e.get("bounds", {})]
+    assert los and min(los) == 0
+    # same physical files — adopt-in-place, no rewrite
+    src_paths = {os.path.abspath(f["path"]) for f in src.meta.current_files()}
+    adopted_paths = {os.path.abspath(f["path"]) for f in ent}
+    assert adopted_paths == src_paths
+    # and the adopted table is writable in the icetbl dialect
+    adopted.append(
+        spark.createDataFrame([(9999, "new", 1.0)],
+                              "id bigint, name string, score double")
+    )
+    assert adopted.read().count() == 111
+
+
+def test_export_refuses_outstanding_mor_deletes(spark, tmp_path):
+    """Exporting only the data-file list of a table with live MoR
+    delete sidecars would resurrect deleted rows on the other side —
+    the export must refuse (review finding r12)."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "id bigint, name string"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "mor"), df)
+    t.delete_where_mor("id < 5", keys=["id"])
+    with pytest.raises(ValueError, match="merge-on-read delete"):
+        export_iceberg(t, str(tmp_path / "ice_mor"))
+
+
+def test_export_name_mapping_property(exported):
+    """ID-less parquet needs schema.name-mapping.default for real
+    engines to project columns (Iceberg spec, Column Projection)."""
+    _, dest, md_path = exported
+    doc = json.load(open(md_path))
+    nm = json.loads(doc["properties"]["schema.name-mapping.default"])
+    assert nm == [
+        {"field-id": 1, "names": ["id"]},
+        {"field-id": 2, "names": ["name"]},
+        {"field-id": 3, "names": ["score"]},
+    ]
+
+
+def test_resolve_metadata_numeric_version_order(spark, exported):
+    """v10 sorts after v9 when the hint is gone (lexical order would
+    silently open stale metadata)."""
+    _, dest, md_path = exported
+    mdir = os.path.join(dest, "metadata")
+    doc = json.load(open(md_path))
+    for v in (9, 10, 12):
+        stale = dict(doc)
+        stale["last-sequence-number"] = v
+        with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(stale, fh)
+    os.remove(os.path.join(mdir, "version-hint.text"))
+    got = resolve_iceberg_metadata(dest)
+    assert got["last-sequence-number"] == 12
+
+
+def test_read_iceberg_empty_table_keeps_real_schema(spark, tmp_path):
+    from iceberg_workshop_spark.icetbl.iceformat import read_iceberg
+
+    df = spark.createDataFrame([], "id bigint, name string, score double")
+    t = IceTable.create_as(spark, str(tmp_path / "empty"), df)
+    export_iceberg(t, str(tmp_path / "ice_empty"))
+    back = read_iceberg(spark, str(tmp_path / "ice_empty"))
+    assert back.columns == ["id", "name", "score"]
+    assert back.count() == 0
+    assert back.schema["id"].dataType.simpleString() == "bigint"
+
+
+def test_timestamp_bound_integer_exact():
+    """dt.timestamp()*1e6 float truncation regression: every
+    microsecond value must serialize exactly."""
+    import struct as _s
+
+    from iceberg_workshop_spark.icetbl.iceformat import _bound_bytes
+
+    # the review's reproduced off-by-one case + a pre-1970 instant
+    for iso, micros in [
+        ("2041-01-18 20:28:19.796765", 2242153699796765),
+        ("1969-12-31 23:59:59.999999", -1),
+        ("1970-01-01 00:00:00.000001", 1),
+    ]:
+        raw = _bound_bytes("timestamptz", iso)
+        assert _s.unpack("<q", raw)[0] == micros, iso

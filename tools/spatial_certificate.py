@@ -45,9 +45,10 @@ def main() -> None:
     q = queries()["q_join_spatial_radius"]
 
     # warm pass so JIT/codegen doesn't pollute the smallest tier
-    q(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = tiers[0]
+    q(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     rows = []
     for tier in tiers:
@@ -61,10 +62,15 @@ def main() -> None:
                 "tier": label,
                 "n_candidates": int(n_cand),
                 "wall": round(wall, 3),
-                "sec_per_1m_candidates": round(wall / (n_cand / 1e6), 4),
+                "sec_per_1m_candidates": (
+                    round(wall / (n_cand / 1e6), 4) if n_cand else None
+                ),
             }
         )
         print(rows[-1], flush=True)
+    rows = [r for r in rows if r["sec_per_1m_candidates"] is not None]
+    if not rows:
+        raise SystemExit("no tier produced candidate pairs — nothing to certify")
 
     # Flatness is judged on AMORTIZED tiers (>= 500k candidates): a
     # 1-second fixed job cost over the small tier's ~10k candidates
