@@ -263,6 +263,10 @@ MANIFEST_ENTRY_SCHEMA = {
                  "type": ["null", {"type": "array", "items": "long",
                                    "element-id": 133}],
                  "default": None, "field-id": 132},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None, "field-id": 135},
                 {"name": "sort_order_id", "type": ["null", "int"],
                  "default": None, "field-id": 140},
             ],
@@ -280,21 +284,30 @@ def export_iceberg(tbl: Any, dest: str) -> str:
     place by absolute path (Iceberg paths may live anywhere); only
     metadata is written. Returns the metadata file path."""
     spark: SparkSession = tbl.spark
-    # Outstanding merge-on-read delete sidecars are applied at READ
-    # time in the icetbl dialect; exporting only the data file list
-    # would resurrect every deleted row on the other side. Refuse
-    # loudly (the import side refuses delete manifests the same way) —
-    # compaction materializes the deletes and makes the table
-    # exportable.
+    # Outstanding merge-on-read delete sidecars export as REAL v2
+    # delete manifests: our sidecar parquet is already byte-shaped as
+    # Iceberg delete files (positional: (file_path, pos) columns;
+    # equality: the key columns), so only metadata is emitted. An
+    # equality sidecar whose recorded write-time key names have since
+    # been RENAMED would need parquet field-id resolution on the other
+    # side — refuse that case rather than export wrong deletes.
     cur_sid = tbl.meta.current_snapshot_id
-    if cur_sid is not None and tbl.meta.delete_entries(
-        tbl.meta.snapshot(cur_sid)
-    ):
-        raise ValueError(
-            "table has outstanding merge-on-read delete files; exporting "
-            "the data file list alone would resurrect deleted rows — run "
-            "compaction (rewrite_data_files) first"
-        )
+    del_entries = (
+        list(tbl.meta.delete_entries(tbl.meta.snapshot(cur_sid)))
+        if cur_sid is not None
+        else []
+    )
+    for d in del_entries:
+        kind = d.get("kind", "eq")
+        if kind not in ("eq", "pos"):
+            raise ValueError(f"unknown delete sidecar kind {kind!r}")
+        if kind == "eq" and tbl._eq_delete_current_keys(d) != list(d["keys"]):
+            raise ValueError(
+                "equality-delete sidecar was written under since-renamed "
+                f"key names {d['keys']} — real engines resolve delete "
+                "columns by field id, which ID-less sidecar parquet "
+                "cannot express; run rewrite_equality_deletes() first"
+            )
     mdir = os.path.join(dest, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
@@ -303,9 +316,15 @@ def export_iceberg(tbl: Any, dest: str) -> str:
     by_name = {f["name"]: f for f in schema["fields"]}
 
     snap_id = int(uuid.uuid4().int % (1 << 62))
-    seq = 1
     files = tbl.meta.current_files()
     now = M.now_ms()
+    # Per-FILE data sequence numbers carry over (not a flat 1): the
+    # v2 equality-delete rule is row_seq < delete_seq, so flattening
+    # data seqs would let exported deletes swallow rows that were
+    # re-inserted AFTER the delete.
+    data_seqs = [int(f.get("seq", 1)) for f in files] or [1]
+    del_seqs = [int(d.get("dseq", 1)) for d in del_entries] or [1]
+    seq = max(data_seqs + del_seqs + [1])
 
     def bounds_for(entry: dict, idx: int) -> list[dict] | None:
         """idx 0 = lower, 1 = upper. icetbl stores bounds as
@@ -330,8 +349,8 @@ def export_iceberg(tbl: Any, dest: str) -> str:
         {
             "status": 1,  # ADDED (this export is one append snapshot)
             "snapshot_id": snap_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
+            "sequence_number": int(f.get("seq", 1)),
+            "file_sequence_number": int(f.get("seq", 1)),
             "data_file": {
                 "content": 0,
                 "file_path": os.path.abspath(f["path"]),
@@ -364,27 +383,92 @@ def export_iceberg(tbl: Any, dest: str) -> str:
     )
 
     total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    manifest_rows = [{
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": max(data_seqs),
+        "min_sequence_number": min(data_seqs),
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [],
+    }]
+
+    if del_entries:
+        # v2 DELETE manifest: our sidecar parquet already has the
+        # spec's delete-file shapes, so the entries just point at it —
+        # content 1 = position deletes, 2 = equality deletes (with the
+        # key columns' field ids in equality_ids).
+        d_avro = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": int(d.get("dseq", 1)),
+                "file_sequence_number": int(d.get("dseq", 1)),
+                "data_file": {
+                    "content": 1 if d.get("kind", "eq") == "pos" else 2,
+                    "file_path": os.path.abspath(d["path"]),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(d.get("record_count") or 0),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.abspath(d["path"])
+                    ),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "sort_order_id": None,
+                    "equality_ids": (
+                        [by_name[k]["id"] for k in d["keys"]]
+                        if d.get("kind", "eq") == "eq"
+                        else None
+                    ),
+                },
+            }
+            for d in del_entries
+        ]
+        dmf_path = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
+        write_avro(
+            spark, dmf_path, MANIFEST_ENTRY_SCHEMA, d_avro,
+            meta={
+                "schema": json.dumps(schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifest_rows.append({
+            "manifest_path": dmf_path,
+            "manifest_length": os.path.getsize(dmf_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": max(del_seqs),
+            "min_sequence_number": min(del_seqs),
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(d_avro),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in d_avro
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [],
+        })
+
     mlist_path = os.path.join(
         mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
     )
     write_avro(
-        spark, mlist_path, MANIFEST_LIST_SCHEMA,
-        [{
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": [],
-        }],
+        spark, mlist_path, MANIFEST_LIST_SCHEMA, manifest_rows,
         meta={
             "format-version": "2",
             "snapshot-id": str(snap_id),
@@ -541,41 +625,59 @@ def resolve_iceberg_metadata(location: str) -> dict:
         return json.load(fh)
 
 
-def iceberg_data_files(doc: dict, snapshot_id: int | None = None) -> list[dict]:
+def iceberg_manifest_entries(
+    doc: dict, snapshot_id: int | None = None
+) -> tuple[list[dict], list[dict]]:
     """Walk snapshot → manifest list → manifests of a real Iceberg
-    table and return live data-file dicts (path, record_count, ...).
-    Refuses tables with v2 delete files instead of reading them wrong."""
+    table and return ``(data_files, delete_files)`` — live entries
+    only, each dict annotated with its resolved data sequence number
+    under ``"_seq"`` (entry value, inheriting the manifest's
+    sequence_number when null — v2 sequence inheritance)."""
     sid = snapshot_id if snapshot_id is not None else doc.get(
         "current-snapshot-id"
     )
     snaps = {s["snapshot-id"]: s for s in doc.get("snapshots", [])}
     if sid is None or sid not in snaps:
-        return []
+        return [], []
     snap = snaps[sid]
     _, manifests, _ = read_avro(_strip_scheme(snap["manifest-list"]))
-    out: list[dict] = []
+    data: list[dict] = []
+    dels: list[dict] = []
     for mf in manifests:
-        if mf.get("content", 0) != 0:
-            raise ValueError(
-                "this Iceberg table carries v2 DELETE manifests; the "
-                "import reader supports data manifests only — compact "
-                "the table (rewrite_data_files) before importing"
-            )
         _, entries, _ = read_avro(_strip_scheme(mf["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise ValueError(
-                    "delete files present in a data manifest; unsupported"
-                )
             if df["file_format"].upper() != "PARQUET":
                 raise ValueError(
                     f"unsupported data file format {df['file_format']!r}"
                 )
-            out.append(df)
-    return out
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            df = dict(df)
+            df["_seq"] = int(seq)
+            if df.get("content", 0) == 0:
+                data.append(df)
+            else:
+                dels.append(df)
+    return data, dels
+
+
+def iceberg_data_files(doc: dict, snapshot_id: int | None = None) -> list[dict]:
+    """Live DATA files of a snapshot; raises if the table carries v2
+    delete files, because the bare data list over-reports rows —
+    callers that apply deletes use ``iceberg_manifest_entries`` /
+    ``read_iceberg`` instead."""
+    data, dels = iceberg_manifest_entries(doc, snapshot_id)
+    if dels:
+        raise ValueError(
+            "this Iceberg table carries v2 delete files; the bare data "
+            "list would over-report rows — use read_iceberg (applies "
+            "deletes) or compact the table first"
+        )
+    return data
 
 
 def read_iceberg(
@@ -584,14 +686,106 @@ def read_iceberg(
     """Open a REAL Iceberg table (the format the reference's engines
     share) and return its rows as a DataFrame."""
     doc = resolve_iceberg_metadata(location)
-    files = iceberg_data_files(doc, snapshot_id)
+    files, dels = iceberg_manifest_entries(doc, snapshot_id)
     if not files:
         # empty table: the TABLE's schema, not a placeholder — unions
         # and .select() downstream must keep working
         return spark.createDataFrame([], schema=_ddl_of(doc))
-    return spark.read.parquet(
-        *[_strip_scheme(f["file_path"]) for f in files]
-    )
+    if not dels:
+        return spark.read.parquet(
+            *[_strip_scheme(f["file_path"]) for f in files]
+        )
+    return _read_with_deletes(spark, doc, files, dels)
+
+
+def _canon_path_col(c):
+    """file:///a, file:/a and /a all canonicalize to /a — manifest
+    entries, delete-file rows and Spark's _metadata.file_path disagree
+    on the scheme prefix."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(c, "^file:/*", "/")
+
+
+def _read_with_deletes(
+    spark: SparkSession, doc: dict, files: list[dict], dels: list[dict]
+) -> DataFrame:
+    """Apply a real Iceberg v2 table's delete files at read time —
+    position deletes (content 1: (file_path, pos) parquet, anti-join
+    on the row's file + ordinal) and equality deletes (content 2: key
+    columns named by equality_ids, anti-join with the v2 sequence rule
+    row_seq < delete_seq, null-safe). Mirrors the icetbl dialect's
+    ``_apply_deletes``; delete sets are broadcast (they are the small
+    side by construction)."""
+    from pyspark.sql import functions as F
+
+    pos_dels = [d for d in dels if d.get("content") == 1]
+    eq_dels = [d for d in dels if d.get("content") == 2]
+    unknown = [d for d in dels if d.get("content") not in (1, 2)]
+    if unknown:
+        raise ValueError(
+            f"unsupported delete-file content ids: "
+            f"{sorted({d.get('content') for d in unknown})}"
+        )
+    name_by_id = {f["id"]: f["name"] for f in _current_schema(doc)}
+    need_pos = bool(pos_dels)
+    # group data files by resolved sequence number so each row carries
+    # its file's data seq (the equality-delete comparand)
+    by_seq: dict[int, list[dict]] = {}
+    for f in files:
+        by_seq.setdefault(int(f.get("_seq", 0)), []).append(f)
+    data = None
+    for seq, fs in sorted(by_seq.items()):
+        part = spark.read.parquet(
+            *[_strip_scheme(f["file_path"]) for f in fs]
+        ).withColumn("__seq", F.lit(seq))
+        if need_pos:
+            part = part.select(
+                "*",
+                _canon_path_col(F.col("_metadata.file_path")).alias("__path"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        data = part if data is None else data.unionByName(part)
+    if pos_dels:
+        pd = None
+        for d in pos_dels:
+            one = spark.read.parquet(_strip_scheme(d["file_path"])).select(
+                _canon_path_col(F.col("file_path")).alias("__dpath"),
+                F.col("pos").cast("long").alias("__dpos"),
+            )
+            pd = one if pd is None else pd.unionByName(one)
+        data = data.join(
+            F.broadcast(pd.dropDuplicates()),
+            (F.col("__path") == F.col("__dpath"))
+            & (F.col("__pos") == F.col("__dpos")),
+            "left_anti",
+        )
+    for d in eq_dels:
+        ids = d.get("equality_ids") or []
+        if not ids or any(i not in name_by_id for i in ids):
+            raise ValueError(
+                f"equality delete file {d['file_path']} has unresolvable "
+                f"equality_ids {ids}"
+            )
+        keys = [name_by_id[i] for i in ids]
+        dd = spark.read.parquet(_strip_scheme(d["file_path"]))
+        missing = [k for k in keys if k not in dd.columns]
+        if missing:
+            raise ValueError(
+                f"equality delete file {d['file_path']} lacks key "
+                f"columns {missing} (field-id column resolution in "
+                "delete parquet is not supported)"
+            )
+        dd = dd.select(
+            *[F.col(k).alias(f"__dk_{k}") for k in keys]
+        ).dropDuplicates()
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+        cond = cond & (F.col("__seq") < F.lit(int(d.get("_seq", 0))))
+        data = data.join(F.broadcast(dd), cond, "left_anti")
+    drop = ["__seq"] + (["__path", "__pos"] if need_pos else [])
+    return data.drop(*drop)
 
 
 def _bound_value(ice_type: Any, raw: bytes) -> Any:
@@ -627,7 +821,7 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
     from iceberg_workshop_spark.icetbl.table import IceTable
 
     doc = resolve_iceberg_metadata(location)
-    files = iceberg_data_files(doc)
+    files, dels = iceberg_manifest_entries(doc)
     if not files:
         raise ValueError(f"no live data files in Iceberg table {location}")
     fields = _current_schema(doc)
@@ -679,9 +873,118 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
             ),
             "partition": {},
             "spec_id": 0,
+            # real data sequence carries over — the adopted equality
+            # deletes' row_seq < dseq rule must see the same ordering
+            # the source table had
+            "seq": int(f.get("_seq", 1)),
             "bounds": bounds_of(f),
         }
         for f in files
     ]
-    tbl._commit_snapshot_delta(entries, [], "adopt", rebase="blind")
+    del_entries = _translate_delete_files(spark, dels, by_id, dest)
+    # The table's sequence counter must start ABOVE every adopted
+    # data/delete sequence, or the first post-adopt append would land
+    # at seq 1 and be swallowed by adopted equality deletes.
+    max_seq = max(
+        [e["seq"] for e in entries] + [d["dseq"] for d in del_entries] + [0]
+    )
+    tbl.meta.properties["last-sequence-number"] = str(max_seq)
+    tbl._commit_snapshot_delta(
+        entries, [], "adopt", added_deletes=del_entries or None,
+        rebase="blind",
+    )
     return tbl
+
+
+def _translate_delete_files(
+    spark: SparkSession, dels: list[dict], by_id: dict[int, Any], dest: str
+) -> list[dict]:
+    """Foreign v2 delete files → icetbl sidecar entries. The parquet
+    SHAPES already agree (equality: key columns; positional:
+    (file_path, pos)); what needs translation is metadata — key names
+    from equality_ids, and positional file_path values re-encoded to
+    the Hadoop-URI form our reader's `_metadata.file_path` anti-join
+    matches verbatim. Translated sidecars are tiny (delete-set-sized)
+    parquet files written under the adopted table's data dir."""
+    if not dels:
+        return []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    eq_key_sets: set[tuple[str, ...]] = set()
+    ddir = os.path.join(dest, M.DATA_DIR)
+    os.makedirs(ddir, exist_ok=True)
+    for d in dels:
+        src_path = _strip_scheme(d["file_path"])
+        dseq = int(d.get("_seq", 1))
+        if d.get("content") == 2:  # equality
+            ids = d.get("equality_ids") or []
+            if not ids or any(i not in by_id for i in ids):
+                raise ValueError(
+                    f"equality delete {src_path}: unresolvable "
+                    f"equality_ids {ids}"
+                )
+            keys = [by_id[i]["name"] for i in ids]
+            eq_key_sets.add(tuple(sorted(keys)))
+            if len(eq_key_sets) > 1:
+                raise ValueError(
+                    "Iceberg table carries equality deletes with MIXED "
+                    f"key sets {sorted(eq_key_sets)}; the icetbl reader "
+                    "applies one key set per table — compact the source "
+                    "first"
+                )
+            t = pq.read_table(src_path)
+            missing = [k for k in keys if k not in t.column_names]
+            if missing:
+                raise ValueError(
+                    f"equality delete {src_path} lacks key columns "
+                    f"{missing} (field-id resolution in delete parquet "
+                    "is not supported)"
+                )
+            t = t.select(keys)
+            new_path = os.path.join(
+                ddir, f"eqdel-import-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            pq.write_table(t, new_path)
+            out.append(
+                {
+                    "path": new_path,
+                    "record_count": t.num_rows,
+                    "keys": keys,
+                    "dseq": dseq,
+                }
+            )
+        elif d.get("content") == 1:  # positional
+            t = pq.read_table(src_path)
+            raw = t.column("file_path").to_pylist()
+            # Hadoop's local-FS URI form is file:/abs/path (ONE slash)
+            # — pathlib's file:///abs/path would never match the
+            # reader's verbatim _metadata.file_path anti-join
+            uris = [f"file:{_strip_scheme(p)}" for p in raw]
+            t2 = pa.table(
+                {
+                    "file_path": pa.array(uris, pa.string()),
+                    "pos": t.column("pos").cast(pa.int64()),
+                }
+            )
+            new_path = os.path.join(
+                ddir, f"posdel-import-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            pq.write_table(t2, new_path)
+            out.append(
+                {
+                    "path": new_path,
+                    "record_count": t2.num_rows,
+                    "kind": "pos",
+                    "target_paths": sorted(
+                        {_strip_scheme(p) for p in raw}
+                    ),
+                    "dseq": dseq,
+                }
+            )
+        else:
+            raise ValueError(
+                f"unsupported delete-file content id {d.get('content')}"
+            )
+    return out

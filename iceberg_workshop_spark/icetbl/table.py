@@ -816,6 +816,13 @@ class IceTable:
         if rebase == "blind" and removed:
             raise ValueError("blind rebase requires an empty removed set")
         plan_schema = self.meta.schema_ddl
+        # Entries arriving WITH a sequence number keep it (same
+        # contract as the legacy path's `"seq" not in f` test): an
+        # adopted foreign table's files must retain their source data
+        # sequences or its equality deletes' row_seq < dseq rule
+        # collapses. Identity-set so CAS retries still re-stamp the
+        # entries THIS call stamped on a failed attempt.
+        pre_seq = {id(f) for f in added if "seq" in f}
         for _ in range(10):
             parent_id = (
                 self.meta.refs[branch]["snapshot_id"]
@@ -873,7 +880,8 @@ class IceTable:
             # of the commit that added them (equality-delete and
             # .entries-status correctness).
             for f in added:
-                f["seq"] = seq
+                if id(f) not in pre_seq:
+                    f["seq"] = seq
                 f["first_snapshot_id"] = snap_id
             new_descr = (
                 M._write_manifest_shards(self.meta, pool + added)

@@ -339,3 +339,83 @@ def q_iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("n_regionkey")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_mor_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey NOT IN (1, 2, 3) AND n_nationkey < 20
+    UNION ALL
+    SELECT 2 AS n_nationkey, 'REBORN' AS n_name
+    ORDER BY n_nationkey, n_name
+    """,
+)
+def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Iceberg v2 MERGE-ON-READ round trip (round 12): equality
+    AND positional delete files cross the byte-format boundary.
+
+    Build a nation table; equality-delete keys {1,2,3}; APPEND key 2
+    back (the v2 sequence rule — row_seq < delete_seq — must keep the
+    re-inserted row); positional-delete rows with key >= 20. Export as
+    a spec-compliant Iceberg v2 table: the MoR sidecars become REAL
+    delete manifests (content=1 positional (file_path,pos) parquet,
+    content=2 equality parquet with equality_ids), per-file data
+    sequence numbers carried. Re-open from bytes alone and apply the
+    deletes the way a real engine does (read_iceberg →
+    _read_with_deletes). The oracle is the final logical row set, so
+    a delete lost, double-applied, or sequence-misordered anywhere in
+    the chain breaks parity. Replays the v2 row-level-ops surface of
+    `sql/update_iceberg_v2_examples.sql:1-18` across the format
+    boundary."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        iceberg_manifest_entries,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icemor_")
+    try:
+        t = IceTable.create_as(spark, f"{root}/src", nation)
+        t.delete_keys_mor(
+            spark.createDataFrame([(1,), (2,), (3,)], "n_nationkey int"),
+            ["n_nationkey"],
+        )
+        t.append(
+            spark.createDataFrame(
+                [(2, "REBORN", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            )
+        )
+        t.delete_where_pos("n_nationkey >= 20")
+        export_iceberg(t, f"{root}/ice")
+        doc = resolve_iceberg_metadata(f"{root}/ice")
+        _, dels = iceberg_manifest_entries(doc)
+        require(
+            sorted(d["content"] for d in dels) == [1, 2],
+            "export must emit one positional and one equality delete file",
+        )
+        require(
+            next(d for d in dels if d["content"] == 2)["equality_ids"]
+            == [1],
+            "equality_ids must name the key column's field id",
+        )
+        rows = (
+            read_iceberg(spark, f"{root}/ice")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey", "n_name")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "n_nationkey int, n_name string"
+        ).orderBy("n_nationkey", "n_name")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

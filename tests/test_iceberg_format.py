@@ -51,6 +51,7 @@ def test_avro_jvm_write_python_read_roundtrip(spark, tmp_path):
                 "lower_bounds": [{"key": 1, "value": b"\x01\x00\x00\x00"}],
                 "upper_bounds": [{"key": 1, "value": b"\xff\x7f\x00\x00"}],
                 "split_offsets": [4, 1048576],
+                "equality_ids": None,
                 "sort_order_id": None,
             },
         },
@@ -69,6 +70,7 @@ def test_avro_jvm_write_python_read_roundtrip(spark, tmp_path):
                 "lower_bounds": None,
                 "upper_bounds": None,
                 "split_offsets": None,
+                "equality_ids": [1, 2],
                 "sort_order_id": 7,
             },
         },
@@ -209,24 +211,25 @@ def test_export_import_roundtrip_data_equality(spark, exported):
     assert a == b
 
 
-def test_import_skips_deleted_entries_and_refuses_delete_manifests(
-    spark, exported, tmp_path
-):
+def test_unknown_delete_content_refused(spark, exported, tmp_path):
+    """Delete-file content ids beyond position(1)/equality(2) — e.g. a
+    future spec revision — are refused loudly, never skipped (skipping
+    a delete file resurrects rows)."""
     src, dest, _ = exported
     doc = resolve_iceberg_metadata(dest)
-    files = iceberg_data_files(doc)
-    assert all(f["content"] == 0 for f in files)
-    # flip a manifest to content=1 (deletes) and assert the loud refusal
+    assert all(f["content"] == 0 for f in iceberg_data_files(doc))
     snap = doc["snapshots"][0]
-    schema, manifests, meta = read_avro(snap["manifest-list"])
-    manifests[0]["content"] = 1
+    _, manifests, _ = read_avro(snap["manifest-list"])
+    schema, entries, meta = read_avro(manifests[0]["manifest_path"])
+    entries[0]["data_file"]["content"] = 3  # unknown flavor
     write_avro(
-        spark, snap["manifest-list"], MANIFEST_LIST_SCHEMA, manifests,
+        spark, manifests[0]["manifest_path"], MANIFEST_ENTRY_SCHEMA,
+        entries,
         meta={k: v.decode() for k, v in meta.items()
               if not k.startswith("avro.")},
     )
-    with pytest.raises(ValueError, match="DELETE manifests"):
-        iceberg_data_files(resolve_iceberg_metadata(dest))
+    with pytest.raises(ValueError, match="unsupported delete-file content"):
+        read_iceberg(spark, dest).collect()
 
 
 def test_resolve_metadata_without_hint_uses_newest(spark, exported):
@@ -266,16 +269,19 @@ def test_import_iceberg_adopts_with_stats_and_stays_manageable(
     assert adopted.read().count() == 111
 
 
-def test_export_refuses_outstanding_mor_deletes(spark, tmp_path):
-    """Exporting only the data-file list of a table with live MoR
-    delete sidecars would resurrect deleted rows on the other side —
-    the export must refuse (review finding r12)."""
+def test_export_refuses_renamed_key_eq_deletes(spark, tmp_path):
+    """MoR deletes now EXPORT as v2 delete manifests — except an
+    equality sidecar written under since-renamed key names: ID-less
+    sidecar parquet cannot express the field-id resolution a real
+    engine would need, so the export refuses instead of emitting
+    deletes that silently match nothing."""
     df = spark.createDataFrame(
         [(i, f"n{i}") for i in range(20)], "id bigint, name string"
     )
     t = IceTable.create_as(spark, str(tmp_path / "mor"), df)
     t.delete_where_mor("id < 5", keys=["id"])
-    with pytest.raises(ValueError, match="merge-on-read delete"):
+    t.rename_column("id", "ident")
+    with pytest.raises(ValueError, match="since-renamed"):
         export_iceberg(t, str(tmp_path / "ice_mor"))
 
 
@@ -335,3 +341,68 @@ def test_timestamp_bound_integer_exact():
     ]:
         raw = _bound_bytes("timestamptz", iso)
         assert _s.unpack("<q", raw)[0] == micros, iso
+
+
+def _mor_table(spark, tmp_path, name="mor_src"):
+    """ids 0..19; eq-delete {1,2,3}; re-insert id 2 AFTER the delete
+    (the v2 sequence rule must keep it); pos-delete rows with id>=18."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "id bigint, name string"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / name), df)
+    t.delete_keys_mor(
+        spark.createDataFrame([(1,), (2,), (3,)], "id bigint"), ["id"]
+    )
+    t.append(spark.createDataFrame([(2, "reborn")], "id bigint, name string"))
+    t.delete_where_pos("id >= 18")
+    return t
+
+
+def test_export_read_roundtrip_with_v2_deletes(spark, tmp_path):
+    """MoR sidecars export as REAL v2 delete manifests (equality with
+    equality_ids, positional as (file_path,pos) parquet) and
+    read_iceberg applies them with the sequence rule — the
+    re-inserted key survives, originals and pos-targets are gone."""
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    want = {(r.id, r.name) for r in t.read().collect()}
+    assert (2, "reborn") in want and (2, "n2") not in want
+    assert not any(i in {1, 3, 18, 19} for i, _ in want)
+
+    dest = str(tmp_path / "ice_mor")
+    export_iceberg(t, dest)
+    doc = resolve_iceberg_metadata(dest)
+    data, dels = iceberg_manifest_entries(doc)
+    contents = sorted(d["content"] for d in dels)
+    assert contents == [1, 2]  # one positional + one equality file
+    eq = next(d for d in dels if d["content"] == 2)
+    assert eq["equality_ids"] == [1]  # id column's field-id
+    # bare data list must refuse (over-reports rows)
+    with pytest.raises(ValueError, match="delete files"):
+        iceberg_data_files(doc)
+    got = {(r.id, r.name) for r in read_iceberg(spark, dest).collect()}
+    assert got == want
+
+
+def test_import_iceberg_translates_v2_deletes(spark, tmp_path):
+    """Adopting a real Iceberg table with delete files translates them
+    into icetbl sidecars: same rows, and the adopted table keeps
+    accepting MoR writes."""
+    from iceberg_workshop_spark.icetbl.iceformat import import_iceberg
+
+    t = _mor_table(spark, tmp_path, "mor_src2")
+    want = {(r.id, r.name) for r in t.read().collect()}
+    dest = str(tmp_path / "ice_mor2")
+    export_iceberg(t, dest)
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted_mor"))
+    got = {(r.id, r.name) for r in adopted.read().collect()}
+    assert got == want
+    # further MoR deletes compose on the adopted table
+    adopted.delete_keys_mor(
+        spark.createDataFrame([(5,)], "id bigint"), ["id"]
+    )
+    got2 = {(r.id, r.name) for r in adopted.read().collect()}
+    assert got2 == {p for p in want if p[0] != 5}
