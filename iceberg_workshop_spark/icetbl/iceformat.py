@@ -17,16 +17,25 @@ JSON manifests; this module emits and consumes the SPEC BYTES:
 - ``read_iceberg(spark, location)`` — open a REAL Iceberg table:
   resolve the current metadata file via version-hint (or newest
   ``*.metadata.json``), walk snapshot → manifest list → manifests →
-  data files (pure-Python Avro reader), and return the DataFrame.
-  Data manifests only; tables carrying v2 delete files are refused
-  loudly rather than read wrong.
+  data files (pure-Python Avro reader), apply v2 POSITION and
+  EQUALITY delete files under the sequence rule, and return the
+  DataFrame. Unknown delete flavors are refused loudly rather than
+  skipped.
+- ``import_iceberg(spark, location, dest)`` — adopt a real table into
+  the managed dialect in place: data files registered with their
+  source sequence numbers and manifest stats, delete files translated
+  into managed sidecars.
 
 Scope (documented, not hidden): export ships the CURRENT snapshot of
-the table as one append snapshot with an unpartitioned spec — the
-history/partition-evolution timeline stays in the icetbl dialect.
-Column bounds are exported for int/long/float/double/string/timestamp
-columns using Iceberg's single-value binary serialization, so file
-skipping works on the other side.
+the table as one append snapshot — the history/partition-evolution
+timeline stays in the icetbl dialect. The current partition spec
+exports with TYPED partition values (identity / year / month / day /
+hour / truncate; bucket refused — our bucket hash is Spark's, not
+Iceberg's murmur3); a partition-EVOLVED file set (mixed spec ids)
+must be compacted to one spec first. Column bounds are exported for
+int/long/float/double/string/timestamp columns using Iceberg's
+single-value binary serialization, so file skipping works on the
+other side.
 
 Metadata-scale only: one Avro record per data file; no row data moves.
 """
@@ -229,6 +238,18 @@ def _bounds_map_schema(name: str, kid: int, vid: int) -> dict:
     }
 
 
+def manifest_entry_schema(partition_fields: list[dict] | None = None) -> dict:
+    """The manifest_entry Avro schema with the given r102 partition
+    record fields (empty = unpartitioned)."""
+    import copy
+
+    sch = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    r2 = next(f for f in sch["fields"] if f["name"] == "data_file")["type"]
+    part = next(f for f in r2["fields"] if f["name"] == "partition")
+    part["type"]["fields"] = list(partition_fields or [])
+    return sch
+
+
 MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -275,6 +296,138 @@ MANIFEST_ENTRY_SCHEMA = {
 }
 
 
+# ----------------------------------------------- partition-spec export
+
+_EPOCH_DATE = None  # set lazily (datetime import kept function-local)
+
+
+def _export_partitioning(
+    meta: M.TableMeta, by_name: dict[str, dict]
+) -> tuple[list[dict], list[dict], Any]:
+    """Current partition spec → (spec JSON fields, r102 Avro fields,
+    entry-value encoder). icetbl stores partition values as the dir
+    strings Spark wrote (hidden `__p_*` keys); Iceberg stores TYPED
+    values — year/month/hour as ordinals from 1970, day as a date.
+    bucket[n] is refused: our bucket is Spark's hash, not Iceberg's
+    murmur3-of-encoded-bytes, so exported bucket ids would lie to a
+    real engine's bucket-pruned scans."""
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    spec = meta.specs[meta.current_spec_id] if meta.specs else []
+    if not spec:
+        return [], [], lambda entry: {}
+    spec_json: list[dict] = []
+    avro_fields: list[dict] = []
+    encoders: list[tuple[str, Any]] = []
+    for i, f in enumerate(spec):
+        t, src, name = f["transform"], f["source"], f["name"]
+        fid = 1000 + i
+        src_field = by_name.get(src)
+        if src_field is None:
+            raise ValueError(f"partition source column {src!r} not in schema")
+        if t.startswith("bucket["):
+            raise ValueError(
+                f"partition transform {t} on {src!r}: our bucket hash is "
+                "Spark's, not Iceberg's murmur3 — exported bucket ids "
+                "would mislead a real engine's pruning; re-partition or "
+                "export via an unpartitioned copy"
+            )
+        src_type = src_field["type"]
+        if t == "identity":
+            if src_type == "date":
+                avro_t: Any = {"type": "int", "logicalType": "date"}
+                enc = lambda s, _e=epoch: (  # noqa: E731
+                    (_dt.date.fromisoformat(s) - _e).days
+                )
+            elif src_type in ("int", "long", "string"):
+                avro_t = "int" if src_type == "int" else src_type
+                enc = (lambda s: s) if src_type == "string" else int
+            else:
+                raise ValueError(
+                    f"identity partition on {src_type} column {src!r} is "
+                    "not supported by the exporter"
+                )
+        elif t == "year":
+            avro_t = "int"
+            enc = lambda s: int(s) - 1970  # noqa: E731
+        elif t == "month":
+            avro_t = "int"
+
+            def enc(s):  # noqa: E731
+                y, m = s.split("-")
+                return (int(y) - 1970) * 12 + int(m) - 1
+
+        elif t == "day":
+            avro_t = {"type": "int", "logicalType": "date"}
+            enc = lambda s, _e=epoch: (  # noqa: E731
+                (_dt.date.fromisoformat(s) - _e).days
+            )
+        elif t == "hour":
+            avro_t = "int"
+
+            def enc(s, _e=epoch):  # noqa: E731
+                y, m, d, h = s.split("-")
+                days = (_dt.date(int(y), int(m), int(d)) - _e).days
+                return days * 24 + int(h)
+
+        elif t.startswith("truncate["):
+            if src_type == "string":
+                avro_t = "string"
+                enc = lambda s: s  # noqa: E731
+            elif src_type in ("int", "long"):
+                avro_t = "int" if src_type == "int" else "long"
+                enc = int
+            else:
+                raise ValueError(
+                    f"truncate partition on {src_type} is not supported"
+                )
+        else:
+            raise ValueError(f"unknown partition transform {t!r}")
+        # Avro field names forbid brackets etc.; Iceberg sanitizes
+        # partition field names the same way (AvroSchemaUtil
+        # makeCompatibleName) — engines map by field-id regardless
+        import re as _re
+
+        safe = _re.sub(r"[^A-Za-z0-9_]", "_", name)
+        spec_json.append(
+            {
+                "name": safe,
+                "transform": t,
+                "source-id": src_field["id"],
+                "field-id": fid,
+            }
+        )
+        avro_fields.append(
+            {
+                "name": safe,
+                "type": ["null", avro_t],
+                "default": None,
+                "field-id": fid,
+            }
+        )
+        encoders.append((name, safe, enc))
+
+    def encode(entry: dict) -> dict:
+        import urllib.parse as _up
+
+        part = entry.get("partition") or {}
+        out = {}
+        for name, safe, enc in encoders:
+            # dir-derived keys keep Spark's percent-encoding for
+            # non-alnum spec names (brackets in truncate[w])
+            raw = part.get(name)
+            if raw is None:
+                raw = part.get(_up.quote(name, safe=""))
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                out[safe] = None
+            else:
+                out[safe] = enc(raw)
+        return out
+
+    return spec_json, avro_fields, encode
+
+
 # ------------------------------------------------------------- export
 
 
@@ -314,10 +467,28 @@ def export_iceberg(tbl: Any, dest: str) -> str:
     schema = iceberg_schema(tbl.read().schema)
     last_column_id = schema.pop("_last_column_id")
     by_name = {f["name"]: f for f in schema["fields"]}
+    spec_json, part_avro_fields, encode_partition = _export_partitioning(
+        tbl.meta, by_name
+    )
 
     snap_id = int(uuid.uuid4().int % (1 << 62))
     files = tbl.meta.current_files()
     now = M.now_ms()
+    if spec_json:
+        # A partition-EVOLVED table carries files written under older
+        # specs whose values this export's single spec cannot type;
+        # Iceberg supports multi-spec manifests, this exporter (v1)
+        # does not — refuse rather than emit wrong partition tuples.
+        foreign_specs = {
+            int(f.get("spec_id", 0)) for f in files
+        } - {int(tbl.meta.current_spec_id)}
+        if foreign_specs:
+            raise ValueError(
+                "table carries files written under earlier partition "
+                f"specs {sorted(foreign_specs)}; the exporter emits ONE "
+                "spec — compact (rewrite_data_files) to the current "
+                "spec first"
+            )
     # Per-FILE data sequence numbers carry over (not a flat 1): the
     # v2 equality-delete rule is row_seq < delete_seq, so flattening
     # data seqs would let exported deletes swallow rows that were
@@ -355,7 +526,7 @@ def export_iceberg(tbl: Any, dest: str) -> str:
                 "content": 0,
                 "file_path": os.path.abspath(f["path"]),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": encode_partition(f),
                 "record_count": int(f.get("record_count") or 0),
                 "file_size_in_bytes": int(
                     f.get("file_size")
@@ -369,13 +540,14 @@ def export_iceberg(tbl: Any, dest: str) -> str:
         }
         for f in files
     ]
+    entry_schema = manifest_entry_schema(part_avro_fields)
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
     write_avro(
-        spark, manifest_path, MANIFEST_ENTRY_SCHEMA, entries,
+        spark, manifest_path, entry_schema, entries,
         meta={
             "schema": json.dumps(schema),
             "schema-id": "0",
-            "partition-spec": json.dumps([]),
+            "partition-spec": json.dumps(spec_json),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -397,7 +569,18 @@ def export_iceberg(tbl: Any, dest: str) -> str:
         "added_rows_count": total_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
-        "partitions": [],
+        "partitions": [
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"].get(pf["name"]) is None
+                    for e in entries
+                ),
+                "contains_nan": None,
+                "lower_bound": None,
+                "upper_bound": None,
+            }
+            for pf in part_avro_fields
+        ],
     }]
 
     if del_entries:
@@ -439,7 +622,7 @@ def export_iceberg(tbl: Any, dest: str) -> str:
             meta={
                 "schema": json.dumps(schema),
                 "schema-id": "0",
-                "partition-spec": json.dumps([]),
+                "partition-spec": json.dumps(spec_json),
                 "partition-spec-id": "0",
                 "format-version": "2",
                 "content": "deletes",
@@ -487,8 +670,8 @@ def export_iceberg(tbl: Any, dest: str) -> str:
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+        "last-partition-id": 999 + len(spec_json),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {

@@ -406,3 +406,78 @@ def test_import_iceberg_translates_v2_deletes(spark, tmp_path):
     )
     got2 = {(r.id, r.name) for r in adopted.read().collect()}
     assert got2 == {p for p in want if p[0] != 5}
+
+
+def test_partitioned_export_typed_values(spark, tmp_path):
+    """Hidden partitioning crosses the byte boundary: a day(ts)+
+    truncate-partitioned table exports a real partition spec (r102
+    record fields with field-ids 1000+, transforms in the metadata
+    spec JSON) and TYPED partition values — day as days-from-epoch,
+    matching Iceberg's representation, so a real engine's partition
+    pruning works on the exported table."""
+    import datetime as dt
+
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3), 10, 0, 0), f"grp{i % 2}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, g string")
+    t = IceTable.create_as(
+        spark, str(tmp_path / "part_src"), df,
+        partition_spec=[
+            spec_field("ts", "day"), spec_field("g", "truncate[3]"),
+        ],
+    )
+    dest = str(tmp_path / "ice_part")
+    export_iceberg(t, dest)
+    doc = resolve_iceberg_metadata(dest)
+    spec = doc["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"], f["field-id"]) for f in spec] == [
+        ("ts_day", "day", 1000), ("g_truncate_3_", "truncate[3]", 1001),
+    ]
+    assert doc["last-partition-id"] == 1001
+    data, dels = iceberg_manifest_entries(doc)
+    assert not dels
+    epoch = dt.date(1970, 1, 1)
+    want_days = {
+        (dt.date(2024, 1, d) - epoch).days for d in (1, 2, 3)
+    }
+    got = {
+        (e["partition"]["ts_day"], e["partition"]["g_truncate_3_"])
+        for e in data
+    }
+    assert {d for d, _g in got} == want_days
+    assert {g for _d, g in got} == {"grp"}  # truncate[3] prefix
+    # row-level equality survives the partitioned round trip
+    back = {(r.id, r.g) for r in read_iceberg(spark, dest).collect()}
+    assert back == {(i, f"grp{i % 2}") for i in range(30)}
+
+
+def test_partitioned_export_refusals(spark, tmp_path):
+    """bucket[n] (Spark hash, not Iceberg murmur3) and mixed-spec file
+    sets refuse loudly instead of exporting misleading partition
+    tuples."""
+    from iceberg_workshop_spark.icetbl import spec_field
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "id bigint, name string"
+    )
+    tb = IceTable.create_as(
+        spark, str(tmp_path / "bucketed"), df,
+        partition_spec=[spec_field("id", "bucket[4]")],
+    )
+    with pytest.raises(ValueError, match="murmur3"):
+        export_iceberg(tb, str(tmp_path / "ice_b"))
+
+    te = IceTable.create_as(spark, str(tmp_path / "evolved"), df)
+    te.set_partition_spec([spec_field("name", "truncate[2]")])
+    te.append(
+        spark.createDataFrame([(99, "zz")], "id bigint, name string")
+    )
+    with pytest.raises(ValueError, match="earlier partition specs"):
+        export_iceberg(te, str(tmp_path / "ice_e"))
