@@ -431,36 +431,20 @@ def _export_partitioning(
 # ------------------------------------------------------------- export
 
 
-def export_iceberg(tbl: Any, dest: str) -> str:
-    """Export the table's CURRENT snapshot as a spec-compliant Apache
-    Iceberg v2 table rooted at ``dest``. Data files are referenced in
-    place by absolute path (Iceberg paths may live anywhere); only
-    metadata is written. Returns the metadata file path."""
+def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
+    """Export the table as a spec-compliant Apache Iceberg v2 table
+    rooted at ``dest``. Data files are referenced in place by absolute
+    path (Iceberg paths may live anywhere); only metadata is written.
+
+    ``history=False`` ships the CURRENT snapshot alone; ``history=True``
+    ships the current snapshot's full MAIN-ANCESTRY chain — one
+    manifest list per snapshot with real parent ids, timestamps and
+    operations, so a foreign engine can TIME TRAVEL the exported table
+    (``interoperability.md:95-112``'s shared-history contract). Cost is
+    O(snapshots x files) manifest records — an export-time price, not
+    a per-commit one (the managed dialect's commits stay O(changed
+    files)). Returns the metadata file path."""
     spark: SparkSession = tbl.spark
-    # Outstanding merge-on-read delete sidecars export as REAL v2
-    # delete manifests: our sidecar parquet is already byte-shaped as
-    # Iceberg delete files (positional: (file_path, pos) columns;
-    # equality: the key columns), so only metadata is emitted. An
-    # equality sidecar whose recorded write-time key names have since
-    # been RENAMED would need parquet field-id resolution on the other
-    # side — refuse that case rather than export wrong deletes.
-    cur_sid = tbl.meta.current_snapshot_id
-    del_entries = (
-        list(tbl.meta.delete_entries(tbl.meta.snapshot(cur_sid)))
-        if cur_sid is not None
-        else []
-    )
-    for d in del_entries:
-        kind = d.get("kind", "eq")
-        if kind not in ("eq", "pos"):
-            raise ValueError(f"unknown delete sidecar kind {kind!r}")
-        if kind == "eq" and tbl._eq_delete_current_keys(d) != list(d["keys"]):
-            raise ValueError(
-                "equality-delete sidecar was written under since-renamed "
-                f"key names {d['keys']} — real engines resolve delete "
-                "columns by field id, which ID-less sidecar parquet "
-                "cannot express; run rewrite_equality_deletes() first"
-            )
     mdir = os.path.join(dest, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
@@ -470,32 +454,24 @@ def export_iceberg(tbl: Any, dest: str) -> str:
     spec_json, part_avro_fields, encode_partition = _export_partitioning(
         tbl.meta, by_name
     )
-
-    snap_id = int(uuid.uuid4().int % (1 << 62))
-    files = tbl.meta.current_files()
+    entry_schema = manifest_entry_schema(part_avro_fields)
     now = M.now_ms()
-    if spec_json:
-        # A partition-EVOLVED table carries files written under older
-        # specs whose values this export's single spec cannot type;
-        # Iceberg supports multi-spec manifests, this exporter (v1)
-        # does not — refuse rather than emit wrong partition tuples.
-        foreign_specs = {
-            int(f.get("spec_id", 0)) for f in files
-        } - {int(tbl.meta.current_spec_id)}
-        if foreign_specs:
-            raise ValueError(
-                "table carries files written under earlier partition "
-                f"specs {sorted(foreign_specs)}; the exporter emits ONE "
-                "spec — compact (rewrite_data_files) to the current "
-                "spec first"
-            )
-    # Per-FILE data sequence numbers carry over (not a flat 1): the
-    # v2 equality-delete rule is row_seq < delete_seq, so flattening
-    # data seqs would let exported deletes swallow rows that were
-    # re-inserted AFTER the delete.
-    data_seqs = [int(f.get("seq", 1)) for f in files] or [1]
-    del_seqs = [int(d.get("dseq", 1)) for d in del_entries] or [1]
-    seq = max(data_seqs + del_seqs + [1])
+
+    # snapshots to export: current only, or the main-ancestry chain
+    # (oldest first). Branch-only snapshots (WAP staging) never export.
+    cur_sid = tbl.meta.current_snapshot_id
+    chain: list[dict] = []
+    if cur_sid is not None:
+        by_sid = {sn["snapshot_id"]: sn for sn in tbl.meta.snapshots}
+        if history:
+            walk = cur_sid
+            while walk is not None and walk in by_sid:
+                chain.append(by_sid[walk])
+                walk = by_sid[walk].get("parent_id")
+            chain.reverse()
+        else:
+            chain = [by_sid[cur_sid]]
+    exported_ids = {sn["snapshot_id"] for sn in chain}
 
     def bounds_for(entry: dict, idx: int) -> list[dict] | None:
         """idx 0 = lower, 1 = upper. icetbl stores bounds as
@@ -516,155 +492,276 @@ def export_iceberg(tbl: Any, dest: str) -> str:
                 out.append({"key": f["id"], "value": raw})
         return sorted(out, key=lambda kv: kv["key"]) or None
 
-    entries = [
-        {
-            "status": 1,  # ADDED (this export is one append snapshot)
-            "snapshot_id": snap_id,
-            "sequence_number": int(f.get("seq", 1)),
-            "file_sequence_number": int(f.get("seq", 1)),
-            "data_file": {
-                "content": 0,
-                "file_path": os.path.abspath(f["path"]),
-                "file_format": "PARQUET",
-                "partition": encode_partition(f),
-                "record_count": int(f.get("record_count") or 0),
-                "file_size_in_bytes": int(
-                    f.get("file_size")
-                    or os.path.getsize(os.path.abspath(f["path"]))
-                ),
-                "lower_bounds": bounds_for(f, 0),
-                "upper_bounds": bounds_for(f, 1),
-                "split_offsets": None,
-                "sort_order_id": None,
-            },
-        }
-        for f in files
-    ]
-    entry_schema = manifest_entry_schema(part_avro_fields)
-    manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
-    write_avro(
-        spark, manifest_path, entry_schema, entries,
-        meta={
-            "schema": json.dumps(schema),
-            "schema-id": "0",
-            "partition-spec": json.dumps(spec_json),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
+    # Iceberg's allowed snapshot operations; everything
+    # file-replacing maps to overwrite, metadata-only ops to replace.
+    _OPS = {
+        "append": "append", "adopt": "append", "overwrite": "overwrite",
+        "truncate": "delete", "delete": "delete", "delete-mor": "delete",
+        "delete-pos": "delete", "update": "overwrite",
+        "update-mor": "overwrite", "merge": "overwrite",
+        "merge-mor": "overwrite", "compaction": "replace",
+        "rewrite": "replace",
+    }
 
-    total_rows = sum(e["data_file"]["record_count"] for e in entries)
-    manifest_rows = [{
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "content": 0,
-        "sequence_number": max(data_seqs),
-        "min_sequence_number": min(data_seqs),
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": total_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": [
-            {
-                "contains_null": any(
-                    e["data_file"]["partition"].get(pf["name"]) is None
-                    for e in entries
-                ),
-                "contains_nan": None,
-                "lower_bound": None,
-                "upper_bound": None,
-            }
-            for pf in part_avro_fields
-        ],
-    }]
+    snapshots_json: list[dict] = []
+    max_seq = 1
+    for sn in chain:
+        sid = int(sn["snapshot_id"])
+        files = tbl.meta.files(sn)
+        del_entries = list(tbl.meta.delete_entries(sn))
+        # Outstanding merge-on-read delete sidecars export as REAL v2
+        # delete manifests: our sidecar parquet is already byte-shaped
+        # as Iceberg delete files (positional: (file_path, pos);
+        # equality: the key columns), so only metadata is emitted. An
+        # equality sidecar whose recorded write-time key names have
+        # since been RENAMED would need parquet field-id resolution on
+        # the other side — refuse rather than export wrong deletes.
+        for d in del_entries:
+            kind = d.get("kind", "eq")
+            if kind not in ("eq", "pos"):
+                raise ValueError(f"unknown delete sidecar kind {kind!r}")
+            if kind == "eq" and tbl._eq_delete_current_keys(d) != list(
+                d["keys"]
+            ):
+                raise ValueError(
+                    "equality-delete sidecar was written under "
+                    f"since-renamed key names {d['keys']} — real engines "
+                    "resolve delete columns by field id, which ID-less "
+                    "sidecar parquet cannot express; run "
+                    "rewrite_equality_deletes() first"
+                )
+        if spec_json:
+            # A partition-EVOLVED table carries files written under
+            # older specs whose values this export's single spec
+            # cannot type; Iceberg supports multi-spec manifests, this
+            # exporter (v1) does not — refuse rather than emit wrong
+            # partition tuples.
+            foreign_specs = {
+                int(f.get("spec_id", 0)) for f in files
+            } - {int(tbl.meta.current_spec_id)}
+            if foreign_specs:
+                raise ValueError(
+                    "table carries files written under earlier partition "
+                    f"specs {sorted(foreign_specs)}; the exporter emits "
+                    "ONE spec — compact (rewrite_data_files) to the "
+                    "current spec first"
+                )
+        # Per-FILE data sequence numbers carry over (not a flat 1):
+        # the v2 equality-delete rule is row_seq < delete_seq, so
+        # flattening data seqs would let exported deletes swallow rows
+        # re-inserted AFTER the delete.
+        data_seqs = [int(f.get("seq", 1)) for f in files] or [1]
+        del_seqs = [int(d.get("dseq", 1)) for d in del_entries] or [1]
+        seq = max(data_seqs + del_seqs + [1])
+        max_seq = max(max_seq, seq)
 
-    if del_entries:
-        # v2 DELETE manifest: our sidecar parquet already has the
-        # spec's delete-file shapes, so the entries just point at it —
-        # content 1 = position deletes, 2 = equality deletes (with the
-        # key columns' field ids in equality_ids).
-        d_avro = [
+        entries = [
             {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "sequence_number": int(d.get("dseq", 1)),
-                "file_sequence_number": int(d.get("dseq", 1)),
+                # a file first added by an EARLIER exported snapshot is
+                # EXISTING here, keeping its original snapshot id — the
+                # spec's status/snapshot-id inheritance contract
+                "status": (
+                    1
+                    if int(f.get("first_snapshot_id", sid)) == sid
+                    or int(f.get("first_snapshot_id", sid))
+                    not in exported_ids
+                    else 0
+                ),
+                "snapshot_id": (
+                    int(f.get("first_snapshot_id", sid))
+                    if int(f.get("first_snapshot_id", sid)) in exported_ids
+                    else sid
+                ),
+                "sequence_number": int(f.get("seq", 1)),
+                "file_sequence_number": int(f.get("seq", 1)),
                 "data_file": {
-                    "content": 1 if d.get("kind", "eq") == "pos" else 2,
-                    "file_path": os.path.abspath(d["path"]),
+                    "content": 0,
+                    "file_path": os.path.abspath(f["path"]),
                     "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": int(d.get("record_count") or 0),
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.abspath(d["path"])
+                    "partition": encode_partition(f),
+                    "record_count": int(f.get("record_count") or 0),
+                    "file_size_in_bytes": int(
+                        f.get("file_size")
+                        or os.path.getsize(os.path.abspath(f["path"]))
                     ),
-                    "lower_bounds": None,
-                    "upper_bounds": None,
+                    "lower_bounds": bounds_for(f, 0),
+                    "upper_bounds": bounds_for(f, 1),
                     "split_offsets": None,
                     "sort_order_id": None,
-                    "equality_ids": (
-                        [by_name[k]["id"] for k in d["keys"]]
-                        if d.get("kind", "eq") == "eq"
-                        else None
-                    ),
                 },
             }
-            for d in del_entries
+            for f in files
         ]
-        dmf_path = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
+        manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
         write_avro(
-            spark, dmf_path, MANIFEST_ENTRY_SCHEMA, d_avro,
+            spark, manifest_path, entry_schema, entries,
             meta={
                 "schema": json.dumps(schema),
                 "schema-id": "0",
                 "partition-spec": json.dumps(spec_json),
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "deletes",
+                "content": "data",
             },
         )
-        manifest_rows.append({
-            "manifest_path": dmf_path,
-            "manifest_length": os.path.getsize(dmf_path),
+
+        total_rows = sum(e["data_file"]["record_count"] for e in entries)
+        n_added = sum(1 for e in entries if e["status"] == 1)
+        manifest_rows = [{
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": 0,
-            "content": 1,
-            "sequence_number": max(del_seqs),
-            "min_sequence_number": min(del_seqs),
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(d_avro),
-            "existing_files_count": 0,
+            "content": 0,
+            "sequence_number": max(data_seqs),
+            "min_sequence_number": min(data_seqs),
+            "added_snapshot_id": sid,
+            "added_files_count": n_added,
+            "existing_files_count": len(entries) - n_added,
             "deleted_files_count": 0,
             "added_rows_count": sum(
-                e["data_file"]["record_count"] for e in d_avro
+                e["data_file"]["record_count"]
+                for e in entries
+                if e["status"] == 1
             ),
-            "existing_rows_count": 0,
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"]
+                for e in entries
+                if e["status"] == 0
+            ),
             "deleted_rows_count": 0,
-            "partitions": [],
-        })
+            "partitions": [
+                {
+                    "contains_null": any(
+                        e["data_file"]["partition"].get(pf["name"]) is None
+                        for e in entries
+                    ),
+                    "contains_nan": None,
+                    "lower_bound": None,
+                    "upper_bound": None,
+                }
+                for pf in part_avro_fields
+            ],
+        }]
 
-    mlist_path = os.path.join(
-        mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
-    )
-    write_avro(
-        spark, mlist_path, MANIFEST_LIST_SCHEMA, manifest_rows,
-        meta={
-            "format-version": "2",
-            "snapshot-id": str(snap_id),
-            "sequence-number": str(seq),
-            "parent-snapshot-id": "null",
-        },
-    )
+        if del_entries:
+            # v2 DELETE manifest: content 1 = position deletes, 2 =
+            # equality deletes (with the key columns' field ids).
+            d_avro = [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": int(d.get("dseq", 1)),
+                    "file_sequence_number": int(d.get("dseq", 1)),
+                    "data_file": {
+                        "content": (
+                            1 if d.get("kind", "eq") == "pos" else 2
+                        ),
+                        "file_path": os.path.abspath(d["path"]),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": int(d.get("record_count") or 0),
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.abspath(d["path"])
+                        ),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                        "equality_ids": (
+                            [by_name[k]["id"] for k in d["keys"]]
+                            if d.get("kind", "eq") == "eq"
+                            else None
+                        ),
+                    },
+                }
+                for d in del_entries
+            ]
+            dmf_path = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
+            write_avro(
+                spark, dmf_path, MANIFEST_ENTRY_SCHEMA, d_avro,
+                meta={
+                    "schema": json.dumps(schema),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_json),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            manifest_rows.append({
+                "manifest_path": dmf_path,
+                "manifest_length": os.path.getsize(dmf_path),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": max(del_seqs),
+                "min_sequence_number": min(del_seqs),
+                "added_snapshot_id": sid,
+                "added_files_count": len(d_avro),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in d_avro
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": [],
+            })
+
+        parent_id = sn.get("parent_id")
+        if parent_id not in exported_ids:
+            parent_id = None
+        mlist_path = os.path.join(
+            mdir, f"snap-{sid}-1-{uuid.uuid4()}.avro"
+        )
+        write_avro(
+            spark, mlist_path, MANIFEST_LIST_SCHEMA, manifest_rows,
+            meta={
+                "format-version": "2",
+                "snapshot-id": str(sid),
+                "sequence-number": str(seq),
+                "parent-snapshot-id": str(parent_id)
+                if parent_id is not None
+                else "null",
+            },
+        )
+        snap_json = {
+            "snapshot-id": sid,
+            "sequence-number": seq,
+            "timestamp-ms": int(sn.get("timestamp_ms", now)),
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": _OPS.get(
+                    str(sn.get("operation", "append")), "overwrite"
+                ),
+                "total-data-files": str(len(entries)),
+                "total-records": str(total_rows),
+            },
+            "schema-id": 0,
+        }
+        if parent_id is not None:
+            snap_json["parent-snapshot-id"] = int(parent_id)
+        snapshots_json.append(snap_json)
+
+    # snapshot log: the source history entries that reference exported
+    # snapshots (rollbacks re-point current at an older id — keep that
+    # ordering so AS-OF resolves the same instants on the other side)
+    log = [
+        {
+            "timestamp-ms": int(h["made_current_at_ms"]),
+            "snapshot-id": int(h["snapshot_id"]),
+        }
+        for h in tbl.meta.doc.get("history_log", [])
+        if h.get("snapshot_id") in exported_ids
+    ] or [
+        {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+        for s in snapshots_json
+    ]
 
     doc = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(dest),
-        "last-sequence-number": seq,
+        "last-sequence-number": max_seq,
         "last-updated-ms": now,
         "last-column-id": last_column_id,
         "current-schema-id": 0,
@@ -688,24 +785,15 @@ def export_iceberg(tbl: Any, dest: str) -> str:
                 ]
             ),
         },
-        "current-snapshot-id": snap_id,
-        "snapshots": [{
-            "snapshot-id": snap_id,
-            "sequence-number": seq,
-            "timestamp-ms": now,
-            "manifest-list": mlist_path,
-            "summary": {
-                "operation": "append",
-                "added-data-files": str(len(entries)),
-                "added-records": str(total_rows),
-                "total-data-files": str(len(entries)),
-                "total-records": str(total_rows),
-            },
-            "schema-id": 0,
-        }],
-        "snapshot-log": [{"timestamp-ms": now, "snapshot-id": snap_id}],
+        "current-snapshot-id": int(cur_sid) if cur_sid is not None else -1,
+        "snapshots": snapshots_json,
+        "snapshot-log": log,
         "metadata-log": [],
-        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
+        "refs": (
+            {"main": {"snapshot-id": int(cur_sid), "type": "branch"}}
+            if cur_sid is not None
+            else {}
+        ),
     }
     md_path = os.path.join(mdir, "v1.metadata.json")
     with open(md_path, "w") as fh:

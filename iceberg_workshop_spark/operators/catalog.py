@@ -419,3 +419,77 @@ def q_iceberg_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("n_nationkey", "n_name")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_time_travel",
+    oracle="""
+    SELECT 'v1_before' AS at, COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation
+    UNION ALL
+    SELECT 'v2_current', COUNT(*) + 1, CAST(SUM(n_nationkey) + 999 AS BIGINT)
+    FROM nation
+    ORDER BY at
+    """,
+)
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-ENGINE time travel over the exported byte format (round
+    12): the reference's fake-airline demo (`README.md:102-117` —
+    insert a row, read the snapshot before vs after) replayed across
+    the format boundary. Export with ``history=True`` ships the
+    main-ancestry snapshot chain — real parent ids, timestamps,
+    per-snapshot Avro manifest lists — and the reopened table is read
+    AT each historic snapshot id purely from the emitted bytes. The
+    oracle pins both instants' aggregates, so a snapshot chain broken
+    anywhere (wrong parent, wrong file set per snapshot, log order)
+    breaks parity."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icett_")
+    try:
+        t = IceTable.create_as(spark, f"{root}/src", nation)
+        t.append(
+            spark.createDataFrame(
+                [(999, "FAKE_AIRLINE", 0)],
+                "n_nationkey int, n_name string, n_regionkey int",
+            )
+        )
+        export_iceberg(t, f"{root}/ice", history=True)
+        doc = resolve_iceberg_metadata(f"{root}/ice")
+        snaps = doc["snapshots"]
+        require(len(snaps) == 2, "history export must ship both snapshots")
+        require(
+            snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"],
+            "parent chain must survive the export",
+        )
+        rows = []
+        for label, sid in (
+            ("v1_before", snaps[0]["snapshot-id"]),
+            ("v2_current", snaps[1]["snapshot-id"]),
+        ):
+            agg = (
+                read_iceberg(spark, f"{root}/ice", snapshot_id=sid)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+                )
+                .first()
+            )
+            rows.append((label, agg["n_rows"], agg["sum_key"]))
+        return spark.createDataFrame(
+            rows, "at string, n_rows bigint, sum_key bigint"
+        ).orderBy("at")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

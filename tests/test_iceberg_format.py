@@ -481,3 +481,49 @@ def test_partitioned_export_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="earlier partition specs"):
         export_iceberg(te, str(tmp_path / "ice_e"))
+
+
+def test_history_export_foreign_time_travel(spark, tmp_path):
+    """history=True exports the main-ancestry snapshot chain — real
+    parent ids, timestamps, per-snapshot manifest lists — so a foreign
+    engine time-travels the exported table: reading AT each historic
+    snapshot id returns that snapshot's rows."""
+    import time
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    t = IceTable.create_as(spark, str(tmp_path / "hist_src"), df)
+    time.sleep(0.005)
+    t.append(spark.createDataFrame([(2, "b")], "id bigint, s string"))
+    time.sleep(0.005)
+    t.append(spark.createDataFrame([(3, "c")], "id bigint, s string"))
+    sids = [sn["snapshot_id"] for sn in t.meta.snapshots]
+
+    dest = str(tmp_path / "ice_hist")
+    export_iceberg(t, dest, history=True)
+    doc = resolve_iceberg_metadata(dest)
+    out = {s["snapshot-id"]: s for s in doc["snapshots"]}
+    assert set(out) == set(sids)  # real source snapshot ids carried
+    # parent chain intact
+    assert "parent-snapshot-id" not in out[sids[0]]
+    assert out[sids[1]]["parent-snapshot-id"] == sids[0]
+    assert out[sids[2]]["parent-snapshot-id"] == sids[1]
+    assert doc["current-snapshot-id"] == sids[-1]
+    # snapshot-log mirrors the source history ordering
+    assert [h["snapshot-id"] for h in doc["snapshot-log"]] == sids
+    # foreign time travel: read AT each snapshot
+    for sid, want_n in zip(sids, (1, 2, 3)):
+        got = read_iceberg(spark, dest, snapshot_id=sid).count()
+        assert got == want_n, (sid, want_n, got)
+    # EXISTING vs ADDED statuses: the last snapshot's manifest lists
+    # the older files as existing with their ORIGINAL snapshot ids
+    from iceberg_workshop_spark.icetbl.avroio import read_avro as _ra
+
+    _, manifests, _ = _ra(out[sids[2]]["manifest-list"])
+    _, entries, _ = _ra(manifests[0]["manifest_path"])
+    statuses = sorted(e["status"] for e in entries)
+    # files first added by snapshots 1+2 are EXISTING in snapshot 3's
+    # manifest; only snapshot 3's own files are ADDED
+    assert statuses.count(0) == 4 and statuses.count(1) == 2
+    assert {e["snapshot_id"] for e in entries if e["status"] == 0} <= set(
+        sids[:2]
+    )
