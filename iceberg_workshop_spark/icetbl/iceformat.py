@@ -951,12 +951,44 @@ def iceberg_data_files(doc: dict, snapshot_id: int | None = None) -> list[dict]:
     return data
 
 
+def resolve_snapshot_at(doc: dict, as_of_ms: int) -> int:
+    """FOR SYSTEM_TIME AS OF over a real Iceberg table: the snapshot
+    current at ``as_of_ms`` per the snapshot-log (Iceberg's own AS-OF
+    semantics — the log entry, not max-timestamp, so rollbacks and
+    staged branch heads resolve correctly). Raises if the instant
+    predates retained history or the resolved snapshot was expired —
+    never silently returns other-era data (same contract as the
+    internal dialect's ``_resolve_snapshot``)."""
+    last = None
+    for h in doc.get("snapshot-log", []):
+        if int(h["timestamp-ms"]) <= as_of_ms:
+            last = h
+    if last is None:
+        raise ValueError(
+            f"time travel to {as_of_ms}: no snapshot-log entry at or "
+            "before that instant (predates retained history)"
+        )
+    sid = int(last["snapshot-id"])
+    if sid not in {int(s["snapshot-id"]) for s in doc.get("snapshots", [])}:
+        raise ValueError(
+            f"time travel to {as_of_ms}: snapshot {sid} was current at "
+            "that instant but is no longer retained (expired)"
+        )
+    return sid
+
+
 def read_iceberg(
-    spark: SparkSession, location: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Open a REAL Iceberg table (the format the reference's engines
-    share) and return its rows as a DataFrame."""
+    share) and return its rows as a DataFrame — current, pinned at a
+    snapshot id (VERSION AS OF), or at an instant (TIMESTAMP AS OF)."""
     doc = resolve_iceberg_metadata(location)
+    if snapshot_id is None and as_of_ms is not None:
+        snapshot_id = resolve_snapshot_at(doc, as_of_ms)
     files, dels = iceberg_manifest_entries(doc, snapshot_id)
     if not files:
         # empty table: the TABLE's schema, not a placeholder — unions

@@ -527,3 +527,32 @@ def test_history_export_foreign_time_travel(spark, tmp_path):
     assert {e["snapshot_id"] for e in entries if e["status"] == 0} <= set(
         sids[:2]
     )
+
+
+def test_read_iceberg_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF over the exported history: instants resolve
+    through the snapshot-log; pre-history instants and expired
+    snapshots raise instead of silently reading other-era data."""
+    import time
+
+    from iceberg_workshop_spark.icetbl.iceformat import resolve_snapshot_at
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    t = IceTable.create_as(spark, str(tmp_path / "asof_src"), df)
+    time.sleep(0.005)
+    t.append(spark.createDataFrame([(2, "b")], "id bigint, s string"))
+    snaps = t.meta.snapshots
+    dest = str(tmp_path / "ice_asof")
+    export_iceberg(t, dest, history=True)
+    doc = resolve_iceberg_metadata(dest)
+    ts0 = int(snaps[0]["timestamp_ms"])
+    ts1 = int(snaps[1]["timestamp_ms"])
+    assert read_iceberg(spark, dest, as_of_ms=ts0).count() == 1
+    assert read_iceberg(spark, dest, as_of_ms=ts1 + 10).count() == 2
+    with pytest.raises(ValueError, match="predates retained history"):
+        read_iceberg(spark, dest, as_of_ms=ts0 - 10)
+    # expired-at-instant: drop snapshot 0 from the doc, keep the log
+    doc["snapshots"] = [s for s in doc["snapshots"]
+                        if s["snapshot-id"] != snaps[0]["snapshot_id"]]
+    with pytest.raises(ValueError, match="no longer retained"):
+        resolve_snapshot_at(doc, ts0)
