@@ -493,3 +493,70 @@ def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("at")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_import_manage",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS first_name
+    FROM nation
+    WHERE n_nationkey NOT IN (1, 2, 3) AND n_regionkey <> 0
+    """,
+)
+def q_iceberg_import_manage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORT a real Iceberg table and keep MANAGING it (round 12) —
+    the full switch story for a user arriving with an existing Iceberg
+    table: build → MoR-delete keys {1,2,3} → export as spec bytes →
+    ``import_iceberg`` adopts the files IN PLACE (no rewrite) with the
+    foreign equality-delete file translated into a managed sidecar and
+    source sequence numbers carried → then a FURTHER managed MoR
+    delete (drop region 0) composes on the adopted table. The oracle
+    is the final logical row set, so a delete dropped or re-applied in
+    either dialect breaks parity. Complements q_iceberg_mor_roundtrip
+    (which gates the read side); this gates adopt-and-write."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        import_iceberg,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="iws_iceimp_")
+    try:
+        t = IceTable.create_as(spark, f"{root}/src", nation)
+        t.delete_keys_mor(
+            spark.createDataFrame([(1,), (2,), (3,)], "n_nationkey int"),
+            ["n_nationkey"],
+        )
+        export_iceberg(t, f"{root}/ice")
+        adopted = import_iceberg(spark, f"{root}/ice", f"{root}/adopted")
+        # same physical parquet — adopt-in-place, no rewrite
+        src_paths = {f["path"] for f in t.meta.current_files()}
+        adopted_paths = {f["path"] for f in adopted.meta.current_files()}
+        require(
+            adopted_paths == src_paths,
+            "import must register the source files in place",
+        )
+        # keep managing: a further MoR delete in the adopted dialect
+        region0 = nation.filter(F.col("n_regionkey") == 0).select(
+            "n_nationkey"
+        )
+        adopted.delete_keys_mor(region0, ["n_nationkey"])
+        agg = adopted.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+            F.min("n_name").alias("first_name"),
+        ).first()
+        return spark.createDataFrame(
+            [(agg["n_rows"], agg["sum_key"], agg["first_name"])],
+            "n_rows bigint, sum_key bigint, first_name string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -165,7 +165,7 @@ _DRIVER_WINDOW = [
     # r5 — the pad slots start rotating the r5 vintage next.
     # Round-12 NEW queries first (real-Iceberg byte-format round trips):
     "q_iceberg_export_roundtrip", "q_iceberg_mor_roundtrip",
-    "q_iceberg_time_travel",
+    "q_iceberg_time_travel", "q_iceberg_import_manage",
     "q_sketch_countmin", "q_sketch_hist_quantile", "q_sketch_bloom_merge",
     "q_sketch_hll_merge", "q_sketch_hll_rolling", "q_sketch_bitmap_distinct",
     "q_udf_python", "q_udf_pandas", "q_udaf_grouped",
@@ -188,10 +188,10 @@ _DRIVER_WINDOW = [
     "q_sql_metadata_tables", "q_sql_show_stmts", "q_sql_call_rewrite_sort",
     "q_sql_schema_evolution_stmt", "q_sql_cdc_wap",
     "q_sql_materialized_view", "q_sql_materialized_view_join",
-    "q_sql_scripting", "q_sql_merge_evolution_stmt",
-    # (q_sql_write_ordered + q_sql_merge_nmbs_stmt + q_sql_expire_stmt
-    #  displaced to the r13 window by the three round-12 additions —
-    #  50 names total.)
+    "q_sql_scripting",
+    # (q_sql_merge_evolution_stmt, q_sql_write_ordered,
+    #  q_sql_merge_nmbs_stmt and q_sql_expire_stmt displaced to the
+    #  r13 window by the four round-12 additions — 50 names total.)
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the
