@@ -556,3 +556,61 @@ def test_read_iceberg_timestamp_as_of(spark, tmp_path):
                         if s["snapshot-id"] != snaps[0]["snapshot_id"]]
     with pytest.raises(ValueError, match="no longer retained"):
         resolve_snapshot_at(doc, ts0)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
+    """Model check: a random interleaving of appends, equality deletes
+    and positional deletes produces a table whose EXPORTED bytes read
+    back identically (read_iceberg) AND whose IMPORT re-adopts to the
+    same rows — for any op order the sequence rule must land on."""
+    import random
+
+    from iceberg_workshop_spark.icetbl.iceformat import import_iceberg
+
+    rng = random.Random(seed)
+    loc = str(tmp_path / f"fuzz{seed}")
+    next_id = 100
+    t = IceTable.create_as(
+        spark, loc,
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(20)], "id bigint, s string"
+        ),
+    )
+    live = set(range(20))
+    for _ in range(6):
+        op = rng.choice(["append", "eqdel", "posdel"])
+        if op == "append":
+            rows = [(next_id + j, f"r{next_id + j}") for j in range(3)]
+            next_id += 3
+            t.append(spark.createDataFrame(rows, "id bigint, s string"))
+            live |= {r[0] for r in rows}
+        elif op == "eqdel" and live:
+            victims = rng.sample(sorted(live), min(2, len(live)))
+            t.delete_keys_mor(
+                spark.createDataFrame([(v,) for v in victims], "id bigint"),
+                ["id"],
+            )
+            live -= set(victims)
+            if rng.random() < 0.5:  # re-insert one deleted key
+                v = victims[0]
+                t.append(
+                    spark.createDataFrame(
+                        [(v, f"re{v}")], "id bigint, s string"
+                    )
+                )
+                live.add(v)
+        elif op == "posdel" and live:
+            cut = rng.choice(sorted(live))
+            t.delete_where_pos(f"id = {cut}")
+            live.discard(cut)
+    want = {(r.id, r.s) for r in t.read().collect()}
+    assert {i for i, _ in want} == live  # model agrees with the engine
+
+    dest = str(tmp_path / f"ice{seed}")
+    export_iceberg(t, dest)
+    got = {(r.id, r.s) for r in read_iceberg(spark, dest).collect()}
+    assert got == want, f"export/read mismatch seed={seed}"
+    adopted = import_iceberg(spark, dest, str(tmp_path / f"adopt{seed}"))
+    got2 = {(r.id, r.s) for r in adopted.read().collect()}
+    assert got2 == want, f"import mismatch seed={seed}"
