@@ -217,10 +217,23 @@ def to_json_encoding(schema: Any, value: Any, names: dict[str, Any]) -> Any:
             if "null" not in [_union_branch_name(s) for s in schema]:
                 raise ValueError("None for a union without null branch")
             return None
-        for s in schema:
-            name = _union_branch_name(s)
-            if name != "null":
-                return {name: to_json_encoding(s, value, names)}
+        non_null = [
+            s for s in schema if _union_branch_name(s) != "null"
+        ]
+        if len(non_null) > 1:
+            # the JSON encoding must tag the BRANCH the value belongs
+            # to; picking one by Python value type is guesswork we
+            # never need (every union this writer emits is
+            # ["null", X]) — refuse loudly instead of mis-tagging
+            raise ValueError(
+                "union with multiple non-null branches "
+                f"{[_union_branch_name(s) for s in non_null]} is not "
+                "supported by the JSON encoder"
+            )
+        for s in non_null:
+            return {
+                _union_branch_name(s): to_json_encoding(s, value, names)
+            }
         raise ValueError("union with only null branch got a value")
     t = schema if isinstance(schema, str) else schema["type"]
     if t == "null":

@@ -1,0 +1,272 @@
+"""Iceberg's ``bucket[N]`` transform — murmur3_x86_32 over the spec's
+single-value binary encoding.
+
+The bucket transform is the one partition transform whose VALUE is an
+engine contract: two engines only agree on which file holds key ``k``
+if they hash the same bytes with the same function. Apache Iceberg
+pins both publicly (spec, "Appendix B: 32-bit Hash Requirements"):
+
+- hash = murmur3_x86_32 (seed 0) of the value's encoding
+- int / long / date        -> 8-byte little-endian of the LONG value
+  (ints and dates promote to long so ``bucket(34::int) ==
+  bucket(34::long)`` — required by the spec)
+- time / timestamp[tz]     -> microseconds-from-epoch long, 8-byte LE
+- string                   -> UTF-8 bytes
+- binary / fixed           -> raw bytes
+- decimal                  -> minimum-width big-endian two's-complement
+  of the UNSCALED value
+- bucket id = ``(hash & Integer.MAX_VALUE) % N``
+
+Spark's built-in ``hash()`` is also murmur3-x86-32 but with seed 42
+over Spark's internal row encoding — a DIFFERENT function, which is
+why bucket ids computed with ``F.hash`` could never be exported to a
+real Iceberg engine (iceformat previously refused them).
+
+Two implementations that must agree (tests pin both to the spec's
+published vectors):
+
+- :func:`bucket_value` — driver-side Python, used by the planner to
+  bucket a predicate literal and by import/export verification.
+- :func:`bucket_col` — the write-path Spark column. For the 8-byte
+  long encodings the whole hash unrolls into JVM integer arithmetic
+  (two fixed 4-byte mix rounds + finalizer), so bucketed writes of
+  int/long/date/timestamp keys stay inside whole-stage codegen — no
+  Python in the hot path. Variable-length encodings (string/binary/
+  decimal) fall back to an Arrow-batched pandas UDF (write-path only;
+  the planner side is always driver-side Python on one literal).
+
+Reference parity: the reference's Iceberg tables use this transform
+via Impala/Spark DDL (``PARTITIONED BY SPEC (BUCKET(h, col))`` —
+/root/reference/README.md partitioning sections); here it backs both
+the internal dialect's hidden partitioning and the byte-format
+export in ``iceformat``.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_U32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _U32
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Canonical murmur3_x86_32; returns a SIGNED int32 (Java parity,
+    the domain Iceberg's ``(h & Integer.MAX_VALUE)`` operates in)."""
+    h = seed & _U32
+    n = len(data)
+    full = n - (n % 4)
+    for i in range(0, full, 4):
+        k = struct.unpack_from("<I", data, i)[0]
+        k = (k * _C1) & _U32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _U32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _U32
+    tail = data[full:]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = (k * _C1) & _U32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _U32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _U32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _decimal_bytes(v: Decimal) -> bytes:
+    """Minimum-width big-endian two's-complement of the unscaled value
+    (the spec's decimal encoding; scale comes from the TYPE, so it is
+    not part of the bytes)."""
+    unscaled = int(v.scaleb(-v.as_tuple().exponent)) if v.as_tuple().exponent < 0 else int(v)
+    length = max(1, (unscaled.bit_length() + 8) // 8)  # +8 keeps the sign bit
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+_EPOCH = date(1970, 1, 1)
+_EPOCH_TS = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def encode_value(value: Any) -> bytes:
+    """Iceberg single-value hash encoding of a Python literal."""
+    if isinstance(value, bool):
+        raise ValueError("bucket[N] on boolean is not defined by the spec")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, Decimal):
+        return _decimal_bytes(value)
+    if isinstance(value, datetime):
+        # micros from epoch, exact integer arithmetic (total_seconds()
+        # is float and loses sub-microsecond exactness at large epochs)
+        ts = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+        delta = ts - _EPOCH_TS
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack("<q", micros)
+    if isinstance(value, date):
+        return struct.pack("<q", (value - _EPOCH).days)
+    if isinstance(value, float):
+        raise ValueError(
+            "bucket[N] on float/double is not supported (the spec "
+            "deprecates bucketing floating point keys)"
+        )
+    raise ValueError(f"cannot bucket-encode literal of type {type(value).__name__}")
+
+
+def bucket_value(value: Any, n: int) -> int | None:
+    """``bucket[N]`` of one literal — the planner/import/export twin of
+    the write-path column. ``None`` buckets to ``None`` (null partition)."""
+    if value is None:
+        return None
+    return (murmur3_x86_32(encode_value(value)) & 0x7FFFFFFF) % n
+
+
+_LONG_ENCODED = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.DateType, T.TimestampType, T.TimestampNTZType,
+)
+
+
+def _let(x: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``x`` ONCE and make
+    it available to ``body`` as a named lambda variable.
+
+    Murmur3's mix rounds reference each intermediate value several
+    times (rotates and multiply-splits use their input twice); naive
+    Column composition would COPY the input subtree at each reference,
+    growing the Catalyst tree exponentially (~2^15 nodes for the full
+    hash — it OOMs the driver before a single row is evaluated).
+    ``transform`` over a one-element array introduces a real lambda
+    variable, so each stage's tree is referenced, not copied, and the
+    whole hash stays a linear ~40-node expression."""
+    return F.transform(F.array(x), body)[0]
+
+
+def _mulu32(a: Column, b: int) -> Column:
+    """``(a * b) mod 2^32`` for uint32 ``a`` and constant uint32 ``b``
+    without overflowing Spark's signed long: split ``a`` into 16-bit
+    halves so every partial product stays below 2^48."""
+    return _let(
+        a,
+        lambda v: (
+            v.bitwiseAND(F.lit(0xFFFF)) * F.lit(b)
+            + F.shiftleft(
+                (F.shiftright(v, 16) * F.lit(b)).bitwiseAND(F.lit(0xFFFF)), 16
+            )
+        ).bitwiseAND(F.lit(_U32)),
+    )
+
+
+def _rotl32_col(x: Column, r: int) -> Column:
+    return _let(
+        x,
+        lambda v: F.shiftleft(v, r)
+        .bitwiseAND(F.lit(_U32))
+        .bitwiseOR(F.shiftright(v, 32 - r)),
+    )
+
+
+def _xshift(x: Column, r: int) -> Column:
+    return _let(x, lambda v: v.bitwiseXOR(F.shiftright(v, r)))
+
+
+def _mix_round(h: Column, k: Column) -> Column:
+    k = _mulu32(k, _C1)
+    k = _rotl32_col(k, 15)
+    k = _mulu32(k, _C2)
+    h = h.bitwiseXOR(k)
+    h = _rotl32_col(h, 13)
+    return (_mulu32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_U32))
+
+
+def _murmur3_long_col(v: Column) -> Column:
+    """murmur3_x86_32 of the 8-byte little-endian encoding of a LONG,
+    unrolled into JVM integer arithmetic: exactly two 4-byte blocks —
+    low word then high word — and the fixed len=8 finalizer. Returns
+    the UNSIGNED 32-bit hash as a long in [0, 2^32)."""
+    v = v.cast("long")  # referenced twice below; the source tree is tiny
+    k1 = v.bitwiseAND(F.lit(_U32))
+    k2 = F.shiftright(v, 32).bitwiseAND(F.lit(_U32))
+    h = _mix_round(F.lit(0).cast("long"), k1)
+    h = _mix_round(h, k2)
+    h = h.bitwiseXOR(F.lit(8))
+    h = _xshift(h, 16)
+    h = _mulu32(h, 0x85EBCA6B)
+    h = _xshift(h, 13)
+    h = _mulu32(h, 0xC2B2AE35)
+    return _xshift(h, 16)
+
+
+def _long_encoding_col(col: Column, dt: T.DataType) -> Column:
+    """The LONG whose 8-byte LE encoding the spec hashes for this type."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return col.cast("long")
+    if isinstance(dt, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+    # timestamp / timestamp_ntz: microseconds from epoch. For NTZ the
+    # spec hashes the wall-clock micros; unix_micros needs a tz-aware
+    # input, so NTZ casts through TIMESTAMP under the session's UTC pin.
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.to_utc_timestamp(col.cast("timestamp"), "UTC"))
+    return F.unix_micros(col)
+
+
+def bucket_col(col: Column, n: int, dt: T.DataType) -> Column:
+    """Write-path ``bucket[N]`` column for source type ``dt`` —
+    spec-identical to :func:`bucket_value` on every row (tested on the
+    spec's published vectors and randomized cross-checks)."""
+    if isinstance(dt, _LONG_ENCODED):
+        h = _murmur3_long_col(_long_encoding_col(col, dt))
+        return F.when(
+            col.isNull(), F.lit(None).cast("int")
+        ).otherwise(
+            F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)).cast("int")
+        )
+    if isinstance(dt, (T.StringType, T.BinaryType, T.DecimalType)):
+        return _bucket_udf(n, dt)(col)
+    raise ValueError(f"bucket[N] on {dt.simpleString()} is not supported")
+
+
+def _bucket_udf(n: int, dt: T.DataType):
+    """Arrow-batched fallback for variable-length encodings. Write-path
+    only; per-value work is one murmur3 over a short byte string."""
+    if isinstance(dt, T.StringType):
+        enc = lambda v: v.encode("utf-8")  # noqa: E731
+    elif isinstance(dt, T.BinaryType):
+        enc = bytes
+    else:
+        enc = _decimal_bytes
+
+    @F.pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else (murmur3_x86_32(enc(v)) & 0x7FFFFFFF) % n
+        )
+
+    return _bucket

@@ -308,9 +308,12 @@ def _export_partitioning(
     entry-value encoder). icetbl stores partition values as the dir
     strings Spark wrote (hidden `__p_*` keys); Iceberg stores TYPED
     values — year/month/hour as ordinals from 1970, day as a date.
-    bucket[n] is refused: our bucket is Spark's hash, not Iceberg's
-    murmur3-of-encoded-bytes, so exported bucket ids would lie to a
-    real engine's bucket-pruned scans."""
+    bucket[n] exports as a true bucket spec entry for tables written
+    with Iceberg's murmur3 transform (bucketing.py — every table
+    created since the switch, recorded in the ``write.bucket.hash``
+    property); LEGACY tables bucketed with Spark's hash are refused,
+    because their bucket ids would lie to a real engine's
+    bucket-pruned scans."""
     import datetime as _dt
 
     epoch = _dt.date(1970, 1, 1)
@@ -326,15 +329,23 @@ def _export_partitioning(
         src_field = by_name.get(src)
         if src_field is None:
             raise ValueError(f"partition source column {src!r} not in schema")
-        if t.startswith("bucket["):
-            raise ValueError(
-                f"partition transform {t} on {src!r}: our bucket hash is "
-                "Spark's, not Iceberg's murmur3 — exported bucket ids "
-                "would mislead a real engine's pruning; re-partition or "
-                "export via an unpartitioned copy"
-            )
         src_type = src_field["type"]
-        if t == "identity":
+        if t.startswith("bucket["):
+            flavor = str(
+                (meta.properties or {}).get("write.bucket.hash", "spark")
+            )
+            if flavor != "iceberg-murmur3":
+                raise ValueError(
+                    f"partition transform {t} on {src!r}: this table was "
+                    "bucketed with Spark's hash (legacy, pre-murmur3), "
+                    "not Iceberg's murmur3 — exported bucket ids would "
+                    "mislead a real engine's pruning; rewrite the table "
+                    "to re-bucket it first"
+                )
+            # the stored dir value IS the Iceberg bucket id already
+            avro_t: Any = "int"
+            enc = int
+        elif t == "identity":
             if src_type == "date":
                 avro_t: Any = {"type": "int", "logicalType": "date"}
                 enc = lambda s, _e=epoch: (  # noqa: E731
@@ -929,6 +940,7 @@ def iceberg_manifest_entries(
                 seq = mf.get("sequence_number", 0)
             df = dict(df)
             df["_seq"] = int(seq)
+            df["_spec_id"] = int(mf.get("partition_spec_id", 0))
             if df.get("content", 0) == 0:
                 data.append(df)
             else:
@@ -1111,6 +1123,94 @@ def _bound_value(ice_type: Any, raw: bytes) -> Any:
     return None
 
 
+def _import_partitioning(
+    doc: dict, files: list[dict]
+) -> tuple[list[dict], Any] | None:
+    """Inverse of ``_export_partitioning``: a foreign table's default
+    partition spec + each file's TYPED partition tuple → icetbl's
+    (SpecField list, entry-partition decoder), so adopted tables KEEP
+    partition pruning (bucket pruning included — the foreign writer's
+    murmur3 bucket ids are the same ids our planner computes since the
+    bucketing.py switch).
+
+    Returns ``None`` — adopt spec-less, pruning via column bounds only
+    — when the spec cannot be carried faithfully: files written under
+    MULTIPLE specs (our single-spec adopt would mistype old tuples) or
+    a transform whose dir-string convention we cannot reproduce."""
+    import datetime as _dt
+
+    specs = {
+        int(s.get("spec-id", 0)): s.get("fields", [])
+        for s in doc.get("partition-specs", [])
+    }
+    default_id = int(doc.get("default-spec-id", 0))
+    fields = specs.get(default_id)
+    if not fields:
+        return None
+    if {int(f.get("_spec_id", default_id)) for f in files} - {default_id}:
+        return None
+    name_by_id = {f["id"]: f["name"] for f in _current_schema(doc)}
+    epoch = _dt.date(1970, 1, 1)
+
+    def _date_str(days: int) -> str:
+        return (epoch + _dt.timedelta(days=int(days))).isoformat()
+
+    decoders: list[tuple[str, Any]] = []
+    spec_fields: list[dict] = []
+    for f in fields:
+        t, pname = f["transform"], f["name"]
+        src = name_by_id.get(f.get("source-id"))
+        if src is None:
+            return None
+        if t == "identity":
+            # identity values arrive typed: int/long/string, or days
+            # for date columns — resolve by the SOURCE column type
+            src_type = next(
+                (
+                    s["type"]
+                    for s in _current_schema(doc)
+                    if s["id"] == f.get("source-id")
+                ),
+                None,
+            )
+            if src_type == "date":
+                dec = _date_str
+            elif src_type in ("int", "long", "string"):
+                dec = str
+            else:
+                return None
+        elif t == "year":
+            dec = lambda v: str(1970 + int(v))  # noqa: E731
+        elif t == "month":
+            dec = lambda v: f"{1970 + int(v) // 12}-{int(v) % 12 + 1:02d}"  # noqa: E731
+        elif t == "day":
+            dec = _date_str
+        elif t == "hour":
+            dec = lambda v: (  # noqa: E731
+                _date_str(int(v) // 24) + f"-{int(v) % 24:02d}"
+            )
+        elif t.startswith("bucket[") or t.startswith("truncate["):
+            dec = str
+        else:
+            return None
+        decoders.append((pname, dec))
+        spec_fields.append(
+            {"source": src, "transform": t, "name": pname}
+        )
+
+    def decode(df_entry: dict) -> dict:
+        part = df_entry.get("partition") or {}
+        out = {}
+        for pname, dec in decoders:
+            v = part.get(pname)
+            out[pname] = (
+                "__HIVE_DEFAULT_PARTITION__" if v is None else dec(v)
+            )
+        return out
+
+    return spec_fields, decode
+
+
 def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
     """Adopt a REAL Iceberg table into the icetbl dialect so its files
     can be MANAGED here (appends, MoR deletes, compaction, expiry) —
@@ -1146,7 +1246,9 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
             "renamed column needs field-id resolution, which the adopt "
             "path does not provide; rewrite the files first"
         )
-    tbl = IceTable.create(spark, dest, _ddl_of(doc), [])
+    carried = _import_partitioning(doc, files)
+    spec_fields, decode_partition = carried if carried else ([], lambda f: {})
+    tbl = IceTable.create(spark, dest, _ddl_of(doc), spec_fields)
 
     def bounds_of(df_entry: dict) -> dict:
         out: dict[str, list] = {}
@@ -1174,7 +1276,7 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
                 f.get("file_size_in_bytes")
                 or os.path.getsize(_strip_scheme(f["file_path"]))
             ),
-            "partition": {},
+            "partition": decode_partition(f),
             "spec_id": 0,
             # real data sequence carries over — the adopted equality
             # deletes' row_seq < dseq rule must see the same ordering

@@ -297,7 +297,14 @@ class TableMeta:
                 "schema": schema_ddl,
                 "partition_specs": [spec],
                 "current_spec_id": 0,
-                "properties": {},
+                # bucket[N] hashes with Iceberg's murmur3_x86_32 over
+                # the spec encoding (bucketing.py) — recorded as a
+                # table property so the planner and the byte-format
+                # exporter can distinguish these tables from ones
+                # written before the switch (legacy Spark-hash
+                # buckets, which must keep Spark-hash pruning and
+                # stay export-refused).
+                "properties": {"write.bucket.hash": "iceberg-murmur3"},
                 "snapshots": [],
                 "current_snapshot_id": None,
             },

@@ -380,6 +380,22 @@ class IceTable:
             return F.date_format(src, "yyyy-MM-dd-HH")
         if t.startswith("bucket["):
             n = int(t[7:-1])
+            if self._bucket_hash_flavor() == "iceberg-murmur3":
+                # Iceberg's public bucket transform (murmur3_x86_32 of
+                # the spec's value encoding — bucketing.py), so bucket
+                # ids are the SAME ids a real Iceberg engine computes
+                # and the table can cross the byte-format boundary
+                # (iceformat.export_iceberg) with a true bucket spec.
+                from iceberg_workshop_spark.icetbl.bucketing import bucket_col
+                from pyspark.sql.types import StructType
+
+                dt = {
+                    f.name: f.dataType
+                    for f in StructType.fromDDL(self.meta.schema_ddl).fields
+                }[src]
+                return bucket_col(F.col(src), n, dt)
+            # legacy pre-murmur3 tables: keep Spark's hash so files
+            # written before the switch stay consistent with new ones
             return F.pmod(F.hash(F.col(src)), F.lit(n))
         if t.startswith("truncate["):
             # Iceberg truncate[w]: numeric columns truncate to width-w
@@ -1545,23 +1561,37 @@ class IceTable:
             df = df.filter(_dnf_to_column(dnf))
         return df
 
+    def _bucket_hash_flavor(self) -> str:
+        """Which hash backs this table's bucket[N] dirs: tables created
+        since the murmur3 switch carry the property; older on-disk
+        tables (no property) were bucketed with Spark's hash."""
+        return str(
+            self.meta.properties.get("write.bucket.hash", "spark")
+        )
+
     def _prune_bucket(self, files: list[dict], preds: list[Pred]) -> list[dict]:
         """Bucket-transform pruning: an equality predicate on a
         ``bucket[N]`` source keeps only files whose partition value
-        equals the literal's bucket. The bucket is computed with the
-        SAME Spark expression used at write time (`pmod(hash(x), N)`,
-        literal cast to the source column's type — hash(int32) ≠
-        hash(int64)), so planner and writer can never disagree.
-        Range predicates can't prune a hash bucket; they fall through."""
+        equals the literal's bucket. The literal is bucketed with the
+        SAME function used at write time — Iceberg's murmur3 transform
+        (bucketing.bucket_value, driver-side on one literal; ints
+        promote to long per the spec so no column-type cast is needed)
+        for current tables, Spark's hash for legacy ones — so planner
+        and writer can never disagree. Range predicates can't prune a
+        hash bucket; they fall through."""
         eq = {p.col: p.value for p in preds if p.op == "="}
         if not eq or not files:
             return files
-        from pyspark.sql.types import StructType
+        murmur = self._bucket_hash_flavor() == "iceberg-murmur3"
+        if murmur:
+            from iceberg_workshop_spark.icetbl.bucketing import bucket_value
+        else:
+            from pyspark.sql.types import StructType
 
-        types = {
-            f.name: f.dataType
-            for f in StructType.fromDDL(self.meta.schema_ddl).fields
-        }
+            types = {
+                f.name: f.dataType
+                for f in StructType.fromDDL(self.meta.schema_ddl).fields
+            }
         cache: dict[tuple[str, int], str] = {}
         out = []
         for f in files:
@@ -1577,15 +1607,22 @@ class IceTable:
                     n = int(t[7:-1])
                     key = (field["source"], n)
                     if key not in cache:
-                        lit = F.lit(eq[field["source"]]).cast(
-                            types[field["source"]]
-                        )
-                        row = (
-                            self.spark.range(1)
-                            .select(F.pmod(F.hash(lit), F.lit(n)).alias("b"))
-                            .first()
-                        )
-                        cache[key] = str(row["b"])
+                        if murmur:
+                            cache[key] = str(
+                                bucket_value(eq[field["source"]], n)
+                            )
+                        else:
+                            lit = F.lit(eq[field["source"]]).cast(
+                                types[field["source"]]
+                            )
+                            row = (
+                                self.spark.range(1)
+                                .select(
+                                    F.pmod(F.hash(lit), F.lit(n)).alias("b")
+                                )
+                                .first()
+                            )
+                            cache[key] = str(row["b"])
                     if f["partition"][field["name"]] != cache[key]:
                         keep = False
                         break

@@ -560,3 +560,80 @@ def q_iceberg_import_manage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_export_bucket",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_custkey = 42
+    ORDER BY o_orderkey
+    """,
+)
+def q_iceberg_export_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket[N] across the byte-format boundary (round 13, VERDICT
+    r12 task #2): since the internal bucket transform is Iceberg's
+    murmur3_x86_32 over the spec's value encoding (icetbl/bucketing.py
+    — pinned to the spec's published hash vectors), a bucket-
+    partitioned table exports with a REAL ``bucket[8]`` spec entry
+    whose partition ids a foreign engine's bucket-pruned scan can
+    trust, instead of the pre-r13 loud refusal.
+
+    Orders → bucket[8](o_custkey) table → export_iceberg → require()
+    the emitted spec entry + full-count reopen parity through the
+    pure-Python byte reader → import_iceberg adopts it back WITH the
+    carried spec → an equality predicate on the raw column prunes the
+    adopted scan to ~1/8 of files (scan-report-asserted) and returns
+    the same rows as the unpartitioned oracle."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        import_iceberg,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icebkt_")
+    try:
+        src = IceTable.create_as(
+            spark, f"{root}/src", orders,
+            partition_spec=[
+                spec_field("o_custkey", "bucket[8]", "ck_bucket")
+            ],
+        )
+        export_iceberg(src, f"{root}/ice")
+        doc = resolve_iceberg_metadata(f"{root}/ice")
+        spec = doc["partition-specs"][0]["fields"]
+        require(
+            [(f["name"], f["transform"]) for f in spec]
+            == [("ck_bucket", "bucket[8]")],
+            f"export must emit a real bucket spec entry: {spec}",
+        )
+        require(
+            read_iceberg(spark, f"{root}/ice").count() == orders.count(),
+            "foreign-style reopen must see every row",
+        )
+        adopted = import_iceberg(spark, f"{root}/ice", f"{root}/adopted")
+        df = adopted.scan([Pred("o_custkey", "=", 42)])
+        rep = adopted.last_scan_report
+        require(
+            rep["files_scanned"] * 4 <= rep["files_total"],
+            f"adopted bucket scan must prune to <= 1/4 of files: {rep}",
+        )
+        rows = (
+            df.select("o_orderkey", "o_custkey", "o_orderstatus")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+        ).orderBy("o_orderkey")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -156,42 +156,40 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-12 rotation — the staleness-tail window (VERDICT r11 task
-    # #1): the 30 remaining r4-vintage rows, whose latest external
-    # sample is CORRECTNESS_r04 (7 rounds stale). The three sketch
-    # rows displaced from the r11 window by its late plan changes come
-    # first, then the r4 block in LEDGER membership order. After this
-    # window lands green, no registry row's external sample predates
-    # r5 — the pad slots start rotating the r5 vintage next.
-    # Round-12 NEW queries first (real-Iceberg byte-format round trips):
-    "q_iceberg_export_roundtrip", "q_iceberg_mor_roundtrip",
-    "q_iceberg_time_travel", "q_iceberg_import_manage",
-    "q_sketch_countmin", "q_sketch_hist_quantile", "q_sketch_bloom_merge",
-    "q_sketch_hll_merge", "q_sketch_hll_rolling", "q_sketch_bitmap_distinct",
-    "q_udf_python", "q_udf_pandas", "q_udaf_grouped",
-    "q_udtf_apply", "q_udtf_words",
-    "q_meta_history", "q_meta_pinned_read", "q_maint_expire",
-    "q_part_evolution", "q_part_transform", "q_schema_evolution",
-    "q_llm_dedup_exact", "q_llm_dedup_near", "q_llm_simsearch",
-    "q_llm_text_stats", "q_llm_multimodal",
-    "q_sql_merge_stmt", "q_sql_delete_stmt",
-    "q_sql_insert_time_travel_stmt", "q_sql_rollback_stmt",
-    "q_tt_changes", "q_cdc_changelog", "q_cdc_changelog_updates",
-    "q_cdc_agg_maintain",
-    # r5-vintage pads (the oldest remaining vintage once the 30 above
-    # land): the SQL front-end script/statement heads from the r5
-    # window, in LEDGER membership order — 20 pads to 50.
-    "q_schema_widen", "q_sql_airlines_migration_script",
-    "q_sql_hive_partitioning_script", "q_sql_iceberg_partitioning_script",
-    "q_sql_partition_evolution_script", "q_sql_transform_ctas_script",
-    "q_sql_insert_overwrite_stmt", "q_sql_call_maintenance_stmt",
-    "q_sql_metadata_tables", "q_sql_show_stmts", "q_sql_call_rewrite_sort",
-    "q_sql_schema_evolution_stmt", "q_sql_cdc_wap",
-    "q_sql_materialized_view", "q_sql_materialized_view_join",
-    "q_sql_scripting",
-    # (q_sql_merge_evolution_stmt, q_sql_write_ordered,
-    #  q_sql_merge_nmbs_stmt and q_sql_expire_stmt displaced to the
-    #  r13 window by the four round-12 additions — 50 names total.)
+    # round-13 rotation (VERDICT r12 task #1): the full 30-name
+    # r5-vintage staleness tail — the SQL-statement/stream/meta/maint
+    # family whose engine paths the r12 byte-format work touched most
+    # (lifecycle + sqlfront + streaming sinks) — then r6-vintage LLM
+    # pads to 50. The round-13 NEW query leads (bucket-transform
+    # byte-format round trip). After this window lands green, the
+    # oldest external vintage becomes r6.
+    "q_iceberg_export_bucket",
+    # r5-vintage tail (30 names, LEDGER membership order):
+    "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
+    "q_sql_merge_nmbs_stmt", "q_sql_expire_stmt",
+    "q_sql_describe_formatted", "q_sql_metadata_log",
+    "q_stream_stateful_running", "q_stream_stream_join",
+    "q_stream_sink_icetbl", "q_stream_static_join",
+    "q_stream_cdc_upsert", "q_stream_dedup_within",
+    "q_stream_stream_left_join", "q_stream_stream_full_join",
+    "q_stream_agg_rocksdb", "q_stream_state_reader",
+    "q_stream_mv_refresh", "q_dml_update",
+    "q_meta_snapshots", "q_meta_files", "q_meta_partitions",
+    "q_meta_refs", "q_meta_delete_files",
+    "q_maint_cluster", "q_maint_manifests",
+    "q_part_bucket", "q_part_truncate", "q_part_evolution_bucket",
+    "q_schema_drop_column", "q_schema_rename_column",
+    # (the 30 names above are exactly the r5-vintage set computed
+    #  from CORRECTNESS_r01..r12 membership at r13 start)
+    # r6-vintage pads (LLM extension surface, module order) to 50:
+    "q_llm_dedup_ngram", "q_llm_dedup_minhash", "q_llm_dedup_simhash",
+    "q_llm_dedup_simhash_exact", "q_llm_dedup_embed",
+    "q_llm_dedup_embed_lsh", "q_llm_dedup_clusters", "q_llm_dedup_apply",
+    "q_llm_dedup_prefix", "q_llm_dedup_incremental", "q_llm_semdedup",
+    "q_llm_dedup_lines", "q_llm_simsearch_ivf",
+    "q_llm_simsearch_ivf_partitioned", "q_llm_simsearch_sq",
+    "q_llm_simsearch_pq", "q_llm_token_count", "q_llm_lang_id",
+    "q_llm_fingerprint",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

@@ -459,9 +459,11 @@ def test_partitioned_export_typed_values(spark, tmp_path):
 
 
 def test_partitioned_export_refusals(spark, tmp_path):
-    """bucket[n] (Spark hash, not Iceberg murmur3) and mixed-spec file
-    sets refuse loudly instead of exporting misleading partition
-    tuples."""
+    """LEGACY bucket[n] tables (written with Spark's hash before the
+    murmur3 switch — no ``write.bucket.hash`` property) and mixed-spec
+    file sets refuse loudly instead of exporting misleading partition
+    tuples. Murmur3-bucketed tables (every table created now) export a
+    real bucket spec — covered by test_bucket_partitioned_export."""
     from iceberg_workshop_spark.icetbl import spec_field
 
     df = spark.createDataFrame(
@@ -471,6 +473,11 @@ def test_partitioned_export_refusals(spark, tmp_path):
         spark, str(tmp_path / "bucketed"), df,
         partition_spec=[spec_field("id", "bucket[4]")],
     )
+    # simulate a pre-switch table: strip the hash-flavor property
+    def _unstamp(meta):
+        meta.properties.pop("write.bucket.hash", None)
+
+    tb._retry_commit(_unstamp)
     with pytest.raises(ValueError, match="murmur3"):
         export_iceberg(tb, str(tmp_path / "ice_b"))
 
@@ -614,3 +621,103 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
     adopted = import_iceberg(spark, dest, str(tmp_path / f"adopt{seed}"))
     got2 = {(r.id, r.s) for r in adopted.read().collect()}
     assert got2 == want, f"import mismatch seed={seed}"
+
+
+def test_bucket_partitioned_export_roundtrip(spark, tmp_path):
+    """bucket[N] crosses the byte-format boundary (round 13, VERDICT
+    r12 task #2): the internal bucket transform is now Iceberg's
+    murmur3 (bucketing.py), so export emits a REAL bucket spec entry
+    whose partition values a foreign engine's bucket-pruned scan can
+    trust. Verified three ways: (1) every exported file's rows hash to
+    exactly the bucket id its manifest entry claims, (2) foreign-style
+    reopen is row-exact, (3) import_iceberg carries the spec back and
+    the planner prunes an equality predicate to one bucket."""
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.bucketing import bucket_value
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+        import_iceberg,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name-{i % 7}") for i in range(400)], "id bigint, name string"
+    ).coalesce(1)
+    src = IceTable.create_as(
+        spark, str(tmp_path / "src"), df,
+        partition_spec=[spec_field("id", "bucket[8]", "id_bucket")],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(src, dest)
+    doc = resolve_iceberg_metadata(dest)
+    spec = doc["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("id_bucket", "bucket[8]")
+    ]
+
+    files, dels = iceberg_manifest_entries(doc)
+    assert not dels and len(files) == 8  # every bucket non-empty at n=400
+    for f in files:
+        claimed = f["partition"]["id_bucket"]
+        ids = [
+            r.id
+            for r in spark.read.parquet(
+                f["file_path"].replace("file:", "")
+            ).select("id").collect()
+        ]
+        assert ids and all(bucket_value(i, 8) == claimed for i in ids)
+
+    back = {(r.id, r.name) for r in read_iceberg(spark, dest).collect()}
+    assert back == {(i, f"name-{i % 7}") for i in range(400)}
+
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    got = {(r.id, r.name) for r in adopted.scan([Pred("id", "=", 123)]).collect()}
+    assert got == {(123, f"name-{123 % 7}")}
+    rep = adopted.last_scan_report
+    assert rep["files_total"] == 8 and rep["files_scanned"] == 1
+
+
+def test_import_carries_temporal_and_truncate_specs(spark, tmp_path):
+    """_import_partitioning round-trips the non-bucket transforms too:
+    a day+truncate table exported then imported keeps its spec and the
+    decoded dir-string partition values match what a direct write
+    produces (pruning convention parity)."""
+    import datetime as dt
+
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import import_iceberg
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 3, 6, 30), f"grp{i % 2}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, g string")
+    src = IceTable.create_as(
+        spark, str(tmp_path / "src"), df,
+        partition_spec=[
+            spec_field("ts", "day", "ts_day"),
+            spec_field("g", "truncate[3]", "g_trunc"),
+        ],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(src, dest)
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    # spec carried (names pass through export's Avro sanitization)
+    specs = adopted.meta.specs[adopted.meta.current_spec_id]
+    assert [(s["source"], s["transform"]) for s in specs] == [
+        ("ts", "day"), ("g", "truncate[3]"),
+    ]
+    # partition values decoded back to the dir-string convention
+    parts = {
+        tuple(sorted(f["partition"].items()))
+        for f in adopted.meta.current_files()
+    }
+    assert parts == {
+        (("g_trunc", "grp"), ("ts_day", f"2024-01-0{d}")) for d in (1, 2, 3)
+    }
+    # and day pruning works on the adopted table
+    got = adopted.scan(
+        [Pred("ts", "between", (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 23, 59)))]
+    )
+    rep = adopted.last_scan_report
+    assert rep["files_scanned"] < rep["files_total"]
+    assert {r.id for r in got.collect()} == {i for i in range(30) if i % 3 == 1}
