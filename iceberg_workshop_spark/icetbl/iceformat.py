@@ -989,6 +989,108 @@ def resolve_snapshot_at(doc: dict, as_of_ms: int) -> int:
     return sid
 
 
+def _declared_spark_schema(doc: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(_ddl_of(doc))
+
+
+def validate_file_schemas(
+    spark: SparkSession,
+    paths: list[str],
+    declared: list[dict],
+    sample: int | None = None,
+) -> None:
+    """Refuse to read files whose parquet footers cannot be resolved
+    BY NAME against the table's declared schema (this reader's only
+    resolution mode). Per file:
+
+    - footer carries Iceberg ``field_id`` metadata (real writers stamp
+      it): a declared field whose id exists in the file under a
+      DIFFERENT name is a rename — name-resolution would silently read
+      nulls, refuse loudly instead. Ids make this check exact.
+    - ID-less footer (e.g. our own exported vanilla-Spark parquet):
+      adds and drops are name-safe (missing → typed null, extra →
+      ignored), but a file that BOTH lacks a declared name AND carries
+      an undeclared one is indistinguishable from a rename — refuse.
+
+    ``sample=None`` checks every file — distributed over the cluster
+    when the list is large (an O(files) footer sweep belongs on
+    executors, not the driver); an int checks that many files evenly
+    spaced across the list (cheap per-read guard; import uses the
+    full sweep)."""
+    if not paths:
+        return
+    if sample is not None and len(paths) > sample:
+        step = len(paths) / sample
+        check = [paths[int(i * step)] for i in range(sample)]
+        check[-1] = paths[-1]
+    else:
+        check = list(paths)
+    by_name = {f["name"]: int(f["id"]) for f in declared}
+    by_id = {int(f["id"]): f["name"] for f in declared}
+
+    def _violations(some_paths):
+        import pyarrow.parquet as _pq
+
+        out = []
+        for p in some_paths:
+            try:
+                sch = _pq.read_schema(p)
+            except Exception as exc:  # unreadable footer is loud too
+                out.append(f"{p}: unreadable parquet footer ({exc})")
+                continue
+            names = set(sch.names)
+            ids: dict[int, str] = {}
+            for f in sch:
+                md = f.metadata or {}
+                raw = md.get(b"PARQUET:field_id")
+                if raw is not None:
+                    try:
+                        ids[int(raw.decode())] = f.name
+                    except ValueError:
+                        pass
+            if ids:
+                renamed = [
+                    f"{phys!r} (field-id {fid} is {by_id[fid]!r} in the "
+                    "current schema)"
+                    for fid, phys in ids.items()
+                    if fid in by_id and by_id[fid] != phys
+                ]
+                if renamed:
+                    out.append(
+                        f"{p}: renamed columns {renamed} need field-id "
+                        "resolution, which the name-based reader does "
+                        "not provide"
+                    )
+            else:
+                extra = names - set(by_name)
+                missing = set(by_name) - names
+                if extra and missing:
+                    out.append(
+                        f"{p}: carries undeclared columns "
+                        f"{sorted(extra)} while lacking declared "
+                        f"{sorted(missing)} — likely a renamed column, "
+                        "which name resolution would silently null"
+                    )
+        return out
+
+    if len(check) > 64:
+        sc = spark.sparkContext
+        bad = (
+            sc.parallelize(check, max(2, len(check) // 64))
+            .mapPartitions(lambda it: _violations(list(it)))
+            .collect()
+        )
+    else:
+        bad = _violations(check)
+    if bad:
+        raise ValueError(
+            "Iceberg data files are not name-resolvable against the "
+            "table's current schema:\n  " + "\n  ".join(bad[:10])
+        )
+
+
 def read_iceberg(
     spark: SparkSession,
     location: str,
@@ -997,7 +1099,14 @@ def read_iceberg(
 ) -> DataFrame:
     """Open a REAL Iceberg table (the format the reference's engines
     share) and return its rows as a DataFrame — current, pinned at a
-    snapshot id (VERSION AS OF), or at an instant (TIMESTAMP AS OF)."""
+    snapshot id (VERSION AS OF), or at an instant (TIMESTAMP AS OF).
+
+    Rows come back PROJECTED TO THE TABLE'S CURRENT SCHEMA, not to
+    whatever the first parquet footer happens to contain: a schema-
+    evolved foreign table reads added columns as typed nulls from
+    pre-evolution files and ignores dropped ones, and a sampled footer
+    check refuses renamed columns loudly (field-id resolution is not
+    provided) instead of silently returning nulls."""
     doc = resolve_iceberg_metadata(location)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
@@ -1006,10 +1115,10 @@ def read_iceberg(
         # empty table: the TABLE's schema, not a placeholder — unions
         # and .select() downstream must keep working
         return spark.createDataFrame([], schema=_ddl_of(doc))
+    paths = [_strip_scheme(f["file_path"]) for f in files]
+    validate_file_schemas(spark, paths, _current_schema(doc), sample=16)
     if not dels:
-        return spark.read.parquet(
-            *[_strip_scheme(f["file_path"]) for f in files]
-        )
+        return spark.read.schema(_declared_spark_schema(doc)).parquet(*paths)
     return _read_with_deletes(spark, doc, files, dels)
 
 
@@ -1022,17 +1131,64 @@ def _canon_path_col(c):
     return F.regexp_replace(c, "^file:/*", "/")
 
 
+def _canon_path(p: str) -> str:
+    """Python twin of ``_canon_path_col``: file:///a, file:/a and /a
+    all canonicalize to /a."""
+    import re as _re
+
+    return _re.sub(r"^file:/*", "/", p)
+
+
+def _dseq_map_df(spark: SparkSession, dels: list[dict]) -> DataFrame:
+    """(delete file path → its delete sequence number) as a tiny
+    broadcastable frame keyed by the canonical path form
+    ``_canon_path_col(_metadata.file_path)`` produces."""
+    rows = [
+        (_canon_path(d["file_path"]), int(d.get("_seq", 0))) for d in dels
+    ]
+    return spark.createDataFrame(rows, "__dfile string, __ddseq long")
+
+
+def _require_columns(paths: list[str], keys: list[str]) -> None:
+    """Loud guard: every delete file's footer must physically carry
+    ALL key columns — the explicit-schema read would otherwise fill a
+    missing key with nulls and the anti-join would over-delete.
+    Footer-only reads; delete files are the small side by
+    construction, so a driver loop is proportionate."""
+    import pyarrow.parquet as _pq
+
+    for p in paths:
+        missing = [k for k in keys if k not in set(_pq.read_schema(p).names)]
+        if missing:
+            raise ValueError(
+                f"equality delete file {p} lacks key columns {missing} "
+                "(field-id column resolution in delete parquet is not "
+                "supported)"
+            )
+
+
 def _read_with_deletes(
     spark: SparkSession, doc: dict, files: list[dict], dels: list[dict]
 ) -> DataFrame:
     """Apply a real Iceberg v2 table's delete files at read time —
     position deletes (content 1: (file_path, pos) parquet, anti-join
-    on the row's file + ordinal) and equality deletes (content 2: key
-    columns named by equality_ids, anti-join with the v2 sequence rule
-    row_seq < delete_seq, null-safe). Mirrors the icetbl dialect's
-    ``_apply_deletes``; delete sets are broadcast (they are the small
-    side by construction)."""
+    on the row's file + ordinal, applied only to data files with
+    data_seq <= delete_seq per the v2 read contract) and equality
+    deletes (content 2: key columns named by equality_ids, anti-join
+    under row_seq < delete_seq, null-safe). Mirrors the icetbl
+    dialect's ``_apply_deletes``; delete sets are broadcast (they are
+    the small side by construction).
+
+    Delete files are read in GROUPS — one scan for all position
+    deletes, one scan per distinct equality-id set — not one scan and
+    one anti-join per file: a year of MoR deletes leaves thousands of
+    sidecars, and O(delete-files) driver round trips + plan nodes is
+    exactly the metadata-scale failure this module exists to avoid.
+    Each delete row recovers ITS OWN file's sequence number by joining
+    ``_metadata.file_path`` against a broadcast (path → seq) map, so
+    grouping loses no per-file sequence fidelity."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     pos_dels = [d for d in dels if d.get("content") == 1]
     eq_dels = [d for d in dels if d.get("content") == 2]
@@ -1042,16 +1198,21 @@ def _read_with_deletes(
             f"unsupported delete-file content ids: "
             f"{sorted({d.get('content') for d in unknown})}"
         )
-    name_by_id = {f["id"]: f["name"] for f in _current_schema(doc)}
+    fields = _current_schema(doc)
+    name_by_id = {f["id"]: f["name"] for f in fields}
+    type_by_name = {f["name"]: f["type"] for f in fields}
+    declared = _declared_spark_schema(doc)
     need_pos = bool(pos_dels)
     # group data files by resolved sequence number so each row carries
-    # its file's data seq (the equality-delete comparand)
+    # its file's data seq (the delete-sequence comparand); within a
+    # group the scan is one multi-path read projected to the declared
+    # schema (schema-evolved files resolve by name, adds → typed null)
     by_seq: dict[int, list[dict]] = {}
     for f in files:
         by_seq.setdefault(int(f.get("_seq", 0)), []).append(f)
     data = None
     for seq, fs in sorted(by_seq.items()):
-        part = spark.read.parquet(
+        part = spark.read.schema(declared).parquet(
             *[_strip_scheme(f["file_path"]) for f in fs]
         ).withColumn("__seq", F.lit(seq))
         if need_pos:
@@ -1062,42 +1223,69 @@ def _read_with_deletes(
             )
         data = part if data is None else data.unionByName(part)
     if pos_dels:
-        pd = None
-        for d in pos_dels:
-            one = spark.read.parquet(_strip_scheme(d["file_path"])).select(
+        # ONE scan for every position-delete file; the spec fixes the
+        # two columns (2147483546 file_path string, 2147483545 pos
+        # long), so an explicit schema reads each file by name and
+        # ignores the optional deleted-row payload column
+        pd_schema = StructType.fromDDL("file_path string, pos long")
+        pd = (
+            spark.read.schema(pd_schema)
+            .parquet(*[_strip_scheme(d["file_path"]) for d in pos_dels])
+            .select(
                 _canon_path_col(F.col("file_path")).alias("__dpath"),
-                F.col("pos").cast("long").alias("__dpos"),
+                F.col("pos").alias("__dpos"),
+                _canon_path_col(F.col("_metadata.file_path")).alias(
+                    "__dfile"
+                ),
             )
-            pd = one if pd is None else pd.unionByName(one)
+            .join(F.broadcast(_dseq_map_df(spark, pos_dels)), "__dfile")
+            .groupBy("__dpath", "__dpos")
+            .agg(F.max("__ddseq").alias("__ddseq"))
+        )
         data = data.join(
-            F.broadcast(pd.dropDuplicates()),
+            F.broadcast(pd),
             (F.col("__path") == F.col("__dpath"))
-            & (F.col("__pos") == F.col("__dpos")),
+            & (F.col("__pos") == F.col("__dpos"))
+            # v2: a position delete applies only to data files whose
+            # data sequence is <= the delete's sequence (paths are
+            # rarely reused, but the contract is the contract)
+            & (F.col("__seq") <= F.col("__ddseq")),
             "left_anti",
         )
+    # ONE scan per distinct equality-id set (not per file)
+    eq_groups: dict[tuple[int, ...], list[dict]] = {}
     for d in eq_dels:
-        ids = d.get("equality_ids") or []
+        ids = tuple(d.get("equality_ids") or [])
         if not ids or any(i not in name_by_id for i in ids):
             raise ValueError(
                 f"equality delete file {d['file_path']} has unresolvable "
-                f"equality_ids {ids}"
+                f"equality_ids {list(ids)}"
             )
+        eq_groups.setdefault(ids, []).append(d)
+    for ids, group in sorted(eq_groups.items()):
         keys = [name_by_id[i] for i in ids]
-        dd = spark.read.parquet(_strip_scheme(d["file_path"]))
-        missing = [k for k in keys if k not in dd.columns]
-        if missing:
-            raise ValueError(
-                f"equality delete file {d['file_path']} lacks key "
-                f"columns {missing} (field-id column resolution in "
-                "delete parquet is not supported)"
+        paths = [_strip_scheme(d["file_path"]) for d in group]
+        _require_columns(paths, keys)
+        key_schema = StructType.fromDDL(
+            ", ".join(f"{k} {_spark_type_of(type_by_name[k])}" for k in keys)
+        )
+        dd = (
+            spark.read.schema(key_schema)
+            .parquet(*paths)
+            .select(
+                *[F.col(k).alias(f"__dk_{k}") for k in keys],
+                _canon_path_col(F.col("_metadata.file_path")).alias(
+                    "__dfile"
+                ),
             )
-        dd = dd.select(
-            *[F.col(k).alias(f"__dk_{k}") for k in keys]
-        ).dropDuplicates()
+            .join(F.broadcast(_dseq_map_df(spark, group)), "__dfile")
+            .groupBy(*[f"__dk_{k}" for k in keys])
+            .agg(F.max("__ddseq").alias("__ddseq"))
+        )
         cond = F.lit(True)
         for k in keys:
             cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
-        cond = cond & (F.col("__seq") < F.lit(int(d.get("_seq", 0))))
+        cond = cond & (F.col("__seq") < F.col("__ddseq"))
         data = data.join(F.broadcast(dd), cond, "left_anti")
     drop = ["__seq"] + (["__path", "__pos"] if need_pos else [])
     return data.drop(*drop)
@@ -1231,21 +1419,16 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
     by_id = {f["id"]: f for f in fields}
     # Adopt under the metadata's CURRENT schema, not the first file's
     # footer (a schema-evolved table's oldest file is missing added
-    # columns). Our adopted reads resolve columns BY NAME, which is
-    # only sound while every live file's physical names match the
-    # current schema — a renamed column (same field-id, new name)
-    # breaks that mapping, so detect the mismatch on the oldest file
-    # and refuse loudly rather than read wrong/missing columns.
+    # columns). Our adopted reads resolve columns BY NAME against an
+    # explicit table schema (table.py read paths use
+    # ``read.schema(ddl)``, so added columns surface as typed nulls
+    # and dropped ones are ignored) — sound for EVERY live file except
+    # a renamed column (same field-id, new name), which would silently
+    # read as nulls. Sweep every footer (distributed when the list is
+    # large — import is one-time, so the sweep is thorough, unlike
+    # read_iceberg's sampled per-read guard) and refuse loudly.
     paths = [_strip_scheme(f["file_path"]) for f in files]
-    declared = {f["name"] for f in fields}
-    physical = set(spark.read.parquet(paths[0]).schema.names)
-    if not physical <= declared:
-        raise ValueError(
-            "Iceberg table's data files carry column names absent from "
-            f"its current schema ({sorted(physical - declared)}) — a "
-            "renamed column needs field-id resolution, which the adopt "
-            "path does not provide; rewrite the files first"
-        )
+    validate_file_schemas(spark, paths, fields, sample=None)
     carried = _import_partitioning(doc, files)
     spec_fields, decode_partition = carried if carried else ([], lambda f: {})
     tbl = IceTable.create(spark, dest, _ddl_of(doc), spec_fields)
