@@ -442,6 +442,41 @@ def _export_partitioning(
 # ------------------------------------------------------------- export
 
 
+def _historical_names(tbl: Any, current: str) -> list[str]:
+    """Current name first, then every physical name this column ever
+    had (rename-log walk) — the name-mapping entry that lets a foreign
+    engine resolve pre-rename ID-less files by name."""
+    names = [current]
+    name = current
+    for r in reversed(tbl.meta.doc.get("column_renames", [])):
+        if name == r["new"]:
+            name = r["old"]
+            names.append(name)
+    return names
+
+
+def _rewrite_sidecar_names(
+    src: str, old_keys: list[str], cur_keys: list[str], dest: str
+) -> str:
+    """Rewrite an equality-delete sidecar whose key columns were
+    RENAMED after the delete was written: the exported name-mapping
+    resolves CURRENT names, so the sidecar's columns are renamed
+    old→current and the rewritten file (delete-set-sized) is placed
+    under the export's data dir. Returns the new absolute path."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    mapping = dict(zip(old_keys, cur_keys))
+    t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+    ddir = os.path.join(dest, "data")
+    os.makedirs(ddir, exist_ok=True)
+    out = os.path.join(
+        ddir, f"eqdel-renamed-{uuid.uuid4().hex[:12]}.parquet"
+    )
+    pq.write_table(t, out)
+    return os.path.abspath(out)
+
+
 def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
     """Export the table as a spec-compliant Apache Iceberg v2 table
     rooted at ``dest``. Data files are referenced in place by absolute
@@ -516,6 +551,12 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
 
     snapshots_json: list[dict] = []
     max_seq = 1
+    last_snap_seq = 0  # snapshot sequence numbers must be STRICTLY
+    #                    increasing per commit (real engines use them
+    #                    for incremental/CDC ordering), even when two
+    #                    snapshots share a max file seq (compaction)
+    _renamed_sidecars: dict[str, str] = {}  # old path → rewritten
+    _first_delete_sid: dict[str, int] = {}  # delete path → adding sid
     for sn in chain:
         sid = int(sn["snapshot_id"])
         files = tbl.meta.files(sn)
@@ -523,24 +564,34 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         # Outstanding merge-on-read delete sidecars export as REAL v2
         # delete manifests: our sidecar parquet is already byte-shaped
         # as Iceberg delete files (positional: (file_path, pos);
-        # equality: the key columns), so only metadata is emitted. An
-        # equality sidecar whose recorded write-time key names have
-        # since been RENAMED would need parquet field-id resolution on
-        # the other side — refuse rather than export wrong deletes.
+        # equality: the key columns), so normally only metadata is
+        # emitted. An equality sidecar whose recorded write-time key
+        # names have since been RENAMED is the one exception: ID-less
+        # sidecar parquet cannot express field-id resolution, and the
+        # exported name-mapping maps CURRENT names — so the sidecar is
+        # REWRITTEN once under the current names (delete files are the
+        # small side; the rewrite is delete-set-sized) and the entry
+        # points at the rewritten file with current-field equality_ids.
+        export_keys: dict[int, list[str]] = {}
         for d in del_entries:
             kind = d.get("kind", "eq")
             if kind not in ("eq", "pos"):
                 raise ValueError(f"unknown delete sidecar kind {kind!r}")
-            if kind == "eq" and tbl._eq_delete_current_keys(d) != list(
-                d["keys"]
-            ):
+            if kind != "eq":
+                continue
+            cur = tbl._eq_delete_current_keys(d)
+            if len(set(cur)) != len(cur):
                 raise ValueError(
-                    "equality-delete sidecar was written under "
-                    f"since-renamed key names {d['keys']} — real engines "
-                    "resolve delete columns by field id, which ID-less "
-                    "sidecar parquet cannot express; run "
-                    "rewrite_equality_deletes() first"
+                    "equality-delete key columns collapse to duplicate "
+                    f"current names {cur} — not expressible by name"
                 )
+            export_keys[id(d)] = cur
+            if cur != list(d["keys"]):
+                src = os.path.abspath(d["path"])
+                if src not in _renamed_sidecars:
+                    _renamed_sidecars[src] = _rewrite_sidecar_names(
+                        src, list(d["keys"]), cur, dest
+                    )
         if spec_json:
             # A partition-EVOLVED table carries files written under
             # older specs whose values this export's single spec
@@ -563,7 +614,8 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         # re-inserted AFTER the delete.
         data_seqs = [int(f.get("seq", 1)) for f in files] or [1]
         del_seqs = [int(d.get("dseq", 1)) for d in del_entries] or [1]
-        seq = max(data_seqs + del_seqs + [1])
+        seq = max(data_seqs + del_seqs + [last_snap_seq + 1])
+        last_snap_seq = seq
         max_seq = max(max_seq, seq)
 
         entries = [
@@ -656,37 +708,44 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
 
         if del_entries:
             # v2 DELETE manifest: content 1 = position deletes, 2 =
-            # equality deletes (with the key columns' field ids).
-            d_avro = [
-                {
-                    "status": 1,
-                    "snapshot_id": sid,
+            # equality deletes (with the key columns' field ids,
+            # resolved under CURRENT names — renamed sidecars were
+            # rewritten above). A delete file first added by an
+            # EARLIER exported snapshot re-emits as EXISTING (status
+            # 0) with its original snapshot id, same inheritance
+            # contract as data entries — real engines' incremental
+            # reads key on entry status.
+            d_avro = []
+            for d in del_entries:
+                path = os.path.abspath(d["path"])
+                path = _renamed_sidecars.get(path, path)
+                first_sid = _first_delete_sid.setdefault(path, sid)
+                keys = export_keys.get(id(d))
+                d_avro.append({
+                    "status": 1 if first_sid == sid else 0,
+                    "snapshot_id": first_sid,
                     "sequence_number": int(d.get("dseq", 1)),
                     "file_sequence_number": int(d.get("dseq", 1)),
                     "data_file": {
                         "content": (
                             1 if d.get("kind", "eq") == "pos" else 2
                         ),
-                        "file_path": os.path.abspath(d["path"]),
+                        "file_path": path,
                         "file_format": "PARQUET",
                         "partition": {},
                         "record_count": int(d.get("record_count") or 0),
-                        "file_size_in_bytes": os.path.getsize(
-                            os.path.abspath(d["path"])
-                        ),
+                        "file_size_in_bytes": os.path.getsize(path),
                         "lower_bounds": None,
                         "upper_bounds": None,
                         "split_offsets": None,
                         "sort_order_id": None,
                         "equality_ids": (
-                            [by_name[k]["id"] for k in d["keys"]]
-                            if d.get("kind", "eq") == "eq"
+                            [by_name[k]["id"] for k in keys]
+                            if keys is not None
                             else None
                         ),
                     },
-                }
-                for d in del_entries
-            ]
+                })
             dmf_path = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
             write_avro(
                 spark, dmf_path, MANIFEST_ENTRY_SCHEMA, d_avro,
@@ -707,13 +766,23 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
                 "sequence_number": max(del_seqs),
                 "min_sequence_number": min(del_seqs),
                 "added_snapshot_id": sid,
-                "added_files_count": len(d_avro),
-                "existing_files_count": 0,
+                "added_files_count": sum(
+                    1 for e in d_avro if e["status"] == 1
+                ),
+                "existing_files_count": sum(
+                    1 for e in d_avro if e["status"] == 0
+                ),
                 "deleted_files_count": 0,
                 "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in d_avro
+                    e["data_file"]["record_count"]
+                    for e in d_avro
+                    if e["status"] == 1
                 ),
-                "existing_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in d_avro
+                    if e["status"] == 0
+                ),
                 "deleted_rows_count": 0,
                 "partitions": [],
             })
@@ -788,10 +857,16 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
             # PARQUET field-id metadata; real Iceberg engines resolve
             # columns by FIELD ID and need this name-mapping fallback
             # (spec: "Column Projection") to project ID-less files —
-            # without it they would read every column as NULL
+            # without it they would read every column as NULL. A
+            # RENAMED column lists its historical physical names too
+            # (the spec allows several names per field), so files
+            # written before the rename still resolve.
             "schema.name-mapping.default": json.dumps(
                 [
-                    {"field-id": f["id"], "names": [f["name"]]}
+                    {
+                        "field-id": f["id"],
+                        "names": _historical_names(tbl, f["name"]),
+                    }
                     for f in schema["fields"]
                 ]
             ),
@@ -995,100 +1070,210 @@ def _declared_spark_schema(doc: dict):
     return StructType.fromDDL(_ddl_of(doc))
 
 
-def validate_file_schemas(
-    spark: SparkSession,
-    paths: list[str],
-    declared: list[dict],
-    sample: int | None = None,
-) -> None:
-    """Refuse to read files whose parquet footers cannot be resolved
-    BY NAME against the table's declared schema (this reader's only
-    resolution mode). Per file:
-
-    - footer carries Iceberg ``field_id`` metadata (real writers stamp
-      it): a declared field whose id exists in the file under a
-      DIFFERENT name is a rename — name-resolution would silently read
-      nulls, refuse loudly instead. Ids make this check exact.
-    - ID-less footer (e.g. our own exported vanilla-Spark parquet):
-      adds and drops are name-safe (missing → typed null, extra →
-      ignored), but a file that BOTH lacks a declared name AND carries
-      an undeclared one is indistinguishable from a rename — refuse.
-
-    ``sample=None`` checks every file — distributed over the cluster
-    when the list is large (an O(files) footer sweep belongs on
-    executors, not the driver); an int checks that many files evenly
-    spaced across the list (cheap per-read guard; import uses the
-    full sweep)."""
+def _scan_footers(
+    spark: SparkSession, paths: list[str], sample: int | None
+) -> list[tuple[str, tuple[str, ...], tuple[tuple[int, str], ...]]]:
+    """Parquet footer sweep: per file, (path, column names, stamped
+    Iceberg field-ids as (id, physical-name) pairs — empty for ID-less
+    files). ``sample=None`` sweeps every file, DISTRIBUTED over the
+    cluster past 64 paths (an O(files) footer pass belongs on
+    executors, not the driver); an int probes that many files evenly
+    spaced across the list."""
     if not paths:
-        return
+        return []
     if sample is not None and len(paths) > sample:
         step = len(paths) / sample
         check = [paths[int(i * step)] for i in range(sample)]
         check[-1] = paths[-1]
     else:
         check = list(paths)
-    by_name = {f["name"]: int(f["id"]) for f in declared}
-    by_id = {int(f["id"]): f["name"] for f in declared}
 
-    def _violations(some_paths):
+    def _probe(some_paths):
         import pyarrow.parquet as _pq
 
         out = []
         for p in some_paths:
-            try:
-                sch = _pq.read_schema(p)
-            except Exception as exc:  # unreadable footer is loud too
-                out.append(f"{p}: unreadable parquet footer ({exc})")
-                continue
-            names = set(sch.names)
-            ids: dict[int, str] = {}
+            sch = _pq.read_schema(p)  # unreadable footer raises — loud
+            ids = []
             for f in sch:
-                md = f.metadata or {}
-                raw = md.get(b"PARQUET:field_id")
+                raw = (f.metadata or {}).get(b"PARQUET:field_id")
                 if raw is not None:
                     try:
-                        ids[int(raw.decode())] = f.name
+                        ids.append((int(raw.decode()), f.name))
                     except ValueError:
                         pass
-            if ids:
-                renamed = [
-                    f"{phys!r} (field-id {fid} is {by_id[fid]!r} in the "
-                    "current schema)"
-                    for fid, phys in ids.items()
-                    if fid in by_id and by_id[fid] != phys
-                ]
-                if renamed:
-                    out.append(
-                        f"{p}: renamed columns {renamed} need field-id "
-                        "resolution, which the name-based reader does "
-                        "not provide"
-                    )
-            else:
-                extra = names - set(by_name)
-                missing = set(by_name) - names
-                if extra and missing:
-                    out.append(
-                        f"{p}: carries undeclared columns "
-                        f"{sorted(extra)} while lacking declared "
-                        f"{sorted(missing)} — likely a renamed column, "
-                        "which name resolution would silently null"
-                    )
+            out.append((p, tuple(sch.names), tuple(sorted(ids))))
         return out
 
     if len(check) > 64:
         sc = spark.sparkContext
-        bad = (
+        return (
             sc.parallelize(check, max(2, len(check) // 64))
-            .mapPartitions(lambda it: _violations(list(it)))
+            .mapPartitions(lambda it: _probe(list(it)))
             .collect()
         )
-    else:
-        bad = _violations(check)
+    return _probe(check)
+
+
+def _name_mapping(doc: dict) -> dict[str, str]:
+    """``schema.name-mapping.default`` flattened to (any historical
+    physical name → CURRENT name) for the table's live fields."""
+    raw = (doc.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    cur_by_id = {int(f["id"]): f["name"] for f in _current_schema(doc)}
+    out: dict[str, str] = {}
+    try:
+        entries = json.loads(raw)
+    except (TypeError, ValueError):
+        return {}
+    for ent in entries:
+        cur = cur_by_id.get(int(ent.get("field-id", -1)))
+        if cur is None:
+            continue
+        for n in ent.get("names", []):
+            out[str(n)] = cur
+    return out
+
+
+def _resolve_footer(
+    path: str,
+    names: tuple[str, ...],
+    ids: tuple[tuple[int, str], ...],
+    declared: list[dict],
+    mapping: dict[str, str],
+) -> dict[str, str]:
+    """One file's (physical name → current name) projection map, or a
+    loud ValueError when the file cannot be resolved:
+
+    - footer stamped with Iceberg field-ids (real writers): resolution
+      is exact — each stamped id maps to its current name; unstamped
+      or unknown-id columns are dropped fields, ignored.
+    - ID-less footer: a physical name resolves to itself (still
+      declared) or through the name-mapping (a renamed column's
+      historical name). An unmapped stray is ignorable ONLY when a
+      name-mapping exists to vouch for the live fields (the stray is a
+      dropped column); with no mapping at all, a file that both lacks
+      a declared name and carries an unknown one is indistinguishable
+      from a rename — refuse rather than silently null."""
+    by_id = {int(f["id"]): f["name"] for f in declared}
+    declared_names = {f["name"] for f in declared}
+    if ids:
+        return {phys: by_id[fid] for fid, phys in ids if fid in by_id}
+    out: dict[str, str] = {}
+    strays = []
+    for phys in names:
+        if phys in declared_names:
+            out[phys] = phys
+        elif phys in mapping:
+            out[phys] = mapping[phys]
+        else:
+            strays.append(phys)
+    if strays and not mapping:
+        missing = declared_names - set(out.values())
+        if missing:
+            raise ValueError(
+                f"{path}: carries undeclared columns {sorted(strays)} "
+                f"while lacking declared {sorted(missing)} — likely a "
+                "renamed column, which name resolution would silently "
+                "null (no schema.name-mapping.default to resolve it)"
+            )
+    return out
+
+
+def validate_file_schemas(
+    spark: SparkSession,
+    paths: list[str],
+    declared: list[dict],
+    sample: int | None = None,
+) -> None:
+    """STRICT name-resolvability check — used by ``import_iceberg``,
+    whose adopted reads project by CURRENT name only (no per-file
+    aliasing): every file must resolve with the IDENTITY map. A
+    renamed column (detected exactly via stamped field-ids, or
+    heuristically for ID-less files) refuses loudly. ``read_iceberg``
+    itself uses the weaker mapping-aware grouped reader instead."""
+    infos = _scan_footers(spark, paths, sample)
+    bad = []
+    for path, names, ids in infos:
+        try:
+            ren = _resolve_footer(path, names, ids, declared, {})
+        except ValueError as exc:
+            bad.append(str(exc))
+            continue
+        renamed = {p: c for p, c in ren.items() if p != c}
+        if renamed:
+            bad.append(
+                f"{path}: renamed columns {renamed} need per-file "
+                "aliasing, which the adopted read path does not provide"
+            )
     if bad:
         raise ValueError(
             "Iceberg data files are not name-resolvable against the "
             "table's current schema:\n  " + "\n  ".join(bad[:10])
         )
+
+
+def _open_projected(
+    spark: SparkSession, doc: dict, paths: list[str],
+    meta_cols: bool = False,
+) -> DataFrame:
+    """Open data files PROJECTED to the table's current schema,
+    resolving renamed physical columns per file — by stamped field-id
+    when present, else through ``schema.name-mapping.default``.
+
+    Fast path (the overwhelmingly common case — no renames): a sampled
+    footer probe shows identity resolution everywhere → ONE multi-path
+    scan with the declared schema (per-file name resolution in the
+    parquet reader: missing → typed null, extra → ignored). Slow path
+    (a probe hit a rename): full footer sweep, files grouped by their
+    projection map, one scan per group aliased back to current names —
+    a handful of groups (one per rename era), not one scan per file."""
+    from pyspark.sql import functions as F
+
+    fields = _current_schema(doc)
+    declared = _declared_spark_schema(doc)
+    mapping = _name_mapping(doc)
+    meta_exprs = [
+        _canon_path_col(F.col("_metadata.file_path")).alias("__path"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ] if meta_cols else []
+    probe = _scan_footers(spark, paths, sample=16)
+    if all(
+        all(p == c for p, c in _resolve_footer(
+            path, names, ids, fields, mapping
+        ).items())
+        for path, names, ids in probe
+    ):
+        df = spark.read.schema(declared).parquet(*paths)
+        return df.select("*", *meta_exprs) if meta_cols else df
+    infos = _scan_footers(spark, paths, sample=None)
+    groups: dict[tuple, list[str]] = {}
+    for path, names, ids in infos:
+        ren = _resolve_footer(path, names, ids, fields, mapping)
+        groups.setdefault(tuple(sorted(ren.items())), []).append(path)
+    type_by_name = {f.name: f.dataType for f in declared.fields}
+    out = None
+    for ren_items, gpaths in sorted(groups.items()):
+        ren = dict(ren_items)
+        phys_schema = T.StructType([
+            T.StructField(phys, type_by_name[cur], True)
+            for phys, cur in ren.items()
+        ])
+        cur_to_phys = {c: p for p, c in ren.items()}
+        part = spark.read.schema(phys_schema).parquet(*gpaths).select(
+            *[
+                (
+                    F.col(cur_to_phys[f.name]).alias(f.name)
+                    if f.name in cur_to_phys
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in declared.fields
+            ],
+            *meta_exprs,
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def read_iceberg(
@@ -1115,10 +1300,10 @@ def read_iceberg(
         # empty table: the TABLE's schema, not a placeholder — unions
         # and .select() downstream must keep working
         return spark.createDataFrame([], schema=_ddl_of(doc))
-    paths = [_strip_scheme(f["file_path"]) for f in files]
-    validate_file_schemas(spark, paths, _current_schema(doc), sample=16)
     if not dels:
-        return spark.read.schema(_declared_spark_schema(doc)).parquet(*paths)
+        return _open_projected(
+            spark, doc, [_strip_scheme(f["file_path"]) for f in files]
+        )
     return _read_with_deletes(spark, doc, files, dels)
 
 
@@ -1201,26 +1386,21 @@ def _read_with_deletes(
     fields = _current_schema(doc)
     name_by_id = {f["id"]: f["name"] for f in fields}
     type_by_name = {f["name"]: f["type"] for f in fields}
-    declared = _declared_spark_schema(doc)
     need_pos = bool(pos_dels)
     # group data files by resolved sequence number so each row carries
     # its file's data seq (the delete-sequence comparand); within a
-    # group the scan is one multi-path read projected to the declared
-    # schema (schema-evolved files resolve by name, adds → typed null)
+    # group the scan is one mapping-aware multi-path read projected to
+    # the declared schema (schema-evolved files resolve by name or
+    # name-mapping, adds → typed null)
     by_seq: dict[int, list[dict]] = {}
     for f in files:
         by_seq.setdefault(int(f.get("_seq", 0)), []).append(f)
     data = None
     for seq, fs in sorted(by_seq.items()):
-        part = spark.read.schema(declared).parquet(
-            *[_strip_scheme(f["file_path"]) for f in fs]
+        part = _open_projected(
+            spark, doc, [_strip_scheme(f["file_path"]) for f in fs],
+            meta_cols=need_pos,
         ).withColumn("__seq", F.lit(seq))
-        if need_pos:
-            part = part.select(
-                "*",
-                _canon_path_col(F.col("_metadata.file_path")).alias("__path"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
         data = part if data is None else data.unionByName(part)
     if pos_dels:
         # ONE scan for every position-delete file; the spec fixes the

@@ -152,7 +152,7 @@ def test_cross_process_commit_race_loses_nothing(tmp_path):
 
     worker = """
 import sys
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, '/root/repo')
 from iceberg_workshop_spark.icetbl import meta as M
 loc, wid = sys.argv[1], sys.argv[2]
 done = 0
@@ -915,3 +915,95 @@ def test_catalog_writer_races_direct_fs_writer(spark, loc, catalog):
     wc.append(spark.createDataFrame([(8, "cat")], "id int, name string"))
     final = IceTable.load(spark, loc)
     assert {r.id for r in final.read().collect()} == {0, 7, 8}
+
+
+def test_cross_process_writers_cas_atomicity(spark, loc, tmp_path):
+    """VERDICT r12 task #4: the version-hint CAS protocol arbitrates
+    across OS PROCESSES, not just threads (threads share the GIL and
+    in-process locks, so they under-test filesystem atomicity). Four
+    subprocesses hammer metadata-only commits with their own
+    retry loops; every commit must land in a distinct, contiguous
+    version file and no property update may be lost."""
+    import subprocess
+    import sys
+    import time
+
+    _mk(spark, loc, [(1, "a")])
+    base_version = M.read_current(loc).version
+
+    worker_src = r"""
+import sys, time, os
+sys.path.insert(0, '/root/repo')
+from iceberg_workshop_spark.icetbl import meta as M
+
+loc, wid, n_commits, start_at = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4])
+# common start instant so the processes genuinely interleave
+time.sleep(max(0.0, start_at - time.time()))
+for k in range(n_commits):
+    for attempt in range(50):
+        meta = M.read_current(loc)
+        meta.properties[f"w{wid}_{k}"] = str(meta.version)
+        try:
+            M.commit(meta)
+            break
+        except M.CommitConflict:
+            continue
+    else:
+        sys.exit(3)
+print("done", wid)
+"""
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src)
+    n_workers, n_commits = 4, 5
+    start_at = time.time() + 1.0
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), loc, str(i), str(n_commits), str(start_at)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(n_workers)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-500:]
+
+    final = M.read_current(loc)
+    # every commit landed: one contiguous version per commit, no holes
+    assert final.version == base_version + n_workers * n_commits
+    import os as _os
+
+    versions = sorted(
+        int(n[1:-5])
+        for n in _os.listdir(_os.path.join(loc, "metadata"))
+        if n.startswith("v") and n.endswith(".json")
+    )
+    assert versions == list(range(1, final.version + 1))
+    # no lost update: all 20 property stamps present
+    for i in range(n_workers):
+        for k in range(n_commits):
+            assert f"w{i}_{k}" in final.properties, (i, k)
+
+
+def test_cross_process_conflicting_schema_change_raises(spark, loc, tmp_path):
+    """A stale handle's copy-on-write-style commit against a base that
+    a SEPARATE PROCESS has moved must surface CommitConflict — same
+    contract as the in-process tests, proven across the process
+    boundary."""
+    import subprocess
+    import sys
+
+    _mk(spark, loc, [(1, "a")])
+    stale = M.read_current(loc)
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from iceberg_workshop_spark.icetbl import meta as M;"
+        f"meta = M.read_current({loc!r});"
+        "meta.schema_ddl = meta.schema_ddl + ', extra int';"
+        "M.commit(meta)"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=60)
+
+    stale.properties["mine"] = "1"
+    with pytest.raises(M.CommitConflict):
+        M.commit(stale)

@@ -269,20 +269,39 @@ def test_import_iceberg_adopts_with_stats_and_stays_manageable(
     assert adopted.read().count() == 111
 
 
-def test_export_refuses_renamed_key_eq_deletes(spark, tmp_path):
-    """MoR deletes now EXPORT as v2 delete manifests — except an
-    equality sidecar written under since-renamed key names: ID-less
-    sidecar parquet cannot express the field-id resolution a real
-    engine would need, so the export refuses instead of emitting
-    deletes that silently match nothing."""
+def test_export_rewrites_renamed_key_eq_deletes(spark, tmp_path):
+    """VERDICT r12 task #3: an equality sidecar written under
+    since-renamed key names no longer refuses — the export REWRITES
+    the sidecar (delete-set-sized) under the CURRENT names, emits
+    current-field equality_ids, and the exported name-mapping resolves
+    them, so the rename-then-eq-delete table round-trips row-exact."""
     df = spark.createDataFrame(
         [(i, f"n{i}") for i in range(20)], "id bigint, name string"
     )
     t = IceTable.create_as(spark, str(tmp_path / "mor"), df)
     t.delete_where_mor("id < 5", keys=["id"])
     t.rename_column("id", "ident")
-    with pytest.raises(ValueError, match="since-renamed"):
-        export_iceberg(t, str(tmp_path / "ice_mor"))
+    dest = str(tmp_path / "ice_mor")
+    export_iceberg(t, dest)
+    doc = resolve_iceberg_metadata(dest)
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+    )
+
+    _, dels = iceberg_manifest_entries(doc)
+    assert len(dels) == 1
+    # the sidecar was rewritten under the current name and the entry
+    # carries the current field's id
+    ident_id = next(
+        f["id"] for f in doc["schemas"][0]["fields"] if f["name"] == "ident"
+    )
+    assert dels[0]["equality_ids"] == [ident_id]
+    import pyarrow.parquet as pq
+
+    rewritten = dels[0]["file_path"].replace("file:", "")
+    assert pq.read_schema(rewritten).names == ["ident"]
+    got = {(r.ident, r.name) for r in read_iceberg(spark, dest).collect()}
+    assert got == {(i, f"n{i}") for i in range(5, 20)}
 
 
 def test_export_name_mapping_property(exported):
@@ -742,15 +761,18 @@ def test_foreign_read_projects_to_declared_schema(spark, tmp_path):
     assert rows == {(1, "a", None), (2, "b", None), (3, "c", 1.5)}
 
 
-def test_foreign_read_refuses_fieldid_rename(spark, tmp_path):
+def test_fieldid_rename_strict_refusal_and_mapped_read(spark, tmp_path):
     """A foreign file whose footer carries Iceberg field-id metadata
     under a DIFFERENT name than the declared schema (a real engine's
-    renamed column) is refused loudly — name resolution would silently
-    read nulls."""
+    renamed column): the STRICT validator (import path — adopted reads
+    cannot alias per file) refuses loudly, while ``_open_projected``
+    (read_iceberg's reader) resolves it exactly by id and returns the
+    values under the current name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from iceberg_workshop_spark.icetbl.iceformat import (
+        _open_projected,
         validate_file_schemas,
     )
 
@@ -760,13 +782,22 @@ def test_foreign_read_refuses_fieldid_rename(spark, tmp_path):
     )
     pq.write_table(pa.table({"old_name": pa.array([1, 2])}, schema=pa.schema([field])), path)
     declared = [{"name": "new_name", "id": 1, "type": "long"}]
-    with pytest.raises(ValueError, match="field-id"):
+    with pytest.raises(ValueError, match="aliasing"):
         validate_file_schemas(spark, [path], declared, sample=None)
     # same ids, same names: fine
     validate_file_schemas(
         spark, [path], [{"name": "old_name", "id": 1, "type": "long"}],
         sample=None,
     )
+    doc = {
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "new_name", "type": "long", "required": False},
+        ]}],
+    }
+    got = _open_projected(spark, doc, [path])
+    assert got.columns == ["new_name"]
+    assert {r.new_name for r in got.collect()} == {1, 2}
 
 
 def test_foreign_read_refuses_idless_rename_ambiguity(spark, tmp_path):
@@ -873,3 +904,47 @@ def test_many_delete_files_batched_single_scan(spark, tmp_path):
     # final and the initial plan, so at most 4 textual occurrences
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 4, f"expected batched delete scans, got {n_scans}"
+
+
+def test_history_export_monotone_seqs_and_delete_inheritance(spark, tmp_path):
+    """ADVICE r12: exported snapshot sequence numbers are strictly
+    increasing per commit (even when consecutive snapshots share a max
+    file seq), and a delete sidecar re-emitted by later snapshots
+    appears as EXISTING (status 0) with its original adding snapshot
+    id — the inheritance contract incremental/CDC readers key on."""
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "id bigint, name string"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df)
+    t.delete_where_mor("id < 3", keys=["id"])
+    t.append(spark.createDataFrame([(100, "x")], "id bigint, name string"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    doc = resolve_iceberg_metadata(dest)
+    seqs = [s["sequence-number"] for s in doc["snapshots"]]
+    assert seqs == sorted(set(seqs)), f"not strictly increasing: {seqs}"
+    # the delete sidecar is ADDED by snapshot 2 and EXISTING thereafter
+    sids = [s["snapshot-id"] for s in doc["snapshots"]]
+    statuses = {}
+    for sid in sids:
+        snap = next(s for s in doc["snapshots"] if s["snapshot-id"] == sid)
+        _, manifests, _ = read_avro(snap["manifest-list"])
+        for mf in manifests:
+            if mf["content"] != 1:
+                continue
+            _, entries, _ = read_avro(mf["manifest_path"])
+            for e in entries:
+                statuses.setdefault(sid, []).append(
+                    (e["status"], e["snapshot_id"])
+                )
+    assert statuses[sids[1]] == [(1, sids[1])]  # added by the delete
+    assert statuses[sids[2]] == [(0, sids[1])]  # existing afterwards
+    assert sids[0] not in statuses
+    # reads at each snapshot stay correct across the boundary
+    assert read_iceberg(spark, dest, snapshot_id=sids[0]).count() == 10
+    assert read_iceberg(spark, dest, snapshot_id=sids[1]).count() == 7
+    assert read_iceberg(spark, dest, snapshot_id=sids[2]).count() == 8
