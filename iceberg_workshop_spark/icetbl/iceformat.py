@@ -302,9 +302,12 @@ _EPOCH_DATE = None  # set lazily (datetime import kept function-local)
 
 
 def _export_partitioning(
-    meta: M.TableMeta, by_name: dict[str, dict]
+    meta: M.TableMeta,
+    by_name: dict[str, dict],
+    spec_id: int,
+    fids: dict[tuple, int],
 ) -> tuple[list[dict], list[dict], Any]:
-    """Current partition spec → (spec JSON fields, r102 Avro fields,
+    """ONE partition spec → (spec JSON fields, r102 Avro fields,
     entry-value encoder). icetbl stores partition values as the dir
     strings Spark wrote (hidden `__p_*` keys); Iceberg stores TYPED
     values — year/month/hour as ordinals from 1970, day as a date.
@@ -313,22 +316,35 @@ def _export_partitioning(
     created since the switch, recorded in the ``write.bucket.hash``
     property); LEGACY tables bucketed with Spark's hash are refused,
     because their bucket ids would lie to a real engine's
-    bucket-pruned scans."""
+    bucket-pruned scans.
+
+    ``fids`` is the export-wide (source-id, transform, name) →
+    partition-field-id registry: Iceberg assigns partition field ids
+    GLOBALLY (1000, 1001, … in order of first appearance across all
+    specs), and a field shared by several specs keeps one id — a
+    partition-EVOLVED table exports one entry per spec through this
+    function."""
     import datetime as _dt
 
     epoch = _dt.date(1970, 1, 1)
-    spec = meta.specs[meta.current_spec_id] if meta.specs else []
+    spec = (
+        meta.specs[spec_id]
+        if meta.specs and 0 <= spec_id < len(meta.specs)
+        else []
+    )
     if not spec:
         return [], [], lambda entry: {}
     spec_json: list[dict] = []
     avro_fields: list[dict] = []
     encoders: list[tuple[str, Any]] = []
-    for i, f in enumerate(spec):
+    for f in spec:
         t, src, name = f["transform"], f["source"], f["name"]
-        fid = 1000 + i
         src_field = by_name.get(src)
         if src_field is None:
             raise ValueError(f"partition source column {src!r} not in schema")
+        fid = fids.setdefault(
+            (src_field["id"], t, name), 1000 + len(fids)
+        )
         src_type = src_field["type"]
         if t.startswith("bucket["):
             flavor = str(
@@ -497,10 +513,6 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
     schema = iceberg_schema(tbl.read().schema)
     last_column_id = schema.pop("_last_column_id")
     by_name = {f["name"]: f for f in schema["fields"]}
-    spec_json, part_avro_fields, encode_partition = _export_partitioning(
-        tbl.meta, by_name
-    )
-    entry_schema = manifest_entry_schema(part_avro_fields)
     now = M.now_ms()
 
     # snapshots to export: current only, or the main-ancestry chain
@@ -518,6 +530,47 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         else:
             chain = [by_sid[cur_sid]]
     exported_ids = {sn["snapshot_id"] for sn in chain}
+
+    # Partition specs: a partition-EVOLVED table carries files written
+    # under several specs; Iceberg's manifest model handles this
+    # natively (one manifest per spec, all specs listed in metadata),
+    # so export EVERY spec any exported file was written under — plus
+    # the current one, which stays the default. Partition field ids
+    # are assigned globally through ``fids`` (a field shared by
+    # several specs keeps one id, per the spec).
+    files_by_sid = {
+        int(sn["snapshot_id"]): tbl.meta.files(sn) for sn in chain
+    }
+    dels_by_sid = {
+        int(sn["snapshot_id"]): list(tbl.meta.delete_entries(sn))
+        for sn in chain
+    }
+    used_spec_ids = {
+        int(f.get("spec_id", 0))
+        for fs in files_by_sid.values()
+        for f in fs
+    } | {int(tbl.meta.current_spec_id or 0)}
+    fids: dict[tuple, int] = {}
+    spec_infos: dict[int, tuple] = {}
+    for sid_ in sorted(used_spec_ids):
+        sj, af, enc = _export_partitioning(tbl.meta, by_name, sid_, fids)
+        spec_infos[sid_] = (sj, af, enc, manifest_entry_schema(af))
+    # delete manifests describe UNPARTITIONED tuples (our sidecars are
+    # path-/key-scoped, Iceberg's "global deletes" shape): reference
+    # an unpartitioned spec, allocating one if no exported spec is
+    # already empty
+    has_dels = any(dels_by_sid.values())
+    delete_spec_id = next(
+        (i for i, (sj, *_rest) in sorted(spec_infos.items()) if not sj),
+        None,
+    )
+    if has_dels and delete_spec_id is None:
+        delete_spec_id = max(
+            list(spec_infos) + [len(tbl.meta.specs or []) - 1]
+        ) + 1
+        spec_infos[delete_spec_id] = (
+            [], [], lambda entry: {}, manifest_entry_schema([])
+        )
 
     def bounds_for(entry: dict, idx: int) -> list[dict] | None:
         """idx 0 = lower, 1 = upper. icetbl stores bounds as
@@ -559,8 +612,8 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
     _first_delete_sid: dict[str, int] = {}  # delete path → adding sid
     for sn in chain:
         sid = int(sn["snapshot_id"])
-        files = tbl.meta.files(sn)
-        del_entries = list(tbl.meta.delete_entries(sn))
+        files = files_by_sid[sid]
+        del_entries = dels_by_sid[sid]
         # Outstanding merge-on-read delete sidecars export as REAL v2
         # delete manifests: our sidecar parquet is already byte-shaped
         # as Iceberg delete files (positional: (file_path, pos);
@@ -592,22 +645,6 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
                     _renamed_sidecars[src] = _rewrite_sidecar_names(
                         src, list(d["keys"]), cur, dest
                     )
-        if spec_json:
-            # A partition-EVOLVED table carries files written under
-            # older specs whose values this export's single spec
-            # cannot type; Iceberg supports multi-spec manifests, this
-            # exporter (v1) does not — refuse rather than emit wrong
-            # partition tuples.
-            foreign_specs = {
-                int(f.get("spec_id", 0)) for f in files
-            } - {int(tbl.meta.current_spec_id)}
-            if foreign_specs:
-                raise ValueError(
-                    "table carries files written under earlier partition "
-                    f"specs {sorted(foreign_specs)}; the exporter emits "
-                    "ONE spec — compact (rewrite_data_files) to the "
-                    "current spec first"
-                )
         # Per-FILE data sequence numbers carry over (not a flat 1):
         # the v2 equality-delete rule is row_seq < delete_seq, so
         # flattening data seqs would let exported deletes swallow rows
@@ -618,23 +655,15 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         last_snap_seq = seq
         max_seq = max(max_seq, seq)
 
-        entries = [
-            {
-                # a file first added by an EARLIER exported snapshot is
-                # EXISTING here, keeping its original snapshot id — the
-                # spec's status/snapshot-id inheritance contract
-                "status": (
-                    1
-                    if int(f.get("first_snapshot_id", sid)) == sid
-                    or int(f.get("first_snapshot_id", sid))
-                    not in exported_ids
-                    else 0
-                ),
-                "snapshot_id": (
-                    int(f.get("first_snapshot_id", sid))
-                    if int(f.get("first_snapshot_id", sid)) in exported_ids
-                    else sid
-                ),
+        def _entry(f: dict, encode_partition) -> dict:
+            # a file first added by an EARLIER exported snapshot is
+            # EXISTING here, keeping its original snapshot id — the
+            # spec's status/snapshot-id inheritance contract
+            first = int(f.get("first_snapshot_id", sid))
+            return {
+                "status": 1 if first == sid or first not in exported_ids
+                else 0,
+                "snapshot_id": first if first in exported_ids else sid,
                 "sequence_number": int(f.get("seq", 1)),
                 "file_sequence_number": int(f.get("seq", 1)),
                 "data_file": {
@@ -653,58 +682,76 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
                     "sort_order_id": None,
                 },
             }
-            for f in files
-        ]
-        manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
-        write_avro(
-            spark, manifest_path, entry_schema, entries,
-            meta={
-                "schema": json.dumps(schema),
-                "schema-id": "0",
-                "partition-spec": json.dumps(spec_json),
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "data",
-            },
-        )
 
-        total_rows = sum(e["data_file"]["record_count"] for e in entries)
-        n_added = sum(1 for e in entries if e["status"] == 1)
-        manifest_rows = [{
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": max(data_seqs),
-            "min_sequence_number": min(data_seqs),
-            "added_snapshot_id": sid,
-            "added_files_count": n_added,
-            "existing_files_count": len(entries) - n_added,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(
-                e["data_file"]["record_count"]
-                for e in entries
-                if e["status"] == 1
-            ),
-            "existing_rows_count": sum(
-                e["data_file"]["record_count"]
-                for e in entries
-                if e["status"] == 0
-            ),
-            "deleted_rows_count": 0,
-            "partitions": [
-                {
-                    "contains_null": any(
-                        e["data_file"]["partition"].get(pf["name"]) is None
-                        for e in entries
-                    ),
-                    "contains_nan": None,
-                    "lower_bound": None,
-                    "upper_bound": None,
-                }
-                for pf in part_avro_fields
-            ],
-        }]
+        # one DATA manifest per partition spec the snapshot's files
+        # were written under (Iceberg's native multi-spec model — a
+        # manifest carries exactly one spec); a partition-evolved
+        # table exports without compaction
+        by_spec: dict[int, list[dict]] = {}
+        for f in files:
+            by_spec.setdefault(int(f.get("spec_id", 0)), []).append(f)
+        total_rows = 0
+        manifest_rows = []
+        for spec_id_ in sorted(by_spec or {int(tbl.meta.current_spec_id or 0): []}):
+            fs = by_spec.get(spec_id_, [])
+            sj, af, enc, eschema = spec_infos[spec_id_]
+            entries = [_entry(f, enc) for f in fs]
+            manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+            write_avro(
+                spark, manifest_path, eschema, entries,
+                meta={
+                    "schema": json.dumps(schema),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(sj),
+                    "partition-spec-id": str(spec_id_),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            total_rows += sum(
+                e["data_file"]["record_count"] for e in entries
+            )
+            n_added = sum(1 for e in entries if e["status"] == 1)
+            manifest_rows.append({
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": spec_id_,
+                "content": 0,
+                "sequence_number": max(
+                    [int(f.get("seq", 1)) for f in fs] or [1]
+                ),
+                "min_sequence_number": min(
+                    [int(f.get("seq", 1)) for f in fs] or [1]
+                ),
+                "added_snapshot_id": sid,
+                "added_files_count": n_added,
+                "existing_files_count": len(entries) - n_added,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == 1
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"]
+                    for e in entries
+                    if e["status"] == 0
+                ),
+                "deleted_rows_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": any(
+                            e["data_file"]["partition"].get(pf["name"])
+                            is None
+                            for e in entries
+                        ),
+                        "contains_nan": None,
+                        "lower_bound": None,
+                        "upper_bound": None,
+                    }
+                    for pf in af
+                ],
+            })
 
         if del_entries:
             # v2 DELETE manifest: content 1 = position deletes, 2 =
@@ -752,8 +799,8 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
                 meta={
                     "schema": json.dumps(schema),
                     "schema-id": "0",
-                    "partition-spec": json.dumps(spec_json),
-                    "partition-spec-id": "0",
+                    "partition-spec": json.dumps([]),
+                    "partition-spec-id": str(delete_spec_id),
                     "format-version": "2",
                     "content": "deletes",
                 },
@@ -761,7 +808,7 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
             manifest_rows.append({
                 "manifest_path": dmf_path,
                 "manifest_length": os.path.getsize(dmf_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": int(delete_spec_id),
                 "content": 1,
                 "sequence_number": max(del_seqs),
                 "min_sequence_number": min(del_seqs),
@@ -846,9 +893,12 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         "last-column-id": last_column_id,
         "current-schema-id": 0,
         "schemas": [schema],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_json}],
-        "last-partition-id": 999 + len(spec_json),
+        "default-spec-id": int(tbl.meta.current_spec_id or 0),
+        "partition-specs": [
+            {"spec-id": i, "fields": spec_infos[i][0]}
+            for i in sorted(spec_infos)
+        ],
+        "last-partition-id": max(list(fids.values()) or [999]),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {

@@ -299,12 +299,20 @@ class TableMeta:
                 "current_spec_id": 0,
                 # bucket[N] hashes with Iceberg's murmur3_x86_32 over
                 # the spec encoding (bucketing.py) — recorded as a
-                # table property so the planner and the byte-format
-                # exporter can distinguish these tables from ones
-                # written before the switch (legacy Spark-hash
-                # buckets, which must keep Spark-hash pruning and
-                # stay export-refused).
-                "properties": {"write.bucket.hash": "iceberg-murmur3"},
+                # table property (bucket-specced tables only, so the
+                # property surface of ordinary tables is unchanged) so
+                # the planner and the byte-format exporter can
+                # distinguish these tables from ones written before
+                # the switch (legacy Spark-hash buckets, which must
+                # keep Spark-hash pruning and stay export-refused).
+                "properties": (
+                    {"write.bucket.hash": "iceberg-murmur3"}
+                    if any(
+                        str(f.get("transform", "")).startswith("bucket[")
+                        for f in spec
+                    )
+                    else {}
+                ),
                 "snapshots": [],
                 "current_snapshot_id": None,
             },

@@ -309,6 +309,15 @@ class IceTable:
             created = meta.doc.get("column_created_seq", {})
             if old in created:
                 created[new] = created.pop(old)
+            # partition specs FOLLOW the rename (Iceberg specs bind to
+            # source column IDS, so a rename never detaches them; this
+            # dialect binds by name and must re-point explicitly) —
+            # otherwise the next bucketed/truncated write and the
+            # byte-format export would look up a retired column name
+            for spec in meta.specs:
+                for f in spec:
+                    if f.get("source") == old:
+                        f["source"] = new
             meta.doc.setdefault("column_renames", []).append(
                 {
                     "old": old,
@@ -354,6 +363,22 @@ class IceTable:
         spec id they were written under, scans union per-spec pruned
         sets (replay of /root/reference/README.md:138-195)."""
         def mutate(meta: M.TableMeta) -> None:
+            if any(
+                str(f.get("transform", "")).startswith("bucket[")
+                for f in spec
+            ) and not any(
+                str(f.get("transform", "")).startswith("bucket[")
+                for old in meta.specs
+                for f in old
+            ):
+                # first bucket spec this table ever had → the murmur3
+                # flavor stamp (bucketing.py). A LEGACY table whose
+                # EXISTING specs already bucket with Spark's hash must
+                # NOT be stamped: its old files' bucket dirs would be
+                # mis-pruned under the murmur3 planner.
+                meta.properties.setdefault(
+                    "write.bucket.hash", "iceberg-murmur3"
+                )
             meta.specs.append(spec)
             meta.doc["current_spec_id"] = len(meta.specs) - 1
 

@@ -637,3 +637,82 @@ def q_iceberg_export_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("o_orderkey")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_export_evolved",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    GROUP BY mon ORDER BY mon
+    """,
+)
+def q_iceberg_export_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-EVOLVED table across the byte-format boundary
+    (round 13): the exporter emits Iceberg's native multi-spec shape —
+    one manifest per partition spec, every spec listed in metadata,
+    each file's partition tuple typed under ITS OWN spec — so an
+    evolved table exports WITHOUT the compact-first step the previous
+    single-spec exporter demanded (replay of the reference's partition
+    evolution story, README.md:138-195, continued across engines).
+
+    Orders' pre-1997 half lands in an UNPARTITIONED founding era; the
+    spec evolves to month(o_orderdate) and the rest appends under it.
+    Export → require() two specs (default = the evolved one) → reopen
+    through the pure-Python byte reader and aggregate per month; the
+    oracle is the same aggregate over the whole table, so a row lost
+    or double-counted in either era breaks parity."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="iws_iceevo_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter(F.col("o_orderdate") < cut)
+        )
+        t.set_partition_spec(
+            [spec_field("o_orderdate", "month", "order_month")]
+        )
+        t.append(orders.filter(F.col("o_orderdate") >= cut))
+        export_iceberg(t, f"{root}/ice")
+        doc = resolve_iceberg_metadata(f"{root}/ice")
+        specs = {s["spec-id"]: s["fields"] for s in doc["partition-specs"]}
+        require(
+            specs.get(0) == [] and len(specs.get(1, [])) == 1,
+            f"export must list both eras' specs: {specs}",
+        )
+        require(
+            doc["default-spec-id"] == 1,
+            "the evolved spec must stay the default",
+        )
+        rows = (
+            read_iceberg(spark, f"{root}/ice")
+            .groupBy(
+                F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            )
+            .orderBy("mon")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "mon timestamp, n_orders bigint, sum_key bigint"
+        ).orderBy("mon")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
