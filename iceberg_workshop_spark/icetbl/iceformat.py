@@ -1541,32 +1541,14 @@ def _bound_value(ice_type: Any, raw: bytes) -> Any:
     return None
 
 
-def _import_partitioning(
-    doc: dict, files: list[dict]
+def _import_one_spec(
+    doc: dict, fields: list[dict]
 ) -> tuple[list[dict], Any] | None:
-    """Inverse of ``_export_partitioning``: a foreign table's default
-    partition spec + each file's TYPED partition tuple → icetbl's
-    (SpecField list, entry-partition decoder), so adopted tables KEEP
-    partition pruning (bucket pruning included — the foreign writer's
-    murmur3 bucket ids are the same ids our planner computes since the
-    bucketing.py switch).
-
-    Returns ``None`` — adopt spec-less, pruning via column bounds only
-    — when the spec cannot be carried faithfully: files written under
-    MULTIPLE specs (our single-spec adopt would mistype old tuples) or
-    a transform whose dir-string convention we cannot reproduce."""
+    """One foreign spec's fields → (icetbl SpecField list, TYPED
+    partition-tuple → dir-string decoder), or ``None`` when a
+    transform's dir-string convention cannot be reproduced."""
     import datetime as _dt
 
-    specs = {
-        int(s.get("spec-id", 0)): s.get("fields", [])
-        for s in doc.get("partition-specs", [])
-    }
-    default_id = int(doc.get("default-spec-id", 0))
-    fields = specs.get(default_id)
-    if not fields:
-        return None
-    if {int(f.get("_spec_id", default_id)) for f in files} - {default_id}:
-        return None
     name_by_id = {f["id"]: f["name"] for f in _current_schema(doc)}
     epoch = _dt.date(1970, 1, 1)
 
@@ -1609,6 +1591,8 @@ def _import_partitioning(
             )
         elif t.startswith("bucket[") or t.startswith("truncate["):
             dec = str
+        elif t == "void":
+            dec = lambda v: "__HIVE_DEFAULT_PARTITION__"  # noqa: E731
         else:
             return None
         decoders.append((pname, dec))
@@ -1627,6 +1611,50 @@ def _import_partitioning(
         return out
 
     return spec_fields, decode
+
+
+def _import_partitioning(
+    doc: dict, files: list[dict]
+) -> tuple[list[list[dict]], int, Any] | None:
+    """Inverse of ``_export_partitioning``: a foreign table's partition
+    specs + each file's TYPED partition tuple → icetbl's multi-spec
+    shape (specs in index order, current index, per-file decoder), so
+    adopted tables KEEP partition pruning (bucket pruning included —
+    the foreign writer's murmur3 bucket ids are the same ids our
+    planner computes since the bucketing.py switch). The icetbl
+    dialect stores files with the spec id they were written under, so
+    a partition-EVOLVED foreign table adopts with its full evolution
+    intact — each era's files pruned under their own spec.
+
+    Returns ``None`` — adopt spec-less, pruning via column bounds only
+    — when any spec a live file references cannot be carried
+    faithfully, or the default spec is empty/missing."""
+    specs = {
+        int(s.get("spec-id", 0)): s.get("fields", [])
+        for s in doc.get("partition-specs", [])
+    }
+    default_id = int(doc.get("default-spec-id", 0))
+    if not specs.get(default_id):
+        return None
+    used = {int(f.get("_spec_id", default_id)) for f in files}
+    used.add(default_id)
+    # foreign spec ids → icetbl list indices, in sorted-id order
+    index_of = {sid: i for i, sid in enumerate(sorted(used))}
+    spec_list: list[list[dict]] = []
+    decode_by_index: dict[int, Any] = {}
+    for sid in sorted(used):
+        carried = _import_one_spec(doc, specs.get(sid, []))
+        if carried is None:
+            return None
+        spec_fields, dec = carried
+        spec_list.append(spec_fields)
+        decode_by_index[index_of[sid]] = dec
+
+    def decode(df_entry: dict) -> tuple[int, dict]:
+        idx = index_of[int(df_entry.get("_spec_id", default_id))]
+        return idx, decode_by_index[idx](df_entry)
+
+    return spec_list, index_of[default_id], decode
 
 
 def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
@@ -1660,8 +1688,29 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
     paths = [_strip_scheme(f["file_path"]) for f in files]
     validate_file_schemas(spark, paths, fields, sample=None)
     carried = _import_partitioning(doc, files)
-    spec_fields, decode_partition = carried if carried else ([], lambda f: {})
-    tbl = IceTable.create(spark, dest, _ddl_of(doc), spec_fields)
+    if carried:
+        spec_list, default_idx, decode_partition = carried
+    else:
+        spec_list, default_idx = [[]], 0
+        decode_partition = lambda f: (0, {})  # noqa: E731
+    tbl = IceTable.create(spark, dest, _ddl_of(doc), spec_list[0])
+    if len(spec_list) > 1 or default_idx != 0:
+        # a partition-EVOLVED foreign table: install every era's spec
+        # (icetbl stores files with the spec id they were written
+        # under — same multi-spec model Iceberg uses)
+        def _install_specs(meta: M.TableMeta) -> None:
+            meta.doc["partition_specs"] = spec_list
+            meta.doc["current_spec_id"] = default_idx
+            if any(
+                str(f.get("transform", "")).startswith("bucket[")
+                for sp in spec_list
+                for f in sp
+            ):
+                meta.properties.setdefault(
+                    "write.bucket.hash", "iceberg-murmur3"
+                )
+
+        tbl._retry_commit(_install_specs)
 
     def bounds_of(df_entry: dict) -> dict:
         out: dict[str, list] = {}
@@ -1681,24 +1730,25 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
                     out[f["name"]] = [lo, hi]
         return out
 
-    entries = [
-        {
+    def _adopt_entry(f: dict) -> dict:
+        spec_idx, part = decode_partition(f)
+        return {
             "path": _strip_scheme(f["file_path"]),
             "record_count": int(f.get("record_count") or 0),
             "file_size": int(
                 f.get("file_size_in_bytes")
                 or os.path.getsize(_strip_scheme(f["file_path"]))
             ),
-            "partition": decode_partition(f),
-            "spec_id": 0,
+            "partition": part,
+            "spec_id": spec_idx,
             # real data sequence carries over — the adopted equality
             # deletes' row_seq < dseq rule must see the same ordering
             # the source table had
             "seq": int(f.get("_seq", 1)),
             "bounds": bounds_of(f),
         }
-        for f in files
-    ]
+
+    entries = [_adopt_entry(f) for f in files]
     del_entries = _translate_delete_files(spark, dels, by_id, dest)
     # The table's sequence counter must start ABOVE every adopted
     # data/delete sequence, or the first post-adopt append would land

@@ -663,13 +663,19 @@ def q_iceberg_export_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     Export → require() two specs (default = the evolved one) → reopen
     through the pure-Python byte reader and aggregate per month; the
     oracle is the same aggregate over the whole table, so a row lost
-    or double-counted in either era breaks parity."""
+    or double-counted in either era breaks parity. The import leg then
+    adopts the evolved table back WITH both specs (icetbl's native
+    multi-spec file registry) and a month predicate prunes the
+    new-era files while every old-era file soundly survives —
+    scan-report-asserted, the same era-aware pruning contract
+    q_part_evolution pins for the internal dialect."""
     import shutil
     import tempfile
 
-    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
     from iceberg_workshop_spark.icetbl.iceformat import (
         export_iceberg,
+        import_iceberg,
         read_iceberg,
         resolve_iceberg_metadata,
     )
@@ -698,6 +704,31 @@ def q_iceberg_export_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         require(
             doc["default-spec-id"] == 1,
             "the evolved spec must stay the default",
+        )
+        adopted = import_iceberg(spark, f"{root}/ice", f"{root}/adopted")
+        require(
+            len(adopted.meta.specs) == 2
+            and adopted.meta.current_spec_id == 1,
+            "import must carry BOTH eras' specs",
+        )
+        import datetime as _dt
+
+        adopted.scan([
+            Pred(
+                "o_orderdate", "between",
+                (_dt.datetime(1997, 6, 1), _dt.datetime(1997, 6, 30)),
+            )
+        ]).count()
+        rep = adopted.last_scan_report
+        n_old = sum(
+            1
+            for f in adopted.meta.current_files()
+            if f.get("spec_id", 0) == 0
+        )
+        require(
+            n_old <= rep["files_scanned"] < rep["files_total"],
+            f"era-aware pruning must keep old-era files and prune "
+            f"new-era months: {rep} (n_old={n_old})",
         )
         rows = (
             read_iceberg(spark, f"{root}/ice")

@@ -1006,3 +1006,54 @@ def test_history_export_monotone_seqs_and_delete_inheritance(spark, tmp_path):
     assert read_iceberg(spark, dest, snapshot_id=sids[0]).count() == 10
     assert read_iceberg(spark, dest, snapshot_id=sids[1]).count() == 7
     assert read_iceberg(spark, dest, snapshot_id=sids[2]).count() == 8
+
+
+def test_import_carries_multi_spec_evolution(spark, tmp_path):
+    """Round 13: a partition-EVOLVED foreign table adopts with its
+    FULL spec evolution — each era's files keep the spec id they were
+    written under (icetbl's native multi-spec model), so a predicate
+    on the evolved source column prunes new-era files while old-era
+    files survive soundly."""
+    import datetime as dt
+
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import import_iceberg
+
+    old_rows = [(i, dt.datetime(2023, 12, 1 + i % 3)) for i in range(12)]
+    new_rows = [(100 + i, dt.datetime(2024, 1 + i % 3, 5)) for i in range(12)]
+    ddl = "id bigint, ts timestamp"
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame(old_rows, ddl).coalesce(1),
+    )
+    t.set_partition_spec([spec_field("ts", "month", "ts_month")])
+    t.append(spark.createDataFrame(new_rows, ddl).coalesce(1))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    specs = adopted.meta.specs
+    assert len(specs) == 2 and specs[0] == []
+    assert [(s["source"], s["transform"]) for s in specs[1]] == [
+        ("ts", "month")
+    ]
+    assert adopted.meta.current_spec_id == 1
+    by_spec = {}
+    for f in adopted.meta.current_files():
+        by_spec.setdefault(f["spec_id"], []).append(f)
+    assert set(by_spec) == {0, 1}
+    assert {f["partition"].get("ts_month") for f in by_spec[1]} == {
+        "2024-01", "2024-02", "2024-03"
+    }
+    # era-aware pruning: a Feb-2024 predicate keeps all old-era files
+    # (unpartitioned, must survive) and exactly the Feb new-era file
+    got = adopted.scan([
+        Pred("ts", "between",
+             (dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 28))),
+    ])
+    rep = adopted.last_scan_report
+    assert {r.id for r in got.collect()} == {
+        100 + i for i in range(12) if i % 3 == 1
+    }
+    n_old = len(by_spec[0])
+    assert rep["files_scanned"] == n_old + 1, rep
