@@ -458,6 +458,38 @@ def _export_partitioning(
 # ------------------------------------------------------------- export
 
 
+def _sort_order_fields(tbl: Any, by_name: dict[str, dict]) -> list[dict]:
+    """``write.sort-order`` (comma-separated current column names, ASC
+    implied — table.py range-clusters writes on it) → Iceberg
+    sort-order fields. Empty when unset or when a named column is not
+    in the schema (stale property — don't export a lie)."""
+    order = (tbl.meta.properties or {}).get("write.sort-order") or ""
+    cols = [c.strip() for c in order.split(",") if c.strip()]
+    if not cols or any(c not in by_name for c in cols):
+        return []
+    return [
+        {
+            "transform": "identity",
+            "source-id": by_name[c]["id"],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        for c in cols
+    ]
+
+
+def _export_sort_orders(tbl: Any, by_name: dict[str, dict]) -> list[dict]:
+    fields = _sort_order_fields(tbl, by_name)
+    orders = [{"order-id": 0, "fields": []}]
+    if fields:
+        orders.append({"order-id": 1, "fields": fields})
+    return orders
+
+
+def _export_sort_order_id(tbl: Any, by_name: dict[str, dict]) -> int:
+    return 1 if _sort_order_fields(tbl, by_name) else 0
+
+
 def _historical_names(tbl: Any, current: str) -> list[str]:
     """Current name first, then every physical name this column ever
     had (rename-log walk) — the name-mapping entry that lets a foreign
@@ -899,8 +931,13 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
             for i in sorted(spec_infos)
         ],
         "last-partition-id": max(list(fids.values()) or [999]),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        # the table's declared write order (ALTER TABLE … WRITE
+        # ORDERED BY, stored as write.sort-order) exports as a real
+        # sort order — ASC/NULLS FIRST identity fields, Iceberg's
+        # defaults — so a foreign engine keeps range-clustering
+        # writes the same way; order-id 0 stays the unsorted order
+        "default-sort-order-id": _export_sort_order_id(tbl, by_name),
+        "sort-orders": _export_sort_orders(tbl, by_name),
         "properties": {
             "write.format.default": "parquet",
             # our parquet files are written by vanilla Spark without

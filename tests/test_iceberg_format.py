@@ -1057,3 +1057,31 @@ def test_import_carries_multi_spec_evolution(spark, tmp_path):
     }
     n_old = len(by_spec[0])
     assert rep["files_scanned"] == n_old + 1, rep
+
+
+def test_export_declared_sort_order(spark, tmp_path):
+    """ALTER TABLE … WRITE ORDERED BY exports as a real Iceberg sort
+    order (identity/asc/nulls-first, default-sort-order-id = 1), so a
+    foreign engine keeps range-clustering writes; an unsorted table
+    keeps order-id 0."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df)
+    t.set_properties({"write.sort-order": "v, id"})
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    doc = resolve_iceberg_metadata(dest)
+    assert doc["default-sort-order-id"] == 1
+    orders = {o["order-id"]: o["fields"] for o in doc["sort-orders"]}
+    assert orders[0] == []
+    assert [
+        (f["source-id"], f["direction"], f["null-order"])
+        for f in orders[1]
+    ] == [(2, "asc", "nulls-first"), (1, "asc", "nulls-first")]
+
+    t2 = IceTable.create_as(spark, str(tmp_path / "plain"), df)
+    export_iceberg(t2, str(tmp_path / "ice2"))
+    doc2 = resolve_iceberg_metadata(str(tmp_path / "ice2"))
+    assert doc2["default-sort-order-id"] == 0
+    assert doc2["sort-orders"] == [{"order-id": 0, "fields": []}]
