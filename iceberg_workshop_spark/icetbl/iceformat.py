@@ -26,14 +26,21 @@ JSON manifests; this module emits and consumes the SPEC BYTES:
   source sequence numbers and manifest stats, delete files translated
   into managed sidecars.
 
-Scope (documented, not hidden): export ships the CURRENT snapshot of
-the table as one append snapshot — the history/partition-evolution
-timeline stays in the icetbl dialect. The current partition spec
-exports with TYPED partition values (identity / year / month / day /
-hour / truncate; bucket refused — our bucket hash is Spark's, not
-Iceberg's murmur3); a partition-EVOLVED file set (mixed spec ids)
-must be compacted to one spec first. Column bounds are exported for
-int/long/float/double/string/timestamp columns using Iceberg's
+Scope (documented, not hidden): ``history=False`` ships the CURRENT
+snapshot as one append snapshot; ``history=True`` ships the full
+main-ancestry chain with strictly-increasing sequence numbers and
+EXISTING/ADDED entry statuses. Partition specs export with TYPED
+values (identity / year / month / day / hour / truncate / bucket —
+bucket since round 13, when the internal transform became Iceberg's
+murmur3, ``bucketing.py``; LEGACY Spark-hash bucket tables are
+refused). A partition-EVOLVED file set exports Iceberg's native
+multi-spec shape: one manifest per spec, every spec in
+``partition-specs``, and the import path carries the full spec list
+back with per-file spec ids. RENAMED columns cross the boundary via
+``schema.name-mapping.default`` (historical names listed per field;
+equality-delete sidecars written under retired key names are
+rewritten under current names at export). Column bounds are exported
+for int/long/float/double/string/timestamp columns using Iceberg's
 single-value binary serialization, so file skipping works on the
 other side.
 
