@@ -235,6 +235,86 @@ def _long_encoding_col(col: Column, dt: T.DataType) -> Column:
     return F.unix_micros(col)
 
 
+def with_bucket_column(
+    df, out_name: str, src: str, n: int, dt: T.DataType
+):
+    """Write-path ``bucket[N]``: append ``out_name`` to ``df`` holding
+    the Iceberg bucket id of column ``src``.
+
+    For long-encoded types the hash is laid out as a CHAIN OF NAMED
+    PROJECTIONS (each murmur3 stage a temp column referencing the
+    previous one) rather than one nested Column: transform() lambdas —
+    the let-binding trick :func:`bucket_col` needs to keep a single
+    Column's tree linear — are evaluated INTERPRETED, outside
+    whole-stage codegen, measured ~11x slower. Named intermediates are
+    referenced more than once with non-cheap expressions, so
+    CollapseProject keeps them as separate projections and codegen
+    fuses the whole chain into one generated stage with local
+    variables — within ~2x of Spark's native hash(). CollapseProject
+    inlining them back WOULD re-explode the tree exponentially; a
+    plan-size assertion in tests/test_bucketing.py guards that
+    optimizer contract."""
+    if not isinstance(dt, _LONG_ENCODED):
+        return df.withColumn(out_name, _bucket_udf(n, dt)(F.col(src)))
+    p = f"__iwsb_{abs(hash(out_name)) % 10**6}_"
+    u32 = F.lit(_U32)
+
+    def mulu32(d, out, a, b):
+        return d.withColumn(out, (
+            F.col(a).bitwiseAND(F.lit(0xFFFF)) * F.lit(b)
+            + F.shiftleft(
+                (F.shiftright(F.col(a), 16) * F.lit(b)).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
+                16,
+            )
+        ).bitwiseAND(u32))
+
+    def rotl(d, out, x, r):
+        return d.withColumn(
+            out,
+            F.shiftleft(F.col(x), r).bitwiseAND(u32).bitwiseOR(
+                F.shiftright(F.col(x), 32 - r)
+            ),
+        )
+
+    def xshift(d, out, x, r):
+        return d.withColumn(
+            out, F.col(x).bitwiseXOR(F.shiftright(F.col(x), r))
+        )
+
+    h, vl = p + "h", p + "vl"
+    d = df.withColumn(vl, _long_encoding_col(F.col(src), dt))
+    d = d.withColumn(p + "k1", F.col(vl).bitwiseAND(u32))
+    d = d.withColumn(p + "k2", F.shiftright(F.col(vl), 32).bitwiseAND(u32))
+    d = d.withColumn(h, F.lit(0).cast("long"))
+    for k in (p + "k1", p + "k2"):
+        d = mulu32(d, k + "a", k, _C1)
+        d = rotl(d, k + "b", k + "a", 15)
+        d = mulu32(d, k + "c", k + "b", _C2)
+        d = d.withColumn(h, F.col(h).bitwiseXOR(F.col(k + "c")))
+        d = rotl(d, h, h, 13)
+        d = mulu32(d, p + "h5", h, 5)
+        d = d.withColumn(
+            h, (F.col(p + "h5") + F.lit(0xE6546B64)).bitwiseAND(u32)
+        )
+    d = d.withColumn(h, F.col(h).bitwiseXOR(F.lit(8)))
+    d = xshift(d, h, h, 16)
+    d = mulu32(d, h, h, 0x85EBCA6B)
+    d = xshift(d, h, h, 13)
+    d = mulu32(d, h, h, 0xC2B2AE35)
+    d = xshift(d, h, h, 16)
+    d = d.withColumn(
+        out_name,
+        F.when(F.col(src).isNull(), F.lit(None).cast("int")).otherwise(
+            F.pmod(
+                F.col(h).bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)
+            ).cast("int")
+        ),
+    )
+    return d.drop(*[c for c in d.columns if c.startswith(p)])
+
+
 def bucket_col(col: Column, n: int, dt: T.DataType) -> Column:
     """Write-path ``bucket[N]`` column for source type ``dt`` —
     spec-identical to :func:`bucket_value` on every row (tested on the

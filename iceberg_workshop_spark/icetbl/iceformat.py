@@ -1308,30 +1308,22 @@ def validate_file_schemas(
         )
 
 
-def _open_projected(
-    spark: SparkSession, doc: dict, paths: list[str],
-    meta_cols: bool = False,
-) -> DataFrame:
-    """Open data files PROJECTED to the table's current schema,
-    resolving renamed physical columns per file — by stamped field-id
-    when present, else through ``schema.name-mapping.default``.
+def _projection_groups(
+    spark: SparkSession, doc: dict, paths: list[str]
+) -> list[tuple[list[str], dict[str, str] | None]]:
+    """Plan the per-file column resolution for a set of data files:
+    returns ``[(paths, rename-map-or-None)]`` where ``None`` means the
+    identity fast path (read with the declared schema directly).
 
     Fast path (the overwhelmingly common case — no renames): a sampled
-    footer probe shows identity resolution everywhere → ONE multi-path
-    scan with the declared schema (per-file name resolution in the
-    parquet reader: missing → typed null, extra → ignored). Slow path
-    (a probe hit a rename): full footer sweep, files grouped by their
-    projection map, one scan per group aliased back to current names —
-    a handful of groups (one per rename era), not one scan per file."""
-    from pyspark.sql import functions as F
-
+    footer probe shows identity resolution everywhere → ONE group, no
+    per-file aliasing. Slow path (a probe hit a rename): full footer
+    sweep, files grouped by their projection map — a handful of groups
+    (one per rename era), not one per file. ONE probe serves a whole
+    read; _read_with_deletes combines these groups with its
+    sequence-number groups instead of re-probing per sequence."""
     fields = _current_schema(doc)
-    declared = _declared_spark_schema(doc)
     mapping = _name_mapping(doc)
-    meta_exprs = [
-        _canon_path_col(F.col("_metadata.file_path")).alias("__path"),
-        F.col("_metadata.row_index").alias("__pos"),
-    ] if meta_cols else []
     probe = _scan_footers(spark, paths, sample=16)
     if all(
         all(p == c for p, c in _resolve_footer(
@@ -1339,33 +1331,75 @@ def _open_projected(
         ).items())
         for path, names, ids in probe
     ):
-        df = spark.read.schema(declared).parquet(*paths)
-        return df.select("*", *meta_exprs) if meta_cols else df
+        return [(list(paths), None)]
     infos = _scan_footers(spark, paths, sample=None)
     groups: dict[tuple, list[str]] = {}
     for path, names, ids in infos:
         ren = _resolve_footer(path, names, ids, fields, mapping)
-        groups.setdefault(tuple(sorted(ren.items())), []).append(path)
-    type_by_name = {f.name: f.dataType for f in declared.fields}
-    out = None
-    for ren_items, gpaths in sorted(groups.items()):
-        ren = dict(ren_items)
-        phys_schema = T.StructType([
-            T.StructField(phys, type_by_name[cur], True)
-            for phys, cur in ren.items()
-        ])
-        cur_to_phys = {c: p for p, c in ren.items()}
-        part = spark.read.schema(phys_schema).parquet(*gpaths).select(
-            *[
-                (
-                    F.col(cur_to_phys[f.name]).alias(f.name)
-                    if f.name in cur_to_phys
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                )
-                for f in declared.fields
-            ],
-            *meta_exprs,
+        renamed = {p: c for p, c in ren.items() if p != c}
+        key = tuple(sorted(ren.items())) if renamed else ("__identity__",)
+        groups.setdefault(key, []).append(path)
+    out: list[tuple[list[str], dict[str, str] | None]] = []
+    # key shapes are heterogeneous (identity marker vs rename pairs) —
+    # sort by repr for a deterministic group order
+    for key, gpaths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        out.append(
+            (gpaths, None if key == ("__identity__",) else dict(key))
         )
+    return out
+
+
+def _read_group(
+    spark: SparkSession,
+    doc: dict,
+    paths: list[str],
+    ren: dict[str, str] | None,
+    meta_cols: bool = False,
+) -> DataFrame:
+    """One projection group's scan, aliased back to the declared
+    schema (identity groups read with the declared schema directly —
+    per-file name resolution in the parquet reader: missing → typed
+    null, extra → ignored)."""
+    from pyspark.sql import functions as F
+
+    declared = _declared_spark_schema(doc)
+    meta_exprs = [
+        _canon_path_col(F.col("_metadata.file_path")).alias("__path"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ] if meta_cols else []
+    if ren is None:
+        df = spark.read.schema(declared).parquet(*paths)
+        return df.select("*", *meta_exprs) if meta_cols else df
+    type_by_name = {f.name: f.dataType for f in declared.fields}
+    phys_schema = T.StructType([
+        T.StructField(phys, type_by_name[cur], True)
+        for phys, cur in ren.items()
+    ])
+    cur_to_phys = {c: p for p, c in ren.items()}
+    return spark.read.schema(phys_schema).parquet(*paths).select(
+        *[
+            (
+                F.col(cur_to_phys[f.name]).alias(f.name)
+                if f.name in cur_to_phys
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in declared.fields
+        ],
+        *meta_exprs,
+    )
+
+
+def _open_projected(
+    spark: SparkSession, doc: dict, paths: list[str],
+    meta_cols: bool = False,
+) -> DataFrame:
+    """Open data files PROJECTED to the table's current schema,
+    resolving renamed physical columns per file — by stamped field-id
+    when present, else through ``schema.name-mapping.default``. See
+    ``_projection_groups`` for the probe/sweep strategy."""
+    out = None
+    for gpaths, ren in _projection_groups(spark, doc, paths):
+        part = _read_group(spark, doc, gpaths, ren, meta_cols)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -1481,21 +1515,26 @@ def _read_with_deletes(
     name_by_id = {f["id"]: f["name"] for f in fields}
     type_by_name = {f["name"]: f["type"] for f in fields}
     need_pos = bool(pos_dels)
-    # group data files by resolved sequence number so each row carries
-    # its file's data seq (the delete-sequence comparand); within a
-    # group the scan is one mapping-aware multi-path read projected to
-    # the declared schema (schema-evolved files resolve by name or
-    # name-mapping, adds → typed null)
-    by_seq: dict[int, list[dict]] = {}
-    for f in files:
-        by_seq.setdefault(int(f.get("_seq", 0)), []).append(f)
+    # group data files by (resolved sequence number, projection group)
+    # so each row carries its file's data seq (the delete-sequence
+    # comparand) and renamed eras read through their own aliasing. ONE
+    # footer probe plans the projection for ALL files — not one probe
+    # per sequence group, which at thousands of MoR commits would be
+    # O(commits) driver-side footer reads per read.
+    seq_of = {
+        _strip_scheme(f["file_path"]): int(f.get("_seq", 0)) for f in files
+    }
+    proj_groups = _projection_groups(spark, doc, list(seq_of))
     data = None
-    for seq, fs in sorted(by_seq.items()):
-        part = _open_projected(
-            spark, doc, [_strip_scheme(f["file_path"]) for f in fs],
-            meta_cols=need_pos,
-        ).withColumn("__seq", F.lit(seq))
-        data = part if data is None else data.unionByName(part)
+    for gpaths, ren in proj_groups:
+        by_seq: dict[int, list[str]] = {}
+        for p in gpaths:
+            by_seq.setdefault(seq_of[p], []).append(p)
+        for seq, ps in sorted(by_seq.items()):
+            part = _read_group(
+                spark, doc, ps, ren, meta_cols=need_pos
+            ).withColumn("__seq", F.lit(seq))
+            data = part if data is None else data.unionByName(part)
     if pos_dels:
         # ONE scan for every position-delete file; the spec fixes the
         # two columns (2147483546 file_path string, 2147483545 pos

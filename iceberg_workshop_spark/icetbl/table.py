@@ -479,7 +479,30 @@ class IceTable:
             out = out.repartitionByRange(parts, *ocols).sortWithinPartitions(*ocols)
         for field in spec:
             pcol = f"__p_{field['name']}"
-            out = out.withColumn(pcol, self._transform_expr(field))
+            t = field["transform"]
+            if (
+                t.startswith("bucket[")
+                and self._bucket_hash_flavor() == "iceberg-murmur3"
+            ):
+                # murmur3 bucket goes through the df-level named-chain
+                # form (bucketing.with_bucket_column): whole-stage
+                # codegen fuses the staged arithmetic, ~11x faster
+                # than the single-Column let-binding the generic
+                # transform path would produce
+                from iceberg_workshop_spark.icetbl.bucketing import (
+                    with_bucket_column,
+                )
+                from pyspark.sql.types import StructType
+
+                dt = {
+                    f.name: f.dataType
+                    for f in StructType.fromDDL(self.meta.schema_ddl).fields
+                }[field["source"]]
+                out = with_bucket_column(
+                    out, pcol, field["source"], int(t[7:-1]), dt
+                )
+            else:
+                out = out.withColumn(pcol, self._transform_expr(field))
             part_cols.append(pcol)
         # Iceberg write.distribution-mode=hash: cluster rows by their
         # partition tuple before the partitioned write, so each hidden

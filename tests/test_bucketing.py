@@ -163,3 +163,33 @@ def test_expression_tree_stays_small(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 200_000
     assert df.first()["b"] == bucket_value(0, 8)
+
+
+def test_with_bucket_column_matches_twin_and_stays_codegen(spark):
+    """The df-level named-chain form (the write path) computes the
+    same bucket as the driver twin AND stays inside whole-stage
+    codegen — the let-binding Column form is interpreted and measured
+    ~11x slower, so the write path must never silently fall back to
+    it. Also guards the CollapseProject contract: if the optimizer
+    ever inlined the named stages back, the plan would explode
+    exponentially before this test could even print it."""
+    from iceberg_workshop_spark.icetbl.bucketing import with_bucket_column
+
+    values = [34, 0, -1, None, 2**62, -(2**62)] + [
+        random.Random(29).randint(-2**63, 2**63 - 1) for _ in range(30)
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    out = with_bucket_column(df, "b", "v", 8, T.LongType())
+    assert out.columns == ["v", "b"]  # temp stages dropped
+    for r in out.collect():
+        assert r["b"] == bucket_value(r["v"], 8), r["v"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # "*(1) Project" = the projection chain fused into whole-stage
+    # codegen stage 1 (the star is Spark's codegen marker)
+    assert "*(1) Project" in plan
+    assert len(plan) < 200_000
+    # string fallback: Arrow UDF path, same values as the twin
+    df2 = spark.createDataFrame([("iceberg",), (None,)], "v string")
+    out2 = with_bucket_column(df2, "b", "v", 8, T.StringType())
+    got = {r["v"]: r["b"] for r in out2.collect()}
+    assert got == {"iceberg": bucket_value("iceberg", 8), None: None}
