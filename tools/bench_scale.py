@@ -48,6 +48,10 @@ HEAVY = [
     # surprises hide — each builds its tables at the target SF
     "q_sql_airlines_migration_script", "q_sql_hive_partitioning_script",
     "q_sql_iceberg_partitioning_script", "q_sql_partition_evolution_script",
+    # round-13 byte-format round trips: write the whole orders table
+    # bucketed/evolved, export metadata, reopen + adopt — the write
+    # dominates, so data-linear scaling is the claim to check
+    "q_iceberg_export_bucket", "q_iceberg_export_evolved",
     "q_sql_transform_ctas_script", "q_sql_expire_stmt",
     "q_sql_call_maintenance_stmt", "q_sql_insert_overwrite_stmt",
     "q_sql_cdc_wap", "q_sql_materialized_view",
