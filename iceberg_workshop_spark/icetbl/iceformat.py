@@ -1624,6 +1624,27 @@ def _bound_value(ice_type: Any, raw: bytes) -> Any:
     return None
 
 
+def _decode_bounds(df_entry: dict, by_id: dict[int, Any]) -> dict:
+    """A manifest entry's single-value binary bounds → icetbl's
+    ``{col: [min, max]}`` shape (importable types only)."""
+    out: dict[str, list] = {}
+    lowers = {
+        kv["key"]: kv["value"]
+        for kv in (df_entry.get("lower_bounds") or [])
+    }
+    uppers = {
+        kv["key"]: kv["value"]
+        for kv in (df_entry.get("upper_bounds") or [])
+    }
+    for fid, f in by_id.items():
+        if fid in lowers and fid in uppers:
+            lo = _bound_value(f["type"], lowers[fid])
+            hi = _bound_value(f["type"], uppers[fid])
+            if lo is not None and hi is not None:
+                out[f["name"]] = [lo, hi]
+    return out
+
+
 def _import_one_spec(
     doc: dict, fields: list[dict]
 ) -> tuple[list[dict], Any] | None:
@@ -1796,22 +1817,7 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
         tbl._retry_commit(_install_specs)
 
     def bounds_of(df_entry: dict) -> dict:
-        out: dict[str, list] = {}
-        lowers = {
-            kv["key"]: kv["value"]
-            for kv in (df_entry.get("lower_bounds") or [])
-        }
-        uppers = {
-            kv["key"]: kv["value"]
-            for kv in (df_entry.get("upper_bounds") or [])
-        }
-        for fid, f in by_id.items():
-            if fid in lowers and fid in uppers:
-                lo = _bound_value(f["type"], lowers[fid])
-                hi = _bound_value(f["type"], uppers[fid])
-                if lo is not None and hi is not None:
-                    out[f["name"]] = [lo, hi]
-        return out
+        return _decode_bounds(df_entry, by_id)
 
     def _adopt_entry(f: dict) -> dict:
         spec_idx, part = decode_partition(f)
@@ -1939,3 +1945,131 @@ def _translate_delete_files(
                 f"unsupported delete-file content id {d.get('content')}"
             )
     return out
+
+
+# -------------------------------------------------------- foreign scan
+
+
+def scan_iceberg(
+    spark: SparkSession,
+    location: str,
+    preds: list | None = None,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Predicate-PRUNED scan of a REAL Iceberg table WITHOUT adopting
+    it — the planner-side half of the interop story: partition-tuple
+    pruning (per spec, partition evolution included), column-bounds
+    file skipping from the manifests' single-value binary bounds, and
+    murmur3 bucket pruning for equality predicates, all decided from
+    METADATA alone; then one mapping-aware read of the kept files with
+    the predicate re-applied row-level. MoR delete files apply against
+    the KEPT subset only, so pruning still pays on deleted tables.
+
+    Returns ``(DataFrame, report)`` with the same files/bytes report
+    shape as the managed dialect's ``IceTable.scan`` — a foreign
+    engine's file-skipping numbers, reproducible from bytes alone.
+
+    Specs whose transform this reader cannot decode degrade to
+    no-partition-pruning for that era's files (sound: every file
+    survives); bounds pruning still applies to them."""
+    from iceberg_workshop_spark.icetbl.bucketing import bucket_value
+    from iceberg_workshop_spark.icetbl.pruning import (
+        normalize_dnf,
+        prune_files,
+    )
+    from iceberg_workshop_spark.icetbl.table import _dnf_to_column
+
+    doc = resolve_iceberg_metadata(location)
+    if snapshot_id is None and as_of_ms is not None:
+        snapshot_id = resolve_snapshot_at(doc, as_of_ms)
+    files, dels = iceberg_manifest_entries(doc, snapshot_id)
+    fields = _current_schema(doc)
+    by_id = {f["id"]: f for f in fields}
+    if not files:
+        return (
+            spark.createDataFrame([], schema=_ddl_of(doc)),
+            {"files_total": 0, "files_scanned": 0,
+             "bytes_total": 0, "bytes_scanned": 0,
+             "delete_files_read": len(dels)},
+        )
+
+    # per-spec icetbl translation; an undecodable spec degrades to []
+    spec_ids_json = {
+        int(s.get("spec-id", 0)): s.get("fields", [])
+        for s in doc.get("partition-specs", [])
+    }
+    spec_by_id: dict[int, list[dict]] = {}
+    decoder_by_id: dict[int, Any] = {}
+    for sid in {int(f.get("_spec_id", 0)) for f in files}:
+        carried = _import_one_spec(doc, spec_ids_json.get(sid, []))
+        if carried is None:
+            spec_by_id[sid] = []
+            decoder_by_id[sid] = lambda e: {}
+        else:
+            spec_by_id[sid], decoder_by_id[sid] = carried
+
+    entries = [
+        {
+            "path": _strip_scheme(f["file_path"]),
+            "spec_id": int(f.get("_spec_id", 0)),
+            "partition": decoder_by_id[int(f.get("_spec_id", 0))](f),
+            "bounds": _decode_bounds(f, by_id),
+            "file_size": int(f.get("file_size_in_bytes") or 0),
+            "_foreign": f,
+        }
+        for f in files
+    ]
+
+    def _prune_bucket_foreign(es: list[dict], d: list) -> list[dict]:
+        # equality literal → murmur3 bucket id (foreign writers are
+        # real Iceberg engines — murmur3 by the spec's definition)
+        eq = {p.col: p.value for p in d if getattr(p, "op", None) == "="}
+        if not eq:
+            return es
+        out = []
+        for e in es:
+            keep = True
+            for field in spec_by_id.get(e["spec_id"], []):
+                t = field["transform"]
+                if (
+                    t.startswith("bucket[")
+                    and field["source"] in eq
+                    and field["name"] in e.get("partition", {})
+                ):
+                    b = bucket_value(eq[field["source"]], int(t[7:-1]))
+                    if e["partition"][field["name"]] != str(b):
+                        keep = False
+                        break
+            if keep:
+                out.append(e)
+        return out
+
+    dnf = normalize_dnf(preds or [])
+    if not dnf:
+        kept = entries
+    else:
+        kept_paths: set[str] = set()
+        for d in dnf:
+            k, _ = prune_files(entries, spec_by_id, d)
+            k = _prune_bucket_foreign(k, d)
+            kept_paths.update(e["path"] for e in k)
+        kept = [e for e in entries if e["path"] in kept_paths]
+    report = {
+        "files_total": len(entries),
+        "files_scanned": len(kept),
+        "bytes_total": sum(e["file_size"] for e in entries),
+        "bytes_scanned": sum(e["file_size"] for e in kept),
+        "delete_files_read": len(dels),
+    }
+    if not kept:
+        return spark.createDataFrame([], schema=_ddl_of(doc)), report
+    if dels:
+        df = _read_with_deletes(
+            spark, doc, [e["_foreign"] for e in kept], dels
+        )
+    else:
+        df = _open_projected(spark, doc, [e["path"] for e in kept])
+    if dnf:
+        df = df.filter(_dnf_to_column(dnf))
+    return df, report

@@ -747,3 +747,78 @@ def q_iceberg_export_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("mon")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = 77 AND o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders WHERE o_custkey = 77
+        ORDER BY o_orderkey LIMIT 1
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def q_iceberg_foreign_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pruned FOREIGN scan (round 13): ``scan_iceberg`` plans
+    a real Iceberg table's scan from its exported bytes alone — bucket
+    pruning via the murmur3 literal, manifest-bounds file skipping,
+    MoR deletes applied to the kept subset, predicate re-applied
+    row-level — WITHOUT adopting the table first. The equality
+    predicate must prune the bucket[8] layout to ~1/8 of files
+    (require()-asserted) and the lowest matching order, deleted
+    merge-on-read BEFORE export, must stay deleted through the pruned
+    foreign path; the oracle replays both effects relationally."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        scan_iceberg,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icefscan_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders,
+            partition_spec=[
+                spec_field("o_custkey", "bucket[8]", "ck_bucket")
+            ],
+        )
+        first = (
+            orders.filter(F.col("o_custkey") == 77)
+            .orderBy("o_orderkey")
+            .limit(1)
+            .select("o_orderkey")
+        )
+        t.delete_keys_mor(first, ["o_orderkey"])
+        export_iceberg(t, f"{root}/ice")
+        df, rep = scan_iceberg(
+            spark, f"{root}/ice", [Pred("o_custkey", "=", 77)]
+        )
+        require(
+            rep["files_scanned"] * 4 <= rep["files_total"],
+            f"foreign bucket scan must prune to <= 1/4 of files: {rep}",
+        )
+        require(
+            rep["delete_files_read"] == 1,
+            f"the MoR sidecar must be read: {rep}",
+        )
+        rows = (
+            df.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        ).orderBy("o_orderkey")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1085,3 +1085,46 @@ def test_export_declared_sort_order(spark, tmp_path):
     doc2 = resolve_iceberg_metadata(str(tmp_path / "ice2"))
     assert doc2["default-sort-order-id"] == 0
     assert doc2["sort-orders"] == [{"order-id": 0, "fields": []}]
+
+
+def test_scan_iceberg_foreign_pruned(spark, tmp_path):
+    """scan_iceberg: predicate-pruned FOREIGN scan, no adoption —
+    bucket pruning (murmur3 literal), bounds skipping, row filter and
+    MoR deletes applied to the kept subset, all from exported bytes."""
+    import datetime as dt
+
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import scan_iceberg
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(200)], "id bigint, name string"
+    ).coalesce(1)
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df,
+        partition_spec=[spec_field("id", "bucket[8]", "idb")],
+    )
+    t.delete_keys_mor(
+        spark.createDataFrame([(7,)], "id bigint"), ["id"]
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    # bucket-pruned point lookup on a non-deleted key
+    got, rep = scan_iceberg(spark, dest, [Pred("id", "=", 11)])
+    assert {(r.id, r.name) for r in got.collect()} == {(11, "n11")}
+    assert rep["files_total"] == 8 and rep["files_scanned"] == 1
+    # the MoR-deleted key stays deleted through the pruned path
+    got2, rep2 = scan_iceberg(spark, dest, [Pred("id", "=", 7)])
+    assert got2.count() == 0
+    assert rep2["files_scanned"] == 1 and rep2["delete_files_read"] == 1
+    # bounds skipping on an unpartitioned export (multi-file)
+    df2 = spark.createDataFrame(
+        [(i,) for i in range(1000)], "id bigint"
+    ).repartitionByRange(10, "id")
+    t2 = IceTable.create_as(spark, str(tmp_path / "src2"), df2)
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg(t2, dest2)
+    got3, rep3 = scan_iceberg(
+        spark, dest2, [Pred("id", "between", (100, 150))]
+    )
+    assert got3.count() == 51
+    assert rep3["files_scanned"] < rep3["files_total"]
