@@ -1128,3 +1128,70 @@ def test_scan_iceberg_foreign_pruned(spark, tmp_path):
     )
     assert got3.count() == 51
     assert rep3["files_scanned"] < rep3["files_total"]
+
+
+def test_sparkavro_independent_manifest_walk(spark, tmp_path):
+    """Round 13: cross-validate the manifest chain with a THIRD Avro
+    implementation. The bytes are written by the canonical Avro Java
+    library and routinely read back by our pure-Python decoder; here
+    Spark's built-in spark-avro DATA SOURCE (a separate decoder code
+    path, reachable by its qualified class name even though the
+    'avro' alias is not registered) walks manifest-list → manifest and
+    must reconstruct the same entries — three implementations agreeing
+    on every byte is the strongest foreign-engine evidence available
+    in this sandbox."""
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+    )
+
+    FMT = "org.apache.spark.sql.avro.AvroFileFormat"
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(40)], "id bigint, name string"
+    ).coalesce(1)
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df,
+        partition_spec=[spec_field("id", "bucket[4]", "idb")],
+    )
+    t.delete_keys_mor(spark.createDataFrame([(3,)], "id bigint"), ["id"])
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    doc = resolve_iceberg_metadata(dest)
+
+    for snap in doc["snapshots"]:
+        # manifest list: spark-avro vs pure-Python, field by field
+        ml_sa = {
+            r["manifest_path"]: r.asDict()
+            for r in spark.read.format(FMT).load(snap["manifest-list"]).collect()
+        }
+        _, ml_py, _ = read_avro(snap["manifest-list"])
+        assert set(ml_sa) == {m["manifest_path"] for m in ml_py}
+        for m in ml_py:
+            sa = ml_sa[m["manifest_path"]]
+            for k in (
+                "content", "sequence_number", "added_snapshot_id",
+                "added_files_count", "existing_files_count",
+                "added_rows_count", "partition_spec_id",
+            ):
+                assert sa[k] == m[k], (k, sa[k], m[k])
+            # manifest entries: same three-way agreement
+            ent_sa = sorted(
+                (
+                    r["data_file"]["file_path"], r["status"],
+                    r["sequence_number"], r["data_file"]["record_count"],
+                )
+                for r in spark.read.format(FMT).load(m["manifest_path"]).collect()
+            )
+            _, ent_py, _ = read_avro(m["manifest_path"])
+            assert ent_sa == sorted(
+                (
+                    e["data_file"]["file_path"], e["status"],
+                    e["sequence_number"], e["data_file"]["record_count"],
+                )
+                for e in ent_py
+            )
+    # and the walked data-file set backs a correct read
+    files, dels = iceberg_manifest_entries(doc)
+    assert len(dels) == 1
+    got = {r.id for r in read_iceberg(spark, dest).collect()}
+    assert got == set(range(40)) - {3}
