@@ -1076,14 +1076,109 @@ def resolve_iceberg_metadata(location: str) -> dict:
         return json.load(fh)
 
 
+_SPARK_AVRO_FMT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def _classify_entry(
+    df: dict, seq, mf_seq: int, spec_id: int,
+    data: list[dict], dels: list[dict],
+) -> None:
+    if df["file_format"].upper() != "PARQUET":
+        raise ValueError(
+            f"unsupported data file format {df['file_format']!r}"
+        )
+    df = dict(df)
+    df["_seq"] = int(seq if seq is not None else mf_seq)
+    df["_spec_id"] = int(spec_id)
+    if df.get("content") in (0, None):
+        df["content"] = 0
+        data.append(df)
+    else:
+        dels.append(df)
+
+
+def _entries_distributed(
+    spark: SparkSession, manifests: list[dict]
+) -> tuple[list[dict], list[dict]]:
+    """Manifest decode on EXECUTORS via Spark's built-in spark-avro
+    data source (reachable by qualified class name): one multi-path
+    read per (content, partition-spec) group — manifests of one group
+    share an Avro schema; mixing specs in one read would mis-infer the
+    partition record. Each entry recovers ITS manifest's inherited
+    sequence number through a path→seq map on ``_metadata.file_path``.
+    Values normalize back to the pure-Python reader's conventions
+    (logical dates → days-from-epoch ints, Arrow bytearrays → bytes)
+    so both walks are interchangeable downstream."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    epoch = _dt.date(1970, 1, 1)
+    by_group: dict[tuple, list[dict]] = {}
+    for mf in manifests:
+        key = (int(mf.get("content", 0)), int(mf.get("partition_spec_id", 0)))
+        by_group.setdefault(key, []).append(mf)
+    info_by_path = {
+        _canon_path(mf["manifest_path"]): (
+            int(mf.get("sequence_number", 0)),
+            int(mf.get("partition_spec_id", 0)),
+        )
+        for mf in manifests
+    }
+
+    def _norm(v):
+        if isinstance(v, (bytearray, memoryview)):
+            return bytes(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return (v - epoch).days
+        if isinstance(v, dict):
+            return {k: _norm(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_norm(x) for x in v]
+        return v
+
+    data: list[dict] = []
+    dels: list[dict] = []
+    for _key, group in sorted(by_group.items()):
+        rows = (
+            spark.read.format(_SPARK_AVRO_FMT)
+            .load([_strip_scheme(m["manifest_path"]) for m in group])
+            .select(
+                "status", "sequence_number", "data_file",
+                _canon_path_col(F.col("_metadata.file_path")).alias("__mf"),
+            )
+            .collect()
+        )
+        for r in rows:
+            if r["status"] == 2:  # DELETED
+                continue
+            mf_seq, spec_id = info_by_path[r["__mf"]]
+            df = _norm(r["data_file"].asDict(recursive=True))
+            _classify_entry(
+                df, r["sequence_number"], mf_seq, spec_id, data, dels
+            )
+    return data, dels
+
+
 def iceberg_manifest_entries(
-    doc: dict, snapshot_id: int | None = None
+    doc: dict,
+    snapshot_id: int | None = None,
+    spark: SparkSession | None = None,
+    distributed_threshold: int = 32,
 ) -> tuple[list[dict], list[dict]]:
     """Walk snapshot → manifest list → manifests of a real Iceberg
     table and return ``(data_files, delete_files)`` — live entries
     only, each dict annotated with its resolved data sequence number
     under ``"_seq"`` (entry value, inheriting the manifest's
-    sequence_number when null — v2 sequence inheritance)."""
+    sequence_number when null — v2 sequence inheritance).
+
+    With a ``spark`` session and ≥ ``distributed_threshold`` manifests
+    the per-manifest Avro decode moves to EXECUTORS (spark-avro; see
+    ``_entries_distributed``) — a foreign table at 100 TB carries
+    hundreds of multi-MB manifests, and a driver-side pure-Python loop
+    over them is exactly the metadata-scale bottleneck Iceberg's
+    manifest design exists to avoid. Falls back to the driver loop if
+    the spark-avro class is unavailable."""
     sid = snapshot_id if snapshot_id is not None else doc.get(
         "current-snapshot-id"
     )
@@ -1092,6 +1187,18 @@ def iceberg_manifest_entries(
         return [], []
     snap = snaps[sid]
     _, manifests, _ = read_avro(_strip_scheme(snap["manifest-list"]))
+    if spark is not None and len(manifests) >= distributed_threshold:
+        try:
+            return _entries_distributed(spark, manifests)
+        except Exception as exc:  # pragma: no cover - env-specific
+            import warnings
+
+            warnings.warn(
+                "distributed manifest decode unavailable "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                "driver-side reader",
+                stacklevel=2,
+            )
     data: list[dict] = []
     dels: list[dict] = []
     for mf in manifests:
@@ -1099,21 +1206,14 @@ def iceberg_manifest_entries(
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
-            df = e["data_file"]
-            if df["file_format"].upper() != "PARQUET":
-                raise ValueError(
-                    f"unsupported data file format {df['file_format']!r}"
-                )
-            seq = e.get("sequence_number")
-            if seq is None:
-                seq = mf.get("sequence_number", 0)
-            df = dict(df)
-            df["_seq"] = int(seq)
-            df["_spec_id"] = int(mf.get("partition_spec_id", 0))
-            if df.get("content", 0) == 0:
-                data.append(df)
-            else:
-                dels.append(df)
+            _classify_entry(
+                e["data_file"],
+                e.get("sequence_number"),
+                int(mf.get("sequence_number", 0)),
+                int(mf.get("partition_spec_id", 0)),
+                data,
+                dels,
+            )
     return data, dels
 
 
@@ -1423,7 +1523,7 @@ def read_iceberg(
     doc = resolve_iceberg_metadata(location)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
-    files, dels = iceberg_manifest_entries(doc, snapshot_id)
+    files, dels = iceberg_manifest_entries(doc, snapshot_id, spark=spark)
     if not files:
         # empty table: the TABLE's schema, not a placeholder — unions
         # and .select() downstream must keep working
@@ -1774,7 +1874,7 @@ def import_iceberg(spark: SparkSession, location: str, dest: str) -> Any:
     from iceberg_workshop_spark.icetbl.table import IceTable
 
     doc = resolve_iceberg_metadata(location)
-    files, dels = iceberg_manifest_entries(doc)
+    files, dels = iceberg_manifest_entries(doc, spark=spark)
     if not files:
         raise ValueError(f"no live data files in Iceberg table {location}")
     fields = _current_schema(doc)
@@ -1983,7 +2083,7 @@ def scan_iceberg(
     doc = resolve_iceberg_metadata(location)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
-    files, dels = iceberg_manifest_entries(doc, snapshot_id)
+    files, dels = iceberg_manifest_entries(doc, snapshot_id, spark=spark)
     fields = _current_schema(doc)
     by_id = {f["id"]: f for f in fields}
     if not files:

@@ -1195,3 +1195,95 @@ def test_sparkavro_independent_manifest_walk(spark, tmp_path):
     assert len(dels) == 1
     got = {r.id for r in read_iceberg(spark, dest).collect()}
     assert got == set(range(40)) - {3}
+
+
+def test_distributed_manifest_walk_matches_driver_walk(spark, tmp_path):
+    """Round 13: past the manifest-count threshold the walk decodes on
+    EXECUTORS via spark-avro (one multi-path read per spec group) —
+    and must return exactly the driver-side pure-Python reader's
+    entries: same files, sequence inheritance, spec ids, partition
+    tuples (logical dates normalized back to ordinal ints) and binary
+    bounds. 40 manifests across two specs + a delete manifest."""
+    import json as _json
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+        manifest_entry_schema,
+    )
+
+    mdir = tmp_path / "metadata"
+    mdir.mkdir()
+    day_fields = [{
+        "name": "d", "type": ["null", {"type": "int", "logicalType": "date"}],
+        "default": None, "field-id": 1000,
+    }]
+    schemas = {0: manifest_entry_schema(None), 1: manifest_entry_schema(day_fields)}
+    manifests = []
+    for i in range(40):
+        spec_id = i % 2
+        content = 1 if i == 39 else 0  # last one is a delete manifest
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": 7,
+                # half the entries inherit the manifest's seq (None)
+                "sequence_number": None if j == 0 else 5,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2 if content == 1 else 0,
+                    "file_path": f"/data/f{i}_{j}.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {"d": 19000 + i} if spec_id == 1 else {},
+                    "record_count": 10 + j,
+                    "file_size_in_bytes": 1000,
+                    "lower_bounds": [{"key": 1, "value": b"\x01\x00\x00\x00\x00\x00\x00\x00"}],
+                    "upper_bounds": None,
+                    "split_offsets": None,
+                    "equality_ids": [1] if content == 1 else None,
+                    "sort_order_id": None,
+                },
+            }
+            for j in range(2)
+        ]
+        path = str(mdir / f"m{i}.avro")
+        write_avro(
+            spark, path, schemas[spec_id] if content == 0 else schemas[0],
+            entries,
+            meta={"format-version": "2"},
+        )
+        manifests.append({
+            "manifest_path": path, "manifest_length": 1,
+            "partition_spec_id": spec_id, "content": content,
+            "sequence_number": 3 + i, "min_sequence_number": 1,
+            "added_snapshot_id": 7, "added_files_count": 2,
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": 21, "existing_rows_count": 0,
+            "deleted_rows_count": 0, "partitions": [],
+        })
+    ml_path = str(mdir / "snap-7.avro")
+    write_avro(spark, ml_path, MANIFEST_LIST_SCHEMA, manifests, meta={})
+    doc = {
+        "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "manifest-list": ml_path}],
+    }
+
+    def key(e):
+        return e["file_path"]
+
+    d_driver, x_driver = iceberg_manifest_entries(doc)
+    d_dist, x_dist = iceberg_manifest_entries(
+        doc, spark=spark, distributed_threshold=1
+    )
+    assert sorted(d_dist, key=key) == sorted(d_driver, key=key)
+    assert sorted(x_dist, key=key) == sorted(x_driver, key=key)
+    assert len(d_driver) == 78 and len(x_driver) == 2
+    # sequence inheritance: j==0 entries carry the manifest seq
+    seqs = {e["file_path"]: e["_seq"] for e in d_dist}
+    assert seqs["/data/f0_0.parquet"] == 3 and seqs["/data/f0_1.parquet"] == 5
+    # spec ids annotated per manifest, partition date decoded to days
+    by_path = {e["file_path"]: e for e in d_dist}
+    assert by_path["/data/f1_0.parquet"]["_spec_id"] == 1
+    assert by_path["/data/f1_0.parquet"]["partition"] == {"d": 19001}
+    assert isinstance(
+        by_path["/data/f0_0.parquet"]["lower_bounds"][0]["value"], bytes
+    )
