@@ -256,7 +256,11 @@ def with_bucket_column(
     optimizer contract."""
     if not isinstance(dt, _LONG_ENCODED):
         return df.withColumn(out_name, _bucket_udf(n, dt)(F.col(src)))
-    p = f"__iwsb_{abs(hash(out_name)) % 10**6}_"
+    # deterministic temp-column prefix (Python's hash() is seeded per
+    # process — plan text should not vary run to run)
+    import zlib
+
+    p = f"__iwsb_{zlib.crc32(out_name.encode()) % 10**6}_"
     u32 = F.lit(_U32)
 
     def mulu32(d, out, a, b):
