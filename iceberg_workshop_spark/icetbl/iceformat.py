@@ -510,6 +510,64 @@ def _historical_names(tbl: Any, current: str) -> list[str]:
     return names
 
 
+def _mapping_histories(
+    tbl: Any,
+    fields: list[dict],
+    live_seqs: set[int],
+) -> dict[str, list[str]]:
+    """Per-field historical-name lists for the exported name-mapping,
+    with AMBIGUOUS names resolved or refused.
+
+    A rename history that REUSES a name (rename a→b, then c→a) puts
+    ``a`` in two fields' histories; the spec requires mapping names
+    unique, and an ID-less pre-rename file whose footer says ``a``
+    would be silently resolved to the CURRENT owner of ``a`` — wrong
+    data, the one failure mode worse than refusing. The internal
+    dialect reads such tables correctly via per-era resolution
+    (file-seq rename log); name-keyed export cannot express it.
+
+    A footer name alone cannot tell the eras apart (old-era ``a`` and
+    current ``a`` look identical), so the check is SEQ-based: a live
+    file of era ``s`` physically carries ``tbl._physical_name(cur, s)``
+    for each field — if any live era's physical name for some field is
+    a clashing name DIFFERENT from its current name, refuse loudly;
+    otherwise (the table was compacted since the reuse) drop the clash
+    names from the histories and export cleanly."""
+    current = {f["name"] for f in fields}
+    hist = {f["name"]: _historical_names(tbl, f["name"]) for f in fields}
+    owner: dict[str, str] = {}
+    clash: set[str] = set()
+    for f in fields:
+        for n in hist[f["name"]]:
+            if n != f["name"] and (
+                n in current or owner.get(n, f["name"]) != f["name"]
+            ):
+                clash.add(n)
+            owner.setdefault(n, f["name"])
+    if not clash:
+        return hist
+    hot = sorted({
+        phys
+        for s in live_seqs
+        for f in fields
+        for phys in [tbl._physical_name(f["name"], int(s))]
+        if phys != f["name"] and phys in clash
+    })
+    if hot:
+        raise ValueError(
+            "rename history reuses column names and live data files "
+            f"still carry the reused names {hot} under their OLD "
+            "meaning — name-keyed parquet resolution cannot "
+            "disambiguate them (field-id stamping would be required); "
+            "compact (rewrite_data_files) so every live file carries "
+            "current names, then export"
+        )
+    return {
+        cur: [n for n in ns if n == cur or n not in clash]
+        for cur, ns in hist.items()
+    }
+
+
 def _rewrite_sidecar_names(
     src: str, old_keys: list[str], cur_keys: list[str], dest: str
 ) -> str:
@@ -923,6 +981,16 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         for s in snapshots_json
     ]
 
+    name_histories = _mapping_histories(
+        tbl,
+        schema["fields"],
+        {
+            int(f.get("seq", 1))
+            for fs in files_by_sid.values()
+            for f in fs
+        },
+    )
+
     doc = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
@@ -959,7 +1027,7 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
                 [
                     {
                         "field-id": f["id"],
-                        "names": _historical_names(tbl, f["name"]),
+                        "names": name_histories[f["name"]],
                     }
                     for f in schema["fields"]
                 ]

@@ -1287,3 +1287,45 @@ def test_distributed_manifest_walk_matches_driver_walk(spark, tmp_path):
     assert isinstance(
         by_path["/data/f0_0.parquet"]["lower_bounds"][0]["value"], bytes
     )
+
+
+def test_name_reuse_export_refused_until_compacted(spark, tmp_path):
+    """Round-13 self-review finding: a rename history that REUSES a
+    name (rename a->b, then c->a) is ambiguous for name-keyed parquet
+    resolution — an old file's physical ``a`` would silently resolve
+    to the CURRENT owner of ``a``. Export refuses while any live file
+    still carries the reused name, and exports cleanly (histories
+    pruned of the clash) once compaction rewrites files under current
+    names."""
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "a bigint, c bigint"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df)
+    t.rename_column("a", "b")
+    t.rename_column("c", "a")
+    # internal reads stay correct through era resolution
+    assert {(r.b, r.a) for r in t.read().collect()} == {
+        (i, i * 10) for i in range(10)
+    }
+    with pytest.raises(ValueError, match="reuses column names"):
+        export_iceberg(t, str(tmp_path / "ice_refused"))
+    # compaction rewrites every live file under current names
+    from iceberg_workshop_spark.icetbl.maintenance import (
+        rewrite_data_files,
+    )
+
+    rewrite_data_files(t)
+    dest = str(tmp_path / "ice_ok")
+    export_iceberg(t, dest)
+    doc = resolve_iceberg_metadata(dest)
+    nm = {
+        e["field-id"]: e["names"]
+        for e in json.loads(
+            doc["properties"]["schema.name-mapping.default"]
+        )
+    }
+    # the reused name appears in exactly ONE entry (its current owner)
+    all_names = [n for names in nm.values() for n in names]
+    assert all_names.count("a") == 1
+    got = {(r.b, r.a) for r in read_iceberg(spark, dest).collect()}
+    assert got == {(i, i * 10) for i in range(10)}
