@@ -2241,3 +2241,82 @@ def scan_iceberg(
     if dnf:
         df = df.filter(_dnf_to_column(dnf))
     return df, report
+
+
+# --------------------------------------------------- incremental read
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    location: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Foreign INCREMENTAL append scan over exported bytes (the
+    snapshot-log dual of time travel, mirroring the managed dialect's
+    ``IceTable.changes``): rows appended strictly AFTER
+    ``from_snapshot_id`` up to ``to_snapshot_id`` (default: current),
+    discovered purely from manifest entry STATUSES and original
+    snapshot ids — the v2 inheritance contract ``export_iceberg``
+    emits (a file re-listed by later snapshots is EXISTING/status 0
+    with its adding snapshot's id, so each row is attributed to
+    exactly one commit). O(delta) metadata work: only the range's
+    manifest lists are walked, never a table diff.
+
+    The range must be append-only (Iceberg's incremental read
+    contract): a snapshot whose summary operation is not ``append``
+    (MoR delete, overwrite, compaction) raises loudly rather than
+    emitting a wrong insert-only delta."""
+    doc = resolve_iceberg_metadata(location)
+    snaps = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+    if from_snapshot_id not in snaps:
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} is not a retained "
+            "snapshot of this table"
+        )
+    to_sid = (
+        int(to_snapshot_id)
+        if to_snapshot_id is not None
+        else int(doc.get("current-snapshot-id"))
+    )
+    path: list[int] = []
+    walk: Any = to_sid
+    while walk is not None and walk != from_snapshot_id:
+        if walk not in snaps:
+            raise ValueError(
+                f"snapshot {walk} on the ancestry path is not retained "
+                "(expired) — the incremental range is broken"
+            )
+        path.append(int(walk))
+        walk = snaps[walk].get("parent-snapshot-id")
+    if walk != from_snapshot_id:
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} is not an ancestor "
+            f"of {to_sid}"
+        )
+    added: list[str] = []
+    for sid in reversed(path):
+        snap = snaps[sid]
+        op = str(snap.get("summary", {}).get("operation", "append"))
+        if op != "append":
+            raise ValueError(
+                f"snapshot {sid} is a {op!r} commit — the range is not "
+                "append-only, so an insert-only delta would be wrong; "
+                "read full snapshots or use a CDC view instead"
+            )
+        _, manifests, _ = read_avro(_strip_scheme(snap["manifest-list"]))
+        for mf in manifests:
+            if int(mf.get("content", 0)) != 0:
+                raise ValueError(
+                    f"snapshot {sid} added delete files — the range is "
+                    "not append-only"
+                )
+            if int(mf.get("added_files_count", 0)) == 0:
+                continue
+            _, entries, _ = read_avro(_strip_scheme(mf["manifest_path"]))
+            for e in entries:
+                if e["status"] == 1 and int(e.get("snapshot_id") or sid) == sid:
+                    added.append(_strip_scheme(e["data_file"]["file_path"]))
+    if not added:
+        return spark.createDataFrame([], schema=_ddl_of(doc))
+    return _open_projected(spark, doc, added)

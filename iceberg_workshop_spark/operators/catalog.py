@@ -822,3 +822,61 @@ def q_iceberg_foreign_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("o_orderkey")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_changes",
+    oracle="""
+    SELECT COUNT(*) AS n_new_rows,
+           COUNT(DISTINCT o_orderkey % 3) AS n_chunks,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 IN (1, 2)
+    """,
+)
+def q_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN incremental append scan (round 13) — q_tt_changes'
+    semantics replayed across the byte-format boundary: three commits
+    land thirds of orders, the table exports with history=True, and
+    ``read_iceberg_changes`` recovers exactly the two later commits'
+    rows from the exported bytes alone — entry STATUSES and original
+    snapshot ids (the v2 inheritance contract the exporter emits,
+    EXISTING files re-listed with their adding snapshot's id) attribute
+    every row to one commit, O(delta) metadata work. The money sum is
+    the oracle's, so a row double-attributed or dropped anywhere in
+    the status plumbing breaks parity."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        read_iceberg_changes,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+    from iceberg_workshop_spark.exprs import money
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icechg_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 3 = 0")
+        )
+        s1 = t.meta.current_snapshot_id
+        t.append(orders.filter("o_orderkey % 3 = 1"))
+        t.append(orders.filter("o_orderkey % 3 = 2"))
+        export_iceberg(t, f"{root}/ice", history=True)
+        delta = read_iceberg_changes(spark, f"{root}/ice", s1)
+        row = delta.agg(
+            F.count(F.lit(1)).alias("n_new_rows"),
+            F.countDistinct(F.col("o_orderkey") % 3).alias("n_chunks"),
+            F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        ).first()
+        return spark.createDataFrame(
+            [tuple(row)],
+            "n_new_rows bigint, n_chunks bigint, sum_price double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

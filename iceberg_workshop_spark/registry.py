@@ -164,7 +164,7 @@ _DRIVER_WINDOW = [
     # byte-format round trip). After this window lands green, the
     # oldest external vintage becomes r6.
     "q_iceberg_export_bucket", "q_iceberg_export_evolved",
-    "q_iceberg_foreign_scan",
+    "q_iceberg_foreign_scan", "q_iceberg_changes",
     # r5-vintage tail (30 names, LEDGER membership order):
     "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
     "q_sql_merge_nmbs_stmt", "q_sql_expire_stmt",
@@ -189,7 +189,7 @@ _DRIVER_WINDOW = [
     "q_llm_dedup_prefix", "q_llm_dedup_incremental", "q_llm_semdedup",
     "q_llm_dedup_lines", "q_llm_simsearch_ivf",
     "q_llm_simsearch_ivf_partitioned", "q_llm_simsearch_sq",
-    "q_llm_simsearch_pq", "q_llm_token_count",
+    "q_llm_simsearch_pq",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

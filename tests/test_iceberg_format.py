@@ -1329,3 +1329,93 @@ def test_name_reuse_export_refused_until_compacted(spark, tmp_path):
     assert all_names.count("a") == 1
     got = {(r.b, r.a) for r in read_iceberg(spark, dest).collect()}
     assert got == {(i, i * 10) for i in range(10)}
+
+
+def test_read_iceberg_changes_incremental(spark, tmp_path):
+    """Foreign incremental append scan: exactly the two later commits'
+    rows from a three-commit history, attributed via entry statuses +
+    original snapshot ids (the inheritance contract export emits);
+    empty delta from the head; per-commit sub-ranges; loud refusal
+    when the range contains a non-append (MoR delete) commit."""
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        read_iceberg_changes,
+    )
+
+    ddl = "id bigint, s string"
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([(1, "a"), (2, "b")], ddl),
+    )
+    s1 = t.meta.current_snapshot_id
+    t.append(spark.createDataFrame([(3, "c")], ddl))
+    s2 = t.meta.current_snapshot_id
+    t.append(spark.createDataFrame([(4, "d"), (5, "e")], ddl))
+    s3 = t.meta.current_snapshot_id
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+
+    got = {r.id for r in read_iceberg_changes(spark, dest, s1).collect()}
+    assert got == {3, 4, 5}
+    got = {r.id for r in read_iceberg_changes(spark, dest, s2).collect()}
+    assert got == {4, 5}
+    # bounded range: (s1, s2]
+    got = {
+        r.id
+        for r in read_iceberg_changes(
+            spark, dest, s1, to_snapshot_id=s2
+        ).collect()
+    }
+    assert got == {3}
+    assert read_iceberg_changes(spark, dest, s3).count() == 0
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_changes(spark, dest, s3, to_snapshot_id=s1)
+
+    # a MoR delete inside the range breaks append-only: loud refusal
+    t.delete_keys_mor(spark.createDataFrame([(1,)], "id bigint"), ["id"])
+    t.append(spark.createDataFrame([(6, "f")], ddl))
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg(t, dest2, history=True)
+    with pytest.raises(ValueError, match="not append-only"):
+        read_iceberg_changes(spark, dest2, s3)
+
+
+def test_reader_honors_tampered_sequence_numbers(spark, tmp_path):
+    """Sensitivity check for the MoR sequence rule: rewriting the
+    exported delete manifest's sequence number BELOW the data files'
+    sequence must resurrect the deleted rows — proving the reader
+    derives deletion from the metadata's sequence numbers, not from
+    anything recomputed, and therefore that the round-trip tests pin
+    real bytes."""
+    ddl = "id bigint, s string"
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([(i, f"r{i}") for i in range(6)], ddl),
+    )
+    t.delete_keys_mor(spark.createDataFrame([(2,)], "id bigint"), ["id"])
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    assert {r.id for r in read_iceberg(spark, dest).collect()} == {
+        0, 1, 3, 4, 5
+    }
+    # tamper: delete entries' sequence numbers -> 0 (below data seq 1)
+    doc = resolve_iceberg_metadata(dest)
+    snap = doc["snapshots"][0]
+    _, manifests, mlmeta = read_avro(snap["manifest-list"])
+    for mf in manifests:
+        if mf["content"] != 1:
+            continue
+        schema, entries, memeta = read_avro(mf["manifest_path"])
+        for e in entries:
+            e["sequence_number"] = 0
+            e["file_sequence_number"] = 0
+        write_avro(
+            spark, mf["manifest_path"], schema, entries,
+            meta={
+                k.decode() if isinstance(k, bytes) else k:
+                v.decode() if isinstance(v, bytes) else v
+                for k, v in memeta.items()
+                if not str(k).startswith("avro.")
+            },
+        )
+    got = {r.id for r in read_iceberg(spark, dest).collect()}
+    assert got == {0, 1, 2, 3, 4, 5}, "tampered seq must disarm the delete"
