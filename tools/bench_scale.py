@@ -52,7 +52,7 @@ HEAVY = [
     # bucketed/evolved, export metadata, reopen + adopt — the write
     # dominates, so data-linear scaling is the claim to check
     "q_iceberg_export_bucket", "q_iceberg_export_evolved",
-    "q_iceberg_foreign_scan",
+    "q_iceberg_foreign_scan", "q_iceberg_changes",
     "q_sql_transform_ctas_script", "q_sql_expire_stmt",
     "q_sql_call_maintenance_stmt", "q_sql_insert_overwrite_stmt",
     "q_sql_cdc_wap", "q_sql_materialized_view",
