@@ -100,7 +100,12 @@ def _decimal_bytes(v: Decimal) -> bytes:
     (the spec's decimal encoding; scale comes from the TYPE, so it is
     not part of the bytes)."""
     unscaled = int(v.scaleb(-v.as_tuple().exponent)) if v.as_tuple().exponent < 0 else int(v)
-    length = max(1, (unscaled.bit_length() + 8) // 8)  # +8 keeps the sign bit
+    # Signed MINIMAL length (Java BigInteger.toByteArray parity): a
+    # negative power-of-two boundary like -128 is 1 byte (b'\x80'), not
+    # 2 (b'\xff\x80') — bit_length() of -2^(8k-1) already counts the
+    # sign bit, so measure (unscaled + 1) for negatives instead.
+    measured = unscaled + 1 if unscaled < 0 else unscaled
+    length = max(1, (measured.bit_length() + 8) // 8)
     return unscaled.to_bytes(length, "big", signed=True)
 
 
@@ -135,6 +140,93 @@ def encode_value(value: Any) -> bytes:
             "deprecates bucketing floating point keys)"
         )
     raise ValueError(f"cannot bucket-encode literal of type {type(value).__name__}")
+
+
+class UncoercibleLiteral(ValueError):
+    """An equality literal that cannot be represented in the bucket
+    source column's type — callers must SKIP bucket pruning for that
+    field (sound: every file survives; the row-level filter still
+    applies)."""
+
+
+def coerce_bucket_literal(value: Any, type_ddl: str) -> Any:
+    """Coerce a predicate literal to the bucket SOURCE column's type
+    before hashing (ADVICE r13): :func:`bucket_value` encodes by the
+    literal's PYTHON type, so an ISO string probed against a
+    date/timestamp column, or an int/float against a decimal column,
+    would hash different bytes than the write path and silently prune
+    the matching files. ``type_ddl`` is the Spark DDL type string
+    (``DataType.simpleString()``). Raises :class:`UncoercibleLiteral`
+    for literals the column type cannot represent exactly."""
+    if value is None:
+        return None
+    t = type_ddl.strip().lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        if isinstance(value, bool):
+            raise UncoercibleLiteral(f"bool literal on {t} column")
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        if isinstance(value, str):
+            try:
+                return int(value)
+            except ValueError:
+                raise UncoercibleLiteral(f"{value!r} on {t} column") from None
+        raise UncoercibleLiteral(f"{type(value).__name__} on {t} column")
+    if t == "date":
+        if isinstance(value, datetime):
+            # a timestamp literal equals a date value only at midnight
+            if (value.hour, value.minute, value.second, value.microsecond) == (0, 0, 0, 0):
+                return value.date()
+            raise UncoercibleLiteral("non-midnight timestamp on date column")
+        if isinstance(value, date):
+            return value
+        if isinstance(value, str):
+            try:
+                return date.fromisoformat(value)
+            except ValueError:
+                raise UncoercibleLiteral(f"{value!r} on date column") from None
+        raise UncoercibleLiteral(f"{type(value).__name__} on date column")
+    if t in ("timestamp", "timestamp_ltz", "timestamp_ntz"):
+        if isinstance(value, datetime):
+            return value
+        if isinstance(value, date):
+            return datetime(value.year, value.month, value.day)
+        if isinstance(value, str):
+            try:
+                return datetime.fromisoformat(value)
+            except ValueError:
+                raise UncoercibleLiteral(f"{value!r} on {t} column") from None
+        raise UncoercibleLiteral(f"{type(value).__name__} on {t} column")
+    if t.startswith("decimal"):
+        import re as _re
+        from decimal import InvalidOperation
+
+        m = _re.match(r"decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", t)
+        scale = int(m.group(1)) if m else 0
+        if isinstance(value, bool) or isinstance(value, (bytes, bytearray)):
+            raise UncoercibleLiteral(f"{type(value).__name__} on {t} column")
+        try:
+            d = value if isinstance(value, Decimal) else Decimal(str(value))
+            q = d.quantize(Decimal(1).scaleb(-scale))
+        except (InvalidOperation, ValueError):
+            raise UncoercibleLiteral(f"{value!r} on {t} column") from None
+        if q != d:
+            # the literal has more precision than the column can hold —
+            # it can never equal a column value, but skipping the prune
+            # (rather than pruning everything) keeps the planner sound
+            raise UncoercibleLiteral(f"{value!r} exceeds scale {scale}")
+        return q
+    if t == "string":
+        if isinstance(value, str):
+            return value
+        raise UncoercibleLiteral(f"{type(value).__name__} on string column")
+    if t == "binary":
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        raise UncoercibleLiteral(f"{type(value).__name__} on binary column")
+    raise UncoercibleLiteral(f"bucket literal coercion on {type_ddl}")
 
 
 def bucket_value(value: Any, n: int) -> int | None:
@@ -261,10 +353,27 @@ def with_bucket_column(
     import zlib
 
     p = f"__iwsb_{zlib.crc32(out_name.encode()) % 10**6}_"
+    # Every temp name this call creates is recorded and ONLY those are
+    # dropped at the end — a pre-existing user column that happens to
+    # share the prefix must survive, and a genuine name collision
+    # (user column == a generated name) is an error, not a clobber.
+    created: list[str] = []
+    existing = set(df.columns)
+
+    def _tmp(name: str) -> str:
+        if name not in created:
+            if name in existing:
+                raise ValueError(
+                    f"bucket temp column name {name!r} collides with an "
+                    "existing column; rename the source column"
+                )
+            created.append(name)
+        return name
+
     u32 = F.lit(_U32)
 
     def mulu32(d, out, a, b):
-        return d.withColumn(out, (
+        return d.withColumn(_tmp(out), (
             F.col(a).bitwiseAND(F.lit(0xFFFF)) * F.lit(b)
             + F.shiftleft(
                 (F.shiftright(F.col(a), 16) * F.lit(b)).bitwiseAND(
@@ -276,7 +385,7 @@ def with_bucket_column(
 
     def rotl(d, out, x, r):
         return d.withColumn(
-            out,
+            _tmp(out),
             F.shiftleft(F.col(x), r).bitwiseAND(u32).bitwiseOR(
                 F.shiftright(F.col(x), 32 - r)
             ),
@@ -284,25 +393,25 @@ def with_bucket_column(
 
     def xshift(d, out, x, r):
         return d.withColumn(
-            out, F.col(x).bitwiseXOR(F.shiftright(F.col(x), r))
+            _tmp(out), F.col(x).bitwiseXOR(F.shiftright(F.col(x), r))
         )
 
     h, vl = p + "h", p + "vl"
-    d = df.withColumn(vl, _long_encoding_col(F.col(src), dt))
-    d = d.withColumn(p + "k1", F.col(vl).bitwiseAND(u32))
-    d = d.withColumn(p + "k2", F.shiftright(F.col(vl), 32).bitwiseAND(u32))
-    d = d.withColumn(h, F.lit(0).cast("long"))
+    d = df.withColumn(_tmp(vl), _long_encoding_col(F.col(src), dt))
+    d = d.withColumn(_tmp(p + "k1"), F.col(vl).bitwiseAND(u32))
+    d = d.withColumn(_tmp(p + "k2"), F.shiftright(F.col(vl), 32).bitwiseAND(u32))
+    d = d.withColumn(_tmp(h), F.lit(0).cast("long"))
     for k in (p + "k1", p + "k2"):
         d = mulu32(d, k + "a", k, _C1)
         d = rotl(d, k + "b", k + "a", 15)
         d = mulu32(d, k + "c", k + "b", _C2)
-        d = d.withColumn(h, F.col(h).bitwiseXOR(F.col(k + "c")))
+        d = d.withColumn(_tmp(h), F.col(h).bitwiseXOR(F.col(k + "c")))
         d = rotl(d, h, h, 13)
-        d = mulu32(d, p + "h5", h, 5)
+        d = mulu32(d, _tmp(p + "h5"), h, 5)
         d = d.withColumn(
-            h, (F.col(p + "h5") + F.lit(0xE6546B64)).bitwiseAND(u32)
+            _tmp(h), (F.col(p + "h5") + F.lit(0xE6546B64)).bitwiseAND(u32)
         )
-    d = d.withColumn(h, F.col(h).bitwiseXOR(F.lit(8)))
+    d = d.withColumn(_tmp(h), F.col(h).bitwiseXOR(F.lit(8)))
     d = xshift(d, h, h, 16)
     d = mulu32(d, h, h, 0x85EBCA6B)
     d = xshift(d, h, h, 13)
@@ -316,7 +425,7 @@ def with_bucket_column(
             ).cast("int")
         ),
     )
-    return d.drop(*[c for c in d.columns if c.startswith(p)])
+    return d.drop(*created)
 
 
 def bucket_col(col: Column, n: int, dt: T.DataType) -> Column:

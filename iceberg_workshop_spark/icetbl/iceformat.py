@@ -1492,14 +1492,34 @@ def _projection_groups(
     sequence-number groups instead of re-probing per sequence."""
     fields = _current_schema(doc)
     mapping = _name_mapping(doc)
-    probe = _scan_footers(spark, paths, sample=16)
-    if all(
-        all(p == c for p, c in _resolve_footer(
-            path, names, ids, fields, mapping
-        ).items())
-        for path, names, ids in probe
-    ):
-        return [(list(paths), None)]
+    # The sample-16 probe is only trustworthy when the table has NO
+    # rename history: if the name-mapping lists any historical name
+    # (a key that differs from its mapped current name), an evenly-
+    # spaced sample can miss every renamed-era ID-less file and the
+    # fast path would read them with the declared schema — the renamed
+    # column silently coming back all-null (ADVICE r13). Known renames
+    # go straight to the full footer sweep.
+    has_renames = any(p != c for p, c in mapping.items())
+    if not has_renames:
+        # second signal, for field-id-stamped foreign tables that carry
+        # no name-mapping: any historical schema naming a current field
+        # id differently is a recorded rename
+        cur_by_id = {int(f["id"]): f["name"] for f in fields}
+        has_renames = any(
+            int(f.get("id", -1)) in cur_by_id
+            and f["name"] != cur_by_id[int(f["id"])]
+            for sch in doc.get("schemas", [])
+            for f in sch.get("fields", [])
+        )
+    if not has_renames:
+        probe = _scan_footers(spark, paths, sample=16)
+        if all(
+            all(p == c for p, c in _resolve_footer(
+                path, names, ids, fields, mapping
+            ).items())
+            for path, names, ids in probe
+        ):
+            return [(list(paths), None)]
     infos = _scan_footers(spark, paths, sample=None)
     groups: dict[tuple, list[str]] = {}
     for path, names, ids in infos:
@@ -2141,7 +2161,11 @@ def scan_iceberg(
     Specs whose transform this reader cannot decode degrade to
     no-partition-pruning for that era's files (sound: every file
     survives); bounds pruning still applies to them."""
-    from iceberg_workshop_spark.icetbl.bucketing import bucket_value
+    from iceberg_workshop_spark.icetbl.bucketing import (
+        UncoercibleLiteral,
+        bucket_value,
+        coerce_bucket_literal,
+    )
     from iceberg_workshop_spark.icetbl.pruning import (
         normalize_dnf,
         prune_files,
@@ -2189,12 +2213,38 @@ def scan_iceberg(
         for f in files
     ]
 
+    # Spark DDL type per source column, for literal coercion before
+    # hashing (ADVICE r13: the same type-mismatch gap as the managed
+    # _prune_bucket — an ISO string probed against a date column would
+    # hash different bytes than the foreign writer and silently prune
+    # matching files). Complex/unmappable types simply don't register.
+    type_by_name: dict[str, str] = {}
+    for f in fields:
+        try:
+            type_by_name[f["name"]] = _spark_type_of(f["type"])
+        except ValueError:
+            pass
+
     def _prune_bucket_foreign(es: list[dict], d: list) -> list[dict]:
         # equality literal → murmur3 bucket id (foreign writers are
         # real Iceberg engines — murmur3 by the spec's definition)
         eq = {p.col: p.value for p in d if getattr(p, "op", None) == "="}
         if not eq:
             return es
+        bcache: dict[tuple[str, int], str | None] = {}
+
+        def _lit_bucket(col: str, n: int) -> str | None:
+            key = (col, n)
+            if key not in bcache:
+                try:
+                    lit = coerce_bucket_literal(
+                        eq[col], type_by_name.get(col, "")
+                    )
+                    bcache[key] = str(bucket_value(lit, n))
+                except UncoercibleLiteral:
+                    bcache[key] = None  # cannot prune: keep every file
+            return bcache[key]
+
         out = []
         for e in es:
             keep = True
@@ -2205,8 +2255,8 @@ def scan_iceberg(
                     and field["source"] in eq
                     and field["name"] in e.get("partition", {})
                 ):
-                    b = bucket_value(eq[field["source"]], int(t[7:-1]))
-                    if e["partition"][field["name"]] != str(b):
+                    b = _lit_bucket(field["source"], int(t[7:-1]))
+                    if b is not None and e["partition"][field["name"]] != b:
                         keep = False
                         break
             if keep:
@@ -2314,8 +2364,17 @@ def read_iceberg_changes(
             if int(mf.get("added_files_count", 0)) == 0:
                 continue
             _, entries, _ = read_avro(_strip_scheme(mf["manifest_path"]))
+            # v2 snapshot-id inheritance: a null entry snapshot_id means
+            # the MANIFEST's added_snapshot_id — NOT the snapshot being
+            # walked. A manifest re-listed by later snapshots in the
+            # range would otherwise re-attribute (and duplicate) its
+            # rows to each later snapshot. `or` would also mishandle an
+            # explicit snapshot_id of 0, so test for None explicitly.
+            inherited = int(mf["added_snapshot_id"])
             for e in entries:
-                if e["status"] == 1 and int(e.get("snapshot_id") or sid) == sid:
+                esid = e.get("snapshot_id")
+                resolved = inherited if esid is None else int(esid)
+                if e["status"] == 1 and resolved == sid:
                     added.append(_strip_scheme(e["data_file"]["file_path"]))
     if not added:
         return spark.createDataFrame([], schema=_ddl_of(doc))

@@ -19,9 +19,21 @@ the same predicate is re-applied as a Spark filter for correctness.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from datetime import date, datetime
 from typing import Any
+
+# Past this many live file entries the per-file survival decision runs
+# DISTRIBUTED (spark.parallelize over the entry list with the same pure
+# functions) instead of as a driver-side CPython loop — the same
+# escalation pattern iceformat._entries_distributed uses for manifest
+# decode. At 100 TB (~10^5-10^6 files x multi-disjunct DNF) the driver
+# loop is minutes of single-core planning per query; the distributed
+# pass is seconds on local[32] and scales with the cluster.
+PRUNE_DISTRIBUTED_THRESHOLD = int(
+    os.environ.get("IWS_PRUNE_DISTRIBUTED_THRESHOLD", "65536")
+)
 
 OPS = {"=", "<", "<=", ">", ">=", "between"}
 

@@ -1631,16 +1631,21 @@ class IceTable:
         if not eq or not files:
             return files
         murmur = self._bucket_hash_flavor() == "iceberg-murmur3"
-        if murmur:
-            from iceberg_workshop_spark.icetbl.bucketing import bucket_value
-        else:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            types = {
-                f.name: f.dataType
-                for f in StructType.fromDDL(self.meta.schema_ddl).fields
-            }
-        cache: dict[tuple[str, int], str] = {}
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(self.meta.schema_ddl).fields
+        }
+        if murmur:
+            from iceberg_workshop_spark.icetbl.bucketing import (
+                UncoercibleLiteral,
+                bucket_value,
+                coerce_bucket_literal,
+            )
+        # cache value None = "cannot prune this field" (uncoercible
+        # literal); the check below keeps every file for that field
+        cache: dict[tuple[str, int], str | None] = {}
         out = []
         for f in files:
             spec = self.meta.specs[f.get("spec_id", 0)]
@@ -1656,9 +1661,19 @@ class IceTable:
                     key = (field["source"], n)
                     if key not in cache:
                         if murmur:
-                            cache[key] = str(
-                                bucket_value(eq[field["source"]], n)
-                            )
+                            # coerce the literal to the SOURCE column's
+                            # type first (ADVICE r13: an ISO string on a
+                            # date column or an int on a decimal column
+                            # hashes different bytes than the write
+                            # path and silently prunes matching files)
+                            try:
+                                lit = coerce_bucket_literal(
+                                    eq[field["source"]],
+                                    types[field["source"]].simpleString(),
+                                )
+                                cache[key] = str(bucket_value(lit, n))
+                            except UncoercibleLiteral:
+                                cache[key] = None
                         else:
                             lit = F.lit(eq[field["source"]]).cast(
                                 types[field["source"]]
@@ -1671,7 +1686,10 @@ class IceTable:
                                 .first()
                             )
                             cache[key] = str(row["b"])
-                    if f["partition"][field["name"]] != cache[key]:
+                    if (
+                        cache[key] is not None
+                        and f["partition"][field["name"]] != cache[key]
+                    ):
                         keep = False
                         break
             if keep:

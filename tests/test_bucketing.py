@@ -82,6 +82,68 @@ def test_decimal_encoding_minimal_twos_complement():
     assert encode_value(Decimal("128")) == b"\x00\x80"
 
 
+def test_decimal_encoding_negative_boundaries():
+    """ADVICE r13: negative power-of-two boundaries must encode at the
+    SIGNED MINIMAL width (Java BigInteger.toByteArray parity): -128 is
+    one byte b'\\x80', not two bytes b'\\xff\\x80' — a 2-byte encoding
+    hashes to a different murmur3 value than every real Iceberg engine,
+    misleading foreign bucket-pruned scans."""
+    assert encode_value(Decimal("-128")) == b"\x80"
+    assert encode_value(Decimal("-1.28")) == b"\x80"  # unscaled -128
+    assert encode_value(Decimal("-32768")) == b"\x80\x00"
+    assert encode_value(Decimal("-129")) == b"\xff\x7f"
+    assert encode_value(Decimal("-127")) == b"\x81"
+    assert encode_value(Decimal("-256")) == b"\xff\x00"
+    # every encoding must round-trip as signed big-endian and be minimal
+    for u in (-128, -129, -127, -32768, -32769, -1, 0, 1, 127, 128, 255,
+              256, -2**63, 2**63 - 1):
+        b = encode_value(Decimal(u))
+        assert int.from_bytes(b, "big", signed=True) == u
+        if len(b) > 1:  # dropping the leading byte must change the value
+            assert int.from_bytes(b[1:], "big", signed=True) != u
+
+
+def test_coerce_bucket_literal():
+    """ADVICE r13: equality literals are coerced to the bucket SOURCE
+    column's type before hashing; uncoercible literals raise so callers
+    skip pruning (sound) instead of hashing the wrong bytes."""
+    from iceberg_workshop_spark.icetbl.bucketing import (
+        UncoercibleLiteral,
+        coerce_bucket_literal,
+    )
+
+    # ISO strings on temporal columns parse (bounds pruning accepts
+    # them via _coerce; bucket pruning must hash the PARSED value)
+    assert coerce_bucket_literal("2017-11-16", "date") == date(2017, 11, 16)
+    assert coerce_bucket_literal(
+        "2017-11-16 22:31:08", "timestamp"
+    ) == datetime(2017, 11, 16, 22, 31, 8)
+    # midnight timestamp ↔ date; ints/floats on decimal quantize
+    assert coerce_bucket_literal(datetime(2017, 11, 16), "date") == date(2017, 11, 16)
+    assert coerce_bucket_literal(14, "decimal(9,2)") == Decimal("14.00")
+    assert coerce_bucket_literal(14.2, "decimal(9,2)") == Decimal("14.20")
+    assert coerce_bucket_literal("14.20", "decimal(9,2)") == Decimal("14.20")
+    # and the coerced value hashes like the write path's encoding
+    assert bucket_value(
+        coerce_bucket_literal(14.2, "decimal(9,2)"), 8
+    ) == bucket_value(Decimal("14.20"), 8)
+    assert coerce_bucket_literal(5.0, "bigint") == 5
+    assert coerce_bucket_literal("5", "int") == 5
+    assert coerce_bucket_literal(None, "date") is None
+    for bad in [
+        ("not-a-date", "date"),
+        (datetime(2017, 11, 16, 1, 0), "date"),  # non-midnight
+        (5.5, "bigint"),
+        (True, "int"),
+        (5, "string"),
+        ("1.005", "decimal(9,2)"),  # exceeds scale: can match no row
+        ("x", "binary"),
+        ("anything", "struct<a:int>"),
+    ]:
+        with pytest.raises(UncoercibleLiteral):
+            coerce_bucket_literal(*bad)
+
+
 @pytest.mark.parametrize(
     "ddl,dt,values",
     [
@@ -193,3 +255,26 @@ def test_with_bucket_column_matches_twin_and_stays_codegen(spark):
     out2 = with_bucket_column(df2, "b", "v", 8, T.StringType())
     got = {r["v"]: r["b"] for r in out2.collect()}
     assert got == {"iceberg": bucket_value("iceberg", 8), None: None}
+
+
+def test_with_bucket_column_temp_cleanup_is_exact(spark):
+    """ADVICE r13 (low): cleanup drops ONLY the temp columns this call
+    created — a pre-existing user column that happens to share the
+    deterministic prefix survives; a user column that collides with a
+    generated name raises instead of being clobbered."""
+    import zlib
+
+    from iceberg_workshop_spark.icetbl.bucketing import with_bucket_column
+
+    p = f"__iwsb_{zlib.crc32(b'b') % 10**6}_"
+    # shares the prefix but is NOT a generated name -> must survive
+    bystander = p + "user_data"
+    df = spark.createDataFrame([(34, "keep")], f"v long, `{bystander}` string")
+    out = with_bucket_column(df, "b", "v", 8, T.LongType())
+    assert bystander in out.columns
+    assert out.select(bystander, "b").first() == ("keep", bucket_value(34, 8))
+    # collides with a generated temp name -> loud error, not a clobber
+    clash = p + "h"
+    df2 = spark.createDataFrame([(34, 1)], f"v long, `{clash}` long")
+    with pytest.raises(ValueError, match="collides"):
+        with_bucket_column(df2, "b", "v", 8, T.LongType())

@@ -887,6 +887,44 @@ def test_foreign_read_refuses_idless_rename_ambiguity(spark, tmp_path):
     )
 
 
+def test_projection_probe_skipped_when_renames_known(spark, tmp_path):
+    """ADVICE r13: the sample-16 identity probe can MISS every
+    renamed-era ID-less file (evenly spaced sampling), silently reading
+    the renamed column as all-null. When the name-mapping records any
+    historical name, the reader must do the full footer sweep. Fixture:
+    32 files where exactly the one renamed file sits at index 1 — an
+    index the even 16-of-32 sample never visits."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_workshop_spark.icetbl.iceformat import _open_projected
+
+    paths = []
+    for i in range(32):
+        p = str(tmp_path / f"f{i:02d}.parquet")
+        col = "a" if i == 1 else "b"  # index 1 dodges the even sample
+        pq.write_table(pa.table({col: pa.array([i], type=pa.int64())}), p)
+        paths.append(p)
+    doc = {
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "b", "type": "long", "required": False},
+        ]}],
+        "properties": {
+            "schema.name-mapping.default": _json.dumps(
+                [{"field-id": 1, "names": ["a", "b"]}]
+            )
+        },
+    }
+    got = _open_projected(spark, doc, paths)
+    vals = sorted(r.b for r in got.collect())
+    # the renamed file's value (1) must come back under the current
+    # name — the old sampled fast path read it as NULL
+    assert vals == list(range(32))
+
+
 def test_position_delete_sequence_rule(spark, tmp_path):
     """ADVICE r12: a position delete applies only to data files with
     data_seq <= delete_seq — a pos-delete older than the data file
@@ -1377,6 +1415,86 @@ def test_read_iceberg_changes_incremental(spark, tmp_path):
     export_iceberg(t, dest2, history=True)
     with pytest.raises(ValueError, match="not append-only"):
         read_iceberg_changes(spark, dest2, s3)
+
+
+def test_read_iceberg_changes_inherited_snapshot_ids(spark, tmp_path):
+    """ADVICE r13: a genuine foreign writer may rely on v2 snapshot-id
+    INHERITANCE — entries carry null snapshot_id and inherit the
+    MANIFEST's added_snapshot_id. Resolving null to the snapshot being
+    WALKED instead re-attributes a re-listed manifest's rows to every
+    later snapshot in the range (duplicated delta rows). Simulate by
+    nulling every entry snapshot_id in the exported bytes; attribution
+    must not change."""
+    import glob as _glob
+
+    from iceberg_workshop_spark.icetbl.avroio import read_avro, write_avro
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        read_iceberg_changes,
+    )
+
+    ddl = "id bigint, s string"
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([(1, "a"), (2, "b")], ddl),
+    )
+    s1 = t.meta.current_snapshot_id
+    t.append(spark.createDataFrame([(3, "c")], ddl))
+    s2 = t.meta.current_snapshot_id
+    t.append(spark.createDataFrame([(4, "d"), (5, "e")], ddl))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+
+    # null out every manifest entry's snapshot_id (inheritance form)
+    for mpath in _glob.glob(str(tmp_path / "ice" / "metadata" / "*.avro")):
+        schema, records, meta = read_avro(mpath)
+        if not records or "data_file" not in records[0]:
+            continue  # manifest list, not a manifest
+        for rec in records:
+            rec["snapshot_id"] = None
+        user_meta = {
+            k: v.decode() if isinstance(v, bytes) else v
+            for k, v in meta.items()
+            if not k.startswith("avro.")  # reserved container keys
+        }
+        write_avro(spark, mpath, schema, records, user_meta)
+
+    got = {r.id for r in read_iceberg_changes(spark, dest, s1).collect()}
+    assert got == {3, 4, 5}
+    # the (s1, s2] sub-range must attribute rows by the manifest's
+    # added_snapshot_id, not double-count re-listed manifests
+    rows = read_iceberg_changes(spark, dest, s1, to_snapshot_id=s2).collect()
+    assert {r.id for r in rows} == {3} and len(rows) == 1
+    assert read_iceberg_changes(spark, dest, s2).count() == 2
+
+    # The sharp edge: real Iceberg writers RE-LIST an earlier manifest
+    # (status-1 entries, null snapshot_id, inheritance from the list's
+    # added_snapshot_id) in later snapshots' manifest lists. Simulate:
+    # append s2's manifest record to the head snapshot's manifest list;
+    # resolution via the walked snapshot would now duplicate row id=3.
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        resolve_iceberg_metadata,
+    )
+
+    doc = resolve_iceberg_metadata(dest)
+    lists_by_sid = {
+        int(s["snapshot-id"]): s["manifest-list"].replace("file:", "")
+        for s in doc["snapshots"]
+    }
+    head_sid = int(doc["current-snapshot-id"])
+    schema_l, recs_s2, meta_l = read_avro(lists_by_sid[s2])
+    schema_h, recs_head, meta_h = read_avro(lists_by_sid[head_sid])
+    m1 = [r for r in recs_s2 if int(r["added_snapshot_id"]) == s2]
+    assert m1, "expected s2's list to carry its own manifest"
+    user_meta_h = {
+        k: v.decode() if isinstance(v, bytes) else v
+        for k, v in meta_h.items()
+        if not k.startswith("avro.")
+    }
+    write_avro(
+        spark, lists_by_sid[head_sid], schema_h, recs_head + m1, user_meta_h
+    )
+    rows = read_iceberg_changes(spark, dest, s1).collect()
+    assert sorted(r.id for r in rows) == [3, 4, 5]  # id=3 exactly once
 
 
 def test_reader_honors_tampered_sequence_numbers(spark, tmp_path):

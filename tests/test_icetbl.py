@@ -278,6 +278,41 @@ def test_bucket_transform_pruning(spark, tmp_table_dir):
     assert sorted(r["k"] for r in out2.collect()) == [10, 11, 12]
 
 
+def test_bucket_pruning_coerces_literal_types(spark, tmp_table_dir):
+    """ADVICE r13: bucket_value hashes by the literal's PYTHON type, so
+    an ISO string probed against a date-bucketed column (accepted by
+    bounds pruning) used to hash the STRING's bytes, prune the wrong
+    files, and silently lose matching rows. The literal must be coerced
+    to the source column's type; uncoercible literals must skip bucket
+    pruning (sound), never mis-prune."""
+    from datetime import date as _date
+
+    df = spark.sql(
+        "SELECT DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d, id AS v "
+        "FROM RANGE(0, 400)"
+    )
+    t = IceTable.create_as(
+        spark, tmp_table_dir, df,
+        partition_spec=[spec_field("d", "bucket[8]", "db")],
+    )
+    # string literal: must return the matching row AND prune
+    out = t.scan([Pred("d", "=", "2024-03-05")])
+    assert [r["v"] for r in out.collect()] == [
+        ( _date(2024, 3, 5) - _date(2024, 1, 1) ).days
+    ]
+    rep = t.last_scan_report
+    assert rep["files_scanned"] * 4 <= rep["files_total"], rep
+    # date literal agrees with the string literal's pruning
+    out2 = t.scan([Pred("d", "=", _date(2024, 3, 5))])
+    assert out.collect() == out2.collect()
+    # uncoercible literal: bucket pruning must SKIP (keep every file),
+    # never hash the wrong bytes and mis-prune (planner-level check —
+    # ANSI mode rejects the row filter itself for an invalid date cast)
+    files = t.meta.current_files()
+    kept = t._prune_bucket(files, [Pred("d", "=", "not-a-date")])
+    assert len(kept) == len(files)
+
+
 def test_rename_interops_with_mor_delete_and_merge(spark, tmp_table_dir):
     """Schema evolution × MoR × CoW interplay: rename a column, then
     MoR-delete by the RENAMED key and MERGE through it — every path
