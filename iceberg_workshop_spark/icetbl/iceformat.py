@@ -2167,8 +2167,11 @@ def scan_iceberg(
         coerce_bucket_literal,
     )
     from iceberg_workshop_spark.icetbl.pruning import (
+        PRUNE_DISTRIBUTED_THRESHOLD,
+        bucket_survives,
         normalize_dnf,
         prune_files,
+        prune_files_distributed,
     )
     from iceberg_workshop_spark.icetbl.table import _dnf_to_column
 
@@ -2225,52 +2228,59 @@ def scan_iceberg(
         except ValueError:
             pass
 
-    def _prune_bucket_foreign(es: list[dict], d: list) -> list[dict]:
+    def _bucket_expectations_foreign(
+        d: list,
+    ) -> dict[tuple[int, str], str | None]:
         # equality literal → murmur3 bucket id (foreign writers are
-        # real Iceberg engines — murmur3 by the spec's definition)
+        # real Iceberg engines — murmur3 by the spec's definition),
+        # coerced to the source column's type first; None = cannot
+        # prune (uncoercible literal)
         eq = {p.col: p.value for p in d if getattr(p, "op", None) == "="}
+        out: dict[tuple[int, str], str | None] = {}
         if not eq:
-            return es
+            return out
         bcache: dict[tuple[str, int], str | None] = {}
-
-        def _lit_bucket(col: str, n: int) -> str | None:
-            key = (col, n)
-            if key not in bcache:
-                try:
-                    lit = coerce_bucket_literal(
-                        eq[col], type_by_name.get(col, "")
-                    )
-                    bcache[key] = str(bucket_value(lit, n))
-                except UncoercibleLiteral:
-                    bcache[key] = None  # cannot prune: keep every file
-            return bcache[key]
-
-        out = []
-        for e in es:
-            keep = True
-            for field in spec_by_id.get(e["spec_id"], []):
+        for sid, spec in spec_by_id.items():
+            for field in spec:
                 t = field["transform"]
-                if (
-                    t.startswith("bucket[")
-                    and field["source"] in eq
-                    and field["name"] in e.get("partition", {})
-                ):
-                    b = _lit_bucket(field["source"], int(t[7:-1]))
-                    if b is not None and e["partition"][field["name"]] != b:
-                        keep = False
-                        break
-            if keep:
-                out.append(e)
+                if not (t.startswith("bucket[") and field["source"] in eq):
+                    continue
+                n = int(t[7:-1])
+                key = (field["source"], n)
+                if key not in bcache:
+                    try:
+                        lit = coerce_bucket_literal(
+                            eq[field["source"]],
+                            type_by_name.get(field["source"], ""),
+                        )
+                        bcache[key] = str(bucket_value(lit, n))
+                    except UncoercibleLiteral:
+                        bcache[key] = None
+                out[(sid, field["name"])] = bcache[key]
         return out
 
     dnf = normalize_dnf(preds or [])
     if not dnf:
         kept = entries
+    elif len(entries) >= PRUNE_DISTRIBUTED_THRESHOLD:
+        # scale path (VERDICT r13): a foreign table at 100 TB carries
+        # 10^5-10^6 live entries — the survival decision runs on
+        # executors via the same pure functions as the driver loop
+        kept = prune_files_distributed(
+            spark,
+            [{k: v for k, v in e.items() if k != "_foreign"} for e in entries],
+            spec_by_id, dnf,
+            [_bucket_expectations_foreign(d) for d in dnf],
+        )
+        kept_paths = {e["path"] for e in kept}
+        kept = [e for e in entries if e["path"] in kept_paths]
     else:
         kept_paths: set[str] = set()
         for d in dnf:
             k, _ = prune_files(entries, spec_by_id, d)
-            k = _prune_bucket_foreign(k, d)
+            exp = _bucket_expectations_foreign(d)
+            if exp:
+                k = [e for e in k if bucket_survives(e, exp)]
             kept_paths.update(e["path"] for e in k)
         kept = [e for e in entries if e["path"] in kept_paths]
     report = {

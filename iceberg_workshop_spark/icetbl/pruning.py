@@ -242,6 +242,86 @@ def normalize_dnf(preds: list) -> list[list[Pred]]:
     return [list(d) for d in preds]
 
 
+def bucket_survives(
+    f: dict, expectations: dict[tuple[int, str], str | None]
+) -> bool:
+    """One file vs precomputed bucket expectations for one disjunct:
+    ``expectations[(spec_id, partition_field_name)]`` is the literal's
+    bucket id as the dir string, or None for "cannot prune this field"
+    (uncoercible literal / legacy hash handled by the caller)."""
+    if not expectations:
+        return True
+    part = f.get("partition") or {}
+    sid = f.get("spec_id", 0)
+    for (esid, name), want in expectations.items():
+        if esid == sid and want is not None and name in part:
+            if part[name] != want:
+                return False
+    return True
+
+
+def survives_dnf(
+    f: dict,
+    spec_by_id: dict[int, list[dict[str, str]]],
+    dnf: list[list[Pred]],
+    ivals_list: list[dict[str, tuple[Any, Any]]],
+    bucket_by_disjunct: list[dict[tuple[int, str], str | None]] | None = None,
+) -> bool:
+    """The COMPLETE per-file survival decision (partition transform +
+    column bounds + bloom + bucket, OR across disjuncts) as one pure
+    function — shared verbatim by the driver loop and the distributed
+    planner so the two paths cannot diverge."""
+    from iceberg_workshop_spark.icetbl.bloom import file_survives_bloom
+
+    spec = spec_by_id.get(f.get("spec_id", 0), [])
+    for i, (d, iv) in enumerate(zip(dnf, ivals_list)):
+        if not file_survives_partition(f.get("partition", {}), spec, iv):
+            continue
+        if not file_survives_bounds(f.get("bounds"), iv):
+            continue
+        if not file_survives_bloom(f.get("bloom"), d):
+            continue
+        if bucket_by_disjunct is not None and not bucket_survives(
+            f, bucket_by_disjunct[i]
+        ):
+            continue
+        return True
+    return False
+
+
+def prune_files_distributed(
+    spark,
+    files: list[dict],
+    spec_by_id: dict[int, list[dict[str, str]]],
+    dnf: list[list[Pred]],
+    bucket_by_disjunct: list[dict[tuple[int, str], str | None]] | None = None,
+) -> list[dict]:
+    """The scan planner's scale path: evaluate :func:`survives_dnf`
+    over the file entries ON EXECUTORS (``spark.parallelize`` + filter)
+    instead of a single-core driver loop. Only surviving INDICES come
+    back, so the shuffle-home traffic is O(kept), not O(entries).
+
+    The entry dicts ship once as task payload — at 10^6 entries that is
+    tens of MB of pickled metadata across the cluster, the same order
+    as Iceberg's own distributed planning reads. Semantics are the
+    driver loop's by construction (same pure function)."""
+    ivals_list = [intervals(d) for d in dnf]
+    # ~8k entries per partition keeps per-task pickle payloads small
+    # while leaving enough tasks to fill the cluster
+    slices = max(1, min(256, (len(files) + 8191) // 8192))
+    rdd = spark.sparkContext.parallelize(list(enumerate(files)), slices)
+    kept_idx = set(
+        rdd.filter(
+            lambda t: survives_dnf(
+                t[1], spec_by_id, dnf, ivals_list, bucket_by_disjunct
+            )
+        )
+        .map(lambda t: t[0])
+        .collect()
+    )
+    return [f for i, f in enumerate(files) if i in kept_idx]
+
+
 def prune_files(
     files: list[dict],
     spec_by_id: dict[int, list[dict[str, str]]],

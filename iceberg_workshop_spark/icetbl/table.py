@@ -1564,13 +1564,26 @@ class IceTable:
         ``preds`` is a conjunct list or DNF (list of conjunct lists):
         for an OR predicate a file survives if ANY disjunct keeps it,
         and bucket pruning applies per disjunct before the union."""
-        from iceberg_workshop_spark.icetbl.pruning import normalize_dnf
+        from iceberg_workshop_spark.icetbl.pruning import (
+            PRUNE_DISTRIBUTED_THRESHOLD,
+            normalize_dnf,
+            prune_files_distributed,
+        )
 
         files = self.meta.current_files()
         spec_by_id = {i: s for i, s in enumerate(self.meta.specs)}
         dnf = normalize_dnf(preds or [])
         if not dnf:
             kept = files
+        elif len(files) >= PRUNE_DISTRIBUTED_THRESHOLD:
+            # scale path: the per-file survival decision runs on
+            # executors (same pure functions — pruning.survives_dnf),
+            # one pass for ALL disjuncts; only bucket expectations are
+            # computed driver-side (metadata-sized)
+            kept = prune_files_distributed(
+                self.spark, files, spec_by_id, dnf,
+                [self._bucket_expectations(d) for d in dnf],
+            )
         else:
             kept_paths: set[str] = set()
             for d in dnf:
@@ -1617,19 +1630,27 @@ class IceTable:
             self.meta.properties.get("write.bucket.hash", "spark")
         )
 
-    def _prune_bucket(self, files: list[dict], preds: list[Pred]) -> list[dict]:
-        """Bucket-transform pruning: an equality predicate on a
-        ``bucket[N]`` source keeps only files whose partition value
-        equals the literal's bucket. The literal is bucketed with the
-        SAME function used at write time — Iceberg's murmur3 transform
-        (bucketing.bucket_value, driver-side on one literal; ints
-        promote to long per the spec so no column-type cast is needed)
-        for current tables, Spark's hash for legacy ones — so planner
-        and writer can never disagree. Range predicates can't prune a
-        hash bucket; they fall through."""
+    def _bucket_expectations(
+        self, preds: list[Pred]
+    ) -> dict[tuple[int, str], str | None]:
+        """Precompute each bucket partition field's expected dir value
+        for one disjunct's equality literals: ``(spec_id, field_name)``
+        → the literal's bucket id as a string, or None for "cannot
+        prune this field" (uncoercible literal). Driver-side and
+        metadata-sized — the per-file check against it is the pure
+        :func:`pruning.bucket_survives`, shared with the distributed
+        planner.
+
+        The literal is bucketed with the SAME function used at write
+        time — Iceberg's murmur3 transform (bucketing.bucket_value,
+        after coercing the literal to the source column's type) for
+        current tables, Spark's hash for legacy ones — so planner and
+        writer can never disagree. Range predicates can't prune a hash
+        bucket; they never register an expectation."""
         eq = {p.col: p.value for p in preds if p.op == "="}
-        if not eq or not files:
-            return files
+        out: dict[tuple[int, str], str | None] = {}
+        if not eq:
+            return out
         murmur = self._bucket_hash_flavor() == "iceberg-murmur3"
         from pyspark.sql.types import StructType
 
@@ -1643,58 +1664,56 @@ class IceTable:
                 bucket_value,
                 coerce_bucket_literal,
             )
-        # cache value None = "cannot prune this field" (uncoercible
-        # literal); the check below keeps every file for that field
         cache: dict[tuple[str, int], str | None] = {}
-        out = []
-        for f in files:
-            spec = self.meta.specs[f.get("spec_id", 0)]
-            keep = True
+        for sid, spec in enumerate(self.meta.specs):
             for field in spec:
                 t = field["transform"]
-                if (
-                    t.startswith("bucket[")
-                    and field["source"] in eq
-                    and field["name"] in f.get("partition", {})
-                ):
-                    n = int(t[7:-1])
-                    key = (field["source"], n)
-                    if key not in cache:
-                        if murmur:
-                            # coerce the literal to the SOURCE column's
-                            # type first (ADVICE r13: an ISO string on a
-                            # date column or an int on a decimal column
-                            # hashes different bytes than the write
-                            # path and silently prunes matching files)
-                            try:
-                                lit = coerce_bucket_literal(
-                                    eq[field["source"]],
-                                    types[field["source"]].simpleString(),
-                                )
-                                cache[key] = str(bucket_value(lit, n))
-                            except UncoercibleLiteral:
-                                cache[key] = None
-                        else:
-                            lit = F.lit(eq[field["source"]]).cast(
-                                types[field["source"]]
+                if not (t.startswith("bucket[") and field["source"] in eq):
+                    continue
+                n = int(t[7:-1])
+                key = (field["source"], n)
+                if key not in cache:
+                    if murmur:
+                        # coerce the literal to the SOURCE column's
+                        # type first (ADVICE r13: an ISO string on a
+                        # date column or an int on a decimal column
+                        # hashes different bytes than the write path
+                        # and silently prunes matching files)
+                        try:
+                            lit = coerce_bucket_literal(
+                                eq[field["source"]],
+                                types[field["source"]].simpleString(),
                             )
-                            row = (
-                                self.spark.range(1)
-                                .select(
-                                    F.pmod(F.hash(lit), F.lit(n)).alias("b")
-                                )
-                                .first()
+                            cache[key] = str(bucket_value(lit, n))
+                        except UncoercibleLiteral:
+                            cache[key] = None
+                    else:
+                        lit = F.lit(eq[field["source"]]).cast(
+                            types[field["source"]]
+                        )
+                        row = (
+                            self.spark.range(1)
+                            .select(
+                                F.pmod(F.hash(lit), F.lit(n)).alias("b")
                             )
-                            cache[key] = str(row["b"])
-                    if (
-                        cache[key] is not None
-                        and f["partition"][field["name"]] != cache[key]
-                    ):
-                        keep = False
-                        break
-            if keep:
-                out.append(f)
+                            .first()
+                        )
+                        cache[key] = str(row["b"])
+                out[(sid, field["name"])] = cache[key]
         return out
+
+    def _prune_bucket(self, files: list[dict], preds: list[Pred]) -> list[dict]:
+        """Bucket-transform pruning for one disjunct — expectations
+        computed once driver-side, applied per file via the shared
+        :func:`pruning.bucket_survives`."""
+        from iceberg_workshop_spark.icetbl.pruning import bucket_survives
+
+        if not files:
+            return files
+        exp = self._bucket_expectations(preds)
+        if not exp:
+            return files
+        return [f for f in files if bucket_survives(f, exp)]
 
     def history(self) -> DataFrame:
         """The `.history` metadata table (A31): made_current_at,

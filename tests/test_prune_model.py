@@ -119,3 +119,97 @@ def test_pruned_scan_equals_filtered_read(spark, tmp_path):
     for i in range(N_SEQUENCES):
         rng = random.Random(9000 + i)
         _run_sequence(spark, str(tmp_path / f"prune_model_{i}"), rng)
+
+
+def test_pruned_scan_distributed_path_equivalent(spark, tmp_path, monkeypatch):
+    """The distributed planner (pruning.prune_files_distributed, taken
+    past PRUNE_DISTRIBUTED_THRESHOLD live files) must make the exact
+    same survival decisions as the driver loop — forced on for every
+    scan by dropping the threshold to 0 and replaying a model
+    sequence."""
+    from iceberg_workshop_spark.icetbl import pruning
+
+    monkeypatch.setattr(pruning, "PRUNE_DISTRIBUTED_THRESHOLD", 0)
+    # table.scan imports the symbol at call time from the module, so
+    # the monkeypatch takes effect for every scan in the sequence
+    rng = random.Random(424242)
+    _run_sequence(spark, str(tmp_path / "prune_model_dist"), rng)
+
+
+def test_prune_files_distributed_matches_driver_loop(spark):
+    """Direct pairwise check on synthetic entries: driver loop
+    (prune_files + bucket expectations) vs the one-pass distributed
+    planner, over random DNFs, mixed specs, bounds, and bucket
+    partition values."""
+    from iceberg_workshop_spark.icetbl.bucketing import bucket_value
+    from iceberg_workshop_spark.icetbl.pruning import (
+        Pred,
+        bucket_survives,
+        intervals,
+        prune_files,
+        prune_files_distributed,
+        survives_dnf,
+    )
+
+    rng = random.Random(77)
+    spec_by_id = {
+        0: [],
+        1: [{"source": "k", "transform": "identity", "name": "k"}],
+        2: [{"source": "k", "transform": "bucket[4]", "name": "kb"}],
+    }
+    files = []
+    for i in range(300):
+        sid = rng.choice([0, 1, 2])
+        k = rng.randint(0, 9)
+        part = {}
+        if sid == 1:
+            part = {"k": str(k)}
+        elif sid == 2:
+            part = {"kb": str(bucket_value(k, 4))}
+        lo = rng.randint(0, 50)
+        files.append(
+            {
+                "path": f"f{i}",
+                "spec_id": sid,
+                "partition": part,
+                "bounds": {"v": [lo, lo + rng.randint(0, 20)]},
+            }
+        )
+    for trial in range(20):
+        def _mk_pred():
+            col = rng.choice(["k", "v"])
+            op = rng.choice(["=", "<", ">=", "between"])
+            if op == "between":
+                return Pred(col, op, tuple(sorted(
+                    (rng.randint(0, 60), rng.randint(0, 60))
+                )))
+            return Pred(col, op, rng.randint(0, 60))
+
+        dnf = [
+            [_mk_pred() for _ in range(rng.randint(1, 2))]
+            for _ in range(rng.randint(1, 3))
+        ]
+        exps = []
+        for d in dnf:
+            eq = {p.col: p.value for p in d if p.op == "="}
+            exp = {}
+            if "k" in eq:
+                exp[(2, "kb")] = str(bucket_value(eq["k"], 4))
+            exps.append(exp)
+        # driver loop, per disjunct, then union (the scan() shape)
+        want = set()
+        for d, exp in zip(dnf, exps):
+            k, _ = prune_files(files, spec_by_id, d)
+            k = [f for f in k if bucket_survives(f, exp)]
+            want.update(f["path"] for f in k)
+        got = {
+            f["path"]
+            for f in prune_files_distributed(spark, files, spec_by_id, dnf, exps)
+        }
+        assert got == want, f"trial {trial}: {got ^ want}"
+        # the shared pure function agrees file-by-file too
+        ivals_list = [intervals(d) for d in dnf]
+        for f in files:
+            assert survives_dnf(f, spec_by_id, dnf, ivals_list, exps) == (
+                f["path"] in want
+            )
