@@ -465,7 +465,12 @@ class IceTable:
         # Iceberg's write.distribution-mode=range pays.
         order = self.meta.properties.get("write.sort-order")
         if order:
-            ocols = [c.strip() for c in order.split(",") if c.strip()]
+            from iceberg_workshop_spark.icetbl.sortorder import (
+                parse_sort_order,
+                sort_exprs,
+            )
+
+            oexprs = sort_exprs(self, parse_sort_order(order))
             # File count tracks the cluster but never drops below 8,
             # so the clustered layout gives pruning leverage even on a
             # small driver/session (tunable per table, like Iceberg's
@@ -476,7 +481,7 @@ class IceTable:
                     max(out.sparkSession.sparkContext.defaultParallelism // 4, 8),
                 )
             )
-            out = out.repartitionByRange(parts, *ocols).sortWithinPartitions(*ocols)
+            out = out.repartitionByRange(parts, *oexprs).sortWithinPartitions(*oexprs)
         for field in spec:
             pcol = f"__p_{field['name']}"
             t = field["transform"]
