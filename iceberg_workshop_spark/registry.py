@@ -156,40 +156,38 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-13 rotation (VERDICT r12 task #1): the full 30-name
-    # r5-vintage staleness tail — the SQL-statement/stream/meta/maint
-    # family whose engine paths the r12 byte-format work touched most
-    # (lifecycle + sqlfront + streaming sinks) — then r6-vintage LLM
-    # pads to 50. The round-13 NEW query leads (bucket-transform
-    # byte-format round trip). After this window lands green, the
-    # oldest external vintage becomes r6.
-    "q_iceberg_export_bucket", "q_iceberg_export_evolved",
-    "q_iceberg_foreign_scan", "q_iceberg_changes",
-    # r5-vintage tail (30 names, LEDGER membership order):
-    "q_sql_merge_evolution_stmt", "q_sql_write_ordered",
-    "q_sql_merge_nmbs_stmt", "q_sql_expire_stmt",
-    "q_sql_describe_formatted", "q_sql_metadata_log",
-    "q_stream_stateful_running", "q_stream_stream_join",
-    "q_stream_sink_icetbl", "q_stream_static_join",
-    "q_stream_cdc_upsert", "q_stream_dedup_within",
-    "q_stream_stream_left_join", "q_stream_stream_full_join",
-    "q_stream_agg_rocksdb", "q_stream_state_reader",
-    "q_stream_mv_refresh", "q_dml_update",
-    "q_meta_snapshots", "q_meta_files", "q_meta_partitions",
-    "q_meta_refs", "q_meta_delete_files",
-    "q_maint_cluster", "q_maint_manifests",
-    "q_part_bucket", "q_part_truncate", "q_part_evolution_bucket",
-    "q_schema_drop_column", "q_schema_rename_column",
-    # (the 30 names above are exactly the r5-vintage set computed
-    #  from CORRECTNESS_r01..r12 membership at r13 start)
-    # r6-vintage pads (LLM extension surface, module order) to 50:
-    "q_llm_dedup_ngram", "q_llm_dedup_minhash", "q_llm_dedup_simhash",
-    "q_llm_dedup_simhash_exact", "q_llm_dedup_embed",
-    "q_llm_dedup_embed_lsh", "q_llm_dedup_clusters", "q_llm_dedup_apply",
-    "q_llm_dedup_prefix", "q_llm_dedup_incremental", "q_llm_semdedup",
-    "q_llm_dedup_lines", "q_llm_simsearch_ivf",
-    "q_llm_simsearch_ivf_partitioned", "q_llm_simsearch_sq",
-    "q_llm_simsearch_pq",
+    # round-14 rotation (VERDICT r13 task #1): the round-14 NEW query
+    # leads (foreign MoR changelog), then three re-samples whose plans
+    # or output schemas changed this round (q_sql_write_ordered gained
+    # the cross-boundary order_roundtrip column; the two bucket writes
+    # go through the exact-temp-column murmur3 chain), then the FULL
+    # 26-name r6-vintage staleness tail (the LLM extension heads whose
+    # modules round 13 touched), then r7-vintage pads (LEDGER r7
+    # membership order) to 50. After this window lands green, the
+    # oldest external vintage becomes r7.
+    "q_iceberg_changes_mor",
+    "q_sql_write_ordered", "q_part_bucket", "q_part_evolution_bucket",
+    # r6-vintage tail (26 names, computed mechanically as
+    # {name: latest CORRECTNESS round == r6} at r14 start):
+    "q_llm_simsearch_incr", "q_llm_kmeans_assign", "q_llm_lang_id",
+    "q_llm_quality", "q_llm_token_count", "q_llm_fingerprint",
+    "q_llm_tfidf_top_term", "q_llm_unigram_logprob", "q_llm_bigram_lm",
+    "q_llm_chunking", "q_llm_chunk_pack_pipeline",
+    "q_llm_perplexity_filter", "q_llm_vocab_coverage",
+    "q_llm_gopher_rules", "q_llm_binaryfile", "q_llm_multimodal_audio",
+    "q_llm_pii_redact", "q_llm_contamination", "q_llm_seq_pack",
+    "q_llm_domain_mix", "q_llm_repetition", "q_llm_pipeline_e2e",
+    "q_llm_safety_filter", "q_llm_dataset_card", "q_llm_curriculum",
+    "q_llm_global_shuffle",
+    # r7-vintage pads (first 20, LEDGER r7 membership order):
+    "q_scan_bloom", "q_join_asof_tolerance", "q_win_distribution",
+    "q_win_running_distinct", "q_win_period_over_period",
+    "q_sort_nulls", "q_set_union_by_name", "q_limit_offset",
+    "q_set_intersect_all", "q_join_skew_salted", "q_agg_skew_salted",
+    "q_catalog_ops", "q_join_bucketed", "q_source_python",
+    "q_source_python_stream", "q_source_python_write",
+    "q_stream_ice_table", "q_funnel_conversion", "q_retention_cohort",
+    "q_agg_histogram",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the
