@@ -327,6 +327,41 @@ def _long_encoding_col(col: Column, dt: T.DataType) -> Column:
     return F.unix_micros(col)
 
 
+def _native_murmur3_long(col: Column) -> Column | None:
+    """Spark's own ``Murmur3Hash`` catalyst expression with SEED 0
+    over a LONG child is bit-identical to murmur3_x86_32 of the
+    value's 8-byte little-endian encoding (hashLong: low-word mix
+    round, high-word mix round, len-8 finalizer) — i.e. EXACTLY
+    Iceberg's bucket hash for every long-encoded type. ``F.hash`` pins
+    seed 42, but the expression's constructor takes the seed, so
+    building it through the JVM yields one native codegen'd expression
+    at the cost of Spark's own ``hash()`` — reclaiming the r13
+    bucket-write regression (the staged-projection chain was ~2x
+    native). Pinned to the spec's Appendix-B vectors in
+    tests/test_bucketing.py next to the two Python/chain twins.
+
+    Returns None when the internal constructor is unavailable (API
+    drift across Spark versions) — callers fall back to the staged
+    arithmetic chain, which is public-API-only."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+        expr = eu.expression(col._jc)
+        seq = (
+            jvm.scala.collection.JavaConverters
+            .asScalaBufferConverter([expr]).asScala().toSeq()
+        )
+        m3 = jvm.org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            seq, 0
+        )
+        return Column(eu.column(m3))
+    except Exception:  # pragma: no cover - environment-specific
+        return None
+
+
 def with_bucket_column(
     df, out_name: str, src: str, n: int, dt: T.DataType
 ):
@@ -348,6 +383,19 @@ def with_bucket_column(
     optimizer contract."""
     if not isinstance(dt, _LONG_ENCODED):
         return df.withColumn(out_name, _bucket_udf(n, dt)(F.col(src)))
+    # primary path: Spark's native Murmur3Hash with seed 0 — a single
+    # codegen'd expression (round 14; ~native-hash() cost, reclaiming
+    # the r13 staged-chain regression)
+    h = _native_murmur3_long(_long_encoding_col(F.col(src), dt))
+    if h is not None:
+        return df.withColumn(
+            out_name,
+            F.when(F.col(src).isNull(), F.lit(None).cast("int")).otherwise(
+                F.pmod(
+                    h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)
+                ).cast("int")
+            ),
+        )
     # deterministic temp-column prefix (Python's hash() is seeded per
     # process — plan text should not vary run to run)
     import zlib
@@ -433,7 +481,15 @@ def bucket_col(col: Column, n: int, dt: T.DataType) -> Column:
     spec-identical to :func:`bucket_value` on every row (tested on the
     spec's published vectors and randomized cross-checks)."""
     if isinstance(dt, _LONG_ENCODED):
-        h = _murmur3_long_col(_long_encoding_col(col, dt))
+        enc = _long_encoding_col(col, dt)
+        # native seeded Murmur3Hash (round 14) when available; the
+        # unrolled let-binding chain is the public-API fallback. The
+        # (h & Integer.MAX_VALUE) mask reads the same low 31 bits
+        # whether h is the native SIGNED int32 or the chain's
+        # unsigned-in-a-long form.
+        h = _native_murmur3_long(enc)
+        if h is None:
+            h = _murmur3_long_col(enc)
         return F.when(
             col.isNull(), F.lit(None).cast("int")
         ).otherwise(

@@ -257,24 +257,69 @@ def test_with_bucket_column_matches_twin_and_stays_codegen(spark):
     assert got == {"iceberg": bucket_value("iceberg", 8), None: None}
 
 
-def test_with_bucket_column_temp_cleanup_is_exact(spark):
-    """ADVICE r13 (low): cleanup drops ONLY the temp columns this call
-    created — a pre-existing user column that happens to share the
-    deterministic prefix survives; a user column that collides with a
-    generated name raises instead of being clobbered."""
+def test_native_murmur3_seed0_matches_spec_vectors(spark):
+    """Round 14: the primary write path is Spark's own Murmur3Hash
+    catalyst expression with SEED 0, which for a LONG child is
+    bit-identical to murmur3_x86_32 of the 8-byte LE encoding —
+    pinned here to the same spec vectors as the Python twin."""
+    from iceberg_workshop_spark.icetbl.bucketing import (
+        _native_murmur3_long,
+    )
+
+    df = spark.createDataFrame(
+        [(34,), (34_000_000_000,), (0,), (-1,), (None,)], "v long"
+    )
+    h = _native_murmur3_long(F.col("v"))
+    assert h is not None, "native seeded Murmur3Hash unavailable"
+    got = {r["v"]: r["h"] for r in df.select("v", h.alias("h")).collect()}
+    assert got[34] == 2017239379          # spec Appendix-B vector
+    assert got[34_000_000_000] == -2139740736
+    for v in (34, 34_000_000_000, 0, -1):
+        assert got[v] == murmur3_x86_32(struct.pack("<q", v)), v
+
+
+def test_bucket_col_fallback_chain_matches_native(spark, monkeypatch):
+    """The public-API staged/let-binding fallback must stay correct
+    even though the native path normally wins — force it off and
+    cross-check both forms against the Python twin."""
+    from iceberg_workshop_spark.icetbl import bucketing as B
+
+    values = [34, 0, -1, None, 2**62, -(2**62)] + [
+        random.Random(31).randint(-2**63, 2**63 - 1) for _ in range(20)
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    monkeypatch.setattr(B, "_native_murmur3_long", lambda c: None)
+    out = B.with_bucket_column(df, "b", "v", 8, T.LongType())
+    for r in out.collect():
+        assert r["b"] == bucket_value(r["v"], 8), r["v"]
+    rows = df.select(
+        "v", B.bucket_col(F.col("v"), 8, T.LongType()).alias("b")
+    ).collect()
+    for r in rows:
+        assert r["b"] == bucket_value(r["v"], 8), r["v"]
+
+
+def test_with_bucket_column_temp_cleanup_is_exact(spark, monkeypatch):
+    """ADVICE r13 (low): the staged-chain fallback's cleanup drops
+    ONLY the temp columns this call created — a pre-existing user
+    column that happens to share the deterministic prefix survives; a
+    user column that collides with a generated name raises instead of
+    being clobbered. (Forced onto the fallback: the round-14 native
+    path creates no temp columns at all.)"""
     import zlib
 
-    from iceberg_workshop_spark.icetbl.bucketing import with_bucket_column
+    from iceberg_workshop_spark.icetbl import bucketing as B
 
+    monkeypatch.setattr(B, "_native_murmur3_long", lambda c: None)
     p = f"__iwsb_{zlib.crc32(b'b') % 10**6}_"
     # shares the prefix but is NOT a generated name -> must survive
     bystander = p + "user_data"
     df = spark.createDataFrame([(34, "keep")], f"v long, `{bystander}` string")
-    out = with_bucket_column(df, "b", "v", 8, T.LongType())
+    out = B.with_bucket_column(df, "b", "v", 8, T.LongType())
     assert bystander in out.columns
     assert out.select(bystander, "b").first() == ("keep", bucket_value(34, 8))
     # collides with a generated temp name -> loud error, not a clobber
     clash = p + "h"
     df2 = spark.createDataFrame([(34, 1)], f"v long, `{clash}` long")
     with pytest.raises(ValueError, match="collides"):
-        with_bucket_column(df2, "b", "v", 8, T.LongType())
+        B.with_bucket_column(df2, "b", "v", 8, T.LongType())
