@@ -1262,6 +1262,144 @@ def resolve_iceberg_metadata(location: str) -> dict:
         return json.load(fh)
 
 
+def iceberg_metadata_tables(
+    spark: SparkSession, location: str
+) -> dict[str, DataFrame]:
+    """A FOREIGN Iceberg table's metadata tables from bytes alone —
+    the ``.files`` / ``.snapshots`` / ``.history`` / ``.manifests`` /
+    ``.partitions`` inspection surface (A30/A31, ``README.md:353-362``)
+    for a table this engine has NOT adopted: walk hint → metadata.json
+    → manifest-list Avro → manifest Avro and expose what a real
+    engine's ``SELECT * FROM t.files`` returns. Metadata-sized work
+    only; no data file is opened. The per-file decode distributes past
+    32 manifests (``iceberg_manifest_entries``); the ``partitions``
+    view aggregates ``files`` with a Spark groupBy, so the only
+    driver-side O(files) cost is materializing the entry list the
+    walk already produced."""
+    from datetime import datetime as _dt
+    from datetime import timezone as _tz
+
+    from pyspark.sql import functions as F
+
+    doc = resolve_iceberg_metadata(location)
+    files, dels = iceberg_manifest_entries(doc, spark=spark)
+
+    def _pjson(e: dict) -> str:
+        # Canonical string form of the partition tuple: sorted keys,
+        # ISO dates/decimals via str — a stable GROUP BY key across
+        # engines (real Iceberg returns a struct; a foreign inspector
+        # needs a spec-independent rendering).
+        p = e.get("partition") or {}
+        return json.dumps(
+            {k: p[k] for k in sorted(p)}, default=str, sort_keys=True
+        )
+
+    files_df = spark.createDataFrame(
+        [
+            (
+                _strip_scheme(e["file_path"]),
+                int(e.get("content", 0)),
+                int(e.get("_spec_id", 0)),
+                _pjson(e),
+                int(e.get("record_count") or 0),
+                int(e.get("file_size_in_bytes") or 0),
+                int(e.get("_seq", 0)),
+            )
+            for e in (*files, *dels)
+        ],
+        "file_path string, content int, spec_id int, partition string,"
+        " record_count bigint,"
+        " file_size_in_bytes bigint, sequence_number bigint",
+    )
+    partitions_df = (
+        files_df.filter(F.col("content") == 0)
+        .groupBy("partition", "spec_id")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_in_bytes").alias("total_size_in_bytes"),
+        )
+    )
+    snaps_by_id = {
+        int(s["snapshot-id"]): s for s in doc.get("snapshots", [])
+    }
+    cur_sid = doc.get("current-snapshot-id")
+    manifest_rows = []
+    if cur_sid is not None and int(cur_sid) in snaps_by_id:
+        _, mlist, _ = read_avro(
+            _strip_scheme(snaps_by_id[int(cur_sid)]["manifest-list"])
+        )
+        manifest_rows = [
+            (
+                _strip_scheme(m["manifest_path"]),
+                int(m.get("manifest_length") or 0),
+                int(m.get("content", 0)),
+                int(m.get("partition_spec_id", 0)),
+                int(m.get("added_snapshot_id") or 0),
+                int(m.get("added_files_count") or 0),
+                int(m.get("existing_files_count") or 0),
+                int(m.get("deleted_files_count") or 0),
+                int(m.get("added_rows_count") or 0),
+                int(m.get("existing_rows_count") or 0),
+                int(m.get("deleted_rows_count") or 0),
+            )
+            for m in mlist
+        ]
+    manifests_df = spark.createDataFrame(
+        manifest_rows,
+        "path string, length bigint, content int, partition_spec_id int,"
+        " added_snapshot_id bigint, added_files_count int,"
+        " existing_files_count int, deleted_files_count int,"
+        " added_rows_count bigint, existing_rows_count bigint,"
+        " deleted_rows_count bigint",
+    )
+    snaps_df = spark.createDataFrame(
+        [
+            (
+                int(s["snapshot-id"]),
+                int(s["parent-snapshot-id"])
+                if s.get("parent-snapshot-id") is not None
+                else None,
+                int(s.get("sequence-number", 0)),
+                _dt.fromtimestamp(
+                    int(s.get("timestamp-ms", 0)) / 1000.0, tz=_tz.utc
+                ),
+                str(s.get("summary", {}).get("operation", "append")),
+            )
+            for s in doc.get("snapshots", [])
+        ],
+        "snapshot_id bigint, parent_id bigint, sequence_number bigint,"
+        " committed_at timestamp, operation string",
+    )
+    ancestors = set()
+    by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+    cur = doc.get("current-snapshot-id")
+    while cur is not None and int(cur) in by_id:
+        ancestors.add(int(cur))
+        cur = by_id[int(cur)].get("parent-snapshot-id")
+    history_df = spark.createDataFrame(
+        [
+            (
+                _dt.fromtimestamp(
+                    int(h["timestamp-ms"]) / 1000.0, tz=_tz.utc
+                ),
+                int(h["snapshot-id"]),
+                int(h["snapshot-id"]) in ancestors,
+            )
+            for h in doc.get("snapshot-log", [])
+        ],
+        "made_current_at timestamp, snapshot_id bigint,"
+        " is_current_ancestor boolean",
+    )
+    return {
+        "files": files_df,
+        "snapshots": snaps_df,
+        "history": history_df,
+        "manifests": manifests_df,
+        "partitions": partitions_df,
+    }
+
+
 _SPARK_AVRO_FMT = "org.apache.spark.sql.avro.AvroFileFormat"
 
 

@@ -953,3 +953,137 @@ def q_iceberg_changes_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_metadata_tables",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_orderkey % 3) + 1 AS BIGINT)
+             AS n_snapshots,
+           CAST(COUNT(DISTINCT o_orderkey % 3) + 1 AS BIGINT)
+             AS n_ancestors,
+           COUNT(*) AS live_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 6 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS eq_delete_rows
+    FROM orders
+    """,
+)
+def q_iceberg_metadata_tables(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FOREIGN metadata-table inspection from bytes alone (round 14) —
+    the ``SELECT * FROM t.files / t.snapshots / t.history`` surface
+    the reference drives constantly (A30/A31, ``README.md:353-362``,
+    ``sql/iceberg_partitioning_examples.sql``'s metadata probes) for a
+    table this engine has NOT adopted: three append commits plus a MoR
+    equality delete export with history, and
+    ``iceberg_metadata_tables`` walks hint → metadata.json →
+    manifest-list Avro → manifest Avro to reproduce all five views
+    (files, snapshots, history, manifests, partitions).
+    Every emitted number is tied back to the DATA through the oracle:
+    live data-file record counts must sum to the full orders
+    rowcount (MoR never rewrites), the equality-delete sidecar's
+    record count must equal the matching-key count, and the
+    snapshot/ancestry counts must match the commit history. Metadata-
+    sized work only — no data file is opened; at 100 TB this is the
+    same O(manifests) walk a real engine's metadata tables do, and it
+    inherits the distributed manifest decode past 32 manifests."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        iceberg_metadata_tables,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icemeta_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 3 = 0")
+        )
+        t.append(orders.filter("o_orderkey % 3 = 1"))
+        t.append(orders.filter("o_orderkey % 3 = 2"))
+        t.delete_where_mor("o_orderkey % 6 = 1", keys=["o_orderkey"])
+        export_iceberg(t, f"{root}/ice", history=True)
+        mt = iceberg_metadata_tables(spark, f"{root}/ice")
+        files = mt["files"].agg(
+            F.sum(
+                F.when(F.col("content") == 0, F.col("record_count"))
+                .otherwise(F.lit(0))
+            ).alias("live_rows"),
+            F.sum(
+                F.when(F.col("content") == 2, F.col("record_count"))
+                .otherwise(F.lit(0))
+            ).alias("eq_delete_rows"),
+            F.max("sequence_number").alias("max_file_seq"),
+            F.min("file_size_in_bytes").alias("min_size"),
+        ).first()
+        snaps = mt["snapshots"].agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.max("sequence_number").alias("max_snap_seq"),
+            F.sum(
+                F.when(F.col("parent_id").isNull(), 1).otherwise(0)
+            ).alias("n_roots"),
+        ).first()
+        hist = mt["history"].agg(
+            F.sum(
+                F.when(F.col("is_current_ancestor"), 1).otherwise(0)
+            ).alias("n_ancestors"),
+            F.count(F.lit(1)).alias("n_log"),
+        ).first()
+        require(
+            snaps["n_roots"] == 1,
+            "exactly one root snapshot (null parent) in a linear history",
+        )
+        require(
+            hist["n_log"] == hist["n_ancestors"],
+            "a linear history has every log entry on the current line",
+        )
+        require(
+            files["max_file_seq"] <= snaps["max_snap_seq"],
+            "file data-sequence numbers are bounded by the snapshot seq",
+        )
+        require(
+            files["min_size"] > 0,
+            "every listed file carries its real on-disk byte size",
+        )
+        man = mt["manifests"].agg(
+            F.sum(
+                F.col("added_files_count") + F.col("existing_files_count")
+            ).alias("n_listed"),
+            F.min("length").alias("min_len"),
+        ).first()
+        require(
+            man["n_listed"] == mt["files"].count(),
+            "manifest file counts must cover every live entry",
+        )
+        require(
+            man["min_len"] > 0,
+            "every manifest carries its real on-disk byte length",
+        )
+        part = mt["partitions"].agg(
+            F.sum("record_count").alias("rows"),
+            F.sum("file_count").alias("nfiles"),
+        ).first()
+        require(
+            part["rows"] == files["live_rows"],
+            "partitions view must re-aggregate exactly the data files",
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(snaps["n_snapshots"]),
+                    int(hist["n_ancestors"]),
+                    int(files["live_rows"]),
+                    int(files["eq_delete_rows"]),
+                )
+            ],
+            "n_snapshots bigint, n_ancestors bigint, live_rows bigint,"
+            " eq_delete_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

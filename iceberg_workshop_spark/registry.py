@@ -156,8 +156,9 @@ def register(
 # multimodal, curation) that pass the full local DuckDB-parity suite
 # but have never had an external driver CORRECTNESS row.
 _DRIVER_WINDOW = [
-    # round-14 rotation (VERDICT r13 task #1): the round-14 NEW query
-    # leads (foreign MoR changelog), then three re-samples whose plans
+    # round-14 rotation (VERDICT r13 task #1): the round-14 NEW queries
+    # lead (foreign MoR changelog + foreign metadata tables), then
+    # three re-samples whose plans
     # or output schemas changed this round (q_sql_write_ordered gained
     # the cross-boundary order_roundtrip column; the two bucket writes
     # go through the exact-temp-column murmur3 chain), then the FULL
@@ -165,7 +166,7 @@ _DRIVER_WINDOW = [
     # modules round 13 touched), then r7-vintage pads (LEDGER r7
     # membership order) to 50. After this window lands green, the
     # oldest external vintage becomes r7.
-    "q_iceberg_changes_mor",
+    "q_iceberg_changes_mor", "q_iceberg_metadata_tables",
     "q_sql_write_ordered", "q_part_bucket", "q_part_evolution_bucket",
     # r6-vintage tail (26 names, computed mechanically as
     # {name: latest CORRECTNESS round == r6} at r14 start):
@@ -179,7 +180,7 @@ _DRIVER_WINDOW = [
     "q_llm_domain_mix", "q_llm_repetition", "q_llm_pipeline_e2e",
     "q_llm_safety_filter", "q_llm_dataset_card", "q_llm_curriculum",
     "q_llm_global_shuffle",
-    # r7-vintage pads (first 20, LEDGER r7 membership order):
+    # r7-vintage pads (first 19, LEDGER r7 membership order):
     "q_scan_bloom", "q_join_asof_tolerance", "q_win_distribution",
     "q_win_running_distinct", "q_win_period_over_period",
     "q_sort_nulls", "q_set_union_by_name", "q_limit_offset",
@@ -187,7 +188,6 @@ _DRIVER_WINDOW = [
     "q_catalog_ops", "q_join_bucketed", "q_source_python",
     "q_source_python_stream", "q_source_python_write",
     "q_stream_ice_table", "q_funnel_conversion", "q_retention_cohort",
-    "q_agg_histogram",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

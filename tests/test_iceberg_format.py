@@ -1743,3 +1743,81 @@ def test_reader_honors_tampered_sequence_numbers(spark, tmp_path):
         )
     got = {r.id for r in read_iceberg(spark, dest).collect()}
     assert got == {0, 1, 2, 3, 4, 5}, "tampered seq must disarm the delete"
+
+
+def test_iceberg_metadata_tables_foreign_views(spark, tmp_path):
+    """Round 14: iceberg_metadata_tables reproduces the
+    .files/.snapshots/.history inspection views from exported bytes
+    alone — including per-era spec ids on a partition-evolved table
+    and content codes for MoR delete sidecars."""
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_metadata_tables,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "id bigint, name string"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df)
+    t.set_partition_spec([spec_field("name", "truncate[2]", "name_t2")])
+    t.append(
+        spark.createDataFrame(
+            [(99, "zz"), (98, "zy")], "id bigint, name string"
+        )
+    )
+    t.delete_keys_mor(
+        spark.createDataFrame([(3,)], "id bigint"), ["id"]
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    mt = iceberg_metadata_tables(spark, dest)
+
+    files = mt["files"].collect()
+    by_content = {}
+    for r in files:
+        by_content.setdefault(r.content, []).append(r)
+    # data files span both spec eras; the eq-delete sidecar is content=2
+    assert {r.spec_id for r in by_content[0]} == {0, 1}
+    assert [r.record_count for r in by_content[2]] == [1]
+    assert all(r.file_size_in_bytes > 0 for r in files)
+    assert all(r.sequence_number >= 1 for r in files)
+
+    snaps = mt["snapshots"].orderBy("sequence_number").collect()
+    assert len(snaps) == 3  # create + append + mor-delete
+    assert snaps[0].parent_id is None
+    assert [s.operation for s in snaps] == ["append", "append", "delete"]
+    assert all(
+        snaps[i].parent_id == snaps[i - 1].snapshot_id
+        for i in range(1, len(snaps))
+    )
+
+    hist = mt["history"].orderBy("made_current_at").collect()
+    assert [h.snapshot_id for h in hist] == [s.snapshot_id for s in snaps]
+    assert all(h.is_current_ancestor for h in hist)
+
+    # .manifests: the current snapshot's manifest list, counts intact
+    mans = mt["manifests"].collect()
+    assert len(mans) > 0
+    assert {m.partition_spec_id for m in mans if m.content == 0} == {0, 1}
+    assert any(m.content == 1 for m in mans)  # the delete manifest
+    assert sum(m.added_files_count + m.existing_files_count for m in mans) == len(files)
+    assert all(m.length > 0 for m in mans)
+    assert {m.added_snapshot_id for m in mans} <= {
+        s.snapshot_id for s in snaps
+    }
+
+    # .partitions: groupBy over files — era-0 files share the empty
+    # tuple, era-1 files split by truncate[2](name)
+    parts = {
+        (p.partition, p.spec_id): (p.file_count, p.record_count)
+        for p in mt["partitions"].collect()
+    }
+    assert ("{}", 0) in parts
+    era1 = {k for k in parts if k[1] == 1}
+    assert {k[0] for k in era1} == {
+        '{"name_t2": "zz"}',
+        '{"name_t2": "zy"}',
+    }
+    assert sum(rc for _, rc in parts.values()) == sum(
+        r.record_count for r in by_content[0]
+    )

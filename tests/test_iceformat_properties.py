@@ -130,3 +130,46 @@ def test_null_partition_roundtrip(transform):
     assert (
         _roundtrip(transform, src, None) == "__HIVE_DEFAULT_PARTITION__"
     )
+
+
+# ----------------------------------------------------- sort orders
+
+
+_SORT_FIELD = st.fixed_dictionaries(
+    {
+        "source": st.sampled_from(["a", "bb", "c_3", "ts"]),
+        "transform": st.one_of(
+            st.sampled_from(["identity", "year", "month", "day", "hour"]),
+            st.integers(1, 64).map(lambda w: f"truncate[{w}]"),
+            st.integers(1, 1024).map(lambda n: f"bucket[{n}]"),
+        ),
+        "direction": st.sampled_from(["asc", "desc"]),
+        "null_order": st.sampled_from(["nulls-first", "nulls-last"]),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_SORT_FIELD, min_size=1, max_size=5))
+def test_sort_order_serialize_parse_roundtrip(fields):
+    """Round 14: the write.sort-order grammar (sortorder.py) must
+    round-trip EVERY representable field list exactly — a lossy
+    serialize would silently change the clustering contract at the
+    next export/import hop."""
+    from iceberg_workshop_spark.icetbl.sortorder import (
+        from_iceberg_fields,
+        parse_sort_order,
+        serialize_sort_order,
+        to_iceberg_fields,
+    )
+
+    text = serialize_sort_order(fields)
+    assert parse_sort_order(text) == fields
+    # and through the Iceberg JSON shape both ways
+    by_name = {
+        n: {"id": i}
+        for i, n in enumerate(["a", "bb", "c_3", "ts"], start=1)
+    }
+    name_by_id = {v["id"]: k for k, v in by_name.items()}
+    jf = to_iceberg_fields(fields, by_name)
+    assert from_iceberg_fields(jf, name_by_id) == fields
