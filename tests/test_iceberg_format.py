@@ -709,6 +709,26 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
         return
     got = {(r[0], r[1]) for r in read_iceberg(spark, dest).collect()}
     assert got == want, f"export/read mismatch seed={seed}"
+    # round 14: the five metadata views stay self-consistent for ANY
+    # exported history shape the model lands on — manifest counts
+    # cover every live entry, and the partitions view re-aggregates
+    # exactly the data files
+    from pyspark.sql import functions as F
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_metadata_tables,
+    )
+
+    mt = iceberg_metadata_tables(spark, dest)
+    listed = mt["manifests"].agg(
+        F.sum(F.col("added_files_count") + F.col("existing_files_count"))
+    ).first()[0]
+    assert listed == mt["files"].count(), f"manifest counts seed={seed}"
+    live_rows = (
+        mt["files"].filter("content = 0").agg(F.sum("record_count"))
+    ).first()[0]
+    part_rows = mt["partitions"].agg(F.sum("record_count")).first()[0]
+    assert part_rows == live_rows, f"partitions view seed={seed}"
     if id_col == "id":
         # import's strict validator refuses renamed physical columns
         # (adopted reads cannot alias per file) — only the rename-free
