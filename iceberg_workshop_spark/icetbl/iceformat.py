@@ -663,7 +663,9 @@ def _rewrite_sidecar_names(
     return os.path.abspath(out)
 
 
-def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
+def export_iceberg(
+    tbl: Any, dest: str, history: bool = False, refs: bool = True
+) -> str:
     """Export the table as a spec-compliant Apache Iceberg v2 table
     rooted at ``dest``. Data files are referenced in place by absolute
     path (Iceberg paths may live anywhere); only metadata is written.
@@ -675,7 +677,16 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
     (``interoperability.md:95-112``'s shared-history contract). Cost is
     O(snapshots x files) manifest records — an export-time price, not
     a per-commit one (the managed dialect's commits stay O(changed
-    files)). Returns the metadata file path."""
+    files)). Returns the metadata file path.
+
+    ``refs=True`` (default) exports every named tag/branch as a spec
+    ``refs`` map entry AND includes the snapshots those refs protect
+    (heads only under ``history=False``; full ancestries under
+    ``history=True``), so the other engine resolves
+    ``VERSION AS OF 'tagname'`` to the same rows — Iceberg's refs are
+    table metadata, and a migration that silently drops a team's
+    audit tags loses reproducibility pins. ``refs=False`` restores
+    the main-line-only export."""
     spark: SparkSession = tbl.spark
     mdir = os.path.join(dest, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -685,20 +696,51 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
     by_name = {f["name"]: f for f in schema["fields"]}
     now = M.now_ms()
 
-    # snapshots to export: current only, or the main-ancestry chain
-    # (oldest first). Branch-only snapshots (WAP staging) never export.
+    # Snapshots to export: the closure of every exported HEAD — main
+    # plus (with ``refs=True``) every named tag/branch head, so a
+    # foreign engine can open `VERSION AS OF 'tagname'` the way the
+    # managed dialect's read(ref=...) does. ``history=False`` ships
+    # the heads alone; ``history=True`` ships each head's full
+    # ancestry. Snapshots reachable from NO exported head (orphaned
+    # WAP staging after its branch was dropped) never export. The
+    # chain keeps SOURCE COMMIT ORDER (meta.snapshots order) so
+    # parents precede children and exported snapshot sequence numbers
+    # stay strictly increasing across branches.
     cur_sid = tbl.meta.current_snapshot_id
-    chain: list[dict] = []
-    if cur_sid is not None:
-        by_sid = {sn["snapshot_id"]: sn for sn in tbl.meta.snapshots}
-        if history:
-            walk = cur_sid
-            while walk is not None and walk in by_sid:
-                chain.append(by_sid[walk])
-                walk = by_sid[walk].get("parent_id")
-            chain.reverse()
-        else:
-            chain = [by_sid[cur_sid]]
+    by_sid = {sn["snapshot_id"]: sn for sn in tbl.meta.snapshots}
+
+    def _ancestry_ids(head: int | None) -> list[int]:
+        out: list[int] = []
+        walk = head
+        while walk is not None and walk in by_sid:
+            out.append(walk)
+            walk = by_sid[walk].get("parent_id")
+        return out
+
+    named_refs = dict(tbl.meta.refs) if refs else {}
+    heads: list[int] = [cur_sid] if cur_sid is not None else []
+    for rname, rinfo in sorted(named_refs.items()):
+        rsid = int(rinfo["snapshot_id"])
+        if rsid not in by_sid:
+            raise ValueError(
+                f"ref {rname!r} points at snapshot {rsid}, which is "
+                "not retained — refs are retention roots, so this "
+                "metadata is corrupt; drop the ref or repair history"
+            )
+        heads.append(rsid)
+    closure: list[int] = []
+    seen_ids: set[int] = set()
+    for h in heads:
+        for i in (_ancestry_ids(h) if history else [h]):
+            if i not in seen_ids:
+                seen_ids.add(i)
+                closure.append(i)
+    commit_order = {
+        sn["snapshot_id"]: i for i, sn in enumerate(tbl.meta.snapshots)
+    }
+    chain: list[dict] = [
+        by_sid[i] for i in sorted(closure, key=commit_order.__getitem__)
+    ]
     exported_ids = {sn["snapshot_id"] for sn in chain}
 
     # Partition specs: a partition-EVOLVED table carries files written
@@ -1099,8 +1141,13 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         for h in tbl.meta.doc.get("history_log", [])
         if h.get("snapshot_id") in exported_ids
     ] or [
+        # fallback for tables with no history_log (adopted docs):
+        # MAIN-ancestry snapshots only — the snapshot-log records when
+        # main moved, and branch-only snapshots were never current, so
+        # listing them would make foreign AS-OF resolve branch states
         {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
         for s in snapshots_json
+        if s["snapshot-id"] in set(_ancestry_ids(cur_sid))
     ]
 
     # hot eras were rewritten above (stamped field-ids need no
@@ -1155,11 +1202,26 @@ def export_iceberg(tbl: Any, dest: str, history: bool = False) -> str:
         "snapshots": snapshots_json,
         "snapshot-log": log,
         "metadata-log": [],
-        "refs": (
-            {"main": {"snapshot-id": int(cur_sid), "type": "branch"}}
-            if cur_sid is not None
-            else {}
-        ),
+        # every named ref crosses the boundary with its head pinned —
+        # tags stay immutable bookmarks, branches stay movable heads;
+        # all heads are in the exported snapshot closure by construction
+        "refs": {
+            **(
+                {"main": {"snapshot-id": int(cur_sid), "type": "branch"}}
+                if cur_sid is not None
+                else {}
+            ),
+            **{
+                name: {
+                    "snapshot-id": int(r["snapshot_id"]),
+                    "type": (
+                        "branch" if r.get("type") == "branch" else "tag"
+                    ),
+                }
+                for name, r in sorted(named_refs.items())
+                if name != "main"
+            },
+        },
     }
     md_path = os.path.join(mdir, "v1.metadata.json")
     with open(md_path, "w") as fh:
@@ -1267,7 +1329,8 @@ def iceberg_metadata_tables(
 ) -> dict[str, DataFrame]:
     """A FOREIGN Iceberg table's metadata tables from bytes alone —
     the ``.files`` / ``.snapshots`` / ``.history`` / ``.manifests`` /
-    ``.partitions`` inspection surface (A30/A31, ``README.md:353-362``)
+    ``.partitions`` / ``.refs`` inspection surface (A30/A31,
+    ``README.md:353-362``)
     for a table this engine has NOT adopted: walk hint → metadata.json
     → manifest-list Avro → manifest Avro and expose what a real
     engine's ``SELECT * FROM t.files`` returns. Metadata-sized work
@@ -1391,12 +1454,20 @@ def iceberg_metadata_tables(
         "made_current_at timestamp, snapshot_id bigint,"
         " is_current_ancestor boolean",
     )
+    refs_df = spark.createDataFrame(
+        [
+            (name, str(r.get("type", "branch")), int(r["snapshot-id"]))
+            for name, r in sorted((doc.get("refs") or {}).items())
+        ],
+        "ref_name string, ref_type string, snapshot_id bigint",
+    )
     return {
         "files": files_df,
         "snapshots": snaps_df,
         "history": history_df,
         "manifests": manifests_df,
         "partitions": partitions_df,
+        "refs": refs_df,
     }
 
 
@@ -1578,6 +1649,28 @@ def resolve_snapshot_at(doc: dict, as_of_ms: int) -> int:
         raise ValueError(
             f"time travel to {as_of_ms}: snapshot {sid} was current at "
             "that instant but is no longer retained (expired)"
+        )
+    return sid
+
+
+def resolve_iceberg_ref(doc: dict, ref: str) -> int:
+    """``VERSION AS OF '<tag|branch>'`` over a real Iceberg table:
+    resolve a named ref from the metadata's ``refs`` map to its head
+    snapshot id. Raises on an unknown ref (listing the known names —
+    a typo'd tag must never silently read the current snapshot) and
+    on a head that is no longer retained."""
+    refs_map = doc.get("refs") or {}
+    if ref not in refs_map:
+        raise ValueError(
+            f"ref {ref!r} not found; table declares "
+            f"{sorted(refs_map) or '(no refs)'}"
+        )
+    sid = int(refs_map[ref]["snapshot-id"])
+    if sid not in {int(s["snapshot-id"]) for s in doc.get("snapshots", [])}:
+        raise ValueError(
+            f"ref {ref!r} points at snapshot {sid}, which is not in "
+            "the retained snapshot set — corrupt or hand-edited "
+            "metadata (refs are retention roots)"
         )
     return sid
 
@@ -1853,10 +1946,12 @@ def read_iceberg(
     location: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Open a REAL Iceberg table (the format the reference's engines
     share) and return its rows as a DataFrame — current, pinned at a
-    snapshot id (VERSION AS OF), or at an instant (TIMESTAMP AS OF).
+    snapshot id (VERSION AS OF), at an instant (TIMESTAMP AS OF), or
+    at a named tag/branch head (``VERSION AS OF 'ref'``).
 
     Rows come back PROJECTED TO THE TABLE'S CURRENT SCHEMA, not to
     whatever the first parquet footer happens to contain: a schema-
@@ -1865,6 +1960,12 @@ def read_iceberg(
     check refuses renamed columns loudly (field-id resolution is not
     provided) instead of silently returning nulls."""
     doc = resolve_iceberg_metadata(location)
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError(
+                "pass exactly one of ref / snapshot_id / as_of_ms"
+            )
+        snapshot_id = resolve_iceberg_ref(doc, ref)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
     files, dels = iceberg_manifest_entries(doc, snapshot_id, spark=spark)
@@ -2428,6 +2529,7 @@ def scan_iceberg(
     preds: list | None = None,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Predicate-PRUNED scan of a REAL Iceberg table WITHOUT adopting
     it — the planner-side half of the interop story: partition-tuple
@@ -2460,6 +2562,12 @@ def scan_iceberg(
     from iceberg_workshop_spark.icetbl.table import _dnf_to_column
 
     doc = resolve_iceberg_metadata(location)
+    if ref is not None:
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError(
+                "pass exactly one of ref / snapshot_id / as_of_ms"
+            )
+        snapshot_id = resolve_iceberg_ref(doc, ref)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
     files, dels = iceberg_manifest_entries(doc, snapshot_id, spark=spark)

@@ -1087,3 +1087,113 @@ def q_iceberg_metadata_tables(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_export_refs",
+    oracle="""
+    SELECT 'audit' AS ref_name, 'branch' AS ref_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT 'main' AS ref_name, 'branch' AS ref_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 'v1' AS ref_name, 'tag' AS ref_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 4 = 0
+    ORDER BY ref_name
+    """,
+)
+def q_iceberg_export_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs ACROSS the byte-format boundary (round 14) — the
+    shared-metadata contract (``interoperability.md:85-112``) applied
+    to Iceberg's refs map: tag a snapshot, branch off main with a
+    divergent append (the WAP shape, ``README.md:313-381``'s lifecycle
+    verbs), export, and the OTHER side resolves every ref by NAME from
+    bytes alone — ``read_iceberg(ref=...)`` per head plus the
+    ``.refs`` metadata view, the exact surface Iceberg's
+    `VERSION AS OF 'tagname'` gives a second engine. The exported
+    snapshot closure must include the branch-only head (it is
+    reachable from no main ancestor), and the snapshot-log must NOT
+    list it (AS-OF never resolves a branch state); a ref dropped,
+    retyped, or resolved to the wrong head breaks the per-ref
+    money-sum parity. Metadata cost is O(refs) on top of the history
+    export — at 100 TB refs are a handful of named pins, not a data
+    rewrite."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        export_iceberg,
+        iceberg_metadata_tables,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icerefs_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 4 = 0")
+        )
+        t.create_tag("v1")
+        t.append(orders.filter("o_orderkey % 4 = 1"))
+        t.create_branch("audit")
+        t.append(orders.filter("o_orderkey % 4 = 2"), branch="audit")
+        export_iceberg(t, f"{root}/ice", history=True)
+
+        doc = resolve_iceberg_metadata(f"{root}/ice")
+        refs = iceberg_metadata_tables(spark, f"{root}/ice")["refs"]
+        ref_rows = {
+            r.ref_name: (r.ref_type, int(r.snapshot_id))
+            for r in refs.collect()
+        }
+        require(
+            set(ref_rows) == {"main", "v1", "audit"},
+            "every named ref crosses the boundary",
+        )
+        require(
+            ref_rows["v1"][0] == "tag"
+            and ref_rows["audit"][0] == "branch",
+            "ref types survive export",
+        )
+        logged = {int(h["snapshot-id"]) for h in doc["snapshot-log"]}
+        require(
+            ref_rows["audit"][1] not in logged,
+            "branch-only heads stay OFF the snapshot-log (AS-OF must "
+            "never resolve a branch state)",
+        )
+        out_rows = []
+        for name in sorted(ref_rows):
+            agg = (
+                read_iceberg(spark, f"{root}/ice", ref=name)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(money("o_totalprice"))
+                    .cast("double")
+                    .alias("s"),
+                )
+                .first()
+            )
+            out_rows.append(
+                (name, ref_rows[name][0], int(agg["n"]), float(agg["s"]))
+            )
+        return spark.createDataFrame(
+            out_rows,
+            "ref_name string, ref_type string, n_rows bigint,"
+            " sum_price double",
+        ).orderBy("ref_name")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -650,9 +650,11 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
     evolutions = iter(["bucket", "truncate"])
     renames = iter(["ident", "ident2"])
     reuses = iter([True])
+    tags: dict[str, set] = {}
     for _ in range(8):
         op = rng.choice(
-            ["append", "eqdel", "posdel", "evolve", "rename", "reuse"]
+            ["append", "eqdel", "posdel", "evolve", "rename", "reuse",
+             "tag"]
         )
         ddl = f"{id_col} bigint, {s_col} string"
         if op == "append":
@@ -695,6 +697,12 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
             if id_col != "id" and s_col == "s" and next(reuses, None):
                 t.rename_column(s_col, "id")
                 s_col = "id"
+        elif op == "tag" and len(tags) < 2:
+            # round 14: a named ref pins THIS instant's rows; export
+            # must ship its snapshot (closure) and resolve it by name
+            name = f"pin{len(tags)}"
+            t.create_tag(name)
+            tags[name] = {(r[0], r[1]) for r in t.read().collect()}
     want = {(r[0], r[1]) for r in t.read().collect()}
     assert {i for i, _ in want} == live  # model agrees with the engine
 
@@ -729,6 +737,18 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
     ).first()[0]
     part_rows = mt["partitions"].agg(F.sum("record_count")).first()[0]
     assert part_rows == live_rows, f"partitions view seed={seed}"
+    # round 14: every tag the sequence created resolves BY NAME from
+    # the exported bytes to exactly the rows it pinned — under any
+    # interleaving of evolutions/renames/deletes around it
+    assert {r.ref_name for r in mt["refs"].collect()} == (
+        {"main"} | set(tags)
+    ), f"refs view seed={seed}"
+    for name, twant in tags.items():
+        tgot = {
+            (r[0], r[1])
+            for r in read_iceberg(spark, dest, ref=name).collect()
+        }
+        assert tgot == twant, f"tag {name} mismatch seed={seed}"
     if id_col == "id":
         # import's strict validator refuses renamed physical columns
         # (adopted reads cannot alias per file) — only the rename-free
@@ -1841,3 +1861,89 @@ def test_iceberg_metadata_tables_foreign_views(spark, tmp_path):
     assert sum(rc for _, rc in parts.values()) == sum(
         r.record_count for r in by_content[0]
     )
+
+
+def test_refs_cross_format_boundary(spark, tmp_path):
+    """Round 14: named tags/branches export as real refs-map entries
+    WITH their snapshot closure, and resolve by name from bytes alone
+    (read / pruned scan / metadata view) — the managed dialect's
+    read(ref=...) surface carried across the boundary. The snapshot-log
+    stays main-only (AS-OF must never resolve a branch state), history
+    =False ships heads alone, and refs=False restores the main-only
+    export with loud by-name refusal."""
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_metadata_tables,
+        scan_iceberg,
+    )
+    from iceberg_workshop_spark.icetbl.pruning import Pred
+
+    df = spark.range(12).selectExpr("id", "cast(id % 3 as int) as g")
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df.filter("id < 4"))
+    t.create_tag("v1")
+    t.append(df.filter("id >= 4 and id < 8"))
+    t.create_branch("audit")
+    t.append(df.filter("id >= 8"), branch="audit")
+
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    want = {
+        "v1": set(range(4)),
+        "main": set(range(8)),
+        "audit": set(range(12)),
+    }
+    for ref, ids in want.items():
+        got = {
+            r[0]
+            for r in read_iceberg(spark, dest, ref=ref).select("id").collect()
+        }
+        assert got == ids, f"ref={ref}"
+    sdf, rep = scan_iceberg(spark, dest, [Pred("id", ">=", 9)], ref="audit")
+    assert {r[0] for r in sdf.select("id").collect()} == {9, 10, 11}
+    assert 0 < rep["files_scanned"] < rep["files_total"]
+
+    mt = iceberg_metadata_tables(spark, dest)
+    refs_rows = {
+        r.ref_name: (r.ref_type, r.snapshot_id)
+        for r in mt["refs"].collect()
+    }
+    assert set(refs_rows) == {"main", "v1", "audit"}
+    assert refs_rows["v1"][0] == "tag"
+    assert refs_rows["audit"][0] == "branch"
+    doc = resolve_iceberg_metadata(dest)
+    retained = {int(s["snapshot-id"]) for s in doc["snapshots"]}
+    assert {sid for _, sid in refs_rows.values()} <= retained
+    # snapshot-log lists MAIN ancestry only — the branch commit was
+    # never current, so foreign AS-OF cannot land on it
+    main_line = set()
+    cur = doc.get("current-snapshot-id")
+    by_id = {int(s["snapshot-id"]): s for s in doc["snapshots"]}
+    while cur is not None and int(cur) in by_id:
+        main_line.add(int(cur))
+        cur = by_id[int(cur)].get("parent-snapshot-id")
+    assert {int(h["snapshot-id"]) for h in doc["snapshot-log"]} <= main_line
+    assert refs_rows["audit"][1] not in main_line
+
+    # heads-only export: each ref still resolves to exactly its head
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg(t, dest2, history=False)
+    doc2 = resolve_iceberg_metadata(dest2)
+    assert len(doc2["snapshots"]) == 3  # tag head, main head, branch head
+    for ref, ids in want.items():
+        got = {
+            r[0]
+            for r in read_iceberg(spark, dest2, ref=ref)
+            .select("id")
+            .collect()
+        }
+        assert got == ids, f"heads-only ref={ref}"
+
+    # refs=False: main-only metadata, unknown names refuse loudly
+    dest3 = str(tmp_path / "ice3")
+    export_iceberg(t, dest3, history=False, refs=False)
+    doc3 = resolve_iceberg_metadata(dest3)
+    assert set(doc3["refs"]) == {"main"}
+    assert len(doc3["snapshots"]) == 1
+    with pytest.raises(ValueError, match="not found.*main"):
+        read_iceberg(spark, dest3, ref="v1")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_iceberg(spark, dest, ref="v1", snapshot_id=1)
