@@ -2698,11 +2698,37 @@ def scan_iceberg(
 # --------------------------------------------------- incremental read
 
 
+def _resolve_range_endpoints(
+    doc: dict,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None,
+    from_ref: str | None,
+    to_ref: str | None,
+) -> tuple[int, int | None]:
+    """Shared endpoint resolution for the two incremental readers:
+    each endpoint is a snapshot id OR a named ref (Iceberg's
+    start-tag/end-tag changelog options), never both."""
+    if from_ref is not None:
+        if from_snapshot_id is not None:
+            raise ValueError("pass from_snapshot_id OR from_ref, not both")
+        from_snapshot_id = resolve_iceberg_ref(doc, from_ref)
+    if from_snapshot_id is None:
+        raise ValueError("an incremental read needs from_snapshot_id "
+                         "or from_ref")
+    if to_ref is not None:
+        if to_snapshot_id is not None:
+            raise ValueError("pass to_snapshot_id OR to_ref, not both")
+        to_snapshot_id = resolve_iceberg_ref(doc, to_ref)
+    return int(from_snapshot_id), to_snapshot_id
+
+
 def read_iceberg_changes(
     spark: SparkSession,
     location: str,
-    from_snapshot_id: int,
+    from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    from_ref: str | None = None,
+    to_ref: str | None = None,
 ) -> DataFrame:
     """Foreign INCREMENTAL append scan over exported bytes (the
     snapshot-log dual of time travel, mirroring the managed dialect's
@@ -2718,8 +2744,15 @@ def read_iceberg_changes(
     The range must be append-only (Iceberg's incremental read
     contract): a snapshot whose summary operation is not ``append``
     (MoR delete, overwrite, compaction) raises loudly rather than
-    emitting a wrong insert-only delta."""
+    emitting a wrong insert-only delta.
+
+    Endpoints also resolve from NAMED REFS (``from_ref``/``to_ref``
+    — Iceberg's start-tag/end-tag incremental pattern): a consumer
+    pinned by tags needs no snapshot-id bookkeeping."""
     doc = resolve_iceberg_metadata(location)
+    from_snapshot_id, to_snapshot_id = _resolve_range_endpoints(
+        doc, from_snapshot_id, to_snapshot_id, from_ref, to_ref
+    )
     snaps = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
     if from_snapshot_id not in snaps:
         raise ValueError(
@@ -2787,8 +2820,10 @@ def read_iceberg_changes(
 def read_iceberg_changelog(
     spark: SparkSession,
     location: str,
-    from_snapshot_id: int,
+    from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    from_ref: str | None = None,
+    to_ref: str | None = None,
 ) -> DataFrame:
     """Net row-level changelog of a FOREIGN Iceberg table between two
     retained snapshots, from bytes alone — the managed dialect's
@@ -2806,7 +2841,10 @@ def read_iceberg_changelog(
     flips visibility of rows in unchanged files), the affected common
     files are added back: positional delete files name their target
     paths outright; equality delete files prune candidates by their
-    key min/max against the entries' decoded manifest bounds."""
+    key min/max against the entries' decoded manifest bounds.
+
+    Endpoints also resolve from NAMED REFS (``from_ref``/``to_ref`` —
+    the start-tag/end-tag shape of Iceberg's create_changelog_view)."""
     from pyspark.sql import functions as F
 
     from iceberg_workshop_spark.icetbl.pruning import (
@@ -2816,6 +2854,9 @@ def read_iceberg_changelog(
     )
 
     doc = resolve_iceberg_metadata(location)
+    from_snapshot_id, to_snapshot_id = _resolve_range_endpoints(
+        doc, from_snapshot_id, to_snapshot_id, from_ref, to_ref
+    )
     snaps = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
     to_sid = (
         int(to_snapshot_id)

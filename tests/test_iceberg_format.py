@@ -1947,3 +1947,30 @@ def test_refs_cross_format_boundary(spark, tmp_path):
         read_iceberg(spark, dest3, ref="v1")
     with pytest.raises(ValueError, match="exactly one"):
         read_iceberg(spark, dest, ref="v1", snapshot_id=1)
+
+    # incremental endpoints resolve from ref NAMES too (start-tag /
+    # end-tag): the tag→main delta is the middle append, the
+    # tag→branch delta crosses onto the branch head
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        read_iceberg_changelog,
+        read_iceberg_changes,
+    )
+
+    delta = read_iceberg_changes(spark, dest, from_ref="v1")
+    assert {r[0] for r in delta.select("id").collect()} == set(range(4, 8))
+    delta2 = read_iceberg_changes(
+        spark, dest, from_ref="v1", to_ref="audit"
+    )
+    assert {r[0] for r in delta2.select("id").collect()} == set(
+        range(4, 12)
+    )
+    cl = read_iceberg_changelog(spark, dest, from_ref="v1", to_ref="main")
+    assert {
+        (r["id"], r["_change_type"]) for r in cl.collect()
+    } == {(i, "insert") for i in range(4, 8)}
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_changes(
+            spark, dest, from_snapshot_id=1, from_ref="v1"
+        )
+    with pytest.raises(ValueError, match="needs from_snapshot_id"):
+        read_iceberg_changes(spark, dest)

@@ -53,6 +53,11 @@ HEAVY = [
     # dominates, so data-linear scaling is the claim to check
     "q_iceberg_export_bucket", "q_iceberg_export_evolved",
     "q_iceberg_foreign_scan", "q_iceberg_changes",
+    # round-14 byte-format surface: foreign changelog diffs manifest
+    # entries at the endpoints (O(changed files)), metadata tables and
+    # ref resolution are metadata-sized — sublinear is the claim
+    "q_iceberg_changes_mor", "q_iceberg_metadata_tables",
+    "q_iceberg_export_refs",
     "q_sql_transform_ctas_script", "q_sql_expire_stmt",
     "q_sql_call_maintenance_stmt", "q_sql_insert_overwrite_stmt",
     "q_sql_cdc_wap", "q_sql_materialized_view",
