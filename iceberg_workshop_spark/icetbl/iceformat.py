@@ -308,6 +308,73 @@ MANIFEST_ENTRY_SCHEMA = {
 _EPOCH_DATE = None  # set lazily (datetime import kept function-local)
 
 
+def _transform_codec(
+    t: str, src_type: Any, src: str, bucket_flavor: str = "iceberg-murmur3"
+) -> tuple[Any, Any]:
+    """(Avro type, dir-string → Iceberg-value encoder) for one
+    partition transform — the value conventions both the exporter and
+    the foreign writer must emit: year/month/hour as ordinals from
+    1970, day/date as logical dates, bucket ids as ints. icetbl stores
+    partition values as the dir strings Spark wrote; Iceberg stores
+    TYPED values."""
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    if t.startswith("bucket["):
+        if bucket_flavor != "iceberg-murmur3":
+            raise ValueError(
+                f"partition transform {t} on {src!r}: this table was "
+                "bucketed with Spark's hash (legacy, pre-murmur3), "
+                "not Iceberg's murmur3 — exported bucket ids would "
+                "mislead a real engine's pruning; rewrite the table "
+                "to re-bucket it first"
+            )
+        # the stored dir value IS the Iceberg bucket id already
+        return "int", int
+    if t == "identity":
+        if src_type == "date":
+            return (
+                {"type": "int", "logicalType": "date"},
+                lambda s, _e=epoch: (_dt.date.fromisoformat(s) - _e).days,
+            )
+        if src_type in ("int", "long", "string"):
+            avro_t = "int" if src_type == "int" else src_type
+            return avro_t, ((lambda s: s) if src_type == "string" else int)
+        raise ValueError(
+            f"identity partition on {src_type} column {src!r} is "
+            "not supported by the exporter"
+        )
+    if t == "year":
+        return "int", lambda s: int(s) - 1970
+    if t == "month":
+
+        def _enc_month(s):
+            y, m = s.split("-")
+            return (int(y) - 1970) * 12 + int(m) - 1
+
+        return "int", _enc_month
+    if t == "day":
+        return (
+            {"type": "int", "logicalType": "date"},
+            lambda s, _e=epoch: (_dt.date.fromisoformat(s) - _e).days,
+        )
+    if t == "hour":
+
+        def _enc_hour(s, _e=epoch):
+            y, m, d, h = s.split("-")
+            days = (_dt.date(int(y), int(m), int(d)) - _e).days
+            return days * 24 + int(h)
+
+        return "int", _enc_hour
+    if t.startswith("truncate["):
+        if src_type == "string":
+            return "string", lambda s: s
+        if src_type in ("int", "long"):
+            return ("int" if src_type == "int" else "long"), int
+        raise ValueError(f"truncate partition on {src_type} is not supported")
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
 def _export_partitioning(
     meta: M.TableMeta,
     by_name: dict[str, dict],
@@ -353,71 +420,12 @@ def _export_partitioning(
             (src_field["id"], t, name), 1000 + len(fids)
         )
         src_type = src_field["type"]
-        if t.startswith("bucket["):
-            flavor = str(
-                (meta.properties or {}).get("write.bucket.hash", "spark")
-            )
-            if flavor != "iceberg-murmur3":
-                raise ValueError(
-                    f"partition transform {t} on {src!r}: this table was "
-                    "bucketed with Spark's hash (legacy, pre-murmur3), "
-                    "not Iceberg's murmur3 — exported bucket ids would "
-                    "mislead a real engine's pruning; rewrite the table "
-                    "to re-bucket it first"
-                )
-            # the stored dir value IS the Iceberg bucket id already
-            avro_t: Any = "int"
-            enc = int
-        elif t == "identity":
-            if src_type == "date":
-                avro_t: Any = {"type": "int", "logicalType": "date"}
-                enc = lambda s, _e=epoch: (  # noqa: E731
-                    (_dt.date.fromisoformat(s) - _e).days
-                )
-            elif src_type in ("int", "long", "string"):
-                avro_t = "int" if src_type == "int" else src_type
-                enc = (lambda s: s) if src_type == "string" else int
-            else:
-                raise ValueError(
-                    f"identity partition on {src_type} column {src!r} is "
-                    "not supported by the exporter"
-                )
-        elif t == "year":
-            avro_t = "int"
-            enc = lambda s: int(s) - 1970  # noqa: E731
-        elif t == "month":
-            avro_t = "int"
-
-            def enc(s):  # noqa: E731
-                y, m = s.split("-")
-                return (int(y) - 1970) * 12 + int(m) - 1
-
-        elif t == "day":
-            avro_t = {"type": "int", "logicalType": "date"}
-            enc = lambda s, _e=epoch: (  # noqa: E731
-                (_dt.date.fromisoformat(s) - _e).days
-            )
-        elif t == "hour":
-            avro_t = "int"
-
-            def enc(s, _e=epoch):  # noqa: E731
-                y, m, d, h = s.split("-")
-                days = (_dt.date(int(y), int(m), int(d)) - _e).days
-                return days * 24 + int(h)
-
-        elif t.startswith("truncate["):
-            if src_type == "string":
-                avro_t = "string"
-                enc = lambda s: s  # noqa: E731
-            elif src_type in ("int", "long"):
-                avro_t = "int" if src_type == "int" else "long"
-                enc = int
-            else:
-                raise ValueError(
-                    f"truncate partition on {src_type} is not supported"
-                )
-        else:
-            raise ValueError(f"unknown partition transform {t!r}")
+        flavor = (
+            str((meta.properties or {}).get("write.bucket.hash", "spark"))
+            if t.startswith("bucket[")
+            else "iceberg-murmur3"
+        )
+        avro_t, enc = _transform_codec(t, src_type, src, flavor)
         # Avro field names forbid brackets etc.; Iceberg sanitizes
         # partition field names the same way (AvroSchemaUtil
         # makeCompatibleName) — engines map by field-id regardless
@@ -1291,6 +1299,13 @@ def resolve_iceberg_metadata(location: str) -> dict:
     """Locate and parse the current ``*.metadata.json`` of a real
     Iceberg table: version-hint.text (HadoopTables) first, else the
     lexically-newest metadata file (catalog-written tables)."""
+    with open(current_metadata_path(location)) as fh:
+        return json.load(fh)
+
+
+def current_metadata_path(location: str) -> str:
+    """Path of the table's CURRENT ``*.metadata.json`` (the resolution
+    rule ``resolve_iceberg_metadata`` parses)."""
     mdir = os.path.join(location, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
     path = None
@@ -1320,8 +1335,7 @@ def resolve_iceberg_metadata(location: str) -> dict:
         if not cands:
             raise FileNotFoundError(f"no *.metadata.json under {mdir}")
         path = os.path.join(mdir, cands[-1])
-    with open(path) as fh:
-        return json.load(fh)
+    return path
 
 
 def iceberg_metadata_tables(
@@ -2518,6 +2532,415 @@ def _translate_delete_files(
                 f"unsupported delete-file content id {d.get('content')}"
             )
     return out
+
+
+# ------------------------------------------------------- foreign write
+
+
+def _next_metadata_file(location: str) -> tuple[dict, str, str | None]:
+    """(current doc, NEXT metadata path, next version-hint value) for a
+    commit against a real Iceberg table. HadoopTables ``vN`` naming
+    increments the version (and the hint); catalog-style
+    ``00017-<uuid>`` naming bumps the leading counter with a fresh
+    uuid (no hint — resolution is lexical there)."""
+    import re as _re
+
+    cur = current_metadata_path(location)
+    with open(cur) as fh:
+        doc = json.load(fh)
+    base = os.path.basename(cur)
+    stem = base[: -len(".metadata.json")]
+    mdir = os.path.dirname(cur)
+    m = _re.fullmatch(r"v(\d+)", stem)
+    if m:
+        nv = int(m.group(1)) + 1
+        return doc, os.path.join(mdir, f"v{nv}.metadata.json"), str(nv)
+    m = _re.fullmatch(r"(\d+)(-.*)?", stem)
+    if m:
+        nv = int(m.group(1)) + 1
+        return (
+            doc,
+            os.path.join(
+                mdir, f"{nv:05d}-{uuid.uuid4()}.metadata.json"
+            ),
+            None,
+        )
+    raise ValueError(
+        f"unrecognized metadata file naming {base!r}; cannot derive "
+        "the next version"
+    )
+
+
+def _commit_metadata(
+    location: str, new_path: str, hint: str | None, doc: dict
+) -> None:
+    """Exclusive-create commit of a new metadata version: the JSON is
+    staged to a temp file and LINKED to its final name — link fails if
+    the name exists, so two writers racing from the same base version
+    conflict loudly instead of losing an update (the file-system
+    analogue of the catalog's atomic swap; same guarantee the managed
+    dialect's CAS tests pin cross-process)."""
+    mdir = os.path.dirname(new_path)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    try:
+        os.link(tmp, new_path)
+    except FileExistsError:
+        raise ValueError(
+            f"concurrent commit: {os.path.basename(new_path)} already "
+            "exists — re-read the table and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    if hint is not None:
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write(hint)
+
+
+def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
+    """Commit an APPEND to a real Iceberg table IN PLACE, purely
+    through the byte format — the write half of the reference's
+    one-table-two-engines contract (``interoperability.md:85-112``):
+    the same directory the other engine reads gains new data files, a
+    new manifest, a new manifest list reusing the previous snapshot's
+    manifests unchanged, and a v(N+1) metadata version committed by
+    exclusive create — no adoption, no identity rewrite, history and
+    refs untouched. Rows land under the table's DEFAULT partition
+    spec: the incoming frame is dir-partitioned by the spec's
+    transform columns (murmur3 for ``bucket[N]``) so every data file
+    is homogeneous per partition tuple and a foreign engine's
+    partition pruning stays sound; per-file column bounds come from
+    the parquet footers so stats skipping works on the appended files
+    too. O(new data + manifests) — the previous manifests are listed,
+    never rewritten, the exact delta-commit posture a 100 TB table
+    needs.
+
+    The frame must carry exactly the table's current columns (cast to
+    the declared types; NULL in a required field refuses). Appended
+    parquet is written by vanilla Spark without field-ids, so the
+    committed metadata guarantees a ``schema.name-mapping.default``
+    exists for foreign readers. Returns the new metadata path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from iceberg_workshop_spark.icetbl.stats import file_stats
+
+    doc, new_md_path, hint = _next_metadata_file(location)
+    fields = _current_schema(doc)
+    by_id = {f["id"]: f for f in fields}
+    by_name = {f["name"]: f for f in fields}
+    declared = StructType.fromDDL(_ddl_of(doc))
+    names = [f.name for f in declared.fields]
+    missing = [n for n in names if n not in df.columns]
+    extra = [c for c in df.columns if c not in names]
+    if missing or extra:
+        raise ValueError(
+            f"append frame does not match the table schema: missing "
+            f"{missing}, unexpected {extra}"
+        )
+    out = df.select(
+        *[
+            F.col(n).cast(declared[n].dataType).alias(n)
+            for n in names
+        ]
+    )
+    required = [f["name"] for f in fields if f.get("required")]
+    if required:
+        nulls = out.agg(
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(c)
+                for c in required
+            ]
+        ).first()
+        bad = [c for c in required if (nulls[c] or 0) > 0]
+        if bad:
+            raise ValueError(
+                f"NULL in required field(s) {bad} — a real engine "
+                "would reject this append"
+            )
+
+    # default spec → hidden dir-partitioned write + entry encoders
+    spec_id = int(doc.get("default-spec-id", 0))
+    spec_json = next(
+        (
+            s.get("fields", [])
+            for s in doc.get("partition-specs", [])
+            if int(s.get("spec-id", 0)) == spec_id
+        ),
+        [],
+    )
+    part_cols: list[str] = []
+    avro_fields: list[dict] = []
+    encoders: list[tuple[str, str, Any]] = []
+    for pf in spec_json:
+        t = pf["transform"]
+        if t == "void":
+            continue
+        src_f = by_id.get(int(pf["source-id"]))
+        if src_f is None:
+            raise ValueError(
+                f"partition field {pf['name']!r} sources unknown field "
+                f"id {pf['source-id']} — cannot append under this spec"
+            )
+        src = src_f["name"]
+        avro_t, enc = _transform_codec(t, src_f["type"], src)
+        pcol = f"__p_{pf['name']}"
+        if t.startswith("bucket["):
+            from iceberg_workshop_spark.icetbl.bucketing import (
+                with_bucket_column,
+            )
+
+            out = with_bucket_column(
+                out, pcol, src, int(t[7:-1]), declared[src].dataType
+            )
+        elif t == "identity":
+            out = out.withColumn(pcol, F.col(src))
+        elif t == "year":
+            out = out.withColumn(pcol, F.date_format(src, "yyyy"))
+        elif t == "month":
+            out = out.withColumn(pcol, F.date_format(src, "yyyy-MM"))
+        elif t == "day":
+            out = out.withColumn(pcol, F.date_format(src, "yyyy-MM-dd"))
+        elif t == "hour":
+            out = out.withColumn(
+                pcol, F.date_format(src, "yyyy-MM-dd-HH")
+            )
+        elif t.startswith("truncate["):
+            w = int(t[9:-1])
+            if src_f["type"] == "string":
+                out = out.withColumn(pcol, F.substring(src, 1, w))
+            else:
+                out = out.withColumn(
+                    pcol,
+                    (F.col(src) - F.pmod(F.col(src), F.lit(w))).cast(
+                        "int" if src_f["type"] == "int" else "long"
+                    ),
+                )
+        else:  # _transform_codec already refused unknown transforms
+            raise ValueError(f"unsupported partition transform {t!r}")
+        part_cols.append(pcol)
+        avro_fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", avro_t],
+                "default": None,
+                "field-id": int(pf["field-id"]),
+            }
+        )
+        encoders.append((pf["name"], enc))
+
+    ddir = os.path.join(
+        os.path.abspath(location), "data",
+        f"append-{uuid.uuid4().hex[:12]}",
+    )
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(ddir)
+
+    now = M.now_ms()
+    new_seq = int(doc.get("last-sequence-number", 0)) + 1
+    sid = int.from_bytes(os.urandom(7), "big") | 1
+    entries: list[dict] = []
+    import urllib.parse as _up
+
+    for root, _dirs, fnames in os.walk(ddir):
+        for fname in fnames:
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, fname)
+            dirvals: dict[str, str | None] = {}
+            for seg in os.path.relpath(root, ddir).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    if k.startswith("__p_"):
+                        dirvals[k[4:]] = _up.unquote(v)
+            partition = {}
+            for pname, enc in encoders:
+                raw = dirvals.get(pname)
+                partition[pname] = (
+                    None
+                    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+                    else enc(raw)
+                )
+            n_rows, bounds = file_stats(fpath)
+            lo, hi = [], []
+            for col, b in bounds.items():
+                f = by_name.get(col)
+                if f is None:
+                    continue
+                for idx, acc in ((0, lo), (1, hi)):
+                    raw_b = _bound_bytes(f["type"], b[idx])
+                    if raw_b is not None:
+                        acc.append({"key": f["id"], "value": raw_b})
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": new_seq,
+                    "file_sequence_number": new_seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "lower_bounds": sorted(
+                            lo, key=lambda kv: kv["key"]
+                        ) or None,
+                        "upper_bounds": sorted(
+                            hi, key=lambda kv: kv["key"]
+                        ) or None,
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                        "equality_ids": None,
+                    },
+                }
+            )
+    if not entries:
+        raise ValueError("append frame is empty — nothing to commit")
+
+    mdir = os.path.join(os.path.dirname(new_md_path))
+    cur_schema = next(
+        (
+            s
+            for s in doc.get("schemas", [])
+            if int(s.get("schema-id", 0))
+            == int(doc.get("current-schema-id", 0))
+        ),
+        None,
+    )
+    mf_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+    write_avro(
+        spark, mf_path, manifest_entry_schema(avro_fields), entries,
+        meta={
+            "schema": json.dumps(cur_schema or {}),
+            "schema-id": str(doc.get("current-schema-id", 0)),
+            "partition-spec": json.dumps(spec_json),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    added_rows = sum(e["data_file"]["record_count"] for e in entries)
+    new_row = {
+        "manifest_path": mf_path,
+        "manifest_length": os.path.getsize(mf_path),
+        "partition_spec_id": spec_id,
+        "content": 0,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_snapshot_id": sid,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"].get(pf["name"]) is None
+                    for e in entries
+                ),
+                "contains_nan": None,
+                "lower_bound": None,
+                "upper_bound": None,
+            }
+            for pf in avro_fields
+        ],
+    }
+    parent = doc.get("current-snapshot-id")
+    parent = int(parent) if parent is not None and int(parent) != -1 else None
+    prev_rows: list[dict] = []
+    if parent is not None:
+        snaps = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+        _, mlist, _ = read_avro(
+            _strip_scheme(snaps[parent]["manifest-list"])
+        )
+        # normalize reused rows to OUR list schema's field set (a
+        # foreign engine's list may carry extra/absent optional keys)
+        for r in mlist:
+            prev_rows.append(
+                {
+                    f["name"]: r.get(
+                        f["name"],
+                        None if isinstance(f["type"], list) else 0,
+                    )
+                    for f in MANIFEST_LIST_SCHEMA["fields"]
+                }
+            )
+    mlist_path = os.path.join(mdir, f"snap-{sid}-1-{uuid.uuid4()}.avro")
+    write_avro(
+        spark, mlist_path, MANIFEST_LIST_SCHEMA, prev_rows + [new_row],
+        meta={
+            "format-version": "2",
+            "snapshot-id": str(sid),
+            "sequence-number": str(new_seq),
+            "parent-snapshot-id": str(parent)
+            if parent is not None
+            else "null",
+        },
+    )
+    total_files = sum(
+        int(r.get("added_files_count") or 0)
+        + int(r.get("existing_files_count") or 0)
+        for r in prev_rows
+        if int(r.get("content") or 0) == 0
+    ) + len(entries)
+    total_rows = sum(
+        int(r.get("added_rows_count") or 0)
+        + int(r.get("existing_rows_count") or 0)
+        for r in prev_rows
+        if int(r.get("content") or 0) == 0
+    ) + added_rows
+    snap_json: dict = {
+        "snapshot-id": sid,
+        "sequence-number": new_seq,
+        "timestamp-ms": now,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+            "total-data-files": str(total_files),
+            "total-records": str(total_rows),
+        },
+        "schema-id": int(doc.get("current-schema-id", 0)),
+    }
+    if parent is not None:
+        snap_json["parent-snapshot-id"] = parent
+
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now
+    new_doc["last-sequence-number"] = new_seq
+    new_doc["current-snapshot-id"] = sid
+    new_doc["snapshots"] = list(doc.get("snapshots", [])) + [snap_json]
+    new_doc["snapshot-log"] = list(doc.get("snapshot-log", [])) + [
+        {"timestamp-ms": now, "snapshot-id": sid}
+    ]
+    new_doc["refs"] = {
+        **(doc.get("refs") or {}),
+        "main": {"snapshot-id": sid, "type": "branch"},
+    }
+    new_doc["metadata-log"] = list(doc.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": int(doc.get("last-updated-ms", now)),
+            "metadata-file": current_metadata_path(location),
+        }
+    ]
+    props = dict(doc.get("properties") or {})
+    if "schema.name-mapping.default" not in props:
+        # our appended parquet is ID-less; field-id engines need the
+        # name-mapping fallback to project it (spec: Column Projection)
+        props["schema.name-mapping.default"] = json.dumps(
+            [{"field-id": f["id"], "names": [f["name"]]} for f in fields]
+        )
+        new_doc["properties"] = props
+    _commit_metadata(location, new_md_path, hint, new_doc)
+    return new_md_path
 
 
 # -------------------------------------------------------- foreign scan

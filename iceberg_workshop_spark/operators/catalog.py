@@ -1197,3 +1197,106 @@ def q_iceberg_export_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("ref_name")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_append",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(3 AS BIGINT) AS n_snapshots,
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_appended,
+           COUNT(CASE WHEN o_custkey = 42 THEN 1 END) AS probe_rows
+    FROM orders
+    """,
+)
+def q_iceberg_foreign_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of one-table-two-engines (round 14,
+    ``interoperability.md:85-112``): a bucket[8]-partitioned orders
+    table exports, then ``append_iceberg`` commits two more chunks
+    IN PLACE through the byte format alone — new data files dir-
+    partitioned by the spec's murmur3 transform, a new manifest, a
+    manifest list reusing the previous manifests unchanged, and
+    v2/v3 metadata versions landed by exclusive create (the CAS the
+    managed dialect proves cross-process). The oracle ties every
+    surface to the data: total rows + money sum over all three
+    writers' files, snapshot count, the incremental read's exact
+    attribution of the appended rows (from the PRE-append head), and
+    a murmur3 bucket-pruned equality probe whose matching files
+    include foreign-written ones — files_scanned < files_total is
+    require()-asserted, so the foreign writer's partition tuples are
+    proven prune-sound, not just readable. O(new data + manifests)
+    per commit; at 100 TB the reused-manifest list is what keeps a
+    second engine's appends from rewriting metadata history."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        read_iceberg,
+        read_iceberg_changes,
+        resolve_iceberg_metadata,
+        scan_iceberg,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_iceappend_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 3 = 0"),
+            [spec_field("o_custkey", "bucket[8]", "cust_bucket")],
+        )
+        export_root = f"{root}/ice"
+        from iceberg_workshop_spark.icetbl.iceformat import export_iceberg
+
+        export_iceberg(t, export_root, history=True)
+        base_sid = int(
+            resolve_iceberg_metadata(export_root)["current-snapshot-id"]
+        )
+        append_iceberg(
+            spark, export_root, orders.filter("o_orderkey % 3 = 1")
+        )
+        append_iceberg(
+            spark, export_root, orders.filter("o_orderkey % 3 = 2")
+        )
+        doc = resolve_iceberg_metadata(export_root)
+        n_snapshots = len(doc["snapshots"])
+        full = read_iceberg(spark, export_root)
+        agg = full.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+        ).first()
+        n_appended = read_iceberg_changes(
+            spark, export_root, from_snapshot_id=base_sid
+        ).count()
+        probe, rep = scan_iceberg(
+            spark, export_root, [Pred("o_custkey", "=", 42)]
+        )
+        probe_rows = probe.count()
+        require(
+            0 < rep["files_scanned"] < rep["files_total"],
+            "bucket pruning must skip files across both writers' "
+            "commits and still find every probe row",
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(agg["n"]),
+                    float(agg["s"]),
+                    int(n_snapshots),
+                    int(n_appended),
+                    int(probe_rows),
+                )
+            ],
+            "n_rows bigint, sum_price double, n_snapshots bigint,"
+            " n_appended bigint, probe_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

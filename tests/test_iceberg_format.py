@@ -756,6 +756,27 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
         adopted = import_iceberg(spark, dest, str(tmp_path / f"adopt{seed}"))
         got2 = {(r[0], r[1]) for r in adopted.read().collect()}
         assert got2 == want, f"import mismatch seed={seed}"
+    # round 14: one FOREIGN append (append_iceberg) commits on top of
+    # whatever spec/rename/delete history the model landed on — the
+    # read must union the new rows, and every pinned tag must still
+    # resolve to exactly its pre-append rows
+    from iceberg_workshop_spark.icetbl.iceformat import append_iceberg
+
+    extra = [(900 + j, f"x{900 + j}") for j in range(2)]
+    append_iceberg(
+        spark, dest,
+        spark.createDataFrame(
+            extra, f"{id_col} bigint, {s_col} string"
+        ),
+    )
+    got3 = {(r[0], r[1]) for r in read_iceberg(spark, dest).collect()}
+    assert got3 == want | set(extra), f"foreign append seed={seed}"
+    for name, twant in tags.items():
+        tgot = {
+            (r[0], r[1])
+            for r in read_iceberg(spark, dest, ref=name).collect()
+        }
+        assert tgot == twant, f"tag {name} after append seed={seed}"
 
 
 def test_bucket_partitioned_export_roundtrip(spark, tmp_path):
@@ -1974,3 +1995,89 @@ def test_refs_cross_format_boundary(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="needs from_snapshot_id"):
         read_iceberg_changes(spark, dest)
+
+
+def test_append_iceberg_foreign_commit(spark, tmp_path):
+    """Round 14: append_iceberg commits to a REAL Iceberg table in
+    place — new data files + manifest + manifest list reusing the
+    previous manifests + v(N+1) metadata — so the byte-format layer is
+    bidirectional at the COMMIT level (one table, two engines, both
+    writing). Bucket and temporal default specs partition the appended
+    rows with the same transforms the exporter declares; racing
+    commits from one base version conflict loudly."""
+    from iceberg_workshop_spark.icetbl import Pred, spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        import_iceberg,
+        read_iceberg_changes,
+        scan_iceberg,
+    )
+
+    df = spark.range(40).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df.filter("id < 20"),
+        [spec_field("id", "bucket[4]", "idb")],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    base_sid = int(
+        resolve_iceberg_metadata(dest)["current-snapshot-id"]
+    )
+    p1 = append_iceberg(spark, dest, df.filter("id >= 20 and id < 30"))
+    assert p1.endswith("v2.metadata.json")
+    append_iceberg(spark, dest, df.filter("id >= 30"))
+    got = {r[0] for r in read_iceberg(spark, dest).select("id").collect()}
+    assert got == set(range(40))
+    # the incremental read attributes foreign-written rows correctly
+    delta = read_iceberg_changes(spark, dest, from_snapshot_id=base_sid)
+    assert {r[0] for r in delta.select("id").collect()} == set(
+        range(20, 40)
+    )
+    # murmur3 bucket pruning is sound over files written by BOTH
+    # writers: an equality probe for a foreign-written key scans a
+    # strict subset and still finds the row
+    sdf, rep = scan_iceberg(spark, dest, [Pred("id", "=", 35)])
+    assert [r[0] for r in sdf.select("id").collect()] == [35]
+    assert 0 < rep["files_scanned"] < rep["files_total"]
+    # the appended table adopts back whole
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    assert adopted.read().count() == 40
+
+    # temporal default spec: day(ts) dirs encode as logical dates
+    df2 = spark.sql(
+        "SELECT id, timestamp'2024-03-01 00:00:00' + make_interval("
+        "0,0,0,cast(id as int),0,0,0) AS ts FROM range(6)"
+    )
+    t2 = IceTable.create_as(
+        spark, str(tmp_path / "src2"), df2.filter("id < 3"),
+        [spec_field("ts", "day", "ts_day")],
+    )
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg(t2, dest2)
+    append_iceberg(spark, dest2, df2.filter("id >= 3"))
+    assert read_iceberg(spark, dest2).count() == 6
+    sdf2, rep2 = scan_iceberg(
+        spark, dest2,
+        [Pred("ts", ">=", "2024-03-04 00:00:00"),
+         Pred("ts", "<", "2024-03-05 00:00:00")],
+    )
+    assert sdf2.count() == 1
+    assert rep2["files_scanned"] < rep2["files_total"]
+
+    # CAS: a second writer committing from the same base version
+    # collides on the exclusive create and must not lose the update
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        _next_metadata_file,
+    )
+
+    doc, clash_path, _hint = _next_metadata_file(dest2)
+    with open(clash_path, "w") as fh:
+        json.dump(doc, fh)
+    with pytest.raises(ValueError, match="concurrent commit"):
+        append_iceberg(spark, dest2, df2.filter("id = 0"))
+
+    # schema mismatch refuses before writing anything
+    with pytest.raises(ValueError, match="does not match"):
+        append_iceberg(
+            spark, dest, spark.range(3).selectExpr("id", "id AS zzz")
+        )

@@ -57,7 +57,7 @@ HEAVY = [
     # entries at the endpoints (O(changed files)), metadata tables and
     # ref resolution are metadata-sized — sublinear is the claim
     "q_iceberg_changes_mor", "q_iceberg_metadata_tables",
-    "q_iceberg_export_refs",
+    "q_iceberg_export_refs", "q_iceberg_foreign_append",
     "q_sql_transform_ctas_script", "q_sql_expire_stmt",
     "q_sql_call_maintenance_stmt", "q_sql_insert_overwrite_stmt",
     "q_sql_cdc_wap", "q_sql_materialized_view",
