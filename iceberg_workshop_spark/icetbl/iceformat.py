@@ -2620,7 +2620,10 @@ def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
     the declared types; NULL in a required field refuses). Appended
     parquet is written by vanilla Spark without field-ids, so the
     committed metadata guarantees a ``schema.name-mapping.default``
-    exists for foreign readers. Returns the new metadata path."""
+    exists for foreign readers. A declared ``write.sort-order`` is NOT
+    applied to appended files (their ``sort_order_id`` is null —
+    spec-legal; stats skipping still works from the footer bounds).
+    Returns the new metadata path."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2852,6 +2855,37 @@ def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
             for pf in avro_fields
         ],
     }
+    return _commit_foreign_snapshot(
+        spark, location, doc, new_md_path, hint, new_row, sid, new_seq,
+        now, "append",
+        {
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+        },
+    )
+
+
+def _commit_foreign_snapshot(
+    spark: SparkSession,
+    location: str,
+    doc: dict,
+    new_md_path: str,
+    hint: str | None,
+    new_row: dict,
+    sid: int,
+    new_seq: int,
+    now: int,
+    operation: str,
+    summary_extra: dict[str, str],
+    doc_updates: dict | None = None,
+) -> str:
+    """Shared commit tail for the foreign writers: manifest list =
+    previous snapshot's rows (normalized to our list schema) + the new
+    manifest row, snapshot JSON with running data totals, metadata doc
+    with bumped version/log/refs and a guaranteed name-mapping (our
+    written parquet is ID-less), landed by exclusive-create CAS."""
+    mdir = os.path.dirname(new_md_path)
+    fields = _current_schema(doc)
     parent = doc.get("current-snapshot-id")
     parent = int(parent) if parent is not None and int(parent) != -1 else None
     prev_rows: list[dict] = []
@@ -2884,27 +2918,27 @@ def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
             else "null",
         },
     )
+    all_rows = prev_rows + [new_row]
     total_files = sum(
         int(r.get("added_files_count") or 0)
         + int(r.get("existing_files_count") or 0)
-        for r in prev_rows
+        for r in all_rows
         if int(r.get("content") or 0) == 0
-    ) + len(entries)
+    )
     total_rows = sum(
         int(r.get("added_rows_count") or 0)
         + int(r.get("existing_rows_count") or 0)
-        for r in prev_rows
+        for r in all_rows
         if int(r.get("content") or 0) == 0
-    ) + added_rows
+    )
     snap_json: dict = {
         "snapshot-id": sid,
         "sequence-number": new_seq,
         "timestamp-ms": now,
         "manifest-list": mlist_path,
         "summary": {
-            "operation": "append",
-            "added-data-files": str(len(entries)),
-            "added-records": str(added_rows),
+            "operation": operation,
+            **summary_extra,
             "total-data-files": str(total_files),
             "total-records": str(total_rows),
         },
@@ -2933,14 +2967,181 @@ def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
     ]
     props = dict(doc.get("properties") or {})
     if "schema.name-mapping.default" not in props:
-        # our appended parquet is ID-less; field-id engines need the
+        # our written parquet is ID-less; field-id engines need the
         # name-mapping fallback to project it (spec: Column Projection)
         props["schema.name-mapping.default"] = json.dumps(
             [{"field-id": f["id"], "names": [f["name"]]} for f in fields]
         )
         new_doc["properties"] = props
+    for k, v in (doc_updates or {}).items():
+        new_doc[k] = v
     _commit_metadata(location, new_md_path, hint, new_doc)
     return new_md_path
+
+
+def delete_iceberg_keys(
+    spark: SparkSession,
+    location: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+) -> str:
+    """Commit a merge-on-read EQUALITY DELETE to a real Iceberg table
+    IN PLACE through the byte format — the delete half of the foreign
+    write dialect (``append_iceberg`` is the insert half): one
+    key-columns-only sidecar parquet, a v2 delete manifest
+    (content=2 entry with the key field ids and the keys' min/max as
+    entry bounds, so changelog add-backs and engine planning stay
+    tight), a manifest list reusing the previous manifests unchanged,
+    and a v(N+1) metadata version landed by exclusive-create CAS.
+
+    The v2 sequence rule does the masking: the delete's sequence
+    number exceeds every live row's, so all current rows with
+    matching keys disappear from reads, while rows appended LATER
+    (higher seq) with the same keys survive — exactly Iceberg's
+    re-insert semantics. O(delete set + manifests); no data file is
+    read or rewritten."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from iceberg_workshop_spark.icetbl.stats import file_stats
+
+    doc, new_md_path, hint = _next_metadata_file(location)
+    if doc.get("current-snapshot-id") in (None, -1):
+        raise ValueError("table has no current snapshot — nothing to "
+                         "delete from")
+    fields = _current_schema(doc)
+    by_name = {f["name"]: f for f in fields}
+    unknown = [k for k in key_cols if k not in by_name]
+    if not key_cols or unknown:
+        raise ValueError(
+            f"equality-delete key columns {unknown or key_cols} not in "
+            "the table schema"
+        )
+    declared = StructType.fromDDL(_ddl_of(doc))
+    kdf = keys_df.select(
+        *[
+            F.col(k).cast(declared[k].dataType).alias(k)
+            for k in key_cols
+        ]
+    ).dropDuplicates()
+
+    ddir = os.path.join(os.path.abspath(location), "data")
+    os.makedirs(ddir, exist_ok=True)
+    tmpdir = os.path.join(ddir, f".eqdel-stage-{uuid.uuid4().hex[:12]}")
+    kdf.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+    part = next(
+        (
+            os.path.join(tmpdir, n)
+            for n in sorted(os.listdir(tmpdir))
+            if n.endswith(".parquet")
+        ),
+        None,
+    )
+    if part is None:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise ValueError("empty delete key set — nothing to commit")
+    del_path = os.path.join(
+        ddir, f"eqdel-foreign-{uuid.uuid4().hex[:12]}.parquet"
+    )
+    os.replace(part, del_path)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    n_keys, bounds = file_stats(del_path)
+    if n_keys == 0:
+        os.unlink(del_path)
+        raise ValueError("empty delete key set — nothing to commit")
+
+    now = M.now_ms()
+    new_seq = int(doc.get("last-sequence-number", 0)) + 1
+    sid = int.from_bytes(os.urandom(7), "big") | 1
+    lo, hi = [], []
+    for col, b in bounds.items():
+        f = by_name.get(col)
+        if f is None:
+            continue
+        for idx, acc in ((0, lo), (1, hi)):
+            raw_b = _bound_bytes(f["type"], b[idx])
+            if raw_b is not None:
+                acc.append({"key": f["id"], "value": raw_b})
+    entry = {
+        "status": 1,
+        "snapshot_id": sid,
+        "sequence_number": new_seq,
+        "file_sequence_number": new_seq,
+        "data_file": {
+            "content": 2,
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n_keys,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "lower_bounds": sorted(lo, key=lambda kv: kv["key"]) or None,
+            "upper_bounds": sorted(hi, key=lambda kv: kv["key"]) or None,
+            "split_offsets": None,
+            "sort_order_id": None,
+            "equality_ids": [by_name[k]["id"] for k in key_cols],
+        },
+    }
+    # delete manifests describe UNPARTITIONED tuples (global deletes):
+    # reference an existing empty spec, or add one to the metadata
+    doc_updates: dict = {}
+    specs = list(doc.get("partition-specs", []))
+    empty = next(
+        (int(s.get("spec-id", 0)) for s in specs if not s.get("fields")),
+        None,
+    )
+    if empty is None:
+        empty = max(
+            [int(s.get("spec-id", 0)) for s in specs] + [-1]
+        ) + 1
+        doc_updates["partition-specs"] = specs + [
+            {"spec-id": empty, "fields": []}
+        ]
+    cur_schema = next(
+        (
+            s
+            for s in doc.get("schemas", [])
+            if int(s.get("schema-id", 0))
+            == int(doc.get("current-schema-id", 0))
+        ),
+        None,
+    )
+    mdir = os.path.dirname(new_md_path)
+    mf_path = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
+    write_avro(
+        spark, mf_path, manifest_entry_schema([]), [entry],
+        meta={
+            "schema": json.dumps(cur_schema or {}),
+            "schema-id": str(doc.get("current-schema-id", 0)),
+            "partition-spec": json.dumps([]),
+            "partition-spec-id": str(empty),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    new_row = {
+        "manifest_path": mf_path,
+        "manifest_length": os.path.getsize(mf_path),
+        "partition_spec_id": empty,
+        "content": 1,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_snapshot_id": sid,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_keys,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [],
+    }
+    return _commit_foreign_snapshot(
+        spark, location, doc, new_md_path, hint, new_row, sid, new_seq,
+        now, "delete",
+        {"added-delete-files": "1", "added-position-deletes": "0"},
+        doc_updates,
+    )
 
 
 # -------------------------------------------------------- foreign scan

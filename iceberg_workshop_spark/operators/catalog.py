@@ -1300,3 +1300,85 @@ def q_iceberg_foreign_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_delete",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 6 <> 0)
+             AS n_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE)
+            FROM orders WHERE o_orderkey % 6 <> 0) AS sum_price,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 2 = 1 AND o_orderkey % 6 <> 0) AS n_ins,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_orderkey % 6 = 0) AS n_del
+    """,
+)
+def q_iceberg_foreign_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the foreign write dialect (round 14):
+    ``delete_iceberg_keys`` commits a merge-on-read equality delete to
+    a real Iceberg table in place — key-sidecar parquet, v2 delete
+    manifest with key field-ids AND key min/max entry bounds, reused
+    data manifests, v(N+1) metadata by exclusive-create CAS. The
+    fixture interleaves writers the way two engines would: managed
+    create → export → foreign append → foreign MoR delete; the oracle
+    ties the surviving rows + money sum to the v2 sequence rule (the
+    delete masks BOTH writers' earlier rows, never later ones) and
+    the NET changelog's exact insert/delete attribution across the
+    mixed-operation range. O(delete set + manifests); no data file is
+    read or rewritten — the 100 TB MoR posture."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_changelog,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icefdel_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 2 = 0")
+        )
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        base_sid = int(
+            resolve_iceberg_metadata(dest)["current-snapshot-id"]
+        )
+        append_iceberg(spark, dest, orders.filter("o_orderkey % 2 = 1"))
+        delete_iceberg_keys(
+            spark, dest,
+            orders.filter("o_orderkey % 6 = 0").select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        agg = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+        ).first()
+        cl = read_iceberg_changelog(spark, dest, base_sid)
+        counts = cl.groupBy("_change_type").count().collect()
+        by_type = {r["_change_type"]: int(r["count"]) for r in counts}
+        return spark.createDataFrame(
+            [
+                (
+                    int(agg["n"]),
+                    float(agg["s"]),
+                    by_type.get("insert", 0),
+                    by_type.get("delete", 0),
+                )
+            ],
+            "n_rows bigint, sum_price double, n_ins bigint, n_del bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -777,6 +777,23 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
             for r in read_iceberg(spark, dest, ref=name).collect()
         }
         assert tgot == twant, f"tag {name} after append seed={seed}"
+    # ... and one FOREIGN MoR delete on top of that: the v2 sequence
+    # rule must mask exactly the victim across every era's files
+    if live:
+        from iceberg_workshop_spark.icetbl.iceformat import (
+            delete_iceberg_keys,
+        )
+
+        victim = min(live)
+        delete_iceberg_keys(
+            spark, dest,
+            spark.createDataFrame([(victim,)], f"{id_col} bigint"),
+            [id_col],
+        )
+        got4 = {(r[0], r[1]) for r in read_iceberg(spark, dest).collect()}
+        assert got4 == {
+            p for p in want | set(extra) if p[0] != victim
+        }, f"foreign delete seed={seed}"
 
 
 def test_bucket_partitioned_export_roundtrip(spark, tmp_path):
@@ -2080,4 +2097,69 @@ def test_append_iceberg_foreign_commit(spark, tmp_path):
     with pytest.raises(ValueError, match="does not match"):
         append_iceberg(
             spark, dest, spark.range(3).selectExpr("id", "id AS zzz")
+        )
+
+
+def test_delete_iceberg_keys_foreign_mor(spark, tmp_path):
+    """Round 14: delete_iceberg_keys commits a merge-on-read equality
+    delete to a real Iceberg table in place — sidecar + delete
+    manifest + reused manifests + v(N+1) metadata. The v2 sequence
+    rule masks exactly the rows live at delete time: later re-inserts
+    of a deleted key survive, the changelog reports the NET diff, and
+    the table still adopts back whole."""
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        import_iceberg,
+        read_iceberg_changelog,
+    )
+
+    df = spark.range(30).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df.filter("id < 20"),
+        [spec_field("id", "bucket[4]", "idb")],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    base_sid = int(
+        resolve_iceberg_metadata(dest)["current-snapshot-id"]
+    )
+    delete_iceberg_keys(
+        spark, dest, spark.range(20).filter("id % 4 = 0").select("id"),
+        ["id"],
+    )
+    got = {r[0] for r in read_iceberg(spark, dest).select("id").collect()}
+    want = {i for i in range(20) if i % 4 != 0}
+    assert got == want
+    # re-insert semantics: a deleted key appended AFTER the delete
+    # has a higher data sequence and must survive the mask
+    append_iceberg(spark, dest, df.filter("id = 0 OR id >= 20"))
+    got2 = {r[0] for r in read_iceberg(spark, dest).select("id").collect()}
+    assert got2 == want | {0} | set(range(20, 30))
+    # NET changelog across the delete+append range: the re-inserted
+    # identical row (id=0) cancels; the other deleted keys report as
+    # deletes, the new rows as inserts
+    cl = read_iceberg_changelog(spark, dest, base_sid).collect()
+    assert {r["id"] for r in cl if r["_change_type"] == "insert"} == set(
+        range(20, 30)
+    )
+    assert {r["id"] for r in cl if r["_change_type"] == "delete"} == {
+        4, 8, 12, 16,
+    }
+    # metadata views see the delete sidecar; adoption carries it
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        iceberg_metadata_tables,
+    )
+
+    mt = iceberg_metadata_tables(spark, dest)
+    assert mt["files"].filter("content = 2").count() == 1
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    assert adopted.read().count() == len(got2)
+    # refusals: unknown key column, empty key set, empty table
+    with pytest.raises(ValueError, match="not in"):
+        delete_iceberg_keys(spark, dest, spark.range(1), ["nope"])
+    with pytest.raises(ValueError, match="empty delete key set"):
+        delete_iceberg_keys(
+            spark, dest, spark.range(0).selectExpr("id"), ["id"]
         )
