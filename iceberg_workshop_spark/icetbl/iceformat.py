@@ -2598,7 +2598,12 @@ def _commit_metadata(
             fh.write(hint)
 
 
-def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
+def append_iceberg(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    branch: str | None = None,
+) -> str:
     """Commit an APPEND to a real Iceberg table IN PLACE, purely
     through the byte format — the write half of the reference's
     one-table-two-engines contract (``interoperability.md:85-112``):
@@ -2623,7 +2628,12 @@ def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
     exists for foreign readers. A declared ``write.sort-order`` is NOT
     applied to appended files (their ``sort_order_id`` is null —
     spec-legal; stats skipping still works from the footer bounds).
-    Returns the new metadata path."""
+    Returns the new metadata path.
+
+    ``branch`` stages the commit on a named branch head instead of
+    main (created from main if absent) — main readers see nothing
+    until ``fast_forward_iceberg`` publishes it: the write half of
+    WAP, foreign-side."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -2862,7 +2872,63 @@ def append_iceberg(spark: SparkSession, location: str, df: DataFrame) -> str:
             "added-data-files": str(len(entries)),
             "added-records": str(added_rows),
         },
+        branch=branch,
     )
+
+
+def fast_forward_iceberg(location: str, branch: str) -> str:
+    """Publish a staged branch on a real Iceberg table — point main at
+    the branch head with a METADATA-ONLY commit (no manifest is
+    touched): current-snapshot-id moves, the snapshot-log gains the
+    publish instant, the branch ref stays. Requires main to be an
+    ancestor of the branch head (Iceberg's fast_forward contract — a
+    diverged main needs a cherry-pick, not a silent overwrite). The
+    WAP publish step, foreign-side; with ``append_iceberg(...,
+    branch=...)`` the full write-audit-publish cycle runs against
+    bytes alone."""
+    doc, new_md_path, hint = _next_metadata_file(location)
+    refs_map = dict(doc.get("refs") or {})
+    if branch not in refs_map:
+        raise ValueError(
+            f"branch {branch!r} not found; table declares "
+            f"{sorted(refs_map) or '(no refs)'}"
+        )
+    head = int(refs_map[branch]["snapshot-id"])
+    cur = doc.get("current-snapshot-id")
+    cur = int(cur) if cur is not None and int(cur) != -1 else None
+    by_id = {int(s["snapshot-id"]): s for s in doc.get("snapshots", [])}
+    walk: int | None = head
+    ok = cur is None
+    while not ok and walk is not None and walk in by_id:
+        if walk == cur:
+            ok = True
+            break
+        walk = by_id[walk].get("parent-snapshot-id")
+        walk = int(walk) if walk is not None else None
+    if not ok:
+        raise ValueError(
+            f"cannot fast-forward: main ({cur}) is not an ancestor of "
+            f"branch {branch!r} head ({head}) — the branches diverged"
+        )
+    now = M.now_ms()
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now
+    new_doc["current-snapshot-id"] = head
+    new_doc["snapshot-log"] = list(doc.get("snapshot-log", [])) + [
+        {"timestamp-ms": now, "snapshot-id": head}
+    ]
+    new_doc["refs"] = {
+        **refs_map,
+        "main": {"snapshot-id": head, "type": "branch"},
+    }
+    new_doc["metadata-log"] = list(doc.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": int(doc.get("last-updated-ms", now)),
+            "metadata-file": current_metadata_path(location),
+        }
+    ]
+    _commit_metadata(location, new_md_path, hint, new_doc)
+    return new_md_path
 
 
 def _commit_foreign_snapshot(
@@ -2878,15 +2944,30 @@ def _commit_foreign_snapshot(
     operation: str,
     summary_extra: dict[str, str],
     doc_updates: dict | None = None,
+    branch: str | None = None,
 ) -> str:
     """Shared commit tail for the foreign writers: manifest list =
     previous snapshot's rows (normalized to our list schema) + the new
     manifest row, snapshot JSON with running data totals, metadata doc
     with bumped version/log/refs and a guaranteed name-mapping (our
-    written parquet is ID-less), landed by exclusive-create CAS."""
+    written parquet is ID-less), landed by exclusive-create CAS.
+
+    ``branch`` targets a named branch head instead of main: the new
+    snapshot's parent is the branch head, only that ref moves, and
+    current-snapshot-id / snapshot-log stay untouched (a staged
+    commit was never current — Iceberg's WAP contract)."""
     mdir = os.path.dirname(new_md_path)
     fields = _current_schema(doc)
-    parent = doc.get("current-snapshot-id")
+    refs_map = dict(doc.get("refs") or {})
+    if branch is None or branch == "main":
+        branch = None
+        parent = doc.get("current-snapshot-id")
+    else:
+        # writing to an absent branch creates it from main (the same
+        # behavior Iceberg's branch_ write identifiers have)
+        parent = (refs_map.get(branch) or {}).get(
+            "snapshot-id", doc.get("current-snapshot-id")
+        )
     parent = int(parent) if parent is not None and int(parent) != -1 else None
     prev_rows: list[dict] = []
     if parent is not None:
@@ -2950,15 +3031,16 @@ def _commit_foreign_snapshot(
     new_doc = dict(doc)
     new_doc["last-updated-ms"] = now
     new_doc["last-sequence-number"] = new_seq
-    new_doc["current-snapshot-id"] = sid
     new_doc["snapshots"] = list(doc.get("snapshots", [])) + [snap_json]
-    new_doc["snapshot-log"] = list(doc.get("snapshot-log", [])) + [
-        {"timestamp-ms": now, "snapshot-id": sid}
-    ]
-    new_doc["refs"] = {
-        **(doc.get("refs") or {}),
-        "main": {"snapshot-id": sid, "type": "branch"},
-    }
+    if branch is None:
+        new_doc["current-snapshot-id"] = sid
+        new_doc["snapshot-log"] = list(doc.get("snapshot-log", [])) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
+        refs_map["main"] = {"snapshot-id": sid, "type": "branch"}
+    else:
+        refs_map[branch] = {"snapshot-id": sid, "type": "branch"}
+    new_doc["refs"] = refs_map
     new_doc["metadata-log"] = list(doc.get("metadata-log", [])) + [
         {
             "timestamp-ms": int(doc.get("last-updated-ms", now)),

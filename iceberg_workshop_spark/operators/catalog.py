@@ -1382,3 +1382,84 @@ def q_iceberg_foreign_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_wap",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+             AS staged_main_rows,
+           (SELECT COUNT(*) FROM orders) AS published_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) FROM orders) AS published_sum
+    """,
+)
+def q_iceberg_foreign_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH against bytes alone (round 14) — the
+    reference's staging workflow (``README.md:313-381``'s lifecycle +
+    branch verbs) run entirely through the byte format:
+    ``append_iceberg(branch='audit')`` stages half of orders on a
+    branch head (a staged commit was never current, so main readers
+    and the snapshot-log stay untouched — require()-asserted), the
+    audit reads the staged state by ref, and ``fast_forward_iceberg``
+    publishes METADATA-ONLY (no manifest touched; main must be an
+    ancestor of the branch head or the publish refuses). The oracle
+    pins the staged-vs-published row counts and the published money
+    sum; a staged commit leaking to main, a lost publish, or a
+    publish that rewrote data would each break it. O(new data) to
+    stage, O(1) metadata to publish — the posture that makes WAP free
+    at 100 TB."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        export_iceberg,
+        fast_forward_iceberg,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icewap_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 2 = 0")
+        )
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        append_iceberg(
+            spark, dest, orders.filter("o_orderkey % 2 = 1"),
+            branch="audit",
+        )
+        staged_main = read_iceberg(spark, dest).count()
+        doc = resolve_iceberg_metadata(dest)
+        require(
+            len(doc["snapshot-log"]) == 1,
+            "a staged commit must not touch the snapshot-log",
+        )
+        audit = read_iceberg(spark, dest, ref="audit").count()
+        require(
+            audit > staged_main,
+            "the audit read sees the staged rows by ref",
+        )
+        fast_forward_iceberg(dest, "audit")
+        agg = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+        ).first()
+        require(
+            int(agg["n"]) == audit,
+            "publish promotes exactly the audited state",
+        )
+        return spark.createDataFrame(
+            [(int(staged_main), int(agg["n"]), float(agg["s"]))],
+            "staged_main_rows bigint, published_rows bigint,"
+            " published_sum double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2163,3 +2163,53 @@ def test_delete_iceberg_keys_foreign_mor(spark, tmp_path):
         delete_iceberg_keys(
             spark, dest, spark.range(0).selectExpr("id"), ["id"]
         )
+
+
+def test_foreign_branch_wap_cycle(spark, tmp_path):
+    """Round 14: the write-audit-publish cycle against bytes alone —
+    append_iceberg(branch=...) stages a commit on a branch head (main
+    readers and the snapshot-log untouched), the audit reads it by
+    ref, fast_forward_iceberg publishes metadata-only, and a publish
+    after main diverged refuses (Iceberg's fast_forward contract)."""
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        fast_forward_iceberg,
+    )
+
+    df = spark.range(12).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df.filter("id < 6"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    append_iceberg(spark, dest, df.filter("id >= 6"), branch="audit")
+    doc = resolve_iceberg_metadata(dest)
+    # staged: main/current and the snapshot-log are untouched; the
+    # branch ref carries the staged head
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == set(range(6))
+    assert {
+        r[0]
+        for r in read_iceberg(spark, dest, ref="audit")
+        .select("id")
+        .collect()
+    } == set(range(12))
+    assert len(doc["snapshot-log"]) == 1
+    assert int(doc["refs"]["audit"]["snapshot-id"]) != int(
+        doc["current-snapshot-id"]
+    )
+    # publish: metadata-only, main moves, the log gains the instant
+    fast_forward_iceberg(dest, "audit")
+    doc2 = resolve_iceberg_metadata(dest)
+    assert int(doc2["current-snapshot-id"]) == int(
+        doc2["refs"]["audit"]["snapshot-id"]
+    )
+    assert len(doc2["snapshot-log"]) == 2
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == set(range(12))
+    # divergence: main moves on, the stale branch must not publish
+    append_iceberg(spark, dest, df.filter("id = 0"))
+    with pytest.raises(ValueError, match="diverged"):
+        fast_forward_iceberg(dest, "audit")
+    with pytest.raises(ValueError, match="not found"):
+        fast_forward_iceberg(dest, "nope")
