@@ -3226,6 +3226,120 @@ def delete_iceberg_keys(
     )
 
 
+def alter_iceberg_schema(
+    location: str,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> str:
+    """Evolve a real Iceberg table's schema IN PLACE with one
+    METADATA-ONLY commit — the DDL third of the foreign write dialect
+    (A35 across the byte-format boundary): a NEW schema entry (bumped
+    schema-id, field ids preserved for renames, fresh ids for adds)
+    becomes current; no data file is touched. Renames append the old
+    physical name to the field's name-mapping entry, so ID-less files
+    written before the rename keep resolving; adds extend the
+    mapping; existing readers then surface added columns as typed
+    nulls from pre-evolution files and ignore dropped ones — the same
+    era semantics the managed dialect's schema evolution has.
+
+    Refuses the two silently-corrupting shapes: a new/renamed name
+    that collides with a live column, and one that matches a
+    HISTORICAL name still listed in the mapping (an ID-less old file
+    would resolve the old column into the new field by name)."""
+    add = list(add or [])
+    rename = dict(rename or {})
+    drop = list(drop or [])
+    if not (add or rename or drop):
+        raise ValueError("nothing to alter")
+    doc, new_md_path, hint = _next_metadata_file(location)
+    fields = [dict(f) for f in _current_schema(doc)]
+    by_name = {f["name"]: f for f in fields}
+    for old in list(rename) + drop:
+        if old not in by_name:
+            raise ValueError(f"column {old!r} does not exist")
+    props = dict(doc.get("properties") or {})
+    mapping = {
+        int(m["field-id"]): list(m.get("names", []))
+        for m in json.loads(
+            props.get("schema.name-mapping.default", "[]")
+        )
+    }
+    for f in fields:
+        mapping.setdefault(int(f["id"]), [f["name"]])
+    historical = {n for names in mapping.values() for n in names}
+    new_names = list(rename.values()) + [n for n, _t in add]
+    surviving = {f["name"] for f in fields} - set(rename) - set(drop)
+    for new_name in new_names:
+        if new_name in surviving or new_names.count(new_name) > 1:
+            raise ValueError(
+                f"column name {new_name!r} would collide with a live "
+                "column"
+            )
+        if new_name in historical:
+            raise ValueError(
+                f"column name {new_name!r} is a HISTORICAL name still "
+                "mapped to another field — ID-less old files would "
+                "resolve the old column into it; compact first"
+            )
+    last_id = int(doc.get("last-column-id", max(f["id"] for f in fields)))
+    out_fields = []
+    for f in fields:
+        name = f["name"]
+        if name in drop:
+            mapping.pop(int(f["id"]), None)
+            continue
+        if name in rename:
+            new_name = rename[name]
+            names = mapping.get(int(f["id"]), [name])
+            mapping[int(f["id"])] = [new_name] + [
+                n for n in names if n != new_name
+            ]
+            f = {**f, "name": new_name}
+        out_fields.append(f)
+    for name, ice_type in add:
+        _spark_type_of(ice_type)  # validates the type is known
+        last_id += 1
+        out_fields.append(
+            {
+                "id": last_id,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+        )
+        mapping[last_id] = [name]
+    new_schema_id = max(
+        [int(s.get("schema-id", 0)) for s in doc.get("schemas", [])] + [0]
+    ) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_schema_id,
+        "fields": out_fields,
+    }
+    now = M.now_ms()
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now
+    new_doc["last-column-id"] = last_id
+    new_doc["schemas"] = list(doc.get("schemas", [])) + [new_schema]
+    new_doc["current-schema-id"] = new_schema_id
+    props["schema.name-mapping.default"] = json.dumps(
+        [
+            {"field-id": fid, "names": names}
+            for fid, names in sorted(mapping.items())
+        ]
+    )
+    new_doc["properties"] = props
+    new_doc["metadata-log"] = list(doc.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": int(doc.get("last-updated-ms", now)),
+            "metadata-file": current_metadata_path(location),
+        }
+    ]
+    _commit_metadata(location, new_md_path, hint, new_doc)
+    return new_md_path
+
+
 # -------------------------------------------------------- foreign scan
 
 

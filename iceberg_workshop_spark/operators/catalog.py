@@ -1463,3 +1463,80 @@ def q_iceberg_foreign_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_evolve",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_notes
+    FROM orders
+    """,
+)
+def q_iceberg_foreign_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ACROSS the byte-format boundary (round 14, the
+    reference's A35 surface — ``limitations.md:3-17``'s
+    ADD/RENAME/DROP COLUMN — applied to a foreign table):
+    ``alter_iceberg_schema`` commits a rename (o_totalprice→price) and
+    an add (note string) METADATA-ONLY, then ``append_iceberg`` writes
+    the other half of orders under the NEW schema. The read must
+    resolve both eras at once — old ID-less files through the
+    extended name-mapping (a lost mapping entry silently nulls the
+    renamed column, which the money sum catches), pre-evolution rows
+    surfacing the added column as typed nulls — and the oracle pins
+    row count, the cross-era money sum under the renamed name, and
+    the exact count of rows carrying the added column. No data file
+    is read or rewritten by the DDL itself: O(1) metadata, the only
+    cost posture schema changes can have at 100 TB."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        alter_iceberg_schema,
+        append_iceberg,
+        export_iceberg,
+        read_iceberg,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icevolve_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 2 = 0")
+        )
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        alter_iceberg_schema(
+            dest,
+            add=[("note", "string")],
+            rename={"o_totalprice": "price"},
+        )
+        append_iceberg(
+            spark, dest,
+            orders.filter("o_orderkey % 2 = 1").selectExpr(
+                "o_orderkey", "o_totalprice AS price", "'audit' AS note"
+            ),
+        )
+        r = read_iceberg(spark, dest)
+        require(
+            r.columns == ["o_orderkey", "price", "note"],
+            "the evolved schema is the read schema",
+        )
+        agg = r.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("price")).cast("double").alias("s"),
+            F.sum(F.col("note").isNotNull().cast("long")).alias("k"),
+        ).first()
+        return spark.createDataFrame(
+            [(int(agg["n"]), float(agg["s"]), int(agg["k"]))],
+            "n_rows bigint, sum_price double, n_notes bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2213,3 +2213,64 @@ def test_foreign_branch_wap_cycle(spark, tmp_path):
         fast_forward_iceberg(dest, "audit")
     with pytest.raises(ValueError, match="not found"):
         fast_forward_iceberg(dest, "nope")
+
+
+def test_alter_iceberg_schema_foreign_ddl(spark, tmp_path):
+    """Round 14: alter_iceberg_schema evolves a real Iceberg table's
+    schema in place with a metadata-only commit — renames keep old
+    ID-less files resolving through the extended name-mapping, adds
+    surface as typed nulls from pre-evolution files, drops vanish from
+    reads, and appends with the new schema interleave. The two
+    silently-corrupting name shapes refuse."""
+    from iceberg_workshop_spark.icetbl import Pred
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        alter_iceberg_schema,
+        append_iceberg,
+        import_iceberg,
+        scan_iceberg,
+    )
+
+    df = spark.range(10).selectExpr(
+        "id", "cast(id*10 as double) as amount"
+    )
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df.filter("id < 5"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    alter_iceberg_schema(
+        dest, add=[("note", "string")], rename={"amount": "price"}
+    )
+    r = read_iceberg(spark, dest)
+    assert r.columns == ["id", "price", "note"]
+    assert {(x[0], x[1], x[2]) for x in r.collect()} == {
+        (i, i * 10.0, None) for i in range(5)
+    }
+    # a writer on the NEW schema interleaves with old-era files
+    append_iceberg(
+        spark, dest,
+        spark.range(5, 10).selectExpr(
+            "id", "cast(id*10 as double) as price", "'x' as note"
+        ),
+    )
+    assert {(x[0], x[1], x[2]) for x in read_iceberg(spark, dest).collect()} == {
+        (i, i * 10.0, None) for i in range(5)
+    } | {(i, i * 10.0, "x") for i in range(5, 10)}
+    # bounds pruning keeps working across the rename (field ids are
+    # stable, so old files' bounds still key the renamed column)
+    sdf, rep = scan_iceberg(spark, dest, [Pred("price", ">", 75.0)])
+    assert sorted(x[1] for x in sdf.collect()) == [80.0, 90.0]
+    assert rep["files_scanned"] < rep["files_total"]
+    alter_iceberg_schema(dest, drop=["note"])
+    assert read_iceberg(spark, dest).columns == ["id", "price"]
+    # refusals: live-name collision, historical-name reuse, unknown
+    with pytest.raises(ValueError, match="collide"):
+        alter_iceberg_schema(dest, add=[("price", "string")])
+    with pytest.raises(ValueError, match="HISTORICAL"):
+        alter_iceberg_schema(dest, add=[("amount", "string")])
+    with pytest.raises(ValueError, match="does not exist"):
+        alter_iceberg_schema(dest, rename={"zzz": "a"})
+    with pytest.raises(ValueError, match="nothing to alter"):
+        alter_iceberg_schema(dest)
+    # the one documented limit carries over: an ID-less renamed table
+    # refuses strict ADOPTION (adopted reads cannot alias per file)
+    with pytest.raises(ValueError, match="name-resolvable"):
+        import_iceberg(spark, dest, str(tmp_path / "adopted"))
