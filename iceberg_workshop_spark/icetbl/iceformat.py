@@ -1667,6 +1667,22 @@ def resolve_snapshot_at(doc: dict, as_of_ms: int) -> int:
     return sid
 
 
+def _require_retained(doc: dict, snapshot_id: int | None) -> None:
+    """An EXPLICITLY pinned snapshot id must exist in the retained
+    set — a pinned read of an expired snapshot raises instead of
+    silently returning an empty (other-era) result, the same contract
+    the managed dialect's pinned reads keep."""
+    if snapshot_id is None:
+        return
+    if int(snapshot_id) not in {
+        int(s["snapshot-id"]) for s in doc.get("snapshots", [])
+    }:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not retained (expired or never "
+            "existed)"
+        )
+
+
 def resolve_iceberg_ref(doc: dict, ref: str) -> int:
     """``VERSION AS OF '<tag|branch>'`` over a real Iceberg table:
     resolve a named ref from the metadata's ``refs`` map to its head
@@ -1982,6 +1998,7 @@ def read_iceberg(
         snapshot_id = resolve_iceberg_ref(doc, ref)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
+    _require_retained(doc, snapshot_id)
     files, dels = iceberg_manifest_entries(doc, snapshot_id, spark=spark)
     if not files:
         # empty table: the TABLE's schema, not a placeholder — unions
@@ -3340,6 +3357,104 @@ def alter_iceberg_schema(
     return new_md_path
 
 
+def expire_iceberg(
+    location: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> tuple[str, list[str]]:
+    """EXPIRE SNAPSHOTS on a real Iceberg table from bytes alone — the
+    maintenance verb the reference drives constantly
+    (``README.md:313-381``'s EXECUTE expire_snapshots) applied to a
+    foreign table: drop retired snapshots from the metadata in one
+    CAS commit and report every manifest-list/manifest/data path that
+    became unreachable. Retention roots follow the ref-safety rule the
+    managed dialect enforces: the current snapshot, the newest
+    ``keep_last`` of main's ancestry (and/or those at or after
+    ``older_than_ms``), and EVERY named tag/branch head survive.
+
+    Orphaned paths are RETURNED, never deleted: exported metadata
+    references the source table's data files in place, so physical
+    deletion belongs to whoever owns the files — silently unlinking a
+    co-owned file is the one mistake a metadata layer must not make.
+    Reachability is computed over ALL entries (even DELETED-status
+    ones), so the orphan report errs conservative. O(history
+    metadata): every retained and dropped snapshot's manifests are
+    walked once, no data file is opened."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("pass keep_last and/or older_than_ms")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    doc, new_md_path, hint = _next_metadata_file(location)
+    snaps = doc.get("snapshots", [])
+    by_id = {int(s["snapshot-id"]): s for s in snaps}
+    cur = doc.get("current-snapshot-id")
+    cur = int(cur) if cur is not None and int(cur) != -1 else None
+    main_line: list[int] = []
+    walk = cur
+    while walk is not None and walk in by_id:
+        main_line.append(walk)
+        p = by_id[walk].get("parent-snapshot-id")
+        walk = int(p) if p is not None else None
+    keep: set[int] = set()
+    if cur is not None:
+        keep.add(cur)
+    if keep_last is not None:
+        keep |= set(main_line[:keep_last])
+    if older_than_ms is not None:
+        keep |= {
+            sid
+            for sid in main_line
+            if int(by_id[sid].get("timestamp-ms", 0)) >= older_than_ms
+        }
+    for name, r in (doc.get("refs") or {}).items():
+        sid = int(r["snapshot-id"])
+        if sid not in by_id:
+            raise ValueError(
+                f"ref {name!r} points at unretained snapshot {sid} — "
+                "refusing to expire corrupt metadata"
+            )
+        keep.add(sid)
+    dropped = [s for s in snaps if int(s["snapshot-id"]) not in keep]
+    if not dropped:
+        return current_metadata_path(location), []
+
+    def _reach(sids: list[dict]) -> set[str]:
+        paths: set[str] = set()
+        for s in sids:
+            ml = _strip_scheme(s["manifest-list"])
+            paths.add(ml)
+            _, mlist, _ = read_avro(ml)
+            for mf in mlist:
+                mp = _strip_scheme(mf["manifest_path"])
+                paths.add(mp)
+                _, entries, _ = read_avro(mp)
+                for e in entries:
+                    paths.add(
+                        _strip_scheme(e["data_file"]["file_path"])
+                    )
+        return paths
+
+    retained_snaps = [s for s in snaps if int(s["snapshot-id"]) in keep]
+    orphaned = sorted(_reach(dropped) - _reach(retained_snaps))
+    now = M.now_ms()
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now
+    new_doc["snapshots"] = retained_snaps
+    new_doc["snapshot-log"] = [
+        h
+        for h in doc.get("snapshot-log", [])
+        if int(h["snapshot-id"]) in keep
+    ]
+    new_doc["metadata-log"] = list(doc.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": int(doc.get("last-updated-ms", now)),
+            "metadata-file": current_metadata_path(location),
+        }
+    ]
+    _commit_metadata(location, new_md_path, hint, new_doc)
+    return new_md_path, orphaned
+
+
 # -------------------------------------------------------- foreign scan
 
 
@@ -3390,6 +3505,7 @@ def scan_iceberg(
         snapshot_id = resolve_iceberg_ref(doc, ref)
     if snapshot_id is None and as_of_ms is not None:
         snapshot_id = resolve_snapshot_at(doc, as_of_ms)
+    _require_retained(doc, snapshot_id)
     files, dels = iceberg_manifest_entries(doc, snapshot_id, spark=spark)
     fields = _current_schema(doc)
     by_id = {f["id"]: f for f in fields}

@@ -1540,3 +1540,92 @@ def q_iceberg_foreign_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_expire",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_snapshots,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2)
+             AS main_rows,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE)
+            FROM orders WHERE o_orderkey % 3 = 2) AS main_sum,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+             AS tag_rows
+    """,
+)
+def q_iceberg_foreign_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPIRE SNAPSHOTS from bytes alone (round 14 — the reference's
+    EXECUTE expire_snapshots, ``README.md:313-381``, on a FOREIGN
+    table): a four-commit history (create → tag → append → TRUNCATE →
+    append) exports, then ``expire_iceberg(keep_last=1)`` drops the
+    two unprotected middle snapshots in one CAS commit. The ref-safety
+    rule is the point: the tag's pinned snapshot survives expiry and
+    still resolves BY NAME to its exact rows, the truncate-retired
+    files of the dropped era are REPORTED orphaned (never deleted —
+    exported metadata references the source's files in place), a
+    pinned read of a dropped snapshot refuses loudly, and the
+    snapshot-log shrinks to the retained instants. The oracle pins
+    the retained count and both heads' row/money parity. O(history
+    metadata); at 100 TB this is the same manifests-walk a real
+    engine's expire does, with deletion left to the file owner."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        expire_iceberg,
+        export_iceberg,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icexpire_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 3 = 0")
+        )
+        t.create_tag("v1")
+        t.append(orders.filter("o_orderkey % 3 = 1"))
+        t.truncate()
+        t.append(orders.filter("o_orderkey % 3 = 2"))
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        dropped_sid = int(
+            resolve_iceberg_metadata(dest)["snapshots"][1]["snapshot-id"]
+        )
+        _p, orphaned = expire_iceberg(dest, keep_last=1)
+        doc = resolve_iceberg_metadata(dest)
+        require(
+            any(p.endswith(".parquet") for p in orphaned),
+            "the truncate-retired era's files must be reported orphaned",
+        )
+        try:
+            read_iceberg(spark, dest, snapshot_id=dropped_sid)
+            require(False, "pinned read of a dropped snapshot must refuse")
+        except ValueError:
+            pass
+        main = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+        ).first()
+        tag_rows = read_iceberg(spark, dest, ref="v1").count()
+        return spark.createDataFrame(
+            [
+                (
+                    len(doc["snapshots"]),
+                    int(main["n"]),
+                    float(main["s"]),
+                    int(tag_rows),
+                )
+            ],
+            "n_snapshots bigint, main_rows bigint, main_sum double,"
+            " tag_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2274,3 +2274,67 @@ def test_alter_iceberg_schema_foreign_ddl(spark, tmp_path):
     # refuses strict ADOPTION (adopted reads cannot alias per file)
     with pytest.raises(ValueError, match="name-resolvable"):
         import_iceberg(spark, dest, str(tmp_path / "adopted"))
+
+
+def test_expire_iceberg_foreign_maintenance(spark, tmp_path):
+    """Round 14: expire_iceberg drops retired snapshots from a real
+    Iceberg table's metadata in one CAS commit, keeping every ref head
+    (the ref-safety rule) and REPORTING — never deleting — the paths
+    that became unreachable. A pinned read of a dropped snapshot then
+    refuses instead of returning an empty other-era result."""
+    from iceberg_workshop_spark.icetbl.iceformat import expire_iceberg
+
+    df = spark.range(30).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df.filter("id < 10"))
+    t.create_tag("v1")
+    t.append(df.filter("id >= 10 AND id < 20"))
+    t.truncate()
+    t.append(df.filter("id >= 20"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    s_ids = [
+        int(s["snapshot-id"])
+        for s in resolve_iceberg_metadata(dest)["snapshots"]
+    ]
+    assert len(s_ids) == 4
+    _p, orphaned = expire_iceberg(dest, keep_last=1)
+    doc = resolve_iceberg_metadata(dest)
+    # retained: the current head + the tag's pinned snapshot
+    assert {int(s["snapshot-id"]) for s in doc["snapshots"]} == {
+        s_ids[0], s_ids[-1],
+    }
+    # the truncate-retired files of the dropped middle era are
+    # reported orphaned; everything a retained snapshot reaches is not
+    assert any(p.endswith(".parquet") for p in orphaned)
+    assert any("/metadata/" in p for p in orphaned)
+    retained_files = {
+        _x
+        for s in doc["snapshots"]
+        for _x in [s["manifest-list"]]
+    }
+    assert not (set(orphaned) & retained_files)
+    # main reads the head, the tag keeps resolving, the dropped
+    # snapshot and the stale log instants refuse
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == set(range(20, 30))
+    assert {
+        r[0]
+        for r in read_iceberg(spark, dest, ref="v1").select("id").collect()
+    } == set(range(10))
+    with pytest.raises(ValueError, match="not retained"):
+        read_iceberg(spark, dest, snapshot_id=s_ids[1])
+    assert len(doc["snapshot-log"]) == 2
+    # idempotent: nothing left to drop → no commit, no orphans
+    p2, o2 = expire_iceberg(dest, keep_last=1)
+    assert o2 == [] and p2 == current_metadata_path_of(dest)
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg(dest)
+
+
+def current_metadata_path_of(location):
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        current_metadata_path,
+    )
+
+    return current_metadata_path(location)
