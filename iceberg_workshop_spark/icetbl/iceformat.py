@@ -2596,8 +2596,24 @@ def _commit_metadata(
     the name exists, so two writers racing from the same base version
     conflict loudly instead of losing an update (the file-system
     analogue of the catalog's atomic swap; same guarantee the managed
-    dialect's CAS tests pin cross-process)."""
+    dialect's CAS tests pin cross-process).
+
+    Catalog-style names (``00018-<uuid>``) embed a fresh uuid, so the
+    final-name link alone cannot collide; the version COUNTER is the
+    conflict domain there, claimed by exclusively creating a
+    ``.commit-<counter>.lock`` marker first."""
     mdir = os.path.dirname(new_path)
+    if hint is None:
+        counter = os.path.basename(new_path).split("-", 1)[0]
+        lock = os.path.join(mdir, f".commit-{counter}.lock")
+        try:
+            with open(lock, "x"):
+                pass
+        except FileExistsError:
+            raise ValueError(
+                f"concurrent commit: version {counter} is already "
+                "claimed — re-read the table and retry"
+            ) from None
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(doc, fh, indent=1)

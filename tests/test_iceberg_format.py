@@ -2338,3 +2338,42 @@ def current_metadata_path_of(location):
     )
 
     return current_metadata_path(location)
+
+
+def test_append_iceberg_catalog_style_naming(spark, tmp_path):
+    """Round 14: foreign commits against a CATALOG-NAMED table
+    (00001-<uuid>.metadata.json, no version hint) — the next version
+    bumps the counter, resolution stays lexical, and the version
+    COUNTER is the CAS conflict domain (a fresh-uuid filename alone
+    can never collide, so a .commit-<counter>.lock claims it)."""
+    import uuid as _uuid
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        current_metadata_path,
+    )
+
+    df = spark.range(10).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(spark, str(tmp_path / "src"), df.filter("id < 5"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest)
+    # re-shape the export into catalog naming: counter-uuid file, no hint
+    mdir = os.path.join(dest, "metadata")
+    os.rename(
+        os.path.join(mdir, "v1.metadata.json"),
+        os.path.join(mdir, f"00001-{_uuid.uuid4()}.metadata.json"),
+    )
+    os.unlink(os.path.join(mdir, "version-hint.text"))
+    append_iceberg(spark, dest, df.filter("id >= 5"))
+    cur = os.path.basename(current_metadata_path(dest))
+    assert cur.startswith("00002-")
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == set(range(10))
+    # a racing writer already claimed counter 00003 → loud conflict
+    with open(os.path.join(mdir, ".commit-00003.lock"), "x"):
+        pass
+    with pytest.raises(ValueError, match="concurrent commit"):
+        append_iceberg(spark, dest, df.filter("id = 0"))
+    # the loser's commit must NOT have landed
+    assert os.path.basename(current_metadata_path(dest)) == cur
