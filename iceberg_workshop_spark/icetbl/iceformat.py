@@ -3291,6 +3291,21 @@ def alter_iceberg_schema(
     for old in list(rename) + drop:
         if old not in by_name:
             raise ValueError(f"column {old!r} does not exist")
+    # a column sourced by any partition spec cannot drop (Iceberg's
+    # own rule — the spec would dangle and every later write break);
+    # renames are fine, specs reference fields by id
+    spec_sources = {
+        int(pf["source-id"])
+        for s in doc.get("partition-specs", [])
+        for pf in s.get("fields", [])
+        if pf.get("transform") != "void"
+    }
+    for old in drop:
+        if int(by_name[old]["id"]) in spec_sources:
+            raise ValueError(
+                f"column {old!r} is a partition-spec source — drop the "
+                "spec (partition evolution) before dropping the column"
+            )
     props = dict(doc.get("properties") or {})
     mapping = {
         int(m["field-id"]): list(m.get("names", []))

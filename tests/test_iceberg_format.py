@@ -2270,6 +2270,22 @@ def test_alter_iceberg_schema_foreign_ddl(spark, tmp_path):
         alter_iceberg_schema(dest, rename={"zzz": "a"})
     with pytest.raises(ValueError, match="nothing to alter"):
         alter_iceberg_schema(dest)
+    # a partition-spec source cannot drop (the spec would dangle)
+    t2 = IceTable.create_as(
+        spark, str(tmp_path / "src2"),
+        spark.range(4).selectExpr("id", "concat('g', id % 2) as grp"),
+        [spec_field2("grp", "identity", "grp")],
+    )
+    dest2 = str(tmp_path / "ice2")
+    export_iceberg(t2, dest2)
+    with pytest.raises(ValueError, match="partition-spec source"):
+        alter_iceberg_schema(dest2, drop=["grp"])
+
+
+def spec_field2(src, transform, name):
+    from iceberg_workshop_spark.icetbl import spec_field
+
+    return spec_field(src, transform, name)
     # the one documented limit carries over: an ID-less renamed table
     # refuses strict ADOPTION (adopted reads cannot alias per file)
     with pytest.raises(ValueError, match="name-resolvable"):
