@@ -2631,82 +2631,32 @@ def _commit_metadata(
             fh.write(hint)
 
 
-def append_iceberg(
+def _write_foreign_files(
     spark: SparkSession,
+    doc: dict,
+    out: DataFrame,
     location: str,
-    df: DataFrame,
-    branch: str | None = None,
-) -> str:
-    """Commit an APPEND to a real Iceberg table IN PLACE, purely
-    through the byte format — the write half of the reference's
-    one-table-two-engines contract (``interoperability.md:85-112``):
-    the same directory the other engine reads gains new data files, a
-    new manifest, a new manifest list reusing the previous snapshot's
-    manifests unchanged, and a v(N+1) metadata version committed by
-    exclusive create — no adoption, no identity rewrite, history and
-    refs untouched. Rows land under the table's DEFAULT partition
-    spec: the incoming frame is dir-partitioned by the spec's
-    transform columns (murmur3 for ``bucket[N]``) so every data file
-    is homogeneous per partition tuple and a foreign engine's
-    partition pruning stays sound; per-file column bounds come from
-    the parquet footers so stats skipping works on the appended files
-    too. O(new data + manifests) — the previous manifests are listed,
-    never rewritten, the exact delta-commit posture a 100 TB table
-    needs.
+    sid: int,
+    new_seq: int,
+) -> tuple[list[dict], list[dict], list[dict], int]:
+    """Write ``out`` as data files of a foreign table under its
+    DEFAULT partition spec and return ``(manifest entries,
+    avro partition fields, spec JSON fields, spec id)`` — the shared
+    physical half of the foreign writers (append and rewrite): hidden
+    dir-partitioning by the spec's transforms (murmur3 for
+    ``bucket[N]``), per-file footer stats as entry bounds, Iceberg
+    partition VALUES from the shared ``_transform_codec``."""
+    import urllib.parse as _up
 
-    The frame must carry exactly the table's current columns (cast to
-    the declared types; NULL in a required field refuses). Appended
-    parquet is written by vanilla Spark without field-ids, so the
-    committed metadata guarantees a ``schema.name-mapping.default``
-    exists for foreign readers. A declared ``write.sort-order`` is NOT
-    applied to appended files (their ``sort_order_id`` is null —
-    spec-legal; stats skipping still works from the footer bounds).
-    Returns the new metadata path.
-
-    ``branch`` stages the commit on a named branch head instead of
-    main (created from main if absent) — main readers see nothing
-    until ``fast_forward_iceberg`` publishes it: the write half of
-    WAP, foreign-side."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from iceberg_workshop_spark.icetbl.stats import file_stats
 
-    doc, new_md_path, hint = _next_metadata_file(location)
     fields = _current_schema(doc)
     by_id = {f["id"]: f for f in fields}
     by_name = {f["name"]: f for f in fields}
     declared = StructType.fromDDL(_ddl_of(doc))
-    names = [f.name for f in declared.fields]
-    missing = [n for n in names if n not in df.columns]
-    extra = [c for c in df.columns if c not in names]
-    if missing or extra:
-        raise ValueError(
-            f"append frame does not match the table schema: missing "
-            f"{missing}, unexpected {extra}"
-        )
-    out = df.select(
-        *[
-            F.col(n).cast(declared[n].dataType).alias(n)
-            for n in names
-        ]
-    )
-    required = [f["name"] for f in fields if f.get("required")]
-    if required:
-        nulls = out.agg(
-            *[
-                F.sum(F.col(c).isNull().cast("long")).alias(c)
-                for c in required
-            ]
-        ).first()
-        bad = [c for c in required if (nulls[c] or 0) > 0]
-        if bad:
-            raise ValueError(
-                f"NULL in required field(s) {bad} — a real engine "
-                "would reject this append"
-            )
-
-    # default spec → hidden dir-partitioned write + entry encoders
     spec_id = int(doc.get("default-spec-id", 0))
     spec_json = next(
         (
@@ -2718,7 +2668,7 @@ def append_iceberg(
     )
     part_cols: list[str] = []
     avro_fields: list[dict] = []
-    encoders: list[tuple[str, str, Any]] = []
+    encoders: list[tuple[str, Any]] = []
     for pf in spec_json:
         t = pf["transform"]
         if t == "void":
@@ -2727,7 +2677,7 @@ def append_iceberg(
         if src_f is None:
             raise ValueError(
                 f"partition field {pf['name']!r} sources unknown field "
-                f"id {pf['source-id']} — cannot append under this spec"
+                f"id {pf['source-id']} — cannot write under this spec"
             )
         src = src_f["name"]
         avro_t, enc = _transform_codec(t, src_f["type"], src)
@@ -2785,12 +2735,7 @@ def append_iceberg(
         writer = writer.partitionBy(*part_cols)
     writer.parquet(ddir)
 
-    now = M.now_ms()
-    new_seq = int(doc.get("last-sequence-number", 0)) + 1
-    sid = int.from_bytes(os.urandom(7), "big") | 1
     entries: list[dict] = []
-    import urllib.parse as _up
-
     for root, _dirs, fnames in os.walk(ddir):
         for fname in fnames:
             if not fname.endswith(".parquet"):
@@ -2845,6 +2790,86 @@ def append_iceberg(
                     },
                 }
             )
+    return entries, avro_fields, spec_json, spec_id
+
+
+def append_iceberg(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    branch: str | None = None,
+) -> str:
+    """Commit an APPEND to a real Iceberg table IN PLACE, purely
+    through the byte format — the write half of the reference's
+    one-table-two-engines contract (``interoperability.md:85-112``):
+    the same directory the other engine reads gains new data files, a
+    new manifest, a new manifest list reusing the previous snapshot's
+    manifests unchanged, and a v(N+1) metadata version committed by
+    exclusive create — no adoption, no identity rewrite, history and
+    refs untouched. Rows land under the table's DEFAULT partition
+    spec: the incoming frame is dir-partitioned by the spec's
+    transform columns (murmur3 for ``bucket[N]``) so every data file
+    is homogeneous per partition tuple and a foreign engine's
+    partition pruning stays sound; per-file column bounds come from
+    the parquet footers so stats skipping works on the appended files
+    too. O(new data + manifests) — the previous manifests are listed,
+    never rewritten, the exact delta-commit posture a 100 TB table
+    needs.
+
+    The frame must carry exactly the table's current columns (cast to
+    the declared types; NULL in a required field refuses). Appended
+    parquet is written by vanilla Spark without field-ids, so the
+    committed metadata guarantees a ``schema.name-mapping.default``
+    exists for foreign readers. A declared ``write.sort-order`` is NOT
+    applied to appended files (their ``sort_order_id`` is null —
+    spec-legal; stats skipping still works from the footer bounds).
+    Returns the new metadata path.
+
+    ``branch`` stages the commit on a named branch head instead of
+    main (created from main if absent) — main readers see nothing
+    until ``fast_forward_iceberg`` publishes it: the write half of
+    WAP, foreign-side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    doc, new_md_path, hint = _next_metadata_file(location)
+    fields = _current_schema(doc)
+    declared = StructType.fromDDL(_ddl_of(doc))
+    names = [f.name for f in declared.fields]
+    missing = [n for n in names if n not in df.columns]
+    extra = [c for c in df.columns if c not in names]
+    if missing or extra:
+        raise ValueError(
+            f"append frame does not match the table schema: missing "
+            f"{missing}, unexpected {extra}"
+        )
+    out = df.select(
+        *[
+            F.col(n).cast(declared[n].dataType).alias(n)
+            for n in names
+        ]
+    )
+    required = [f["name"] for f in fields if f.get("required")]
+    if required:
+        nulls = out.agg(
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(c)
+                for c in required
+            ]
+        ).first()
+        bad = [c for c in required if (nulls[c] or 0) > 0]
+        if bad:
+            raise ValueError(
+                f"NULL in required field(s) {bad} — a real engine "
+                "would reject this append"
+            )
+
+    now = M.now_ms()
+    new_seq = int(doc.get("last-sequence-number", 0)) + 1
+    sid = int.from_bytes(os.urandom(7), "big") | 1
+    entries, avro_fields, spec_json, spec_id = _write_foreign_files(
+        spark, doc, out, location, sid, new_seq
+    )
     if not entries:
         raise ValueError("append frame is empty — nothing to commit")
 
@@ -3386,6 +3411,153 @@ def alter_iceberg_schema(
     ]
     _commit_metadata(location, new_md_path, hint, new_doc)
     return new_md_path
+
+
+def rewrite_iceberg_files(
+    spark: SparkSession,
+    location: str,
+    target_num_files: int | None = None,
+) -> tuple[str, dict]:
+    """COMPACT a real Iceberg table from bytes alone — the reference's
+    CALL rewrite_data_files (``README.md:392-407``) on a FOREIGN
+    table: one read of the current snapshot (merge-on-read deletes
+    RESOLVED during the read), one coalesced rewrite under the default
+    spec, and a ``replace`` snapshot whose manifest list carries ONLY
+    the new manifest — outstanding delete files drop out of the new
+    snapshot entirely (the MoR→CoW conversion compaction exists to
+    do), while every previous snapshot stays time-travelable until
+    expired. Answers are invariant by construction: the rewritten
+    snapshot holds exactly the rows the current one reads, so a net
+    changelog across the compaction is EMPTY. Returns ``(new metadata
+    path, report)`` with before/after file counts.
+
+    ``target_num_files`` sizes the output (default: the write's
+    natural parallelism per partition tuple). O(live data) once — the
+    read+write scales with the cluster; the commit itself stays
+    metadata-sized."""
+    doc, new_md_path, hint = _next_metadata_file(location)
+    if doc.get("current-snapshot-id") in (None, -1):
+        raise ValueError("table has no current snapshot — nothing to "
+                         "rewrite")
+    files, dels = iceberg_manifest_entries(doc, spark=spark)
+    if not files:
+        raise ValueError("table has no live data files")
+    current = read_iceberg(spark, location)
+    if target_num_files is not None:
+        if target_num_files < 1:
+            raise ValueError("target_num_files must be >= 1")
+        current = current.coalesce(target_num_files)
+    now = M.now_ms()
+    new_seq = int(doc.get("last-sequence-number", 0)) + 1
+    sid = int.from_bytes(os.urandom(7), "big") | 1
+    entries, avro_fields, spec_json, spec_id = _write_foreign_files(
+        spark, doc, current, location, sid, new_seq
+    )
+    if not entries:
+        raise ValueError("current snapshot reads as empty — use "
+                         "expire/truncate, not a rewrite")
+    mdir = os.path.dirname(new_md_path)
+    cur_schema = next(
+        (
+            s
+            for s in doc.get("schemas", [])
+            if int(s.get("schema-id", 0))
+            == int(doc.get("current-schema-id", 0))
+        ),
+        None,
+    )
+    mf_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+    write_avro(
+        spark, mf_path, manifest_entry_schema(avro_fields), entries,
+        meta={
+            "schema": json.dumps(cur_schema or {}),
+            "schema-id": str(doc.get("current-schema-id", 0)),
+            "partition-spec": json.dumps(spec_json),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    added_rows = sum(e["data_file"]["record_count"] for e in entries)
+    new_row = {
+        "manifest_path": mf_path,
+        "manifest_length": os.path.getsize(mf_path),
+        "partition_spec_id": spec_id,
+        "content": 0,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_snapshot_id": sid,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": any(
+                    e["data_file"]["partition"].get(pf["name"]) is None
+                    for e in entries
+                ),
+                "contains_nan": None,
+                "lower_bound": None,
+                "upper_bound": None,
+            }
+            for pf in avro_fields
+        ],
+    }
+    # the REPLACE snapshot lists ONLY the new manifest: old data files
+    # and MoR delete sidecars leave the current view together, but
+    # stay reachable from prior snapshots for time travel
+    parent = int(doc["current-snapshot-id"])
+    mlist_path = os.path.join(mdir, f"snap-{sid}-1-{uuid.uuid4()}.avro")
+    write_avro(
+        spark, mlist_path, MANIFEST_LIST_SCHEMA, [new_row],
+        meta={
+            "format-version": "2",
+            "snapshot-id": str(sid),
+            "sequence-number": str(new_seq),
+            "parent-snapshot-id": str(parent),
+        },
+    )
+    snap_json = {
+        "snapshot-id": sid,
+        "sequence-number": new_seq,
+        "timestamp-ms": now,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "replace",
+            "total-data-files": str(len(entries)),
+            "total-records": str(added_rows),
+        },
+        "schema-id": int(doc.get("current-schema-id", 0)),
+        "parent-snapshot-id": parent,
+    }
+    new_doc = dict(doc)
+    new_doc["last-updated-ms"] = now
+    new_doc["last-sequence-number"] = new_seq
+    new_doc["current-snapshot-id"] = sid
+    new_doc["snapshots"] = list(doc.get("snapshots", [])) + [snap_json]
+    new_doc["snapshot-log"] = list(doc.get("snapshot-log", [])) + [
+        {"timestamp-ms": now, "snapshot-id": sid}
+    ]
+    new_doc["refs"] = {
+        **(doc.get("refs") or {}),
+        "main": {"snapshot-id": sid, "type": "branch"},
+    }
+    new_doc["metadata-log"] = list(doc.get("metadata-log", [])) + [
+        {
+            "timestamp-ms": int(doc.get("last-updated-ms", now)),
+            "metadata-file": current_metadata_path(location),
+        }
+    ]
+    _commit_metadata(location, new_md_path, hint, new_doc)
+    return new_md_path, {
+        "files_before": len(files),
+        "delete_files_before": len(dels),
+        "files_after": len(entries),
+        "rows": added_rows,
+    }
 
 
 def expire_iceberg(

@@ -1629,3 +1629,84 @@ def q_iceberg_foreign_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_compact",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(0 AS BIGINT) AS n_delete_files,
+           CAST(0 AS BIGINT) AS net_changes
+    FROM orders WHERE o_orderkey % 6 <> 0
+    """,
+)
+def q_iceberg_foreign_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION from bytes alone (round 14 — the reference's CALL
+    rewrite_data_files, ``README.md:392-407``, on a FOREIGN table):
+    after a managed create, a foreign append and a foreign MoR delete,
+    ``rewrite_iceberg_files`` reads the current snapshot once (deletes
+    resolved), rewrites it under the default spec, and commits a
+    ``replace`` snapshot listing ONLY the new manifest — the delete
+    sidecar leaves the current view (MoR→CoW), prior snapshots stay
+    time-travelable, and answers are invariant by construction: the
+    oracle's row/money parity plus a require()d EMPTY net changelog
+    across the compaction pin it. The rewrite is the one O(live data)
+    pass compaction must pay; the commit stays metadata-sized — at
+    100 TB you compact size-tiered partitions on a schedule with
+    exactly this verb."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        export_iceberg,
+        iceberg_manifest_entries,
+        read_iceberg,
+        read_iceberg_changelog,
+        resolve_iceberg_metadata,
+        rewrite_iceberg_files,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_icecompact_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 2 = 0")
+        )
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        append_iceberg(spark, dest, orders.filter("o_orderkey % 2 = 1"))
+        delete_iceberg_keys(
+            spark, dest,
+            orders.filter("o_orderkey % 6 = 0").select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        base_sid = int(
+            resolve_iceberg_metadata(dest)["current-snapshot-id"]
+        )
+        _p, rep = rewrite_iceberg_files(spark, dest)
+        require(
+            rep["delete_files_before"] == 1,
+            "the MoR sidecar existed before the rewrite",
+        )
+        doc = resolve_iceberg_metadata(dest)
+        _files, dels = iceberg_manifest_entries(doc, spark=spark)
+        net = read_iceberg_changelog(spark, dest, base_sid).count()
+        agg = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+        ).first()
+        return spark.createDataFrame(
+            [(int(agg["n"]), float(agg["s"]), len(dels), int(net))],
+            "n_rows bigint, sum_price double, n_delete_files bigint,"
+            " net_changes bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

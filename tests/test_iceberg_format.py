@@ -2393,3 +2393,61 @@ def test_append_iceberg_catalog_style_naming(spark, tmp_path):
         append_iceberg(spark, dest, df.filter("id = 0"))
     # the loser's commit must NOT have landed
     assert os.path.basename(current_metadata_path(dest)) == cur
+
+
+def test_rewrite_iceberg_files_foreign_compaction(spark, tmp_path):
+    """Round 14: rewrite_iceberg_files compacts a real Iceberg table
+    from bytes — one read (MoR deletes resolved), one rewrite under
+    the default spec, a replace snapshot listing only the new
+    manifest. Answers invariant, net changelog empty, prior snapshots
+    time-travelable, delete sidecars gone from the current view, and
+    a later expire orphans the whole replaced era."""
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        expire_iceberg,
+        iceberg_manifest_entries,
+        read_iceberg_changelog,
+        rewrite_iceberg_files,
+    )
+
+    df = spark.range(40).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df.filter("id < 20"),
+        [spec_field("id", "bucket[4]", "idb")],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    append_iceberg(spark, dest, df.filter("id >= 20"))
+    delete_iceberg_keys(
+        spark, dest, spark.range(40).filter("id % 5 = 0").select("id"),
+        ["id"],
+    )
+    base_sid = int(
+        resolve_iceberg_metadata(dest)["current-snapshot-id"]
+    )
+    before = {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    }
+    _p, rep = rewrite_iceberg_files(spark, dest)
+    assert rep["delete_files_before"] == 1
+    after = {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    }
+    assert after == before == {i for i in range(40) if i % 5 != 0}
+    doc = resolve_iceberg_metadata(dest)
+    _files, dels = iceberg_manifest_entries(doc, spark=spark)
+    assert dels == []  # MoR → CoW: the current view has no deletes
+    assert read_iceberg_changelog(spark, dest, base_sid).count() == 0
+    assert {
+        r[0]
+        for r in read_iceberg(spark, dest, snapshot_id=base_sid)
+        .select("id")
+        .collect()
+    } == before
+    _p2, orphaned = expire_iceberg(dest, keep_last=1)
+    assert any("eqdel" in p for p in orphaned)
+    assert any(p.endswith(".parquet") for p in orphaned)
+    with pytest.raises(ValueError, match="target_num_files"):
+        rewrite_iceberg_files(spark, dest, target_num_files=0)
