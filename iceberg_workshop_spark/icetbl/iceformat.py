@@ -1305,7 +1305,12 @@ def resolve_iceberg_metadata(location: str) -> dict:
 
 def current_metadata_path(location: str) -> str:
     """Path of the table's CURRENT ``*.metadata.json`` (the resolution
-    rule ``resolve_iceberg_metadata`` parses)."""
+    rule ``resolve_iceberg_metadata`` parses). The hint is only an
+    ACCELERATOR: racing writers' hint updates are not ordered, so a
+    stale hint may point below a committed version — probe FORWARD
+    from it (same rule as the managed dialect's read_current; without
+    this, foreign commits livelock proposing an already-taken
+    version)."""
     mdir = os.path.join(location, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
     path = None
@@ -1317,6 +1322,13 @@ def current_metadata_path(location: str) -> str:
             if os.path.exists(p):
                 path = p
                 break
+        if path is not None and v.isdigit():
+            n = int(v)
+            while os.path.exists(
+                os.path.join(mdir, f"v{n + 1}.metadata.json")
+            ):
+                n += 1
+            path = os.path.join(mdir, f"v{n}.metadata.json")
     if path is None:
         def _order(name: str):
             # HadoopTables names are v<N>.metadata.json — sort those

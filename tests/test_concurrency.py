@@ -1007,3 +1007,79 @@ def test_cross_process_conflicting_schema_change_raises(spark, loc, tmp_path):
     stale.properties["mine"] = "1"
     with pytest.raises(M.CommitConflict):
         M.commit(stale)
+
+
+def test_cross_process_foreign_commit_race_loses_nothing(tmp_path):
+    """Round 14: the FOREIGN commit protocol (_next_metadata_file +
+    _commit_metadata's exclusive-create CAS) across real OS processes,
+    for BOTH metadata naming schemes — HadoopTables vN (the filename
+    is the conflict domain) and catalog-style counter-uuid (the
+    .commit-<counter>.lock claims the counter). 4 writers x 5 commits
+    each, refresh-and-retry on the 'concurrent commit' refusal; all
+    20 updates must land with one version per commit."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import uuid as _uuid
+
+    worker = """
+import sys
+sys.path.insert(0, '/root/repo')
+from iceberg_workshop_spark.icetbl.iceformat import (
+    _commit_metadata, _next_metadata_file)
+loc, wid = sys.argv[1], sys.argv[2]
+done = 0
+while done < 5:
+    doc, path, hint = _next_metadata_file(loc)
+    doc.setdefault("note-log", []).append("w%s-%s" % (wid, done))
+    try:
+        _commit_metadata(loc, path, hint, doc)
+        done += 1
+    except ValueError:
+        continue
+"""
+
+    def race(loc):
+        procs = [
+            subprocess.Popen([_sys.executable, "-c", worker, loc, str(w)])
+            for w in range(4)
+        ]
+        for p in procs:
+            assert p.wait(timeout=120) == 0
+
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        current_metadata_path,
+        resolve_iceberg_metadata,
+    )
+
+    # HadoopTables vN naming
+    loc_v = str(tmp_path / "ice_v")
+    mdir = os.path.join(loc_v, "metadata")
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump({"note-log": []}, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    race(loc_v)
+    assert current_metadata_path(loc_v).endswith("v21.metadata.json")
+    notes = resolve_iceberg_metadata(loc_v)["note-log"]
+    assert sorted(notes) == sorted(
+        f"w{w}-{i}" for w in range(4) for i in range(5)
+    )
+
+    # catalog-style counter-uuid naming (no hint)
+    loc_c = str(tmp_path / "ice_c")
+    mdir = os.path.join(loc_c, "metadata")
+    os.makedirs(mdir)
+    with open(
+        os.path.join(mdir, f"00001-{_uuid.uuid4()}.metadata.json"), "w"
+    ) as fh:
+        _json.dump({"note-log": []}, fh)
+    race(loc_c)
+    assert os.path.basename(current_metadata_path(loc_c)).startswith(
+        "00021-"
+    )
+    notes = resolve_iceberg_metadata(loc_c)["note-log"]
+    assert sorted(notes) == sorted(
+        f"w{w}-{i}" for w in range(4) for i in range(5)
+    )

@@ -2081,17 +2081,24 @@ def test_append_iceberg_foreign_commit(spark, tmp_path):
     assert sdf2.count() == 1
     assert rep2["files_scanned"] < rep2["files_total"]
 
-    # CAS: a second writer committing from the same base version
-    # collides on the exclusive create and must not lose the update
+    # CAS primitive: committing to an already-claimed version name
+    # refuses (the cross-process protocol race lives in
+    # test_concurrency.py; a version FILE that exists is a committed
+    # version, which the resolver's forward-probe now honors)
     from iceberg_workshop_spark.icetbl.iceformat import (
+        _commit_metadata,
         _next_metadata_file,
+        current_metadata_path,
     )
 
     doc, clash_path, _hint = _next_metadata_file(dest2)
     with open(clash_path, "w") as fh:
         json.dump(doc, fh)
     with pytest.raises(ValueError, match="concurrent commit"):
-        append_iceberg(spark, dest2, df2.filter("id = 0"))
+        _commit_metadata(dest2, clash_path, _hint, doc)
+    # the out-of-band file IS the new current version under the
+    # hint-is-only-an-accelerator rule
+    assert current_metadata_path(dest2) == clash_path
 
     # schema mismatch refuses before writing anything
     with pytest.raises(ValueError, match="does not match"):
