@@ -794,6 +794,20 @@ def test_random_op_sequences_survive_format_boundary(spark, tmp_path, seed):
         assert got4 == {
             p for p in want | set(extra) if p[0] != victim
         }, f"foreign delete seed={seed}"
+        # ... and a FOREIGN compaction: answers invariant under any
+        # spec/rename history, MoR sidecars resolved out of the view
+        from iceberg_workshop_spark.icetbl.iceformat import (
+            iceberg_manifest_entries,
+            rewrite_iceberg_files,
+        )
+
+        rewrite_iceberg_files(spark, dest)
+        got5 = {(r[0], r[1]) for r in read_iceberg(spark, dest).collect()}
+        assert got5 == got4, f"compaction changed answers seed={seed}"
+        _f, _dels = iceberg_manifest_entries(
+            resolve_iceberg_metadata(dest)
+        )
+        assert _dels == [], f"compaction left deletes seed={seed}"
 
 
 def test_bucket_partitioned_export_roundtrip(spark, tmp_path):
