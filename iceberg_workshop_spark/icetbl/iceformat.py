@@ -3204,9 +3204,6 @@ def delete_iceberg_keys(
         os.unlink(del_path)
         raise ValueError("empty delete key set — nothing to commit")
 
-    now = M.now_ms()
-    new_seq = int(doc.get("last-sequence-number", 0)) + 1
-    sid = int.from_bytes(os.urandom(7), "big") | 1
     lo, hi = [], []
     for col, b in bounds.items():
         f = by_name.get(col)
@@ -3216,27 +3213,55 @@ def delete_iceberg_keys(
             raw_b = _bound_bytes(f["type"], b[idx])
             if raw_b is not None:
                 acc.append({"key": f["id"], "value": raw_b})
+    return _commit_foreign_delete(
+        spark, location, doc, new_md_path, hint, del_path, n_keys,
+        lo, hi,
+        equality_ids=[by_name[k]["id"] for k in key_cols],
+        summary_extra={
+            "added-delete-files": "1", "added-position-deletes": "0",
+        },
+    )
+
+
+def _commit_foreign_delete(
+    spark: SparkSession,
+    location: str,
+    doc: dict,
+    new_md_path: str,
+    hint: str | None,
+    del_path: str,
+    n_rows: int,
+    lo: list[dict],
+    hi: list[dict],
+    equality_ids: list[int] | None,
+    summary_extra: dict[str, str],
+) -> str:
+    """Shared tail of the two foreign delete writers: one v2 delete
+    manifest (content 2 = equality, 1 = positional) referencing an
+    UNPARTITIONED spec (global deletes — an existing empty spec, or
+    one added to the metadata), committed as a ``delete`` snapshot."""
+    now = M.now_ms()
+    new_seq = int(doc.get("last-sequence-number", 0)) + 1
+    sid = int.from_bytes(os.urandom(7), "big") | 1
     entry = {
         "status": 1,
         "snapshot_id": sid,
         "sequence_number": new_seq,
         "file_sequence_number": new_seq,
         "data_file": {
-            "content": 2,
+            "content": 2 if equality_ids else 1,
             "file_path": del_path,
             "file_format": "PARQUET",
             "partition": {},
-            "record_count": n_keys,
+            "record_count": n_rows,
             "file_size_in_bytes": os.path.getsize(del_path),
             "lower_bounds": sorted(lo, key=lambda kv: kv["key"]) or None,
             "upper_bounds": sorted(hi, key=lambda kv: kv["key"]) or None,
             "split_offsets": None,
             "sort_order_id": None,
-            "equality_ids": [by_name[k]["id"] for k in key_cols],
+            "equality_ids": equality_ids,
         },
     }
-    # delete manifests describe UNPARTITIONED tuples (global deletes):
-    # reference an existing empty spec, or add one to the metadata
     doc_updates: dict = {}
     specs = list(doc.get("partition-specs", []))
     empty = next(
@@ -3283,16 +3308,93 @@ def delete_iceberg_keys(
         "added_files_count": 1,
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": n_keys,
+        "added_rows_count": n_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
         "partitions": [],
     }
     return _commit_foreign_snapshot(
         spark, location, doc, new_md_path, hint, new_row, sid, new_seq,
-        now, "delete",
-        {"added-delete-files": "1", "added-position-deletes": "0"},
-        doc_updates,
+        now, "delete", summary_extra, doc_updates,
+    )
+
+
+def delete_iceberg_where(
+    spark: SparkSession, location: str, condition: str
+) -> str:
+    """Commit a merge-on-read POSITIONAL DELETE to a real Iceberg
+    table IN PLACE — the second delete flavor of the foreign write
+    dialect (``delete_iceberg_keys`` is equality): one planning scan
+    of the live data files records (file_path, pos) for every row
+    matching ``condition`` — the position is Spark's
+    ``_metadata.row_index``, the exact parquet row ordinal Iceberg's
+    positional deletes store — sorted by (file_path, pos) per the
+    spec so engines can merge-apply. No equality key set is needed
+    and the flavor composes with equality deletes on the same table;
+    because data-file paths are never reused, path+pos matching is
+    sequence-safe by construction. O(one scan + delete set); no data
+    file is rewritten."""
+    doc, new_md_path, hint = _next_metadata_file(location)
+    if doc.get("current-snapshot-id") in (None, -1):
+        raise ValueError("table has no current snapshot — nothing to "
+                         "delete from")
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    files, _dels = iceberg_manifest_entries(doc, spark=spark)
+    if not files:
+        raise ValueError("table has no live data files")
+    matching = (
+        _open_projected(
+            spark, doc,
+            [_strip_scheme(f["file_path"]) for f in files],
+            meta_cols=True,
+        )
+        .filter(condition)
+        .select(
+            # the manifest entries record plain absolute paths, so the
+            # delete rows use the same form — a real engine matches
+            # them string-equal against its data-file paths
+            F.col("__path").alias("file_path"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+    )
+    ddir = os.path.join(os.path.abspath(location), "data")
+    os.makedirs(ddir, exist_ok=True)
+    tmpdir = os.path.join(ddir, f".posdel-stage-{uuid.uuid4().hex[:12]}")
+    matching.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+    part = next(
+        (
+            os.path.join(tmpdir, n)
+            for n in sorted(os.listdir(tmpdir))
+            if n.endswith(".parquet")
+        ),
+        None,
+    )
+    if part is None:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise ValueError("no rows match — nothing to commit")
+    del_path = os.path.join(
+        ddir, f"posdel-foreign-{uuid.uuid4().hex[:12]}.parquet"
+    )
+    os.replace(part, del_path)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    from iceberg_workshop_spark.icetbl.stats import file_stats
+
+    n_pos, _bounds = file_stats(del_path)
+    if n_pos == 0:
+        os.unlink(del_path)
+        raise ValueError("no rows match — nothing to commit")
+    return _commit_foreign_delete(
+        spark, location, doc, new_md_path, hint, del_path, n_pos,
+        [], [],
+        equality_ids=None,
+        summary_extra={
+            "added-delete-files": "1",
+            "added-position-deletes": str(n_pos),
+        },
     )
 
 

@@ -1710,3 +1710,87 @@ def q_iceberg_foreign_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_posdelete",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0
+              AND o_orderkey % 11 <> 5) AS n_pos_deleted
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5
+    """,
+)
+def q_iceberg_foreign_posdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL merge-on-read deletes from bytes alone (round 14 —
+    the v2 row-level-ops flavor of ``sql/update_iceberg_v2_examples
+    .sql:1-18``, foreign-side): the write order matters here — an
+    EQUALITY delete first (every 11th-mod-5 key), then
+    ``delete_iceberg_where`` records (file_path, row_index) pairs for
+    a predicate with no key set, and the two flavors COMPOSE on one
+    table: the positional planning scan reads through the live file
+    set, the reader applies the equality mask by key+sequence and the
+    positional mask by path+ordinal, and the oracle pins the
+    intersection's row/money parity plus the exact count of
+    positionally-deleted rows. Position comes from Spark's
+    ``_metadata.row_index`` — the same parquet ordinal a real engine
+    records — so the sidecar is engine-readable, not just
+    self-readable. O(one scan + delete set); no data file rewritten."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        delete_iceberg_keys,
+        delete_iceberg_where,
+        export_iceberg,
+        iceberg_manifest_entries,
+        read_iceberg,
+        resolve_iceberg_metadata,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_iceposdel_")
+    try:
+        t = IceTable.create_as(spark, f"{root}/src", orders)
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        delete_iceberg_keys(
+            spark, dest,
+            orders.filter("o_orderkey % 11 = 5").select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        delete_iceberg_where(spark, dest, "o_orderkey % 7 = 0")
+        doc = resolve_iceberg_metadata(dest)
+        _files, dels = iceberg_manifest_entries(doc, spark=spark)
+        require(
+            sorted(d.get("content") for d in dels) == [1, 2],
+            "both delete flavors live on the table at once",
+        )
+        # the positional planning scan read RAW files, so rows already
+        # masked by the equality delete may re-record — count the
+        # DISTINCT positions the reader actually masks
+        n_pos = next(
+            int(d.get("record_count") or 0)
+            for d in dels
+            if d.get("content") == 1
+        )
+        eq_overlap = orders.filter(
+            "o_orderkey % 7 = 0 AND o_orderkey % 11 = 5"
+        ).count()
+        agg = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+        ).first()
+        return spark.createDataFrame(
+            [(int(agg["n"]), float(agg["s"]), int(n_pos - eq_overlap))],
+            "n_rows bigint, sum_price double, n_pos_deleted bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

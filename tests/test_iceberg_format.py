@@ -2472,3 +2472,68 @@ def test_rewrite_iceberg_files_foreign_compaction(spark, tmp_path):
     assert any(p.endswith(".parquet") for p in orphaned)
     with pytest.raises(ValueError, match="target_num_files"):
         rewrite_iceberg_files(spark, dest, target_num_files=0)
+
+
+def test_delete_iceberg_where_foreign_positional(spark, tmp_path):
+    """Round 14: delete_iceberg_where commits a merge-on-read
+    POSITIONAL delete from bytes — (file_path, row_index) pairs from
+    one planning scan, sorted per the spec. Composes with equality
+    deletes on the same table; the changelog, adoption and compaction
+    all see through both flavors."""
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        delete_iceberg_where,
+        import_iceberg,
+        read_iceberg_changelog,
+        rewrite_iceberg_files,
+    )
+
+    df = spark.range(30).selectExpr("id", "concat('n', id) as name")
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df.filter("id < 20"),
+        [spec_field("id", "bucket[4]", "idb")],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    append_iceberg(spark, dest, df.filter("id >= 20"))
+    base = int(resolve_iceberg_metadata(dest)["current-snapshot-id"])
+    delete_iceberg_where(spark, dest, "id % 7 = 0")
+    want = {i for i in range(30) if i % 7 != 0}
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == want
+    # the delete file is spec-shaped: (file_path, pos) sorted
+    import glob
+
+    import pyarrow.parquet as pq
+
+    (pd_path,) = glob.glob(os.path.join(dest, "data", "posdel-*.parquet"))
+    tbl = pq.read_table(pd_path)
+    assert tbl.column_names == ["file_path", "pos"]
+    pairs = list(
+        zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist())
+    )
+    assert pairs == sorted(pairs)
+    # composes with an equality delete; everything downstream agrees
+    delete_iceberg_keys(
+        spark, dest, spark.range(30).filter("id % 11 = 5").select("id"),
+        ["id"],
+    )
+    want2 = {i for i in want if i % 11 != 5}
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == want2
+    cl = read_iceberg_changelog(spark, dest, base)
+    assert {
+        r["id"] for r in cl.collect() if r["_change_type"] == "delete"
+    } == set(range(30)) - want2
+    adopted = import_iceberg(spark, dest, str(tmp_path / "adopted"))
+    assert adopted.read().count() == len(want2)
+    rewrite_iceberg_files(spark, dest)
+    assert {
+        r[0] for r in read_iceberg(spark, dest).select("id").collect()
+    } == want2
+    with pytest.raises(ValueError, match="no rows match"):
+        delete_iceberg_where(spark, dest, "id = 99999")
