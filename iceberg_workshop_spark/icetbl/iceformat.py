@@ -3007,7 +3007,7 @@ def _commit_foreign_snapshot(
     doc: dict,
     new_md_path: str,
     hint: str | None,
-    new_row: dict,
+    new_row: dict | list[dict],
     sid: int,
     new_seq: int,
     now: int,
@@ -3018,7 +3018,9 @@ def _commit_foreign_snapshot(
 ) -> str:
     """Shared commit tail for the foreign writers: manifest list =
     previous snapshot's rows (normalized to our list schema) + the new
-    manifest row, snapshot JSON with running data totals, metadata doc
+    manifest row(s) — a MoR UPDATE lands its delete manifest and its
+    data manifest in ONE snapshot — snapshot JSON with running data
+    totals, metadata doc
     with bumped version/log/refs and a guaranteed name-mapping (our
     written parquet is ID-less), landed by exclusive-create CAS.
 
@@ -3057,9 +3059,10 @@ def _commit_foreign_snapshot(
                     for f in MANIFEST_LIST_SCHEMA["fields"]
                 }
             )
+    new_rows = new_row if isinstance(new_row, list) else [new_row]
     mlist_path = os.path.join(mdir, f"snap-{sid}-1-{uuid.uuid4()}.avro")
     write_avro(
-        spark, mlist_path, MANIFEST_LIST_SCHEMA, prev_rows + [new_row],
+        spark, mlist_path, MANIFEST_LIST_SCHEMA, prev_rows + new_rows,
         meta={
             "format-version": "2",
             "snapshot-id": str(sid),
@@ -3069,7 +3072,7 @@ def _commit_foreign_snapshot(
             else "null",
         },
     )
-    all_rows = prev_rows + [new_row]
+    all_rows = prev_rows + new_rows
     total_files = sum(
         int(r.get("added_files_count") or 0)
         + int(r.get("existing_files_count") or 0)
@@ -3180,25 +3183,9 @@ def delete_iceberg_keys(
     ).dropDuplicates()
 
     ddir = os.path.join(os.path.abspath(location), "data")
-    os.makedirs(ddir, exist_ok=True)
-    tmpdir = os.path.join(ddir, f".eqdel-stage-{uuid.uuid4().hex[:12]}")
-    kdf.coalesce(1).write.mode("overwrite").parquet(tmpdir)
-    part = next(
-        (
-            os.path.join(tmpdir, n)
-            for n in sorted(os.listdir(tmpdir))
-            if n.endswith(".parquet")
-        ),
-        None,
-    )
-    if part is None:
-        shutil.rmtree(tmpdir, ignore_errors=True)
+    del_path = _stage_single_parquet(kdf, ddir, "eqdel-foreign")
+    if del_path is None:
         raise ValueError("empty delete key set — nothing to commit")
-    del_path = os.path.join(
-        ddir, f"eqdel-foreign-{uuid.uuid4().hex[:12]}.parquet"
-    )
-    os.replace(part, del_path)
-    shutil.rmtree(tmpdir, ignore_errors=True)
     n_keys, bounds = file_stats(del_path)
     if n_keys == 0:
         os.unlink(del_path)
@@ -3223,6 +3210,34 @@ def delete_iceberg_keys(
     )
 
 
+def _stage_single_parquet(df: DataFrame, ddir: str, prefix: str) -> str | None:
+    """Write ``df`` as ONE parquet file under ``ddir`` named
+    ``<prefix>-<uuid>.parquet`` (delete sidecars are the small side by
+    construction); returns None for an empty frame."""
+    import shutil
+
+    os.makedirs(ddir, exist_ok=True)
+    tmpdir = os.path.join(
+        ddir, f".{prefix}-stage-{uuid.uuid4().hex[:12]}"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+    part = next(
+        (
+            os.path.join(tmpdir, n)
+            for n in sorted(os.listdir(tmpdir))
+            if n.endswith(".parquet")
+        ),
+        None,
+    )
+    if part is None:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return None
+    out = os.path.join(ddir, f"{prefix}-{uuid.uuid4().hex[:12]}.parquet")
+    os.replace(part, out)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return out
+
+
 def _commit_foreign_delete(
     spark: SparkSession,
     location: str,
@@ -3243,6 +3258,31 @@ def _commit_foreign_delete(
     now = M.now_ms()
     new_seq = int(doc.get("last-sequence-number", 0)) + 1
     sid = int.from_bytes(os.urandom(7), "big") | 1
+    new_row, doc_updates = _foreign_delete_manifest_row(
+        spark, doc, os.path.dirname(new_md_path), del_path, n_rows,
+        lo, hi, equality_ids, sid, new_seq,
+    )
+    return _commit_foreign_snapshot(
+        spark, location, doc, new_md_path, hint, new_row, sid, new_seq,
+        now, "delete", summary_extra, doc_updates,
+    )
+
+
+def _foreign_delete_manifest_row(
+    spark: SparkSession,
+    doc: dict,
+    mdir: str,
+    del_path: str,
+    n_rows: int,
+    lo: list[dict],
+    hi: list[dict],
+    equality_ids: list[int] | None,
+    sid: int,
+    new_seq: int,
+) -> tuple[dict, dict]:
+    """One v2 delete manifest (entry + Avro file + list row) for a
+    written sidecar; returns the manifest-list row and any metadata
+    updates (an unpartitioned spec allocated for global deletes)."""
     entry = {
         "status": 1,
         "snapshot_id": sid,
@@ -3284,7 +3324,6 @@ def _commit_foreign_delete(
         ),
         None,
     )
-    mdir = os.path.dirname(new_md_path)
     mf_path = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
     write_avro(
         spark, mf_path, manifest_entry_schema([]), [entry],
@@ -3313,10 +3352,7 @@ def _commit_foreign_delete(
         "deleted_rows_count": 0,
         "partitions": [],
     }
-    return _commit_foreign_snapshot(
-        spark, location, doc, new_md_path, hint, new_row, sid, new_seq,
-        now, "delete", summary_extra, doc_updates,
-    )
+    return new_row, doc_updates
 
 
 def delete_iceberg_where(
@@ -3362,25 +3398,9 @@ def delete_iceberg_where(
         .orderBy("file_path", "pos")
     )
     ddir = os.path.join(os.path.abspath(location), "data")
-    os.makedirs(ddir, exist_ok=True)
-    tmpdir = os.path.join(ddir, f".posdel-stage-{uuid.uuid4().hex[:12]}")
-    matching.coalesce(1).write.mode("overwrite").parquet(tmpdir)
-    part = next(
-        (
-            os.path.join(tmpdir, n)
-            for n in sorted(os.listdir(tmpdir))
-            if n.endswith(".parquet")
-        ),
-        None,
-    )
-    if part is None:
-        shutil.rmtree(tmpdir, ignore_errors=True)
+    del_path = _stage_single_parquet(matching, ddir, "posdel-foreign")
+    if del_path is None:
         raise ValueError("no rows match — nothing to commit")
-    del_path = os.path.join(
-        ddir, f"posdel-foreign-{uuid.uuid4().hex[:12]}.parquet"
-    )
-    os.replace(part, del_path)
-    shutil.rmtree(tmpdir, ignore_errors=True)
     from iceberg_workshop_spark.icetbl.stats import file_stats
 
     n_pos, _bounds = file_stats(del_path)
@@ -3395,6 +3415,165 @@ def delete_iceberg_where(
             "added-delete-files": "1",
             "added-position-deletes": str(n_pos),
         },
+    )
+
+
+def update_iceberg_where(
+    spark: SparkSession,
+    location: str,
+    condition: str,
+    set_exprs: dict[str, str],
+) -> str:
+    """Merge-on-read UPDATE against a real Iceberg table IN PLACE —
+    Iceberg's exact v2 recipe (``write.update.mode=merge-on-read``)
+    from bytes: ONE snapshot carries (a) a positional delete file
+    masking every raw row matching ``condition`` and (b) new data
+    files holding the updated images, so commit cost is O(matching
+    rows), never a file rewrite.
+
+    The two halves use different row sources on purpose: the delete
+    records RAW (file_path, row_index) matches — re-recording a row an
+    earlier delete already masked is an idempotent no-op at read time
+    — while the images come from the CURRENT VIEW (existing deletes
+    applied), so a masked row is never resurrected with an update
+    applied to it. The appended files share the commit's sequence
+    number with the delete, and positional deletes name (path, pos)
+    of OLD files only, so the new images are never self-masked."""
+    doc, new_md_path, hint = _next_metadata_file(location)
+    if doc.get("current-snapshot-id") in (None, -1):
+        raise ValueError("table has no current snapshot — nothing to "
+                         "update")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from iceberg_workshop_spark.icetbl.stats import file_stats
+
+    fields = _current_schema(doc)
+    names = [f["name"] for f in fields]
+    unknown = [c for c in set_exprs if c not in names]
+    if not set_exprs or unknown:
+        raise ValueError(
+            f"SET columns {unknown or list(set_exprs)} not in the "
+            "table schema"
+        )
+    files, dels = iceberg_manifest_entries(doc, spark=spark)
+    if not files:
+        raise ValueError("table has no live data files")
+    paths = [_strip_scheme(f["file_path"]) for f in files]
+    declared = StructType.fromDDL(_ddl_of(doc))
+
+    # (a) raw positions of every matching row (superset: rows already
+    # masked re-record harmlessly)
+    matching = (
+        _open_projected(spark, doc, paths, meta_cols=True)
+        .filter(condition)
+        .select(
+            F.col("__path").alias("file_path"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+    )
+    ddir = os.path.join(os.path.abspath(location), "data")
+    del_path = _stage_single_parquet(matching, ddir, "posdel-foreign")
+    if del_path is None:
+        raise ValueError("no rows match — nothing to update")
+    n_pos, _b = file_stats(del_path)
+    if n_pos == 0:
+        os.unlink(del_path)
+        raise ValueError("no rows match — nothing to update")
+
+    # (b) updated images from the CURRENT VIEW
+    view = (
+        _read_with_deletes(spark, doc, files, dels)
+        if dels
+        else _open_projected(spark, doc, paths)
+    )
+    images = view.filter(condition).select(
+        *[
+            (
+                F.expr(set_exprs[n]).cast(declared[n].dataType).alias(n)
+                if n in set_exprs
+                else F.col(n)
+            )
+            for n in names
+        ]
+    )
+    now = M.now_ms()
+    new_seq = int(doc.get("last-sequence-number", 0)) + 1
+    sid = int.from_bytes(os.urandom(7), "big") | 1
+    entries, avro_fields, spec_json, spec_id = _write_foreign_files(
+        spark, doc, images, location, sid, new_seq
+    )
+    mdir = os.path.dirname(new_md_path)
+    del_row, doc_updates = _foreign_delete_manifest_row(
+        spark, doc, mdir, del_path, n_pos, [], [], None, sid, new_seq
+    )
+    new_rows = [del_row]
+    added_rows = 0
+    if entries:  # every matching row may already be masked
+        cur_schema = next(
+            (
+                s
+                for s in doc.get("schemas", [])
+                if int(s.get("schema-id", 0))
+                == int(doc.get("current-schema-id", 0))
+            ),
+            None,
+        )
+        mf_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+        write_avro(
+            spark, mf_path, manifest_entry_schema(avro_fields), entries,
+            meta={
+                "schema": json.dumps(cur_schema or {}),
+                "schema-id": str(doc.get("current-schema-id", 0)),
+                "partition-spec": json.dumps(spec_json),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        added_rows = sum(
+            e["data_file"]["record_count"] for e in entries
+        )
+        new_rows.append(
+            {
+                "manifest_path": mf_path,
+                "manifest_length": os.path.getsize(mf_path),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq,
+                "added_snapshot_id": sid,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": any(
+                            e["data_file"]["partition"].get(pf["name"])
+                            is None
+                            for e in entries
+                        ),
+                        "contains_nan": None,
+                        "lower_bound": None,
+                        "upper_bound": None,
+                    }
+                    for pf in avro_fields
+                ],
+            }
+        )
+    return _commit_foreign_snapshot(
+        spark, location, doc, new_md_path, hint, new_rows, sid, new_seq,
+        now, "overwrite",
+        {
+            "added-position-deletes": str(n_pos),
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+        },
+        doc_updates,
     )
 
 

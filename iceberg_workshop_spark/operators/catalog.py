@@ -1794,3 +1794,85 @@ def q_iceberg_foreign_posdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_iceberg_foreign_update",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 4 = 1
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def q_iceberg_foreign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE from bytes alone (round 14 — Iceberg's v2
+    ``write.update.mode=merge-on-read`` recipe, the surface
+    ``sql/update_iceberg_v2_examples.sql:14-18`` drives, applied to a
+    FOREIGN table): after a managed create, a foreign append and a
+    foreign equality delete, ``update_iceberg_where`` doubles every
+    4th-mod-1 price in ONE commit — a positional delete masking the
+    raw matches plus data files with the updated images. The
+    no-resurrection property is the hard part and the oracle pins it:
+    rows the earlier equality delete masked also match the update
+    predicate, and they must stay gone (images come from the current
+    view), while commit cost stays O(matching rows) — never a data
+    file rewrite. Cross-era money parity breaks on a lost update, a
+    resurrected row, or a double-applied image."""
+    import shutil
+    import tempfile
+
+    from iceberg_workshop_spark.exprs import money
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        export_iceberg,
+        read_iceberg,
+        resolve_iceberg_metadata,
+        update_iceberg_where,
+    )
+    from iceberg_workshop_spark.icetbl.table import IceTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="iws_iceupd_")
+    try:
+        t = IceTable.create_as(
+            spark, f"{root}/src", orders.filter("o_orderkey % 2 = 0")
+        )
+        dest = f"{root}/ice"
+        export_iceberg(t, dest, history=True)
+        append_iceberg(spark, dest, orders.filter("o_orderkey % 2 = 1"))
+        delete_iceberg_keys(
+            spark, dest,
+            orders.filter("o_orderkey % 10 = 3").select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        update_iceberg_where(
+            spark, dest, "o_orderkey % 4 = 1",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        doc = resolve_iceberg_metadata(dest)
+        require(
+            doc["snapshots"][-1]["summary"]["operation"] == "overwrite",
+            "the MoR update lands as ONE overwrite snapshot",
+        )
+        r = read_iceberg(spark, dest)
+        agg = r.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("s"),
+            F.sum(
+                (F.col("o_orderkey") % 4 == 1).cast("long")
+            ).alias("k"),
+        ).first()
+        return spark.createDataFrame(
+            [(int(agg["n"]), float(agg["s"]), int(agg["k"]))],
+            "n_rows bigint, sum_price double, n_updated bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -171,6 +171,7 @@ _DRIVER_WINDOW = [
     "q_iceberg_foreign_delete", "q_iceberg_foreign_wap",
     "q_iceberg_foreign_evolve", "q_iceberg_foreign_expire",
     "q_iceberg_foreign_compact", "q_iceberg_foreign_posdelete",
+    "q_iceberg_foreign_update",
     "q_sql_write_ordered", "q_part_bucket", "q_part_evolution_bucket",
     # r6-vintage tail (26 names, computed mechanically as
     # {name: latest CORRECTNESS round == r6} at r14 start):
@@ -184,15 +185,15 @@ _DRIVER_WINDOW = [
     "q_llm_domain_mix", "q_llm_repetition", "q_llm_pipeline_e2e",
     "q_llm_safety_filter", "q_llm_dataset_card", "q_llm_curriculum",
     "q_llm_global_shuffle",
-    # r7-vintage pads (first 11, LEDGER r7 membership order; one pad
+    # r7-vintage pads (first 10, LEDGER r7 membership order; one pad
     # fell out per round-14 query joining — q_agg_histogram,
     # q_retention_cohort, q_funnel_conversion, q_stream_ice_table,
     # q_source_python_write, q_source_python_stream, q_source_python,
-    # q_join_bucketed, q_catalog_ops):
+    # q_join_bucketed, q_catalog_ops, q_agg_skew_salted):
     "q_scan_bloom", "q_join_asof_tolerance", "q_win_distribution",
     "q_win_running_distinct", "q_win_period_over_period",
     "q_sort_nulls", "q_set_union_by_name", "q_limit_offset",
-    "q_set_intersect_all", "q_join_skew_salted", "q_agg_skew_salted",
+    "q_set_intersect_all", "q_join_skew_salted",
 ]
 
 # SURVEY.md §2B contract rows, in contract order; emitted after the

@@ -2537,3 +2537,61 @@ def test_delete_iceberg_where_foreign_positional(spark, tmp_path):
     } == want2
     with pytest.raises(ValueError, match="no rows match"):
         delete_iceberg_where(spark, dest, "id = 99999")
+
+
+def test_update_iceberg_where_foreign_mor(spark, tmp_path):
+    """Round 14: update_iceberg_where is Iceberg's v2 MoR UPDATE from
+    bytes — ONE snapshot carries the positional delete masking the
+    matching rows and the data files holding their updated images.
+    Rows masked by an EARLIER delete are never resurrected (the
+    images come from the current view; the raw-position mask merely
+    re-records them), and the changelog reports the exact
+    old-image-delete / new-image-insert pairs."""
+    from iceberg_workshop_spark.icetbl import spec_field
+    from iceberg_workshop_spark.icetbl.iceformat import (
+        append_iceberg,
+        delete_iceberg_keys,
+        read_iceberg_changelog,
+        update_iceberg_where,
+    )
+
+    df = spark.range(20).selectExpr(
+        "id", "cast(id * 10 as double) as amount"
+    )
+    t = IceTable.create_as(
+        spark, str(tmp_path / "src"), df.filter("id < 12"),
+        [spec_field("id", "bucket[4]", "idb")],
+    )
+    dest = str(tmp_path / "ice")
+    export_iceberg(t, dest, history=True)
+    append_iceberg(spark, dest, df.filter("id >= 12"))
+    delete_iceberg_keys(
+        spark, dest, spark.range(20).filter("id % 9 = 0").select("id"),
+        ["id"],
+    )
+    base = int(resolve_iceberg_metadata(dest)["current-snapshot-id"])
+    update_iceberg_where(
+        spark, dest, "id % 3 = 0", {"amount": "amount + 0.5"}
+    )
+    rows = {(r[0], r[1]) for r in read_iceberg(spark, dest).collect()}
+    want = {
+        (i, i * 10.0 + (0.5 if i % 3 == 0 else 0.0))
+        for i in range(20)
+        if i % 9 != 0
+    }
+    assert rows == want
+    # one commit: the new snapshot is a single overwrite
+    doc = resolve_iceberg_metadata(dest)
+    assert doc["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    upd = {i for i in range(20) if i % 3 == 0 and i % 9 != 0}
+    cl = read_iceberg_changelog(spark, dest, base).collect()
+    assert {
+        (r["id"], r["amount"]) for r in cl if r["_change_type"] == "insert"
+    } == {(i, i * 10.0 + 0.5) for i in upd}
+    assert {
+        (r["id"], r["amount"]) for r in cl if r["_change_type"] == "delete"
+    } == {(i, i * 10.0) for i in upd}
+    with pytest.raises(ValueError, match="no rows match"):
+        update_iceberg_where(spark, dest, "id = 999", {"amount": "0.0"})
+    with pytest.raises(ValueError, match="SET columns"):
+        update_iceberg_where(spark, dest, "id = 1", {"zzz": "1"})

@@ -61,6 +61,7 @@ HEAVY = [
     "q_iceberg_foreign_delete", "q_iceberg_foreign_wap",
     "q_iceberg_foreign_evolve", "q_iceberg_foreign_expire",
     "q_iceberg_foreign_compact", "q_iceberg_foreign_posdelete",
+    "q_iceberg_foreign_update",
     "q_sql_transform_ctas_script", "q_sql_expire_stmt",
     "q_sql_call_maintenance_stmt", "q_sql_insert_overwrite_stmt",
     "q_sql_cdc_wap", "q_sql_materialized_view",
