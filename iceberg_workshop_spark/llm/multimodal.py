@@ -570,7 +570,13 @@ def q_llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "fp": fps}
             )
 
-    fp = docs.mapInPandas(_phash, schema=fp_schema)
+    # fp feeds both sides of the band self-join AND the verify
+    # projection; without a persist the whole upstream — the ASCII
+    # regex normalize (the query's hottest expression) plus the
+    # mapInPandas Python pass — is evaluated once per join side
+    # (plan showed two MapInPandas nodes). Persist the tiny
+    # (doc_id, fp) table so bytes cross the Python boundary once.
+    fp = docs.mapInPandas(_phash, schema=fp_schema).persist()
     bands = fp.select(
         "doc_id",
         "fp",
@@ -600,7 +606,7 @@ def q_llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming",
             F.bit_count(
@@ -611,3 +617,6 @@ def q_llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+    out = out.localCheckpoint(eager=True)
+    fp.unpersist()
+    return out

@@ -240,6 +240,87 @@ SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
 )
 
 
+def _tri_stage_views(spark: SparkSession, sf_dir: str, with_exact: bool) -> None:
+    """Materialize the triangle pipeline's shared intermediates once.
+
+    The one-row result of either triangle query is assembled from many
+    scalar subqueries; left as plain CTEs, Catalyst INLINES each
+    reference, so every subquery re-derived the full chain — the
+    ``explain("formatted")`` of the old form held 336 parquet scans
+    and six copies of the O(m^1.5) wedge SortMergeJoin cascade
+    (plans/r14/q_graph_triangles_before.txt). Staging each level
+    (pairs → samp → deg → oriented → tri) as an eager localCheckpoint
+    runs the lineitem self-join, the degree count, the orientation
+    join and the wedge join exactly ONCE per edge set; the final
+    select's scalar subqueries then read one-row / edge-sized
+    checkpointed tables. Values are unchanged: the staged SQL is the
+    same text as the old CTE bodies, view-qualified (guide §2.4 —
+    share one evaluation instead of re-deriving per consumer).
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"{_P}lineitem")
+
+    def ckpt(sql: str, view: str) -> None:
+        df = spark.sql(sql).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(view)
+
+    ckpt(
+        f"SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
+        f" FROM {_P}lineitem a JOIN {_P}lineitem b"
+        f" ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
+        f"{_P}pairs",
+    )
+    ckpt(
+        f"SELECT u, v FROM {_P}pairs"
+        f" WHERE {_HEX_SPARK} % {_SAMPLE_P_INV} = 0",
+        f"{_P}samp",
+    )
+    sets = [("pairs", ""), ("samp", "s_")] if with_exact else [("samp", "s_")]
+    for edges, p in sets:
+        ckpt(
+            f"SELECT node, COUNT(*) AS d FROM ("
+            f"SELECT u AS node FROM {_P}{edges}"
+            f" UNION ALL SELECT v AS node FROM {_P}{edges}"
+            f") {p}ends GROUP BY node",
+            f"{_P}{p}deg",
+        )
+        ckpt(
+            f"SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)"
+            f" THEN p.u ELSE p.v END AS s,"
+            f" CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)"
+            f" THEN p.v ELSE p.u END AS t"
+            f" FROM {_P}{edges} p"
+            f" JOIN {_P}{p}deg du ON du.node = p.u"
+            f" JOIN {_P}{p}deg dv ON dv.node = p.v",
+            f"{_P}{p}oriented",
+        )
+        # Triangle count via out-adjacency intersection (the
+        # compact-forward algorithm): a triangle a<b<c in the
+        # orientation order has edges a→b, a→c, b→c, so it is counted
+        # exactly once — on oriented edge (a,b), as c ∈ N⁺(a)∩N⁺(b) —
+        # which equals the wedge-join count the oracle replays
+        # (each (s,{x,y}) wedge with {x,y} an edge ↔ one such
+        # intersection member). The wedge JOIN form materialized and
+        # shuffled 41M wedge rows at sf0.1; the adjacency table is
+        # |nodes| rows (out-degree ≤ O(√m) by orientation), so it
+        # BROADCASTS and the count is one streaming pass over the
+        # edge list with per-row hash-set intersections (guide §3.1:
+        # replace the shuffle of the big side with a broadcast of the
+        # small side).
+        ckpt(
+            f"SELECT node, collect_list(t) AS nbrs"
+            f" FROM (SELECT s AS node, t FROM {_P}{p}oriented) GROUP BY node",
+            f"{_P}{p}adj",
+        )
+        ckpt(
+            f"SELECT CAST(COALESCE(SUM(cardinality("
+            f"array_intersect(a1.nbrs, a2.nbrs))), 0) AS BIGINT) AS n_tri"
+            f" FROM {_P}{p}oriented e"
+            f" JOIN {_P}{p}adj a1 ON a1.node = e.s"
+            f" JOIN {_P}{p}adj a2 ON a2.node = e.t",
+            f"{_P}{p}tri",
+        )
+
+
 @register(
     "q_graph_triangles",
     oracle=_TRIANGLES.format(t="", div="//", hexint=_HEX_DUCK),
@@ -270,9 +351,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its error certificate: ``est_triangles`` replays the sampled
     estimator next to the exact count and ``est_err_pct`` is the
     in-query relative error, both deterministic in either engine."""
-    for n in ("lineitem",):
-        load(spark, sf_dir, n).createOrReplaceTempView(f"{_P}{n}")
-    return spark.sql(_TRIANGLES.format(t=_P, div="div", hexint=_HEX_SPARK))
+    _tri_stage_views(spark, sf_dir, with_exact=True)
+    return spark.sql(
+        f"""
+SELECT (SELECT COUNT(*) FROM {_P}deg) AS n_nodes,
+       (SELECT COUNT(*) FROM {_P}pairs) AS n_edges,
+       (SELECT n_tri FROM {_P}tri) AS n_triangles,
+       CASE WHEN (SELECT SUM((d * (d - 1)) div 2) FROM {_P}deg) = 0 THEN NULL
+            ELSE round(CAST(3 * (SELECT n_tri FROM {_P}tri) AS DOUBLE) /
+             CAST((SELECT SUM((d * (d - 1)) div 2) FROM {_P}deg) AS DOUBLE),
+             4) END AS global_clustering,
+       CAST({_SAMPLE_P_INV ** 3} * (SELECT n_tri FROM {_P}s_tri) AS BIGINT)
+         AS est_triangles,
+       CASE WHEN (SELECT n_tri FROM {_P}tri) = 0 THEN NULL
+            ELSE round(CAST(100 * abs({_SAMPLE_P_INV ** 3}
+                           * (SELECT n_tri FROM {_P}s_tri)
+                           - (SELECT n_tri FROM {_P}tri)) AS DOUBLE)
+             / CAST((SELECT n_tri FROM {_P}tri) AS DOUBLE), 1) END
+         AS est_err_pct
+"""
+    )
 
 
 @register(
@@ -297,6 +395,13 @@ def q_graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge key, so the oracle replays it bit-for-bit; the error-
     vs-exact certificate lives in the baseline-only
     ``q_graph_triangles``."""
-    for n in ("lineitem",):
-        load(spark, sf_dir, n).createOrReplaceTempView(f"{_P}{n}")
-    return spark.sql(_TRIANGLES_APPROX.format(t=_P, hexint=_HEX_SPARK))
+    _tri_stage_views(spark, sf_dir, with_exact=False)
+    return spark.sql(
+        f"""
+SELECT (SELECT COUNT(*) FROM {_P}pairs) AS n_edges,
+       (SELECT COUNT(*) FROM {_P}samp) AS n_edges_sampled,
+       (SELECT n_tri FROM {_P}s_tri) AS n_tri_sampled,
+       CAST({_SAMPLE_P_INV ** 3} * (SELECT n_tri FROM {_P}s_tri) AS BIGINT)
+         AS est_triangles
+"""
+    )
