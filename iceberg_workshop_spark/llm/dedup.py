@@ -538,7 +538,18 @@ def _minhash_bands(shingles: DataFrame, base: Column) -> DataFrame:
 
 def _band_pairs(buckets: DataFrame) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) from band signatures:
-    the LSH bucket self-join — shuffles only (band, sig, doc_id)."""
+    the LSH bucket self-join — shuffles only (band, sig, doc_id).
+
+    ``buckets`` is materialized first: the self-join's build side gets
+    BROADCAST (band tables are tiny), and a broadcast build is a
+    separate evaluation of its subtree — unmaterialized, the whole
+    signature pipeline (the repartition + Arrow mapInPandas minima
+    pass over every shingle) ran once per join side (the
+    q_llm_dedup_near plan held two MapInPandas nodes). The band table
+    is bands-per-doc rows, so the checkpoint is noise next to the
+    saved Python pass (guide §4.1 — cross the boundary once).
+    """
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -1503,9 +1514,15 @@ def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(sizes, "doc_id")
     )
+    # pref feeds BOTH sides of the candidate self-join; the build side
+    # broadcasts, and a broadcast build re-evaluates its subtree, so
+    # unpersisted the df-rank window chain (freq agg + two joins +
+    # row_number) ran once per side. Persist the prefix table (the
+    # ~20% shingle sliver) so it is computed once; it stays persisted
+    # because the returned lazy plan references it on both sides.
     pref = ranked.filter(
         F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-    ).select("doc_id", "shingle", "n")
+    ).select("doc_id", "shingle", "n").persist()
     # PPJoin length filter: Jaccard ≥ 0.8 forces 4·max(na,nb) ≤
     # 5·min(na,nb); pruning size-incompatible pairs IN the join
     # condition keeps them out of the distinct+verify stages entirely.
@@ -2260,6 +2277,11 @@ def q_llm_dedup_containment_prefix(
     ds = _doc_shingles(docs).persist()
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # ranked feeds BOTH prefix sides (pa/pb carry different cutoffs),
+    # and the candidate join broadcasts one side — a broadcast build
+    # re-evaluates its subtree, so unpersisted the freq-join + window
+    # chain ran once per side. Persist so it runs once; released after
+    # the eager checkpoint below.
     ranked = (
         ds.join(dfreq, "shingle")
         .join(sz, "doc_id")
@@ -2269,6 +2291,7 @@ def q_llm_dedup_containment_prefix(
                 Window.partitionBy("doc_id").orderBy("df", "shingle")
             ),
         )
+        .persist()
     )
     pa = ranked.filter(
         F.col("r") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
@@ -2335,6 +2358,7 @@ def q_llm_dedup_containment_prefix(
     )
     out = out.localCheckpoint(eager=True)
     cand.unpersist()
+    ranked.unpersist()
     ds.unpersist()
     return out
 
