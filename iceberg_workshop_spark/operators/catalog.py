@@ -1010,7 +1010,13 @@ def q_iceberg_metadata_tables(
         t.delete_where_mor("o_orderkey % 6 = 1", keys=["o_orderkey"])
         export_iceberg(t, f"{root}/ice", history=True)
         mt = iceberg_metadata_tables(spark, f"{root}/ice")
-        files = mt["files"].agg(
+        # The five views are metadata-sized; aggregate each lazily and
+        # collect them through ONE action (a crossJoin of one-row
+        # aggregates) instead of six sequential .first()/.count()
+        # jobs — same values, one round of job-scheduling latency
+        # (guide §1.2: don't pay per-pass fixed costs for work that
+        # composes into one pass).
+        files_agg = mt["files"].agg(
             F.sum(
                 F.when(F.col("content") == 0, F.col("record_count"))
                 .otherwise(F.lit(0))
@@ -1021,20 +1027,39 @@ def q_iceberg_metadata_tables(
             ).alias("eq_delete_rows"),
             F.max("sequence_number").alias("max_file_seq"),
             F.min("file_size_in_bytes").alias("min_size"),
-        ).first()
-        snaps = mt["snapshots"].agg(
+            F.count(F.lit(1)).alias("n_file_entries"),
+        )
+        snaps_agg = mt["snapshots"].agg(
             F.count(F.lit(1)).alias("n_snapshots"),
             F.max("sequence_number").alias("max_snap_seq"),
             F.sum(
                 F.when(F.col("parent_id").isNull(), 1).otherwise(0)
             ).alias("n_roots"),
-        ).first()
-        hist = mt["history"].agg(
+        )
+        hist_agg = mt["history"].agg(
             F.sum(
                 F.when(F.col("is_current_ancestor"), 1).otherwise(0)
             ).alias("n_ancestors"),
             F.count(F.lit(1)).alias("n_log"),
-        ).first()
+        )
+        man_agg = mt["manifests"].agg(
+            F.sum(
+                F.col("added_files_count") + F.col("existing_files_count")
+            ).alias("n_listed"),
+            F.min("length").alias("min_len"),
+        )
+        part_agg = mt["partitions"].agg(
+            F.sum("record_count").alias("rows"),
+            F.sum("file_count").alias("nfiles"),
+        )
+        row = (
+            files_agg.crossJoin(snaps_agg)
+            .crossJoin(hist_agg)
+            .crossJoin(man_agg)
+            .crossJoin(part_agg)
+            .first()
+        )
+        files = snaps = hist = man = part = row
         require(
             snaps["n_roots"] == 1,
             "exactly one root snapshot (null parent) in a linear history",
@@ -1051,24 +1076,14 @@ def q_iceberg_metadata_tables(
             files["min_size"] > 0,
             "every listed file carries its real on-disk byte size",
         )
-        man = mt["manifests"].agg(
-            F.sum(
-                F.col("added_files_count") + F.col("existing_files_count")
-            ).alias("n_listed"),
-            F.min("length").alias("min_len"),
-        ).first()
         require(
-            man["n_listed"] == mt["files"].count(),
+            man["n_listed"] == files["n_file_entries"],
             "manifest file counts must cover every live entry",
         )
         require(
             man["min_len"] > 0,
             "every manifest carries its real on-disk byte length",
         )
-        part = mt["partitions"].agg(
-            F.sum("record_count").alias("rows"),
-            F.sum("file_count").alias("nfiles"),
-        ).first()
         require(
             part["rows"] == files["live_rows"],
             "partitions view must re-aggregate exactly the data files",
