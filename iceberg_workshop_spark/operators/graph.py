@@ -126,9 +126,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(150000000 + (85 * COALESCE(contrib, 0)) div 100 AS BIGINT)"
             ).alias("score"),
         )
-    return scores.select(
+    out = scores.select(
         F.col("node").alias("nationkey"), F.col("score").alias("pagerank_scaled")
     ).orderBy(F.col("pagerank_scaled").desc(), "nationkey")
+    # Persists are invocation-scoped (bench contract): checkpoint the
+    # 25-row result eagerly, then release the edge/node caches —
+    # returned lazy, they stayed in the CacheManager for the rest of
+    # the session and later invocations silently reused the first
+    # run's materialized blocks.
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
 
 
 # Edge list + degree-oriented exact wedge count over an arbitrary
@@ -240,85 +249,106 @@ SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
 )
 
 
-def _tri_stage_views(spark: SparkSession, sf_dir: str, with_exact: bool) -> None:
-    """Materialize the triangle pipeline's shared intermediates once.
+def _tri_stats(edges: DataFrame, releases: list) -> tuple[DataFrame, DataFrame]:
+    """LAZY (deg, one-row tri-count) frames for one distinct edge set.
 
-    The one-row result of either triangle query is assembled from many
-    scalar subqueries; left as plain CTEs, Catalyst INLINES each
-    reference, so every subquery re-derived the full chain — the
-    ``explain("formatted")`` of the old form held 336 parquet scans
-    and six copies of the O(m^1.5) wedge SortMergeJoin cascade
-    (plans/r14/q_graph_triangles_before.txt). Staging each level
-    (pairs → samp → deg → oriented → tri) as an eager localCheckpoint
-    runs the lineitem self-join, the degree count, the orientation
-    join and the wedge join exactly ONCE per edge set; the final
-    select's scalar subqueries then read one-row / edge-sized
-    checkpointed tables. Values are unchanged: the staged SQL is the
-    same text as the old CTE bodies, view-qualified (guide §2.4 —
-    share one evaluation instead of re-deriving per consumer).
+    Triangle count via out-adjacency intersection (the compact-forward
+    algorithm): a triangle a<b<c in the degree-orientation order has
+    edges a→b, a→c, b→c, so it is counted exactly once — on oriented
+    edge (a,b), as c ∈ N⁺(a)∩N⁺(b) — which equals the wedge-join count
+    the oracle replays (each (s,{x,y}) wedge with {x,y} an edge ↔ one
+    such intersection member; pinned on random graphs by
+    tests/test_optimization_r14.py). The adjacency table is |nodes|
+    rows (out-degree ≤ O(√m) by orientation), so it BROADCASTS and the
+    count is one streaming pass over the edge list with per-row
+    hash-set intersections (guide §3.1).
+
+    Each multiply-consumed level is persist()ed — NOT eagerly
+    checkpointed: a lazy persist materializes inside whichever single
+    action evaluates the final plan, with block-level dedup giving one
+    computation per partition, NO job barrier between levels (round-14
+    staged this as ~10 sequential eager localCheckpoint jobs and the
+    lost stage overlap made the query SLOWER on 32 cores — 32c/8c
+    scaling ratio 1.44), full lineage (fault-tolerant at scale, unlike
+    localCheckpoint) and MEMORY_AND_DISK spill. Frames are appended to
+    ``releases`` so the caller unpersists them after its one action.
     """
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"{_P}lineitem")
-
-    def ckpt(sql: str, view: str) -> None:
-        df = spark.sql(sql).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(view)
-
-    ckpt(
-        f"SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v"
-        f" FROM {_P}lineitem a JOIN {_P}lineitem b"
-        f" ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
-        f"{_P}pairs",
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
-    ckpt(
-        f"SELECT u, v FROM {_P}pairs"
-        f" WHERE {_HEX_SPARK} % {_SAMPLE_P_INV} = 0",
-        f"{_P}samp",
+    du = deg.select(F.col("node").alias("u_node"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_node"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    sets = [("pairs", ""), ("samp", "s_")] if with_exact else [("samp", "s_")]
-    for edges, p in sets:
-        ckpt(
-            f"SELECT node, COUNT(*) AS d FROM ("
-            f"SELECT u AS node FROM {_P}{edges}"
-            f" UNION ALL SELECT v AS node FROM {_P}{edges}"
-            f") {p}ends GROUP BY node",
-            f"{_P}{p}deg",
+    oriented = (
+        edges.join(du, F.col("u") == F.col("u_node"))
+        .join(dv, F.col("v") == F.col("v_node"))
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        ckpt(
-            f"SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)"
-            f" THEN p.u ELSE p.v END AS s,"
-            f" CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)"
-            f" THEN p.v ELSE p.u END AS t"
-            f" FROM {_P}{edges} p"
-            f" JOIN {_P}{p}deg du ON du.node = p.u"
-            f" JOIN {_P}{p}deg dv ON dv.node = p.v",
-            f"{_P}{p}oriented",
+        .persist()
+    )
+    adj = (
+        oriented.groupBy(F.col("s").alias("node"))
+        .agg(F.collect_list("t").alias("nbrs"))
+        .persist()
+    )
+    a1 = adj.select(F.col("node").alias("n1"), F.col("nbrs").alias("nb1"))
+    a2 = adj.select(F.col("node").alias("n2"), F.col("nbrs").alias("nb2"))
+    tri = (
+        oriented.join(a1, F.col("s") == F.col("n1"))
+        .join(a2, F.col("t") == F.col("n2"))
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(cardinality("
+                "array_intersect(nb1, nb2))), 0) AS BIGINT)"
+            ).alias("n_tri")
         )
-        # Triangle count via out-adjacency intersection (the
-        # compact-forward algorithm): a triangle a<b<c in the
-        # orientation order has edges a→b, a→c, b→c, so it is counted
-        # exactly once — on oriented edge (a,b), as c ∈ N⁺(a)∩N⁺(b) —
-        # which equals the wedge-join count the oracle replays
-        # (each (s,{x,y}) wedge with {x,y} an edge ↔ one such
-        # intersection member). The wedge JOIN form materialized and
-        # shuffled 41M wedge rows at sf0.1; the adjacency table is
-        # |nodes| rows (out-degree ≤ O(√m) by orientation), so it
-        # BROADCASTS and the count is one streaming pass over the
-        # edge list with per-row hash-set intersections (guide §3.1:
-        # replace the shuffle of the big side with a broadcast of the
-        # small side).
-        ckpt(
-            f"SELECT node, collect_list(t) AS nbrs"
-            f" FROM (SELECT s AS node, t FROM {_P}{p}oriented) GROUP BY node",
-            f"{_P}{p}adj",
-        )
-        ckpt(
-            f"SELECT CAST(COALESCE(SUM(cardinality("
-            f"array_intersect(a1.nbrs, a2.nbrs))), 0) AS BIGINT) AS n_tri"
-            f" FROM {_P}{p}oriented e"
-            f" JOIN {_P}{p}adj a1 ON a1.node = e.s"
-            f" JOIN {_P}{p}adj a2 ON a2.node = e.t",
-            f"{_P}{p}tri",
-        )
+    )
+    releases.extend([deg, oriented, adj])
+    return deg, tri
+
+
+def _tri_frames(
+    spark: SparkSession, sf_dir: str, with_exact: bool
+) -> tuple[dict[str, DataFrame], list]:
+    """Shared lazy building blocks for both triangle queries.
+
+    Returns ``{pairs, samp, deg, tri, s_tri}`` (``deg``/``tri`` only
+    when ``with_exact``) plus the list of persisted frames the caller
+    must release after its single materializing action. Everything is
+    LAZY: one final action evaluates the whole DAG, AQE overlapping
+    the exact and sampled branches across all cores (guide §2.6),
+    versus round-14's serial eager-checkpoint staging that also pinned
+    ~10 ``iws_gr_*`` temp views over checkpointed RDDs for the rest of
+    the session (the q_llm family ran with that pinned; VERDICT r14).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("v")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    samp = pairs.where(F.expr(f"{_HEX_SPARK} % {_SAMPLE_P_INV} = 0")).persist()
+    releases: list = [pairs, samp]
+    out: dict[str, DataFrame] = {"pairs": pairs, "samp": samp}
+    if with_exact:
+        out["deg"], out["tri"] = _tri_stats(pairs, releases)
+    _, out["s_tri"] = _tri_stats(samp, releases)
+    return out, releases
 
 
 @register(
@@ -351,26 +381,49 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     its error certificate: ``est_triangles`` replays the sampled
     estimator next to the exact count and ``est_err_pct`` is the
     in-query relative error, both deterministic in either engine."""
-    _tri_stage_views(spark, sf_dir, with_exact=True)
-    return spark.sql(
-        f"""
-SELECT (SELECT COUNT(*) FROM {_P}deg) AS n_nodes,
-       (SELECT COUNT(*) FROM {_P}pairs) AS n_edges,
-       (SELECT n_tri FROM {_P}tri) AS n_triangles,
-       CASE WHEN (SELECT SUM((d * (d - 1)) div 2) FROM {_P}deg) = 0 THEN NULL
-            ELSE round(CAST(3 * (SELECT n_tri FROM {_P}tri) AS DOUBLE) /
-             CAST((SELECT SUM((d * (d - 1)) div 2) FROM {_P}deg) AS DOUBLE),
-             4) END AS global_clustering,
-       CAST({_SAMPLE_P_INV ** 3} * (SELECT n_tri FROM {_P}s_tri) AS BIGINT)
-         AS est_triangles,
-       CASE WHEN (SELECT n_tri FROM {_P}tri) = 0 THEN NULL
-            ELSE round(CAST(100 * abs({_SAMPLE_P_INV ** 3}
-                           * (SELECT n_tri FROM {_P}s_tri)
-                           - (SELECT n_tri FROM {_P}tri)) AS DOUBLE)
-             / CAST((SELECT n_tri FROM {_P}tri) AS DOUBLE), 1) END
-         AS est_err_pct
-"""
+    fr, releases = _tri_frames(spark, sf_dir, with_exact=True)
+    # One-row stats assembled by crossJoin of one-row aggregates so the
+    # WHOLE pipeline — both edge sets' degree/orientation/adjacency/
+    # intersection branches — evaluates in ONE action (the eager
+    # checkpoint below), instead of one scalar-subquery job per stat.
+    # Expressions mirror the oracle's scalar subqueries verbatim
+    # (SUM over an empty deg is NULL → CASE falls through to a NULL
+    # quotient, exactly like the SQL form).
+    deg_agg = fr["deg"].agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("wedges"),
     )
+    edge_cnt = fr["pairs"].agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = fr["tri"].withColumnRenamed("n_tri", "n_triangles")
+    s_tri = fr["s_tri"].withColumnRenamed("n_tri", "s_n_tri")
+    out = (
+        deg_agg.crossJoin(edge_cnt)
+        .crossJoin(tri)
+        .crossJoin(s_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN wedges = 0 THEN NULL"
+                " ELSE round(CAST(3 * n_triangles AS DOUBLE)"
+                " / CAST(wedges AS DOUBLE), 4) END"
+            ).alias("global_clustering"),
+            F.expr(
+                f"CAST({_SAMPLE_P_INV ** 3} * s_n_tri AS BIGINT)"
+            ).alias("est_triangles"),
+            F.expr(
+                "CASE WHEN n_triangles = 0 THEN NULL"
+                f" ELSE round(CAST(100 * abs({_SAMPLE_P_INV ** 3} * s_n_tri"
+                " - n_triangles) AS DOUBLE)"
+                " / CAST(n_triangles AS DOUBLE), 1) END"
+            ).alias("est_err_pct"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    for df in releases:
+        df.unpersist()
+    return out
 
 
 @register(
@@ -395,13 +448,23 @@ def q_graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge key, so the oracle replays it bit-for-bit; the error-
     vs-exact certificate lives in the baseline-only
     ``q_graph_triangles``."""
-    _tri_stage_views(spark, sf_dir, with_exact=False)
-    return spark.sql(
-        f"""
-SELECT (SELECT COUNT(*) FROM {_P}pairs) AS n_edges,
-       (SELECT COUNT(*) FROM {_P}samp) AS n_edges_sampled,
-       (SELECT n_tri FROM {_P}s_tri) AS n_tri_sampled,
-       CAST({_SAMPLE_P_INV ** 3} * (SELECT n_tri FROM {_P}s_tri) AS BIGINT)
-         AS est_triangles
-"""
+    fr, releases = _tri_frames(spark, sf_dir, with_exact=False)
+    edge_cnt = fr["pairs"].agg(F.count(F.lit(1)).alias("n_edges"))
+    samp_cnt = fr["samp"].agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    s_tri = fr["s_tri"].withColumnRenamed("n_tri", "n_tri_sampled")
+    out = (
+        edge_cnt.crossJoin(samp_cnt)
+        .crossJoin(s_tri)
+        .select(
+            "n_edges",
+            "n_edges_sampled",
+            "n_tri_sampled",
+            F.expr(
+                f"CAST({_SAMPLE_P_INV ** 3} * n_tri_sampled AS BIGINT)"
+            ).alias("est_triangles"),
+        )
     )
+    out = out.localCheckpoint(eager=True)
+    for df in releases:
+        df.unpersist()
+    return out

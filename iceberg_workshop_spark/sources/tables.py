@@ -82,7 +82,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), name)
     cached = per_session.get(key)
     if cached is not None:
-        return cached
+        df, needs_utc = cached
+        if needs_utc:
+            # The cached plan embeds an NTZ→timestamp cast that is only
+            # value-preserving under UTC; a driver that repoints the
+            # session TZ mid-session would silently change its result,
+            # so re-pin on every hit (a conf get/compare — ADVICE r14).
+            ensure_utc_session(spark)
+        return df
     if name == "events":
         # The driver may hand us a session built without this conf;
         # it is runtime-settable, so pin it here rather than only in
@@ -100,7 +107,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz_cols:
         ensure_utc_session(spark)
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
-    per_session[key] = df
+    per_session[key] = (df, bool(ntz_cols))
     return df
 
 

@@ -108,10 +108,15 @@ def test_band_pairs_materialization_keeps_pairs(spark):
     buckets = spark.createDataFrame(
         rows, "doc_id long, band_id int, sig string"
     )
+    releases: list = []
     got = sorted(
-        (r["doc_a"], r["doc_b"]) for r in _band_pairs(buckets).collect()
+        (r["doc_a"], r["doc_b"])
+        for r in _band_pairs(buckets, releases).collect()
     )
+    for df in releases:
+        df.unpersist()
     assert got == [(1, 2), (1, 4)]
+    assert releases, "_band_pairs must hand back its persisted frame"
 
 
 def test_load_memoization_plan_only_and_keyed(spark):
@@ -128,12 +133,16 @@ def test_load_memoization_plan_only_and_keyed(spark):
     ev = load(spark, SF_DIR, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert load(spark, SF_DIR, "events") is ev
-    # a different sf_dir must not collide
+    # a different sf_dir must not collide (ADVICE r14: guard on the
+    # fixture dir actually existing, and assert non-identity + a real
+    # execution — the old disjunction was vacuously true).
+    import os
+
     sf_small = SF_DIR.replace("0.01", "0.001")
-    if sf_small != SF_DIR:
+    if sf_small != SF_DIR and os.path.isdir(sf_small):
         b = load(spark, sf_small, "nation")
         assert b is not a1
-        assert b.count() != a1.count() or b.count() > 0
+        assert b.count() > 0
 
 
 def test_prefix_filter_persists_released(spark):

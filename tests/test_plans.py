@@ -158,10 +158,15 @@ def test_kmeans_centroids_broadcast(spark):
 def test_pagerank_reuses_persisted_edges(spark):
     """Each PageRank iteration must read the cached edge list, not
     re-derive it from the fact table (Spark inlines CTEs — the
-    regression this guards is a per-iteration lineitem rescan)."""
+    regression this guards is a per-iteration lineitem rescan).
+    The query now returns an eager checkpoint (so its persists can be
+    released before returning), so assert the lazily-constructed plan
+    via the same hook as the similarity-join test."""
     from iceberg_workshop_spark.registry import queries
 
-    plan = _plan(queries()["q_graph_pagerank"](spark, SF_DIR))
+    with _lazy_checkpoints():
+        plan = _plan(queries()["q_graph_pagerank"](spark, SF_DIR))
+    spark.catalog.clearCache()
     # every iteration's edge/node reference resolves to the cache
     # (InMemoryRelation nodes re-print their child plan, so counting
     # FileScan occurrences in the string would be meaningless):
@@ -599,6 +604,33 @@ def test_prefix_helpers_random_sweep():
         assert got_lag[(r["ex"], r["i"])] == r["prev"], (r["ex"], r["i"])
 
 
+def _lazy_checkpoints():
+    """Context manager: no-op ``localCheckpoint``/``unpersist`` so a
+    query that eagerly checkpoints its result (whose executed plan is
+    then a bare ExistingRDD scan) can be constructed LAZILY and its
+    real computation plan asserted — same hook as tools/dump_plan.py."""
+    from contextlib import contextmanager
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # pragma: no cover — pre-4.x layout
+        from pyspark.sql import DataFrame as _CDF
+
+    @contextmanager
+    def _cm():
+        orig_ckpt = _CDF.localCheckpoint
+        orig_unp = _CDF.unpersist
+        _CDF.localCheckpoint = lambda self, eager=True: self
+        _CDF.unpersist = lambda self, blocking=False: self
+        try:
+            yield
+        finally:
+            _CDF.localCheckpoint = orig_ckpt
+            _CDF.unpersist = orig_unp
+
+    return _cm()
+
+
 def test_new_similarity_joins_avoid_cartesian(spark):
     """The round-8 similarity/spatial/graph joins must all plan as
     hash equi-joins on their blocking keys — a CartesianProduct or
@@ -609,22 +641,32 @@ def test_new_similarity_joins_avoid_cartesian(spark):
 
     qs = queries()
     # spatial attaches the scalar n_points via a single-row broadcast
-    # crossJoin — the one legitimate BroadcastNestedLoopJoin.
-    # (q_llm_dedup_spans is not assertable here: it returns a
-    # localCheckpoint, so its executed plan is an RDD scan.)
-    bnlj_budget = {"q_join_spatial_radius": 1}
-    for name in (
-        "q_join_editdist",
-        "q_join_spatial_radius",
-        "q_graph_triangles",
-        "q_graph_triangles_approx",
-    ):
-        plan = _plan(qs[name](spark, SF_DIR))
-        assert "CartesianProduct" not in plan, name
-        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget.get(
-            name, 0
-        ), name
-        assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan, name
+    # crossJoin — a legitimate BroadcastNestedLoopJoin; the triangle
+    # queries assemble their one-row stats the same way (3 resp. 2
+    # single-row crossJoins), so they get the matching budget. The
+    # triangle queries return an eager checkpoint, so their plans are
+    # asserted through the lazy-construction hook.
+    bnlj_budget = {
+        "q_join_spatial_radius": 1,
+        "q_graph_triangles": 3,
+        "q_graph_triangles_approx": 2,
+    }
+    with _lazy_checkpoints():
+        for name in (
+            "q_join_editdist",
+            "q_join_spatial_radius",
+            "q_graph_triangles",
+            "q_graph_triangles_approx",
+        ):
+            plan = _plan(qs[name](spark, SF_DIR))
+            assert "CartesianProduct" not in plan, name
+            assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget.get(
+                name, 0
+            ), name
+            assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan, name
+    # the hook no-ops unpersist, so drop the persists the triangle
+    # construction registered (they were never materialized).
+    spark.catalog.clearCache()
 
 
 def test_triangle_estimate_certificate(spark):
