@@ -67,14 +67,32 @@ def main() -> None:
 
     pass_meta: list[dict] = []
 
+    # Opt-in randomized execution order (VERDICT r14 #7): separates
+    # session-order contamination (a query slow only because of what
+    # ran before it) from host noise. Additions-only: the default
+    # stays the sorted order the driver compares across rounds, and
+    # the one-line JSON contract is unchanged. Shuffle is seeded per
+    # (seed, pass-label) so a run is reproducible.
+    order_mode = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "sorted")
+
+    def _pass_order(label: str) -> list[str]:
+        names = sorted(qs)
+        if order_mode == "random":
+            import random
+
+            seed = os.environ.get("SPARK_GRAFT_BENCH_SEED", "0")
+            random.Random(f"{seed}:{label}").shuffle(names)
+        return names
+
     def run_pass(label: str) -> dict[str, float]:
         meta = {
             "label": label,
             "started_unix": round(time.time(), 1),
             "loadavg_before": _loadavg(),
+            "order": order_mode,
         }
         timings: dict[str, float] = {}
-        for name in sorted(qs):
+        for name in _pass_order(label):
             t0 = time.perf_counter()
             try:
                 df = qs[name](spark, sf_dir)

@@ -153,7 +153,10 @@ def _pair_jaccard(
             .select(
                 "doc_a",
                 "doc_b",
-                F.expr("cardinality(array_intersect(sh_a, sh_b))").alias(
+                F.expr(
+                    "CAST(cardinality(array_intersect(sh_a, sh_b))"
+                    " AS BIGINT)"
+                ).alias(
                     "n_common"
                 ),
                 "n_a",
@@ -2512,7 +2515,10 @@ def q_llm_dedup_containment_prefix(
         .select(
             "doc_a",
             "doc_b",
-            F.expr("cardinality(array_intersect(sh_a, sh_b))").alias(
+            F.expr(
+                    "CAST(cardinality(array_intersect(sh_a, sh_b))"
+                    " AS BIGINT)"
+                ).alias(
                 "n_common"
             ),
             "n_a",
